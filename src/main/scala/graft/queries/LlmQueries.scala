@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+/** North-star LLM-data-pipeline queries (SURVEY §2.9 + builder-prompt
+  * mandate): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + IVF), text analysis
+  * (lang-ID, quality, tokens, fingerprint) and multimodal plumbing.
+  *
+  * Bounded-subset policy: candidate-pair generators run on a fixed id
+  * prefix (stable across scale factors) so the declared queries stay
+  * deterministic and bench-bounded, while the library functions themselves
+  * scale to the full corpus (see graft.llm scaladocs for the 100 TB paths).
+  */
+object LlmQueries {
+
+  private val docCap = 2000L  // fixed prefix for pairwise ops
+  private val vecCap = 500L
+
+  val all: Seq[Q] = Seq(
+
+    Q("llm_dedup_exact",
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin) {
+      (spark, sf) =>
+        Dedup.exact(Tables.documents(spark, sf)).orderBy("keep_id")
+    },
+
+    Q.noOracle("llm_dedup_near") { (spark, sf) =>
+      Dedup.minHashNearDups(
+          Tables.documents(spark, sf).where(col("doc_id") < docCap),
+          k = 2, bands = 8, rowsPerBand = 2, threshold = 0.3)
+        .orderBy("a", "b")
+    },
+
+    Q.noOracle("llm_dedup_simhash") { (spark, sf) =>
+      Dedup.simHashNearDups(
+          Tables.documents(spark, sf).where(col("doc_id") < docCap), maxHamming = 3)
+        .orderBy("a", "b")
+    },
+
+    Q.noOracle("llm_dedup_ngram") { (spark, sf) =>
+      val docs = Tables.documents(spark, sf).where(col("doc_id") < docCap)
+      val pairs = docs.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .where(col("b") < docCap)
+      Dedup.ngramJaccard(docs, pairs, k = 2).orderBy("a", "b")
+    },
+
+    Q.noOracle("llm_dedup_embed") { (spark, sf) =>
+      // fixture embeddings are near-orthogonal random vectors (max pairwise
+      // cos ≈ 0.44) — 0.3 keeps the result non-empty yet selective
+      Dedup.embeddingNearDups(
+          Tables.embeddings(spark, sf).where(col("vec_id") < vecCap), threshold = 0.3)
+        .orderBy("a", "b")
+    },
+
+    Q.noOracle("llm_sim_topk") { (spark, sf) =>
+      val emb = Tables.embeddings(spark, sf)
+      Similarity.bruteTopK(emb.where(col("vec_id") < 20), emb, k = 5)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rnk"))
+        .orderBy("qid", "rnk")
+    },
+
+    Q.noOracle("llm_ann_ivf") { (spark, sf) =>
+      val emb = Tables.embeddings(spark, sf)
+      Similarity.ivfTopK(
+          emb.where(col("vec_id") < 20), emb,
+          centroids = emb.where(col("vec_id") % 25 === 0), k = 5, nprobe = 3)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rnk"))
+        .orderBy("qid", "rnk")
+    },
+
+    Q("llm_text_stats",
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  round(avg(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        Tables.documents(spark, sf)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+            round(avg(col("n_chars")), 2).as("avg_chars"))
+          .orderBy("lang")
+    },
+
+    Q("llm_lang_id", {
+      val scores = TextStats.profiles.map { case (l, ms) =>
+        val arr = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS BIGINT) AS score_$l"
+      }.mkString(", ")
+      s"""SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+         |  CASE WHEN score_de = m THEN 'de' WHEN score_en = m THEN 'en'
+         |       WHEN score_es = m THEN 'es' WHEN score_fr = m THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang
+         |FROM (SELECT *, greatest(score_de, score_en, score_es, score_fr, score_zh) AS m
+         |      FROM (SELECT doc_id, lang, $scores FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    }) {
+      (spark, sf) =>
+        TextStats.langId(Tables.documents(spark, sf).select("doc_id", "lang", "text"))
+          .orderBy("doc_id")
+    },
+
+    Q("llm_quality",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  round((length(text) - len(string_split(text, ' ')) + 1)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_tok_len,
+        |  round(len(list_filter(string_split(text, ' '),
+        |        t -> list_contains(['the', 'a', 'fast', 'slow'], t)))
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio,
+        |  round(len(list_distinct(string_split(text, ' ')))
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS distinct_ratio,
+        |  round(len(list_distinct(string_split(text, ' ')))
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |        * (1 - len(list_filter(string_split(text, ' '),
+        |             t -> list_contains(['the', 'a', 'fast', 'slow'], t)))
+        |           / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        TextStats.quality(Tables.documents(spark, sf)).orderBy("doc_id")
+    },
+
+    Q("llm_tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        TextStats.tokenCounts(Tables.documents(spark, sf)).orderBy("doc_id")
+    },
+
+    Q.noOracle("llm_fingerprint") { (spark, sf) =>
+      TextStats.fingerprint(Tables.documents(spark, sf)).orderBy("doc_id")
+    },
+
+    Q("llm_join_modal",
+      """SELECT d.lang, e.label, count(*) AS n, min(d.doc_id) AS min_doc
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (spark, sf) =>
+        Tables.documents(spark, sf)
+          .join(Tables.embeddings(spark, sf), col("doc_id") === col("vec_id"))
+          .groupBy("lang", "label")
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+          .orderBy("lang", "label")
+    },
+
+    Q("llm_multimodal",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE)
+        |    / len(string_split(text, '')) AS mean_byte,
+        |  CAST(list_max(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE) AS max_byte,
+        |  CAST(list_min(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE) AS min_byte
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        Multimodal.decodeFeatures(Multimodal.asMedia(Tables.documents(spark, sf)))
+          .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,422 @@
+package graft.queries
+
+import graft.agg.{Aggs, Ql}
+import graft.model.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins (SURVEY §2.3), grouping/aggregation incl. trembita-ql parity
+  * (§2.4), window functions (§2.6) and scalar-function coverage (§2.7).
+  * Reference join semantics: pairwise theta-join via the CanJoin typeclass
+  * (CITE: kernel/src/main/scala/trembita/operations/CanJoin.scala, recalled
+  * path — /root/reference empty); aggregation algebra: ql/AggFunc.scala
+  * add/combine/extract (recalled) = Spark Aggregator / built-in partial agg.
+  *
+  * Scale notes (100 TB): equi-joins shuffle on their keys and AQE picks
+  * strategy/handles skew; dimension sides (region/nation/supplier/part) are
+  * explicitly broadcast; the range join is bucketized to an equi-join on
+  * hour so it never degenerates into a broadcast-nested-loop O(n²) pass.
+  */
+object RelationalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ----- §2.3 joins --------------------------------------------------
+    Q("op_join_inner",
+      """SELECT o_orderkey, o_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) {
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_custkey", "c_name")
+          .orderBy("o_orderkey")
+    },
+
+    Q("op_join_left",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) {
+      (spark, sf) =>
+        Tables.customer(spark, sf)
+          .join(Tables.orders(spark, sf), col("o_custkey") === col("c_custkey"), "left_outer")
+          .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy("c_custkey")
+    },
+
+    Q("op_join_cross",
+      """SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin) {
+      (spark, sf) =>
+        Tables.region(spark, sf).select("r_regionkey")
+          .crossJoin(Tables.nation(spark, sf).select("n_nationkey"))
+          .orderBy("r_regionkey", "n_nationkey")
+    },
+
+    // Engine policy: dims ≤10 MB get a broadcast hint (SURVEY §4.2).
+    Q("op_join_broadcast",
+      """SELECT c_custkey, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin) {
+      (spark, sf) =>
+        Tables.customer(spark, sf)
+          .join(broadcast(Tables.nation(spark, sf)), col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "n_name")
+          .orderBy("c_custkey")
+    },
+
+    Q("op_join_semi",
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) {
+      (spark, sf) =>
+        Tables.customer(spark, sf)
+          .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey").orderBy("c_custkey")
+    },
+
+    Q("op_join_anti",
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) {
+      (spark, sf) =>
+        Tables.customer(spark, sf)
+          .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey").orderBy("c_custkey")
+    },
+
+    // Range join, bucketized: partner buckets = {hour, hour-1} on the build
+    // side, then an equi-join on the bucket + residual range predicate.
+    // Keeps the join a shuffled hash join (AQE-managed) instead of a
+    // broadcast-nested-loop — the difference between O(n·w) and O(n²) at
+    // 100 TB.
+    Q("op_join_range",
+      """SELECT a.event_id, count(b.event_id) AS n
+        |FROM events a LEFT JOIN events b
+        |  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin) {
+      (spark, sf) =>
+        val e = Tables.events(spark, sf).select("event_id", "ts")
+        val probe = e.withColumn("h", floor(unix_timestamp(col("ts")) / 3600))
+        val build = e.select(col("event_id").as("b_id"), col("ts").as("b_ts"))
+          .withColumn("bh", floor(unix_timestamp(col("b_ts")) / 3600))
+          .withColumn("h", explode(array(col("bh"), col("bh") - 1)))
+        probe.join(build,
+            probe("h") === build("h") &&
+              col("b_ts") > col("ts") &&
+              col("b_ts") <= col("ts") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+          .groupBy("event_id").agg(count(col("b_id")).as("n"))
+          .orderBy("event_id")
+    },
+
+    // ----- §2.4 grouping & aggregation ---------------------------------
+    // A1 kernel groupBy: typed groupByKey — the reference's (K, Iterable[A])
+    // shape; group size keeps the oracle hash-stable (SURVEY §2.4 A1).
+    Q("op_groupby_collect",
+      "SELECT c_mktsegment AS seg, count(*) AS n FROM customer GROUP BY 1 ORDER BY 1") {
+      (spark, sf) =>
+        import spark.implicits._
+        Tables.customer(spark, sf).as[graft.model.Customer]
+          .groupByKey(_.c_mktsegment)
+          .mapGroups((k, it) => (k, it.size.toLong))
+          .toDF("seg", "n")
+          .orderBy("seg")
+    },
+
+    Q("agg_count",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+          .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // l_quantity is integral-valued → double sum is exact (SURVEY §2.9-bis).
+    Q("agg_sum",
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .groupBy("l_returnflag").agg(sum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+    },
+
+    Q("agg_avg",
+      """SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .groupBy("l_returnflag").agg(round(avg(col("l_quantity")), 4).as("avg_qty"))
+          .orderBy("l_returnflag")
+    },
+
+    Q("agg_min_max",
+      """SELECT o_orderpriority, min(o_totalprice) AS min_p, max(o_totalprice) AS max_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .groupBy("o_orderpriority")
+          .agg(min(col("o_totalprice")).as("min_p"), max(col("o_totalprice")).as("max_p"))
+          .orderBy("o_orderpriority")
+    },
+
+    // A6 product via the custom Aggregator (add/combine/extract — the
+    // reference AggFunc algebra). Domain {1,2,3}, ≤12 factors per group at
+    // any sf → product ≤ 3^12, exactly representable, order-independent.
+    Q("agg_product",
+      """SELECT p_brand, product(p_size % 3 + 1) AS prod FROM part
+        |WHERE p_partkey <= 200 GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        Tables.part(spark, sf)
+          .where(col("p_partkey") <= 200)
+          .groupBy("p_brand")
+          .agg(Aggs.productCol((col("p_size") % 3 + 1).cast("double")).as("prod"))
+          .orderBy("p_brand")
+    },
+
+    Q("agg_collect_list",
+      """SELECT n_regionkey, list(n_nationkey ORDER BY n_nationkey) AS nations
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        Tables.nation(spark, sf)
+          .groupBy("n_regionkey")
+          .agg(Aggs.arrSorted(col("n_nationkey")).as("nations"))
+          .orderBy("n_regionkey")
+    },
+
+    Q("agg_string_agg",
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        Tables.nation(spark, sf)
+          .groupBy("n_regionkey")
+          .agg(Aggs.stringAgg(col("n_name"), ",").as("names"))
+          .orderBy("n_regionkey")
+    },
+
+    Q("agg_stddev",
+      """SELECT o_orderpriority, round(stddev_samp(o_totalprice), 2) AS sd
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .groupBy("o_orderpriority")
+          .agg(round(stddev_samp(col("o_totalprice")), 2).as("sd"))
+          .orderBy("o_orderpriority")
+    },
+
+    Q("agg_rms",
+      """SELECT l_returnflag, round(sqrt(avg(l_quantity * l_quantity)), 4) AS rms
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .groupBy("l_returnflag")
+          .agg(round(Aggs.rms(col("l_quantity")), 4).as("rms"))
+          .orderBy("l_returnflag")
+    },
+
+    // A11 "random element" made deterministic: min_by (single pass, no
+    // window shuffle).
+    Q("agg_first_deterministic",
+      """SELECT o_orderpriority, min_by(o_totalprice, o_orderkey) AS first_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .groupBy("o_orderpriority")
+          .agg(Aggs.firstBy(col("o_totalprice"), col("o_orderkey")).as("first_price"))
+          .orderBy("o_orderpriority")
+    },
+
+    // A12 having via the QL builder (trembita-ql query() parity).
+    Q("agg_having",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY 1, 2 HAVING count(*) > 40 ORDER BY 1, 2""".stripMargin) {
+      (spark, sf) =>
+        Ql(Tables.lineitem(spark, sf))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .aggregate(count(lit(1)).as("n"))
+          .having(col("n") > 40)
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+          .result
+    },
+
+    Q("agg_multikey",
+      """SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) {
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .groupBy(col("l_returnflag"), col("l_linestatus"),
+            year(col("l_shipdate")).cast("long").as("yr"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag", "l_linestatus", "yr")
+    },
+
+    // Money sums in decimal (exact, order-independent), surfaced as double
+    // (SURVEY §2.9-bis rule 2).
+    Q("agg_global",
+      """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem""".stripMargin) {
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    },
+
+    Q("agg_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .rollup("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    Q("agg_count_distinct",
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .groupBy("o_orderpriority")
+          .agg(count_distinct(col("o_custkey")).as("n_cust"))
+          .orderBy("o_orderpriority")
+    },
+
+    // ----- §2.6 window functions ---------------------------------------
+    Q("win_rank",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        rank() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin) {
+      (spark, sf) =>
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(spark, sf)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            rank().over(w).cast("long").as("rnk"))
+          .where(col("rnk") <= 3)
+          .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    },
+
+    Q("win_lag",
+      """SELECT event_id, user_id,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events ORDER BY event_id""".stripMargin) {
+      (spark, sf) =>
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(spark, sf)
+          .select(col("event_id"), col("user_id"),
+            lag(col("value"), 1).over(w).as("prev_value"))
+          .orderBy("event_id")
+    },
+
+    Q("win_running_sum",
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING), 2) AS running
+        |FROM events ORDER BY event_id""".stripMargin) {
+      (spark, sf) =>
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(spark, sf)
+          .select(col("event_id"), col("user_id"),
+            round(sum(col("value")).over(w), 2).as("running"))
+          .orderBy("event_id")
+    },
+
+    // ----- §2.7 scalar-function coverage -------------------------------
+    Q("fn_string",
+      """SELECT p_partkey, upper(p_name) AS up, lower(p_type) AS lo,
+        |  substring(p_name, 1, 5) AS sub, CAST(length(p_name) AS BIGINT) AS len,
+        |  concat(p_brand, '-', p_type) AS cat, trim(p_name) AS tr,
+        |  (p_type LIKE '%BRASS%') AS has_brass,
+        |  regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word
+        |FROM part ORDER BY p_partkey""".stripMargin) {
+      (spark, sf) =>
+        Tables.part(spark, sf).select(
+          col("p_partkey"), upper(col("p_name")).as("up"), lower(col("p_type")).as("lo"),
+          substring(col("p_name"), 1, 5).as("sub"), length(col("p_name")).cast("long").as("len"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("cat"), trim(col("p_name")).as("tr"),
+          col("p_type").like("%BRASS%").as("has_brass"),
+          regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_word"))
+          .orderBy("p_partkey")
+    },
+
+    Q("fn_date",
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mth,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon_start,
+        |  CAST(o_orderdate AS DATE) AS od,
+        |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS dd
+        |FROM orders ORDER BY o_orderkey""".stripMargin) {
+      (spark, sf) =>
+        Tables.orders(spark, sf).select(
+          col("o_orderkey"), year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mth"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mon_start"),
+          col("o_orderdate").cast("date").as("od"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("dd"))
+          .orderBy("o_orderkey")
+    },
+
+    Q("fn_math",
+      """SELECT p_partkey, round(sqrt(p_retailprice), 4) AS sq,
+        |  round(ln(p_retailprice), 4) AS lg,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        |  abs(p_size - 25) AS ab, round(pow(p_size, 1.5), 4) AS pw
+        |FROM part ORDER BY p_partkey""".stripMargin) {
+      (spark, sf) =>
+        Tables.part(spark, sf).select(
+          col("p_partkey"), round(sqrt(col("p_retailprice")), 4).as("sq"),
+          round(log(col("p_retailprice")), 4).as("lg"),
+          ceil(col("p_retailprice")).as("ce"), floor(col("p_retailprice")).as("fl"),
+          abs(col("p_size") - 25).as("ab"), round(pow(col("p_size"), 1.5), 4).as("pw"))
+          .orderBy("p_partkey")
+    },
+
+    Q("fn_array",
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3
+        |FROM embeddings ORDER BY vec_id""".stripMargin) {
+      (spark, sf) =>
+        Tables.embeddings(spark, sf).select(
+          col("vec_id"), size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+          round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
+          transform(slice(col("embedding"), 1, 3), x => round(x.cast("double"), 4)).as("head3"))
+          .orderBy("vec_id")
+    },
+
+    Q("fn_json",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin) {
+      (spark, sf) =>
+        Tables.events(spark, sf).select(
+          col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy("event_id")
+    },
+
+    Q("fn_case",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice < 50000 THEN 'low'
+        |       WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS st
+        |FROM orders ORDER BY o_orderkey""".stripMargin) {
+      (spark, sf) =>
+        Tables.orders(spark, sf).select(
+          col("o_orderkey"),
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid").otherwise("high").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st"))
+          .orderBy("o_orderkey")
+    }
+  )
+}

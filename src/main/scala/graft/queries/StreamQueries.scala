@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.model.Tables
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics, verified via their batch equivalents (SURVEY §2.8):
+  * Verify.scala writes static parquet, so the declared queries run the SAME
+  * logical window ops (graft.streaming.StreamOps) on the batch events
+  * table; MemoryStream specs assert batch/stream parity for the
+  * streaming-only pieces (watermark, stateful dedup, custom state).
+  */
+object StreamQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("stream_tumbling",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (spark, sf) =>
+        StreamOps.tumbling(Tables.events(spark, sf), "1 hour")
+          .orderBy("win_start", "event_type")
+    },
+
+    Q("stream_sliding",
+      """SELECT CAST(ws AS TIMESTAMP) AS win_start, count(*) AS n FROM (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+        |  FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        StreamOps.sliding(Tables.events(spark, sf), "2 hours", "1 hour")
+          .orderBy("win_start")
+    },
+
+    Q("stream_session",
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, count(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) {
+      (spark, sf) =>
+        StreamOps.sessions(Tables.events(spark, sf), "30 minutes")
+          .orderBy("user_id", "session_start")
+    }
+  )
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Event
+
+/** Streaming surface (SURVEY §2.8). The reference's SparkStreaming
+  * environment runs the same pipeline ops over DStream micro-batches with
+  * no event-time semantics (CITE: integrations/spark/streaming/, recalled
+  * path — /root/reference empty). The engine replaces that with Structured
+  * Streaming: every function here takes a Dataset that may be batch or
+  * streaming (`isStreaming`) and returns the same logical plan for both —
+  * batch/stream parity is what the MemoryStream specs assert.
+  *
+  * Scale notes: windowed aggregations are keyed state — at 100 TB use the
+  * RocksDB state store provider and watermarks tight enough to bound state
+  * (SURVEY §7.5); all windows below group by (window, key) so state is
+  * partitioned by the same keys the shuffle already uses.
+  */
+object StreamOps {
+
+  /** T1 tumbling window aggregate. */
+  def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("total"))
+
+  /** T2 sliding window count. */
+  def sliding(events: DataFrame, width: String = "2 hours", slide: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide).as("win"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("n"))
+
+  /** T3 session window per user (gap-based). */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap).as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("win.start").as("session_start"), col("n"))
+
+  /** T4 watermarked tumbling agg — the streaming-only form (late data
+    * beyond `lateness` is dropped; state is bounded). */
+  def tumblingWithWatermark(events: DataFrame, width: String, lateness: String): DataFrame =
+    tumbling(events.withWatermark("ts", lateness), width)
+
+  /** T5a stateful dedup within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame, lateness: String, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
+
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** T5b custom keyed state: running per-user count/sum via
+    * flatMapGroupsWithState — the engine's `mapGroupsWithState` surface. */
+  def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          it.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(uid, n, math.round(total * 100).toDouble / 100)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}
