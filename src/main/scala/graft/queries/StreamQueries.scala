@@ -37,8 +37,10 @@ object StreamQueries {
     Q("stream_session",
       """WITH m AS (
         |  SELECT user_id, ts,
+        |    -- <= : session_window merges events landing exactly on the
+        |    -- previous session's end (gap boundary is inclusive)
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |              < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+        |              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
         |  FROM events),
         |s AS (
         |  SELECT user_id, ts,

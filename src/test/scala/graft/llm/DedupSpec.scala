@@ -1,0 +1,75 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup operators (SURVEY §2.9): fixtures with one planted duplicate pair
+  * and one near-duplicate pair (FIXTURES.md micro-fixtures). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 0 and 1 identical; 2 near-dup of 0 (one token changed); 3 unrelated.
+  private def docs = Seq(
+    (0L, "the fast key order sort table scan merge join group"),
+    (1L, "the fast key order sort table scan merge join group"),
+    (2L, "the fast key order sort table scan merge join batch"),
+    (3L, "completely different words about nothing at all here now"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val out = Dedup.exact(docs).orderBy("keep_id")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect()
+    out shouldBe Array((0L, 2L), (2L, 1L), (3L, 1L))
+  }
+
+  test("exact dedup is idempotent") {
+    val once = Dedup.exact(docs)
+    val keepers = docs.join(once.select(col("keep_id").as("doc_id")), "doc_id")
+    val twice = Dedup.exact(keepers)
+    twice.agg(max("dup_count")).as[Long].head() shouldBe 1L
+    twice.count() shouldBe once.count()
+  }
+
+  test("shingles produce distinct word k-grams per doc") {
+    val sh = Dedup.shingles(Seq((7L, "a b c d")).toDF("doc_id", "text"), k = 2)
+      .as[(Long, String)].collect().sortBy(_._2)
+    sh shouldBe Array((7L, "a b"), (7L, "b c"), (7L, "c d"))
+  }
+
+  test("minhash LSH finds the identical and near-dup pairs, not the unrelated one") {
+    val out = Dedup.minHashNearDups(docs, k = 2, bands = 8, rowsPerBand = 2,
+        threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    out should contain((0L, 1L))   // identical → jaccard 1.0
+    out should contain((0L, 2L))   // near-dup → high jaccard
+    out.flatMap(p => Set(p._1, p._2)) should not contain 3L
+  }
+
+  test("simhash of identical docs is identical; near-dup within small hamming") {
+    val sh = Dedup.simHash(docs).as[(Long, Long)].collect().toMap
+    sh(0L) shouldBe sh(1L)
+    java.lang.Long.bitCount(sh(0L) ^ sh(2L)) should be <= 16
+    val pairs = Dedup.simHashNearDups(docs, maxHamming = 16)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    pairs should contain((0L, 1L))
+  }
+
+  test("ngramJaccard computes exact overlap for given pairs") {
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("a", "b")
+    val out = Dedup.ngramJaccard(docs, pairs, k = 2)
+      .orderBy("b").as[(Long, Long, Double)].collect()
+    out(0) shouldBe ((0L, 1L, 1.0))   // identical
+    out(1)._3 shouldBe 0.0            // disjoint vocabularies
+  }
+
+  test("embeddingNearDups finds only pairs above the cosine threshold") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),   // ~same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f)))    // orthogonal
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDups(emb, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    out shouldBe Set((0L, 1L))
+  }
+}

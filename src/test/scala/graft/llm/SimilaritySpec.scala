@@ -1,0 +1,60 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Similarity search (SURVEY §2.9 L3): brute-force exactness on hand-built
+  * vectors with known cosine ordering, and IVF recall against brute. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.5f, 0.5f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosine column matches hand computation") {
+    val c = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
+    c shouldBe 1.0 / math.sqrt(2) +- 1e-6
+  }
+
+  test("bruteTopK returns neighbors in exact cosine order, excluding self") {
+    val out = Similarity.bruteTopK(emb.where(col("vec_id") === 0), emb, k = 3)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    out shouldBe Array(1L, 2L, 3L)   // descending cosine vs (1,0,0)
+  }
+
+  test("assign puts each vector in its nearest centroid bucket") {
+    val cents = emb.where(col("vec_id").isin(0L, 3L))
+    val out = Similarity.assign(emb, cents)
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
+    out(0L) shouldBe 0L
+    out(1L) shouldBe 0L
+    out(3L) shouldBe 3L
+    // vec 2 is equidistant → deterministic tiebreak on centroid id
+    out(2L) shouldBe 0L
+  }
+
+  test("ivfTopK with all buckets probed equals bruteTopK") {
+    val cents = emb.where(col("vec_id").isin(0L, 3L))
+    val brute = Similarity.bruteTopK(emb.where(col("vec_id") === 0), emb, k = 3)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    val ivf = Similarity.ivfTopK(emb.where(col("vec_id") === 0), emb, cents,
+        k = 3, nprobe = 2)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    ivf shouldBe brute
+  }
+
+  test("ivfTopK with nprobe=1 trades recall for scan reduction") {
+    val cents = emb.where(col("vec_id").isin(0L, 3L))
+    val ivf = Similarity.ivfTopK(emb.where(col("vec_id") === 0), emb, cents,
+        k = 3, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    // only bucket of centroid 0 is scanned → 3 is unreachable
+    ivf should not contain 3L
+    ivf should contain(1L)
+  }
+}

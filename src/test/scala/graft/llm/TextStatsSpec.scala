@@ -1,0 +1,57 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators (SURVEY §2.9 L4). */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId scores profiles and picks the argmax deterministically") {
+    val docs = Seq(
+      (0L, "xx", "the fast scan the fast"),    // en markers dominate
+      (1L, "xx", "key row merge key"),         // de markers dominate
+      (2L, "xx", "zzz qqq www"))               // no markers → tie → 'de' (lexicographic)
+      .toDF("doc_id", "lang", "text")
+    val out = TextStats.langId(docs)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    out(0L) shouldBe "en"
+    out(1L) shouldBe "de"
+    out(2L) shouldBe "de"
+  }
+
+  test("langId keeps incoming columns (e.g. the true label)") {
+    val docs = Seq((0L, "en", "the fast scan")).toDF("doc_id", "lang", "text")
+    val cols = TextStats.langId(docs).columns.toSet
+    cols should contain("lang")
+    cols should not contain "text"
+  }
+
+  test("quality ratios match hand computation") {
+    // "the the cat": 3 tokens, 2 stopwords, 2 distinct
+    val docs = Seq((0L, "the the cat")).toDF("doc_id", "text")
+    val r = TextStats.quality(docs).head()
+    r.getLong(1) shouldBe 3                       // n_tokens
+    r.getDouble(2) shouldBe 3.0 +- 1e-9           // mean token length (11-3+1)/3
+    r.getDouble(3) shouldBe 0.6667 +- 1e-4        // stopword ratio
+    r.getDouble(4) shouldBe 0.6667 +- 1e-4        // distinct ratio
+  }
+
+  test("tokenCounts: whitespace vs regex tokens") {
+    val docs = Seq((0L, "ab 12 cd!")).toDF("doc_id", "text")
+    val r = TextStats.tokenCounts(docs).head()
+    r.getLong(1) shouldBe 3   // ws tokens
+    r.getLong(2) shouldBe 4   // ab, 12, cd, !
+    r.getLong(3) shouldBe 9   // chars
+  }
+
+  test("fingerprint is deterministic and shifts under content change") {
+    val docs = Seq((0L, "abcdefghij"), (1L, "abcdefghij"), (2L, "abcdefghiX"))
+      .toDF("doc_id", "text")
+    val fp = TextStats.fingerprint(docs).as[(Long, Long)].collect().toMap
+    fp(0L) shouldBe fp(1L)
+    // a trailing edit can only change the tail grams; min MAY survive — just
+    // assert determinism and non-null
+    fp.values.foreach(v => v should not be 0L)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.Event
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Batch/stream parity (SURVEY §2.8/§5.2): the same StreamOps logical plan
+  * run over a static Dataset and over a MemoryStream must agree. The
+  * 12-event two-user fixture has a >30-min gap per user so the session
+  * window splits deterministically (FIXTURES.md micro-fixtures). */
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:$sec%02d")
+
+  // user 1: events at 0,5,10 min then a 45-min gap then 55,60
+  // user 2: events at 2,4 min then a 70-min gap then 74,76; plus late stragglers
+  private val fixture: Seq[Event] = Seq(
+    Event(0L, ts(0), 1L, "view", 10.0, """{"k":1}"""),
+    Event(1L, ts(5), 1L, "click", 20.0, """{"k":2}"""),
+    Event(2L, ts(10), 1L, "view", 30.0, """{"k":3}"""),
+    Event(3L, ts(55), 1L, "purchase", 40.0, """{"k":4}"""),
+    Event(4L, ts(60), 1L, "view", 50.0, """{"k":5}"""),
+    Event(5L, ts(2), 2L, "view", 5.0, """{"k":6}"""),
+    Event(6L, ts(4), 2L, "click", 6.0, """{"k":7}"""),
+    Event(7L, ts(74), 2L, "view", 7.0, """{"k":8}"""),
+    Event(8L, ts(76), 2L, "error", 8.0, """{"k":9}"""),
+    Event(9L, ts(90), 1L, "view", 1.0, """{"k":10}"""),
+    Event(10L, ts(91), 2L, "view", 2.0, """{"k":11}"""),
+    Event(11L, ts(125), 1L, "click", 3.0, """{"k":12}"""))
+
+  /** Run `op` over the fixture as a MemoryStream, complete-mode, collect. */
+  private def streamed(op: DataFrame => DataFrame,
+                       mode: String = "complete"): Array[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture)
+    val q = op(mem.toDF())
+      .writeStream.format("memory").queryName("parity_sink")
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table("parity_sink").collect()
+  }
+
+  private def batch(op: DataFrame => DataFrame): Array[org.apache.spark.sql.Row] =
+    op(fixture.toDF()).collect()
+
+  private def sortRows(rs: Array[org.apache.spark.sql.Row]): Seq[String] =
+    rs.map(_.toString).sorted.toSeq
+
+  test("tumbling window: stream equals batch") {
+    val op = (df: DataFrame) => StreamOps.tumbling(df, "1 hour")
+    sortRows(streamed(op)) shouldBe sortRows(batch(op))
+  }
+
+  test("tumbling window aggregates per (hour, type)") {
+    val out = batch(df => StreamOps.tumbling(df, "1 hour"))
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    // hour 0 views: e0(0), e2(10), e5(2)   hour 1 views: e4(60), e7(74), e9(90), e10(91)
+    out should contain((ts(0), "view", 3L))
+    out should contain((ts(60), "view", 4L))
+  }
+
+  test("sliding window: stream equals batch") {
+    val op = (df: DataFrame) => StreamOps.sliding(df, "2 hours", "1 hour")
+    sortRows(streamed(op)) shouldBe sortRows(batch(op))
+  }
+
+  test("session window: stream equals batch, splits on the gap") {
+    val op = (df: DataFrame) => StreamOps.sessions(df, "30 minutes")
+    sortRows(streamed(op)) shouldBe sortRows(batch(op))
+    val sessions = batch(op).map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    // session_window merges at exactly the gap boundary: the 90-min event
+    // lands on the [55,60]-session's end (60+30) and joins it.
+    sessions(1L) shouldBe 3   // {0,5,10}, {55,60,90}, {125}
+    sessions(2L) shouldBe 2   // {2,4}, {74,76,91} (76→91 gap is only 15 min)
+  }
+
+  test("watermarked tumbling agg runs in append mode once watermark passes") {
+    val rows = streamed(df => StreamOps.tumblingWithWatermark(df, "1 hour", "10 minutes"),
+      mode = "append")
+    // append emits only windows whose END ≤ watermark (max ts 2:05 → wm
+    // 1:55): just hour 0. Hours 1 and 2 stay open in state.
+    rows.map(_.getTimestamp(0)).toSet shouldBe Set(ts(0))
+  }
+
+  test("dedupWithinWatermark drops duplicate keys inside the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture ++ fixture.take(3))   // re-send three duplicates
+    val q = StreamOps.dedupWithinWatermark(mem.toDF(), "2 hours", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedup_sink").select("event_id").as[Long].collect()
+    ids.length shouldBe ids.toSet.size
+    ids.toSet shouldBe fixture.map(_.event_id).toSet
+  }
+
+  test("runningPerUser keyed state accumulates per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture)
+    val q = StreamOps.runningPerUser(mem.toDS())
+      .writeStream.format("memory").queryName("state_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val u1 = fixture.filter(_.user_id == 1L)
+    spark.table("state_sink").where(col("user_id") === 1L)
+      .agg(max("n")).as[Long].head() shouldBe u1.length
+  }
+}
