@@ -145,11 +145,13 @@ object Dedup {
     * bucketing at scale; exact for the given frames. */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    // norms once per row BEFORE the pair blow-up: a pair costs one dot
+    val n = Similarity.withNorm(emb.select(col(idCol), col(vecCol)), vecCol, "n")
+    val l = n.select(col(idCol).as("a"), col(vecCol).as("va"), col("n").as("na"))
+    val r = n.select(col(idCol).as("b"), col(vecCol).as("vb"), col("n").as("nb"))
     l.join(r, col("a") < col("b"))
       .select(col("a"), col("b"),
-        Similarity.cosine(col("va"), col("vb")).as("cos"))
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
   }

@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   *    score every vector with codegen'd higher-order functions, take top-k
   *    per query via window rank. The correctness baseline.
   *  - [[ivfTopK]]: IVF-style bucketed search — assign vectors to their
-  *    nearest centroid once (narrow after a small broadcast), then probe
+  *    nearest centroid with a NARROW argmax over a driver-collected
+  *    centroid literal (no join, no shuffle, no row blow-up), then probe
   *    only `nprobe` buckets per query. At 100 TB this turns a full scan per
-  *    query into a ~(nprobe/nlist) partial scan, and the assignment join is
-  *    an equi-join on centroid id (hash-partitioned, AQE-managed).
+  *    query into a ~(nprobe/nlist) partial scan; the only wide op left is
+  *    the probe-bucket equi-join (hash-partitioned, AQE-managed).
   *
-  * All arithmetic is double-precision over the float vectors via
-  * `zip_with`/`aggregate` — whole-stage-codegen'd, no UDFs, no MLlib
+  * Norms are computed ONCE per row before any pairing ([[withNorm]]), so a
+  * pair costs a single dot product — not dot + two norms over the same
+  * vectors again. All arithmetic is double-precision over the float vectors
+  * via `zip_with`/`aggregate` — whole-stage-codegen'd, no UDFs, no MLlib
   * vector conversions on the hot path.
   */
 object Similarity {
@@ -32,30 +35,61 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Attach the L2 norm as a column — compute once, reuse across pairs. */
+  def withNorm(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.withColumn(out, norm(col(vecCol)))
+
   /** Exact top-k cosine neighbors for each query vector (excluding self).
     * Output: (qid, vec_id, cos, rank 1..k). */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol), col(vecCol))
+    val q = broadcast(withNorm(queries, vecCol, "qn")
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("qn")))
+    val c = withNorm(corpus.select(col(idCol), col(vecCol)), vecCol, "cn")
     val scored = q.join(c, col("qid") =!= col(idCol))
-      .select(col("qid"), col(idCol), cosine(col("qv"), col(vecCol)).as("cos"))
+      .select(col("qid"), col(idCol),
+        (dot(col("qv"), col(vecCol)) / (col("qn") * col("cn"))).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
   }
 
-  /** Assign every vector to its nearest centroid (small broadcast LUT). */
+  /** Driver-collected centroid set as a literal array of structs
+    * `{negid, cv}` with L2-normalized vectors. Centroids are small by
+    * contract (the IVF codebook — thousands at most), so the literal stays
+    * well under task-binary limits and broadcasts with the plan itself.
+    * `negid` (= -cid) makes struct-ordering ties resolve to the LOWEST
+    * centroid id under array_max.
+    */
+  private def centroidLit(centroids: DataFrame, idCol: String, vecCol: String): Column = {
+    val rows = centroids.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum) max java.lang.Double.MIN_VALUE
+        (r.getLong(0), v.map(_ / n))
+      }
+      .sortBy(_._1)
+    array(rows.map { case (cid, cv) =>
+      struct(lit(-cid).as("negid"), typedLit(cv.toSeq).as("cv"))
+    }: _*)
+  }
+
+  /** Scores per centroid for one row's vector: array of `{cos-ish, negid}`.
+    * dot(v, c_norm) ranks identically to cosine for a fixed v. */
+  private def centroidScores(vec: Column, cents: Column): Column =
+    transform(cents, c =>
+      struct(dot(vec, c.getField("cv")).as("s"), c.getField("negid").as("negid")))
+
+  /** Assign every vector to its nearest centroid. Pure narrow projection:
+    * argmax via array_max over the centroid literal — no join, no window,
+    * no shuffle, stays inside whole-stage codegen. */
   def assign(corpus: DataFrame, centroids: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cos_c").desc, col("cid"))
+    val cents = centroidLit(centroids, idCol, vecCol)
     corpus.select(col(idCol), col(vecCol))
-      .crossJoin(cents)
-      .select(col(idCol), col(vecCol), col("cid"), cosine(col(vecCol), col("cv")).as("cos_c"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn", "cos_c")
+      .withColumn("__best", array_max(centroidScores(col(vecCol), cents)))
+      .select(col(idCol), col(vecCol), (-col("__best.negid")).as("cid"))
   }
 
   /** IVF search: probe the `nprobe` nearest centroids' buckets per query.
@@ -64,21 +98,21 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = assign(corpus, centroids, idCol, vecCol)
-    val cents = broadcast(centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    // nprobe nearest centroids per query
-    val wq = Window.partitionBy("qid").orderBy(col("cos_c").desc, col("cid"))
-    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .crossJoin(cents)
-      .select(col("qid"), col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("cos_c"))
-      .withColumn("rn", row_number().over(wq))
-      .where(col("rn") <= nprobe)
-      .select("qid", "qv", "cid")
+    val cents = centroidLit(centroids, idCol, vecCol)
+    val assigned = withNorm(assign(corpus, centroids, idCol, vecCol), vecCol, "cn")
+    // nprobe nearest centroids per query: sort the per-row score array and
+    // take the top slice — narrow, no window
+    val probes = withNorm(queries, vecCol, "qn")
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("qn"),
+        explode(slice(array_sort(centroidScores(col(vecCol), cents)),
+          -nprobe, nprobe)).as("probe"))
+      .select(col("qid"), col("qv"), col("qn"), (-col("probe.negid")).as("cid"))
     // search only the probed buckets — equi-join on centroid id
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col(idCol))
     probes.join(assigned, "cid")
       .where(col("qid") =!= col(idCol))
-      .select(col("qid"), col(idCol), cosine(col("qv"), col(vecCol)).as("cos"))
+      .select(col("qid"), col(idCol),
+        (dot(col("qv"), col(vecCol)) / (col("qn") * col("cn"))).as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
   }

@@ -66,9 +66,12 @@ object LlmQueries {
 
     Q.noOracle("llm_ann_ivf") { (spark, sf) =>
       val emb = Tables.embeddings(spark, sf)
+      // fixed ≤100-entry codebook at every sf: the IVF contract is a small
+      // centroid set; an sf-proportional one would make assignment O(n·sf)
       Similarity.ivfTopK(
           emb.where(col("vec_id") < 20), emb,
-          centroids = emb.where(col("vec_id") % 25 === 0), k = 5, nprobe = 3)
+          centroids = emb.where(col("vec_id") % 25 === 0 && col("vec_id") < 2500),
+          k = 5, nprobe = 3)
         .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rnk"))
         .orderBy("qid", "rnk")
     },
