@@ -135,6 +135,13 @@ final class Pipeline[A](val ds: Dataset[A]) extends Serializable {
   def intersect(that: Pipeline[A]): Pipeline[A] = new Pipeline(ds.intersect(that.ds))
   def except(that: Pipeline[A]): Pipeline[A] = new Pipeline(ds.except(that.ds))
 
+  // ----- §2.4 QL entry point (reference `pipeline.query(_...)`) --------
+  /** trembita-ql parity: `pipeline.query(_.where(...).groupBy(...)
+    * .aggregate(...).having(...).orderBy(...))` compiled to one
+    * groupBy+agg Catalyst node (SURVEY §3 EP3). */
+  def query(build: graft.agg.Ql => graft.agg.Ql): DataFrame =
+    build(graft.agg.Ql(ds.toDF())).result
+
   // ----- caching (reference `caching/` module) -------------------------
   def cached(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Pipeline[A] =
     new Pipeline(ds.persist(level))

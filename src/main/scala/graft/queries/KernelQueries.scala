@@ -127,10 +127,14 @@ object KernelQueries {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
       (spark, sf) =>
         import spark.implicits._
-        Pipeline(Tables.lineitemDs(spark, sf))
-          .map { l =>
-            val a = Attempt(l)(x => (100 / (7 - x.l_linenumber)).toLong)
-            (l.l_orderkey, l.l_linenumber, a.ok, a.errClass)
+        // project BEFORE entering the typed map: Catalyst cannot prune
+        // columns through an opaque closure, so the narrow select is what
+        // keeps the parquet scan at 2 columns instead of 11
+        Pipeline(Tables.lineitem(spark, sf)
+            .select("l_orderkey", "l_linenumber").as[(Long, Int)])
+          .map { case (ok, ln) =>
+            val a = Attempt(ln)(x => (100 / (7 - x)).toLong)
+            (ok, ln, a.ok, a.errClass)
           }
           .toDF.toDF("l_orderkey", "l_linenumber", "ok", "err")
           .orderBy("l_orderkey", "l_linenumber")

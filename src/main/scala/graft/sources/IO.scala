@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamReader
+import org.apache.spark.sql.types.StructType
+
+/** Batch sources beyond the in-memory lifts in [[graft.core.Pipeline]]
+  * (SURVEY §2.1 S2/S4). All scans are lazy DataFrame reads so pushdown and
+  * pruning reach the file format; the Cassandra/HTTP connectors of the
+  * reference are out of scope here (no such services in this environment) —
+  * their engine analog is a DataSource V2 table, which these helpers would
+  * wrap the same way.
+  */
+object Sources {
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+          schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  def json(spark: SparkSession, path: String,
+           schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  def text(spark: SparkSession, path: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read.textFile(path)
+  }
+
+  /** Streaming scan of a directory (Structured Streaming file source).
+    * Schema is mandatory for streams — no inference races at 100 TB. */
+  def stream(spark: SparkSession, format: String, schema: StructType): DataStreamReader =
+    spark.readStream.format(format).schema(schema)
+}
+
+/** Terminal sinks (SURVEY §2.1 S6–S8 map to Pipeline.eval*; these are the
+  * durable-output forms). Defaults follow the 100 TB policy: snappy
+  * parquet, no driver-side collection, explicit partitioning columns for
+  * pruned downstream reads.
+  */
+object Sinks {
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+              mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def csv(df: DataFrame, path: String, header: Boolean = true,
+          mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
+
+  def json(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Run the plan, discard rows — the reference's Output.ignore. */
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+}
