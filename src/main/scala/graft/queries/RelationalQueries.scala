@@ -275,6 +275,16 @@ object RelationalQueries {
           .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    Q("agg_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .cube("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
     Q("agg_count_distinct",
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) {
