@@ -51,19 +51,19 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val h = bands * rowsPerBand
     val sh = shingles(docs, k, idCol, textCol)
-    // H seeded hashes per shingle; element-wise min per doc = the signature.
-    val hashed = sh.select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(h - 1)),
-          i => xxhash64(col("shingle"), i))).as(Seq("i", "hval")))
-    val minhash = hashed.groupBy(col(idCol), col("i"))
-      .agg(min(col("hval")).as("mh"))
-    // Band signature = xxhash64 over the band's ordered minhashes.
-    val bandSig = minhash
-      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(xxhash64(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          s => s.getField("mh"))).cast("string")).as("sig"))
+    // H static min-lanes in ONE groupBy (cf. simHash's 64 vote lanes):
+    // lane i aggregates min(xxhash64(shingle, seed=i)). Map-side partial
+    // combine shuffles one 16-long buffer per doc per partition — no
+    // per-hash row explosion, no second aggregation.
+    val lanes = (0 until h).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
+    val minhash = sh.groupBy(col(idCol)).agg(lanes.head, lanes.tail: _*)
+    // Band signature = xxhash64 over the band's ordered lanes — a narrow
+    // row-wise projection, exploded into (band, sig) bucket keys.
+    val bandSig = minhash.select(col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+      }: _*)).as(Seq("band", "sig")))
     // Same (band, sig) bucket → candidate pair. Self-join on the bucket key.
     val l = bandSig.select(col("band"), col("sig"), col(idCol).as("a"))
     val r = bandSig.select(col("band"), col("sig"), col(idCol).as("b"))

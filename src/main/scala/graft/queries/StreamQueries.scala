@@ -53,6 +53,17 @@ object StreamQueries {
       (spark, sf) =>
         StreamOps.sessions(Tables.events(spark, sf), "30 minutes")
           .orderBy("user_id", "session_start")
+    },
+
+    // T5 stateful op on the batch surface: flatMapGroupsWithState executes
+    // in batch mode too (each group seen once), so the same code path the
+    // MemoryStream specs exercise is also driver-verifiable. Final per-user
+    // totals have deterministic values; oracle-free (typed state op).
+    Q.noOracle("stream_state") { (spark, sf) =>
+      StreamOps.runningPerUser(Tables.eventsDs(spark, sf))
+        .groupBy("user_id")
+        .agg(max("n").as("n_events"), max("total").as("total"))
+        .orderBy("user_id")
     }
   )
 }
