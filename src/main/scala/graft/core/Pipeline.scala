@@ -70,9 +70,17 @@ final class Pipeline[A](val ds: Dataset[A]) extends Serializable {
   def mapAsync[B: Encoder](parallelism: Int, timeout: Duration = Duration.Inf)(
       f: A => Future[B])(implicit ec: ExecutionContext = ExecutionContext.global): Pipeline[B] =
     new Pipeline(ds.mapPartitions { it =>
-      it.grouped(math.max(1, parallelism)).flatMap { batch =>
-        val fs = batch.map(f)
-        fs.map(Await.result(_, timeout))
+      // sliding in-flight window, not batch-await: completing the head
+      // immediately admits the next element, so slow outliers don't stall
+      // a whole batch. Order-preserving → deterministic downstream sorts.
+      val inFlight = scala.collection.mutable.Queue.empty[Future[B]]
+      val width = math.max(1, parallelism)
+      new Iterator[B] {
+        def hasNext: Boolean = inFlight.nonEmpty || it.hasNext
+        def next(): B = {
+          while (it.hasNext && inFlight.size < width) inFlight.enqueue(f(it.next()))
+          Await.result(inFlight.dequeue(), timeout)
+        }
       }
     })
 

@@ -49,11 +49,12 @@ object Multimodal {
     }
   }
 
-  /** Partition-batched decode → feature columns. `mapPartitions` keeps the
-    * decode amortized per-batch (the Scala analog of `mapInPandas`); the
-    * output schema is fixed so downstream stays fully relational. */
-  def decodeFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
+  /** Partition-batched decode → feature columns — the Scala analog of a
+    * Pandas-UDF `mapInPandas` stage: rows arrive in `batchSize` groups so a
+    * real codec can amortize model/library setup per batch (exactly the
+    * Arrow-batch shape), and the output schema is fixed so downstream stays
+    * fully relational. */
+  def decodeFeatures(media: DataFrame, batchSize: Int = 512): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("n_bytes", LongType, nullable = false),
@@ -62,10 +63,13 @@ object Multimodal {
       StructField("min_byte", DoubleType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select("doc_id", "media").mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val f = fakeDecodeFeatures(r.getAs[Array[Byte]](1))
-        Row(id, f(0).toLong, f(1), f(2), f(3))
+      it.grouped(math.max(1, batchSize)).flatMap { batch =>
+        // per-batch setup for a real codec would happen HERE, once
+        batch.map { r =>
+          val id = r.getLong(0)
+          val f = fakeDecodeFeatures(r.getAs[Array[Byte]](1))
+          Row(id, f(0).toLong, f(1), f(2), f(3))
+        }
       }
     }(enc)
   }

@@ -1,0 +1,26 @@
+package graft
+
+/** Driver-contract invariants (the t1 smoke + registry hygiene). */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry (flagship Q1 analog) returns rows on sf0.001") {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  test("every oracle key has a query; names are unique and snake_case") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.keySet.diff(qs) shouldBe empty
+    qs.foreach(n => n should fullyMatch regex "[a-z0-9_]+")
+  }
+
+  test("declared queries run and are non-empty on sf0.001") {
+    // the driver's weaker check for oracle-less queries is rows > 0; catch
+    // regressions here before the driver does
+    val noOracle = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    noOracle.foreach { n =>
+      withClue(n) {
+        SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count() should be > 0L
+      }
+    }
+  }
+}
