@@ -117,12 +117,13 @@ object KernelQueries {
     // handleError: failures become rows, not job aborts (SURVEY §2.2 P6).
     // The row records the exception CLASS, not getMessage — HotSpot's
     // fast-throw optimization nulls messages of hot implicit exceptions, so
-    // messages are nondeterministic at scale.
+    // messages are nondeterministic at scale. Poison density ~0.1% (the
+    // realistic shape: a few bad rows in a huge scan, not a hot error path).
     Q("op_handle_error",
       """SELECT l_orderkey, l_linenumber,
-        |  CASE WHEN l_linenumber <> 7
-        |       THEN CAST(100 // (7 - l_linenumber) AS BIGINT) END AS ok,
-        |  CASE WHEN l_linenumber = 7
+        |  CASE WHEN NOT (l_linenumber = 7 AND l_orderkey % 100 = 0)
+        |       THEN CAST(100 // (l_linenumber + 1) AS BIGINT) END AS ok,
+        |  CASE WHEN l_linenumber = 7 AND l_orderkey % 100 = 0
         |       THEN 'java.lang.ArithmeticException' END AS err
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
       (spark, sf) =>
@@ -133,7 +134,8 @@ object KernelQueries {
         Pipeline(Tables.lineitem(spark, sf)
             .select("l_orderkey", "l_linenumber").as[(Long, Int)])
           .map { case (ok, ln) =>
-            val a = Attempt(ln)(x => (100 / (7 - x)).toLong)
+            val denom = if (ln == 7 && ok % 100 == 0) 0 else ln + 1
+            val a = Attempt(ln)(_ => (100 / denom).toLong)
             (ok, ln, a.ok, a.errClass)
           }
           .toDF.toDF("l_orderkey", "l_linenumber", "ok", "err")
@@ -217,6 +219,18 @@ object KernelQueries {
         Positional.slice(
             Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
             Seq(col("o_orderkey")), 100, 200)
+          .orderBy("o_orderkey")
+    },
+
+    Q("op_drop",
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders)
+        |WHERE rn >= 1400 ORDER BY o_orderkey""".stripMargin) {
+      (spark, sf) =>
+        Positional.drop(
+            Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+            Seq(col("o_orderkey")), 1400)
           .orderBy("o_orderkey")
     },
 
