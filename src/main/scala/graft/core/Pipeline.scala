@@ -49,6 +49,9 @@ object Attempt {
 final class Pipeline[A](val ds: Dataset[A]) extends Serializable {
   def toDF: DataFrame = ds.toDF()
   def spark: SparkSession = ds.sparkSession
+  /** Dataset-qualified column — disambiguates join conditions when both
+    * sides share field names (`left("id") === right("id")`). */
+  def apply(name: String): Column = ds.col(name)
 
   // ----- §2.2 per-element ops ------------------------------------------
   def map[B: Encoder](f: A => B): Pipeline[B] = new Pipeline(ds.map(f))
@@ -119,6 +122,24 @@ final class Pipeline[A](val ds: Dataset[A]) extends Serializable {
       }
     }(ds.encoder))
 
+  // ----- §2.3 typed joins (reference CanJoin: theta-join to pairs) -----
+  /** Inner theta-join to (A, B) pairs — the reference's `join(that)(on)`.
+    * Equi-shaped conditions plan as broadcast/shuffled hash joins; pure
+    * theta degenerates to a nested loop, exactly as in the reference. */
+  def join[B](that: Pipeline[B], on: Column): Pipeline[(A, B)] =
+    new Pipeline(ds.joinWith(that.ds, on, "inner"))
+
+  /** Left outer theta-join — `joinLeft(that)(on)`: unmatched left rows get
+    * None. */
+  def joinLeft[B](that: Pipeline[B], on: Column)(
+      implicit e: Encoder[(A, Option[B])]): Pipeline[(A, Option[B])] =
+    new Pipeline(ds.joinWith(that.ds, on, "left_outer")
+      .map { case (a, b) => (a, Option(b)) })
+
+  /** Cartesian pairing (reference CanJoin default). */
+  def cross[B](that: Pipeline[B]): Pipeline[(A, B)] =
+    new Pipeline(ds.joinWith(that.ds, lit(true), "cross"))
+
   // ----- §2.5 dedup / sort / limit / set ops ---------------------------
   def distinct: Pipeline[A] = new Pipeline(ds.distinct())
 
@@ -159,6 +180,11 @@ final class Pipeline[A](val ds: Dataset[A]) extends Serializable {
   def evalForeach(f: A => Unit): Unit = ds.foreach(f)
   def evalSize: Long = ds.count()
   def evalReduce(f: (A, A) => A): A = ds.reduce(f)
+  /** Fold with zero (reference `foldLeft`/Monoid `combineAll`): `op` must
+    * be associative — the distributed bag has no element order. Empty
+    * pipeline → zero. */
+  def evalFold(zero: A)(op: (A, A) => A): A =
+    if (ds.isEmpty) zero else op(zero, ds.reduce(op))
   /** Output.ignore — run the plan, discard rows (noop sink). */
   def evalIgnore(): Unit = ds.write.format("noop").mode("overwrite").save()
 }

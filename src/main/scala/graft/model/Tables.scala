@@ -63,6 +63,17 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = df(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = df(spark, sfDir, "embeddings")
 
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every fixture table as a temp view so the whole engine is
+    * reachable from `spark.sql(...)` text (events goes through the ns-safe
+    * reader). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = names.foreach { n =>
+    val d = if (n == "events") events(spark, sfDir) else df(spark, sfDir, n)
+    d.createOrReplaceTempView(n)
+  }
+
   def lineitemDs(spark: SparkSession, sfDir: String): Dataset[Lineitem] = {
     import spark.implicits._
     lineitem(spark, sfDir).as[Lineitem]

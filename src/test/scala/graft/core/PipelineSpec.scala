@@ -80,6 +80,28 @@ class PipelineSpec extends SparkSpec {
     pipe(1, 2, 3, 4).evalSize shouldBe 4
   }
 
+  test("evalFold returns zero on empty, folds otherwise") {
+    pipe(1, 2, 3).evalFold(100)(_ + _) shouldBe 106
+    Pipeline.fromSeq(spark, Seq.empty[Int]).evalFold(42)(_ + _) shouldBe 42
+  }
+
+  test("typed join produces (A, B) pairs; joinLeft wraps misses in None") {
+    val users = Pipeline.fromSeq(spark, Seq((1, "ann"), (2, "bob"), (3, "cy")))
+    val orders = Pipeline.fromSeq(spark, Seq((1, 10.0), (1, 20.0), (3, 5.0)))
+    val inner = users.join(orders, users("_1") === orders("_1"))
+      .map { case ((uid, name), (_, amt)) => (uid, name, amt) }
+      .evalVector.sorted
+    inner shouldBe Vector((1, "ann", 10.0), (1, "ann", 20.0), (3, "cy", 5.0))
+    val left = users.joinLeft(orders, users("_1") === orders("_1"))
+      .map { case ((uid, _), o) => (uid, o.map(_._2).getOrElse(-1.0)) }
+      .evalVector.sorted
+    left.count(_._2 == -1.0) shouldBe 1   // bob has no orders
+  }
+
+  test("cross pairs everything with everything") {
+    pipe(1, 2).cross(Pipeline.fromSeq(spark, Seq("a", "b"))).evalSize shouldBe 4
+  }
+
   test("range source generates n elements") {
     Pipeline.range(spark, 5).evalVector.map(_.toLong).sorted shouldBe
       Vector(0L, 1L, 2L, 3L, 4L)
