@@ -1,0 +1,68 @@
+package graft
+
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: scale-behavior probe. Replicates the sf tables `factor`× with
+  * shifted keys into /tmp, then times representative shapes (scan+agg,
+  * shuffle join, window) at 1× and factor× — the "would this plan survive
+  * a 10× scale-up" check the 100 TB design demands, run locally.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [factor]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val out = "/tmp/graft_scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(name: String, keyCols: Seq[String]): Unit = {
+      val base = Tables.df(spark, sfDir, name)
+      val maxes = keyCols.map(k => k -> base.agg(max(col(k))).head().getLong(0)).toMap
+      val big = base.crossJoin(spark.range(factor).select(col("id").as("__rep")))
+      keyCols.foldLeft(big) { (df, k) =>
+          df.withColumn(k, col(k) + col("__rep") * (lit(maxes(k)) + 1))
+        }
+        .drop("__rep")
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    replicate("lineitem", Seq("l_orderkey"))
+    replicate("orders", Seq("o_orderkey"))
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def shapes(dir: String): Seq[(String, () => Long)] = {
+      def li: DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
+      def od: DataFrame = spark.read.parquet(s"$dir/orders.parquet")
+      Seq(
+        ("scan_agg", () => li.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), avg("l_extendedprice")).count()),
+        ("shuffle_join_agg", () => li.join(od, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority").agg(count(lit(1))).count()),
+        ("window_topk", () => od.withColumn("rnk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy("o_orderpriority")
+              .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+          .where(col("rnk") <= 10).count()))
+    }
+    // warm both paths once (JIT/codegen), then measure
+    shapes(sfDir).foreach { case (_, f) => f() }
+    val results = shapes(sfDir).map { case (n, f) => (n, time(f())) }
+      .zip(shapes(out).map { case (n, f) => (n, time(f())) })
+      .map { case ((n, t1), (_, tN)) =>
+        f"""{"shape":"$n","base_sec":$t1%.2f,"x${factor}_sec":$tN%.2f,"ratio":${tN / t1}%.1f}"""
+      }
+    println(results.mkString("[", ",", "]"))
+    spark.stop()
+  }
+}

@@ -103,6 +103,19 @@ class StreamOpsSpec extends SparkSpec {
     ids.toSet shouldBe fixture.map(_.event_id).toSet
   }
 
+  test("file-source stream (Sources.stream) agrees with batch tumbling") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    fixture.toDF().write.mode("overwrite").parquet(dir)
+    val streamDf = graft.sources.Sources
+      .stream(spark, "parquet", fixture.toDF().schema).load(dir)
+    val q = StreamOps.tumbling(streamDf, "1 hour")
+      .writeStream.format("memory").queryName("file_sink")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    sortRows(spark.table("file_sink").collect()) shouldBe
+      sortRows(batch(df => StreamOps.tumbling(df, "1 hour")))
+  }
+
   test("runningPerUser keyed state accumulates per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
