@@ -18,14 +18,21 @@ import org.apache.spark.sql.types._
   * bench justified (SURVEY §4.2 escape hatch): a tight primitive loop with
   * `doGenCode`, no intermediate allocation, whole-stage-codegen friendly.
   *
-  * Semantics: Σ a(i)·b(i) over the common prefix length, accumulated
-  * left-to-right in double — bit-identical to the HOF formulation it
-  * replaces. Null elements contribute 0.
+  * Semantics: Σ a(i)·b(i) accumulated left-to-right in double —
+  * bit-identical to the HOF formulation it replaces. Two null modes:
+  *  - lenient (default, the library surface): common-prefix length, null
+  *    elements contribute 0 — never poisons a score;
+  *  - strict (`strict = true`, used by [[RewriteDotProduct]]): result is
+  *    NULL when lengths differ or any element is null — the exact
+  *    semantics of `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, so the
+  *    optimizer rewrite is observation-equivalent.
   */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class DotProduct(left: Expression, right: Expression,
+                      strict: Boolean = false) extends BinaryExpression {
 
   override def prettyName: String = "graft_dot"
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable || strict
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
@@ -49,11 +56,14 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (ta, tb) = (elemType(left).get, elemType(right).get)
+    if (strict && a.numElements() != b.numElements()) return null
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (!a.isNullAt(i) && !b.isNullAt(i)) s += get(a, ta, i) * get(b, tb, i)
+      if (a.isNullAt(i) || b.isNullAt(i)) {
+        if (strict) return null
+      } else s += get(a, ta, i) * get(b, tb, i)
       i += 1
     }
     s
@@ -68,11 +78,18 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullElem =
+        if (strict) s"${ev.isNull} = true; $s = 0.0; break;"
+        else "continue;"
+      val lenCheck =
+        if (strict) s"if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; } else"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |$lenCheck {
+         |  int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $nullElem }
          |    $s += ${getter(a, elemType(left).get, i)} * ${getter(b, elemType(right).get, i)};
          |  }
          |}

@@ -15,10 +15,12 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * `SELECT graft_dot(a.embedding, b.embedding) FROM ...`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+  }
 }
 
 object GraftExtensions {
@@ -34,8 +36,16 @@ object GraftExtensions {
       }))
 
   /** Runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+    registerRules(spark)
+  }
+
+  /** Runtime injection of the optimizer rewrites alone. */
+  def registerRules(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteDotProduct
 }

@@ -295,6 +295,33 @@ object RelationalQueries {
           .orderBy("o_orderpriority")
     },
 
+    // Exact interpolated percentile — Spark `percentile` and DuckDB
+    // `quantile_cont` share the definition; 2dp rounding absorbs fp noise.
+    Q("agg_percentile",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .groupBy("o_orderpriority")
+          .agg(round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
+            round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90"))
+          .orderBy("o_orderpriority")
+    },
+
+    // Sketch tier of A17: HLL count + t-digest-style percentile. Bounded
+    // error, constant memory — the 100 TB form of the two exact ops above.
+    // Approximate by design → rows-only check; accuracy pinned in specs.
+    Q.noOracle("agg_approx") { (spark, sf) =>
+      Tables.orders(spark, sf)
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+          round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2)
+            .as("approx_p50"))
+        .orderBy("o_orderpriority")
+    },
+
     // ----- §2.6 window functions ---------------------------------------
     Q("win_rank",
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
