@@ -92,6 +92,36 @@ object Similarity {
       .select(col(idCol), col(vecCol), (-col("__best.negid")).as("cid"))
   }
 
+  /** LSH-bucketed ANN (MLlib BucketedRandomProjectionLSH) — the third tier
+    * next to [[bruteTopK]] (exact) and [[ivfTopK]] (needs a codebook).
+    * Vectors are L2-normalized first, so euclidean bucket distance orders
+    * like cosine (cos = 1 − d²/2) and `maxDist` bounds the candidate join.
+    * Seeded → deterministic buckets across runs and cluster sizes.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              bucketLength: Double = 1.0, numHashTables: Int = 3,
+              maxDist: Double = 1.2, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    def unitVec(df: DataFrame): DataFrame =
+      withNorm(df.select(col(idCol), col(vecCol)), vecCol, "__n")
+        .select(col(idCol), array_to_vector(
+          transform(col(vecCol), x => x.cast("double") / col("__n"))).as("__v"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("__v").setOutputCol("__h")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
+    val c = unitVec(corpus)
+    val model = lsh.fit(c)
+    val joined = model.approxSimilarityJoin(unitVec(queries), c, maxDist, "dist")
+      .select(col(s"datasetA.$idCol").as("qid"), col(s"datasetB.$idCol").as(idCol),
+        (lit(1.0) - col("dist") * col("dist") / 2).as("cos"))
+      .where(col("qid") =!= col(idCol))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col(idCol))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** IVF search: probe the `nprobe` nearest centroids' buckets per query.
     * Recall < 1.0 by construction; the ScalaTest spec measures it against
     * [[bruteTopK]]. */

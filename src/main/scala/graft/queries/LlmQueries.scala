@@ -76,6 +76,13 @@ object LlmQueries {
         .orderBy("qid", "rnk")
     },
 
+    Q.noOracle("llm_ann_lsh") { (spark, sf) =>
+      val emb = Tables.embeddings(spark, sf)
+      Similarity.lshTopK(emb.where(col("vec_id") < 20), emb, k = 5)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rnk"))
+        .orderBy("qid", "rnk")
+    },
+
     Q("llm_text_stats",
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

@@ -48,6 +48,24 @@ class SimilaritySpec extends SparkSpec {
     ivf shouldBe brute
   }
 
+  test("lshTopK recalls most of bruteTopK's neighbors (loose maxDist = all)") {
+    val brute = Similarity.bruteTopK(emb.where(col("vec_id") === 0), emb, k = 3)
+      .select("vec_id").as[Long].collect().toSet
+    // maxDist 2.0 covers the whole unit sphere → recall must be total
+    val lsh = Similarity.lshTopK(emb.where(col("vec_id") === 0), emb, k = 3,
+        maxDist = 2.0)
+      .select("vec_id").as[Long].collect().toSet
+    lsh shouldBe brute
+  }
+
+  test("lshTopK is deterministic under a fixed seed") {
+    val a = Similarity.lshTopK(emb.where(col("vec_id") === 0), emb, k = 3)
+      .select("vec_id", "rnk").as[(Long, Long)].collect().toSeq
+    val b = Similarity.lshTopK(emb.where(col("vec_id") === 0), emb, k = 3)
+      .select("vec_id", "rnk").as[(Long, Long)].collect().toSeq
+    a shouldBe b
+  }
+
   test("ivfTopK with nprobe=1 trades recall for scan reduction") {
     val cents = emb.where(col("vec_id").isin(0L, 3L))
     val ivf = Similarity.ivfTopK(emb.where(col("vec_id") === 0), emb, cents,
