@@ -340,6 +340,24 @@ object RelationalQueries {
           .orderBy("o_orderpriority", "rnk", "o_orderkey")
     },
 
+    // Same result as the win_rank window formulation, different physical
+    // plan: bounded-heap aggregate (k rows per key per map task shuffle)
+    // instead of a full per-partition sort — graft.relational.TopK.
+    Q("op_topk_group",
+      """SELECT o_orderpriority, o_totalprice, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin) {
+      (spark, sf) =>
+        graft.relational.TopK.topKPerGroup(
+            Tables.orders(spark, sf),
+            keys = Seq(col("o_orderpriority")),
+            sortCols = Seq(col("o_totalprice"), col("o_orderkey")), k = 3)
+          .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    },
+
     Q("win_lag",
       """SELECT event_id, user_id,
         |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value

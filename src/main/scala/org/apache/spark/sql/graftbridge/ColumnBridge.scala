@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Bounded-heap top-k collector (private[aggregate] in Spark) as an
+    * aggregate Column: keeps the k LARGEST values of `e` under its natural
+    * ordering (`reverse = true` for the k smallest), with map-side partial
+    * merge. */
+  def collectTopK(e: Expression, k: Int, reverse: Boolean): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollectTopK(e, k, reverse)
+        .toAggregateExpression())
 }
