@@ -49,10 +49,18 @@ object Similarity {
     val scored = q.join(c, col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol),
         (dot(col("qv"), col(vecCol)) / (col("qn") * col("cn"))).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col(idCol))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
+    topK(scored, k, idCol)
   }
+
+  /** Per-query top-k by (cos desc, id asc) via the bounded-heap collector
+    * (graft.relational.TopK) — each map task keeps k candidates per query
+    * instead of the window formulation's full sort of every scored row. */
+  private def topK(scored: DataFrame, k: Int, idCol: String): DataFrame =
+    graft.relational.TopK.topKPerGroupRanked(
+        scored.select(col("qid"), (-col("cos")).as("__negcos"), col(idCol)),
+        keys = Seq(col("qid")),
+        sortCols = Seq(col("__negcos"), col(idCol)), k = k, rankCol = "rnk")
+      .select(col("qid"), col(idCol), (-col("__negcos")).as("cos"), col("rnk"))
 
   /** Driver-collected centroid set as a literal array of structs
     * `{negid, cv}` with L2-normalized vectors. Centroids are small by
@@ -117,9 +125,7 @@ object Similarity {
       .select(col(s"datasetA.$idCol").as("qid"), col(s"datasetB.$idCol").as(idCol),
         (lit(1.0) - col("dist") * col("dist") / 2).as("cos"))
       .where(col("qid") =!= col(idCol))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col(idCol))
-    joined.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
+    topK(joined, k, idCol)
   }
 
   /** IVF search: probe the `nprobe` nearest centroids' buckets per query.
@@ -138,12 +144,10 @@ object Similarity {
           -nprobe, nprobe)).as("probe"))
       .select(col("qid"), col("qv"), col("qn"), (-col("probe.negid")).as("cid"))
     // search only the probed buckets — equi-join on centroid id
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col(idCol))
-    probes.join(assigned, "cid")
+    val scored = probes.join(assigned, "cid")
       .where(col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol),
         (dot(col("qv"), col(vecCol)) / (col("qn") * col("cn"))).as("cos"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
+    topK(scored, k, idCol)
   }
 }

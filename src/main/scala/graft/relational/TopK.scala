@@ -33,4 +33,22 @@ object TopK {
       .select(col("*"), col("__row.*"))
       .drop("__topk", "__row")
   }
+
+  /** Like [[topKPerGroup]] but also emits a 1-based rank per group (the
+    * row_number() the window formulation would produce). The collected
+    * k-element array is sorted before posexplode — O(k log k) per group,
+    * not a partition sort. */
+  def topKPerGroupRanked(df: DataFrame, keys: Seq[Column], sortCols: Seq[Column],
+                         k: Int, rankCol: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val sortStruct = struct(sortCols: _*)
+    val collect = ColumnBridge.collectTopK(
+      ColumnBridge.expression(sortStruct), k, reverse = true)
+    df.groupBy(keys: _*)
+      .agg(array_sort(collect).as("__topk"))
+      .select(col("*"), posexplode(col("__topk")).as(Seq("__pos", "__row")))
+      .select(col("*"), col("__row.*"))
+      .withColumn(rankCol, (col("__pos") + 1).cast("long"))
+      .drop("__topk", "__pos", "__row")
+  }
 }
