@@ -70,8 +70,14 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "sig"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
-    // Verify with exact Jaccard over distinct shingle sets.
-    val sets = sh.groupBy(col(idCol))
+    // Verify with exact Jaccard over distinct shingle sets — but only for
+    // docs that appear in a candidate pair: candidates are a tiny fraction
+    // of the corpus, so the semi-join prunes the collect_list to them
+    // instead of materializing every document's shingle set.
+    val candIds = candidates.select(col("a").as(idCol))
+      .union(candidates.select(col("b").as(idCol))).distinct()
+    val sets = sh.join(candIds, Seq(idCol), "left_semi")
+      .groupBy(col(idCol))
       .agg(array_sort(collect_list(col("shingle"))).as("set"))
     val withSets = candidates
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
@@ -130,7 +136,11 @@ object Dedup {
     * the verification kernel shared by the approximate paths. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 2,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // prune shingle-set materialization to docs referenced by the pairs
+    val pairIds = pairs.select(col("a").as(idCol))
+      .union(pairs.select(col("b").as(idCol))).distinct()
     val sets = shingles(docs, k, idCol, textCol)
+      .join(pairIds, Seq(idCol), "left_semi")
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("set"))
     pairs
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
