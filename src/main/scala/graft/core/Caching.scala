@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.concurrent.TrieMap
+
+/** TTL-based caching, mirroring the reference's `caching` module (SURVEY
+  * §4.1 — trembita ships in-memory/infinispan caches with expiry; CITE:
+  * caching/, recalled path — /root/reference empty).
+  *
+  * Spark-native form: `persist` with a driver-side expiry registry. On
+  * access past the TTL the cached plan is unpersisted and re-persisted,
+  * so the next action recomputes from source — the semantics a periodic
+  * re-read of a slowly-changing dimension wants. Driver-side only; never
+  * on the verified/bench path (wall-clock dependent).
+  */
+object Caching {
+
+  private final case class Entry(ds: Dataset[_], expiresAtMs: Long)
+  private val registry = TrieMap.empty[String, Entry]
+
+  /** Persist `ds` under `key` for `ttlMs`. Subsequent calls within the TTL
+    * return the SAME persisted plan; after expiry the old one is evicted
+    * and the fresh dataset persisted in its place. */
+  def cached[T](ds: Dataset[T], key: String, ttlMs: Long,
+                level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
+    val now = System.currentTimeMillis()
+    registry.get(key) match {
+      case Some(Entry(prev, exp)) if exp > now =>
+        prev.asInstanceOf[Dataset[T]]
+      case prior =>
+        prior.foreach(_.ds.unpersist(blocking = false))
+        val fresh = ds.persist(level)
+        registry.put(key, Entry(fresh, now + ttlMs))
+        fresh
+    }
+  }
+
+  /** Evict one key (or everything) immediately. */
+  def invalidate(key: String): Unit =
+    registry.remove(key).foreach(_.ds.unpersist(blocking = false))
+  def invalidateAll(): Unit = {
+    registry.values.foreach(_.ds.unpersist(blocking = false))
+    registry.clear()
+  }
+
+  def size: Int = registry.size
+}
