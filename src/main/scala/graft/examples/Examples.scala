@@ -1,0 +1,71 @@
+package graft.examples
+
+import graft.agg.Aggs
+import graft.core.Pipeline
+import graft.llm.{Dedup, Similarity}
+import graft.model.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Executable documentation — the reference ships an `examples` module as
+  * living docs (CITE: examples/src/main/scala/com/examples/, recalled path
+  * — /root/reference empty); this is the engine's analog. Each block is
+  * the README usage sample, runnable against the sf0.001 fixtures:
+  *
+  *   sbt "runMain graft.examples.Examples [sfDir]"
+  */
+object Examples {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // 1. typed fluent pipeline — the reference's DataPipelineT surface
+    val bigSpenders = Pipeline(Tables.ordersDs(spark, sf))
+      .filter(_.o_totalprice > 300000)
+      .map(o => (o.o_custkey, o.o_totalprice))
+      .distinct
+      .evalSize
+    println(s"[1] customers with >300k orders: $bigSpenders")
+
+    // 2. QL builder — declarative groupBy/aggregate/having in one agg node
+    val ql = Pipeline(Tables.lineitemDs(spark, sf)).query(_
+      .where(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .aggregate(sum(col("l_quantity")).as("qty"),
+        Aggs.stringAgg(col("l_returnflag"), "|").as("tags"))
+      .having(col("qty") > 100)
+      .orderBy(col("l_returnflag"), col("l_linestatus")))
+    println(s"[2] QL result rows: ${ql.count()}")
+
+    // 3. error channel — poison rows become rows
+    val attempts = Pipeline(Tables.documentsDs(spark, sf))
+      .attempt(d => 100 / (d.n_chars % 7).toInt)
+      .evalVector
+    println(s"[3] attempts ok=${attempts.count(_.isOk)} err=${attempts.count(!_.isOk)}")
+
+    // 4. LLM ops — near-dup candidates and ANN top-k
+    val dups = Dedup.minHashNearDups(
+      Tables.documents(spark, sf), k = 2, bands = 8, rowsPerBand = 2,
+      threshold = 0.5).count()
+    val emb = Tables.embeddings(spark, sf)
+    val nn = Similarity.ivfTopK(emb.where(col("vec_id") < 5), emb,
+      centroids = emb.where(col("vec_id") % 25 === 0), k = 3, nprobe = 2).count()
+    println(s"[4] near-dup pairs: $dups; ivf neighbors: $nn")
+
+    // 5. SQL text through the registered views + the native kernel
+    graft.functions.GraftExtensions.register(spark)
+    Tables.registerAll(spark, sf)
+    val sql = spark.sql(
+      """SELECT a.vec_id, graft_dot(a.embedding, b.embedding) AS dot
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY a.vec_id LIMIT 3""".stripMargin).collect()
+    println(s"[5] SQL graft_dot sample: ${sql.mkString(", ")}")
+
+    spark.stop()
+  }
+}
