@@ -25,15 +25,18 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word k-shingles, distinct per doc. The Jaccard universe for MinHash. */
+  /** Word k-shingles per doc — the Jaccard universe for MinHash. `distinct`
+    * costs a full shuffle of the shingle stream; min-lane signatures don't
+    * need it (min over duplicates is the same min) so the minhash path
+    * passes `distinct = false` and dedups only inside per-doc aggregates. */
   def shingles(docs: DataFrame, k: Int, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame = {
+               textCol: String = "text", distinct: Boolean = true): DataFrame = {
     val toks = split(col(textCol), " ")
     val n = size(toks)
-    docs.select(col(idCol),
-        explode(transform(sequence(lit(0), greatest(n - k, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k))))).as("shingle"))
-      .distinct()
+    val sh = docs.select(col(idCol),
+      explode(transform(sequence(lit(0), greatest(n - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))).as("shingle"))
+    if (distinct) sh.distinct() else sh
   }
 
   /** MinHash + LSH banded near-dup candidates, verified with exact Jaccard.
@@ -50,7 +53,7 @@ object Dedup {
                       rowsPerBand: Int = 4, threshold: Double = 0.8,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val h = bands * rowsPerBand
-    val sh = shingles(docs, k, idCol, textCol)
+    val sh = shingles(docs, k, idCol, textCol, distinct = false)
     // H static min-lanes in ONE groupBy (cf. simHash's 64 vote lanes):
     // lane i aggregates min(xxhash64(shingle, seed=i)). Map-side partial
     // combine shuffles one 16-long buffer per doc per partition — no
@@ -76,9 +79,10 @@ object Dedup {
     // instead of materializing every document's shingle set.
     val candIds = candidates.select(col("a").as(idCol))
       .union(candidates.select(col("b").as(idCol))).distinct()
+    // collect_set dedups inside the aggregate — no pre-shuffle distinct
     val sets = sh.join(candIds, Seq(idCol), "left_semi")
       .groupBy(col(idCol))
-      .agg(array_sort(collect_list(col("shingle"))).as("set"))
+      .agg(collect_set(col("shingle")).as("set"))
     val withSets = candidates
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")

@@ -60,4 +60,19 @@ object Sinks {
   /** Run the plan, discard rows — the reference's Output.ignore. */
   def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Bucketed managed table — the co-located-join primitive: two tables
+    * bucketed by the same key into the same bucket count join with NO
+    * exchange on either side (each bucket pairs positionally). At 100 TB
+    * this converts the fact⋈fact shuffle — the single largest cost in a
+    * star-schema pipeline — into a map-side merge; `sortCols` additionally
+    * removes the per-bucket sort. */
+  def bucketTable(df: DataFrame, table: String, bucketCols: Seq[String],
+                  numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
 }

@@ -42,6 +42,26 @@ class TopKSpec extends SparkSpec {
       Seq(col("v")), k = 10).count() shouldBe 2
   }
 
+  test("equivalent to the window formulation on randomized inputs (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val rows = Gen.listOfN(200,
+      Gen.zip(Gen.choose(0, 5), Gen.choose(0, 40), Gen.choose(0, 1000)))
+    val prop = Prop.forAllNoShrink(rows, Gen.choose(1, 6)) { (xs, k) =>
+      val data = xs.zipWithIndex
+        .map { case ((g, v, p), i) => (s"g$g", v, i) }   // unique tiebreak i
+        .toDF("k", "v", "id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v", "id")
+      val expect = data.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= k).select("k", "v", "id")
+        .collect().map(_.toString).sorted.toSeq
+      val got = TopK.topKPerGroup(data, Seq(col("k")), Seq(col("v"), col("id")), k)
+        .collect().map(_.toString).sorted.toSeq
+      got == expect
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+      .passed, "randomized TopK/window equivalence failed")
+  }
+
   test("plan aggregates with partial combine — no Window/Sort-all operator") {
     val plan = TopK.topKPerGroup(df, Seq(col("k")), Seq(col("v")), k = 2)
       .queryExecution.executedPlan.toString

@@ -45,4 +45,31 @@ class IOSpec extends SparkSpec {
   test("noop sink executes the plan without output") {
     Sinks.noop(Seq(1, 2, 3).toDF("v"))   // must not throw
   }
+
+  test("co-bucketed tables join without an exchange") {
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directory persists — clear both
+    Seq("bt_facts", "bt_dims").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft_test_warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val facts = (1 to 1000).map(i => (i.toLong % 50, i)).toDF("k", "v1")
+    val dims = (1 to 1000).map(i => (i.toLong % 50, -i)).toDF("k", "v2")
+    Sinks.bucketTable(facts, "bt_facts", Seq("k"), numBuckets = 4, sortCols = Seq("k"))
+    Sinks.bucketTable(dims, "bt_dims", Seq("k"), numBuckets = 4, sortCols = Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bt_facts")
+        .join(spark.table("bt_dims"), "k")
+      joined.queryExecution.executedPlan.toString should not include "Exchange"
+      joined.count() shouldBe 1000L * 1000 / 50
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
