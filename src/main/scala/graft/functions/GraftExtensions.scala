@@ -35,11 +35,15 @@ object GraftExtensions {
         DotProduct(args.head, args(1))
       }))
 
-  /** Runtime registration on an existing session. */
+  /** Runtime registration on an existing session: the native expressions,
+    * the optimizer rewrites, and the custom aggregates (UDAF-backed, so
+    * SQL text gets `graft_product` next to the built-ins). */
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+    spark.udf.register("graft_product",
+      org.apache.spark.sql.functions.udaf(graft.agg.Aggs.product))
     registerRules(spark)
   }
 

@@ -48,6 +48,18 @@ object StreamOps {
   def dedupWithinWatermark(events: DataFrame, lateness: String, keys: Seq[String]): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming sinks. Durable sinks REQUIRE a checkpoint location — at
+    * scale that is the exactly-once contract, not an option. */
+  def toMemory(df: DataFrame, name: String, mode: String = "complete")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  def toParquet(df: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode("append").start()
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   /** T5b custom keyed state: running per-user count/sum via

@@ -116,6 +116,24 @@ class StreamOpsSpec extends SparkSpec {
       sortRows(batch(df => StreamOps.tumbling(df, "1 hour")))
   }
 
+  test("parquet streaming sink with checkpoint round-trips (exactly-once shape)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_psink").toString
+    fixture.toDF().write.mode("overwrite").parquet(s"$base/in")
+    val streamDf = graft.sources.Sources
+      .stream(spark, "parquet", fixture.toDF().schema).load(s"$base/in")
+    val q = StreamOps.toParquet(
+      streamDf.select("event_id", "user_id", "value"),
+      s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(s"$base/out").count() shouldBe fixture.size
+  }
+
+  test("graft_product is callable from SQL after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    spark.sql("SELECT graft_product(x) FROM VALUES (2.0), (3.0), (4.0) AS t(x)")
+      .collect()(0).getDouble(0) shouldBe 24.0
+  }
+
   test("runningPerUser keyed state accumulates per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
