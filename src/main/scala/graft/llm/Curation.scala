@@ -1,0 +1,42 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composite the individual LLM operators exist for: a training-data
+  * curation pass over a document corpus.
+  *
+  *   exact dedup (keep min doc_id per content hash)
+  *     → quality scoring (TextStats) and thresholding
+  *     → language filter
+  *     → inner join to the embedding modality (docs without vectors drop)
+  *     → per-source corpus stats
+  *
+  * Everything is one Catalyst plan: the dedup groupBy, the quality
+  * projection, the filters and the modality join fuse under AQE — no
+  * intermediate materialization. At 100 TB the dedup shuffle moves 32-byte
+  * hashes, the quality pass is a narrow codegen'd projection, and the
+  * modality join shuffles on the id both sides already carry.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, embeddings: DataFrame,
+             lang: String, minQuality: Double,
+             idCol: String = "doc_id", textCol: String = "text",
+             vecIdCol: String = "vec_id"): DataFrame = {
+    val keepers = Dedup.exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    val kept = docs.join(keepers, idCol)
+    val scored = kept.join(TextStats.quality(kept, idCol = idCol, textCol = textCol)
+        .select(col(idCol), col("quality"), col("n_tokens")), idCol)
+    scored
+      .where(col("lang") === lang && col("quality") >= minQuality)
+      .join(embeddings.select(col(vecIdCol).as(idCol)), idCol)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        // quality values are 4dp-rounded; summing them in decimal is exact
+        // and order-independent, where avg() flips last digits between
+        // engines (SURVEY §2.9-bis rule 2)
+        sum(col("quality").cast("decimal(18,4)")).cast("double").as("sum_quality"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextStats}
 import graft.model.Tables
 import org.apache.spark.sql.functions._
 
@@ -147,6 +147,34 @@ object LlmQueries {
 
     Q.noOracle("llm_fingerprint") { (spark, sf) =>
       TextStats.fingerprint(Tables.documents(spark, sf)).orderBy("doc_id")
+    },
+
+    // The composite curation pass — dedup → quality/lang filter → modality
+    // join → per-source stats — in ONE Catalyst plan (graft.llm.Curation).
+    Q("llm_curate", {
+      val nTok = "len(string_split(text, ' '))"
+      val nStop = "len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','fast','slow'], t)))"
+      val nDist = "len(list_distinct(string_split(text, ' ')))"
+      s"""WITH keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |scored AS (
+         |  SELECT d.doc_id, d.lang, d.source,
+         |    CAST($nTok AS BIGINT) AS n_tokens,
+         |    round($nDist / CAST($nTok AS DOUBLE)
+         |          * (1 - $nStop / CAST($nTok AS DOUBLE)), 4) AS quality
+         |  FROM documents d JOIN keep USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality
+         |FROM scored JOIN embeddings e ON doc_id = vec_id
+         |WHERE lang = 'en' AND quality >= 0.3
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) {
+      (spark, sf) =>
+        Curation.curate(Tables.documents(spark, sf), Tables.embeddings(spark, sf),
+            lang = "en", minQuality = 0.3)
+          .withColumn("n_tokens", col("n_tokens").cast("long"))
+          .orderBy("source")
     },
 
     Q("llm_join_modal",
