@@ -57,11 +57,24 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
-    Q.noOracle("llm_sim_topk") { (spark, sf) =>
-      val emb = Tables.embeddings(spark, sf)
-      Similarity.bruteTopK(emb.where(col("vec_id") < 20), emb, k = 5)
-        .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rnk"))
-        .orderBy("qid", "rnk")
+    // DuckDB computes list_cosine_similarity in float; cast→double before
+    // the 4dp round matches Spark's double kernel on this fixture (verified
+    // row-identical at sf0.01 and sf0.001 — ranks never disagree because
+    // the id tiebreak handles float-level score ties).
+    Q("llm_sim_topk",
+      """WITH scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id,
+        |    round(CAST(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE), 4) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rnk
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+        |SELECT qid, vec_id, cos, CAST(rnk AS BIGINT) AS rnk
+        |FROM scored WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) {
+      (spark, sf) =>
+        val emb = Tables.embeddings(spark, sf)
+        Similarity.bruteTopK(emb.where(col("vec_id") < 20), emb, k = 5)
+          .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rnk"))
+          .orderBy("qid", "rnk")
     },
 
     Q.noOracle("llm_ann_ivf") { (spark, sf) =>
