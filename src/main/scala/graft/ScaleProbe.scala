@@ -55,8 +55,9 @@ object ScaleProbe {
               .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
           .where(col("rnk") <= 10).count()))
     }
-    // warm both paths once (JIT/codegen), then measure
+    // warm both paths once (JIT/codegen/parquet footers), then measure
     shapes(sfDir).foreach { case (_, f) => f() }
+    shapes(out).foreach { case (_, f) => f() }
     val results = shapes(sfDir).map { case (n, f) => (n, time(f())) }
       .zip(shapes(out).map { case (n, f) => (n, time(f())) })
       .map { case ((n, t1), (_, tN)) =>

@@ -25,7 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[DotProduct].getName, null, name)
+    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),

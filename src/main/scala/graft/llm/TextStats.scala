@@ -27,8 +27,10 @@ object TextStats {
     size(filter(toks(textCol), t => array_contains(array(markers.map(lit): _*), t))).cast("long")
 
   /** Language-ID: per-profile occurrence scores plus the argmax language
-    * (ties broken by language code, ascending — deterministic). */
-  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    * (ties broken by language code, ascending — deterministic). Every
+    * incoming column except the text body is kept, so no id column needs
+    * naming. */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
     // keep every incoming column (e.g. the true label) except the text body
     val scored = profiles.foldLeft(docs) {
       case (df, (lang, markers)) =>
