@@ -108,4 +108,13 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** SQL `div` — exact integral division. The engine-independent building
+    * block for round-half-up ratio arithmetic (`(20000a+b) div 2b`),
+    * replacing floating division whose 4dp rounding can disagree across
+    * engines at .00005 boundaries. */
+  def intDiv(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -47,21 +47,40 @@ object TextStats {
   }
 
   /** Quality heuristics: token count, mean token length, stopword ratio,
-    * distinct-token ratio, and a composite score. */
+    * distinct-token ratio, and a composite score.
+    *
+    * All ratios are 4dp ROUND-HALF-UP computed in INTEGER arithmetic:
+    * `(20000·a + b) div (2·b)` is round(10000·a/b) exactly, with no
+    * floating division anywhere. Double `round(a/b, 4)` disagrees between
+    * engines when the true ratio lands on a .00005 boundary (observed at
+    * sf0.1) — integer arithmetic cannot. The scaled value divided by 1e4
+    * is an exact double (≤ 2^53).
+    */
   def quality(docs: DataFrame, stopwords: Seq[String] = Seq("the", "a", "fast", "slow"),
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = toks(col(textCol))
-    val nTok = size(t).cast("double")
-    val nStop = size(filter(t, x => array_contains(array(stopwords.map(lit): _*), x))).cast("double")
-    val nDistinct = size(array_distinct(t)).cast("double")
-    val meanLen = (length(col(textCol)) - size(t) + 1).cast("double") / nTok
-    docs.select(
+    // 4dp basis points of a/b, round-half-up, pure integer ops
+    def bp(a: Column, b: Column): Column =
+      graft.functions.VectorFunctions.intDiv(a * 20000 + b, b * 2)
+    def asRatio(bpCol: Column): Column = bpCol.cast("double") / 10000.0
+    val counted = docs.select(
       col(idCol),
-      size(t).cast("long").as("n_tokens"),
-      round(meanLen, 4).as("mean_tok_len"),
-      round(nStop / nTok, 4).as("stopword_ratio"),
-      round(nDistinct / nTok, 4).as("distinct_ratio"),
-      round(nDistinct / nTok * (lit(1.0) - nStop / nTok), 4).as("quality"))
+      size(t).cast("long").as("__nt"),
+      size(filter(t, x => array_contains(array(stopwords.map(lit): _*), x)))
+        .cast("long").as("__ns"),
+      size(array_distinct(t)).cast("long").as("__nd"),
+      length(col(textCol)).cast("long").as("__len"))
+    val srBp = bp(col("__ns"), col("__nt"))
+    val drBp = bp(col("__nd"), col("__nt"))
+    counted.select(
+      col(idCol),
+      col("__nt").as("n_tokens"),
+      asRatio(bp(col("__len") - col("__nt") + 1, col("__nt"))).as("mean_tok_len"),
+      asRatio(srBp).as("stopword_ratio"),
+      asRatio(drBp).as("distinct_ratio"),
+      // composite in integer space too: round(dr·(1−sr)) at 4dp
+      asRatio(graft.functions.VectorFunctions.intDiv(
+        drBp * (lit(10000L) - srBp) * 2 + lit(10000L), lit(20000L))).as("quality"))
   }
 
   /** Token counting: whitespace tokens plus a BPE-ish regex token count

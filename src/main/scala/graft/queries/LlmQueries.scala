@@ -128,22 +128,30 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // Ratios as 4dp round-half-up via INTEGER arithmetic on both sides —
+    // (20000a+b)//(2b) = round(10000a/b) exactly; double round(a/b, 4)
+    // flips .00005-boundary rows between engines (seen at sf0.1).
     Q("llm_quality",
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  round((length(text) - len(string_split(text, ' ')) + 1)
-        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_tok_len,
-        |  round(len(list_filter(string_split(text, ' '),
-        |        t -> list_contains(['the', 'a', 'fast', 'slow'], t)))
-        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio,
-        |  round(len(list_distinct(string_split(text, ' ')))
-        |        / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS distinct_ratio,
-        |  round(len(list_distinct(string_split(text, ' ')))
-        |        / CAST(len(string_split(text, ' ')) AS DOUBLE)
-        |        * (1 - len(list_filter(string_split(text, ' '),
-        |             t -> list_contains(['the', 'a', 'fast', 'slow'], t)))
-        |           / CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin) {
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'fast', 'slow'], t))) AS BIGINT) AS ns,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, nt,
+        |    (20000 * (len - nt + 1) + nt) // (2 * nt) AS ml_bp,
+        |    (20000 * ns + nt) // (2 * nt) AS sr_bp,
+        |    (20000 * nd + nt) // (2 * nt) AS dr_bp
+        |  FROM c)
+        |SELECT doc_id, nt AS n_tokens,
+        |  ml_bp / 10000.0 AS mean_tok_len,
+        |  sr_bp / 10000.0 AS stopword_ratio,
+        |  dr_bp / 10000.0 AS distinct_ratio,
+        |  ((dr_bp * (10000 - sr_bp) * 2 + 10000) // 20000) / 10000.0 AS quality
+        |FROM b ORDER BY doc_id""".stripMargin) {
       (spark, sf) =>
         TextStats.quality(Tables.documents(spark, sf)).orderBy("doc_id")
     },
@@ -165,17 +173,20 @@ object LlmQueries {
     // The composite curation pass — dedup → quality/lang filter → modality
     // join → per-source stats — in ONE Catalyst plan (graft.llm.Curation).
     Q("llm_curate", {
-      val nTok = "len(string_split(text, ' '))"
-      val nStop = "len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','fast','slow'], t)))"
-      val nDist = "len(list_distinct(string_split(text, ' ')))"
+      val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+      val nStop = "CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','fast','slow'], t))) AS BIGINT)"
+      val nDist = "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)"
       s"""WITH keep AS (
          |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |cnt AS (
+         |  SELECT d.doc_id, d.lang, d.source, $nTok AS nt, $nStop AS ns, $nDist AS nd
+         |  FROM documents d JOIN keep USING (doc_id)),
          |scored AS (
-         |  SELECT d.doc_id, d.lang, d.source,
-         |    CAST($nTok AS BIGINT) AS n_tokens,
-         |    round($nDist / CAST($nTok AS DOUBLE)
-         |          * (1 - $nStop / CAST($nTok AS DOUBLE)), 4) AS quality
-         |  FROM documents d JOIN keep USING (doc_id))
+         |  SELECT doc_id, lang, source, nt AS n_tokens,
+         |    ((((20000 * nd + nt) // (2 * nt))
+         |      * (10000 - ((20000 * ns + nt) // (2 * nt))) * 2 + 10000) // 20000)
+         |      / 10000.0 AS quality
+         |  FROM cnt)
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality

@@ -44,6 +44,13 @@ object StreamOps {
   def tumblingWithWatermark(events: DataFrame, width: String, lateness: String): DataFrame =
     tumbling(events.withWatermark("ts", lateness), width)
 
+  /** Watermarked session windows — the production form of T3: append mode
+    * emits a session only once the watermark passes its close, which is
+    * what bounds session state at scale (otherwise every open session for
+    * every user lives in the store forever). */
+  def sessionsWithWatermark(events: DataFrame, gap: String, lateness: String): DataFrame =
+    sessions(events.withWatermark("ts", lateness), gap)
+
   /** T5a stateful dedup within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame, lateness: String, keys: Seq[String]): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)

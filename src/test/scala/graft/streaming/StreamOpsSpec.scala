@@ -90,6 +90,17 @@ class StreamOpsSpec extends SparkSpec {
     rows.map(_.getTimestamp(0)).toSet shouldBe Set(ts(0))
   }
 
+  test("watermarked session windows emit only watermark-closed sessions in append mode") {
+    val rows = streamed(df => StreamOps.sessionsWithWatermark(df, "30 minutes", "10 minutes"),
+      mode = "append")
+    // max ts 2:05 → watermark 1:55. Emitted sessions must have closed
+    // (last event + 30min gap) before 1:55: user1 {0,5,10}→closes 0:40,
+    // {55,60,90}→closes 1:20(? last 90min+30=2:00 > 1:55 NOT emitted);
+    // user2 {2,4}→closes 0:34, {74,76,91}→closes 2:01 not emitted.
+    val emitted = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    emitted shouldBe Set((1L, 3L), (2L, 2L))
+  }
+
   test("dedupWithinWatermark drops duplicate keys inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
