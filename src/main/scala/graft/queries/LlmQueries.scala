@@ -99,14 +99,17 @@ object LlmQueries {
     Q("llm_text_stats",
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-        |  round(avg(n_chars), 2) AS avg_chars
+        |  ((200 * CAST(sum(n_chars) AS BIGINT) + count(*))
+        |    // (2 * count(*))) / 100.0 AS avg_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) {
       (spark, sf) =>
         Tables.documents(spark, sf)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
-            round(avg(col("n_chars")), 2).as("avg_chars"))
+            (graft.functions.VectorFunctions.intDiv(
+                sum(col("n_chars")).cast("long") * 200 + count(lit(1)),
+                count(lit(1)) * 2).cast("double") / 100.0).as("avg_chars"))
           .orderBy("lang")
     },
 

@@ -143,12 +143,20 @@ object RelationalQueries {
           .orderBy("l_returnflag")
     },
 
+    // l_quantity is integral → the 4dp average is computed as integer
+    // round-half-up ((20000·S + n) div 2n) — engine-independent, immune to
+    // the .00005-boundary round() divergence (SURVEY §2.9-bis rule 2).
     Q("agg_avg",
-      """SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty FROM lineitem
-        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      """SELECT l_returnflag,
+        |  ((20000 * CAST(sum(l_quantity) AS BIGINT) + count(*))
+        |    // (2 * count(*))) / 10000.0 AS avg_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) {
       (spark, sf) =>
         Tables.lineitem(spark, sf)
-          .groupBy("l_returnflag").agg(round(avg(col("l_quantity")), 4).as("avg_qty"))
+          .groupBy("l_returnflag")
+          .agg((graft.functions.VectorFunctions.intDiv(
+              sum(col("l_quantity")).cast("long") * 20000 + count(lit(1)),
+              count(lit(1)) * 2).cast("double") / 10000.0).as("avg_qty"))
           .orderBy("l_returnflag")
     },
 
@@ -196,13 +204,32 @@ object RelationalQueries {
           .orderBy("n_regionkey")
     },
 
+    // stddev from EXACT decimal sums, finished with the identical double
+    // expression on both sides: native stddev implementations accumulate in
+    // different orders/algorithms (Welford vs two-pass) → different doubles
+    // → round() can flip. sqrt((s2 − s1²/n)/(n−1)) over exact s1/s2 is
+    // bit-deterministic across engines.
     Q("agg_stddev",
-      """SELECT o_orderpriority, round(stddev_samp(o_totalprice), 2) AS sd
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) {
+      """SELECT o_orderpriority,
+        |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 2) AS sd
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+        |             * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM orders GROUP BY 1)
+        |ORDER BY 1""".stripMargin) {
       (spark, sf) =>
+        val p = col("o_totalprice").cast("decimal(18,2)")
         Tables.orders(spark, sf)
           .groupBy("o_orderpriority")
-          .agg(round(stddev_samp(col("o_totalprice")), 2).as("sd"))
+          .agg(sum(p).cast("double").as("s1"),
+            sum(p * p).cast("double").as("s2"),
+            count(lit(1)).cast("double").as("n"))
+          .select(col("o_orderpriority"),
+            round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 2)
+              .as("sd"))
           .orderBy("o_orderpriority")
     },
 
@@ -372,15 +399,16 @@ object RelationalQueries {
 
     Q("win_running_sum",
       """SELECT event_id, user_id,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                         ROWS UNBOUNDED PRECEDING), 2) AS running
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
         |FROM events ORDER BY event_id""".stripMargin) {
       (spark, sf) =>
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.events(spark, sf)
           .select(col("event_id"), col("user_id"),
-            round(sum(col("value")).over(w), 2).as("running"))
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running"))
           .orderBy("event_id")
     },
 

@@ -16,7 +16,7 @@ object StreamQueries {
 
     Q("stream_tumbling",
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS total
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
       (spark, sf) =>
         StreamOps.tumbling(Tables.events(spark, sf), "1 hour")

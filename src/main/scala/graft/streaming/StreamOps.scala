@@ -21,10 +21,13 @@ import graft.model.Event
   */
 object StreamOps {
 
-  /** T1 tumbling window aggregate. */
+  /** T1 tumbling window aggregate. `value` carries 2dp amounts — summing
+    * in decimal is exact and order-independent, where a double sum's
+    * rounding depends on accumulation order (SURVEY §2.9-bis rule 2). */
   def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
     events.groupBy(window(col("ts"), width).as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
       .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("total"))
 
   /** T2 sliding window count. */
