@@ -322,18 +322,19 @@ object RelationalQueries {
           .orderBy("o_orderpriority")
     },
 
-    // Exact interpolated percentile — Spark `percentile` and DuckDB
-    // `quantile_cont` share the definition; 2dp rounding absorbs fp noise.
+    // DISCRETE percentile — returns an actual data value, no interpolation.
+    // Continuous percentiles interpolate an even-count median to an exact
+    // half-cent, which is a guaranteed 2dp rounding tie between engines.
     Q("agg_percentile",
       """SELECT o_orderpriority,
-        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.9) AS p90
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) {
       (spark, sf) =>
         Tables.orders(spark, sf)
           .groupBy("o_orderpriority")
-          .agg(round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
-            round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90"))
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"))
           .orderBy("o_orderpriority")
     },
 
