@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+/** Driver-contract benchmark: wall-clock `count()` per declared query
+  * (the metric BASELINE was measured with — see BASELINE.md). count()
+  * lets Catalyst prune final projections/sorts, so this measures the
+  * scan/join/aggregate skeleton; that is the harness's definition, applied
+  * identically to baseline and engine. For full-plan timing use
+  * `Sinks.noop(df)`, which executes every projection. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -24,18 +24,22 @@ object Caching {
     * return the SAME persisted plan; after expiry the old one is evicted
     * and the fresh dataset persisted in its place. */
   def cached[T](ds: Dataset[T], key: String, ttlMs: Long,
-                level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] = {
-    val now = System.currentTimeMillis()
-    registry.get(key) match {
-      case Some(Entry(prev, exp)) if exp > now =>
-        prev.asInstanceOf[Dataset[T]]
-      case prior =>
-        prior.foreach(_.ds.unpersist(blocking = false))
-        val fresh = ds.persist(level)
-        registry.put(key, Entry(fresh, now + ttlMs))
-        fresh
+                level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Dataset[T] =
+    // synchronized: a check-then-act race would double-persist and leak the
+    // losing plan's blocks for the application lifetime; this is driver-side
+    // and low-frequency, so a lock is the right tool
+    registry.synchronized {
+      val now = System.currentTimeMillis()
+      registry.get(key) match {
+        case Some(Entry(prev, exp)) if exp > now =>
+          prev.asInstanceOf[Dataset[T]]
+        case prior =>
+          prior.foreach(_.ds.unpersist(blocking = false))
+          val fresh = ds.persist(level)
+          registry.put(key, Entry(fresh, now + ttlMs))
+          fresh
+      }
     }
-  }
 
   /** Evict one key (or everything) immediately. */
   def invalidate(key: String): Unit =

@@ -182,9 +182,14 @@ final class Pipeline[A](val ds: Dataset[A]) extends Serializable {
   def evalReduce(f: (A, A) => A): A = ds.reduce(f)
   /** Fold with zero (reference `foldLeft`/Monoid `combineAll`): `op` must
     * be associative — the distributed bag has no element order. Empty
-    * pipeline → zero. */
-  def evalFold(zero: A)(op: (A, A) => A): A =
-    if (ds.isEmpty) zero else op(zero, ds.reduce(op))
+    * pipeline → zero. Single job: per-partition partial folds, combined on
+    * the driver (an isEmpty probe would re-run the whole upstream plan). */
+  def evalFold(zero: A)(op: (A, A) => A): A = {
+    val partials = ds.mapPartitions { it =>
+      if (it.hasNext) Iterator.single(it.reduce(op)) else Iterator.empty
+    }(ds.encoder).collect()
+    if (partials.isEmpty) zero else op(zero, partials.reduce(op))
+  }
   /** Output.ignore — run the plan, discard rows (noop sink). */
   def evalIgnore(): Unit = ds.write.format("noop").mode("overwrite").save()
 }

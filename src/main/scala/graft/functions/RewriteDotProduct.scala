@@ -35,7 +35,11 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
 
   private def isMulOf(e: Expression, x: NamedExpression, y: NamedExpression): Boolean =
     e match {
-      case Multiply(l, r, _) =>
+      // BOTH operands must already be double-typed (double elements, or
+      // float wrapped in an explicit double cast): the kernel multiplies in
+      // double, but the HOF idiom over RAW float variables multiplies in
+      // FLOAT — rewriting that shape would change low bits of results.
+      case Multiply(l, r, _) if l.dataType == DoubleType && r.dataType == DoubleType =>
         (isVar(l, x) && isVar(r, y)) || (isVar(l, y) && isVar(r, x))
       case _ => false
     }

@@ -73,11 +73,13 @@ object Similarity {
     val rows = centroids.select(col(idCol).cast("long"), col(vecCol))
       .collect()
       .map { r =>
-        val v = r.getSeq[Float](1).toArray
-        val n = math.sqrt(v.map(x => x.toDouble * x).sum) max java.lang.Double.MIN_VALUE
+        // element type may be float or double — go through Number
+        val v = r.getSeq[Number](1).map(_.doubleValue()).toArray
+        val n = math.sqrt(v.map(x => x * x).sum) max java.lang.Double.MIN_VALUE
         (r.getLong(0), v.map(_ / n))
       }
       .sortBy(_._1)
+    require(rows.nonEmpty, "centroid set must be non-empty")
     array(rows.map { case (cid, cv) =>
       struct(lit(-cid).as("negid"), typedLit(cv.toSeq).as("cv"))
     }: _*)
@@ -138,10 +140,13 @@ object Similarity {
     val assigned = withNorm(assign(corpus, centroids, idCol, vecCol), vecCol, "cn")
     // nprobe nearest centroids per query: sort the per-row score array and
     // take the top slice — narrow, no window
+    // clamp the slice to the codebook size: slice(arr, -n, n) with n past
+    // the array length returns EMPTY, which would silently drop every query
+    val sorted = array_sort(centroidScores(col(vecCol), cents))
+    val take = least(lit(nprobe), size(sorted))
     val probes = withNorm(queries, vecCol, "qn")
       .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("qn"),
-        explode(slice(array_sort(centroidScores(col(vecCol), cents)),
-          -nprobe, nprobe)).as("probe"))
+        explode(slice(sorted, -take, take)).as("probe"))
       .select(col("qid"), col("qv"), col("qn"), (-col("probe.negid")).as("cid"))
     // search only the probed buckets — equi-join on centroid id
     val scored = probes.join(assigned, "cid")

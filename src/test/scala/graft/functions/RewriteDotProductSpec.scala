@@ -28,6 +28,17 @@ class RewriteDotProductSpec extends SparkSpec {
     q.collect()(0).isNullAt(0) shouldBe true
   }
 
+  test("raw FLOAT multiplies are NOT rewritten (float vs double precision)") {
+    GraftExtensions.registerRules(spark)
+    val df = Seq((Array(0.1f, 0.3f), Array(0.1f, 0.3f))).toDF("a", "b").repartition(1)
+    // no double casts → the HOF multiplies in float; the kernel would
+    // multiply in double and flip low bits
+    val q = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x).as("d"))
+    q.queryExecution.optimizedPlan.toString should not include "graft_dot"
+  }
+
   test("non-dot aggregations over zip_with are NOT rewritten") {
     GraftExtensions.registerRules(spark)
     val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b").repartition(1)

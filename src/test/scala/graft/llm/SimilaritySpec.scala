@@ -66,6 +66,24 @@ class SimilaritySpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("ivfTopK degrades to probing every bucket when nprobe exceeds the codebook") {
+    val cents = emb.where(col("vec_id").isin(0L, 3L))
+    val out = Similarity.ivfTopK(emb.where(col("vec_id") === 0), emb, cents,
+        k = 3, nprobe = 50)
+      .orderBy("rnk").select("vec_id").as[Long].collect()
+    out shouldBe Array(1L, 2L, 3L)   // == bruteTopK, NOT empty
+  }
+
+  test("assign and ivfTopK accept array<double> embeddings") {
+    val dEmb = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)), (2L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val cents = dEmb.where(col("vec_id").isin(0L, 2L))
+    Similarity.assign(dEmb, cents).count() shouldBe 3
+    Similarity.ivfTopK(dEmb.where(col("vec_id") === 0), dEmb, cents,
+      k = 2, nprobe = 2).count() shouldBe 2
+  }
+
   test("ivfTopK with nprobe=1 trades recall for scan reduction") {
     val cents = emb.where(col("vec_id").isin(0L, 3L))
     val ivf = Similarity.ivfTopK(emb.where(col("vec_id") === 0), emb, cents,
