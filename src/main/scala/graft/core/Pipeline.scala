@@ -1,7 +1,6 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -218,16 +217,39 @@ object Pipeline {
 /** Untyped positional ops that need an explicit deterministic ordering key:
   * a distributed bag has no stable positions, so the reference's
   * `zip`/`zipWithIndex`/`drop`/`slice` (SURVEY §2.2 P10, §2.3 J7, §2.5 D5)
-  * take order columns and compile to window row_number.
+  * take order columns and compile to a range-partitioned two-pass index.
+  *
+  * Scale design (100 TB): NO single-partition global window. The frame is
+  * range-partitioned on the order key and sorted within partitions (global
+  * order across partition boundaries), then RDD `zipWithIndex` assigns
+  * offsets — one lightweight per-partition count job, then a narrow map
+  * that adds `partition_offset + local_position`. Every stage is parallel
+  * across all executors; the only driver-side state is one Long per
+  * partition.
   */
 object Positional {
-  private def withIndex(df: DataFrame, order: Seq[Column], idxCol: String): DataFrame =
-    df.withColumn(idxCol, row_number().over(Window.orderBy(order: _*)) - lit(1))
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import org.apache.spark.sql.types.LongType
 
-  /** 0-based index attached by explicit total order. Single-partition
-    * window (no partitionBy) — fine for result-sized frames; for raw
-    * 100 TB scans prefer monotonically_increasing_id + zipWithIndex-free
-    * designs. */
+  private def withIndex(df: DataFrame, order: Seq[Column], idxCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = sorted.schema.add(idxCol, LongType, nullable = false)
+    // toRdd avoids the InternalRow→Row→InternalRow double conversion of the
+    // public .rdd path; rows are copied because sorter output buffers are
+    // reused and downstream operators may hold references.
+    val indexed = sorted.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      it.map { case (row, i) =>
+        new JoinedRow(row.copy(), new GenericInternalRow(Array[Any](i))): InternalRow
+      }
+    }
+    ColumnBridge.internalCreateDataFrame(spark, indexed, schema)
+  }
+
+  /** 0-based index attached by explicit total order — distributed two-pass
+    * offset indexing (see object doc), not a global window. */
   def zipWithIndex(df: DataFrame, order: Seq[Column], idxCol: String = "idx"): DataFrame =
     withIndex(df, order, idxCol)
 

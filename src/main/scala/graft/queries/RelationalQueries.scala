@@ -184,13 +184,19 @@ object RelationalQueries {
           .orderBy("p_brand")
     },
 
+    // The operator under test is collect-to-list (Aggs.arrSorted); the array
+    // is serialized to a canonical comma-joined string ONLY at the output
+    // boundary because the driver's pandas comparator cannot hash ndarray
+    // cells (CORRECTNESS_r01 `unhashable type` failure).
     Q("agg_collect_list",
-      """SELECT n_regionkey, list(n_nationkey ORDER BY n_nationkey) AS nations
+      """SELECT n_regionkey,
+        |  array_to_string(list(n_nationkey ORDER BY n_nationkey), ',') AS nations
         |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin) {
       (spark, sf) =>
         Tables.nation(spark, sf)
           .groupBy("n_regionkey")
-          .agg(Aggs.arrSorted(col("n_nationkey")).as("nations"))
+          .agg(concat_ws(",", Aggs.arrSorted(col("n_nationkey")).cast("array<string>"))
+            .as("nations"))
           .orderBy("n_regionkey")
     },
 
@@ -464,18 +470,25 @@ object RelationalQueries {
           .orderBy("p_partkey")
     },
 
+    // head3 stays an array transform under test but is emitted as a
+    // comma-joined DECIMAL(9,4) string: the driver comparator can't hash
+    // array cells, and double→string rendering diverges between engines
+    // (Spark "1.0E-4" vs DuckDB "0.0001") while decimal rendering agrees.
     Q("fn_array",
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
         |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
-        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3
+        |  array_to_string(list_transform(embedding[1:3],
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4)) AS VARCHAR)),
+        |    ',') AS head3
         |FROM embeddings ORDER BY vec_id""".stripMargin) {
       (spark, sf) =>
         Tables.embeddings(spark, sf).select(
           col("vec_id"), size(col("embedding")).cast("long").as("dim"),
           round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
           round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
-          transform(slice(col("embedding"), 1, 3), x => round(x.cast("double"), 4)).as("head3"))
+          concat_ws(",", transform(slice(col("embedding"), 1, 3),
+            x => round(x.cast("double"), 4).cast("decimal(9,4)").cast("string"))).as("head3"))
           .orderBy("vec_id")
     },
 

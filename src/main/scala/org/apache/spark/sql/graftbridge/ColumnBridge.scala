@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -20,4 +20,15 @@ object ColumnBridge {
     ExpressionUtils.column(
       org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollectTopK(e, k, reverse)
         .toAggregateExpression())
+
+  /** `internalCreateDataFrame` is `private[sql]`: build a DataFrame straight
+    * from `RDD[InternalRow]` with no Row round-trip — used by the positional
+    * ops to re-enter Catalyst after an RDD `zipWithIndex`. Rows MUST be
+    * immutable (copied) — downstream operators may buffer them. */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

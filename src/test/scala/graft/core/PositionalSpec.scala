@@ -4,7 +4,8 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Positional ops need an explicit deterministic order (SURVEY §7.5):
-  * zipWithIndex / zip / slice / drop compile to window row_number. */
+  * zipWithIndex / zip / slice / drop compile to a range-partitioned
+  * two-pass offset index (no single-partition global window). */
 class PositionalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -12,8 +13,25 @@ class PositionalSpec extends SparkSpec {
 
   test("zipWithIndex attaches 0-based index in the given order") {
     val out = Positional.zipWithIndex(df, Seq(col("k")))
-      .orderBy("idx").select("k", "idx").as[(String, Int)].collect()
-    out shouldBe Array(("a", 0), ("b", 1), ("c", 2))
+      .orderBy("idx").select("k", "idx").as[(String, Long)].collect()
+    out shouldBe Array(("a", 0L), ("b", 1L), ("c", 2L))
+  }
+
+  test("zipWithIndex is globally contiguous across many partitions") {
+    val big = spark.range(0, 10000).toDF("n").repartition(13)
+    val out = Positional.zipWithIndex(big, Seq(col("n")))
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, countDistinct}
+    val r = out.agg(fmin("idx"), fmax("idx"), countDistinct("idx")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((0L, 9999L, 10000L))
+    // index order must agree with the requested order
+    out.where(col("idx") === col("n")).count() shouldBe 10000L
+  }
+
+  test("zipWithIndex plan has no single-partition global window") {
+    val plan = Positional.zipWithIndex(df, Seq(col("k")))
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "SinglePartition"
   }
 
   test("zip pairs two frames positionally under their own orders") {
