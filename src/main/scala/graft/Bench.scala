@@ -5,7 +5,13 @@ import org.apache.spark.sql.SparkSession
   * lets Catalyst prune final projections/sorts, so this measures the
   * scan/join/aggregate skeleton; that is the harness's definition, applied
   * identically to baseline and engine. For full-plan timing use
-  * `Sinks.noop(df)`, which executes every projection. */
+  * `Sinks.noop(df)`, which executes every projection.
+  *
+  * Output: TWO JSON lines — a compact `{"metric":"total",...}` line FIRST
+  * (immune to tail truncation of the long per-query map), then the full
+  * line with the per-query map. A failed query is recorded as -1 in the
+  * map and named in `errors`, never silently timed as a success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,15 +31,19 @@ object Bench {
         d.count()
       } catch { case _: Throwable => () }
     }
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => errors += name; false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,8 +13,13 @@ import graft.queries.{KernelQueries, LlmQueries, Q, RelationalQueries, StreamQue
   */
 object SparkEntry {
 
-  private val registry: Seq[Q] =
-    KernelQueries.all ++ RelationalQueries.all ++ StreamQueries.all ++ LlmQueries.all
+  private val registry: Seq[Q] = {
+    val all = KernelQueries.all ++ RelationalQueries.all ++ StreamQueries.all ++ LlmQueries.all
+    val dups = all.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate query names would silently shrink Verify/Bench coverage: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship: TPC-H Q1 analog through the engine — filter → multi-key
     * groupBy → sum/avg/count → orderBy (SURVEY §7.2 step 1). Driver

@@ -47,6 +47,13 @@ final case class Ql(
     val had = post.fold(grouped)(grouped.filter)
     if (order.isEmpty) had else had.orderBy(order: _*)
   }
+
+  /** Typed result — trembita-ql's final `QueryResult` → case-class step
+    * (SURVEY §3 EP3 step 4): grouped rows land in `T` by column name, with
+    * Catalyst's upcast checks. Same plan as [[result]]; only the encoder
+    * differs. */
+  def resultAs[T: org.apache.spark.sql.Encoder]: org.apache.spark.sql.Dataset[T] =
+    result.as[T]
 }
 
 object Ql {

@@ -41,10 +41,14 @@ object Caching {
       }
     }
 
-  /** Evict one key (or everything) immediately. */
-  def invalidate(key: String): Unit =
+  /** Evict one key (or everything) immediately. Synchronized on the same
+    * lock as [[cached]]: an invalidateAll racing a concurrent cached()
+    * could otherwise unpersist-then-clear around an in-flight persist and
+    * leak the fresh entry's blocks. */
+  def invalidate(key: String): Unit = registry.synchronized {
     registry.remove(key).foreach(_.ds.unpersist(blocking = false))
-  def invalidateAll(): Unit = {
+  }
+  def invalidateAll(): Unit = registry.synchronized {
     registry.values.foreach(_.ds.unpersist(blocking = false))
     registry.clear()
   }

@@ -150,15 +150,72 @@ object Dedup {
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
       .select(col("a"), col("b"),
-        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))).cast("double"), 4).as("jaccard"))
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"),
+        size(array_union(col("sa"), col("sb"))).cast("long").as("u"))
+      // 4dp round-half-up via integer arithmetic — (20000i+u)//(2u) is
+      // engine-exact where double round(i/u, 4) flips .00005-boundary rows
+      // (SURVEY §2.9-bis rule 2; same discipline as llm_quality)
+      .select(col("a"), col("b"),
+        (graft.functions.VectorFunctions.intDiv(col("i") * 20000 + col("u"), col("u") * 2)
+          .cast("double") / 10000.0).as("jaccard"))
   }
 
-  /** Embedding near-dup: pairs with cosine ≥ threshold. Delegates candidate
-    * generation to [[Similarity.bruteTopK]]-style scoring over an LSH/IVF
-    * bucketing at scale; exact for the given frames. */
+  /** Embedding near-dup: pairs with cosine ≥ threshold, LSH-bucketed.
+    *
+    * Candidate generation is banded sign-random-projection LSH — the
+    * cosine analog of [[minHashNearDups]]'s banding: `numTables` tables ×
+    * `bitsPerTable` seeded gaussian hyperplanes; a table signature packs
+    * the projection signs into one long (AND-amplification within the
+    * band), and a pair is a candidate iff some table's signatures agree —
+    * a hash-partitioned equi-join on (table, signature). The banded stream
+    * carries only (table, sig, id) — 3 fixed-width values per row per
+    * table, never the vectors — and the quadratic pair space is never
+    * materialized. Candidates are then re-scored with the exact codegen'd
+    * dot kernel on the original vectors, so reported cosines are identical
+    * to [[embeddingNearDupsExact]]; only recall (< 1 by LSH construction,
+    * measured in DedupSpec) differs. Sign collision prob per hyperplane is
+    * `1 − θ/π` — defaults give ≥ 0.99 recall at cos ≥ 0.95; permissive
+    * thresholds on diffuse corpora want smaller `bitsPerTable`.
+    */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        numTables: Int = 8, bitsPerTable: Int = 8,
+                        seed: Long = 42L): DataFrame = {
+    val n = Similarity.withNorm(emb.select(col(idCol), col(vecCol)), vecCol, "n")
+    val dims = emb.select(size(col(vecCol)).as("d")).take(1) match {
+      case Array(row) => row.getInt(0)
+      case _ => return n.select(col(idCol).as("a"), col(idCol).as("b"),
+        col("n").as("cos")).where(lit(false)) // empty input → empty result
+    }
+    val rng = new scala.util.Random(seed)
+    val sigs = (0 until numTables).map { t =>
+      val bits = (0 until bitsPerTable).map { j =>
+        val plane = Array.fill(dims)(rng.nextGaussian())
+        when(Similarity.dot(col(vecCol), typedLit(plane.toSeq)) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_.bitwiseOR(_)).as("sig"))
+    }
+    val banded = n.select(col(idCol), explode(array(sigs: _*)).as("b"))
+      .select(col(idCol), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+    val candidates = banded.select(col("tbl"), col("sig"), col(idCol).as("a"))
+      .join(banded.select(col("tbl"), col("sig"), col(idCol).as("b")), Seq("tbl", "sig"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    candidates
+      .join(n.select(col(idCol).as("a"), col(vecCol).as("va"), col("n").as("na")), "a")
+      .join(n.select(col(idCol).as("b"), col(vecCol).as("vb"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Exact all-pairs variant — the correctness baseline for
+    * [[embeddingNearDups]]'s recall measurement. O(n²) by construction:
+    * reserve for fixtures and already-bucketed shards, never a raw corpus. */
+  def embeddingNearDupsExact(emb: DataFrame, threshold: Double,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // norms once per row BEFORE the pair blow-up: a pair costs one dot
     val n = Similarity.withNorm(emb.select(col(idCol), col(vecCol)), vecCol, "n")
     val l = n.select(col(idCol).as("a"), col(vecCol).as("va"), col("n").as("na"))

@@ -69,9 +69,20 @@ object Similarity {
     * `negid` (= -cid) makes struct-ordering ties resolve to the LOWEST
     * centroid id under array_max.
     */
+  /** Hard ceiling on the driver-collected codebook — 64Ki centroids × a
+    * few-hundred-double vectors is the most a plan literal (and driver
+    * heap) should ever carry; a corpus-sized frame passed by mistake must
+    * fail fast, not OOM the driver. */
+  val MaxCentroids = 65536
+
   private def centroidLit(centroids: DataFrame, idCol: String, vecCol: String): Column = {
-    val rows = centroids.select(col(idCol).cast("long"), col(vecCol))
-      .collect()
+    val capped = centroids.select(col(idCol).cast("long"), col(vecCol))
+      .limit(MaxCentroids + 1)
+    val rows = capped.collect()
+    require(rows.length <= MaxCentroids,
+      s"IVF codebook exceeds $MaxCentroids centroids — this is a driver-side " +
+        "plan literal; cluster the codebook down (or use lshTopK) instead")
+    val normed = rows
       .map { r =>
         // element type may be float or double — go through Number
         val v = r.getSeq[Number](1).map(_.doubleValue()).toArray
@@ -79,8 +90,8 @@ object Similarity {
         (r.getLong(0), v.map(_ / n))
       }
       .sortBy(_._1)
-    require(rows.nonEmpty, "centroid set must be non-empty")
-    array(rows.map { case (cid, cv) =>
+    require(normed.nonEmpty, "centroid set must be non-empty")
+    array(normed.map { case (cid, cv) =>
       struct(lit(-cid).as("negid"), typedLit(cv.toSeq).as("cv"))
     }: _*)
   }

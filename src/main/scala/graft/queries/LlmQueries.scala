@@ -42,7 +42,26 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
-    Q.noOracle("llm_dedup_ngram") { (spark, sf) =>
+    // Consecutive-id pairs through the exact Jaccard verifier — fully
+    // DuckDB-expressible (list ops + the integer round-half-up discipline),
+    // so the verification kernel shared by every near-dup path is
+    // oracle-gated, not just rows-checked.
+    Q("llm_dedup_ngram",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE doc_id < $docCap),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |      range(1, greatest(len(t) - 1, 1) + 1),
+         |      i -> array_to_string(t[i:i+1], ' '))) AS s
+         |  FROM toks),
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS i,
+         |    CAST(len(list_distinct(list_concat(a.s, b.s))) AS BIGINT) AS u
+         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+         |SELECT a, b, ((20000 * i + u) // (2 * u)) / 10000.0 AS jaccard
+         |FROM p ORDER BY a, b""".stripMargin) { (spark, sf) =>
       val docs = Tables.documents(spark, sf).where(col("doc_id") < docCap)
       val pairs = docs.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
         .where(col("b") < docCap)
@@ -51,9 +70,12 @@ object LlmQueries {
 
     Q.noOracle("llm_dedup_embed") { (spark, sf) =>
       // fixture embeddings are near-orthogonal random vectors (max pairwise
-      // cos ≈ 0.44) — 0.3 keeps the result non-empty yet selective
+      // cos ≈ 0.44) — 0.3 keeps the result non-empty yet selective; the
+      // permissive threshold wants short band signatures (4 bits) or LSH
+      // recall collapses (sign collision prob at cos 0.3 is only ~0.6).
       Dedup.embeddingNearDups(
-          Tables.embeddings(spark, sf).where(col("vec_id") < vecCap), threshold = 0.3)
+          Tables.embeddings(spark, sf).where(col("vec_id") < vecCap),
+          threshold = 0.3, bitsPerTable = 4)
         .orderBy("a", "b")
     },
 

@@ -57,13 +57,19 @@ object StreamQueries {
 
     // T5 stateful op on the batch surface: flatMapGroupsWithState executes
     // in batch mode too (each group seen once), so the same code path the
-    // MemoryStream specs exercise is also driver-verifiable. Final per-user
-    // totals have deterministic values; oracle-free (typed state op).
-    Q.noOracle("stream_state") { (spark, sf) =>
-      StreamOps.runningPerUser(Tables.eventsDs(spark, sf))
-        .groupBy("user_id")
-        .agg(max("n").as("n_events"), max("total").as("total"))
-        .orderBy("user_id")
+    // MemoryStream specs exercise is also driver-verifiable. The final
+    // per-user projection is deterministic (count + exact-cents sum), so it
+    // carries a full oracle: max(n)/max(total) over the single batch
+    // emission ≡ per-user count/sum.
+    Q("stream_state",
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (spark, sf) =>
+        StreamOps.runningPerUser(Tables.eventsDs(spark, sf))
+          .groupBy("user_id")
+          .agg(max("n").as("n_events"), max("total").as("total"))
+          .orderBy("user_id")
     }
   )
 }

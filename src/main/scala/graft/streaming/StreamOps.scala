@@ -82,9 +82,13 @@ object StreamOps {
         (uid: Long, it: Iterator[Event], state: GroupState[UserRunning]) =>
           val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
           var n = prev.n
-          var total = prev.total
-          it.foreach { e => n += 1; total += e.value }
-          val next = UserRunning(uid, n, math.round(total * 100).toDouble / 100)
+          // accumulate in exact long cents, not double: within-group
+          // iteration order is nondeterministic and a double sum's rounding
+          // depends on it (repo decimal-money rule, SURVEY §2.9-bis).
+          // values are 2dp by contract so round(v*100) is exact.
+          var cents = math.round(prev.total * 100)
+          it.foreach { e => n += 1; cents += math.round(e.value * 100) }
+          val next = UserRunning(uid, n, cents / 100.0)
           state.update(next)
           Iterator.single(next)
       }

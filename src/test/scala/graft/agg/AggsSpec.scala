@@ -81,4 +81,19 @@ class AggsSpec extends SparkSpec {
     Ql(df).aggregate(sum(col("v")).cast("int").as("s")).result
       .as[Int].head() shouldBe 6
   }
+
+  test("Ql.resultAs maps grouped rows to a case class by column name") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val out = Ql(df)
+      .groupBy(col("k"))
+      .aggregate(sum(col("v")).cast("long").as("s"), count(lit(1)).as("n"))
+      .orderBy(col("k"))
+      .resultAs[KeyAgg]
+      .collect()
+    out shouldBe Array(KeyAgg("a", 3L, 2L), KeyAgg("b", 3L, 1L))
+  }
 }
+
+/** Target shape for Ql.resultAs — the trembita-ql QueryResult→case-class
+  * conversion (SURVEY §3 EP3 step 4). */
+final case class KeyAgg(k: String, s: Long, n: Long)

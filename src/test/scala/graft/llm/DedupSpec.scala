@@ -72,4 +72,33 @@ class DedupSpec extends SparkSpec {
       .select("a", "b").as[(Long, Long)].collect().toSet
     out shouldBe Set((0L, 1L))
   }
+
+  // Clustered fixture: 10 base directions × 10 noisy copies. True near-dup
+  // pairs live inside clusters (cos ≥ 0.95); cross-cluster pairs are far.
+  private def clusteredEmb = {
+    val rnd = new scala.util.Random(7)
+    val bases = Array.fill(10)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val data = for { c <- 0 until 10; i <- 0 until 10 } yield
+      (c * 10L + i, bases(c).map(x => x + rnd.nextGaussian().toFloat * 0.05f))
+    data.toDF("vec_id", "embedding")
+  }
+
+  test("embeddingNearDups (LSH-banded) recall vs exact all-pairs is high") {
+    val emb = clusteredEmb
+    val exact = Dedup.embeddingNearDupsExact(emb, threshold = 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDups(emb, threshold = 0.95)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    exact should not be empty
+    lsh.subsetOf(exact) shouldBe true // precision 1.0: exact re-score gate
+    val recall = lsh.size.toDouble / exact.size
+    recall should be >= 0.9
+  }
+
+  test("embeddingNearDups plan is an equi-join, not a nested-loop product") {
+    val plan = Dedup.embeddingNearDups(clusteredEmb, threshold = 0.95)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }

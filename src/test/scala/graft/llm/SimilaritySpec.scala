@@ -27,6 +27,13 @@ class SimilaritySpec extends SparkSpec {
     out shouldBe Array(1L, 2L, 3L)   // descending cosine vs (1,0,0)
   }
 
+  test("codebooks above MaxCentroids are rejected before the driver collect") {
+    val big = spark.range(Similarity.MaxCentroids + 1)
+      .select(col("id").as("vec_id"), array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] { Similarity.assign(emb, big) }
+    e.getMessage should include("codebook")
+  }
+
   test("assign puts each vector in its nearest centroid bucket") {
     val cents = emb.where(col("vec_id").isin(0L, 3L))
     val out = Similarity.assign(emb, cents)
