@@ -55,11 +55,48 @@ object ScaleProbe {
               .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
           .where(col("rnk") <= 10).count()))
     }
+    // LLM-tier shapes run on SYNTHETIC corpora with a fixed statistical
+    // profile (seeded xxhash64 content), generated at 1× and factor×.
+    // Replicating the real tables would make every replica a near-dup of
+    // its source, and near-dup pair volume is quadratic in the replication
+    // count BY CONSTRUCTION — that measures the data trick, not the plan.
+    def synthDocs(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(40)),
+          i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(500)))), " ").as("text"))
+    def synthEmb(n: Long, dims: Int = 32): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dims)),
+          i => (pmod(xxhash64(col("id"), i), lit(2000)).cast("double") / 1000.0 - 1.0)
+            .cast("float")).as("embedding"))
+
+    def llmShapes(n: Long): Seq[(String, () => Long)] = Seq(
+      ("minhash_neardup", () => graft.llm.Dedup.minHashNearDups(
+        synthDocs(n), k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5).count()),
+      // 16-bit bands: signature width must grow with log2(n) to keep
+      // expected bucket sizes O(1) — see Dedup.embeddingNearDups scaladoc
+      ("embed_neardup", () => graft.llm.Dedup.embeddingNearDups(
+        synthEmb(n), threshold = 0.7, bitsPerTable = 16).count()),
+      ("ivf_topk", () => {
+        val c = synthEmb(n)
+        graft.llm.Similarity.ivfTopK(
+          c.where(col("vec_id") < 20), c,
+          centroids = c.where(col("vec_id") % (n / 100) === 0),
+          k = 5, nprobe = 3).count()
+      }),
+      ("positional_index", () => graft.core.Positional.zipWithIndex(
+        spark.range(n * 20).toDF("n"), Seq(col("n"))).count()))
+    val llmBase = 5000L
+
     // warm both paths once (JIT/codegen/parquet footers), then measure
     shapes(sfDir).foreach { case (_, f) => f() }
     shapes(out).foreach { case (_, f) => f() }
-    val results = shapes(sfDir).map { case (n, f) => (n, time(f())) }
-      .zip(shapes(out).map { case (n, f) => (n, time(f())) })
+    llmShapes(llmBase).foreach { case (_, f) => f() }
+    llmShapes(llmBase * factor).foreach { case (_, f) => f() }
+    val results = (shapes(sfDir).map { case (n, f) => (n, time(f())) }
+        .zip(shapes(out).map { case (n, f) => (n, time(f())) }) ++
+      llmShapes(llmBase).map { case (n, f) => (n, time(f())) }
+        .zip(llmShapes(llmBase * factor).map { case (n, f) => (n, time(f())) }))
       .map { case ((n, t1), (_, tN)) =>
         f"""{"shape":"$n","base_sec":$t1%.2f,"x${factor}_sec":$tN%.2f,"ratio":${tN / t1}%.1f}"""
       }

@@ -176,6 +176,11 @@ object Dedup {
     * measured in DedupSpec) differs. Sign collision prob per hyperplane is
     * `1 − θ/π` — defaults give ≥ 0.99 recall at cos ≥ 0.95; permissive
     * thresholds on diffuse corpora want smaller `bitsPerTable`.
+    *
+    * Sizing at scale: an unrelated pair collides on a table with prob
+    * ≈ 2^-bitsPerTable, so expected bucket sizes stay O(1) only while
+    * `bitsPerTable ≳ log2(n)` — grow the signature with the corpus (and
+    * add tables to buy recall back); ScaleProbe measures this regime.
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding",
