@@ -110,6 +110,31 @@ object RelationalQueries {
           .orderBy("event_id")
     },
 
+    // As-of (point-in-time) join: for each 'view' event, the most recent
+    // 'click' by the same user at or before it. graft.relational.AsOf is a
+    // union + running-last window — one shuffle on user_id, no range
+    // nested loop; the oracle is DuckDB's native ASOF JOIN.
+    Q("op_join_asof",
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |r AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.click_id
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin) {
+      (spark, sf) =>
+        val ev = Tables.events(spark, sf)
+        val views = ev.where(col("event_type") === "view")
+          .select("event_id", "user_id", "ts")
+        // max(event_id) per (user, ts): unique right rows → deterministic
+        val clicks = ev.where(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max(col("event_id")).as("click_id"))
+        graft.relational.AsOf.joinAsOf(views, clicks, "ts", Seq("user_id"), Seq("click_id"))
+          .select("event_id", "user_id", "click_id")
+          .orderBy("event_id")
+    },
+
     // ----- §2.4 grouping & aggregation ---------------------------------
     // A1 kernel groupBy: typed groupByKey — the reference's (K, Iterable[A])
     // shape; group size keeps the oracle hash-stable (SURVEY §2.4 A1).

@@ -1,0 +1,57 @@
+package graft.relational
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics: backward-inclusive, per-key, null when no prior
+  * right row, and one window shuffle — no nested-loop join in the plan. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, t, label) — quotes at t=10,20 for key A; one quote for key B
+  private def quotes = Seq(
+    ("A", 10L, "a10"), ("A", 20L, "a20"), ("B", 15L, "b15"))
+    .toDF("k", "t", "q")
+  // trades: before any quote, between, exactly at a quote, after all
+  private def trades = Seq(
+    ("A", 5L, 100.0), ("A", 12L, 101.0), ("A", 20L, 102.0), ("A", 25L, 103.0),
+    ("B", 14L, 200.0), ("B", 16L, 201.0))
+    .toDF("k", "t", "px")
+
+  test("backward-inclusive as-of: latest quote at or before each trade") {
+    val out = AsOf.joinAsOf(trades, quotes, "t", Seq("k"), Seq("q"))
+      .orderBy("k", "t")
+      .select("k", "t", "q").as[(String, Long, Option[String])].collect()
+    out shouldBe Array(
+      ("A", 5L, None),          // before first quote
+      ("A", 12L, Some("a10")),  // between quotes
+      ("A", 20L, Some("a20")),  // tie → inclusive: same-instant quote wins
+      ("A", 25L, Some("a20")),  // after last quote
+      ("B", 14L, None),
+      ("B", 16L, Some("b15")))
+  }
+
+  test("multiple payload columns come from the same right row") {
+    val q2 = quotes.withColumn("src", concat(lit("s-"), col("q")))
+    val out = AsOf.joinAsOf(trades, q2, "t", Seq("k"), Seq("q", "src"))
+      .where(col("q").isNotNull)
+      .select("q", "src").as[(String, String)].collect()
+    out.foreach { case (q, src) => src shouldBe s"s-$q" }
+  }
+
+  test("as-of plan is one window over the union — no nested-loop join") {
+    val plan = AsOf.joinAsOf(trades, quotes, "t", Seq("k"), Seq("q"))
+      .queryExecution.executedPlan.toString
+    plan should include("Window")
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin" // not a join at all — a scan
+  }
+
+  test("colliding payload names are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(trades, quotes.withColumn("px", lit(1)), "t", Seq("k"), Seq("px"))
+    }
+    e.getMessage should include("collide")
+  }
+}
