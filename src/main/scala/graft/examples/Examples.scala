@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.examples.Examples [sfDir]"
   */
 object Examples {
+  /** Target row shape for the typed-QL example (`Ql.resultAs`). */
+  final case class FlagQty(flag: String, qty: Double)
+
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -57,14 +60,31 @@ object Examples {
       centroids = emb.where(col("vec_id") % 25 === 0), k = 3, nprobe = 2).count()
     println(s"[4] near-dup pairs: $dups; ivf neighbors: $nn")
 
-    // 5. SQL text through the registered views + the native kernel
+    // 5. as-of join — latest click at-or-before each view, per user
+    val ev = Tables.events(spark, sf)
+    val asof = graft.relational.AsOf.joinAsOf(
+      ev.where(col("event_type") === "view").select("event_id", "user_id", "ts"),
+      ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id")),
+      timeCol = "ts", keys = Seq("user_id"), rightCols = Seq("click_id"))
+    println(s"[5] views with a prior click: ${asof.where(col("click_id").isNotNull).count()}")
+
+    // 6. typed QL results — grouped rows straight into a case class
+    val typed = graft.agg.Ql(Tables.lineitem(spark, sf))
+      .groupBy(col("l_returnflag").as("flag"))
+      .aggregate(sum(col("l_quantity")).as("qty"))
+      .orderBy(col("flag"))
+      .resultAs[FlagQty].collect()
+    println(s"[6] typed QL: ${typed.mkString(", ")}")
+
+    // 7. SQL text through the registered views + the native kernel
     graft.functions.GraftExtensions.register(spark)
     Tables.registerAll(spark, sf)
     val sql = spark.sql(
       """SELECT a.vec_id, graft_dot(a.embedding, b.embedding) AS dot
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY a.vec_id LIMIT 3""".stripMargin).collect()
-    println(s"[5] SQL graft_dot sample: ${sql.mkString(", ")}")
+    println(s"[7] SQL graft_dot sample: ${sql.mkString(", ")}")
 
     spark.stop()
   }
