@@ -19,6 +19,38 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Candidate (a, b) pairs from same-bucket co-membership, in ONE pass
+    * over the banded stream: groupBy bucket → sorted id set → pair
+    * explosion. A self-join formulation recomputes the (expensive)
+    * signature pipeline once per join side — Catalyst has no cross-branch
+    * subtree reuse — and shuffles the stream twice; this shuffles it once.
+    * Per-bucket sets are O(1)-sized by LSH construction (that bound is the
+    * premise of banding), so the collect_set buffer and the quadratic
+    * within-bucket explosion are both bounded. Output pairs are distinct
+    * with a < b; a FIXED-WIDTH payload column (e.g. a 64-bit hash) can ride
+    * along in the bucket set so downstream scoring needs no re-attach join
+    * — never route wide payloads (vectors, shingle sets) through here. */
+  private def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
+                          idCol: String, payloadCol: Option[String] = None): DataFrame = {
+    val member = payloadCol match {
+      case Some(p) => struct(col(idCol).as("id"), col(p).as("pl"))
+      case None    => struct(col(idCol).as("id"))
+    }
+    val pairs = banded.groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_set(member)).as("__ids")) // sorts by id → a < b
+      .where(size(col("__ids")) > 1)
+      .select(explode(flatten(transform(col("__ids"), (a, i) =>
+        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
+          b => struct(a.as("a"), b.as("b")))))).as("__p"))
+    payloadCol match {
+      case Some(p) => pairs.select(col("__p.a.id").as("a"), col("__p.b.id").as("b"),
+          col("__p.a.pl").as(s"${p}_a"), col("__p.b.pl").as(s"${p}_b"))
+        .distinct()
+      case None => pairs.select(col("__p.a.id").as("a"), col("__p.b.id").as("b"))
+        .distinct()
+    }
+  }
+
   /** Exact dedup: one surviving doc per distinct content (min doc_id), with
     * the duplicate count. GroupBy on sha2(text) — fixed-width shuffle key. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -67,12 +99,8 @@ object Dedup {
         xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
       }: _*)).as(Seq("band", "sig")))
-    // Same (band, sig) bucket → candidate pair. Self-join on the bucket key.
-    val l = bandSig.select(col("band"), col("sig"), col(idCol).as("a"))
-    val r = bandSig.select(col("band"), col("sig"), col(idCol).as("b"))
-    val candidates = l.join(r, Seq("band", "sig"))
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
+    // Same (band, sig) bucket → candidate pair, one pass (no self-join).
+    val candidates = bucketPairs(bandSig, Seq("band", "sig"), idCol)
     // Verify with exact Jaccard over distinct shingle sets — but only for
     // docs that appear in a candidate pair: candidates are a tiny fraction
     // of the corpus, so the semi-join prunes the collect_list to them
@@ -125,14 +153,11 @@ object Dedup {
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("simhash"), c * width)
           .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("chunk", "cv")))
-    val l = banded.select(col("chunk"), col("cv"),
-      col(idCol).as("a"), col("simhash").as("ha"))
-    val r = banded.select(col("chunk"), col("cv"),
-      col(idCol).as("b"), col("simhash").as("hb"))
-    l.join(r, Seq("chunk", "cv")).where(col("a") < col("b"))
+    // one-pass bucket pairing with the 64-bit hash riding in the bucket
+    // set — the 64-lane vote aggregation runs ONCE and no re-attach join
+    bucketPairs(banded, Seq("chunk", "cv"), idCol, payloadCol = Some("simhash"))
       .select(col("a"), col("b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
-      .distinct()
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 
@@ -203,11 +228,7 @@ object Dedup {
     }
     val banded = n.select(col(idCol), explode(array(sigs: _*)).as("b"))
       .select(col(idCol), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
-    val candidates = banded.select(col("tbl"), col("sig"), col(idCol).as("a"))
-      .join(banded.select(col("tbl"), col("sig"), col(idCol).as("b")), Seq("tbl", "sig"))
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
-    candidates
+    bucketPairs(banded, Seq("tbl", "sig"), idCol)
       .join(n.select(col(idCol).as("a"), col(vecCol).as("va"), col("n").as("na")), "a")
       .join(n.select(col(idCol).as("b"), col(vecCol).as("vb"), col("n").as("nb")), "b")
       .select(col("a"), col("b"),
