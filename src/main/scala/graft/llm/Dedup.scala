@@ -26,7 +26,10 @@ object Dedup {
     * subtree reuse — and shuffles the stream twice; this shuffles it once.
     * Per-bucket sets are O(1)-sized by LSH construction (that bound is the
     * premise of banding), so the collect_set buffer and the quadratic
-    * within-bucket explosion are both bounded. Output pairs are distinct
+    * within-bucket explosion are both bounded — EXCEPT for exact-duplicate
+    * super-clusters, whose members share every signature; run [[exact]]
+    * dedup first (as [[graft.llm.Curation]] does) so those never reach the
+    * banded tier. Output pairs are distinct
     * with a < b; a FIXED-WIDTH payload column (e.g. a 64-bit hash) can ride
     * along in the bucket set so downstream scoring needs no re-attach join
     * — never route wide payloads (vectors, shingle sets) through here. */
