@@ -48,6 +48,29 @@ class AsOfSpec extends SparkSpec {
     plan should not include "SortMergeJoin" // not a join at all — a scan
   }
 
+  test("as-of agrees with the naive range-join formulation on random data") {
+    val rnd = new scala.util.Random(11)
+    val tradesR = (0 until 300).map(i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(100).toLong, i.toLong))
+      .toDF("k", "t", "tid")
+    val quotesR = (0 until 200).map(i =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(100).toLong, i.toLong))
+      .toDF("k", "t", "qid")
+      .groupBy("k", "t").agg(max("qid").as("qid")) // unique per (k, t)
+    val got = AsOf.joinAsOf(tradesR, quotesR, "t", Seq("k"), Seq("qid"))
+      .select("tid", "qid").as[(Long, Option[Long])].collect().toMap
+    // naive: per trade, the max-(q.t, qid) quote among all q.t <= t — an
+    // O(n·m) range join the operator exists to avoid
+    val naive = tradesR.as("l")
+      .join(quotesR.as("r"),
+        col("l.k") === col("r.k") && col("r.t") <= col("l.t"), "left")
+      .groupBy(col("l.tid"))
+      .agg(max(struct(col("r.t"), col("r.qid"))).as("m"))
+      .select(col("tid"), col("m.qid"))
+      .as[(Long, Option[Long])].collect().toMap
+    got shouldBe naive
+  }
+
   test("colliding payload names are rejected") {
     val e = intercept[IllegalArgumentException] {
       AsOf.joinAsOf(trades, quotes.withColumn("px", lit(1)), "t", Seq("k"), Seq("px"))
