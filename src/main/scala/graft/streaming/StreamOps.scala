@@ -54,6 +54,28 @@ object StreamOps {
   def sessionsWithWatermark(events: DataFrame, gap: String, lateness: String): DataFrame =
     sessions(events.withWatermark("ts", lateness), gap)
 
+  /** Stream-stream inner join: pair left and right rows sharing `keyCol`
+    * with `right.ts` inside `[left.ts, left.ts + within]`. BOTH sides are
+    * watermarked and the join carries an explicit event-time range — that
+    * combination is what lets Spark expire buffered join state; a
+    * stream-stream join without it grows state forever, which is the
+    * 100 TB failure mode. Columns are prefixed `l_`/`r_` so arbitrary
+    * same-schema streams (e.g. two slices of `events`) compose. Runs
+    * unchanged on batch frames (watermark is a no-op there) — parity
+    * asserted in StreamOpsSpec. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       keyCol: String, tsCol: String,
+                       lateness: String, within: String): DataFrame = {
+    def pref(df: DataFrame, p: String): DataFrame =
+      df.select(df.columns.map(c => col(c).as(p + c)): _*)
+    val l = pref(left, "l_").withWatermark(s"l_$tsCol", lateness)
+    val r = pref(right, "r_").withWatermark(s"r_$tsCol", lateness)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $within"))
+  }
+
   /** T5a stateful dedup within the watermark horizon. */
   def dedupWithinWatermark(events: DataFrame, lateness: String, keys: Seq[String]): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)

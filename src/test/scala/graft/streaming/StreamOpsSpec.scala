@@ -101,6 +101,31 @@ class StreamOpsSpec extends SparkSpec {
     emitted shouldBe Set((1L, 3L), (2L, 2L))
   }
 
+  test("stream-stream join: stream equals batch, state bounded by time range") {
+    val views = (df: DataFrame) => df.where(col("event_type") === "view")
+    val clicks = (df: DataFrame) => df.where(col("event_type") === "click")
+    def join(l: DataFrame, r: DataFrame): DataFrame =
+      StreamOps.streamStreamJoin(views(l), clicks(r),
+          keyCol = "user_id", tsCol = "ts",
+          lateness = "10 minutes", within = "10 minutes")
+        .select("l_event_id", "r_event_id")
+    // streaming: two MemoryStreams through the same op, append mode
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[Event]; val rMem = MemoryStream[Event]
+    lMem.addData(fixture); rMem.addData(fixture)
+    val q = join(lMem.toDF(), rMem.toDF())
+      .writeStream.format("memory").queryName("ssj_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamedRows = sortRows(spark.table("ssj_sink").collect())
+    val batchRows = sortRows(join(fixture.toDF(), fixture.toDF()).collect())
+    streamedRows shouldBe batchRows
+    // hand check: view e0 (u1, 0:00) pairs with click e1 (u1, 0:05);
+    // view e5 (u2, 0:02) with click e6 (u2, 0:04); no other click lands
+    // within 10 minutes after a view.
+    batchRows shouldBe Seq("[0,1]", "[5,6]")
+  }
+
   test("dedupWithinWatermark drops duplicate keys inside the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
