@@ -49,6 +49,62 @@ object Multimodal {
     }
   }
 
+  /** FAKE RESIZE — nearest-neighbor byte subsample standing in for an image
+    * scaler: the output payload is exactly `w*h` bytes sampled at uniform
+    * stride from the source, metadata updated to the new dimensions. Same
+    * batch shape as [[decodeFeatures]]; a real deployment swaps only the
+    * per-payload kernel. */
+  def resize(media: DataFrame, w: Int, h: Int, batchSize: Int = 512): DataFrame = {
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val target = w * h
+    media.select("doc_id", "media", "meta").mapPartitions { it =>
+      it.grouped(math.max(1, batchSize)).flatMap { batch =>
+        // per-batch setup for a real scaler would happen HERE, once
+        batch.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val out =
+            if (payload == null || payload.isEmpty) Array.emptyByteArray
+            else Array.tabulate(target)(j => payload((j.toLong * payload.length / target).toInt))
+          val meta = r.getStruct(2)
+          Row(r.getLong(0), out, Row(meta.getString(0), w, h))
+        }
+      }
+    }(enc)
+  }
+
+  /** FAKE FRAME SAMPLER — stands in for a video decoder: the payload is
+    * treated as consecutive `frameBytes`-sized frames and every `stride`-th
+    * frame is emitted as its own row (one-to-many, the flatMap shape a
+    * real frame extractor has). Deterministic, so the declared query
+    * carries a full DuckDB oracle over the byte arithmetic. */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int,
+                   batchSize: Int = 512): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "media").mapPartitions { it =>
+      it.grouped(math.max(1, batchSize)).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          if (payload == null || payload.isEmpty) Iterator.empty
+          else {
+            val nFrames = (payload.length + frameBytes - 1) / frameBytes
+            (0 until nFrames by stride).iterator.map { i =>
+              val from = i * frameBytes
+              Row(id, i.toLong, java.util.Arrays.copyOfRange(
+                payload, from, math.min(from + frameBytes, payload.length)))
+            }
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Partition-batched decode → feature columns — the Scala analog of a
     * Pandas-UDF `mapInPandas` stage: rows arrive in `batchSize` groups so a
     * real codec can amortize model/library setup per batch (exactly the

@@ -238,6 +238,27 @@ object LlmQueries {
           .orderBy("lang", "label")
     },
 
+    // Frame sampling (the video-shaped multimodal op): every 2nd 64-byte
+    // frame of the payload as its own row; byte arithmetic is exact on
+    // both engines so the one-to-many plumbing is fully oracle-gated.
+    Q("llm_frames",
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |f AS (
+        |  SELECT doc_id, len,
+        |    unnest(range(0, CAST((len + 63) // 64 AS BIGINT), 2)) AS i
+        |  FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(least(64, len - i * 64) AS BIGINT) AS frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin) {
+      (spark, sf) =>
+        Multimodal.sampleFrames(
+            Multimodal.asMedia(Tables.documents(spark, sf)), frameBytes = 64, stride = 2)
+          .select(col("doc_id"), col("frame_idx"),
+            length(col("frame")).cast("long").as("frame_bytes"))
+          .orderBy("doc_id", "frame_idx")
+    },
+
     Q("llm_multimodal",
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS DOUBLE)
