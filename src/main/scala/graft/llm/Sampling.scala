@@ -1,0 +1,39 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus sampling (training-data pipeline mandate; no
+  * analog in the reference). Both ops are reproducible across runs,
+  * retries and cluster sizes — `df.sample`'s partition-seeded RNG is not
+  * (repartitioning reshuffles which rows the seed hits), which at 100 TB
+  * means a retried stage can silently change the corpus.
+  */
+object Sampling {
+
+  /** Seeded hash-Bernoulli sample: keep a row iff
+    * `xxhash64(keys, seed) mod 1e6 < fraction·1e6`. A pure narrow filter —
+    * pushes into the scan when `keys` are scan columns, no shuffle, and
+    * membership depends only on the key values. The same (keys, seed)
+    * always selects the same rows, so derived datasets (e.g. a held-out
+    * split with the complementary predicate) stay consistent. */
+  def bernoulli(df: DataFrame, fraction: Double, keys: Seq[Column],
+                seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    df.where(pmod(xxhash64((keys :+ lit(seed)): _*), lit(1000000L))
+      < (fraction * 1000000L).toLong)
+  }
+
+  /** Stratified cap: at most `n` rows per `keys` group, chosen as the
+    * first `n` under `order` — the "≤ N documents per (source, lang)"
+    * balancing step of corpus curation. Delegates to the bounded-heap
+    * per-group top-k (k rows per key per map task shuffle), NOT a window
+    * row_number, which would sort every group in full. Pass a hash column
+    * as `order` for an unbiased cap; a real column for a ranked cap.
+    * Output columns are `keys ++ order` (the heap carries the order
+    * struct); append payload columns to `order`'s tail — they ride along
+    * without affecting selection when the prefix is already unique. */
+  def capPerGroup(df: DataFrame, keys: Seq[Column], n: Int,
+                  order: Seq[Column]): DataFrame =
+    graft.relational.TopK.topKPerGroup(df, keys, order, n)
+}

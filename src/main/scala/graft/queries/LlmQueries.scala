@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import graft.llm.{Curation, Dedup, Multimodal, Sampling, Similarity, TextStats}
 import graft.model.Tables
 import org.apache.spark.sql.functions._
 
@@ -193,6 +193,30 @@ object LlmQueries {
 
     Q.noOracle("llm_fingerprint") { (spark, sf) =>
       TextStats.fingerprint(Tables.documents(spark, sf)).orderBy("doc_id")
+    },
+
+    // Stratified cap (corpus balancing): ≤ 50 docs per lang by doc_id —
+    // bounded-heap per-group selection, oracled by a row_number window.
+    Q("llm_sample_cap",
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin) {
+      (spark, sf) =>
+        Sampling.capPerGroup(
+            Tables.documents(spark, sf).select("lang", "doc_id"),
+            keys = Seq(col("lang")), n = 50, order = Seq(col("doc_id")))
+          .orderBy("lang", "doc_id")
+    },
+
+    // Seeded hash-Bernoulli sample — xxhash64 has no DuckDB analog, so
+    // rows-only here; determinism/accuracy pinned in SamplingSpec.
+    Q.noOracle("llm_sample_bernoulli") { (spark, sf) =>
+      Sampling.bernoulli(
+          Tables.documents(spark, sf).select("doc_id", "lang"),
+          fraction = 0.5, keys = Seq(col("doc_id")))
+        .orderBy("doc_id")
     },
 
     // The composite curation pass — dedup → quality/lang filter → modality
