@@ -85,7 +85,18 @@ object ScaleProbe {
           k = 5, nprobe = 3).count()
       }),
       ("positional_index", () => graft.core.Positional.zipWithIndex(
-        spark.range(n * 20).toDF("n"), Seq(col("n"))).count()))
+        spark.range(n * 20).toDF("n"), Seq(col("n"))).count()),
+      ("asof_join", () => {
+        // synthetic tick data: n*20 trades / n*4 quotes over 1000 keys
+        def ticks(m: Long, tag: String) = spark.range(m).select(
+          pmod(col("id"), lit(1000)).as("k"),
+          pmod(xxhash64(col("id"), lit(tag)), lit(100000)).as("t"),
+          col("id").as(s"${tag}_id"))
+        graft.relational.AsOf.joinAsOf(
+          ticks(n * 20, "trade"),
+          ticks(n * 4, "quote").groupBy("k", "t").agg(max("quote_id").as("qid")),
+          timeCol = "t", keys = Seq("k"), rightCols = Seq("qid")).count()
+      }))
     val llmBase = 5000L
 
     // warm both paths once (JIT/codegen/parquet footers), then measure
