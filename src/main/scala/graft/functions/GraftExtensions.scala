@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRangeJoin)
   }
 }
 
@@ -48,8 +49,11 @@ object GraftExtensions {
   }
 
   /** Runtime injection of the optimizer rewrites alone. */
-  def registerRules(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
+  def registerRules(spark: SparkSession): Unit = {
+    val rules = Seq(RewriteDotProduct, graft.plans.RewriteRangeJoin)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ RewriteDotProduct
+        spark.experimental.extraOptimizations ++ missing
+  }
 }

@@ -110,6 +110,32 @@ object RelationalQueries {
           .orderBy("event_id")
     },
 
+    // The SAME range join written naively — `b.ts ∈ (a.ts, a.ts + 1h]` as a
+    // raw theta predicate — relying on the RewriteRangeJoin optimizer rule
+    // (graft.plans) to bucketize it automatically. Oracle identical to
+    // op_join_range's; RewriteRangeJoinSpec asserts the hash-join plan.
+    Q("op_join_range_auto",
+      """SELECT a.event_id, count(b.event_id) AS n
+        |FROM events a LEFT JOIN events b
+        |  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin) {
+      (spark, sf) =>
+        graft.functions.GraftExtensions.registerRules(spark)
+        val e = Tables.events(spark, sf).select("event_id", "ts")
+        val b = e.select(col("event_id").as("b_id"), col("ts").as("b_ts"))
+        // inner band join + left-side count join: the rule handles Inner
+        // only, so the LEFT-join oracle shape is recovered by counting
+        // matches per event and left-joining the counts back
+        val counts = e.join(b,
+            col("b_ts") > col("ts") &&
+              col("b_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+          .groupBy("event_id").agg(count(col("b_id")).as("n"))
+        e.select("event_id")
+          .join(counts, Seq("event_id"), "left_outer")
+          .select(col("event_id"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("event_id")
+    },
+
     // As-of (point-in-time) join: for each 'view' event, the most recent
     // 'click' by the same user at or before it. graft.relational.AsOf is a
     // union + running-last window — one shuffle on user_id, no range
