@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, LongType, TimestampType}
@@ -26,11 +26,14 @@ import org.apache.spark.unsafe.types.CalendarInterval
   * construction: it can only REMOVE pairs the residual would reject
   * anyway.
   *
-  * Fires only on: INNER joins, TIMESTAMP attributes on opposite sides,
-  * a constant non-negative width, and NO existing cross-side equality
-  * conjunct (if one exists Spark already plans a hash join — and the
-  * guard makes the rule idempotent under fixed-point batches, since the
-  * rewrite itself introduces such a conjunct).
+  * Fires only on: INNER joins (either orientation) and LEFT OUTER joins
+  * whose probe side is the left (the preserved side must not be the
+  * exploded one, or unmatched rows would duplicate), TIMESTAMP
+  * attributes on opposite sides, a constant non-negative width, and NO
+  * existing cross-side equality conjunct (if one exists Spark already
+  * plans a hash join — and the guard makes the rule idempotent under
+  * fixed-point batches, since the rewrite itself introduces such a
+  * conjunct).
   *
   * Injected by [[graft.functions.GraftExtensions]].
   */
@@ -77,7 +80,7 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+    case j @ Join(left, right, joinType @ (Inner | LeftOuter), Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
       def oneSide(e: Expression): Boolean =
         e.references.nonEmpty &&
@@ -103,7 +106,11 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
           } yield (la, lb, w)).headOption
         }
       band match {
-        case Some((a, b, w)) =>
+        // LeftOuter preserves left rows exactly once, so the left side must
+        // be the PROBE (single bucket); an exploded left would duplicate
+        // unmatched rows. aOnLeft ⇒ probe = left, so that is the condition.
+        case Some((a, b, w))
+            if joinType == Inner || a.references.subsetOf(left.outputSet) =>
           val wLit = Literal(math.max(w, 1L), LongType) // W=0 → width-1 buckets
           def bucket(e: Expression): Expression = IntegralDivide(UnixMicros(e), wLit)
           val aOnLeft = a.references.subsetOf(left.outputSet)
@@ -118,8 +125,8 @@ object RewriteRangeJoin extends Rule[LogicalPlan] with PredicateHelper {
             generatorOutput = Seq(genOut), child = build)
           val bucketEq = EqualTo(probeAlias.toAttribute, genOut)
           val (newLeft, newRight) = if (aOnLeft) (newProbe, gen) else (gen, newProbe)
-          Project(j.output, Join(newLeft, newRight, Inner, Some(And(bucketEq, cond)), hint))
-        case None => j
+          Project(j.output, Join(newLeft, newRight, joinType, Some(And(bucketEq, cond)), hint))
+        case _ => j
       }
   }
 }

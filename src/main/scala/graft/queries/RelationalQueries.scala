@@ -123,16 +123,11 @@ object RelationalQueries {
         graft.functions.GraftExtensions.registerRules(spark)
         val e = Tables.events(spark, sf).select("event_id", "ts")
         val b = e.select(col("event_id").as("b_id"), col("ts").as("b_ts"))
-        // inner band join + left-side count join: the rule handles Inner
-        // only, so the LEFT-join oracle shape is recovered by counting
-        // matches per event and left-joining the counts back
-        val counts = e.join(b,
+        e.join(b,
             col("b_ts") > col("ts") &&
-              col("b_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+              col("b_ts") <= col("ts") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
           .groupBy("event_id").agg(count(col("b_id")).as("n"))
-        e.select("event_id")
-          .join(counts, Seq("event_id"), "left_outer")
-          .select(col("event_id"), coalesce(col("n"), lit(0L)).as("n"))
           .orderBy("event_id")
     },
 

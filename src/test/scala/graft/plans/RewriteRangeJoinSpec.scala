@@ -66,6 +66,39 @@ class RewriteRangeJoinSpec extends SparkSpec {
       1800000L)
   }
 
+  test("LEFT OUTER band join rewrites and preserves unmatched left rows once") {
+    val a = frame(100, 9L, "aid", "ts")
+    val b = frame(40, 10L, "bid", "b_ts")
+    val joined = a.join(b,
+      col("b_ts") > col("ts") &&
+        col("b_ts") <= col("ts") + expr("INTERVAL 20 MINUTES"),
+      "left_outer")
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("__graft_rjb")
+    val got = joined.select("aid", "bid").as[(Long, Option[Long])].collect()
+    val matched = naivePairs(
+      a.select("aid", "ts").as[(Long, Timestamp)].collect().toSeq,
+      b.select("bid", "b_ts").as[(Long, Timestamp)].collect().toSeq,
+      1200000L)
+    got.flatMap { case (x, y) => y.map(x -> _) }.toSet shouldBe matched
+    // every left id appears; unmatched ones exactly once, with a null
+    val unmatched = (0L until 100L).toSet -- matched.map(_._1)
+    got.filter(_._2.isEmpty).map(_._1).sorted shouldBe unmatched.toSeq.sorted
+  }
+
+  test("LEFT OUTER with the band's probe on the RIGHT is left untouched") {
+    val a = frame(20, 11L, "aid", "ts")
+    val b = frame(20, 12L, "bid", "b_ts")
+    // preserved (left) side is the b side → exploding it would duplicate
+    // unmatched rows; the rule must not fire
+    val joined = b.join(a,
+      col("b_ts") > col("ts") &&
+        col("b_ts") <= col("ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    joined.queryExecution.executedPlan.toString should not include "__graft_rjb"
+  }
+
   test("joins with an existing cross-side equality are left untouched") {
     val a = frame(20, 5L, "aid", "ts").withColumn("k", col("aid") % 3)
     val b = frame(20, 6L, "bid", "b_ts").withColumn("k2", col("bid") % 3)
