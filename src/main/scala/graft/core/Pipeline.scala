@@ -170,6 +170,18 @@ final class Pipeline[A](val ds: Dataset[A]) extends Serializable {
   def query(build: graft.agg.Ql => graft.agg.Ql): DataFrame =
     build(graft.agg.Ql(ds.toDF())).result
 
+  // ----- partitioning controls (the engine's Environment knobs) --------
+  /** Hash-repartition to `n` partitions — a full shuffle; size so
+    * partitions fit executor memory at the target scale (SURVEY §4.2). */
+  def repartition(n: Int): Pipeline[A] = new Pipeline(ds.repartition(n))
+  /** Co-locate by expressions — pre-shuffle once, reuse across joins/aggs
+    * on the same keys. */
+  def repartitionBy(cols: Column*): Pipeline[A] =
+    new Pipeline(ds.repartition(cols: _*))
+  /** Narrow partition-count reduction (no shuffle) — for post-filter
+    * small outputs. */
+  def coalesce(n: Int): Pipeline[A] = new Pipeline(ds.coalesce(n))
+
   // ----- caching (reference `caching/` module) -------------------------
   def cached(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Pipeline[A] =
     new Pipeline(ds.persist(level))

@@ -77,14 +77,23 @@ object Examples {
       .resultAs[FlagQty].collect()
     println(s"[6] typed QL: ${typed.mkString(", ")}")
 
-    // 7. SQL text through the registered views + the native kernel
+    // 7. naive range join auto-bucketized by the RewriteRangeJoin rule:
+    // write the natural predicate, get a hash join (docs/PLANS.md §4a)
+    graft.functions.GraftExtensions.registerRules(spark)
+    val evts = ev.select("event_id", "ts")
+    val banded = evts.join(
+      evts.select(col("event_id").as("b_id"), col("ts").as("b_ts")),
+      col("b_ts") > col("ts") && col("b_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+    println(s"[7] auto-bucketized range pairs: ${banded.count()}")
+
+    // 8. SQL text through the registered views + the native kernel
     graft.functions.GraftExtensions.register(spark)
     Tables.registerAll(spark, sf)
     val sql = spark.sql(
       """SELECT a.vec_id, graft_dot(a.embedding, b.embedding) AS dot
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |ORDER BY a.vec_id LIMIT 3""".stripMargin).collect()
-    println(s"[7] SQL graft_dot sample: ${sql.mkString(", ")}")
+    println(s"[8] SQL graft_dot sample: ${sql.mkString(", ")}")
 
     spark.stop()
   }

@@ -106,4 +106,15 @@ class PipelineSpec extends SparkSpec {
     Pipeline.range(spark, 5).evalVector.map(_.toLong).sorted shouldBe
       Vector(0L, 1L, 2L, 3L, 4L)
   }
+
+  test("partitioning controls change partition counts, not contents") {
+    val p = pipe(1 to 20: _*)
+    val rep = p.repartition(7)
+    rep.ds.rdd.getNumPartitions shouldBe 7
+    rep.evalVector.sorted shouldBe (1 to 20).toVector
+    val co = rep.coalesce(2)
+    co.ds.rdd.getNumPartitions shouldBe 2
+    co.evalVector.sorted shouldBe (1 to 20).toVector
+    p.repartitionBy(col("value") % 3).evalVector.sorted shouldBe (1 to 20).toVector
+  }
 }

@@ -27,6 +27,12 @@ class PositionalSpec extends SparkSpec {
     out.where(col("idx") === col("n")).count() shouldBe 10000L
   }
 
+  test("zipWithIndex on an empty frame yields an empty indexed frame") {
+    val empty = df.where(col("v") > 1000)
+    Positional.zipWithIndex(empty, Seq(col("k"))).count() shouldBe 0L
+    Positional.slice(empty, Seq(col("k")), 0, 5).count() shouldBe 0L
+  }
+
   test("zipWithIndex plan has no single-partition global window") {
     val plan = Positional.zipWithIndex(df, Seq(col("k")))
       .queryExecution.executedPlan.toString
