@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,14 +28,27 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** @param maxGap optional staleness bound (pandas `merge_asof`
+    *   tolerance): a match is kept only while
+    *   `left.timeCol − matched right.timeCol ≤ maxGap` — pass an interval
+    *   literal for timestamps (`expr("INTERVAL 10 MINUTES")`) or a numeric
+    *   for numeric time columns; stale matches become nulls, exactly as if
+    *   no right row existed. Evaluated per row AFTER the window fill, so
+    *   the plan is unchanged — still one shuffle. */
   def joinAsOf(left: DataFrame, right: DataFrame,
                timeCol: String, keys: Seq[String],
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String],
+               maxGap: Option[Column] = None): DataFrame = {
     val overlap = rightCols.toSet.intersect(left.columns.toSet)
     require(overlap.isEmpty,
       s"right payload columns collide with left columns: ${overlap.mkString(", ")} — alias them first")
+    require(!rightCols.contains("__ts"), "__ts is reserved in the as-of payload")
     val lCols = left.columns.toSeq
-    val payloadType = right.select(struct(rightCols.map(col): _*).as("__asof"))
+    // the matched right row's own time rides in the payload as __ts so the
+    // staleness bound can be evaluated after the fill
+    def payload(r: DataFrame): Column =
+      struct((rightCols.map(col) :+ col(timeCol).as("__ts")): _*)
+    val payloadType = right.select(payload(right).as("__asof"))
       .schema("__asof").dataType
     val l = left
       .withColumn("__asof", lit(null).cast(payloadType))
@@ -44,15 +57,22 @@ object AsOf {
       lCols.map(c =>
         if (keys.contains(c) || c == timeCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(struct(rightCols.map(col): _*).as("__asof"), lit(0).as("__tag")): _*)
+        Seq(payload(right).as("__asof"), lit(0).as("__tag")): _*)
     // tag 0 < 1 orders a right row BEFORE a left row at the same instant →
     // backward-INCLUSIVE match; ignoreNulls skips the left rows' null
     // payloads so only genuine right rows fill forward.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
+    val filled = l.unionByName(r)
       .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+    val bounded = maxGap match {
+      case Some(g) => filled.withColumn("__asof",
+        when(col("__asof").isNotNull &&
+          (col(timeCol) - col("__asof.__ts")) <= g, col("__asof")))
+      case None => filled
+    }
+    bounded
       .where(col("__tag") === 1)
       .select(lCols.map(col) ++ rightCols.map(c => col(s"__asof.$c").as(c)): _*)
   }

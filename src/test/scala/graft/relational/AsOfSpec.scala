@@ -48,6 +48,29 @@ class AsOfSpec extends SparkSpec {
     plan should not include "SortMergeJoin" // not a join at all — a scan
   }
 
+  test("maxGap nulls out stale matches (pandas merge_asof tolerance)") {
+    // quotes at 10, 20; trades at 12 (gap 2), 25 (gap 5), 28 (gap 8)
+    val t = Seq(("A", 12L, 1L), ("A", 25L, 2L), ("A", 28L, 3L))
+      .toDF("k", "t", "tid")
+    val out = AsOf.joinAsOf(t, quotes, "t", Seq("k"), Seq("q"),
+        maxGap = Some(lit(5L)))
+      .orderBy("tid").select("tid", "q").as[(Long, Option[String])].collect()
+    out shouldBe Array(
+      (1L, Some("a10")),  // gap 2 ≤ 5
+      (2L, Some("a20")),  // gap 5 ≤ 5 (inclusive)
+      (3L, None))         // gap 8 → stale
+  }
+
+  test("maxGap works on timestamp columns with an interval bound") {
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val q = Seq(("A", ts(10), "q10")).toDF("k", "t", "q")
+    val t = Seq(("A", ts(15), 1L), ("A", ts(40), 2L)).toDF("k", "t", "tid")
+    val out = AsOf.joinAsOf(t, q, "t", Seq("k"), Seq("q"),
+        maxGap = Some(expr("INTERVAL 10 MINUTES")))
+      .orderBy("tid").select("tid", "q").as[(Long, Option[String])].collect()
+    out shouldBe Array((1L, Some("q10")), (2L, None))
+  }
+
   test("as-of agrees with the naive range-join formulation on random data") {
     val rnd = new scala.util.Random(11)
     val tradesR = (0 until 300).map(i =>
