@@ -39,4 +39,38 @@ object Curation {
         // engines (SURVEY §2.9-bis rule 2)
         sum(col("quality").cast("decimal(18,4)")).cast("double").as("sum_quality"))
   }
+
+  /** The FULL pipeline a 100 TB pretraining corpus actually runs, as one
+    * composition: exact dedup → MinHash near-dup prune (keep the min id of
+    * each near-dup pair's pair) → language + quality gate → stratified cap
+    * per (lang, source) → per-document accounting. Returns surviving
+    * (doc_id, lang, source, n_tokens, quality) rows.
+    *
+    * Order matters at scale: exact dedup FIRST (32-byte-hash shuffle, and
+    * it protects the banded tier from exact-dup super-buckets — see
+    * [[Dedup.bucketPairs]]); near-dup second (bucket-bound); the narrow
+    * quality/lang gate third (cheap, but AFTER dedup so scores aren't
+    * computed for doomed duplicates); the cap last (bounded-heap per
+    * group, no window sort).
+    */
+  def curateFull(docs: DataFrame, lang: String, minQuality: Double,
+                 nearDupThreshold: Double = 0.7, maxPerGroup: Int = 1000,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keepers = Dedup.exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    val deduped = docs.join(keepers, idCol)
+    // near-dup prune: drop the HIGHER id of every surviving near-dup pair
+    val nearDupLosers = Dedup.minHashNearDups(deduped, k = 2, bands = 8,
+        rowsPerBand = 2, threshold = nearDupThreshold,
+        idCol = idCol, textCol = textCol)
+      .select(col("b").as(idCol)).distinct()
+    val pruned = deduped.join(nearDupLosers, Seq(idCol), "left_anti")
+    val scored = pruned.join(
+      TextStats.quality(pruned, idCol = idCol, textCol = textCol)
+        .select(col(idCol), col("quality"), col("n_tokens")), idCol)
+    val gated = scored.where(col("lang") === lang && col("quality") >= minQuality)
+    Sampling.capPerGroup(gated,
+        keys = Seq(col("lang"), col("source")), n = maxPerGroup,
+        order = Seq(col(idCol), col("n_tokens"), col("quality")))
+      .select(col(idCol), col("lang"), col("source"), col("n_tokens"), col("quality"))
+  }
 }

@@ -250,6 +250,16 @@ object LlmQueries {
           .orderBy("source")
     },
 
+    // The FULL curation pipeline (exact dedup → minhash near-dup prune →
+    // lang/quality gate → stratified cap) — the minhash stage is seeded-
+    // hash-dependent, so rows-only; each constituent op is oracle-gated
+    // individually and CurationSpec pins the composition.
+    Q.noOracle("llm_curate_full") { (spark, sf) =>
+      Curation.curateFull(Tables.documents(spark, sf),
+          lang = "en", minQuality = 0.3, nearDupThreshold = 0.5, maxPerGroup = 50)
+        .orderBy("doc_id")
+    },
+
     Q("llm_join_modal",
       """SELECT d.lang, e.label, count(*) AS n, min(d.doc_id) AS min_doc
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id

@@ -1,0 +1,41 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** curateFull: every stage of the composite pipeline must fire on its
+  * planted victim — exact dup, near dup, quality gate, language gate,
+  * stratified cap — and nothing else. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (doc_id, text, lang, source, n_chars)
+  private def docs = {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    Seq(
+      (0L, base, "en", "web", base.length.toLong),
+      (1L, base, "en", "web", base.length.toLong),                    // exact dup of 0
+      (2L, base.replace("juliet", "kilo"), "en", "web", 60L),         // near dup of 0
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez", "es", "web", 50L), // wrong lang
+      (4L, "the the the the the the the the the the", "en", "web", 40L),              // low quality
+      (5L, "mike november oscar papa quebec romeo sierra tango", "en", "book", 50L),
+      (6L, "uniform victor whiskey xray yankee zulu one two three", "en", "book", 52L),
+      (7L, "four five six seven eight nine ten eleven twelve", "en", "book", 48L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("each stage drops exactly its planted victim; cap bounds the group") {
+    val out = Curation.curateFull(docs, lang = "en", minQuality = 0.3,
+        nearDupThreshold = 0.5, maxPerGroup = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // 1 exact-dup, 2 near-dup, 3 lang, 4 quality; books {5,6,7} capped
+    // at 2 → lowest ids {5,6}; web group has only 0 left
+    out shouldBe Set(0L, 5L, 6L)
+  }
+
+  test("without a cap every gate survivor remains") {
+    val out = Curation.curateFull(docs, lang = "en", minQuality = 0.3,
+        nearDupThreshold = 0.5, maxPerGroup = 100)
+      .select("doc_id").as[Long].collect().toSet
+    out shouldBe Set(0L, 5L, 6L, 7L)
+  }
+}
