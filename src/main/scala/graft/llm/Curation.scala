@@ -46,29 +46,38 @@ object Curation {
     * per (lang, source) → per-document accounting. Returns surviving
     * (doc_id, lang, source, n_tokens, quality) rows.
     *
-    * Order matters at scale: exact dedup FIRST (32-byte-hash shuffle, and
-    * it protects the banded tier from exact-dup super-buckets — see
-    * [[Dedup.bucketPairs]]); near-dup second (bucket-bound); the narrow
-    * quality/lang gate third (cheap, but AFTER dedup so scores aren't
-    * computed for doomed duplicates); the cap last (bounded-heap per
-    * group, no window sort).
+    * Order matters at scale — cheapest prune first, most expensive last,
+    * on the smallest surviving corpus: exact dedup (32-byte-hash shuffle;
+    * also shields the banded tier from exact-dup super-buckets — see
+    * [[Dedup.bucketPairs]]) → narrow lang + quality gates (codegen'd
+    * filters; near-dups across discarded languages are irrelevant, so
+    * gating first loses nothing) → MinHash near-dup prune (the expensive
+    * stage, now over the gated survivors only) → the cap (bounded-heap
+    * per group, no window sort).
+    *
+    * The gated frame feeds several downstream branches (minhash lanes,
+    * verify sets, the anti-join, the cap); Catalyst re-derives it per
+    * branch. At cluster scale, materialize that stage boundary (bucketed
+    * table or persist) — see docs/DEPLOY.md — rather than relying on
+    * plan-level reuse.
     */
   def curateFull(docs: DataFrame, lang: String, minQuality: Double,
                  nearDupThreshold: Double = 0.7, maxPerGroup: Int = 1000,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val keepers = Dedup.exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
     val deduped = docs.join(keepers, idCol)
-    // near-dup prune: drop the HIGHER id of every surviving near-dup pair
-    val nearDupLosers = Dedup.minHashNearDups(deduped, k = 2, bands = 8,
+    val scored = deduped.join(
+      TextStats.quality(deduped, idCol = idCol, textCol = textCol)
+        .select(col(idCol), col("quality"), col("n_tokens")), idCol)
+    val gated = scored.where(col("lang") === lang && col("quality") >= minQuality)
+    // near-dup prune on the gated survivors: drop the HIGHER id of every
+    // near-dup pair
+    val nearDupLosers = Dedup.minHashNearDups(gated, k = 2, bands = 8,
         rowsPerBand = 2, threshold = nearDupThreshold,
         idCol = idCol, textCol = textCol)
       .select(col("b").as(idCol)).distinct()
-    val pruned = deduped.join(nearDupLosers, Seq(idCol), "left_anti")
-    val scored = pruned.join(
-      TextStats.quality(pruned, idCol = idCol, textCol = textCol)
-        .select(col(idCol), col("quality"), col("n_tokens")), idCol)
-    val gated = scored.where(col("lang") === lang && col("quality") >= minQuality)
-    Sampling.capPerGroup(gated,
+    val pruned = gated.join(nearDupLosers, Seq(idCol), "left_anti")
+    Sampling.capPerGroup(pruned,
         keys = Seq(col("lang"), col("source")), n = maxPerGroup,
         order = Seq(col(idCol), col("n_tokens"), col("quality")))
       .select(col(idCol), col("lang"), col("source"), col("n_tokens"), col("quality"))

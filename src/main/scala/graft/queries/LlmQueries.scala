@@ -255,7 +255,10 @@ object LlmQueries {
     // hash-dependent, so rows-only; each constituent op is oracle-gated
     // individually and CurationSpec pins the composition.
     Q.noOracle("llm_curate_full") { (spark, sf) =>
-      Curation.curateFull(Tables.documents(spark, sf),
+      // bounded-subset policy (see object doc): the composite contains a
+      // pairwise stage, so it runs on the fixed docCap prefix
+      Curation.curateFull(
+          Tables.documents(spark, sf).where(col("doc_id") < docCap),
           lang = "en", minQuality = 0.3, nearDupThreshold = 0.5, maxPerGroup = 50)
         .orderBy("doc_id")
     },
