@@ -20,6 +20,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // session-scoped optimizer rewrites (RewriteDotProduct,
+    // RewriteRangeJoin) — registered once here, never inside a query fn
+    graft.functions.GraftExtensions.registerRules(spark)
     names.foreach { n =>
       SparkEntry.queries.get(n) match {
         case Some(fn) =>

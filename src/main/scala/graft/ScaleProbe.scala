@@ -24,6 +24,9 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // session-scoped optimizer rewrites (RewriteDotProduct,
+    // RewriteRangeJoin) — registered once here, never inside a query fn
+    graft.functions.GraftExtensions.registerRules(spark)
 
     def replicate(name: String, keyCols: Seq[String]): Unit = {
       val base = Tables.df(spark, sfDir, name)
@@ -73,10 +76,11 @@ object ScaleProbe {
     def llmShapes(n: Long): Seq[(String, () => Long)] = Seq(
       ("minhash_neardup", () => graft.llm.Dedup.minHashNearDups(
         synthDocs(n), k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5).count()),
-      // 16-bit bands: signature width must grow with log2(n) to keep
-      // expected bucket sizes O(1) — see Dedup.embeddingNearDups scaladoc
+      // default bitsPerTable = auto: clamp(ceil(log2(n)), 4, 24) — this
+      // probes the auto-sizing rule itself (13 bits at 5k, 16 at 50k), the
+      // regime where a FIXED width goes superlinear at scale
       ("embed_neardup", () => graft.llm.Dedup.embeddingNearDups(
-        synthEmb(n), threshold = 0.7, bitsPerTable = 16).count()),
+        synthEmb(n), threshold = 0.7).count()),
       ("ivf_topk", () => {
         val c = synthEmb(n)
         graft.llm.Similarity.ivfTopK(
@@ -96,6 +100,28 @@ object ScaleProbe {
           ticks(n * 20, "trade"),
           ticks(n * 4, "quote").groupBy("k", "t").agg(max("quote_id").as("qid")),
           timeCol = "t", keys = Seq("k"), rightCols = Seq("qid")).count()
+      }),
+      // the full curation composite: docs get synthetic lang/source so the
+      // gate and the stratified cap both engage
+      ("curate_full", () => {
+        val corpus = synthDocs(n).select(col("doc_id"), col("text"),
+          when(pmod(xxhash64(col("doc_id"), lit("l")), lit(2)) === 0, "en")
+            .otherwise("de").as("lang"),
+          when(pmod(xxhash64(col("doc_id"), lit("s")), lit(2)) === 0, "web")
+            .otherwise("book").as("source"))
+        // maxPerGroup above any group size here (the bounded heap
+        // preallocates its buffer, so "no cap" must stay finite)
+        graft.llm.Curation.curateFull(corpus, lang = "en", minQuality = 0.0,
+          nearDupThreshold = 0.5, maxPerGroup = 1 << 17).count()
+      }),
+      // gap-based sessionization (the batch form of stream_session): n*20
+      // events over 1000 users, ~5k-second spread per user
+      ("session_window", () => {
+        val evts = spark.range(n * 20).select(
+          pmod(col("id"), lit(1000)).as("user_id"),
+          timestamp_seconds(lit(1700000000L) +
+            pmod(xxhash64(col("id")), lit(500000))).as("ts"))
+        graft.streaming.StreamOps.sessions(evts, gap = "30 minutes").count()
       }))
     val llmBase = 5000L
 

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session-scoped optimizer rewrites (RewriteDotProduct,
+    // RewriteRangeJoin) — registered once here, never inside a query fn
+    graft.functions.GraftExtensions.registerRules(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -41,8 +41,8 @@ object Curation {
   }
 
   /** The FULL pipeline a 100 TB pretraining corpus actually runs, as one
-    * composition: exact dedup → MinHash near-dup prune (keep the min id of
-    * each near-dup pair's pair) → language + quality gate → stratified cap
+    * composition: exact dedup → language + quality gate → MinHash near-dup
+    * prune (drop the higher id of each near-dup pair) → stratified cap
     * per (lang, source) → per-document accounting. Returns surviving
     * (doc_id, lang, source, n_tokens, quality) rows.
     *
@@ -57,19 +57,31 @@ object Curation {
     *
     * The gated frame feeds several downstream branches (minhash lanes,
     * verify sets, the anti-join, the cap); Catalyst re-derives it per
-    * branch. At cluster scale, materialize that stage boundary (bucketed
-    * table or persist) — see docs/DEPLOY.md — rather than relying on
-    * plan-level reuse.
+    * branch — dedup shuffle, quality projection and gate run once PER
+    * BRANCH. `materializeGated = true` persists that stage boundary
+    * (MEMORY_AND_DISK, spill-safe) so it is computed once; results are
+    * identical. Opt-in because caching pins executor storage the caller
+    * may want for something else at cluster scale — a bucketed table
+    * write (docs/DEPLOY.md) is the durable alternative. The cache is
+    * unpersisted when the returned frame's first action completes only
+    * if the caller does so; idiomatic use:
+    * `curateFull(..., materializeGated = true)` for multi-action
+    * sessions, then `spark.catalog.clearCache()` when done.
     */
   def curateFull(docs: DataFrame, lang: String, minQuality: Double,
                  nearDupThreshold: Double = 0.7, maxPerGroup: Int = 1000,
-                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                 idCol: String = "doc_id", textCol: String = "text",
+                 materializeGated: Boolean = false): DataFrame = {
     val keepers = Dedup.exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
     val deduped = docs.join(keepers, idCol)
     val scored = deduped.join(
       TextStats.quality(deduped, idCol = idCol, textCol = textCol)
         .select(col(idCol), col("quality"), col("n_tokens")), idCol)
-    val gated = scored.where(col("lang") === lang && col("quality") >= minQuality)
+    val gatedPlan = scored.where(col("lang") === lang && col("quality") >= minQuality)
+    val gated =
+      if (materializeGated)
+        gatedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else gatedPlan
     // near-dup prune on the gated survivors: drop the HIGHER id of every
     // near-dup pair
     val nearDupLosers = Dedup.minHashNearDups(gated, k = 2, bands = 8,

@@ -25,26 +25,48 @@ object Dedup {
     * signature pipeline once per join side — Catalyst has no cross-branch
     * subtree reuse — and shuffles the stream twice; this shuffles it once.
     * Per-bucket sets are O(1)-sized by LSH construction (that bound is the
-    * premise of banding), so the collect_set buffer and the quadratic
-    * within-bucket explosion are both bounded — EXCEPT for exact-duplicate
-    * super-clusters, whose members share every signature; run [[exact]]
-    * dedup first (as [[graft.llm.Curation]] does) so those never reach the
-    * banded tier. Output pairs are distinct
+    * premise of banding) — but a skewed/adversarial corpus (e.g. an
+    * exact-duplicate super-cluster fed in without running [[exact]] dedup
+    * first, as [[graft.llm.Curation]] does) can violate it, so the
+    * collector is a bounded heap: each bucket keeps at most `maxBucket`
+    * members (the smallest ids — deterministic under any partitioning),
+    * bounding BOTH the aggregation buffer and the quadratic within-bucket
+    * explosion. The worst case degrades recall, never the job; the number
+    * of buckets that hit the cap is observable as the
+    * `graft_bucket_cap_<cols>` metric (`queryExecution.observedMetrics`).
+    * Output pairs are distinct
     * with a < b; a FIXED-WIDTH payload column (e.g. a 64-bit hash) can ride
     * along in the bucket set so downstream scoring needs no re-attach join
     * — never route wide payloads (vectors, shingle sets) through here. */
   private def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
-                          idCol: String, payloadCol: Option[String] = None): DataFrame = {
+                          idCol: String, payloadCol: Option[String] = None,
+                          maxBucket: Int = 256): DataFrame = {
+    require(maxBucket > 1, "maxBucket must be at least 2")
     val member = payloadCol match {
       case Some(p) => struct(col(idCol).as("id"), col(p).as("pl"))
       case None    => struct(col(idCol).as("id"))
     }
+    // bounded-heap collect (reverse = keep the maxBucket SMALLEST member
+    // structs, i.e. smallest ids): the per-bucket buffer never exceeds
+    // maxBucket entries even on a super-bucket, unlike collect_set
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bounded = ColumnBridge.collectTopK(
+      ColumnBridge.expression(member), maxBucket, reverse = true)
     val pairs = banded.groupBy(bucketCols.map(col): _*)
-      .agg(sort_array(collect_set(member)).as("__ids")) // sorts by id → a < b
+      .agg(sort_array(bounded).as("__ids")) // sorts by id → a < b
       .where(size(col("__ids")) > 1)
+      // a bucket at exactly maxBucket members was (possibly) truncated —
+      // surface the count so operators can see recall-degrading skew
+      .observe(s"graft_bucket_cap_${bucketCols.mkString("_")}",
+        sum(when(size(col("__ids")) === maxBucket, 1L).otherwise(0L))
+          .as("capped_buckets"))
       .select(explode(flatten(transform(col("__ids"), (a, i) =>
         transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
           b => struct(a.as("a"), b.as("b")))))).as("__p"))
+      // ids are unique per bucket for every in-repo caller (one banded row
+      // per (doc, band)); guard anyway so duplicate ids can never emit a
+      // self-pair now that the bounded collector doesn't dedup
+      .where(col("__p.a.id") < col("__p.b.id"))
     payloadCol match {
       case Some(p) => pairs.select(col("__p.a.id").as("a"), col("__p.b.id").as("b"),
           col("__p.a.pl").as(s"${p}_a"), col("__p.b.pl").as(s"${p}_b"))
@@ -86,7 +108,8 @@ object Dedup {
     */
   def minHashNearDups(docs: DataFrame, k: Int = 3, bands: Int = 4,
                       rowsPerBand: Int = 4, threshold: Double = 0.8,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text",
+                      maxBucket: Int = 256): DataFrame = {
     val h = bands * rowsPerBand
     val sh = shingles(docs, k, idCol, textCol, distinct = false)
     // H static min-lanes in ONE groupBy (cf. simHash's 64 vote lanes):
@@ -103,7 +126,8 @@ object Dedup {
           (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
       }: _*)).as(Seq("band", "sig")))
     // Same (band, sig) bucket → candidate pair, one pass (no self-join).
-    val candidates = bucketPairs(bandSig, Seq("band", "sig"), idCol)
+    val candidates = bucketPairs(bandSig, Seq("band", "sig"), idCol,
+      maxBucket = maxBucket)
     // Verify with exact Jaccard over distinct shingle sets — but only for
     // docs that appear in a candidate pair: candidates are a tiny fraction
     // of the corpus, so the semi-join prunes the collect_list to them
@@ -148,7 +172,8 @@ object Dedup {
     * within distance maxHamming agrees on at least one chunk, so candidate
     * generation is an equi-join on (chunkIdx, chunkValue). */
   def simHashNearDups(docs: DataFrame, maxHamming: Int = 3,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text",
+                      maxBucket: Int = 256): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
     val sh = simHash(docs, idCol, textCol)
@@ -158,7 +183,8 @@ object Dedup {
           .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("chunk", "cv")))
     // one-pass bucket pairing with the 64-bit hash riding in the bucket
     // set — the 64-lane vote aggregation runs ONCE and no re-attach join
-    bucketPairs(banded, Seq("chunk", "cv"), idCol, payloadCol = Some("simhash"))
+    bucketPairs(banded, Seq("chunk", "cv"), idCol, payloadCol = Some("simhash"),
+      maxBucket = maxBucket)
       .select(col("a"), col("b"),
         bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -171,7 +197,10 @@ object Dedup {
     // prune shingle-set materialization to docs referenced by the pairs
     val pairIds = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol))).distinct()
-    val sets = shingles(docs, k, idCol, textCol)
+    // distinct = false: the downstream collect_set dedups inside the
+    // aggregate; a pre-distinct would shuffle the full shingle stream twice
+    // (same reasoning as the minhash path above)
+    val sets = shingles(docs, k, idCol, textCol, distinct = false)
       .join(pairIds, Seq(idCol), "left_semi")
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("set"))
     pairs
@@ -209,29 +238,39 @@ object Dedup {
     * ≈ 2^-bitsPerTable, so expected bucket sizes stay O(1) only while
     * `bitsPerTable ≳ log2(n)` — grow the signature with the corpus (and
     * add tables to buy recall back); ScaleProbe measures this regime.
+    * The default (`bitsPerTable = 0` = auto) applies that rule for you:
+    * `clamp(ceil(log2(count)), 4, 24)` from a cheap corpus count (a
+    * count-star — parquet answers it from footers), so scaling the corpus
+    * 100× can't silently push bucket sizes superlinear. Pass an explicit
+    * value to override (permissive thresholds on diffuse corpora want
+    * SHORTER signatures than the collision rule — recall, not bucket
+    * size, binds there).
     */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        numTables: Int = 8, bitsPerTable: Int = 8,
-                        seed: Long = 42L): DataFrame = {
+                        numTables: Int = 8, bitsPerTable: Int = 0,
+                        seed: Long = 42L, maxBucket: Int = 256): DataFrame = {
     val n = Similarity.withNorm(emb.select(col(idCol), col(vecCol)), vecCol, "n")
     val dims = emb.select(size(col(vecCol)).as("d")).take(1) match {
       case Array(row) => row.getInt(0)
       case _ => return n.select(col(idCol).as("a"), col(idCol).as("b"),
         col("n").as("cos")).where(lit(false)) // empty input → empty result
     }
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else autoBits(emb.count()) // keep expected bucket size O(1) as n grows
     val rng = new scala.util.Random(seed)
     val sigs = (0 until numTables).map { t =>
-      val bits = (0 until bitsPerTable).map { j =>
+      val laneBits = (0 until bits).map { j =>
         val plane = Array.fill(dims)(rng.nextGaussian())
         when(Similarity.dot(col(vecCol), typedLit(plane.toSeq)) >= 0,
           lit(1L << j)).otherwise(lit(0L))
       }
-      struct(lit(t).as("tbl"), bits.reduce(_.bitwiseOR(_)).as("sig"))
+      struct(lit(t).as("tbl"), laneBits.reduce(_.bitwiseOR(_)).as("sig"))
     }
     val banded = n.select(col(idCol), explode(array(sigs: _*)).as("b"))
       .select(col(idCol), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
-    bucketPairs(banded, Seq("tbl", "sig"), idCol)
+    bucketPairs(banded, Seq("tbl", "sig"), idCol, maxBucket = maxBucket)
       .join(n.select(col(idCol).as("a"), col(vecCol).as("va"), col("n").as("na")), "a")
       .join(n.select(col(idCol).as("b"), col(vecCol).as("vb"), col("n").as("nb")), "b")
       .select(col("a"), col("b"),
@@ -239,6 +278,15 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
   }
+
+  /** The `bitsPerTable ≳ log2(n)` sizing rule behind
+    * [[embeddingNearDups]]'s auto default, clamped to [4, 24]: below 4 the
+    * tables stop discriminating even on tiny fixtures; above 24 a table is
+    * already selective past 16M docs per AND-band and more bits only cost
+    * recall. */
+  private[llm] def autoBits(n: Long): Int =
+    math.min(24, math.max(4,
+      math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2)).toInt))
 
   /** Exact all-pairs variant — the correctness baseline for
     * [[embeddingNearDups]]'s recall measurement. O(n²) by construction:

@@ -250,16 +250,22 @@ object LlmQueries {
           .orderBy("source")
     },
 
-    // The FULL curation pipeline (exact dedup → minhash near-dup prune →
-    // lang/quality gate → stratified cap) — the minhash stage is seeded-
-    // hash-dependent, so rows-only; each constituent op is oracle-gated
-    // individually and CurationSpec pins the composition.
+    // The FULL curation pipeline (exact dedup → lang/quality gate →
+    // minhash near-dup prune → stratified cap) — the minhash stage is
+    // seeded-hash-dependent (xxhash64 band signatures have no DuckDB
+    // analog and the surviving id set depends on them), so the composite
+    // can never be oracle-gated, only rows-checked; each constituent op IS
+    // oracle-gated individually and CurationSpec pins the composition.
     Q.noOracle("llm_curate_full") { (spark, sf) =>
       // bounded-subset policy (see object doc): the composite contains a
-      // pairwise stage, so it runs on the fixed docCap prefix
+      // pairwise stage, so it runs on the fixed docCap prefix.
+      // materializeGated: the gated frame feeds 4 downstream branches
+      // (minhash lanes, verify sets, anti-join probe, cap) — persist it so
+      // dedup + quality + gate run once, not once per branch.
       Curation.curateFull(
           Tables.documents(spark, sf).where(col("doc_id") < docCap),
-          lang = "en", minQuality = 0.3, nearDupThreshold = 0.5, maxPerGroup = 50)
+          lang = "en", minQuality = 0.3, nearDupThreshold = 0.5, maxPerGroup = 50,
+          materializeGated = true)
         .orderBy("doc_id")
     },
 

@@ -120,7 +120,10 @@ object RelationalQueries {
         |  ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin) {
       (spark, sf) =>
-        graft.functions.GraftExtensions.registerRules(spark)
+        // relies on RewriteRangeJoin being registered at session setup
+        // (GraftExtensions.registerRules in Verify/Bench/Explain/SparkSpec,
+        // or spark.sql.extensions=graft.functions.GraftExtensions) — a
+        // query fn must not mutate session optimizer state
         val e = Tables.events(spark, sf).select("event_id", "ts")
         val b = e.select(col("event_id").as("b_id"), col("ts").as("b_ts"))
         e.join(b,
@@ -393,6 +396,12 @@ object RelationalQueries {
     // Sketch tier of A17: HLL count + t-digest-style percentile. Bounded
     // error, constant memory — the 100 TB form of the two exact ops above.
     // Approximate by design → rows-only check; accuracy pinned in specs.
+    // Why no oracle, ever: DuckDB's approx_count_distinct/approx_quantile
+    // run DIFFERENT sketch algorithms with different seeds/bucket layouts —
+    // two correct implementations legitimately return different estimates,
+    // so no tolerance-free formulation can hash-match across engines (the
+    // exact siblings agg_count_distinct/agg_percentile carry the oracle
+    // for this row instead).
     Q.noOracle("agg_approx") { (spark, sf) =>
       Tables.orders(spark, sf)
         .groupBy("o_orderpriority")

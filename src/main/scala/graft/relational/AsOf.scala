@@ -43,6 +43,11 @@ object AsOf {
     require(overlap.isEmpty,
       s"right payload columns collide with left columns: ${overlap.mkString(", ")} — alias them first")
     require(!rightCols.contains("__ts"), "__ts is reserved in the as-of payload")
+    // fail fast instead of silently overwriting via withColumn below
+    Seq("__asof", "__tag").foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"$c is reserved by joinAsOf — rename that input column first")
+    }
     val lCols = left.columns.toSeq
     // the matched right row's own time rides in the payload as __ts so the
     // staleness bound can be evaluated after the fill

@@ -23,6 +23,9 @@ abstract class SparkSpec extends AnyFunSuite with Matchers {
   lazy val spark: SparkSession = {
     val s = SparkSpec.spark
     s.sparkContext.setLogLevel("ERROR")
+    // same session-setup contract as the Verify/Bench/Explain mains: the
+    // optimizer rewrites are registered once per session, not by query fns
+    graft.functions.GraftExtensions.registerRules(s)
     s
   }
 }

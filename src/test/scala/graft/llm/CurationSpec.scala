@@ -38,4 +38,22 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     out shouldBe Set(0L, 5L, 6L, 7L)
   }
+
+  test("materializeGated caches the stage boundary once, results unchanged") {
+    val plain = Curation.curateFull(docs, lang = "en", minQuality = 0.3,
+      nearDupThreshold = 0.5, maxPerGroup = 2)
+    // force the plain plan BEFORE the persist exists: cache substitution is
+    // session-wide, so a later analysis of the same subtree would pick up
+    // the InMemoryRelation and void the comparison
+    plain.queryExecution.optimizedPlan.toString should not include "InMemoryRelation"
+    val plainIds = plain.select("doc_id").as[Long].collect().toSet
+    val mat = Curation.curateFull(docs, lang = "en", minQuality = 0.3,
+      nearDupThreshold = 0.5, maxPerGroup = 2, materializeGated = true)
+    try {
+      // the gated frame is derived once: every downstream branch reads the
+      // InMemoryRelation instead of re-running dedup + quality + gate
+      mat.queryExecution.optimizedPlan.toString should include("InMemoryRelation")
+      mat.select("doc_id").as[Long].collect().toSet shouldBe plainIds
+    } finally spark.catalog.clearCache()
+  }
 }

@@ -101,4 +101,38 @@ class DedupSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  test("autoBits follows clamp(ceil(log2(n)), 4, 24)") {
+    Dedup.autoBits(0L) shouldBe 4        // degenerate corpora clamp low
+    Dedup.autoBits(16L) shouldBe 4
+    Dedup.autoBits(100L) shouldBe 7
+    Dedup.autoBits(1L << 20) shouldBe 20
+    Dedup.autoBits(1L << 40) shouldBe 24 // clamp high
+  }
+
+  test("bucketPairs caps hot buckets: a super-cluster degrades recall, not the job") {
+    // 600 identical docs share every band signature — uncapped, each band
+    // bucket would buffer all 600 members and explode ~180k pairs; the
+    // bounded-heap collector keeps only the 32 smallest ids per bucket.
+    val supers = (0 until 600).map(i => (i.toLong, "same text all the way down"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minHashNearDups(supers, k = 2, bands = 2, rowsPerBand = 2,
+      threshold = 0.9, maxBucket = 32)
+    // collect `out` itself — observedMetrics belong to the executed query
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.length should be <= 32 * 31 / 2
+    pairs.length should be > 0 // recall degraded, not zeroed
+    all(pairs.flatMap(p => Seq(p._1, p._2))) should be < 32L // smallest ids kept
+    // the truncation is observable: both band buckets sat at the cap
+    val capped = out.queryExecution.observedMetrics("graft_bucket_cap_band_sig")
+    capped.getLong(0) should be >= 2L
+  }
+
+  test("bucketPairs cap metric reads zero on a well-bucketed corpus") {
+    val out = Dedup.minHashNearDups(docs, k = 2, bands = 8, rowsPerBand = 2,
+      threshold = 0.5)
+    out.collect()
+    out.queryExecution.observedMetrics("graft_bucket_cap_band_sig")
+      .getLong(0) shouldBe 0L
+  }
 }
