@@ -260,16 +260,13 @@ object Dedup {
       if (bitsPerTable > 0) bitsPerTable
       else autoBits(emb.count()) // keep expected bucket size O(1) as n grows
     val rng = new scala.util.Random(seed)
-    val sigs = (0 until numTables).map { t =>
-      val laneBits = (0 until bits).map { j =>
-        val plane = Array.fill(dims)(rng.nextGaussian())
-        when(Similarity.dot(col(vecCol), typedLit(plane.toSeq)) >= 0,
-          lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("tbl"), laneBits.reduce(_.bitwiseOR(_)).as("sig"))
-    }
-    val banded = n.select(col(idCol), explode(array(sigs: _*)).as("b"))
-      .select(col(idCol), col("b.tbl").as("tbl"), col("b.sig").as("sig"))
+    // one SignProjection kernel computes ALL numTables×bits plane dots per
+    // row — numTables×bits separate when(dot≥0) columns overflow codegen
+    // limits and fall back to interpreted eval (~100× slower, EmbedProfile)
+    val planes = Array.fill(numTables * bits)(Array.fill(dims)(rng.nextGaussian()))
+    val banded = n.select(col(idCol),
+        posexplode(graft.functions.SignProjection(col(vecCol), planes, numTables, bits))
+          .as(Seq("tbl", "sig")))
     bucketPairs(banded, Seq("tbl", "sig"), idCol, maxBucket = maxBucket)
       .join(n.select(col(idCol).as("a"), col(vecCol).as("va"), col("n").as("na")), "a")
       .join(n.select(col(idCol).as("b"), col(vecCol).as("vb"), col("n").as("nb")), "b")
