@@ -149,23 +149,19 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash per document: per-token xxhash64, bitwise majority vote.
-    * Implemented as explode → 64-lane vote via aggregate over bit positions,
-    * i.e. one hash-partitioned groupBy on doc_id. */
+  /** 64-bit SimHash per document: per-token xxhash64, bitwise majority
+    * vote, as ONE narrow codegen'd projection
+    * ([[graft.functions.SimHash64]]). SimHash is a pure per-document
+    * function — the earlier explode → 64-vote-lane groupBy formulation
+    * paid a full shuffle of the token stream for it (and its 64
+    * aggregate lanes flirted with codegen size limits); the kernel makes
+    * the signature stage shuffle-free, so [[simHashNearDups]]'s only
+    * wide op is the banding join. Values are bit-identical (same
+    * xxhash64 seed, same majority rule). */
   def simHash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    // votes[j] = sum over tokens of (bit j set ? 1 : -1): 64 static agg
-    // lanes in ONE groupBy (partial aggregation map-side), then a static
-    // shift/OR fold — everything stays inside whole-stage codegen.
-    val votes = (0 until 64).map(j =>
-      sum(when(shiftright(col("th"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$j"))
-    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+              textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.SimHash64(split(col(textCol), " ")).as("simhash"))
 
   /** SimHash near-dup pairs within `maxHamming` bit flips. Pigeonhole
     * banding: split the 64-bit hash into (maxHamming+1) chunks — any pair

@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   *    score every vector with codegen'd higher-order functions, take top-k
   *    per query via window rank. The correctness baseline.
   *  - [[ivfTopK]]: IVF-style bucketed search — assign vectors to their
-  *    nearest centroid with a NARROW argmax over a driver-collected
-  *    centroid literal (no join, no shuffle, no row blow-up), then probe
-  *    only `nprobe` buckets per query. At 100 TB this turns a full scan per
-  *    query into a ~(nprobe/nlist) partial scan; the only wide op left is
-  *    the probe-bucket equi-join (hash-partitioned, AQE-managed).
+  *    nearest centroid with a NARROW codegen'd top-dot kernel over a
+  *    driver-collected codebook (no join, no shuffle, no row blow-up),
+  *    then probe only `nprobe` buckets per query. At 100 TB this turns a
+  *    full scan per query into a ~(nprobe/nlist) partial scan; the only
+  *    wide op left is the probe-bucket equi-join (hash-partitioned,
+  *    AQE-managed).
   *
   * Norms are computed ONCE per row before any pairing ([[withNorm]]), so a
   * pair costs a single dot product — not dot + two norms over the same
@@ -62,26 +63,27 @@ object Similarity {
         sortCols = Seq(col("__negcos"), col(idCol)), k = k, rankCol = "rnk")
       .select(col("qid"), col(idCol), (-col("__negcos")).as("cos"), col("rnk"))
 
-  /** Driver-collected centroid set as a literal array of structs
-    * `{negid, cv}` with L2-normalized vectors. Centroids are small by
-    * contract (the IVF codebook — thousands at most), so the literal stays
-    * well under task-binary limits and broadcasts with the plan itself.
-    * `negid` (= -cid) makes struct-ordering ties resolve to the LOWEST
-    * centroid id under array_max.
-    */
   /** Hard ceiling on the driver-collected codebook — 64Ki centroids × a
-    * few-hundred-double vectors is the most a plan literal (and driver
-    * heap) should ever carry; a corpus-sized frame passed by mistake must
-    * fail fast, not OOM the driver. */
+    * few-hundred-double vectors is the most a plan-attached reference
+    * object (and driver heap) should ever carry; a corpus-sized frame
+    * passed by mistake must fail fast, not OOM the driver. */
   val MaxCentroids = 65536
 
-  private def centroidLit(centroids: DataFrame, idCol: String, vecCol: String): Column = {
+  /** Driver-collected codebook: cid-ascending ids + L2-normalized vector
+    * matrix. Small by contract (the IVF codebook — thousands at most);
+    * the matrix ships once per task as a kernel reference object.
+    * dot(v, c_norm) ranks identically to cosine for a fixed v, and the
+    * cid-ascending order makes [[graft.functions.TopDotIndices]]'s
+    * lowest-index tie-break the deterministic lowest-cid contract. */
+  private case class Codebook(cids: Array[Long], matrix: Array[Array[Double]])
+
+  private def codebook(centroids: DataFrame, idCol: String, vecCol: String): Codebook = {
     val capped = centroids.select(col(idCol).cast("long"), col(vecCol))
       .limit(MaxCentroids + 1)
     val rows = capped.collect()
     require(rows.length <= MaxCentroids,
       s"IVF codebook exceeds $MaxCentroids centroids — this is a driver-side " +
-        "plan literal; cluster the codebook down (or use lshTopK) instead")
+        "plan object; cluster the codebook down (or use lshTopK) instead")
     val normed = rows
       .map { r =>
         // element type may be float or double — go through Number
@@ -91,27 +93,27 @@ object Similarity {
       }
       .sortBy(_._1)
     require(normed.nonEmpty, "centroid set must be non-empty")
-    array(normed.map { case (cid, cv) =>
-      struct(lit(-cid).as("negid"), typedLit(cv.toSeq).as("cv"))
-    }: _*)
+    Codebook(normed.map(_._1), normed.map(_._2))
   }
 
-  /** Scores per centroid for one row's vector: array of `{cos-ish, negid}`.
-    * dot(v, c_norm) ranks identically to cosine for a fixed v. */
-  private def centroidScores(vec: Column, cents: Column): Column =
-    transform(cents, c =>
-      struct(dot(vec, c.getField("cv")).as("s"), c.getField("negid").as("negid")))
+  /** nearest-`n` centroid ids for a vector column, via the codegen'd
+    * top-dot kernel — the `graft_dot`-inside-`transform` formulation this
+    * replaces ran every centroid dot on the interpreted HOF path. */
+  private def nearestCids(vec: Column, cb: Codebook, n: Int): Column =
+    transform(graft.functions.TopDotIndices(vec, cb.matrix, n),
+      idx => element_at(typedLit(cb.cids.toSeq), idx + 1))
 
-  /** Assign every vector to its nearest centroid. Pure narrow projection:
-    * argmax via array_max over the centroid literal — no join, no window,
-    * no shuffle, stays inside whole-stage codegen. */
+  /** Assign every vector to its nearest centroid (ties → lowest cid).
+    * Pure narrow projection — no join, no window, no shuffle, and the
+    * scoring loop stays inside whole-stage codegen at any codebook size. */
   def assign(corpus: DataFrame, centroids: DataFrame,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = centroidLit(centroids, idCol, vecCol)
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignWith(corpus, codebook(centroids, idCol, vecCol), idCol, vecCol)
+
+  private def assignWith(corpus: DataFrame, cb: Codebook,
+                         idCol: String, vecCol: String): DataFrame =
     corpus.select(col(idCol), col(vecCol))
-      .withColumn("__best", array_max(centroidScores(col(vecCol), cents)))
-      .select(col(idCol), col(vecCol), (-col("__best.negid")).as("cid"))
-  }
+      .withColumn("cid", element_at(nearestCids(col(vecCol), cb, 1), 1))
 
   /** LSH-bucketed ANN (MLlib BucketedRandomProjectionLSH) — the third tier
     * next to [[bruteTopK]] (exact) and [[ivfTopK]] (needs a codebook).
@@ -147,18 +149,13 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = centroidLit(centroids, idCol, vecCol)
-    val assigned = withNorm(assign(corpus, centroids, idCol, vecCol), vecCol, "cn")
-    // nprobe nearest centroids per query: sort the per-row score array and
-    // take the top slice — narrow, no window
-    // clamp the slice to the codebook size: slice(arr, -n, n) with n past
-    // the array length returns EMPTY, which would silently drop every query
-    val sorted = array_sort(centroidScores(col(vecCol), cents))
-    val take = least(lit(nprobe), size(sorted))
+    val cb = codebook(centroids, idCol, vecCol)
+    val assigned = withNorm(assignWith(corpus, cb, idCol, vecCol), vecCol, "cn")
+    // nprobe nearest centroids per query — the kernel clamps to the
+    // codebook size, so an over-asked nprobe can't drop queries
     val probes = withNorm(queries, vecCol, "qn")
       .select(col(idCol).as("qid"), col(vecCol).as("qv"), col("qn"),
-        explode(slice(sorted, -take, take)).as("probe"))
-      .select(col("qid"), col("qv"), col("qn"), (-col("probe.negid")).as("cid"))
+        explode(nearestCids(col(vecCol), cb, nprobe)).as("cid"))
     // search only the probed buckets — equi-join on centroid id
     val scored = probes.join(assigned, "cid")
       .where(col("qid") =!= col(idCol))
