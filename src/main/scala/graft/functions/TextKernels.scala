@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared interpreted/codegen kernels for the shingle/minhash hot path.
+  * Both reproduce the exact semantics of the Column formulations they
+  * replace (pinned by TextKernelsSpec):
+  *  - shingles: `transform(sequence(0, greatest(n-k, 0)), i =>
+  *    concat_ws(" ", slice(split(text, " "), i+1, k)))` — same
+  *    UTF8String.split(" ", -1) tokenization (empty tokens kept), same
+  *    n-k+1 count with a single short shingle when n < k;
+  *  - minhash lanes: lane i = min over shingles of
+  *    `xxhash64(shingle, lit(i))` = the XxHash64 chain
+  *    hashInt(i, hashString(shingle, seed 42)) — hashInt because lit(i)
+  *    is an IntegerType child in the formulation being replaced.
+  */
+object TextKernelObjs {
+  private val space = UTF8String.fromString(" ")
+
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.split(space, -1)
+    val n = toks.length
+    val count = math.max(n - k, 0) + 1
+    val out = new Array[AnyRef](count)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + k, n)
+      var sh = toks(i)
+      var j = i + 1
+      while (j < end) { sh = UTF8String.concat(sh, space, toks(j)); j += 1 }
+      out(i) = sh
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def minHashLanes(shingles: ArrayData, numLanes: Int): ArrayData = {
+    val m = shingles.numElements()
+    val lanes = new Array[Long](numLanes)
+    java.util.Arrays.fill(lanes, Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        // same bytes Spark's XxHash64 hashes for a StringType child
+        val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var l = 0
+        while (l < numLanes) {
+          val v = XXH64.hashInt(l, h0)
+          if (v < lanes(l)) lanes(l) = v
+          l += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(lanes)
+  }
+}
+
+/** Word k-shingles of a string column as ONE narrow kernel — replaces a
+  * split + sequence + transform(slice + concat_ws) chain whose lambda
+  * body ran on the interpreted HOF path, allocating per shingle. */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k > 0, "shingle size k must be positive")
+
+  override def prettyName: String = "graft_word_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelObjs.shingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernelObjs.shingles($s, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def apply(text: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), k))
+}
+
+/** All MinHash lanes of a shingle array as ONE narrow kernel: lane i is
+  * `min(xxhash64(shingle, i))`, bit-identical to the
+  * posexplode + H-min-lane groupBy it replaces — minhash, like simhash,
+  * is a pure per-document function, so computing it in a projection
+  * removes the shingle stream's explode AND its aggregation shuffle from
+  * [[graft.llm.Dedup.minHashNearDups]]; the banding join becomes the
+  * only wide op. Each shingle's string hash is computed once and the
+  * per-lane values derive from it with one hashLong each — H× less
+  * string hashing than the exploded form. Empty array → all-MaxValue
+  * lanes (unreachable via [[WordShingles]], which emits ≥ 1 shingle). */
+case class MinHashLanes(child: Expression, numLanes: Int) extends UnaryExpression {
+
+  require(numLanes > 0, "need at least one lane")
+
+  override def prettyName: String = "graft_minhash_lanes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelObjs.minHashLanes(input.asInstanceOf[ArrayData], numLanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextKernelObjs.minHashLanes($a, $numLanes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashLanes {
+  def apply(shingles: Column, numLanes: Int): Column =
+    ColumnBridge.column(MinHashLanes(ColumnBridge.expression(shingles), numLanes))
+}

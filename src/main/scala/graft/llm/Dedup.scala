@@ -85,24 +85,29 @@ object Dedup {
   /** Word k-shingles per doc — the Jaccard universe for MinHash. `distinct`
     * costs a full shuffle of the shingle stream; min-lane signatures don't
     * need it (min over duplicates is the same min) so the minhash path
-    * passes `distinct = false` and dedups only inside per-doc aggregates. */
+    * passes `distinct = false` and dedups only inside per-doc aggregates.
+    * The exploded row form exists for callers that want the stream; the
+    * near-dup pipelines use the array-valued kernel directly and never
+    * explode at all. */
   def shingles(docs: DataFrame, k: Int, idCol: String = "doc_id",
                textCol: String = "text", distinct: Boolean = true): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val n = size(toks)
     val sh = docs.select(col(idCol),
-      explode(transform(sequence(lit(0), greatest(n - k, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k))))).as("shingle"))
+      explode(graft.functions.WordShingles(col(textCol), k)).as("shingle"))
     if (distinct) sh.distinct() else sh
   }
 
   /** MinHash + LSH banded near-dup candidates, verified with exact Jaccard.
     *
     * numHashes = bands * rowsPerBand seeded hash functions
-    * h_i(s) = xxhash64(s, i). Pipeline (all narrow ops + 3 hash-partitioned
-    * aggregations — no cartesian product anywhere):
-    *   shingle → posexplode(H hashes) → min per (doc, i) → band signature
-    *   → same-signature bucket join → exact Jaccard filter.
+    * h_i(s) = xxhash64(s, i). MinHash, like SimHash, is a pure
+    * per-document function, so the signature side is ALL NARROW — one
+    * [[graft.functions.MinHashLanes]] kernel pass per doc (no shingle
+    * explode, no H-lane aggregation shuffle), then the band-signature
+    * projection. The only wide ops in the whole pipeline are the banding
+    * groupBy in [[bucketPairs]] and the two candidate-attach joins of the
+    * verify stage, whose shingle sets are ALSO computed narrowly
+    * (array_distinct over the per-doc shingle array) and semi-join-pruned
+    * to candidate docs first. No cartesian product anywhere.
     *
     * Returns (a, b, jaccard) pairs with a < b, jaccard ≥ threshold.
     */
@@ -111,33 +116,32 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text",
                       maxBucket: Int = 256): DataFrame = {
     val h = bands * rowsPerBand
-    val sh = shingles(docs, k, idCol, textCol, distinct = false)
-    // H static min-lanes in ONE groupBy (cf. simHash's 64 vote lanes):
-    // lane i aggregates min(xxhash64(shingle, seed=i)). Map-side partial
-    // combine shuffles one 16-long buffer per doc per partition — no
-    // per-hash row explosion, no second aggregation.
-    val lanes = (0 until h).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
-    val minhash = sh.groupBy(col(idCol)).agg(lanes.head, lanes.tail: _*)
-    // Band signature = xxhash64 over the band's ordered lanes — a narrow
-    // row-wise projection, exploded into (band, sig) bucket keys.
+    import graft.functions.{MinHashLanes, WordShingles}
+    // per-doc minhash lanes in one narrow kernel pass — null text drops
+    // (the exploded formulation dropped those docs the same way)
+    val minhash = docs
+      .select(col(idCol), MinHashLanes(WordShingles(col(textCol), k), h).as("mh"))
+      .where(col("mh").isNotNull)
+    // Band signature = xxhash64 over the band's ordered lanes — identical
+    // bytes to the lane-column formulation (element_at of the lane array
+    // stringifies like the long column did), exploded to (band, sig) keys.
     val bandSig = minhash.select(col(idCol),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+          (0 until rowsPerBand).map(r =>
+            element_at(col("mh"), b * rowsPerBand + r + 1)): _*))
       }: _*)).as(Seq("band", "sig")))
     // Same (band, sig) bucket → candidate pair, one pass (no self-join).
     val candidates = bucketPairs(bandSig, Seq("band", "sig"), idCol,
       maxBucket = maxBucket)
-    // Verify with exact Jaccard over distinct shingle sets — but only for
-    // docs that appear in a candidate pair: candidates are a tiny fraction
-    // of the corpus, so the semi-join prunes the collect_list to them
-    // instead of materializing every document's shingle set.
+    // Verify with exact Jaccard over distinct shingle sets — narrow
+    // array_distinct per doc, semi-join-pruned to docs that appear in a
+    // candidate pair (a tiny fraction of the corpus).
     val candIds = candidates.select(col("a").as(idCol))
       .union(candidates.select(col("b").as(idCol))).distinct()
-    // collect_set dedups inside the aggregate — no pre-shuffle distinct
-    val sets = sh.join(candIds, Seq(idCol), "left_semi")
-      .groupBy(col(idCol))
-      .agg(collect_set(col("shingle")).as("set"))
+    val sets = docs
+      .select(col(idCol), array_distinct(WordShingles(col(textCol), k)).as("set"))
+      .join(candIds, Seq(idCol), "left_semi")
     val withSets = candidates
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
@@ -193,12 +197,14 @@ object Dedup {
     // prune shingle-set materialization to docs referenced by the pairs
     val pairIds = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol))).distinct()
-    // distinct = false: the downstream collect_set dedups inside the
-    // aggregate; a pre-distinct would shuffle the full shingle stream twice
-    // (same reasoning as the minhash path above)
-    val sets = shingles(docs, k, idCol, textCol, distinct = false)
+    // narrow per-doc shingle sets (array_distinct over the kernel array) —
+    // no explode, no collect_set shuffle; null-text docs drop like the
+    // exploded formulation dropped them
+    val sets = docs
+      .select(col(idCol),
+        array_distinct(graft.functions.WordShingles(col(textCol), k)).as("set"))
+      .where(col("set").isNotNull)
       .join(pairIds, Seq(idCol), "left_semi")
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("set"))
     pairs
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")

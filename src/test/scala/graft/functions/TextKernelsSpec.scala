@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** WordShingles / MinHashLanes: the narrow kernels must be bit-identical
+  * to the Column formulations they replaced — including split()'s
+  * empty-token behavior and xxhash64's hashInt seed chaining. */
+class TextKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // tricky tokenizations: repeated spaces, trailing space, n < k, 1 token
+  private def texts = Seq(
+    (0L, "the quick brown fox"),
+    (1L, "a  double  space"),
+    (2L, "trailing space "),
+    (3L, "short"),
+    (4L, ""),
+    (5L, "exactly two"))
+    .toDF("doc_id", "text")
+
+  private def naiveShingles(k: Int) = {
+    val toks = split(col("text"), " ")
+    val n = org.apache.spark.sql.functions.size(toks)
+    texts.select(col("doc_id"),
+      transform(sequence(lit(0), greatest(n - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))).as("sh"))
+  }
+
+  test("WordShingles matches split+transform+slice+concat_ws exactly") {
+    for (k <- Seq(1, 2, 3, 7)) {
+      val kernel = texts.select(col("doc_id"),
+          WordShingles(col("text"), k).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      val naive = naiveShingles(k).as[(Long, Seq[String])].collect().toMap
+      kernel shouldBe naive
+    }
+  }
+
+  test("MinHashLanes matches min(xxhash64(shingle, i)) per lane") {
+    val h = 6
+    val kernel = texts.select(col("doc_id"),
+        MinHashLanes(WordShingles(col("text"), 2), h).as("mh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val sh = texts.select(col("doc_id"),
+      explode(WordShingles(col("text"), 2)).as("shingle"))
+    val lanes = (0 until h).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
+    val naive = sh.groupBy("doc_id").agg(lanes.head, lanes.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to h).map(r.getLong)).toMap
+    kernel.keySet shouldBe naive.keySet
+    kernel.foreach { case (id, mh) => mh shouldBe naive(id) }
+  }
+
+  test("null text yields null shingles and null lanes") {
+    val out = Seq((0L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(WordShingles(col("text"), 2).as("sh"),
+        MinHashLanes(WordShingles(col("text"), 2), 4).as("mh"))
+      .head()
+    out.isNullAt(0) shouldBe true
+    out.isNullAt(1) shouldBe true
+  }
+}
