@@ -36,13 +36,18 @@ object Bench {
         d.count()
       } catch { case _: Throwable => () }
     }
+    Warmup.kernels(spark)
+    // sorted order: Map iteration order shifts whenever a query is added,
+    // silently moving any residual warmup tax onto a different query and
+    // making per-query numbers incomparable across rounds (this is what
+    // round 2's "unexplained" llm_dedup_ngram 4× turned out to be)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => errors += name; false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    }.toMap
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")

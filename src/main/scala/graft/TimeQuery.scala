@@ -34,6 +34,7 @@ object TimeQuery {
         d.count()
       } catch { case _: Throwable => () }
     }
+    Warmup.kernels(spark) // same policy as Bench: don't charge janino to iter 1
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})"))

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Session warmup for benchmarking tools: run the kernel-heavy plan
+  * shapes once on tiny LITERAL fixtures so janino compilation and JIT of
+  * the generated classes aren't charged to whichever measured query
+  * happens to run first. This warms the JVM, not the data — nothing from
+  * the benchmarked tables is touched, every measured query still plans
+  * and executes in full. */
+object Warmup {
+  def kernels(spark: SparkSession): Unit = {
+    try {
+      val docs = spark.range(8).select(col("id").as("doc_id"),
+        concat_ws(" ", lit("w"), col("id").cast("string"), lit("x y z"),
+          pmod(col("id"), lit(3)).cast("string")).as("text"),
+        lit("en").as("lang"), lit("web").as("source"))
+      graft.llm.Dedup.minHashNearDups(docs, k = 2, bands = 2, rowsPerBand = 2,
+        threshold = 0.1).count()
+      graft.llm.Dedup.simHashNearDups(docs, maxHamming = 8).count()
+      graft.llm.Dedup.ngramJaccard(docs,
+        docs.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))).count()
+      val emb = spark.range(8).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(4)),
+          i => (pmod(col("id") * i, lit(7)).cast("double") - 3.0).cast("float"))
+          .as("embedding"))
+      graft.llm.Dedup.embeddingNearDups(emb, threshold = 0.5, bitsPerTable = 4).count()
+      graft.llm.Similarity.ivfTopK(emb, emb, centroids = emb, k = 2).count()
+      graft.llm.TextStats.quality(docs).count()
+      graft.llm.TextStats.fingerprint(docs).count()
+    } catch { case _: Throwable => () } // warmup must never fail the bench
+  }
+}

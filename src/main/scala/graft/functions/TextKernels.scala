@@ -41,6 +41,23 @@ object TextKernelObjs {
     new GenericArrayData(out)
   }
 
+  /** min over i of xxhash64(substr(text, i, gram)) for i in
+    * 1..max(len-gram+1, 1) — the winnowing fingerprint, identical to the
+    * `array_min(transform(sequence(...), i => xxhash64(substr(...))))`
+    * formulation (same SQL substr clipping on short strings). */
+  def minGramHash(text: UTF8String, gram: Int): Long = {
+    val count = math.max(text.numChars() - (gram - 1), 1)
+    var best = Long.MaxValue
+    var i = 1
+    while (i <= count) {
+      val g = text.substringSQL(i, gram)
+      val h = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      if (h < best) best = h
+      i += 1
+    }
+    best
+  }
+
   def minHashLanes(shingles: ArrayData, numLanes: Int): ArrayData = {
     val m = shingles.numElements()
     val lanes = new Array[Long](numLanes)
@@ -133,4 +150,36 @@ case class MinHashLanes(child: Expression, numLanes: Int) extends UnaryExpressio
 object MinHashLanes {
   def apply(shingles: Column, numLanes: Int): Column =
     ColumnBridge.column(MinHashLanes(ColumnBridge.expression(shingles), numLanes))
+}
+
+/** Winnowing-style rolling-gram fingerprint as ONE narrow kernel —
+  * replaces a transform-over-sequence HOF that paid an interpreted
+  * xxhash64 + substr per character position. */
+case class MinGramHash(child: Expression, gram: Int) extends UnaryExpression {
+
+  require(gram > 0, "gram size must be positive")
+
+  override def prettyName: String = "graft_min_gram_hash"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelObjs.minGramHash(input.asInstanceOf[UTF8String], gram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernelObjs.minGramHash($s, $gram);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinGramHash {
+  def apply(text: Column, gram: Int): Column =
+    ColumnBridge.column(MinGramHash(ColumnBridge.expression(text), gram))
 }

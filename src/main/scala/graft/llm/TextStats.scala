@@ -95,12 +95,12 @@ object TextStats {
 
   /** Document fingerprint: min over 5-char-gram xxhash64 rolling hashes —
     * a winnowing-style content signature, stable under trailing edits.
+    * One narrow kernel pass per doc ([[graft.functions.MinGramHash]] —
+    * the transform-over-sequence HOF it replaces ran an interpreted
+    * xxhash64 + substr per character position).
     * xxhash64 is Spark-specific → no DuckDB oracle (rows-only check). */
   def fingerprint(docs: DataFrame, gram: Int = 5,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
-      array_min(transform(
-        sequence(lit(1), greatest(length(col(textCol)) - (gram - 1), lit(1))),
-        i => xxhash64(col(textCol).substr(i, lit(gram))))
-      ).as("fingerprint"))
+      graft.functions.MinGramHash(col(textCol), gram).as("fingerprint"))
 }

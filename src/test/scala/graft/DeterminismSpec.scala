@@ -28,4 +28,23 @@ class DeterminismSpec extends SparkSpec {
       run(name, 1) shouldBe run(name, 13)
     }
   }
+
+  test("capped bucketPairs keeps the same survivors under any partitioning") {
+    // a super-bucket that HITS the maxBucket cap: the bounded heap must
+    // keep the globally-smallest ids regardless of how partial buffers
+    // were partitioned and merged
+    import spark.implicits._
+    val supers = (0 until 300).map(i => (i.toLong, "same text all the way down"))
+      .toDF("doc_id", "text")
+    def pairs(parts: Int) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        graft.llm.Dedup.minHashNearDups(supers.repartition(parts), k = 2,
+            bands = 2, rowsPerBand = 2, threshold = 0.9, maxBucket = 16)
+          .orderBy("a", "b").collect().map(_.toString).toSeq
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    pairs(1) shouldBe pairs(13)
+  }
 }

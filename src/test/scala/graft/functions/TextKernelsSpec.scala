@@ -52,6 +52,20 @@ class TextKernelsSpec extends SparkSpec {
     kernel.foreach { case (id, mh) => mh shouldBe naive(id) }
   }
 
+  test("MinGramHash matches array_min(transform(sequence, xxhash64(substr)))") {
+    val gram = 5
+    val kernel = texts.select(col("doc_id"),
+        MinGramHash(col("text"), gram).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val naive = texts.select(col("doc_id"),
+        array_min(transform(
+          sequence(lit(1), greatest(
+            org.apache.spark.sql.functions.length(col("text")) - (gram - 1), lit(1))),
+          i => xxhash64(col("text").substr(i, lit(gram))))).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    kernel shouldBe naive
+  }
+
   test("null text yields null shingles and null lanes") {
     val out = Seq((0L, null.asInstanceOf[String])).toDF("doc_id", "text")
       .select(WordShingles(col("text"), 2).as("sh"),
