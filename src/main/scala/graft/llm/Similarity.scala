@@ -143,6 +143,109 @@ object Similarity {
     topK(joined, k, idCol)
   }
 
+  /** Train an IVF codebook in-library: Lloyd's k-means over the corpus
+    * (or a sample of it — the usual 100 TB practice), returning a
+    * `(cid, embedding)` frame ready to pass as [[ivfTopK]]'s `centroids`.
+    *
+    * Scale design: assignment is the narrow [[graft.functions.TopDotIndices]]
+    * kernel (no join, no shuffle); the centroid update is
+    * `posexplode(vector) → groupBy(cid, dim) → sum` — partial aggregation
+    * combines map-side, so the shuffle carries only k×dims rows PER
+    * PARTITION regardless of corpus size, and the k×dims result collects
+    * to the driver (codebook-sized by the [[MaxCentroids]] cap).
+    *
+    * Determinism contract (SURVEY §2.9-bis): double sums are
+    * order-dependent, so components accumulate as FIXED-POINT longs
+    * (×2^20, exact integer addition — order-free) and divide back on the
+    * driver. Same data + same seed ⇒ bit-identical centroids under ANY
+    * partitioning. Empty clusters keep their previous centroid. Note
+    * dot-based assignment partitions by DIRECTION (cosine k-means on the
+    * unit sphere) — the right metric for the cosine-probe index this
+    * codebook feeds.
+    *
+    * Init is k-means||-shaped and deterministic: ONE pass hash-orders the
+    * corpus and takes ~10k oversampled candidates; a driver-side
+    * farthest-first sweep (ties → first candidate) then picks k
+    * directionally-spread seeds, so well-separated clusters each get a
+    * seed instead of colliding as a plain random draw would. For k past
+    * 4096 the O(ℓ·k) driver sweep is skipped and the plain hash draw is
+    * used (at that codebook size seed collisions wash out).
+    */
+  def trainCodebook(corpus: DataFrame, k: Int, iters: Int = 5, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && k <= MaxCentroids, s"k must be in 1..$MaxCentroids")
+    require(iters >= 0, "iters must be non-negative")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    // deterministic pseudo-random candidate draw: lowest hash-ordered rows
+    val oversample = if (k <= 4096) 10L * k else k.toLong
+    val candRows = vecs
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(oversample.toInt).select(col(vecCol)).collect()
+    require(candRows.nonEmpty, "corpus must be non-empty")
+    val cand = candRows.map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    var matrix =
+      if (k > 4096 || cand.length <= k) cand.take(k)
+      else {
+        // farthest-first on the candidates: greedily add the candidate
+        // whose max cosine to the chosen set is smallest
+        val unit = normalizeRows(cand)
+        val taken = new Array[Boolean](cand.length)
+        val maxCos = Array.fill(cand.length)(-2.0)
+        val chosen = scala.collection.mutable.ArrayBuffer(0)
+        taken(0) = true
+        while (chosen.size < k) {
+          val last = unit(chosen.last)
+          var best = -1
+          var bestCos = 2.0
+          var i = 0
+          while (i < cand.length) {
+            if (!taken(i)) {
+              var d = 0.0
+              var j = 0
+              while (j < math.min(last.length, unit(i).length)) {
+                d += last(j) * unit(i)(j); j += 1
+              }
+              if (d > maxCos(i)) maxCos(i) = d
+              if (maxCos(i) < bestCos) { bestCos = maxCos(i); best = i }
+            }
+            i += 1
+          }
+          chosen += best
+          taken(best) = true
+        }
+        chosen.map(cand).toArray
+      }
+    val Scale = 1L << 20
+    (0 until iters).foreach { _ =>
+      val cb = Codebook(matrix.indices.map(_.toLong).toArray, normalizeRows(matrix))
+      val assigned = assignWith(vecs, cb, idCol, vecCol)
+      val sums = assigned
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(sum((col("x") * Scale).cast("long")).as("s"), count(lit(1)).as("n"))
+        .as[(Long, Int, Long, Long)].collect()
+      val next = matrix.map(_.clone()) // empty clusters keep their centroid
+      sums.groupBy(_._1).foreach { case (cid, dims) =>
+        val c = next(cid.toInt)
+        dims.foreach { case (_, dim, s, n) =>
+          c(dim) = s.toDouble / Scale / n
+        }
+      }
+      matrix = next
+    }
+    matrix.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+      .toDF("cid", "embedding")
+  }
+
+  private def normalizeRows(m: Array[Array[Double]]): Array[Array[Double]] =
+    m.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum) max java.lang.Double.MIN_VALUE
+      v.map(_ / n)
+    }
+
   /** IVF search: probe the `nprobe` nearest centroids' buckets per query.
     * Recall < 1.0 by construction; the ScalaTest spec measures it against
     * [[bruteTopK]]. */

@@ -111,6 +111,24 @@ object LlmQueries {
         .orderBy("qid", "rnk")
     },
 
+    // In-library IVF codebook training (cosine Lloyd's with deterministic
+    // k-means||-style farthest-first init and fixed-point centroid sums).
+    // Why no oracle, ever: the training loop is iterative over seeded-hash
+    // draws with engine-specific arithmetic — DuckDB has no analog to
+    // replay it; rows-only here, while SimilaritySpec pins exact cluster
+    // recovery, cohesion improvement, and bit-identical results under
+    // repartitioning.
+    Q.noOracle("llm_ivf_train") { (spark, sf) =>
+      val emb = Tables.embeddings(spark, sf).where(col("vec_id") < 2500)
+      val cb = Similarity.trainCodebook(emb, k = 16, iters = 3)
+      // report the codebook as partition-invariant accounting rows
+      Similarity.assign(emb, cb.select(col("cid").as("vec_id"), col("embedding")))
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+        .join(cb.select(col("cid"),
+          round(Similarity.norm(col("embedding")), 4).as("c_norm")), "cid")
+        .orderBy("cid")
+    },
+
     Q.noOracle("llm_ann_lsh") { (spark, sf) =>
       val emb = Tables.embeddings(spark, sf)
       Similarity.lshTopK(emb.where(col("vec_id") < 20), emb, k = 5)

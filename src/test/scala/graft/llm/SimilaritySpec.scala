@@ -100,4 +100,52 @@ class SimilaritySpec extends SparkSpec {
     ivf should not contain 3L
     ivf should contain(1L)
   }
+
+  // 10 well-separated base directions × 10 tightly-noised copies — k-means
+  // with k = 10 must recover the planted partition
+  private def clusteredEmbTrain = {
+    val rnd = new scala.util.Random(13)
+    val bases = Array.fill(10)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    (for { c <- 0 until 10; i <- 0 until 10 } yield
+      (c * 10L + i, bases(c).map(x => x + rnd.nextGaussian().toFloat * 0.03f).toSeq))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("trainCodebook tightens assignment cohesion over the seed codebook") {
+    val embT = clusteredEmbTrain
+    // iters = 0 returns the raw deterministic seed draw — the baseline
+    def cohesion(codebook: org.apache.spark.sql.DataFrame): Double = {
+      val cents = codebook.select(col("cid"), col("embedding").as("cv"))
+      Similarity.assign(embT,
+          codebook.select(col("cid").as("vec_id"), col("embedding")))
+        .join(cents, "cid")
+        .select(avg(Similarity.cosine(col("embedding"), col("cv"))))
+        .head().getDouble(0)
+    }
+    val seeds = Similarity.trainCodebook(embT, k = 10, iters = 0)
+    val trained = Similarity.trainCodebook(embT, k = 10, iters = 4)
+    trained.count() shouldBe 10
+    val (c0, c4) = (cohesion(seeds), cohesion(trained))
+    c4 should be >= c0
+    // farthest-first init seeds every well-separated planted cluster, so
+    // training converges to ~perfect cohesion (members sit at cos ≳ 0.99
+    // from their base direction)
+    c4 should be >= 0.97
+    // and the planted partition is exactly recovered: one cell per cluster
+    val cells = Similarity.assign(embT,
+        trained.select(col("cid").as("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
+    (0 until 10).foreach { c =>
+      (0 until 10).map(i => cells(c * 10L + i)).toSet.size shouldBe 1
+    }
+    cells.values.toSet.size shouldBe 10
+  }
+
+  test("trainCodebook is bit-identical under different partitioning") {
+    val embT = clusteredEmbTrain
+    def train(parts: Int) =
+      Similarity.trainCodebook(embT.repartition(parts), k = 5, iters = 3)
+        .orderBy("cid").collect().map(_.toString).toSeq
+    train(2) shouldBe train(9)
+  }
 }
