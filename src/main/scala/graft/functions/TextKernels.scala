@@ -152,6 +152,59 @@ object MinHashLanes {
     ColumnBridge.column(MinHashLanes(ColumnBridge.expression(shingles), numLanes))
 }
 
+/** Occurrence count of tokens belonging to a fixed marker set, as ONE
+  * narrow kernel — replaces `size(filter(toks, t => array_contains(
+  * array(markers...), t)))`, whose lambda ran per token on the
+  * interpreted HOF path with a linear scan of the marker array. The set
+  * probes as a hash set; null elements don't count (the filter lambda's
+  * null predicate dropped them too). */
+case class CountTokensIn(child: Expression, markers: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](markers.size * 2)
+    markers.foreach(m => s.add(UTF8String.fromString(m)))
+    s
+  }
+
+  override def prettyName: String = "graft_count_tokens_in"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${t.sql}")
+  }
+
+  def count(arr: ArrayData): Long = {
+    var n = 0L
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("countTokensIn", this,
+      classOf[CountTokensIn].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.count($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CountTokensIn {
+  def apply(tokens: Column, markers: Seq[String]): Column =
+    ColumnBridge.column(CountTokensIn(ColumnBridge.expression(tokens), markers))
+}
+
 /** Winnowing-style rolling-gram fingerprint as ONE narrow kernel —
   * replaces a transform-over-sequence HOF that paid an interpreted
   * xxhash64 + substr per character position. */

@@ -22,9 +22,12 @@ object TextStats {
 
   private def toks(textCol: Column): Column = split(textCol, " ")
 
-  /** Count of tokens belonging to a marker set (occurrences, not distinct). */
+  /** Count of tokens belonging to a marker set (occurrences, not
+    * distinct) — the narrow [[graft.functions.CountTokensIn]] kernel
+    * (hash-set probe in codegen; the filter-HOF form it replaces ran the
+    * membership lambda interpreted, per token). */
   def profileHits(textCol: Column, markers: Seq[String]): Column =
-    size(filter(toks(textCol), t => array_contains(array(markers.map(lit): _*), t))).cast("long")
+    graft.functions.CountTokensIn(toks(textCol), markers)
 
   /** Language-ID: per-profile occurrence scores plus the argmax language
     * (ties broken by language code, ascending — deterministic). Every
@@ -66,8 +69,7 @@ object TextStats {
     val counted = docs.select(
       col(idCol),
       size(t).cast("long").as("__nt"),
-      size(filter(t, x => array_contains(array(stopwords.map(lit): _*), x)))
-        .cast("long").as("__ns"),
+      graft.functions.CountTokensIn(t, stopwords).as("__ns"),
       size(array_distinct(t)).cast("long").as("__nd"),
       length(col(textCol)).cast("long").as("__len"))
     val srBp = bp(col("__ns"), col("__nt"))

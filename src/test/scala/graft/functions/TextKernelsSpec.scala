@@ -66,6 +66,20 @@ class TextKernelsSpec extends SparkSpec {
     kernel shouldBe naive
   }
 
+  test("CountTokensIn matches size(filter(toks, array_contains(markers)))") {
+    val markers = Seq("the", "a", "space")
+    val kernel = texts.select(col("doc_id"),
+        CountTokensIn(split(col("text"), " "), markers).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val naive = texts.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(split(col("text"), " "),
+            t => array_contains(array(markers.map(lit): _*), t)))
+          .cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    kernel shouldBe naive
+  }
+
   test("null text yields null shingles and null lanes") {
     val out = Seq((0L, null.asInstanceOf[String])).toDF("doc_id", "text")
       .select(WordShingles(col("text"), 2).as("sh"),
