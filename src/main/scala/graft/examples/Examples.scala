@@ -95,6 +95,25 @@ object Examples {
         |ORDER BY a.vec_id LIMIT 3""".stripMargin).collect()
     println(s"[8] SQL graft_dot sample: ${sql.mkString(", ")}")
 
+    // 9. train an IVF codebook in-library, then probe with it — the full
+    // ANN loop with no offline step (deterministic: same data+seed ⇒ same
+    // codebook under any partitioning)
+    val codebook = graft.llm.Similarity.trainCodebook(emb, k = 8, iters = 3)
+    val ann = graft.llm.Similarity.ivfTopK(
+      emb.where(col("vec_id") < 3), emb,
+      centroids = codebook.select(col("cid").as("vec_id"), col("embedding")),
+      k = 2, nprobe = 2)
+    println(s"[9] trained-codebook IVF hits: ${ann.count()}")
+
+    // 10. the full curation composite with the gated stage materialized
+    // once for its 4 downstream branches
+    val docs = Tables.documents(spark, sf)
+    val curated = graft.llm.Curation.curateFull(docs, lang = "en",
+      minQuality = 0.3, nearDupThreshold = 0.5, maxPerGroup = 100,
+      materializeGated = true)
+    println(s"[10] curateFull survivors: ${curated.count()}")
+    spark.catalog.clearCache()
+
     spark.stop()
   }
 }

@@ -42,6 +42,11 @@ class EmptyInputSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  test("trainCodebook fails fast (not mid-job) on an empty corpus") {
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.trainCodebook(emptyEmb, k = 4, iters = 1)
+  }
+
   test("Pipeline ops on empty dataset") {
     val p = Pipeline.fromSeq(spark, Seq.empty[Int])
     p.map(_ + 1).evalSize shouldBe 0
