@@ -28,12 +28,46 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
 
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two float/double arrays"),
       (args: Seq[Expression]) => {
         require(args.length == 2, s"graft_dot takes 2 arguments, got ${args.length}")
         DotProduct(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64",
+        "graft_simhash64(tokens) - 64-bit SimHash of an array<string> (xxhash64 votes)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_simhash64 takes 1 argument, got ${args.length}")
+        SimHash64(args.head)
+      }),
+    (FunctionIdentifier("graft_word_shingles"),
+      info("graft_word_shingles",
+        "graft_word_shingles(text, k) - word k-shingles of a string (k: int literal)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_word_shingles takes 2 arguments, got ${args.length}")
+        WordShingles(args.head, intLit(args(1), "graft_word_shingles", "k"))
+      }),
+    (FunctionIdentifier("graft_minhash_lanes"),
+      info("graft_minhash_lanes",
+        "graft_minhash_lanes(shingles, h) - h MinHash lane minima of an array<string> (h: int literal)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_minhash_lanes takes 2 arguments, got ${args.length}")
+        MinHashLanes(args.head, intLit(args(1), "graft_minhash_lanes", "h"))
+      }),
+    (FunctionIdentifier("graft_min_gram_hash"),
+      info("graft_min_gram_hash",
+        "graft_min_gram_hash(text, gram) - rolling min gram-hash fingerprint (gram: int literal)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"graft_min_gram_hash takes 2 arguments, got ${args.length}")
+        MinGramHash(args.head, intLit(args(1), "graft_min_gram_hash", "gram"))
       }))
 
   /** Runtime registration on an existing session: the native expressions,

@@ -80,6 +80,25 @@ class TextKernelsSpec extends SparkSpec {
     kernel shouldBe naive
   }
 
+  test("the kernels are callable from SQL text via GraftExtensions") {
+    GraftExtensions.register(spark)
+    texts.createOrReplaceTempView("__tk_docs")
+    val row = spark.sql(
+      """SELECT graft_simhash64(split(text, ' ')) AS h,
+        |  graft_word_shingles(text, 2) AS sh,
+        |  graft_minhash_lanes(graft_word_shingles(text, 2), 4) AS mh,
+        |  graft_min_gram_hash(text, 5) AS fp
+        |FROM __tk_docs WHERE doc_id = 0""".stripMargin).head()
+    row.getLong(0) shouldBe
+      texts.where(col("doc_id") === 0)
+        .select(SimHash64(split(col("text"), " "))).head().getLong(0)
+    row.getSeq[String](1) shouldBe Seq("the quick", "quick brown", "brown fox")
+    row.getSeq[Long](2).length shouldBe 4
+    // int-literal-only params fail at analysis, not mid-job
+    an[Exception] should be thrownBy
+      spark.sql("SELECT graft_word_shingles(text, doc_id) FROM __tk_docs").collect()
+  }
+
   test("null text yields null shingles and null lanes") {
     val out = Seq((0L, null.asInstanceOf[String])).toDF("doc_id", "text")
       .select(WordShingles(col("text"), 2).as("sh"),
