@@ -13,7 +13,8 @@ class DeterminismSpec extends SparkSpec {
   private val sensitive = Seq(
     "agg_collect_list", "agg_string_agg", "agg_first_deterministic",
     "op_zip_with_index", "op_slice", "win_running_sum",
-    "llm_dedup_near", "llm_sample_cap", "op_join_asof")
+    "llm_dedup_near", "llm_sample_cap", "op_join_asof",
+    "llm_ivf_train") // fixed-point centroid sums: training must not drift
 
   private def run(name: String, partitions: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
