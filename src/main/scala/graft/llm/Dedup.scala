@@ -219,6 +219,39 @@ object Dedup {
           .cast("double") / 10000.0).as("jaccard"))
   }
 
+  /** Benchmark-contamination check — the decontamination pass a training
+    * corpus runs against its eval sets: for each document, the fraction
+    * of its DISTINCT word k-shingles that appear in ANY benchmark
+    * document. Returns (id, matched, total, contamination) with the
+    * ratio 4dp round-half-up in integer arithmetic (cross-engine exact,
+    * SURVEY §2.9-bis rule 2).
+    *
+    * Scale design: the benchmark side is small by contract (eval sets,
+    * not corpora) — its distinct shingle set builds once and BROADCASTS
+    * to a semi join against the exploded document shingles; the document
+    * side stays a narrow kernel projection + explode with no shuffle at
+    * all (the per-doc matched counts aggregate on the already-id-keyed
+    * stream). Totals come from a second narrow projection, no explode. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.WordShingles
+    val docSh = docs.select(col(idCol),
+      explode(array_distinct(WordShingles(col(textCol), k))).as("shingle"))
+    val benchSh = benchmark
+      .select(explode(array_distinct(WordShingles(col(textCol), k))).as("shingle"))
+      .distinct()
+    val matched = docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("matched"))
+    val totals = docs.select(col(idCol),
+      size(array_distinct(WordShingles(col(textCol), k))).cast("long").as("total"))
+    totals.join(matched, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("matched"), lit(0L)).as("matched"), col("total"))
+      .select(col(idCol), col("matched"), col("total"),
+        (graft.functions.VectorFunctions.intDiv(
+          col("matched") * 20000 + col("total"), col("total") * 2)
+          .cast("double") / 10000.0).as("contamination"))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold, LSH-bucketed.
     *
     * Candidate generation is banded sign-random-projection LSH — the

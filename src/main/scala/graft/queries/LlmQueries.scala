@@ -68,6 +68,38 @@ object LlmQueries {
       Dedup.ngramJaccard(docs, pairs, k = 2).orderBy("a", "b")
     },
 
+    // Decontamination: per-document fraction of distinct 2-shingles that
+    // appear in a pseudo eval set (every 50th doc of the same prefix) —
+    // fully DuckDB-expressible (list ops + the integer round-half-up
+    // discipline), so the contamination kernel is oracle-gated.
+    Q("llm_contamination",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE doc_id < $docCap),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |      range(1, greatest(len(t) - 1, 1) + 1),
+         |      i -> array_to_string(t[i:i+1], ' '))) AS s
+         |  FROM toks),
+         |dsh AS (SELECT doc_id, s FROM sh WHERE doc_id < 500),
+         |du AS (SELECT doc_id, unnest(s) AS shingle FROM dsh),
+         |bsh AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 50 = 0),
+         |m AS (
+         |  SELECT doc_id, count(*) AS matched FROM du
+         |  WHERE shingle IN (SELECT shingle FROM bsh) GROUP BY doc_id),
+         |t AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS total FROM dsh)
+         |SELECT t.doc_id, COALESCE(m.matched, 0) AS matched, t.total,
+         |  ((20000 * COALESCE(m.matched, 0) + t.total) // (2 * t.total)) / 10000.0
+         |    AS contamination
+         |FROM t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id""".stripMargin) {
+      (spark, sf) =>
+        val prefix = Tables.documents(spark, sf).where(col("doc_id") < docCap)
+        Dedup.contamination(
+            prefix.where(col("doc_id") < 500),
+            prefix.where(col("doc_id") % 50 === 0), k = 2)
+          .orderBy("doc_id")
+    },
+
     Q.noOracle("llm_dedup_embed") { (spark, sf) =>
       // fixture embeddings are near-orthogonal random vectors (max pairwise
       // cos ≈ 0.44) — 0.3 keeps the result non-empty yet selective; the

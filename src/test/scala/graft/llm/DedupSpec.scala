@@ -102,6 +102,20 @@ class DedupSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("contamination scores the shingle overlap with a benchmark set") {
+    // benchmark = doc 0's text; doc 1 identical (full contamination),
+    // doc 2 near-dup (8 of 9 shingles shared), doc 3 disjoint
+    val bench = docs.where(col("doc_id") === 0)
+    val out = Dedup.contamination(docs, bench, k = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "matched", "total", "contamination")
+      .as[(Long, Long, Long, Double)].collect()
+    out(0) shouldBe ((0L, 9L, 9L, 1.0))
+    out(1) shouldBe ((1L, 9L, 9L, 1.0))
+    out(2) shouldBe ((2L, 8L, 9L, 0.8889))
+    out(3) shouldBe ((3L, 0L, 8L, 0.0)) // 9 words → 8 shingles, none shared
+  }
+
   test("autoBits follows clamp(ceil(log2(n)), 4, 24)") {
     Dedup.autoBits(0L) shouldBe 4        // degenerate corpora clamp low
     Dedup.autoBits(16L) shouldBe 4
