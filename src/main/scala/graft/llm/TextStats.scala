@@ -95,6 +95,26 @@ object TextStats {
         .cast("long").as("re_tokens"),
       length(col(textCol)).cast("long").as("n_chars"))
 
+  /** Default PII patterns for [[redact]] — written in the regex subset
+    * Java and RE2 interpret identically (char classes, bounded repeats,
+    * \b, \d), so the oracle can replay them in DuckDB byte-for-byte. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<ID>")
+
+  /** PII scrubbing: apply the (pattern → replacement) list in order via
+    * `regexp_replace` — a pure narrow codegen'd projection, the transform
+    * every pretraining corpus runs before anything else. Patterns apply
+    * sequentially, so earlier replacements can shadow later matches
+    * (email first: its local part may contain digit runs). */
+  def redact(docs: DataFrame, patterns: Seq[(String, String)] = piiPatterns,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      patterns.foldLeft(col(textCol)) { case (c, (p, r)) =>
+        regexp_replace(c, p, r)
+      }.as("redacted"))
+
   /** Document fingerprint: min over 5-char-gram xxhash64 rolling hashes —
     * a winnowing-style content signature, stable under trailing edits.
     * One narrow kernel pass per doc ([[graft.functions.MinGramHash]] —

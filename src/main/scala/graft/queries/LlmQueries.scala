@@ -245,6 +245,29 @@ object LlmQueries {
       TextStats.fingerprint(Tables.documents(spark, sf)).orderBy("doc_id")
     },
 
+    // PII redaction, oracle-gated for real: deterministic synthetic PII
+    // (an email, an IP, an SSN-shaped id derived from doc_id) is planted
+    // in-query on BOTH sides, so the regex patterns — written in the
+    // Java∩RE2 dialect — are exercised, not vacuously matched on clean
+    // fixture text.
+    Q("llm_redact",
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact u' || doc_id || '@ex.org from 10.0.' ||
+        |      (doc_id % 256) || '.7 id 123-45-6789',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS redacted
+        |FROM documents WHERE doc_id < 500 ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        val planted = Tables.documents(spark, sf).where(col("doc_id") < 500)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact u"), col("doc_id"),
+              lit("@ex.org from 10.0."), pmod(col("doc_id"), lit(256)),
+              lit(".7 id 123-45-6789")).as("text"))
+        TextStats.redact(planted).orderBy("doc_id")
+    },
+
     // Stratified cap (corpus balancing): ≤ 50 docs per lang by doc_id —
     // bounded-heap per-group selection, oracled by a row_number window.
     Q("llm_sample_cap",

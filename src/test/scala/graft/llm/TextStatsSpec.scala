@@ -54,4 +54,19 @@ class TextStatsSpec extends SparkSpec {
     // assert determinism and non-null
     fp.values.foreach(v => v should not be 0L)
   }
+
+  test("redact scrubs planted emails, IPs and SSN-shaped ids, leaves the rest") {
+    val docs = Seq(
+      (0L, "mail me at j.doe+x@corp.example.com today"),
+      (1L, "server 192.168.0.1 answered"),
+      (2L, "ssn 123-45-6789 on file; order 12-345 untouched"),
+      (3L, "nothing sensitive here 1.2 about 3.4"))
+      .toDF("doc_id", "text")
+    val r = TextStats.redact(docs)
+      .orderBy("doc_id").as[(Long, String)].collect().map(_._2)
+    r(0) shouldBe "mail me at <EMAIL> today"
+    r(1) shouldBe "server <IP> answered"
+    r(2) shouldBe "ssn <ID> on file; order 12-345 untouched"
+    r(3) shouldBe "nothing sensitive here 1.2 about 3.4"
+  }
 }
