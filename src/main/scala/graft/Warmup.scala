@@ -29,6 +29,12 @@ object Warmup {
       graft.llm.Similarity.ivfTopK(emb, emb, centroids = emb, k = 2).count()
       graft.llm.TextStats.quality(docs).count()
       graft.llm.TextStats.fingerprint(docs).count()
+      graft.llm.TextStats.redact(docs).count()
+      graft.llm.Dedup.contamination(docs, docs.where(col("doc_id") === 0)).count()
+      // the composite generates its own agg/join classes beyond the
+      // constituents' — compile those once too
+      graft.llm.Curation.curateFull(docs, lang = "en", minQuality = 0.0,
+        nearDupThreshold = 0.9, maxPerGroup = 4).count()
     } catch { case _: Throwable => () } // warmup must never fail the bench
   }
 }
