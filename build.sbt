@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout normally passes through sbt's logger, which prefixes
+// every line with "[info] " — that breaks the driver's strict JSON parse
+// of Bench's final line (BENCH "parsed" was null for rounds 1-3).
+// StdoutOutput sends the forked process's output straight to stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and with the logger bypassed, the only line after Bench's compact
+// JSON would be sbt's own "[success] Total time" epilogue — suppress it
+// so `... | tail -1` IS the JSON line.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -12,7 +12,9 @@ import org.apache.spark.sql.SparkSession
   * line LAST (the driver keeps the TAIL of stdout, so the line it must
   * parse is the short final one the long map can't crowd out). A failed
   * query is recorded as -1 in the map and named in `errors`, never
-  * silently timed as a success.
+  * silently timed as a success. Each query is executed twice and the min
+  * recorded, so one machine-contention spike can't write an outlier into
+  * the round's official record.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -42,11 +44,22 @@ object Bench {
     // making per-query numbers incomparable across rounds (this is what
     // round 2's "unexplained" llm_dedup_ngram 4× turned out to be)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // min-of-2 per query: Bench ran each query exactly once through round 3,
+    // so a single machine-contention spike during the capture window landed
+    // straight in the official record (BENCH_r03: llm_curate_full 21.85 s
+    // recorded vs 4.5 s reproducible — a 5x outlier that moved the total
+    // from ~36 s to ~60 s). Two executions and the min applies CLAUDE.md's
+    // own "bench is noisy +-25%, rerun before trusting" rule to the harness
+    // itself; min (not mean) because contention only ever adds time.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => errors += name; false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t = try math.min(timeOnce(fn), timeOnce(fn))
+              catch { case _: Throwable => errors += name; -1.0 }
+      name -> t
     }.toMap
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
