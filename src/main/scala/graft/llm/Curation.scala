@@ -58,15 +58,20 @@ object Curation {
     * The gated frame feeds several downstream branches (minhash lanes,
     * verify sets, the anti-join, the cap); Catalyst re-derives it per
     * branch — dedup shuffle, quality projection and gate run once PER
-    * BRANCH. `materializeGated = true` persists that stage boundary
-    * (MEMORY_AND_DISK, spill-safe) so it is computed once; results are
-    * identical. Opt-in because caching pins executor storage the caller
-    * may want for something else at cluster scale — a bucketed table
-    * write (docs/DEPLOY.md) is the durable alternative. The cache is
-    * unpersisted when the returned frame's first action completes only
-    * if the caller does so; idiomatic use:
-    * `curateFull(..., materializeGated = true)` for multi-action
-    * sessions, then `spark.catalog.clearCache()` when done.
+    * BRANCH. `materializeGated = true` cuts that stage boundary with a
+    * lazy `localCheckpoint` (MEMORY_AND_DISK blocks, spill-safe): the
+    * stage computes once on the first action, downstream branches read
+    * the stored blocks, and — unlike `persist`, which pins an
+    * InMemoryRelation in the session's CacheManager until someone calls
+    * `clearCache()` — the blocks are released by the ContextCleaner as
+    * soon as the returned frame is garbage-collected, so a multi-query
+    * session (Bench runs ~40 queries after this one) doesn't carry the
+    * stage around forever. Results are identical either way. The
+    * tradeoff is fault-tolerance, not correctness: checkpoint blocks
+    * have no lineage, so losing an executor mid-query fails the query
+    * instead of recomputing — acceptable for a single curation pass;
+    * a bucketed table write (docs/DEPLOY.md) is the durable alternative
+    * for corpus-scale runs that must survive preemption.
     */
   def curateFull(docs: DataFrame, lang: String, minQuality: Double,
                  nearDupThreshold: Double = 0.7, maxPerGroup: Int = 1000,
@@ -79,15 +84,15 @@ object Curation {
         .select(col(idCol), col("quality"), col("n_tokens")), idCol)
     val gatedPlan = scored.where(col("lang") === lang && col("quality") >= minQuality)
     val gated =
-      if (materializeGated)
-        gatedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (materializeGated) gatedPlan.localCheckpoint(eager = false)
       else gatedPlan
     // near-dup prune on the gated survivors: drop the HIGHER id of every
-    // near-dup pair
+    // near-dup pair. No distinct on the loser ids — the left_anti probe
+    // side dedups inherently, and the distinct was a whole extra shuffle.
     val nearDupLosers = Dedup.minHashNearDups(gated, k = 2, bands = 8,
         rowsPerBand = 2, threshold = nearDupThreshold,
         idCol = idCol, textCol = textCol)
-      .select(col("b").as(idCol)).distinct()
+      .select(col("b").as(idCol))
     val pruned = gated.join(nearDupLosers, Seq(idCol), "left_anti")
     Sampling.capPerGroup(pruned,
         keys = Seq(col("lang"), col("source")), n = maxPerGroup,

@@ -136,9 +136,11 @@ object Dedup {
       maxBucket = maxBucket)
     // Verify with exact Jaccard over distinct shingle sets — narrow
     // array_distinct per doc, semi-join-pruned to docs that appear in a
-    // candidate pair (a tiny fraction of the corpus).
+    // candidate pair (a tiny fraction of the corpus). No distinct on the
+    // probe side: left_semi dedups inherently, and the distinct was an
+    // extra shuffle.
     val candIds = candidates.select(col("a").as(idCol))
-      .union(candidates.select(col("b").as(idCol))).distinct()
+      .union(candidates.select(col("b").as(idCol)))
     val sets = docs
       .select(col(idCol), array_distinct(WordShingles(col(textCol), k)).as("set"))
       .join(candIds, Seq(idCol), "left_semi")
@@ -195,8 +197,9 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 2,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // prune shingle-set materialization to docs referenced by the pairs
+    // (no distinct — the left_semi probe side dedups inherently)
     val pairIds = pairs.select(col("a").as(idCol))
-      .union(pairs.select(col("b").as(idCol))).distinct()
+      .union(pairs.select(col("b").as(idCol)))
     // narrow per-doc shingle sets (array_distinct over the kernel array) —
     // no explode, no collect_set shuffle; null-text docs drop like the
     // exploded formulation dropped them

@@ -333,8 +333,9 @@ object LlmQueries {
       // bounded-subset policy (see object doc): the composite contains a
       // pairwise stage, so it runs on the fixed docCap prefix.
       // materializeGated: the gated frame feeds 4 downstream branches
-      // (minhash lanes, verify sets, anti-join probe, cap) — persist it so
-      // dedup + quality + gate run once, not once per branch.
+      // (minhash lanes, verify sets, anti-join probe, cap) — checkpoint it
+      // so dedup + quality + gate run once, not once per branch; the
+      // blocks self-release on GC (no session-long cache pin).
       Curation.curateFull(
           Tables.documents(spark, sf).where(col("doc_id") < docCap),
           lang = "en", minQuality = 0.3, nearDupThreshold = 0.5, maxPerGroup = 50,

@@ -39,21 +39,20 @@ class CurationSpec extends SparkSpec {
     out shouldBe Set(0L, 5L, 6L, 7L)
   }
 
-  test("materializeGated caches the stage boundary once, results unchanged") {
+  test("materializeGated checkpoints the stage boundary once, results unchanged") {
     val plain = Curation.curateFull(docs, lang = "en", minQuality = 0.3,
       nearDupThreshold = 0.5, maxPerGroup = 2)
-    // force the plain plan BEFORE the persist exists: cache substitution is
-    // session-wide, so a later analysis of the same subtree would pick up
-    // the InMemoryRelation and void the comparison
-    plain.queryExecution.optimizedPlan.toString should not include "InMemoryRelation"
+    // the plain plan re-derives the gated stage per branch — no stage cut
+    plain.queryExecution.optimizedPlan.toString should not include "LogicalRDD"
     val plainIds = plain.select("doc_id").as[Long].collect().toSet
     val mat = Curation.curateFull(docs, lang = "en", minQuality = 0.3,
       nearDupThreshold = 0.5, maxPerGroup = 2, materializeGated = true)
-    try {
-      // the gated frame is derived once: every downstream branch reads the
-      // InMemoryRelation instead of re-running dedup + quality + gate
-      mat.queryExecution.optimizedPlan.toString should include("InMemoryRelation")
-      mat.select("doc_id").as[Long].collect().toSet shouldBe plainIds
-    } finally spark.catalog.clearCache()
+    // the gated frame is derived once: every downstream branch reads the
+    // checkpointed LogicalRDD instead of re-running dedup + quality + gate.
+    // Unlike the round-3 persist() this pins nothing in the CacheManager —
+    // blocks are GC-released — so there is no clearCache() to forget.
+    mat.queryExecution.optimizedPlan.toString should include("LogicalRDD")
+    spark.sharedState.cacheManager.isEmpty shouldBe true
+    mat.select("doc_id").as[Long].collect().toSet shouldBe plainIds
   }
 }
