@@ -249,12 +249,19 @@ object LlmQueries {
     // (an email, an IP, an SSN-shaped id derived from doc_id) is planted
     // in-query on BOTH sides, so the regex patterns — written in the
     // Java∩RE2 dialect — are exercised, not vacuously matched on clean
-    // fixture text.
+    // fixture text. Adversarial placements (r3 verdict item 5): an
+    // SSN-shaped id at string START (\b at position 0), an IP at string
+    // END (\b at end-of-input), and an email whose local part is
+    // IP-shaped (10.2.3.4@ex.org) — email runs first and consumes it,
+    // pinning the sequential-replacement order cross-engine (IP-first
+    // would yield '<IP>@ex.org').
     Q("llm_redact",
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(
-        |    text || ' contact u' || doc_id || '@ex.org from 10.0.' ||
-        |      (doc_id % 256) || '.7 id 123-45-6789',
+        |    '123-45-6789 ' || text || ' contact u' || doc_id ||
+        |      '@ex.org from 10.0.' || (doc_id % 256) ||
+        |      '.7 id 123-45-6789 also 10.2.3.4@ex.org end 10.' ||
+        |      (doc_id % 256) || '.0.1',
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS redacted
@@ -262,9 +269,11 @@ object LlmQueries {
       (spark, sf) =>
         val planted = Tables.documents(spark, sf).where(col("doc_id") < 500)
           .select(col("doc_id"),
-            concat(col("text"), lit(" contact u"), col("doc_id"),
+            concat(lit("123-45-6789 "), col("text"),
+              lit(" contact u"), col("doc_id"),
               lit("@ex.org from 10.0."), pmod(col("doc_id"), lit(256)),
-              lit(".7 id 123-45-6789")).as("text"))
+              lit(".7 id 123-45-6789 also 10.2.3.4@ex.org end 10."),
+              pmod(col("doc_id"), lit(256)), lit(".0.1")).as("text"))
         TextStats.redact(planted).orderBy("doc_id")
     },
 

@@ -100,4 +100,17 @@ class AsOfSpec extends SparkSpec {
     }
     e.getMessage should include("collide")
   }
+
+  test("reserved working columns on either input are rejected, not overwritten") {
+    for (c <- Seq("__asof", "__tag")) {
+      val el = intercept[IllegalArgumentException] {
+        AsOf.joinAsOf(trades.withColumn(c, lit(1)), quotes, "t", Seq("k"), Seq("qid"))
+      }
+      el.getMessage should include("reserved")
+      val er = intercept[IllegalArgumentException] {
+        AsOf.joinAsOf(trades, quotes.withColumn(c, lit(1)), "t", Seq("k"), Seq("qid"))
+      }
+      er.getMessage should include("reserved")
+    }
+  }
 }
