@@ -114,6 +114,21 @@ object ScaleProbe {
         graft.llm.Curation.curateFull(corpus, lang = "en", minQuality = 0.0,
           nearDupThreshold = 0.5, maxPerGroup = 1 << 17).count()
       }),
+      // benchmark decontamination: the eval side is FIXED-size by contract
+      // (it broadcasts), so only the document side scales — the ratio
+      // should track the narrow document scan, not a join blow-up
+      ("contamination", () => graft.llm.Dedup.contamination(
+        synthDocs(n), synthDocs(200), k = 3).count()),
+      // iterative IVF codebook training + assignment: per-iter shuffle
+      // carries k×dims partial sums per partition, assignment is a narrow
+      // kernel pass — the ratio should track the corpus scan
+      ("ivf_train", () => {
+        val emb = synthEmb(n)
+        val cb = graft.llm.Similarity.trainCodebook(emb, k = 16, iters = 3)
+        graft.llm.Similarity.assign(emb,
+            cb.select(col("cid").as("vec_id"), col("embedding")))
+          .groupBy("cid").agg(count(lit(1))).count()
+      }),
       // gap-based sessionization (the batch form of stream_session): n*20
       // events over 1000 users, ~5k-second spread per user
       ("session_window", () => {

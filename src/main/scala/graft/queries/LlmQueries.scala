@@ -241,6 +241,10 @@ object LlmQueries {
         TextStats.tokenCounts(Tables.documents(spark, sf)).orderBy("doc_id")
     },
 
+    // xxhash64 has no DuckDB analog → rows-only here; the DuckDB-free
+    // differential self-oracle lives in TextStatsSpec: the kernel is
+    // checked against an independent HOF formulation on a 500-doc corpus
+    // plus the winnowing laws (append-monotonicity, partition-invariance).
     Q.noOracle("llm_fingerprint") { (spark, sf) =>
       TextStats.fingerprint(Tables.documents(spark, sf)).orderBy("doc_id")
     },

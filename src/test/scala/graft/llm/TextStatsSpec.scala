@@ -45,6 +45,39 @@ class TextStatsSpec extends SparkSpec {
     r.getLong(3) shouldBe 9   // chars
   }
 
+  test("fingerprint differential self-oracle: independent formulation + winnowing laws") {
+    // xxhash64 has no DuckDB analog, so llm_fingerprint can never be
+    // oracle-gated — this is the DuckDB-free substitute: a synthetic
+    // corpus with the sf tables' statistical profile, checked against an
+    // INDEPENDENT Spark formulation (built-in HOF over substr positions —
+    // a different execution path from the MinGramHash codegen kernel),
+    // plus the winnowing laws the operator's contract promises.
+    val gram = 5
+    val corpus = spark.range(500).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(1), lit(30)),
+        i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(300)))), " ").as("text"))
+    val kernel = TextStats.fingerprint(corpus, gram)
+      .as[(Long, Long)].collect().toMap
+    val hof = corpus.select(col("doc_id"),
+        array_min(transform(
+          sequence(lit(1), greatest(
+            org.apache.spark.sql.functions.length(col("text")) - (gram - 1), lit(1))),
+          i => xxhash64(col("text").substr(i, lit(gram))))).as("fingerprint"))
+      .as[(Long, Long)].collect().toMap
+    kernel shouldBe hof
+    // law 1: appending a suffix only ADDS grams, so the min fingerprint
+    // is monotone non-increasing under any append
+    val appended = TextStats.fingerprint(
+        corpus.select(col("doc_id"), concat(col("text"), lit(" trailing edit")).as("text")),
+        gram)
+      .as[(Long, Long)].collect().toMap
+    kernel.foreach { case (id, fp) => assert(appended(id) <= fp) }
+    // law 2: partition-invariance — same values under a different layout
+    val repart = TextStats.fingerprint(corpus.repartition(7), gram)
+      .as[(Long, Long)].collect().toMap
+    repart shouldBe kernel
+  }
+
   test("fingerprint is deterministic and shifts under content change") {
     val docs = Seq((0L, "abcdefghij"), (1L, "abcdefghij"), (2L, "abcdefghiX"))
       .toDF("doc_id", "text")
