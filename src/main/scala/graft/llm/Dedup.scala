@@ -155,6 +155,45 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Paragraph-level exact dedup — the C4-style boilerplate-removal pass:
+    * split each document on `sep`, keep only the FIRST global occurrence
+    * of every distinct paragraph (min (doc_id, paragraph-index) — the
+    * deterministic "first" discipline, SURVEY §2.9-bis), and reassemble
+    * each document from its surviving paragraphs in original order.
+    * Returns (id, text, n_kept) for EVERY input document — a document
+    * whose every paragraph first appeared elsewhere survives with empty
+    * text and n_kept = 0.
+    *
+    * Scale design: the winner election groups by `sha2(paragraph, 256)` —
+    * a 32-byte shuffle key regardless of paragraph size — carrying a
+    * 16-byte min-struct; paragraphs themselves move only on the semi join
+    * probe and the per-document reassembly groupBy (keyed by the id the
+    * rows already carry). The reassembly uses a sorted collect_list over
+    * (idx, para) structs — deterministic because idx is unique per doc.
+    * `sep` is a Java regex for the split and a literal for the re-join
+    * (identical for the plain separators this is meant for). */
+  def paragraphDedup(docs: DataFrame, sep: String = "\n\n",
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("idx0", "para")))
+      .select(col(idCol), (col("idx0") + 1).as("idx"), col("para"))
+    val winners = paras
+      .groupBy(sha2(col("para"), 256).as("__ph"))
+      .agg(min(struct(col(idCol), col("idx"))).as("__w"))
+      .select(col(s"__w.$idCol"), col("__w.idx"))
+    val surv = paras.join(winners, Seq(idCol, "idx"), "left_semi")
+    val rebuilt = surv.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("idx"), col("para")))),
+          s => s.getField("para")), sep).as(textCol),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** 64-bit SimHash per document: per-token xxhash64, bitwise majority
     * vote, as ONE narrow codegen'd projection
     * ([[graft.functions.SimHash64]]). SimHash is a pure per-document

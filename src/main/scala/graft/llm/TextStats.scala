@@ -115,6 +115,26 @@ object TextStats {
         regexp_replace(c, p, r)
       }.as("redacted"))
 
+  /** Intra-document repetition score — the Gopher-style quality signal:
+    * the fraction of a document's word n-grams that are repeats of an
+    * earlier n-gram in the same document, `(total − distinct) / total`,
+    * 4dp round-half-up in integer arithmetic (cross-engine exact, SURVEY
+    * §2.9-bis rule 2). One narrow [[graft.functions.WordShingles]] kernel
+    * pass + array_distinct per document — no explode, no shuffle; at
+    * 100 TB this is a pure codegen'd projection over the scan. */
+  def repetition(docs: DataFrame, n: Int = 2,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val g = docs.select(col(idCol),
+      graft.functions.WordShingles(col(textCol), n).as("__g"))
+    g.select(col(idCol),
+        size(col("__g")).cast("long").as("n_grams"),
+        size(array_distinct(col("__g"))).cast("long").as("n_distinct"))
+      .select(col(idCol), col("n_grams"), col("n_distinct"),
+        (graft.functions.VectorFunctions.intDiv(
+          (col("n_grams") - col("n_distinct")) * 20000 + col("n_grams"),
+          col("n_grams") * 2).cast("double") / 10000.0).as("rep_ratio"))
+  }
+
   /** Document fingerprint: min over 5-char-gram xxhash64 rolling hashes —
     * a winnowing-style content signature, stable under trailing edits.
     * One narrow kernel pass per doc ([[graft.functions.MinGramHash]] —

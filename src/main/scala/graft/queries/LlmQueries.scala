@@ -68,6 +68,68 @@ object LlmQueries {
       Dedup.ngramJaccard(docs, pairs, k = 2).orderBy("a", "b")
     },
 
+    // Paragraph-level dedup (C4-style boilerplate removal), oracle-gated
+    // for real: the fixture corpus is single-line, so paragraph structure
+    // is planted in-query on BOTH sides (the llm_redact discipline) — two
+    // per-doc slices plus two boilerplate paragraphs shared by EVERY doc.
+    // The boilerplate survives only in doc 0 (first global occurrence);
+    // each doc keeps its unique slices; kept counts and reassembled text
+    // hash-match DuckDB exactly.
+    Q("llm_dedup_paragraph",
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 80) || chr(10)||chr(10) ||
+        |    'subscribe to our newsletter today' || chr(10)||chr(10) ||
+        |    substr(text, 41, 80) || chr(10)||chr(10) ||
+        |    'all rights reserved' AS text
+        |  FROM documents WHERE doc_id < 500),
+        |parts AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM planted),
+        |paras AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ps))) AS idx, unnest(ps) AS para
+        |  FROM parts),
+        |winners AS (
+        |  SELECT doc_id, idx FROM (
+        |    SELECT doc_id, idx,
+        |      row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+        |    FROM paras) WHERE rn = 1),
+        |surv AS (
+        |  SELECT p.doc_id, p.idx, p.para FROM paras p JOIN winners w USING (doc_id, idx)),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text,
+        |         count(*) AS n_kept
+        |  FROM surv GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text,
+        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM planted d LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        val planted = Tables.documents(spark, sf).where(col("doc_id") < 500)
+          .select(col("doc_id"), concat_ws("\n\n",
+            substring(col("text"), 1, 80),
+            lit("subscribe to our newsletter today"),
+            substring(col("text"), 41, 80),
+            lit("all rights reserved")).as("text"))
+        Dedup.paragraphDedup(planted).orderBy("doc_id")
+    },
+
+    // Intra-document repetition (Gopher-style quality signal): duplicate
+    // word-bigram fraction per doc — narrow kernel + array_distinct, the
+    // integer round-half-up ratio discipline, full-table (no pair stage).
+    Q("llm_repetition",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |      i -> array_to_string(t[i:i+1], ' ')) AS grams
+        |  FROM toks)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  (((len(grams) - len(list_distinct(grams))) * 20000 + len(grams))
+        |    // (2 * len(grams))) / 10000.0 AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        TextStats.repetition(Tables.documents(spark, sf)).orderBy("doc_id")
+    },
+
     // Decontamination: per-document fraction of distinct 2-shingles that
     // appear in a pseudo eval set (every 50th doc of the same prefix) —
     // fully DuckDB-expressible (list ops + the integer round-half-up

@@ -149,4 +149,22 @@ class DedupSpec extends SparkSpec {
     out.queryExecution.observedMetrics("graft_bucket_cap_band_sig")
       .getLong(0) shouldBe 0L
   }
+
+  test("paragraphDedup keeps first global occurrence, reassembles in order") {
+    val pdocs = Seq(
+      (0L, "alpha one\n\nshared boilerplate\n\nalpha two"),
+      (1L, "beta one\n\nshared boilerplate\n\nbeta two"),
+      (2L, "shared boilerplate"), // every paragraph first seen elsewhere
+      (3L, "gamma\n\ngamma"))     // intra-doc repeat: keep first copy only
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(pdocs).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    out(0) shouldBe ((0L, "alpha one\n\nshared boilerplate\n\nalpha two", 3L))
+    out(1) shouldBe ((1L, "beta one\n\nbeta two", 2L))
+    out(2) shouldBe ((2L, "", 0L)) // survives as a row, empty text
+    out(3) shouldBe ((3L, "gamma", 1L))
+    // partition-invariance: winners are min (doc_id, idx) under any layout
+    Dedup.paragraphDedup(pdocs.repartition(5)).orderBy("doc_id")
+      .as[(Long, String, Long)].collect() shouldBe out
+  }
 }

@@ -45,6 +45,19 @@ class TextStatsSpec extends SparkSpec {
     r.getLong(3) shouldBe 9   // chars
   }
 
+  test("repetition scores duplicate-bigram fraction with round-half-up ratio") {
+    val docs = Seq(
+      (0L, "a b a b a"),   // bigrams: ab,ba,ab,ba → 4 total, 2 distinct → 0.5
+      (1L, "x y z"),       // xy,yz → no repeats → 0.0
+      (2L, "w"))           // short text → 1 degenerate shingle, 0 repeats
+      .toDF("doc_id", "text")
+    val out = TextStats.repetition(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    out(0) shouldBe ((0L, 4L, 2L, 0.5))
+    out(1) shouldBe ((1L, 2L, 2L, 0.0))
+    out(2) shouldBe ((2L, 1L, 1L, 0.0))
+  }
+
   test("fingerprint differential self-oracle: independent formulation + winnowing laws") {
     // xxhash64 has no DuckDB analog, so llm_fingerprint can never be
     // oracle-gated — this is the DuckDB-free substitute: a synthetic
