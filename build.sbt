@@ -20,6 +20,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // JSON would be sbt's own "[success] Total time" epilogue — suppress it
 // so `... | tail -1` IS the JSON line.
 ThisBuild / showSuccess := false
+// showSuccess is read by sbt's command layer, not by another setting —
+// exclude it from the unused-key lint so every batch run isn't noisy
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -106,13 +106,23 @@ object Examples {
     println(s"[9] trained-codebook IVF hits: ${ann.count()}")
 
     // 10. the full curation composite with the gated stage materialized
-    // once for its 4 downstream branches
+    // once for its 4 downstream branches (checkpoint blocks GC-release —
+    // no clearCache() needed)
     val docs = Tables.documents(spark, sf)
     val curated = graft.llm.Curation.curateFull(docs, lang = "en",
       minQuality = 0.3, nearDupThreshold = 0.5, maxPerGroup = 100,
       materializeGated = true)
     println(s"[10] curateFull survivors: ${curated.count()}")
-    spark.catalog.clearCache()
+
+    // 11. paragraph-level boilerplate removal + repetition scoring — the
+    // C4/Gopher-style text-quality passes
+    val withBoiler = docs.select(col("doc_id"), concat_ws("\n\n",
+      col("text"), lit("subscribe to our newsletter")).as("text"))
+    val cleaned = Dedup.paragraphDedup(withBoiler)
+    val boilerFree = cleaned.where(!col("text").contains("newsletter")).count()
+    val repetitive = graft.llm.TextStats.repetition(docs)
+      .where(col("rep_ratio") > 0.2).count()
+    println(s"[11] boilerplate stripped from $boilerFree docs; $repetitive repetitive docs")
 
     spark.stop()
   }
