@@ -115,6 +115,49 @@ object TextStats {
         regexp_replace(c, p, r)
       }.as("redacted"))
 
+  /** Deterministic text normalization — the C4-style cleanup pass that
+    * runs before any hashing or dedup: lowercase, collapse whitespace
+    * runs to a single space, trim. The regexes stay in the Java∩RE2
+    * dialect (`\s+`), so DuckDB replays them byte-for-byte. One narrow
+    * codegen'd projection; `chars_removed` makes the cleanup observable
+    * for pipeline accounting. */
+  def normalize(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), col(textCol),
+        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("norm_text"))
+      .select(col(idCol), col("norm_text"),
+        (length(col(textCol)) - length(col("norm_text"))).cast("long").as("chars_removed"))
+
+  /** Gopher-style quality gate with per-rule accounting: evaluate each
+    * drop rule as its own boolean flag — wrong language, token count out
+    * of [minTokens, maxTokens], duplicate-n-gram fraction above
+    * `maxRepetition` — plus the conjunctive `keep`. Every non-text input
+    * column is carried through, so the caller can aggregate drop counts
+    * by any dimension (the "why was data dropped" report a corpus
+    * curation run publishes). All flags are narrow kernel projections
+    * over the scan — no shuffle until the caller's accounting groupBy;
+    * the repetition ratio reuses [[repetition]]'s integer round-half-up
+    * basis points so the gate is cross-engine exact. */
+  def qualityGate(docs: DataFrame, targetLang: String,
+                  minTokens: Long, maxTokens: Long, maxRepetition: Double,
+                  n: Int = 2, textCol: String = "text",
+                  langCol: String = "lang"): DataFrame = {
+    val t = toks(col(textCol))
+    val g = graft.functions.WordShingles(col(textCol), n)
+    val total = size(g).cast("long")
+    val repBp = graft.functions.VectorFunctions.intDiv(
+      (total - size(array_distinct(g)).cast("long")) * 20000 + total, total * 2)
+    val keep = docs.columns.filterNot(_ == textCol).map(col).toSeq
+    docs
+      .select(keep ++ Seq(
+        (col(langCol) =!= targetLang).as("fail_lang"),
+        (size(t) < minTokens || size(t) > maxTokens).as("fail_len"),
+        (repBp > math.round(maxRepetition * 10000)).as("fail_rep")): _*)
+      .withColumn("keep",
+        !col("fail_lang") && !col("fail_len") && !col("fail_rep"))
+  }
+
   /** Intra-document repetition score — the Gopher-style quality signal:
     * the fraction of a document's word n-grams that are repeats of an
     * earlier n-gram in the same document, `(total − distinct) / total`,

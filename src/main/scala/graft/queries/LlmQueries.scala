@@ -130,6 +130,64 @@ object LlmQueries {
         TextStats.repetition(Tables.documents(spark, sf)).orderBy("doc_id")
     },
 
+    // Text normalization (C4-style cleanup before hashing/dedup):
+    // lowercase + whitespace-collapse + trim, oracle-exercised on planted
+    // messiness (upper-cased prefix, double spaces, a tab, trailing
+    // newline+space) — the fixture corpus is already clean, so without
+    // planting the pass would be vacuous.
+    Q("llm_normalize",
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    upper(substr(text, 1, 30)) || '  ' || chr(9) || text ||
+        |      chr(10) || ' ' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(length(text) -
+        |    length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |    AS BIGINT) AS chars_removed
+        |FROM planted ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        val planted = Tables.documents(spark, sf).select(col("doc_id"),
+          concat(upper(substring(col("text"), 1, 30)), lit("  \t"),
+            col("text"), lit("\n ")).as("text"))
+        TextStats.normalize(planted).orderBy("doc_id")
+    },
+
+    // Gopher-style quality gate with per-rule drop accounting: each rule
+    // (language, token-count band, duplicate-bigram fraction) is its own
+    // flag, aggregated per (lang, source) — the "why was data dropped"
+    // report a corpus curation run publishes. Narrow flags, one groupBy.
+    Q("llm_quality_gate",
+      """WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, lang, source, CAST(len(t) AS BIGINT) AS nt,
+        |        list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |          i -> array_to_string(t[i:i+1], ' ')) AS grams
+        |      FROM toks),
+        |f AS (SELECT lang, source,
+        |        (lang <> 'en') AS fail_lang,
+        |        (nt < 40 OR nt > 90) AS fail_len,
+        |        (((len(grams) - len(list_distinct(grams))) * 20000 + len(grams))
+        |          // (2 * len(grams)) > 300) AS fail_rep
+        |      FROM g)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN fail_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_lang,
+        |  CAST(sum(CASE WHEN fail_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+        |  CAST(sum(CASE WHEN fail_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rep,
+        |  CAST(sum(CASE WHEN NOT (fail_lang OR fail_len OR fail_rep) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (spark, sf) =>
+        TextStats.qualityGate(Tables.documents(spark, sf), targetLang = "en",
+            minTokens = 40, maxTokens = 90, maxRepetition = 0.03)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("fail_lang"), 1L).otherwise(0L)).as("n_fail_lang"),
+            sum(when(col("fail_len"), 1L).otherwise(0L)).as("n_fail_len"),
+            sum(when(col("fail_rep"), 1L).otherwise(0L)).as("n_fail_rep"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("lang", "source")
+    },
+
     // Decontamination: per-document fraction of distinct 2-shingles that
     // appear in a pseudo eval set (every 50th doc of the same prefix) —
     // fully DuckDB-expressible (list ops + the integer round-half-up

@@ -45,6 +45,37 @@ class TextStatsSpec extends SparkSpec {
     r.getLong(3) shouldBe 9   // chars
   }
 
+  test("normalize lowercases, collapses whitespace, trims, and counts removals") {
+    val docs = Seq(
+      (0L, "  Hello   WORLD \t again\n"),
+      (1L, "clean"),
+      (2L, "\t\t"))  // whitespace-only → empty
+      .toDF("doc_id", "text")
+    val out = TextStats.normalize(docs).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    out(0) shouldBe ((0L, "hello world again", 7L))
+    out(1) shouldBe ((1L, "clean", 0L))
+    out(2) shouldBe ((2L, "", 2L))
+  }
+
+  test("qualityGate flags each rule independently and keeps the conjunction") {
+    val docs = Seq(
+      (0L, "en", "one two three four"),        // passes all (min=2, max=10)
+      (1L, "de", "one two three four"),        // fail_lang
+      (2L, "en", "one"),                       // fail_len (1 token < 2)
+      (3L, "en", "a b a b a b a b"))           // fail_rep (6/7 bigrams repeat)
+      .toDF("doc_id", "lang", "text")
+    val out = TextStats.qualityGate(docs, targetLang = "en",
+        minTokens = 2, maxTokens = 10, maxRepetition = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "fail_lang", "fail_len", "fail_rep", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    out(0) shouldBe ((0L, false, false, false, true))
+    out(1) shouldBe ((1L, true, false, false, false))
+    out(2) shouldBe ((2L, false, true, false, false))
+    out(3) shouldBe ((3L, false, false, true, false))
+  }
+
   test("repetition scores duplicate-bigram fraction with round-half-up ratio") {
     val docs = Seq(
       (0L, "a b a b a"),   // bigrams: ab,ba,ab,ba → 4 total, 2 distinct → 0.5
