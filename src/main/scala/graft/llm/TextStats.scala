@@ -148,7 +148,10 @@ object TextStats {
     val total = size(g).cast("long")
     val repBp = graft.functions.VectorFunctions.intDiv(
       (total - size(array_distinct(g)).cast("long")) * 20000 + total, total * 2)
-    val keep = docs.columns.filterNot(_ == textCol).map(col).toSeq
+    // every input column (text included) passes through — a gate that
+    // drops the data it gates would force a re-join downstream; callers
+    // that only want accounting drop the text themselves
+    val keep = docs.columns.map(col).toSeq
     docs
       .select(keep ++ Seq(
         (col(langCol) =!= targetLang).as("fail_lang"),

@@ -80,6 +80,41 @@ object StreamOps {
   def dedupWithinWatermark(events: DataFrame, lateness: String, keys: Seq[String]): DataFrame =
     events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
 
+  /** Continuous-ingest curation — the streaming form of the batch
+    * curation gate over a document stream (tsCol timestamp, langCol,
+    * textCol, rest passes through): normalize the text (lowercase,
+    * whitespace-collapse, trim — so trivially-reformatted copies hash
+    * identically), apply [[graft.llm.TextStats.qualityGate]]'s per-rule
+    * drop flags, then exact content dedup on `sha2(normalized text)`
+    * WITHIN the watermark horizon — `dropDuplicatesWithinWatermark`
+    * expires its state with event time, so the dedup map is bounded by
+    * arrival rate × lateness, never corpus size. Everything upstream of
+    * the dedup is a narrow codegen'd projection (no shuffle per batch
+    * beyond the dedup's own state-store exchange).
+    *
+    * Near-dup pruning (LSH banding needs corpus-global buckets) and
+    * stratified caps (per-group totals) stay periodic batch compaction
+    * jobs by design — a stream cannot bound that state; see
+    * [[graft.llm.Curation.curateFull]] and docs/DEPLOY.md.
+    * Runs unchanged on batch frames (watermark is a no-op; the dedup
+    * falls back to keeping the first row per hash). */
+  def curateStream(docs: DataFrame, lateness: String = "10 minutes",
+                   targetLang: String = "en", minTokens: Long = 1,
+                   maxTokens: Long = 100000, maxRepetition: Double = 1.0,
+                   tsCol: String = "ts", textCol: String = "text",
+                   langCol: String = "lang"): DataFrame = {
+    val normed = docs.withColumn(textCol,
+      trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+    val hashed = normed.withColumn("content_hash", sha2(col(textCol), 256))
+    val gated = graft.llm.TextStats.qualityGate(hashed, targetLang,
+        minTokens, maxTokens, maxRepetition,
+        textCol = textCol, langCol = langCol)
+      .where(col("keep"))
+      .drop("fail_lang", "fail_len", "fail_rep", "keep")
+    gated.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   /** Streaming sinks. Durable sinks REQUIRE a checkpoint location — at
     * scale that is the exactly-once contract, not an option. */
   def toMemory(df: DataFrame, name: String, mode: String = "complete")

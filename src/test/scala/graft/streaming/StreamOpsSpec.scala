@@ -170,6 +170,32 @@ class StreamOpsSpec extends SparkSpec {
       .collect()(0).getDouble(0) shouldBe 24.0
   }
 
+  test("curateStream gates, normalizes, and dedups within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOpsSpec.Doc]
+    val sink = "curate_sink_" + System.nanoTime()
+    val q = StreamOps.curateStream(mem.toDF(), lateness = "1 hour",
+        targetLang = "en", minTokens = 2, maxTokens = 10, maxRepetition = 0.5)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // batch 1: one good doc, one wrong-lang, one too-repetitive
+      mem.addData(
+        StreamOpsSpec.Doc(0L, ts(0), "en", "alpha beta gamma"),
+        StreamOpsSpec.Doc(1L, ts(1), "de", "alpha beta gamma"),
+        StreamOpsSpec.Doc(2L, ts(2), "en", "a b a b a b a b"))
+      q.processAllAvailable()
+      // batch 2: a reformatted copy of doc 0 (case + whitespace differ —
+      // normalization makes it an exact content dup) and a fresh doc
+      mem.addData(
+        StreamOpsSpec.Doc(3L, ts(10), "en", "  Alpha   BETA gamma "),
+        StreamOpsSpec.Doc(4L, ts(11), "en", "delta epsilon zeta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table(sink).select("doc_id").as[Long].collect().toSet
+    kept shouldBe Set(0L, 4L) // 1 lang-gated, 2 rep-gated, 3 deduped
+  }
+
   test("runningPerUser keyed state accumulates per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
@@ -182,4 +208,11 @@ class StreamOpsSpec extends SparkSpec {
     spark.table("state_sink").where(col("user_id") === 1L)
       .agg(max("n")).as[Long].head() shouldBe u1.length
   }
+}
+
+object StreamOpsSpec {
+  /** Document-stream row for the curateStream spec (top-level so the
+    * MemoryStream encoder derives). */
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp,
+                       lang: String, text: String)
 }
