@@ -96,8 +96,10 @@ object StreamOps {
     * stratified caps (per-group totals) stay periodic batch compaction
     * jobs by design — a stream cannot bound that state; see
     * [[graft.llm.Curation.curateFull]] and docs/DEPLOY.md.
-    * Runs unchanged on batch frames (watermark is a no-op; the dedup
-    * falls back to keeping the first row per hash). */
+    * Streaming-only: `dropDuplicatesWithinWatermark` rejects batch
+    * frames by contract — the batch analog of this pass is
+    * [[graft.llm.TextStats.normalize]] + [[graft.llm.TextStats.qualityGate]]
+    * + [[graft.llm.Dedup.exact]]. */
   def curateStream(docs: DataFrame, lateness: String = "10 minutes",
                    targetLang: String = "en", minTokens: Long = 1,
                    maxTokens: Long = 100000, maxRepetition: Double = 1.0,
