@@ -114,6 +114,18 @@ object ScaleProbe {
         graft.llm.Curation.curateFull(corpus, lang = "en", minQuality = 0.0,
           nearDupThreshold = 0.5, maxPerGroup = 1 << 17).count()
       }),
+      // paragraph-level dedup: synthetic 3-paragraph docs where one
+      // paragraph is corpus-wide boilerplate — the winner election
+      // shuffles 32-byte sha2 keys, reassembly groups by doc id; both
+      // should track the scan
+      ("paragraph_dedup", () => {
+        val pdocs = synthDocs(n).select(col("doc_id"),
+          concat_ws("\n\n",
+            substring(col("text"), 1, 60),
+            lit("subscribe to our newsletter"),
+            substring(col("text"), 61, 120)).as("text"))
+        graft.llm.Dedup.paragraphDedup(pdocs).count()
+      }),
       // benchmark decontamination: the eval side is FIXED-size by contract
       // (it broadcasts), so only the document side scales — the ratio
       // should track the narrow document scan, not a join blow-up
