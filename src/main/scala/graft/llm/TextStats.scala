@@ -115,6 +115,28 @@ object TextStats {
         regexp_replace(c, p, r)
       }.as("redacted"))
 
+  /** Host of a URL, normalized: scheme and port/path/query dropped,
+    * leading `www.` stripped, lowercased. Regexes in the Java∩RE2
+    * dialect so a DuckDB oracle replays them byte-for-byte; a non-URL
+    * input yields the empty string (regexp_extract's no-match value in
+    * both engines). */
+  def domainOf(url: Column): Column =
+    lower(regexp_replace(
+      regexp_extract(url, "^[a-z]+://([^/:?#]+)", 1), "^www\\.", ""))
+
+  /** URL blocklist gate — the web-corpus filter that runs before any
+    * text processing: annotate each row with its normalized domain and
+    * drop rows whose domain is blocked. A literal blocklist compiles to
+    * a narrow NOT-IN filter — codegen'd, pushable, no join, no shuffle;
+    * crawl blocklists are list-of-domains small by contract, and a
+    * table-sized list should broadcast-anti-join on
+    * [[domainOf]] instead. */
+  def blockDomains(docs: DataFrame, blocked: Seq[String],
+                   urlCol: String = "url"): DataFrame = {
+    val d = docs.withColumn("domain", domainOf(col(urlCol)))
+    if (blocked.isEmpty) d else d.where(!col("domain").isin(blocked: _*))
+  }
+
   /** Deterministic text normalization — the C4-style cleanup pass that
     * runs before any hashing or dedup: lowercase, collapse whitespace
     * runs to a single space, trim. The regexes stay in the Java∩RE2

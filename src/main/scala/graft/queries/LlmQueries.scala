@@ -130,6 +130,35 @@ object LlmQueries {
         TextStats.repetition(Tables.documents(spark, sf)).orderBy("doc_id")
     },
 
+    // URL blocklist gate (the web-corpus filter that precedes text
+    // processing): domains planted in-query on BOTH sides — half the
+    // URLs carry a leading www. that normalization must strip — and a
+    // 3-domain blocklist drops its rows via a narrow NOT-IN filter.
+    Q("llm_url_filter",
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+        |    'h' || (doc_id % 20) || '.example.com/p/' || doc_id AS url
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1),
+        |      '^www\.', '')) AS domain
+        |  FROM planted)
+        |SELECT doc_id, domain FROM d
+        |WHERE domain NOT IN ('h3.example.com', 'h7.example.com', 'h11.example.com')
+        |ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        val planted = Tables.documents(spark, sf).select(col("doc_id"),
+          concat(lit("https://"),
+            when(col("doc_id") % 2 === 0, "www.").otherwise(""),
+            lit("h"), pmod(col("doc_id"), lit(20)),
+            lit(".example.com/p/"), col("doc_id")).as("url"))
+        TextStats.blockDomains(planted,
+            Seq("h3.example.com", "h7.example.com", "h11.example.com"))
+          .select("doc_id", "domain").orderBy("doc_id")
+    },
+
     // Text normalization (C4-style cleanup before hashing/dedup):
     // lowercase + whitespace-collapse + trim, oracle-exercised on planted
     // messiness (upper-cased prefix, double spaces, a tab, trailing

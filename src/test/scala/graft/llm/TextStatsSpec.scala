@@ -45,6 +45,23 @@ class TextStatsSpec extends SparkSpec {
     r.getLong(3) shouldBe 9   // chars
   }
 
+  test("blockDomains normalizes hosts and drops blocked domains, narrow filter") {
+    val docs = Seq(
+      (0L, "https://www.Evil.example.com/x?q=1"),
+      (1L, "http://good.example.com:8080/y"),
+      (2L, "https://evil.example.com/z"),
+      (3L, "not a url at all"))
+      .toDF("doc_id", "url")
+    val out = TextStats.blockDomains(docs, Seq("evil.example.com"))
+      .select("doc_id", "domain").as[(Long, String)].collect().toMap
+    out shouldBe Map(1L -> "good.example.com", 3L -> "")
+    // a literal blocklist must stay a filter — no join/shuffle in the plan
+    val plan = TextStats.blockDomains(docs, Seq("evil.example.com"))
+      .queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should not include "Exchange"
+  }
+
   test("normalize lowercases, collapses whitespace, trims, and counts removals") {
     val docs = Seq(
       (0L, "  Hello   WORLD \t again\n"),
