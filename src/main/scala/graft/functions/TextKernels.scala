@@ -79,6 +79,26 @@ object TextKernelObjs {
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(lanes)
   }
+
+  // per-thread Deflater, reset per row — raw deflate (no zlib header),
+  // fixed level 6 so the signal is comparable across the corpus
+  private val deflaters: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
+
+  /** round-half-up basis points of compressedBytes/rawBytes; empty
+    * input → 10000 (ratio 1.0) by convention. */
+  def compressionBp(text: UTF8String): Long = {
+    val raw = text.getBytes
+    if (raw.length == 0) return 10000L
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](128)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    (total * 20000L + raw.length) / (2L * raw.length)
+  }
 }
 
 /** Word k-shingles of a string column as ONE narrow kernel — replaces a
@@ -235,4 +255,41 @@ case class MinGramHash(child: Expression, gram: Int) extends UnaryExpression {
 object MinGramHash {
   def apply(text: Column, gram: Int): Column =
     ColumnBridge.column(MinGramHash(ColumnBridge.expression(text), gram))
+}
+
+/** Deflate compression ratio of the text's UTF-8 bytes in 4dp basis
+  * points (round-half-up integer arithmetic): the RefinedWeb-style
+  * "machine-generated / templated text compresses too well" quality
+  * signal. One narrow kernel per document — the per-thread Deflater is
+  * reused across rows (reset, raw mode, fixed level 6), so the hot loop
+  * allocates only the output buffer. Deflate output length is
+  * deterministic for a given JVM's zlib, identical across partitions
+  * and runs on one cluster image — but NOT contractual across engines,
+  * which is why the operator is spec-gated, not DuckDB-oracle-gated.
+  * Empty text → 10000 (ratio 1.0) by convention. */
+case class CompressionRatioBp(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_compression_bp"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelObjs.compressionBp(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernelObjs.compressionBp($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CompressionRatioBp {
+  def apply(text: Column): Column =
+    ColumnBridge.column(CompressionRatioBp(ColumnBridge.expression(text)))
 }

@@ -115,6 +115,33 @@ object TextStats {
         regexp_replace(c, p, r)
       }.as("redacted"))
 
+  /** Deflate compression ratio per document — the RefinedWeb-style
+    * "templated text compresses too well" quality signal: boilerplate
+    * and machine-generated text land well below natural prose. One
+    * narrow [[graft.functions.CompressionRatioBp]] kernel pass (reused
+    * per-thread Deflater, raw mode, fixed level). Deflate output is
+    * deterministic per JVM/zlib but not contractual across engines, so
+    * this is spec-gated (determinism, monotonicity, partition-invariance
+    * laws in TextStatsSpec), not DuckDB-oracle-gated. */
+  def compressionRatio(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      (graft.functions.CompressionRatioBp(col(textCol)).cast("double") / 10000.0)
+        .as("compression_ratio"))
+
+  /** Corpus vocabulary: token → occurrence count, top-K by count with
+    * ties broken by token (deterministic). The token stream shuffles
+    * with map-side combine (partial counts per partition before the
+    * exchange), and the top-K is `TakeOrderedAndProject` — each
+    * partition keeps K rows, the driver merges K×partitions, never a
+    * global sort. At 100 TB the shuffle carries one row per DISTINCT
+    * token per partition, not per occurrence. */
+  def vocab(docs: DataFrame, topK: Int, textCol: String = "text"): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(topK)
+
   /** Host of a URL, normalized: scheme and port/path/query dropped,
     * leading `www.` stripped, lowercased. Regexes in the Java∩RE2
     * dialect so a DuckDB oracle replays them byte-for-byte; a non-URL

@@ -130,6 +130,27 @@ object LlmQueries {
         TextStats.repetition(Tables.documents(spark, sf)).orderBy("doc_id")
     },
 
+    // Compression-ratio quality signal: deflate output length is
+    // deterministic per JVM/zlib but implementation-defined across
+    // engines (DuckDB has no SQL deflate at all) → rows-only here;
+    // TextStatsSpec pins the laws (repetitive < natural, determinism
+    // under repartitioning, bounds) and the kernel's eval/codegen paths
+    // agree bit-identically via the shared static kernel.
+    Q.noOracle("llm_compression") { (spark, sf) =>
+      TextStats.compressionRatio(Tables.documents(spark, sf)).orderBy("doc_id")
+    },
+
+    // Corpus vocabulary top-50: explode + map-side-combined count +
+    // TakeOrderedAndProject (bounded per-partition top-k, no global
+    // sort); ties broken by token so the cut is deterministic.
+    Q("llm_vocab",
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS n FROM toks GROUP BY 1
+        |ORDER BY n DESC, token LIMIT 50""".stripMargin) {
+      (spark, sf) =>
+        TextStats.vocab(Tables.documents(spark, sf), topK = 50)
+    },
+
     // URL blocklist gate (the web-corpus filter that precedes text
     // processing): domains planted in-query on BOTH sides — half the
     // URLs carry a leading www. that normalization must strip — and a

@@ -45,6 +45,35 @@ class TextStatsSpec extends SparkSpec {
     r.getLong(3) shouldBe 9   // chars
   }
 
+  test("compressionRatio: repetitive text compresses below varied text, laws hold") {
+    val rep = ("spam " * 200).trim                  // highly templated
+    val varied = (0 until 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val docs = Seq((0L, rep), (1L, varied), (2L, "")).toDF("doc_id", "text")
+    val out = TextStats.compressionRatio(docs).orderBy("doc_id")
+      .as[(Long, Double)].collect().toMap
+    out(0L) should be < out(1L)     // the quality signal: templated << varied
+    out(0L) should be > 0.0
+    out(1L) should be < 1.1         // deflate overhead bound on small docs
+    out(2L) shouldBe 1.0            // empty-text convention
+    // determinism under a different partitioning (per-thread Deflaters)
+    TextStats.compressionRatio(docs.repartition(5)).orderBy("doc_id")
+      .as[(Long, Double)].collect().toMap shouldBe out
+  }
+
+  test("vocab counts tokens and cuts top-K deterministically on ties") {
+    val docs = Seq(
+      (0L, "a b b c c c"),
+      (1L, "d d d a"))
+      .toDF("doc_id", "text")
+    // counts: c=3, d=3, a=2, b=2 → top-3 = c,d (tie → token asc) then a
+    val out = TextStats.vocab(docs, topK = 3).as[(String, Long)].collect()
+    out shouldBe Array(("c", 3L), ("d", 3L), ("a", 2L))
+    // the cut must be TakeOrderedAndProject — bounded per-partition
+    // top-k merged on the driver, never a global sort
+    TextStats.vocab(docs, topK = 3).queryExecution.executedPlan.toString should
+      include("TakeOrderedAndProject")
+  }
+
   test("blockDomains normalizes hosts and drops blocked domains, narrow filter") {
     val docs = Seq(
       (0L, "https://www.Evil.example.com/x?q=1"),
