@@ -56,9 +56,17 @@ object Bench {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // each run in its own try: a second-run failure must not discard a
+    // valid first measurement (and vice versa); -1 only when BOTH fail
+    def timeSafe(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
+      try Some(timeOnce(fn)) catch { case _: Throwable => None }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = try math.min(timeOnce(fn), timeOnce(fn))
-              catch { case _: Throwable => errors += name; -1.0 }
+      val t = (timeSafe(fn), timeSafe(fn)) match {
+        case (Some(a), Some(b)) => math.min(a, b)
+        case (Some(a), None)    => a
+        case (None, Some(b))    => b
+        case (None, None)       => errors += name; -1.0
+      }
       name -> t
     }.toMap
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }

@@ -22,6 +22,15 @@ object TextStats {
 
   private def toks(textCol: Column): Column = split(textCol, " ")
 
+  /** Whitespace-run regex, spelled as an EXPLICIT character class rather
+    * than `\s+`: Java's `\s` includes U+000B (vertical tab) while
+    * RE2/DuckDB's does not, so `\s+` silently diverges on a document
+    * containing \x0B. Listing the five characters (space, tab, LF, VT,
+    * FF, CR) — with VT as `\x0B`, a hex escape both dialects accept —
+    * keeps the Java∩RE2 byte-for-byte claim true. The DuckDB oracle
+    * side uses the same literal: `[ \t\n\x0B\f\r]+`. */
+  val WsRun: String = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** Count of tokens belonging to a marker set (occurrences, not
     * distinct) — the narrow [[graft.functions.CountTokensIn]] kernel
     * (hash-set probe in codegen; the filter-HOF form it replaces ran the
@@ -90,7 +99,7 @@ object TextStats {
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
       col(idCol),
-      size(split(col(textCol), "\\s+")).cast("long").as("ws_tokens"),
+      size(split(col(textCol), WsRun)).cast("long").as("ws_tokens"),
       size(regexp_extract_all(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast("long").as("re_tokens"),
       length(col(textCol)).cast("long").as("n_chars"))
@@ -157,9 +166,14 @@ object TextStats {
     * a narrow NOT-IN filter — codegen'd, pushable, no join, no shuffle;
     * crawl blocklists are list-of-domains small by contract, and a
     * table-sized list should broadcast-anti-join on
-    * [[domainOf]] instead. */
+    * [[domainOf]] instead. Fails fast if the input already has a
+    * `domain` column (same reserved-working-column discipline as
+    * [[graft.relational.AsOf]]) — withColumn would silently overwrite
+    * the caller's data. */
   def blockDomains(docs: DataFrame, blocked: Seq[String],
                    urlCol: String = "url"): DataFrame = {
+    require(!docs.columns.contains("domain"),
+      "blockDomains writes a 'domain' working column; input already has one — rename it first")
     val d = docs.withColumn("domain", domainOf(col(urlCol)))
     if (blocked.isEmpty) d else d.where(!col("domain").isin(blocked: _*))
   }
@@ -167,14 +181,15 @@ object TextStats {
   /** Deterministic text normalization — the C4-style cleanup pass that
     * runs before any hashing or dedup: lowercase, collapse whitespace
     * runs to a single space, trim. The regexes stay in the Java∩RE2
-    * dialect (`\s+`), so DuckDB replays them byte-for-byte. One narrow
+    * dialect ([[WsRun]]'s explicit class — `\s` itself differs between
+    * the dialects on \x0B), so DuckDB replays them byte-for-byte. One narrow
     * codegen'd projection; `chars_removed` makes the cleanup observable
     * for pipeline accounting. */
   def normalize(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame =
     docs
       .select(col(idCol), col(textCol),
-        trim(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("norm_text"))
+        trim(regexp_replace(lower(col(textCol)), WsRun, " ")).as("norm_text"))
       .select(col(idCol), col("norm_text"),
         (length(col(textCol)) - length(col("norm_text"))).cast("long").as("chars_removed"))
 
@@ -187,7 +202,14 @@ object TextStats {
     * curation run publishes). All flags are narrow kernel projections
     * over the scan — no shuffle until the caller's accounting groupBy;
     * the repetition ratio reuses [[repetition]]'s integer round-half-up
-    * basis points so the gate is cross-engine exact. */
+    * basis points so the gate is cross-engine exact.
+    *
+    * NULL inputs fail closed: a NULL lang sets `fail_lang`, a NULL text
+    * sets `fail_len` (and leaves `fail_rep` false, so the rep bucket
+    * stays meaningful). Without the coalesce a NULL flag made `keep`
+    * NULL — the doc counted in n_docs but in NO per-rule bucket and not
+    * in n_kept, silently breaking the accounting invariant
+    * `n_kept + |failures| covers n_docs`. */
   def qualityGate(docs: DataFrame, targetLang: String,
                   minTokens: Long, maxTokens: Long, maxRepetition: Double,
                   n: Int = 2, textCol: String = "text",
@@ -203,9 +225,9 @@ object TextStats {
     val keep = docs.columns.map(col).toSeq
     docs
       .select(keep ++ Seq(
-        (col(langCol) =!= targetLang).as("fail_lang"),
-        (size(t) < minTokens || size(t) > maxTokens).as("fail_len"),
-        (repBp > math.round(maxRepetition * 10000)).as("fail_rep")): _*)
+        coalesce(col(langCol) =!= targetLang, lit(true)).as("fail_lang"),
+        coalesce(size(t) < minTokens || size(t) > maxTokens, lit(true)).as("fail_len"),
+        coalesce(repBp > math.round(maxRepetition * 10000), lit(false)).as("fail_rep")): _*)
       .withColumn("keep",
         !col("fail_lang") && !col("fail_len") && !col("fail_rep"))
   }

@@ -192,9 +192,9 @@ object LlmQueries {
         |      chr(10) || ' ' AS text
         |  FROM documents)
         |SELECT doc_id,
-        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+        |  trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text,
         |  CAST(length(text) -
-        |    length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |    length(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))
         |    AS BIGINT) AS chars_removed
         |FROM planted ORDER BY doc_id""".stripMargin) {
       (spark, sf) =>
@@ -403,7 +403,7 @@ object LlmQueries {
 
     Q("llm_tokens",
       """SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin) {

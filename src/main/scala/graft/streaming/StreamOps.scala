@@ -105,8 +105,10 @@ object StreamOps {
                    maxTokens: Long = 100000, maxRepetition: Double = 1.0,
                    tsCol: String = "ts", textCol: String = "text",
                    langCol: String = "lang"): DataFrame = {
+    require(!docs.columns.contains("content_hash"),
+      "curateStream writes a 'content_hash' working column; input already has one — rename it first")
     val normed = docs.withColumn(textCol,
-      trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      trim(regexp_replace(lower(col(textCol)), graft.llm.TextStats.WsRun, " ")))
     val hashed = normed.withColumn("content_hash", sha2(col(textCol), 256))
     val gated = graft.llm.TextStats.qualityGate(hashed, targetLang,
         minTokens, maxTokens, maxRepetition,

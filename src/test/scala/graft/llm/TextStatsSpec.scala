@@ -122,6 +122,41 @@ class TextStatsSpec extends SparkSpec {
     out(3) shouldBe ((3L, false, false, true, false))
   }
 
+  test("qualityGate fails closed on NULL lang/text — accounting stays exhaustive") {
+    val docs = Seq(
+      (0L, Some("en"), Some("one two three")),  // clean
+      (1L, None, Some("one two three")),        // NULL lang → fail_lang
+      (2L, Some("en"), None))                   // NULL text → fail_len
+      .toDF("doc_id", "lang", "text")
+    val out = TextStats.qualityGate(docs, targetLang = "en",
+        minTokens = 2, maxTokens = 10, maxRepetition = 0.5)
+      .orderBy("doc_id")
+      .select("doc_id", "fail_lang", "fail_len", "fail_rep", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    out(0) shouldBe ((0L, false, false, false, true))
+    out(1) shouldBe ((1L, true, false, false, false))
+    out(2) shouldBe ((2L, false, true, false, false))
+    // the invariant the coalesce protects: every doc is kept or in ≥1 bucket
+    out.foreach { case (_, fl, fln, fr, keep) =>
+      (keep || fl || fln || fr) shouldBe true
+    }
+  }
+
+  test("blockDomains rejects a pre-existing domain column instead of overwriting") {
+    val docs = Seq((0L, "https://a.example.com/x", "caller-data"))
+      .toDF("doc_id", "url", "domain")
+    an[IllegalArgumentException] should be thrownBy
+      TextStats.blockDomains(docs, Seq("a.example.com"))
+  }
+
+  test("normalize collapses vertical tab (\\x0B) — explicit class matches RE2/DuckDB") {
+    // Java's \s includes \x0B but RE2's does not; WsRun lists the class
+    // explicitly so both engines collapse it identically
+    val docs = Seq((0L, "a\u000Bb")).toDF("doc_id", "text")
+    val out = TextStats.normalize(docs).as[(Long, String, Long)].collect()
+    out(0) shouldBe ((0L, "a b", 0L))
+  }
+
   test("repetition scores duplicate-bigram fraction with round-half-up ratio") {
     val docs = Seq(
       (0L, "a b a b a"),   // bigrams: ab,ba,ab,ba → 4 total, 2 distinct → 0.5
