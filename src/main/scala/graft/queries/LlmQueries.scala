@@ -111,6 +111,42 @@ object LlmQueries {
         Dedup.paragraphDedup(planted).orderBy("doc_id")
     },
 
+    // Transitive duplicate clustering: near-dup pair lists only ever name
+    // (A,B) and (B,C) — turning them into keep/drop decisions needs the
+    // transitive closure. Edges are planted arithmetically on BOTH sides
+    // (chains of 6 docs with a shortcut edge, endpoints join-verified so
+    // the graph is identical cross-engine); the oracle computes min
+    // reachable id per node with a recursive CTE, gating the iterative
+    // pointer-jumping propagation exactly.
+    Q("llm_dedup_cluster",
+      """WITH RECURSIVE nodes AS (SELECT doc_id FROM documents),
+        |e1 AS (SELECT x.doc_id AS src, y.doc_id AS dst FROM nodes x
+        |       JOIN nodes y ON y.doc_id = x.doc_id + 1 WHERE x.doc_id % 6 < 5),
+        |e2 AS (SELECT x.doc_id AS src, y.doc_id AS dst FROM nodes x
+        |       JOIN nodes y ON y.doc_id = x.doc_id + 3 WHERE x.doc_id % 6 = 0),
+        |edges AS (SELECT src, dst FROM e1 UNION ALL SELECT src, dst FROM e2),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |reach(id, m) AS (
+        |  SELECT doc_id, doc_id FROM nodes
+        |  UNION
+        |  SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.id)
+        |SELECT id AS doc_id, min(m) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        val ids = Tables.documents(spark, sf).select("doc_id")
+        val e1 = ids.as("x").join(ids.as("y"),
+            col("y.doc_id") === col("x.doc_id") + 1)
+          .where(col("x.doc_id") % 6 < 5)
+          .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+        val e2 = ids.as("x").join(ids.as("y"),
+            col("y.doc_id") === col("x.doc_id") + 3)
+          .where(col("x.doc_id") % 6 === 0)
+          .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+        graft.llm.Components.connectedComponents(
+            ids, e1.union(e2), idCol = "doc_id")
+          .orderBy("doc_id")
+    },
+
     // Intra-document repetition (Gopher-style quality signal): duplicate
     // word-bigram fraction per doc — narrow kernel + array_distinct, the
     // integer round-half-up ratio discipline, full-table (no pair stage).

@@ -1,0 +1,62 @@
+package graft.llm
+
+import graft.SparkSpec
+
+/** Transitive duplicate clustering (SURVEY LLM tier — pair list → keep/drop). */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def comps(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                    maxIter: Int = 30): Map[Long, Long] =
+    Components.connectedComponents(
+        nodes.toDF("id"), edges.toDF("src", "dst"), maxIter = maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("chain + pair + isolated node: min-id representative per component") {
+    // 1-2-3 chained transitively, 5-6 a pair, 9 isolated
+    val out = comps(Seq(1L, 2L, 3L, 5L, 6L, 9L), Seq((2L, 1L), (2L, 3L), (5L, 6L)))
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
+  }
+
+  test("long chain converges in O(log diameter) rounds (pointer jumping)") {
+    // a 64-node path has diameter 63; plain min-propagation needs 63
+    // rounds — pointer jumping must close it well inside 10
+    val nodes = (0L to 63L)
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val out = comps(nodes, edges, maxIter = 10)
+    out.values.toSet shouldBe Set(0L)
+  }
+
+  test("duplicate, reversed, and self-loop edges are tolerated") {
+    val out = comps(Seq(1L, 2L, 3L),
+      Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+  }
+
+  test("result is invariant under input partitioning") {
+    val nodes = (0L to 30L)
+    val edges = (0L until 30L).filter(_ % 4 != 3).map(i => (i, i + 1))
+    val base = comps(nodes, edges)
+    val shuffled = Components.connectedComponents(
+        nodes.toDF("id").repartition(7),
+        edges.toDF("src", "dst").repartition(5))
+      .as[(Long, Long)].collect().toMap
+    shuffled shouldBe base
+  }
+
+  test("non-convergence fails fast instead of leaking a partial closure") {
+    val nodes = (0L to 63L)
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    an[IllegalStateException] should be thrownBy
+      comps(nodes, edges, maxIter = 1)
+  }
+
+  test("dupClusters flags the min-id doc of each cluster as representative") {
+    val docs = Seq(10L, 11L, 12L, 20L).toDF("doc_id")
+    val pairs = Seq((11L, 10L), (11L, 12L)).toDF("a", "b")
+    val rows = Components.dupClusters(docs, pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    rows shouldBe Array(
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false), (20L, 20L, true))
+  }
+}
