@@ -1,0 +1,54 @@
+package graft.llm
+
+import graft.functions.VectorFunctions.intDiv
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget shard packing — the step between curation and training
+  * that lays documents out into fixed-token-budget shards (sequence
+  * packing / tokenizer-sharding both start from it): within each stratum,
+  * documents are concatenated in a stable order and a document belongs to
+  * the shard where its START offset falls. Pure arithmetic on a running
+  * token sum, so the layout is deterministic, retry-stable, and
+  * ANSI-SQL-expressible (oracle-gated end-to-end).
+  *
+  * 100 TB notes: the running sum is a window partitioned by
+  * `partitionCols` — strata process in parallel, and WITHIN a stratum
+  * Spark range-partitions the sort, but the prefix sum still serializes
+  * per stratum. Size strata accordingly: pack per (source, dt-bucket)
+  * rather than per source when one stratum is a double-digit share of
+  * the corpus — shard ids are per-stratum anyway, so a finer grain only
+  * adds a column to the shard key. (The alternative — a two-phase
+  * per-partition presum + driver offset scan — saves nothing once strata
+  * are sized right, and loses the declarative plan.)
+  */
+object Packing {
+
+  /** Assign each document `n_tokens`, `shard_id` and `offset_in_shard`
+    * (token offset of the document inside its shard). Shards are
+    * per-stratum: shard k covers stratum token offsets
+    * [k·budget, (k+1)·budget); a document straddling the boundary counts
+    * toward the shard where it starts — shards overflow by at most one
+    * document rather than splitting one (the downstream tokenizer packs
+    * the remainder). Integer arithmetic throughout. */
+  def packShards(docs: DataFrame, tokensPerShard: Long,
+                 partitionCols: Seq[String] = Seq("source"),
+                 orderCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(tokensPerShard > 0, "tokensPerShard must be positive")
+    require(!docs.columns.exists(Seq("n_tokens", "shard_id", "offset_in_shard").contains),
+      "packShards writes n_tokens/shard_id/offset_in_shard; input already has one — rename it first")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens",
+        size(split(col(textCol), TextStats.WsRun)).cast("long"))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard_id", intDiv(col("__start"), lit(tokensPerShard)))
+      .withColumn("offset_in_shard",
+        col("__start") - col("shard_id") * tokensPerShard)
+      .drop("__start")
+  }
+}

@@ -36,4 +36,30 @@ object Sampling {
   def capPerGroup(df: DataFrame, keys: Seq[Column], n: Int,
                   order: Seq[Column]): DataFrame =
     graft.relational.TopK.topKPerGroup(df, keys, order, n)
+
+  /** Source-weighted mixture sampling — the "40 % web, 30 % code, …"
+    * recipe step of training-data assembly: each stratum keeps a
+    * deterministic fraction of its rows. `rates` maps a stratum value to
+    * its keep-fraction; strata not listed are dropped (an unlisted
+    * source must never leak into a weighed mixture). The keep decision
+    * is a pure narrow filter on `(id · 2654435761) mod 10⁴ < rate·10⁴`
+    * (Knuth's multiplicative constant; odd and coprime to 10⁴, so
+    * consecutive ids sweep all residues uniformly) — codegen'd, pushable
+    * into the scan, retry-stable, and expressible in ANSI SQL so the
+    * whole mixture is oracle-gated end-to-end. For adversarial/clustered
+    * id spaces use [[bernoulli]]'s xxhash64 per stratum instead; the
+    * rate plumbing here is the operator, the lattice hash is the
+    * cross-engine-exact selector. */
+  def mixture(df: DataFrame, rates: Map[String, Double],
+              idCol: String = "doc_id",
+              stratumCol: String = "source"): DataFrame = {
+    require(rates.nonEmpty, "mixture needs at least one stratum rate")
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be fractions in [0, 1]")
+    val bp = rates.map { case (s, r) => s -> math.round(r * 10000).toInt }
+    val rateCol = bp.foldLeft(lit(-1)) { case (acc, (s, b)) =>
+      when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    df.where(pmod(col(idCol).cast("long") * 2654435761L, lit(10000L)) < rateCol)
+  }
 }

@@ -151,6 +151,38 @@ object TextStats {
       .orderBy(col("n").desc, col("token"))
       .limit(topK)
 
+  /** Per-document top-K salient terms by TF-IDF, with a RATIONAL idf
+    * (`N/df`) in round-half-up basis points: `score_bp =
+    * round(10⁴ · tf · N / df)` — integer arithmetic end-to-end, so the
+    * ranking is cross-engine exact and oracle-gated (the classic
+    * `ln(N/df)` idf needs floating log, whose last-ulp differences
+    * between engines can flip ranks at ties; rational idf preserves the
+    * rare-term-boost semantics without it). Ties break by term,
+    * ascending. Plan shape: explode → (doc, term) count (map-side
+    * combined) → term-keyed df join → per-doc row_number cut. The df
+    * side is vocab-sized — at 100 TB still a shuffle join keyed by term,
+    * never a broadcast (a web-scale vocab is GBs). `nDocs` is computed
+    * with one `count()` when not supplied; pass it when the corpus size
+    * is already known to keep the operator fully lazy. */
+  def tfIdf(docs: DataFrame, topK: Int = 3, nDocs: Long = -1L,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val n = if (nDocs >= 0) nDocs else docs.count()
+    val tf = docs
+      .select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, "term")
+      .withColumn("score_bp", graft.functions.VectorFunctions.intDiv(
+        col("tf") * lit(n) * 20000L + col("df"), col("df") * 2L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_bp").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col(idCol), col("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), col("score_bp"), col("rank"))
+  }
+
   /** Host of a URL, normalized: scheme and port/path/query dropped,
     * leading `www.` stripped, lowercased. Regexes in the Java∩RE2
     * dialect so a DuckDB oracle replays them byte-for-byte; a non-URL

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Curation, Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.llm.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextStats}
 import graft.model.Tables
 import org.apache.spark.sql.functions._
 
@@ -185,6 +185,33 @@ object LlmQueries {
         |ORDER BY n DESC, token LIMIT 50""".stripMargin) {
       (spark, sf) =>
         TextStats.vocab(Tables.documents(spark, sf), topK = 50)
+    },
+
+    // Per-document salient terms: TF-IDF with a RATIONAL idf (N/df) in
+    // round-half-up basis points — integer-exact cross-engine, so the
+    // full explode → tf → df-join → per-doc top-k pipeline is
+    // oracle-gated (ln-idf would hinge on floating log ulps at ties).
+    Q("llm_tfidf",
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    (t.tf * (SELECT n_docs FROM n) * 20000 + d.df) // (d.df * 2) AS score_bp
+        |  FROM tfc t JOIN dfc d USING (term)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_bp DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  CAST(score_bp AS BIGINT) AS score_bp, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) {
+      (spark, sf) =>
+        TextStats.tfIdf(Tables.documents(spark, sf), topK = 3)
+          .orderBy("doc_id", "rank")
     },
 
     // URL blocklist gate (the web-corpus filter that precedes text
@@ -500,6 +527,53 @@ object LlmQueries {
             Tables.documents(spark, sf).select("lang", "doc_id"),
             keys = Seq(col("lang")), n = 50, order = Seq(col("doc_id")))
           .orderBy("lang", "doc_id")
+    },
+
+    // Source-weighted mixture: per-stratum keep fractions via the
+    // multiplicative-lattice hash ((id·2654435761) mod 1e4 < rate_bp) —
+    // pure integer arithmetic both engines, so the whole recipe step
+    // (rate lookup + deterministic selection + unlisted-stratum drop)
+    // is oracle-gated.
+    Q("llm_mixture",
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+        |                WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000
+        |                ELSE -1 END AS rate_bp
+        |  FROM documents)
+        |SELECT doc_id, source FROM r
+        |WHERE (doc_id * 2654435761) % 10000 < rate_bp
+        |ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        Sampling.mixture(
+            Tables.documents(spark, sf).select("doc_id", "source"),
+            Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+          .orderBy("doc_id")
+    },
+
+    // Token-budget shard packing: running token sum per source (stable
+    // doc_id order), shard = start-offset // budget — integer window
+    // arithmetic, oracle-gated end-to-end.
+    Q("llm_pack_shards",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(strt // 2048 AS BIGINT) AS shard_id,
+        |  CAST(strt - (strt // 2048) * 2048 AS BIGINT) AS offset_in_shard
+        |FROM c ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        Packing.packShards(
+            Tables.documents(spark, sf).select("doc_id", "source", "text"),
+            tokensPerShard = 2048L)
+          .select("doc_id", "source", "n_tokens", "shard_id", "offset_in_shard")
+          .orderBy("doc_id")
     },
 
     // Seeded hash-Bernoulli sample — xxhash64 has no DuckDB analog, so

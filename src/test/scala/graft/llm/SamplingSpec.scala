@@ -38,4 +38,33 @@ class SamplingSpec extends SparkSpec {
       .orderBy("k", "v").as[(String, Long)].collect()
     out shouldBe Array(("a", 1L), ("a", 2L), ("b", 8L), ("b", 9L), ("c", 5L))
   }
+
+  test("mixture keeps per-stratum fractions deterministically, drops unlisted strata") {
+    val docs = spark.range(9000)
+      .select(col("id").as("doc_id"),
+        concat(lit("s"), pmod(col("id"), lit(3))).as("source"))
+    val rates = Map("s0" -> 1.0, "s1" -> 0.25, "s2" -> 0.0)
+    val out = Sampling.mixture(docs, rates)
+    val counts = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    counts("s0") shouldBe 3000L                 // rate 1.0 keeps everything
+    counts("s1").toDouble / 3000 shouldBe 0.25 +- 0.03
+    counts.get("s2") shouldBe None              // rate 0.0
+    // an unlisted stratum must not leak in
+    val withExtra = docs.union(spark.range(9000, 9100)
+      .select(col("id").as("doc_id"), lit("s9").as("source")))
+    Sampling.mixture(withExtra, rates).where(col("source") === "s9").count() shouldBe 0L
+    // retry-stability: same rows under a different partitioning
+    Sampling.mixture(docs.repartition(13), rates)
+      .select("doc_id").as[Long].collect().toSet shouldBe
+      out.select("doc_id").as[Long].collect().toSet
+  }
+
+  test("mixture rejects out-of-range rates") {
+    val docs = spark.range(10).select(col("id").as("doc_id"), lit("s").as("source"))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixture(docs, Map("s" -> 1.5))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixture(docs, Map.empty[String, Double])
+  }
 }

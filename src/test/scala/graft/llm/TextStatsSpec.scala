@@ -74,6 +74,32 @@ class TextStatsSpec extends SparkSpec {
       include("TakeOrderedAndProject")
   }
 
+  test("tfIdf ranks rare-but-frequent terms first, rational idf in basis points") {
+    val docs = Seq(
+      (0L, "cat cat dog"),
+      (1L, "dog bird"),
+      (2L, "cat fish fish"))
+      .toDF("doc_id", "text")
+    // N=3; df: cat 2, dog 2, bird 1, fish 1
+    // score_bp = round(1e4·tf·N/df): cat@0 30000, dog 15000, bird 30000, fish 60000
+    val out = TextStats.tfIdf(docs, topK = 2)
+      .select("doc_id", "term", "tf", "df", "score_bp", "rank")
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    out shouldBe Array(
+      (0L, "cat", 2L, 2L, 30000L, 1L),
+      (0L, "dog", 1L, 2L, 15000L, 2L),
+      (1L, "bird", 1L, 1L, 30000L, 1L),
+      (1L, "dog", 1L, 2L, 15000L, 2L),
+      (2L, "fish", 2L, 1L, 60000L, 1L),
+      (2L, "cat", 1L, 2L, 15000L, 2L))
+    // passing nDocs keeps the operator lazy and must not change results
+    TextStats.tfIdf(docs, topK = 2, nDocs = 3L)
+      .select("doc_id", "term", "tf", "df", "score_bp", "rank")
+      .orderBy("doc_id", "rank")
+      .as[(Long, String, Long, Long, Long, Long)].collect() shouldBe out
+  }
+
   test("blockDomains normalizes hosts and drops blocked domains, narrow filter") {
     val docs = Seq(
       (0L, "https://www.Evil.example.com/x?q=1"),
