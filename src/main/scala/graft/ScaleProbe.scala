@@ -141,6 +141,29 @@ object ScaleProbe {
             cb.select(col("cid").as("vec_id"), col("embedding")))
           .groupBy("cid").agg(count(lit(1))).count()
       }),
+      // transitive duplicate clustering: chain-of-6 components (diameter 5,
+      // worse than real near-clique dup clusters) — per-round cost is one
+      // edge-keyed shuffle + one label self-join, rounds are O(log d), so
+      // the ratio should track the edge scan, not the iteration count
+      ("dup_clusters", () => {
+        val nodes = spark.range(n).toDF("doc_id")
+        val edges = spark.range(n - 1).where(pmod(col("id"), lit(6)) < 5)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        graft.llm.Components.dupClusters(nodes, edges).count()
+      }),
+      // token-budget shard packing: one window shuffle keyed by the 8
+      // synthetic strata — the prefix sum serializes per stratum, which is
+      // exactly the documented sizing rule being probed
+      ("pack_shards", () => {
+        val docs = synthDocs(n).select(col("doc_id"), col("text"),
+          concat(lit("s"), pmod(xxhash64(col("doc_id")), lit(8))).as("source"))
+        graft.llm.Packing.packShards(docs, tokensPerShard = 2048).count()
+      }),
+      // TF-IDF top-k: explode → (doc,term) count → term-keyed df join →
+      // per-doc cut; vocab is fixed (500 synthetic terms), so the join's
+      // build side stays constant while the probe side scales
+      ("tfidf", () => graft.llm.TextStats.tfIdf(synthDocs(n), topK = 3,
+        nDocs = n).count()),
       // gap-based sessionization (the batch form of stream_session): n*20
       // events over 1000 users, ~5k-second spread per user
       ("session_window", () => {

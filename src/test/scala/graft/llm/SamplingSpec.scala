@@ -60,6 +60,14 @@ class SamplingSpec extends SparkSpec {
       out.select("doc_id").as[Long].collect().toSet
   }
 
+  test("mixture stays a narrow filter — no join, no shuffle") {
+    val docs = spark.range(100).select(col("id").as("doc_id"), lit("s0").as("source"))
+    val plan = Sampling.mixture(docs, Map("s0" -> 0.5))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
   test("mixture rejects out-of-range rates") {
     val docs = spark.range(10).select(col("id").as("doc_id"), lit("s").as("source"))
     an[IllegalArgumentException] should be thrownBy
