@@ -12,9 +12,17 @@ import org.apache.spark.sql.SparkSession
   * line LAST (the driver keeps the TAIL of stdout, so the line it must
   * parse is the short final one the long map can't crowd out). A failed
   * query is recorded as -1 in the map and named in `errors`, never
-  * silently timed as a success. Each query is executed twice and the min
-  * recorded, so one machine-contention spike can't write an outlier into
-  * the round's official record.
+  * silently timed as a success; a query that failed in exactly one pass
+  * is timed from the surviving pass but named in `warnings` (a flaky
+  * query is a correctness signal that must not vanish from the record).
+  * Each query is executed twice and the min recorded — as two FULL
+  * passes over the sorted suite, not back-to-back: round 5 proved
+  * adjacent samples share any sustained contention window (BENCH_r05
+  * recorded the whole stream block at 4-15x its reproducible cost
+  * because one multi-second spike covered both consecutive runs of
+  * several consecutive queries). With the suite between a query's two
+  * samples they are minutes apart, so a single window can poison at
+  * most one of them and the min stays honest.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,36 +52,47 @@ object Bench {
     // making per-query numbers incomparable across rounds (this is what
     // round 2's "unexplained" llm_dedup_ngram 4× turned out to be)
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    val warnings = scala.collection.mutable.ListBuffer.empty[String]
     // min-of-2 per query: Bench ran each query exactly once through round 3,
     // so a single machine-contention spike during the capture window landed
     // straight in the official record (BENCH_r03: llm_curate_full 21.85 s
     // recorded vs 4.5 s reproducible — a 5x outlier that moved the total
-    // from ~36 s to ~60 s). Two executions and the min applies CLAUDE.md's
-    // own "bench is noisy +-25%, rerun before trusting" rule to the harness
-    // itself; min (not mean) because contention only ever adds time.
+    // from ~36 s to ~60 s). min (not mean) because contention only ever
+    // adds time. Round 4 took the two samples back-to-back; round 5 showed
+    // that still fails under SUSTAINED contention (one window covered both
+    // runs of every query it overlapped — the whole stream block recorded
+    // 4-15x). The two samples now come from two separate full passes over
+    // the sorted suite, so each query's samples are the full suite apart.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // each run in its own try: a second-run failure must not discard a
-    // valid first measurement (and vice versa); -1 only when BOTH fail
+    // each run in its own try: a failure in one pass must not discard a
+    // valid measurement from the other; -1 only when BOTH fail
     def timeSafe(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
       try Some(timeOnce(fn)) catch { case _: Throwable => None }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = (timeSafe(fn), timeSafe(fn)) match {
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Map[String, Option[Double]] =
+      suite.map { case (name, fn) => name -> timeSafe(fn) }.toMap
+    val passA = pass()
+    val passB = pass()
+    val results = suite.map { case (name, _) =>
+      val t = (passA(name), passB(name)) match {
         case (Some(a), Some(b)) => math.min(a, b)
-        case (Some(a), None)    => a
-        case (None, Some(b))    => b
+        case (Some(a), None)    => warnings += name; a
+        case (None, Some(b))    => warnings += name; b
         case (None, None)       => errors += name; -1.0
       }
       name -> t
     }.toMap
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = strArr(errors.toSeq)
+    val warns = strArr(warnings.toSeq)
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warnings":$warns,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"sf":"$sfDir"}""")
     spark.stop()
   }
