@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * label-chain depth each round, so convergence is O(log diameter)
   * rounds, not O(diameter) — dup clusters are near-cliques (diameter
   * 2–3), and even pathological chain-shaped clusters of 2^20 docs close
-  * in ~20 rounds. Every round ends in an EAGER localCheckpoint: an
-  * iterative DataFrame loop otherwise doubles its logical plan per round
-  * (analysis time blows up long before the data does); the superseded
+  * in ~20 rounds. Every round ends in a localCheckpoint: an iterative
+  * DataFrame loop otherwise doubles its logical plan per round (analysis
+  * time blows up long before the data does); the checkpoint is lazy and
+  * materializes under the round's single action — the changed-label
+  * count that doubles as the convergence test — and the superseded
   * checkpoint is GC-released when `labels` is reassigned.
   *
   * 100 TB notes: state is exactly (id, comp) per node — 16 bytes a row,
@@ -58,21 +60,28 @@ object Components {
       // min over neighbours' current labels (one keyed shuffle, map-side min)
       val neighbourMin = sym.join(labels, col("__b") === col("id"))
         .groupBy(col("__a")).agg(min("comp").as("__ncomp"))
+      // the pre-round label rides along as __old so convergence is a
+      // per-row comparison on the round's own output, not a second
+      // join-the-previous-round job
       val prop = labels.as("l")
         .join(neighbourMin.as("n"), col("l.id") === col("n.__a"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.comp"), coalesce(col("__ncomp"), col("l.comp"))).as("comp"))
+          least(col("l.comp"), coalesce(col("__ncomp"), col("l.comp"))).as("comp"),
+          col("l.comp").as("__old"))
       // pointer jump: comp ← comp(comp) — label values are node ids, so
       // the lookup is a self-join; left join keeps already-minimal labels
       val jumped = prop.as("x")
         .join(prop.select(col("id").as("__jid"), col("comp").as("__jcomp")).as("y"),
           col("x.comp") === col("y.__jid"), "left")
         .select(col("x.id").as("id"),
-          least(col("x.comp"), coalesce(col("__jcomp"), col("x.comp"))).as("comp"))
-      val next = jumped.localCheckpoint(true) // truncate lineage NOW
-      done = next.as("nw").join(labels.as("ol"), "id")
-        .where(col("nw.comp") =!= col("ol.comp")).isEmpty
-      labels = next
+          least(col("x.comp"), coalesce(col("__jcomp"), col("x.comp"))).as("comp"),
+          col("x.__old").as("__old"))
+      // ONE action per round: the lazy checkpoint materializes under the
+      // changed-label count (an eager checkpoint + join + isEmpty probe
+      // was two jobs and an extra shuffle per round)
+      val next = jumped.localCheckpoint(false)
+      done = next.where(col("comp") =!= col("__old")).count() == 0L
+      labels = next.select("id", "comp")
       iter += 1
     }
     if (!done)

@@ -42,9 +42,15 @@ object Curation {
 
   /** The FULL pipeline a 100 TB pretraining corpus actually runs, as one
     * composition: exact dedup → language + quality gate → MinHash near-dup
-    * prune (drop the higher id of each near-dup pair) → stratified cap
-    * per (lang, source) → per-document accounting. Returns surviving
+    * prune with transitive closure (cluster the pair graph, keep each
+    * cluster's min-id representative) → stratified cap per (lang, source)
+    * → per-document accounting. Returns surviving
     * (doc_id, lang, source, n_tokens, quality) rows.
+    *
+    * NOT fully lazy: the clustering stage ([[Components.dupClusters]]) is
+    * iterative, so calling this method runs its O(log diameter) rounds of
+    * Spark jobs immediately; the returned frame is lazy from the anti
+    * join onward.
     *
     * Order matters at scale — cheapest prune first, most expensive last,
     * on the smallest surviving corpus: exact dedup (32-byte-hash shuffle;
@@ -86,14 +92,27 @@ object Curation {
     val gated =
       if (materializeGated) gatedPlan.localCheckpoint(eager = false)
       else gatedPlan
-    // near-dup prune on the gated survivors: drop the HIGHER id of every
-    // near-dup pair. No distinct on the loser ids — the left_anti probe
-    // side dedups inherently, and the distinct was a whole extra shuffle.
-    val nearDupLosers = Dedup.minHashNearDups(gated, k = 2, bands = 8,
+    // near-dup prune on the gated survivors, with TRANSITIVE closure:
+    // the old pairwise rule ("drop the higher id of each pair") leaked
+    // duplicates — pairs (2,4) and (3,4) drop only 4, keeping 2 and 3
+    // although they are transitive near-dups. Cluster the pair graph
+    // ([[Components.dupClusters]]) and keep each cluster's min-id
+    // representative instead. The iteration runs over PAIR PARTICIPANTS
+    // only — the dup graph, a small fraction of a 100 TB corpus — never
+    // over all docs; singletons skip the loop entirely and survive via
+    // the anti join. The distinct here is CC input hygiene (duplicate
+    // node rows would duplicate every round's state and the output),
+    // not a probe-side distinct — the anti join's probe is `losers`,
+    // which feeds it without one.
+    val pairs = Dedup.minHashNearDups(gated, k = 2, bands = 8,
         rowsPerBand = 2, threshold = nearDupThreshold,
         idCol = idCol, textCol = textCol)
-      .select(col("b").as(idCol))
-    val pruned = gated.join(nearDupLosers, Seq(idCol), "left_anti")
+    val participants = pairs.select(col("a").as(idCol))
+      .union(pairs.select(col("b").as(idCol)))
+      .distinct()
+    val losers = Components.dupClusters(participants, pairs, idCol = idCol)
+      .where(!col("is_rep")).select(col(idCol))
+    val pruned = gated.join(losers, Seq(idCol), "left_anti")
     Sampling.capPerGroup(pruned,
         keys = Seq(col("lang"), col("source")), n = maxPerGroup,
         order = Seq(col(idCol), col("n_tokens"), col("quality")))

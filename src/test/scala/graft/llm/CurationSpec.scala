@@ -39,19 +39,43 @@ class CurationSpec extends SparkSpec {
     out shouldBe Set(0L, 5L, 6L, 7L)
   }
 
+  test("near-dup prune is transitive: a chain cluster keeps exactly its min id") {
+    // k=2 shingle jaccards: J(2,4)=J(3,4)=6/11≈0.55 ≥ 0.5 but
+    // J(2,3)=3/13≈0.23 < 0.5 — only the pairs (2,4) and (3,4) verify.
+    // The old pairwise drop-higher-id rule dropped only 4, keeping both
+    // 2 and 3 although they are transitive near-dups; clustering must
+    // keep exactly the min id 2 of the {2,3,4} cluster.
+    val chain = Seq(
+      (0L, "mike november oscar papa quebec romeo sierra tango", "en", "web", 50L),
+      (2L, "alpha bravo charlie delta echo foxtrot golf apple banana", "en", "web", 57L),
+      (3L, "kilo lima delta echo foxtrot golf hotel india juliet", "en", "web", 53L),
+      (4L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet", "en", "web", 62L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.curateFull(chain, lang = "en", minQuality = 0.3,
+        nearDupThreshold = 0.5, maxPerGroup = 100)
+      .select("doc_id").as[Long].collect().toSet
+    out shouldBe Set(0L, 2L)
+  }
+
   test("materializeGated checkpoints the stage boundary once, results unchanged") {
+    def nCheckpointReads(df: org.apache.spark.sql.DataFrame): Int =
+      "LogicalRDD".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
     val plain = Curation.curateFull(docs, lang = "en", minQuality = 0.3,
       nearDupThreshold = 0.5, maxPerGroup = 2)
-    // the plain plan re-derives the gated stage per branch — no stage cut
-    plain.queryExecution.optimizedPlan.toString should not include "LogicalRDD"
+    // the clustering stage's checkpointed labels put ONE LogicalRDD into
+    // even the plain plan (the anti-join probe); the gated stage itself
+    // is still re-derived per branch — no stage cut for it
+    val plainReads = nCheckpointReads(plain)
     val plainIds = plain.select("doc_id").as[Long].collect().toSet
     val mat = Curation.curateFull(docs, lang = "en", minQuality = 0.3,
       nearDupThreshold = 0.5, maxPerGroup = 2, materializeGated = true)
-    // the gated frame is derived once: every downstream branch reads the
-    // checkpointed LogicalRDD instead of re-running dedup + quality + gate.
-    // Unlike the round-3 persist() this pins nothing in the CacheManager —
-    // blocks are GC-released — so there is no clearCache() to forget.
-    mat.queryExecution.optimizedPlan.toString should include("LogicalRDD")
+    // the gated frame is derived once: every surviving downstream branch
+    // reads the checkpointed LogicalRDD instead of re-running
+    // dedup + quality + gate, so the plan has strictly more checkpoint
+    // reads than the plain one. Unlike the round-3 persist() this pins
+    // nothing in the CacheManager — blocks are GC-released — so there is
+    // no clearCache() to forget.
+    nCheckpointReads(mat) should be > plainReads
     spark.sharedState.cacheManager.isEmpty shouldBe true
     mat.select("doc_id").as[Long].collect().toSet shouldBe plainIds
   }
