@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   * time blows up long before the data does); the checkpoint is lazy and
   * materializes under the round's single action — the changed-label
   * count that doubles as the convergence test — and the superseded
-  * checkpoint is GC-released when `labels` is reassigned.
+  * round's checkpoint blocks are released EXPLICITLY the moment the new
+  * round lands (GC + ContextCleaner would get there eventually, but in a
+  * long-lived session the dead MEMORY_AND_DISK blocks compete with the
+  * queries that run after us in the meantime). On convergence only the
+  * final labels checkpoint survives; the symmetric edge view is released
+  * too.
   *
   * 100 TB notes: state is exactly (id, comp) per node — 16 bytes a row,
   * partitioned by id; the per-round shuffle is the edge list keyed by
@@ -38,8 +43,12 @@ object Components {
 
   /** Component label per node: `component` = the smallest node id
     * reachable from `id` (deterministic representative election — same
-    * min-wins rule as [[Dedup.exact]]'s keep_id). Nodes absent from the
-    * edge list keep themselves as singleton components. Throws
+    * min-wins rule as [[Dedup.exact]]'s keep_id). Ids need only be
+    * ordered and joinable — numeric doc ids elect the numeric min,
+    * string ids the lexicographic min (spec-pinned); mixing id types
+    * between nodes and edges is a normal analysis-time type error.
+    * Nodes absent from the edge list keep themselves as singleton
+    * components. Throws
     * IllegalStateException if `maxIter` rounds don't reach the fixpoint
     * (a silent partial closure would merge too few clusters and leak
     * duplicates downstream). */
@@ -52,8 +61,11 @@ object Components {
       .union(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
       .where(col("__a") =!= col("__b"))
       .localCheckpoint(false) // materialized once on first round, reused every round
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+    // labelsCk tracks the round's checkpoint frame so the PREVIOUS round's
+    // blocks can be released as soon as the new round has materialized
+    var labelsCk = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
       .localCheckpoint(false)
+    var labels: DataFrame = labelsCk
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -81,6 +93,10 @@ object Components {
       // was two jobs and an extra shuffle per round)
       val next = jumped.localCheckpoint(false)
       done = next.where(col("comp") =!= col("__old")).count() == 0L
+      // the count materialized `next`; the previous round's blocks are
+      // now unreachable — free them before the next round allocates
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(labelsCk)
+      labelsCk = next
       labels = next.select("id", "comp")
       iter += 1
     }
@@ -88,6 +104,9 @@ object Components {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "raise maxIter; a partial closure would leak duplicates")
+    // converged: downstream consumers read only the final labels
+    // checkpoint — the edge view's blocks are dead, release them
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(sym)
     labels.select(col("id").as(idCol), col("comp").as("component"))
   }
 

@@ -104,18 +104,38 @@ object Curation {
     // node rows would duplicate every round's state and the output),
     // not a probe-side distinct — the anti join's probe is `losers`,
     // which feeds it without one.
-    val pairs = Dedup.minHashNearDups(gated, k = 2, bands = 8,
-        rowsPerBand = 2, threshold = nearDupThreshold,
-        idCol = idCol, textCol = textCol)
+    val pairs = pairStage(gated, nearDupThreshold, idCol, textCol)
     val participants = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol)))
       .distinct()
     val losers = Components.dupClusters(participants, pairs, idCol = idCol)
       .where(!col("is_rep")).select(col(idCol))
+    // dupClusters ran its rounds eagerly just now; `losers` reads only the
+    // final labels checkpoint, so the pair blocks are already dead — free
+    // them before the (lazy) anti join + cap run
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(pairs)
     val pruned = gated.join(losers, Seq(idCol), "left_anti")
     Sampling.capPerGroup(pruned,
         keys = Seq(col("lang"), col("source")), n = maxPerGroup,
         order = Seq(col(idCol), col("n_tokens"), col("quality")))
       .select(col(idCol), col("lang"), col("source"), col("n_tokens"), col("quality"))
   }
+
+  /** The near-dup pair stage of [[curateFull]], cut with a lazy
+    * localCheckpoint: the pair list feeds BOTH clustering inputs — the
+    * node set ([[Components.connectedComponents]]'s labels checkpoint)
+    * and the edge view (its `sym` checkpoint) — which materialize as
+    * separate RDD lineages, so without the cut the minhash stage
+    * (shingling, 16 hash lanes, the banding shuffle, Jaccard
+    * verification — the most expensive stage of the whole pipeline) is
+    * derived once PER CONSUMER. Checkpointing the pairs makes both
+    * consumers share one RDD: the shuffle stages run once, the verified
+    * pairs are computed once and read back as blocks. Package-private so
+    * CurationSpec can assert the plan IS a checkpoint boundary. */
+  private[llm] def pairStage(gated: DataFrame, nearDupThreshold: Double,
+                             idCol: String, textCol: String): DataFrame =
+    Dedup.minHashNearDups(gated, k = 2, bands = 8,
+        rowsPerBand = 2, threshold = nearDupThreshold,
+        idCol = idCol, textCol = textCol)
+      .localCheckpoint(eager = false)
 }

@@ -44,12 +44,16 @@ object Sampling {
     * source must never leak into a weighed mixture). The keep decision
     * is a pure narrow filter on `(id · 2654435761) mod 10⁴ < rate·10⁴`
     * (Knuth's multiplicative constant; odd and coprime to 10⁴, so
-    * consecutive ids sweep all residues uniformly) — codegen'd, pushable
-    * into the scan, retry-stable, and expressible in ANSI SQL so the
-    * whole mixture is oracle-gated end-to-end. For adversarial/clustered
-    * id spaces use [[bernoulli]]'s xxhash64 per stratum instead; the
-    * rate plumbing here is the operator, the lattice hash is the
-    * cross-engine-exact selector. */
+    * consecutive ids sweep all residues uniformly), computed in REDUCED
+    * residues: 2654435761 ≡ 5761 (mod 10⁴), so `(id mod 10⁴) · 5761
+    * mod 10⁴` selects bit-identically — and its largest intermediate is
+    * 9999 · 5761 < 2²⁶, where the naive product wraps Long past ids
+    * ~3.47·10⁹ (an ANSI-mode crash at exactly the id spaces a corpus
+    * recipe runs over). Codegen'd, pushable into the scan, retry-stable,
+    * and expressible in ANSI SQL so the whole mixture is oracle-gated
+    * end-to-end. For adversarial/clustered id spaces use [[bernoulli]]'s
+    * xxhash64 per stratum instead; the rate plumbing here is the
+    * operator, the lattice hash is the cross-engine-exact selector. */
   def mixture(df: DataFrame, rates: Map[String, Double],
               idCol: String = "doc_id",
               stratumCol: String = "source"): DataFrame = {
@@ -60,6 +64,7 @@ object Sampling {
     val rateCol = bp.foldLeft(lit(-1)) { case (acc, (s, b)) =>
       when(col(stratumCol) === s, lit(b)).otherwise(acc)
     }
-    df.where(pmod(col(idCol).cast("long") * 2654435761L, lit(10000L)) < rateCol)
+    df.where(
+      pmod(pmod(col(idCol).cast("long"), lit(10000L)) * 5761L, lit(10000L)) < rateCol)
   }
 }

@@ -25,7 +25,7 @@ object TextStats {
   /** Whitespace-run regex, spelled as an EXPLICIT character class rather
     * than `\s+`: Java's `\s` includes U+000B (vertical tab) while
     * RE2/DuckDB's does not, so `\s+` silently diverges on a document
-    * containing \x0B. Listing the five characters (space, tab, LF, VT,
+    * containing \x0B. Listing the six characters (space, tab, LF, VT,
     * FF, CR) — with VT as `\x0B`, a hex escape both dialects accept —
     * keeps the Java∩RE2 byte-for-byte claim true. The DuckDB oracle
     * side uses the same literal: `[ \t\n\x0B\f\r]+`. */
@@ -163,7 +163,17 @@ object TextStats {
     * side is vocab-sized — at 100 TB still a shuffle join keyed by term,
     * never a broadcast (a web-scale vocab is GBs). `nDocs` is computed
     * with one `count()` when not supplied; pass it when the corpus size
-    * is already known to keep the operator fully lazy. */
+    * is already known to keep the operator fully lazy.
+    *
+    * Overflow: the numerator `tf·N·20000` is computed in DECIMAL(38,0)
+    * — at web scale tf·N alone passes 4.6·10¹⁴ (N=10¹² docs, tf=10³)
+    * and a Long numerator wraps (or throws under ANSI). The quotient
+    * comes back as a Long via `div`: it must satisfy
+    * `10⁴·tf·N/df < 2⁶³`, a bound on the SCORE's own magnitude (the
+    * representational limit of an int64 score column), not an artifact
+    * of evaluation order — it binds only for a near-hapax term
+    * (df≈1) repeated thousands of times inside one document of a
+    * trillion-doc corpus. */
   def tfIdf(docs: DataFrame, topK: Int = 3, nDocs: Long = -1L,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val n = if (nDocs >= 0) nDocs else docs.count()
@@ -173,7 +183,8 @@ object TextStats {
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df_, "term")
       .withColumn("score_bp", graft.functions.VectorFunctions.intDiv(
-        col("tf") * lit(n) * 20000L + col("df"), col("df") * 2L))
+        col("tf").cast("decimal(38,0)") * lit(n) * 20000L + col("df"),
+        col("df") * 2L))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("score_bp").desc, col("term").asc)

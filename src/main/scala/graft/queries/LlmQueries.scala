@@ -530,7 +530,9 @@ object LlmQueries {
     },
 
     // Source-weighted mixture: per-stratum keep fractions via the
-    // multiplicative-lattice hash ((id·2654435761) mod 1e4 < rate_bp) —
+    // multiplicative-lattice hash ((id·2654435761) mod 1e4 < rate_bp),
+    // computed in reduced residues on BOTH sides (2654435761 ≡ 5761
+    // mod 1e4 — bit-identical selection, no Long overflow at any id) —
     // pure integer arithmetic both engines, so the whole recipe step
     // (rate lookup + deterministic selection + unlisted-stratum drop)
     // is oracle-gated.
@@ -542,7 +544,7 @@ object LlmQueries {
         |                ELSE -1 END AS rate_bp
         |  FROM documents)
         |SELECT doc_id, source FROM r
-        |WHERE (doc_id * 2654435761) % 10000 < rate_bp
+        |WHERE ((doc_id % 10000) * 5761) % 10000 < rate_bp
         |ORDER BY doc_id""".stripMargin) {
       (spark, sf) =>
         Sampling.mixture(

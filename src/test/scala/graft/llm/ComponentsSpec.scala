@@ -51,6 +51,32 @@ class ComponentsSpec extends SparkSpec {
       comps(nodes, edges, maxIter = 1)
   }
 
+  test("only the final labels checkpoint stays persisted; rounds + edge view released") {
+    // each round's lazy checkpoint and the symmetric edge view are
+    // released explicitly the moment they are superseded — in a
+    // long-lived session (Bench runs ~40 queries after a curation pass)
+    // waiting for GC + ContextCleaner leaves dead MEMORY_AND_DISK blocks
+    // competing with live queries
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = Components.connectedComponents(
+      (0L to 15L).toDF("id"),
+      (0L until 15L).map(i => (i, i + 1)).toDF("src", "dst"))
+    val fresh = sc.getPersistentRDDs.keySet -- before
+    fresh.size shouldBe 1 // exactly the final labels checkpoint the result reads
+    out.count() shouldBe 16L // and it is still readable
+  }
+
+  test("orderable non-numeric ids cluster with lexicographic-min representatives") {
+    // min-wins election needs only an ordered, joinable id type — string
+    // doc ids work, with the representative being the lexicographic min
+    val out = Components.connectedComponents(
+        Seq("a", "b", "c", "z").toDF("id"),
+        Seq(("b", "a"), ("b", "c")).toDF("src", "dst"))
+      .as[(String, String)].collect().toMap
+    out shouldBe Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z")
+  }
+
   test("dupClusters flags the min-id doc of each cluster as representative") {
     val docs = Seq(10L, 11L, 12L, 20L).toDF("doc_id")
     val pairs = Seq((11L, 10L), (11L, 12L)).toDF("a", "b")

@@ -57,6 +57,33 @@ class CurationSpec extends SparkSpec {
     out shouldBe Set(0L, 2L)
   }
 
+  test("the near-dup pair stage is one checkpoint boundary both clustering inputs share") {
+    // the pair list feeds BOTH the clustering node set (the CC labels
+    // checkpoint) and its edge view (the sym checkpoint); those
+    // materialize as separate RDD lineages, so unless the pair stage IS
+    // a checkpoint — a single LogicalRDD both consumers read — the
+    // minhash pipeline (shingling, hash lanes, banding shuffle, Jaccard
+    // verify: the most expensive stage of curateFull) derives once PER
+    // CONSUMER
+    val pairs = Curation.pairStage(docs, 0.5, "doc_id", "text")
+    val plan = pairs.queryExecution.analyzed
+    plan.collectLeaves().length shouldBe 1
+    "LogicalRDD".r.findAllIn(plan.toString).length shouldBe 1
+    plan.toString should not include "minhash" // stage cut, not re-derived
+  }
+
+  test("curateFull releases every superseded checkpoint; one survivor") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Curation.curateFull(docs, lang = "en", minQuality = 0.3,
+      nearDupThreshold = 0.5, maxPerGroup = 2)
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // pairs, the per-round CC labels and the edge view are all released
+    // eagerly; the single survivor is the final CC labels checkpoint the
+    // (still lazy) anti join reads
+    fresh.size shouldBe 1
+    out.select("doc_id").as[Long].collect().toSet shouldBe Set(0L, 5L, 6L)
+  }
+
   test("materializeGated checkpoints the stage boundary once, results unchanged") {
     def nCheckpointReads(df: org.apache.spark.sql.DataFrame): Int =
       "LogicalRDD".r.findAllIn(df.queryExecution.optimizedPlan.toString).length

@@ -68,6 +68,23 @@ class SamplingSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  test("mixture survives ids past 2^33 and near 2^62 under ANSI (reduced residues)") {
+    // the naive (id·2654435761) product wraps Long once ids pass ~3.47e9 —
+    // ANSI Spark 4 (the session default here) throws at exactly the id
+    // spaces a corpus recipe runs over. The reduced-residue form
+    // ((id mod 1e4)·5761 mod 1e4) must select the SAME residues with a
+    // largest intermediate of 9999·5761 < 2^26.
+    val bigIds = Seq(1L << 33, 3470000000L, (1L << 62) - 7L, Long.MaxValue / 2)
+    val docs = bigIds.toDF("doc_id").withColumn("source", lit("s0"))
+    val kept = Sampling.mixture(docs, Map("s0" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    // expectation straight from the mathematical definition, in BigInt space
+    val expect = bigIds.filter(id =>
+      (BigInt(id) * BigInt(2654435761L)).mod(BigInt(10000)) < BigInt(5000)).toSet
+    kept shouldBe expect
+    expect should not be empty // the fixture must actually exercise the keep branch
+  }
+
   test("mixture rejects out-of-range rates") {
     val docs = spark.range(10).select(col("id").as("doc_id"), lit("s").as("source"))
     an[IllegalArgumentException] should be thrownBy
