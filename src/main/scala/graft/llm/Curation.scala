@@ -130,12 +130,20 @@ object Curation {
     * verification — the most expensive stage of the whole pipeline) is
     * derived once PER CONSUMER. Checkpointing the pairs makes both
     * consumers share one RDD: the shuffle stages run once, the verified
-    * pairs are computed once and read back as blocks. Package-private so
-    * CurationSpec can assert the plan IS a checkpoint boundary. */
+    * pairs are computed once and read back as blocks.
+    *
+    * EAGER, unlike the `materializeGated` checkpoint one screen up: the
+    * gated frame's consumers run serially (this action first, the anti
+    * join later), so a lazy cut is race-free there — but both clustering
+    * inputs materialize under the SAME first-round count job, whose two
+    * concurrent subtrees race to compute the pair partitions before the
+    * cache lands (measured: lazy 2.23 s vs eager 1.82 s at sf0.1).
+    * Package-private so CurationSpec can assert the plan IS a checkpoint
+    * boundary. */
   private[llm] def pairStage(gated: DataFrame, nearDupThreshold: Double,
                              idCol: String, textCol: String): DataFrame =
     Dedup.minHashNearDups(gated, k = 2, bands = 8,
         rowsPerBand = 2, threshold = nearDupThreshold,
         idCol = idCol, textCol = textCol)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = true)
 }
