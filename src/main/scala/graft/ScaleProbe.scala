@@ -151,6 +151,18 @@ object ScaleProbe {
           .select(col("id").as("a"), (col("id") + 1).as("b"))
         graft.llm.Components.dupClusters(nodes, edges).count()
       }),
+      // hub-skew clustering: ONE hub (node 0) connected to n/10 spokes —
+      // the mega-cluster case (a boilerplate doc near-dup of everything).
+      // Every edge shares the hub's endpoint, the documented worst skew
+      // for the per-round neighbour-min shuffle; min is algebraic, so
+      // map-side partial aggregation absorbs the hub's key and the ratio
+      // should track the edge scan exactly like the chain shape does
+      ("dup_clusters_hub", () => {
+        val nodes = spark.range(n).toDF("doc_id")
+        val edges = spark.range(n / 10)
+          .select(lit(0L).as("a"), (col("id") + 1).as("b"))
+        graft.llm.Components.dupClusters(nodes, edges).count()
+      }),
       // token-budget shard packing: one window shuffle keyed by the 8
       // synthetic strata — the prefix sum serializes per stratum, which is
       // exactly the documented sizing rule being probed

@@ -124,6 +124,27 @@ object Examples {
       .where(col("rep_ratio") > 0.2).count()
     println(s"[11] boilerplate stripped from $boilerFree docs; $repetitive repetitive docs")
 
+    // 12. post-curation corpus assembly — the chain a pretraining recipe
+    // runs after gating: near-dup pairs → TRANSITIVE clusters (A~B, B~C ⇒
+    // one cluster even though (A,C) was never a pair) → keep each
+    // cluster's min-id representative → source-weighted mixture →
+    // token-budget shards
+    val pairs = Dedup.minHashNearDups(docs, k = 2, bands = 8,
+      rowsPerBand = 2, threshold = 0.5)
+    val nodes = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val losers = graft.llm.Components.dupClusters(nodes, pairs)
+      .where(!col("is_rep")).select("doc_id")
+    val unique = docs.join(losers, Seq("doc_id"), "left_anti")
+    // fixture corpus has 20 sources; listing 3 drops the other 17 — an
+    // unlisted source must never leak into a weighed mixture
+    val weighted = graft.llm.Sampling.mixture(unique,
+      Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.3))
+    val shards = graft.llm.Packing.packShards(weighted, tokensPerShard = 256)
+    println(s"[12] assembly: ${pairs.count()} near-dup pairs → " +
+      s"${losers.count()} pruned → ${weighted.count()} after mixture → " +
+      s"${shards.agg(countDistinct(col("shard_id"))).head.getLong(0)} shards")
+
     spark.stop()
   }
 }
