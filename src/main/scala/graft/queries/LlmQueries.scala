@@ -267,6 +267,38 @@ object LlmQueries {
         TextStats.normalize(planted).orderBy("doc_id")
     },
 
+    // Markup stripping (web-crawl extraction), oracle-gated for real: the
+    // fixture corpus is clean text, so HTML structure — comments, style
+    // and script blocks, tags, escaped entities — is planted in-query on
+    // BOTH sides (the llm_redact discipline). The DuckDB replacement
+    // chain is GENERATED from Cleanup.markupRules, so the two engines
+    // replay one rule list byte-for-byte.
+    Q("llm_strip_markup", {
+      def sq(s: String) = s.replace("'", "''")
+      val chain = graft.llm.Cleanup.markupRules.foldLeft("text") {
+        case (e, (p, r)) => s"regexp_replace($e, '${sq(p)}', '${sq(r)}', 'g')"
+      }
+      val clean = s"trim(regexp_replace($chain, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+      val prefix = """<html><head><style type="text/css">p{color:red}</style></head><body class="m"><!-- nav bar --><h1>"""
+      val suffix = """ &amp; &lt;raw&gt; &quot;it&#39;s&quot;&nbsp;end</p><script src="x.js">var i=0;</script><br/></body></html>"""
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    '${sq(prefix)}' || substr(text, 1, 20) || '</h1><p>' || text ||
+         |      '${sq(suffix)}' AS text
+         |  FROM documents)
+         |SELECT doc_id, $clean AS clean_text,
+         |  CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT) AS n_tags,
+         |  CAST(length(text) - length($clean) AS BIGINT) AS chars_removed
+         |FROM planted ORDER BY doc_id""".stripMargin
+    }) { (spark, sf) =>
+      val prefix = """<html><head><style type="text/css">p{color:red}</style></head><body class="m"><!-- nav bar --><h1>"""
+      val suffix = """ &amp; &lt;raw&gt; &quot;it&#39;s&quot;&nbsp;end</p><script src="x.js">var i=0;</script><br/></body></html>"""
+      val planted = Tables.documents(spark, sf).select(col("doc_id"),
+        concat(lit(prefix), substring(col("text"), 1, 20), lit("</h1><p>"),
+          col("text"), lit(suffix)).as("text"))
+      graft.llm.Cleanup.stripMarkup(planted).orderBy("doc_id")
+    },
+
     // Gopher-style quality gate with per-rule drop accounting: each rule
     // (language, token-count band, duplicate-bigram fraction) is its own
     // flag, aggregated per (lang, source) — the "why was data dropped"
