@@ -67,4 +67,88 @@ object Sampling {
     df.where(
       pmod(pmod(col(idCol).cast("long"), lit(10000L)) * 5761L, lit(10000L)) < rateCol)
   }
+
+  /** The reduced-residue lattice hash shared by [[mixture]], [[split]]
+    * and [[reweight]]: `(id mod 10⁴)·5761 mod 10⁴` — bit-identical to
+    * `(id·2654435761) mod 10⁴` (Knuth's constant reduced mod 10⁴) with a
+    * largest intermediate of 9999·5761 < 2²⁶, so it is ANSI-overflow-free
+    * at any id and replayable in any SQL engine. */
+  def latticeResidue(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(10000L)) * 5761L, lit(10000L))
+
+  /** Deterministic train/val/test split: every row gets a `split` label
+    * from contiguous residue bands of [[latticeResidue]] — `fractions`
+    * lists (label, fraction) in band order, fractions summing to 1 (±1
+    * basis point of rounding; the LAST band absorbs the residue so the
+    * assignment is total). A pure narrow projection — no shuffle, no RNG:
+    * the same id lands in the same split across runs, retries, cluster
+    * sizes and engine versions, which is what makes a held-out set
+    * trustworthy at 100 TB (`df.randomSplit`'s partition-seeded RNG is
+    * none of those). Band layout also nests with [[mixture]]/[[bernoulli]]
+    * subsets: a row's split never depends on which other rows survived
+    * upstream filters. */
+  def split(df: DataFrame, fractions: Seq[(String, Double)],
+            idCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty, "split needs at least one band")
+    require(fractions.forall(_._2 >= 0.0), "fractions must be non-negative")
+    val sum = fractions.map(_._2).sum
+    require(math.abs(sum - 1.0) < 1e-9, s"fractions must sum to 1, got $sum")
+    val cuts = fractions.init
+      .scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 10000) }
+      .tail // cumulative upper bounds for all bands but the last
+    val res = latticeResidue(col(idCol))
+    val label = fractions.init.zip(cuts).reverse
+      .foldLeft(lit(fractions.last._1)) { case (acc, ((name, _), cut)) =>
+        when(res < cut, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
+  /** Downsample-only rebalancing toward a target mixture — the "make the
+    * corpus 60 % web / 30 % code / 10 % wiki" assembly step when the raw
+    * strata DON'T already have those proportions (where [[mixture]] takes
+    * explicit per-stratum rates, reweight DERIVES them from the data).
+    * `target` maps stratum → proportion (summing to 1); strata not listed
+    * are dropped. The realized corpus is the LARGEST achievable under
+    * downsampling: feasible total `T = min_s floor(nₛ·10⁴ / pₛ_bp)`, per-
+    * stratum keep-rate `rₛ_bp = min(10⁴, floor(pₛ_bp·T / nₛ))`, rows kept
+    * by `latticeResidue(id) < rₛ_bp`.
+    *
+    * Plan shape: one map-side-combined `groupBy(stratum).count()` (rows
+    * shrink to |strata| before the exchange), the rate arithmetic on that
+    * tiny table (numerator widened to DECIMAL(38,0) — `pₛ_bp·T` passes
+    * Long at trillion-row strata), then a BROADCAST join of the rates
+    * back onto the corpus feeding a narrow residue filter. The 100 TB
+    * side is scanned once and never shuffled. Rates are basis-point
+    * granular, so realized proportions track the target to ~1e-4 — the
+    * hash-rate contract [[mixture]] documents; an exact-count variant is
+    * `capPerGroup(df, stratum, kₛ, order = residue)` at the cost of a
+    * per-stratum shuffle. */
+  def reweight(df: DataFrame, target: Map[String, Double],
+               idCol: String = "doc_id",
+               stratumCol: String = "source"): DataFrame = {
+    require(target.nonEmpty, "reweight needs at least one target stratum")
+    require(target.values.forall(p => p > 0.0 && p <= 1.0),
+      "target proportions must be in (0, 1]")
+    val sum = target.values.sum
+    require(math.abs(sum - 1.0) < 1e-9, s"target proportions must sum to 1, got $sum")
+    val pBp = target.map { case (s, p) => s -> math.round(p * 10000) }
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val pCol = pBp.foldLeft(lit(-1L)) { case (acc, (s, b)) =>
+      when(col(stratumCol) === s, lit(b)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__pbp", pCol)
+      .where(col("__pbp") > 0)
+    val feasible = counts
+      .agg(min(intDiv(col("__n") * 10000L, col("__pbp"))).as("__t"))
+    val rates = counts.crossJoin(broadcast(feasible))
+      .select(col(stratumCol),
+        least(lit(10000L),
+          intDiv(col("__pbp").cast("decimal(38,0)") * col("__t"), col("__n"))
+            .cast("long")).as("__rate"))
+    df.join(broadcast(rates), stratumCol)
+      .where(latticeResidue(col(idCol)) < col("__rate"))
+      .drop("__rate")
+  }
 }

@@ -585,6 +585,47 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // Deterministic train/val/test split: contiguous lattice-residue
+    // bands, total assignment, no RNG — oracle-gated end-to-end.
+    Q("llm_split",
+      """SELECT doc_id, source,
+        |  CASE WHEN ((doc_id % 10000) * 5761) % 10000 < 8000 THEN 'train'
+        |       WHEN ((doc_id % 10000) * 5761) % 10000 < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        Sampling.split(
+            Tables.documents(spark, sf).select("doc_id", "source"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .orderBy("doc_id")
+    },
+
+    // Target-mixture rebalancing: rates DERIVED from per-stratum counts
+    // (largest downsample-only corpus hitting the target proportions),
+    // integer feasibility arithmetic on both sides. lang is the stratum —
+    // the fixture's lang counts are skewed, so the binding-stratum min and
+    // the per-stratum rates are all non-trivial.
+    Q("llm_reweight",
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n,
+        |    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+        |              WHEN 'zh' THEN 2500 ELSE -1 END AS pbp
+        |  FROM documents GROUP BY 1),
+        |k AS (SELECT lang, n, pbp FROM c WHERE pbp > 0),
+        |t AS (SELECT min(n * 10000 // pbp) AS t FROM k),
+        |r AS (SELECT lang, least(10000, pbp * t // n) AS rate FROM k, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE ((d.doc_id % 10000) * 5761) % 10000 < r.rate
+        |ORDER BY d.doc_id""".stripMargin) {
+      (spark, sf) =>
+        Sampling.reweight(
+            Tables.documents(spark, sf).select("doc_id", "lang"),
+            Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25),
+            stratumCol = "lang")
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+    },
+
     // Token-budget shard packing: running token sum per source (stable
     // doc_id order), shard = start-offset // budget — integer window
     // arithmetic, oracle-gated end-to-end.

@@ -92,4 +92,83 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.mixture(docs, Map.empty[String, Double])
   }
+
+  test("split is total, disjoint, accurate and retry-stable") {
+    val docs = ids.withColumnRenamed("id", "doc_id")
+    val out = Sampling.split(docs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    counts.values.sum shouldBe 10000L // total: every row gets a band
+    counts("train").toDouble / 10000 shouldBe 0.8 +- 0.02
+    counts("val").toDouble / 10000 shouldBe 0.1 +- 0.02
+    counts("test").toDouble / 10000 shouldBe 0.1 +- 0.02
+    // retry-stability: same assignment under a different partitioning
+    val again = Sampling.split(docs.repartition(13), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    again.select("doc_id", "split").as[(Long, String)].collect().toMap shouldBe
+      out.select("doc_id", "split").as[(Long, String)].collect().toMap
+  }
+
+  test("split assignment is independent of upstream filtering (nests with mixture)") {
+    val docs = ids.withColumnRenamed("id", "doc_id")
+    val full = Sampling.split(docs, Seq("a" -> 0.5, "b" -> 0.5))
+      .as[(Long, String)].collect().toMap
+    val half = Sampling.split(docs.where(col("doc_id") % 3 === 0), Seq("a" -> 0.5, "b" -> 0.5))
+      .as[(Long, String)].collect()
+    half.foreach { case (id, s) => s shouldBe full(id) }
+  }
+
+  test("split is a pure projection — no shuffle, no join") {
+    val docs = spark.range(100).toDF("doc_id")
+    val plan = Sampling.split(docs, Seq("a" -> 0.9, "b" -> 0.1))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
+  test("split rejects fractions that do not sum to 1") {
+    val docs = spark.range(10).toDF("doc_id")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.split(docs, Seq("a" -> 0.5, "b" -> 0.4))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.split(docs, Seq.empty)
+  }
+
+  test("reweight realizes the target mixture at the largest feasible size") {
+    // skewed strata: a=6000, b=3000, c=1000; target 1/3 each → c binds:
+    // T = 3000, expected kept ≈ 1000 per stratum (b rate 3333bp, c rate 10000bp)
+    val docs = spark.range(10000).select(col("id").as("doc_id"),
+      when(col("id") < 6000, "a").when(col("id") < 9000, "b").otherwise("c").as("source"))
+    val target = Map("a" -> (1.0 / 3), "b" -> (1.0 / 3), "c" -> (1.0 / 3))
+    val counts = Sampling.reweight(docs, target)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    counts("c") shouldBe 1000L // binding stratum keeps everything
+    counts("a").toDouble / 1000 shouldBe 1.0 +- 0.07
+    counts("b").toDouble / 1000 shouldBe 1.0 +- 0.07
+  }
+
+  test("reweight drops unlisted strata and is retry-stable") {
+    val docs = spark.range(3000).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(3))).as("source"))
+    val target = Map("s0" -> 0.5, "s1" -> 0.5)
+    val out = Sampling.reweight(docs, target)
+    out.where(col("source") === "s2").count() shouldBe 0L
+    val again = Sampling.reweight(docs.repartition(7), target)
+    again.select("doc_id").as[Long].collect().toSet shouldBe
+      out.select("doc_id").as[Long].collect().toSet
+  }
+
+  test("reweight broadcasts the rates side — the corpus is never shuffled") {
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(2))).as("source"))
+    val plan = Sampling.reweight(docs, Map("s0" -> 0.5, "s1" -> 0.5))
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("reweight rejects malformed targets") {
+    val docs = spark.range(10).select(col("id").as("doc_id"), lit("s").as("source"))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.reweight(docs, Map("s" -> 0.5)) // does not sum to 1
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.reweight(docs, Map.empty[String, Double])
+  }
 }
