@@ -496,6 +496,34 @@ object LlmQueries {
         TextStats.quality(Tables.documents(spark, sf)).orderBy("doc_id")
     },
 
+    // Model-based quality scoring (fastText-classifier stage): offline-
+    // trained weights applied as one integer linear projection — score
+    // AND decision cross-engine exact, oracle-gated.
+    Q("llm_classifier",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'fast', 'slow'], t))) AS BIGINT) AS ns,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    -60000 + 3 * nt + ((20000 * (len - nt + 1) + nt) // (2 * nt))
+        |      - 4 * ((20000 * ns + nt) // (2 * nt))
+        |      + 5 * ((20000 * nd + nt) // (2 * nt)) AS score
+        |  FROM c)
+        |SELECT doc_id, score, score >= 2800 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        graft.llm.Classifier.score(Tables.documents(spark, sf),
+            graft.llm.Classifier.Weights(wTokens = 3, wMeanLen = 1,
+              wStopword = -4, wDistinct = 5, bias = -60000),
+            threshold = 2800)
+          .orderBy("doc_id")
+    },
+
     Q("llm_tokens",
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS ws_tokens,

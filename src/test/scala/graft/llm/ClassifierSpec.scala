@@ -1,0 +1,48 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Linear quality classifier: hand-computed scores, threshold semantics,
+  * plan shape, and agreement with TextStats.quality's feature discipline. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("score matches a hand-computed linear combination") {
+    // "b b c" → nt=3, len=5, ns(stopwords {b})=2, nd=2
+    // ml_bp = round(1e4·(5-3+1)/3) = 10000, sr_bp = round(1e4·2/3) = 6667,
+    // dr_bp = round(1e4·2/3) = 6667
+    val docs = Seq((1L, "b b c")).toDF("doc_id", "text")
+    val w = Classifier.Weights(wTokens = 2, wMeanLen = 1, wStopword = -1,
+      wDistinct = 3, bias = 10)
+    val out = Classifier.score(docs, w, threshold = 0, stopwords = Seq("b"))
+      .as[(Long, Long, Boolean)].collect().head
+    out._2 shouldBe (10 + 2 * 3 + 10000 - 6667 + 3 * 6667)
+    out._3 shouldBe true
+  }
+
+  test("threshold is a >= cut and both branches are reachable") {
+    val docs = Seq((1L, "x y z"), (2L, "w w w w w w")).toDF("doc_id", "text")
+    // score = dr_bp: doc 1 → 10000 (all distinct), doc 2 → round(1e4/6)=1667
+    val w = Classifier.Weights(wDistinct = 1)
+    val out = Classifier.score(docs, w, threshold = 10000)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    out(0) shouldBe ((1L, 10000L, true))  // exactly at threshold → keep
+    out(1) shouldBe ((2L, 1667L, false))
+  }
+
+  test("scoring is one narrow projection — no shuffle, no join") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val plan = Classifier.score(docs, Classifier.Weights(wTokens = 1), 0)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
+  test("zero weights score exactly the bias for every document") {
+    val docs = Seq((1L, "a"), (2L, "b c d")).toDF("doc_id", "text")
+    val out = Classifier.score(docs, Classifier.Weights(bias = 7), threshold = 8)
+    out.select("score").as[Long].collect().toSet shouldBe Set(7L)
+    out.where(col("keep")).count() shouldBe 0L
+  }
+}
