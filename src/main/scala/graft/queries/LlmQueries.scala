@@ -679,6 +679,30 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // Context-length chunking: 16-token windows, 4-token overlap —
+    // sequence→explode→slice, integer 1-based-inclusive slicing on both
+    // sides, oracle-gated end-to-end.
+    Q("llm_chunk",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    greatest(1, (nt - 4 + 11) // 12) AS nc
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, toks, unnest(range(nc)) AS chunk_id FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' ') AS chunk_text,
+        |  CAST(len(toks[chunk_id * 12 + 1 : chunk_id * 12 + 16]) AS BIGINT) AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin) {
+      (spark, sf) =>
+        graft.llm.Chunking.chunk(Tables.documents(spark, sf),
+            chunkTokens = 16, overlap = 4)
+          .orderBy("doc_id", "chunk_id")
+    },
+
     // Seeded hash-Bernoulli sample — xxhash64 has no DuckDB analog, so
     // rows-only here; determinism/accuracy pinned in SamplingSpec.
     Q.noOracle("llm_sample_bernoulli") { (spark, sf) =>
