@@ -284,14 +284,61 @@ object Dedup {
       .distinct()
     val matched = docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("matched"))
+    contaminationRatio(docs, matched, k, idCol, textCol)
+  }
+
+  /** Shared tail of the two contamination paths: per-doc distinct-shingle
+    * totals (narrow, no explode) joined to the matched counts, ratio 4dp
+    * round-half-up in integer arithmetic. */
+  private def contaminationRatio(docs: DataFrame, matched: DataFrame, k: Int,
+                                 idCol: String, textCol: String): DataFrame = {
     val totals = docs.select(col(idCol),
-      size(array_distinct(WordShingles(col(textCol), k))).cast("long").as("total"))
+      size(array_distinct(graft.functions.WordShingles(col(textCol), k)))
+        .cast("long").as("total"))
     totals.join(matched, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("matched"), lit(0L)).as("matched"), col("total"))
       .select(col(idCol), col("matched"), col("total"),
         (graft.functions.VectorFunctions.intDiv(
           col("matched") * 20000 + col("total"), col("total") * 2)
           .cast("double") / 10000.0).as("contamination"))
+  }
+
+  /** [[contamination]] for benchmark sets too big to broadcast as a
+    * string set — the "union of every eval suite" regime (tens of
+    * millions of shingles): identical OUTPUT, different plan. A bloom
+    * filter over the benchmark shingles (~1.2 B/item at the default 1 %
+    * FPP, vs dozens of bytes per broadcast string) rides into a narrow
+    * [[graft.functions.BloomMightContainStr]] kernel probe over the
+    * exploded document shingles, dropping non-candidates INSIDE
+    * whole-stage codegen before any exchange; only the survivors — true
+    * matches plus the FPP sliver — pay the exact shuffle semi-join
+    * against the benchmark set that makes the result EXACT (bloom error
+    * is one-sided, so prefilter-then-verify loses nothing). The doc side
+    * is scanned once and the stream that shuffles is ~(contamination
+    * rate + fpp) of it, instead of a broadcast of the un-broadcastable.
+    *
+    * The benchmark shingle set is consumed twice (bloom build + verify
+    * join), so it's cut once with a lazy localCheckpoint (the
+    * [[Curation.curateFull]] pattern — no lineage after the cut, by
+    * design). `expectedItems < 0` (default) sizes the bloom from the cut
+    * set's exact count; pass it when known to skip that job. */
+  def bloomContamination(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
+                         fpp: Double = 0.01, expectedItems: Long = -1L,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.{BloomMightContainStr, WordShingles}
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    val benchSh = benchmark
+      .select(explode(array_distinct(WordShingles(col(textCol), k))).as("shingle"))
+      .distinct()
+      .localCheckpoint(false)
+    val n = if (expectedItems >= 0) expectedItems else benchSh.count()
+    val bloom = benchSh.stat.bloomFilter("shingle", math.max(n, 1L), fpp)
+    val docSh = docs.select(col(idCol),
+        explode(array_distinct(WordShingles(col(textCol), k))).as("shingle"))
+      .where(BloomMightContainStr(col("shingle"), bloom))
+    val matched = docSh.join(benchSh, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("matched"))
+    contaminationRatio(docs, matched, k, idCol, textCol)
   }
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, LSH-bucketed.

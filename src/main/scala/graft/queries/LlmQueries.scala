@@ -19,6 +19,30 @@ object LlmQueries {
   private val docCap = 2000L  // fixed prefix for pairwise ops
   private val vecCap = 500L
 
+  // Shared by llm_contamination and llm_contamination_bloom (identical
+  // output contract; the bloom path is prefilter-then-exact-verify).
+  private val contaminationSql: String =
+    s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE doc_id < $docCap),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |      range(1, greatest(len(t) - 1, 1) + 1),
+         |      i -> array_to_string(t[i:i+1], ' '))) AS s
+         |  FROM toks),
+         |dsh AS (SELECT doc_id, s FROM sh WHERE doc_id < 500),
+         |du AS (SELECT doc_id, unnest(s) AS shingle FROM dsh),
+         |bsh AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 50 = 0),
+         |m AS (
+         |  SELECT doc_id, count(*) AS matched FROM du
+         |  WHERE shingle IN (SELECT shingle FROM bsh) GROUP BY doc_id),
+         |t AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS total FROM dsh)
+         |SELECT t.doc_id, COALESCE(m.matched, 0) AS matched, t.total,
+         |  ((20000 * COALESCE(m.matched, 0) + t.total) // (2 * t.total)) / 10000.0
+         |    AS contamination
+         |FROM t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+
   val all: Seq[Q] = Seq(
 
     Q("llm_dedup_exact",
@@ -337,32 +361,26 @@ object LlmQueries {
     // appear in a pseudo eval set (every 50th doc of the same prefix) —
     // fully DuckDB-expressible (list ops + the integer round-half-up
     // discipline), so the contamination kernel is oracle-gated.
-    Q("llm_contamination",
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t
-         |  FROM documents WHERE doc_id < $docCap),
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |      range(1, greatest(len(t) - 1, 1) + 1),
-         |      i -> array_to_string(t[i:i+1], ' '))) AS s
-         |  FROM toks),
-         |dsh AS (SELECT doc_id, s FROM sh WHERE doc_id < 500),
-         |du AS (SELECT doc_id, unnest(s) AS shingle FROM dsh),
-         |bsh AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 50 = 0),
-         |m AS (
-         |  SELECT doc_id, count(*) AS matched FROM du
-         |  WHERE shingle IN (SELECT shingle FROM bsh) GROUP BY doc_id),
-         |t AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS total FROM dsh)
-         |SELECT t.doc_id, COALESCE(m.matched, 0) AS matched, t.total,
-         |  ((20000 * COALESCE(m.matched, 0) + t.total) // (2 * t.total)) / 10000.0
-         |    AS contamination
-         |FROM t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id""".stripMargin) {
-      (spark, sf) =>
-        val prefix = Tables.documents(spark, sf).where(col("doc_id") < docCap)
-        Dedup.contamination(
-            prefix.where(col("doc_id") < 500),
-            prefix.where(col("doc_id") % 50 === 0), k = 2)
-          .orderBy("doc_id")
+    Q("llm_contamination", contaminationSql) { (spark, sf) =>
+      val prefix = Tables.documents(spark, sf).where(col("doc_id") < docCap)
+      Dedup.contamination(
+          prefix.where(col("doc_id") < 500),
+          prefix.where(col("doc_id") % 50 === 0), k = 2)
+        .orderBy("doc_id")
+    },
+
+    // The bloom-prefiltered decontamination path: identical output
+    // contract to llm_contamination (bloom error is one-sided and the
+    // exact verify join removes it), so it shares the SAME DuckDB oracle
+    // — the strongest possible check that prefilter-then-verify loses
+    // nothing. The plan differs: narrow codegen'd bloom probe over the
+    // exploded shingle stream, shuffle semi-join only for survivors.
+    Q("llm_contamination_bloom", contaminationSql) { (spark, sf) =>
+      val prefix = Tables.documents(spark, sf).where(col("doc_id") < docCap)
+      Dedup.bloomContamination(
+          prefix.where(col("doc_id") < 500),
+          prefix.where(col("doc_id") % 50 === 0), k = 2)
+        .orderBy("doc_id")
     },
 
     Q.noOracle("llm_dedup_embed") { (spark, sf) =>

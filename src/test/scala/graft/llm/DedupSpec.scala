@@ -116,6 +116,38 @@ class DedupSpec extends SparkSpec {
     out(3) shouldBe ((3L, 0L, 8L, 0.0)) // 9 words → 8 shingles, none shared
   }
 
+  test("bloomContamination returns exactly contamination's output (prefilter loses nothing)") {
+    val bench = docs.where(col("doc_id") === 0)
+    val exact = Dedup.contamination(docs, bench, k = 2).orderBy("doc_id")
+      .select("doc_id", "matched", "total", "contamination")
+      .as[(Long, Long, Long, Double)].collect()
+    val viaBloom = Dedup.bloomContamination(docs, bench, k = 2).orderBy("doc_id")
+      .select("doc_id", "matched", "total", "contamination")
+      .as[(Long, Long, Long, Double)].collect()
+    viaBloom shouldBe exact
+    // tight bloom (high fpp → many false positives) still exact: the
+    // verify join owns correctness, the bloom only owns the data volume
+    val sloppy = Dedup.bloomContamination(docs, bench, k = 2, fpp = 0.5,
+        expectedItems = 2L).orderBy("doc_id")
+      .select("doc_id", "matched", "total", "contamination")
+      .as[(Long, Long, Long, Double)].collect()
+    sloppy shouldBe exact
+  }
+
+  test("bloomContamination plans the kernel probe below the verify join") {
+    val bench = docs.where(col("doc_id") === 0)
+    val plan = Dedup.bloomContamination(docs, bench, k = 2)
+      .queryExecution.executedPlan.toString
+    plan should include("graft_bloom_might_contain")
+  }
+
+  test("bloomContamination rejects a degenerate fpp") {
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.bloomContamination(docs, docs, fpp = 0.0)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.bloomContamination(docs, docs, fpp = 1.0)
+  }
+
   test("autoBits follows clamp(ceil(log2(n)), 4, 24)") {
     Dedup.autoBits(0L) shouldBe 4        // degenerate corpora clamp low
     Dedup.autoBits(16L) shouldBe 4
