@@ -38,9 +38,9 @@ object Dedup {
     * with a < b; a FIXED-WIDTH payload column (e.g. a 64-bit hash) can ride
     * along in the bucket set so downstream scoring needs no re-attach join
     * — never route wide payloads (vectors, shingle sets) through here. */
-  private def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
-                          idCol: String, payloadCol: Option[String] = None,
-                          maxBucket: Int = 256): DataFrame = {
+  private[llm] def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
+                               idCol: String, payloadCol: Option[String] = None,
+                               maxBucket: Int = 256): DataFrame = {
     require(maxBucket > 1, "maxBucket must be at least 2")
     val member = payloadCol match {
       case Some(p) => struct(col(idCol).as("id"), col(p).as("pl"))
@@ -423,5 +423,48 @@ object Dedup {
         (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with the in-library cosine k-means
+    * ([[Similarity.trainCodebook]] — deterministic under any
+    * partitioning), then prune, WITHIN each cluster, every vector that
+    * has a lower-id cluster-mate at cosine ≥ `threshold`. Near-dup
+    * comparison cost drops from O(n²) to Σ O(|cluster|²), the paper's
+    * trick for corpus-scale semantic dedup — the cross-cluster pairs
+    * LSH would catch are traded away for never materializing a global
+    * candidate join (recall vs the exact baseline is measured in
+    * DedupSpec, the same contract [[embeddingNearDups]] carries).
+    *
+    * Semantics: GREEDY min-id-wins, the paper's one-pass rule — drop `x`
+    * iff some same-cluster `y < x` scores ≥ threshold; `y` itself may
+    * also be dropped by a yet-lower mate. For TRANSITIVE-closure
+    * representatives compose the pair list with
+    * [[Components.dupClusters]] instead ([[Curation.curateFull]]'s
+    * wiring).
+    *
+    * Scale shape: train + assign are narrow kernel projections; the only
+    * wide ops are the per-cluster bounded-heap pair generation
+    * ([[bucketPairs]] — a runaway mega-cluster degrades recall, never
+    * the job, observable via `graft_bucket_cap_cid`) and one anti join.
+    * Returns the SURVIVING rows `(id, vector, cid)`. */
+  def semDedup(emb: DataFrame, threshold: Double, numClusters: Int,
+               iters: Int = 5, seed: Long = 42L, maxCluster: Int = 4096,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine threshold must be in (0, 1], got $threshold")
+    val centroids = Similarity.trainCodebook(emb, numClusters, iters, seed, idCol, vecCol)
+    val assigned = Similarity.assign(emb,
+      centroids.select(col("cid").as(idCol), col(vecCol)), idCol, vecCol)
+    val pairs = bucketPairs(assigned.select(col("cid"), col(idCol)),
+      Seq("cid"), idCol, maxBucket = maxCluster)
+    val n = Similarity.withNorm(emb.select(col(idCol), col(vecCol)), vecCol, "__n")
+    val dropped = pairs
+      .join(n.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na")), "a")
+      .join(n.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb")), "b")
+      .where(Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+        >= threshold)
+      .select(col("b").as(idCol)) // no .distinct(): the anti join dedups inherently
+    assigned.join(dropped, Seq(idCol), "left_anti")
   }
 }

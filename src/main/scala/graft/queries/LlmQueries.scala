@@ -394,6 +394,17 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
+    // SemDeDup: cosine k-means clusters → within-cluster greedy min-id
+    // prune. Seeded k-means has no DuckDB analog → rows-only; greedy
+    // semantics, determinism and recall-vs-exact pinned in DedupSpec.
+    Q.noOracle("llm_semdedup") { (spark, sf) =>
+      Dedup.semDedup(
+          Tables.embeddings(spark, sf).where(col("vec_id") < vecCap),
+          threshold = 0.3, numClusters = 16)
+        .select("vec_id", "cid")
+        .orderBy("vec_id")
+    },
+
     // DuckDB computes list_cosine_similarity in float; cast→double before
     // the 4dp round matches Spark's double kernel on this fixture (verified
     // row-identical at sf0.01 and sf0.001 — ranks never disagree because

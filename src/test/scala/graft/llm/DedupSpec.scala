@@ -148,6 +148,62 @@ class DedupSpec extends SparkSpec {
       Dedup.bloomContamination(docs, docs, fpp = 1.0)
   }
 
+  test("semDedup keeps the min id of each within-cluster near-dup group") {
+    // two tight direction-clusters plus an outlier; cos(1,2)=cos(1,3)=1
+    // (scaled copies), cos(10,11)=1 — greedy min-id keeps 1, 10, 20
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.2f, 0.0f, 0.0f)),
+      (3L, Array(4.0f, 0.4f, 0.0f, 0.0f)),
+      (10L, Array(0.0f, 0.0f, 1.0f, 0.1f)),
+      (11L, Array(0.0f, 0.0f, 3.0f, 0.3f)),
+      (20L, Array(0.5f, -0.5f, 0.5f, -0.5f))).toDF("vec_id", "embedding")
+    val kept = Dedup.semDedup(emb, threshold = 0.95, numClusters = 3)
+      .select("vec_id").as[Long].collect().toSet
+    kept shouldBe Set(1L, 10L, 20L)
+  }
+
+  test("semDedup greedy rule: a dropped doc still drops its own higher-id near-dups") {
+    // chain within one cluster: cos(1,2) ≥ t, cos(2,3) ≥ t, cos(1,3) < t.
+    // Greedy drops 2 (mate 1) AND 3 (mate 2, even though 2 is dropped) —
+    // the paper's one-pass rule; transitive representatives are the
+    // dupClusters composition.
+    val a = Array(1.0f, 0.0f)
+    val b = Array(math.cos(0.45).toFloat, math.sin(0.45).toFloat)
+    val c = Array(math.cos(0.9).toFloat, math.sin(0.9).toFloat)
+    // cos(a,b)=cos(b,c)=cos(0.45)≈0.90, cos(a,c)=cos(0.9)≈0.62
+    val emb = Seq((1L, a), (2L, b), (3L, c)).toDF("vec_id", "embedding")
+    val kept = Dedup.semDedup(emb, threshold = 0.85, numClusters = 1)
+      .select("vec_id").as[Long].collect().toSet
+    kept shouldBe Set(1L)
+  }
+
+  test("semDedup is deterministic under repartitioning") {
+    val emb = spark.range(64).select(col("id").as("vec_id"),
+      array((0 until 4).map(d => pmod(col("id") + d, lit(7)).cast("float") + 0.1f): _*)
+        .as("embedding"))
+    val once = Dedup.semDedup(emb, 0.9, numClusters = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val again = Dedup.semDedup(emb.repartition(13), 0.9, numClusters = 4)
+      .select("vec_id").as[Long].collect().toSet
+    again shouldBe once
+  }
+
+  test("semDedup recall vs the exact all-pairs baseline on one cluster") {
+    // with numClusters=1 every pair is in-cluster: the survivors must be
+    // exactly the exact-baseline greedy survivors (no clustering loss)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.14f, 0.0f)),
+      (5L, Array(0.0f, 1.0f, 0.0f)),
+      (6L, Array(0.0f, 0.99f, 0.14f))).toDF("vec_id", "embedding")
+    val exactPairs = Dedup.embeddingNearDupsExact(emb, 0.95)
+      .select("b").as[Long].collect().toSet
+    val kept = Dedup.semDedup(emb, 0.95, numClusters = 1)
+      .select("vec_id").as[Long].collect().toSet
+    kept shouldBe Set(1L, 2L, 5L, 6L).diff(exactPairs)
+  }
+
   test("autoBits follows clamp(ceil(log2(n)), 4, 24)") {
     Dedup.autoBits(0L) shouldBe 4        // degenerate corpora clamp low
     Dedup.autoBits(16L) shouldBe 4
