@@ -176,6 +176,41 @@ object ScaleProbe {
       // build side stays constant while the probe side scales
       ("tfidf", () => graft.llm.TextStats.tfIdf(synthDocs(n), topK = 3,
         nDocs = n).count()),
+      // markup stripping: pure regexp_replace chain — the agg sink keeps
+      // the projection alive (count() would prune it and measure nothing)
+      ("strip_markup", () => {
+        val html = synthDocs(n).select(col("doc_id"),
+          concat(lit("<html><body class=\"m\"><!-- nav --><p>"), col("text"),
+            lit(" &amp; tail</p><script>var i=0;</script></body></html>")).as("text"))
+        graft.llm.Cleanup.stripMarkup(html)
+          .agg(sum(length(col("clean_text"))), sum("chars_removed")).count()
+      }),
+      // context-length chunking: sequence→explode→slice row amplification
+      // (~nt/stride ×); the length sink forces the chunk_text slices
+      ("chunk", () => graft.llm.Chunking.chunk(synthDocs(n), 16, 4)
+        .agg(sum(length(col("chunk_text"))), sum("n_tokens")).count()),
+      // target-mixture reweighting: stratum counts (map-side combined) +
+      // broadcast rates join + narrow residue filter — should track the scan
+      ("reweight", () => {
+        val docs = synthDocs(n).select(col("doc_id"),
+          concat(lit("s"), pmod(xxhash64(col("doc_id"), lit("rw")), lit(4))).as("source"))
+        graft.llm.Sampling.reweight(docs,
+          Map("s0" -> 0.5, "s1" -> 0.3, "s2" -> 0.2)).count()
+      }),
+      // bloom-prefiltered decontamination: fixed eval side (bloom build),
+      // scaling doc side probed in codegen — only survivors shuffle; the
+      // ratio should track contamination's (same fixture sizes)
+      ("bloom_contamination", () => graft.llm.Dedup.bloomContamination(
+        synthDocs(n), synthDocs(200), k = 3).count()),
+      // SemDeDup at FIXED codebook size with the bounded pair cap engaged:
+      // train+assign are O(n·k·d) (linear at fixed k); cluster population
+      // grows with n, so the within-cluster pair stage is quadratic UNTIL
+      // maxCluster clamps it — at 10× the cap is active (pop ~1560 > 256)
+      // and the ratio must show cap-bounded linear cost, not pop². (An
+      // earlier probe grew k with √n — train AND pair cost then compound
+      // to a measured 14× at 10×; that regime is the documented misuse.)
+      ("semdedup", () => graft.llm.Dedup.semDedup(synthEmb(n),
+        threshold = 0.7, numClusters = 32, maxCluster = 256).count()),
       // gap-based sessionization (the batch form of stream_session): n*20
       // events over 1000 users, ~5k-second spread per user
       ("session_window", () => {

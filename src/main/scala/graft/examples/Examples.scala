@@ -145,6 +145,39 @@ object Examples {
       s"${losers.count()} pruned → ${weighted.count()} after mixture → " +
       s"${shards.agg(countDistinct(col("shard_id"))).head.getLong(0)} shards")
 
+    // 13. raw-crawl intake — the stages BEFORE any hashing: strip markup,
+    // score with the (offline-trained) linear quality model, rebalance to
+    // a target language mixture, split train/val/test, chunk to context
+    // windows. Every stage is oracle-gated in the declared suite.
+    val crawled = docs.select(col("doc_id"), col("lang"),
+      concat(lit("<html><body><p>"), col("text"),
+        lit("</p><!-- footer --></body></html>")).as("text"))
+    val stripped = graft.llm.Cleanup.stripMarkup(crawled)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+    val scored = graft.llm.Classifier.score(stripped,
+      graft.llm.Classifier.Weights(wDistinct = 5, wStopword = -4, bias = -30000),
+      threshold = 0)
+    val quality = stripped.join(scored.where(col("keep")), Seq("doc_id"), "left_semi")
+    val balanced = graft.llm.Sampling.reweight(quality,
+      Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25), stratumCol = "lang")
+    val splits = graft.llm.Sampling.split(balanced,
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val chunks = graft.llm.Chunking.chunk(
+      splits.where(col("split") === "train"), chunkTokens = 64, overlap = 8)
+    println(s"[13] intake: ${quality.count()} past the classifier → " +
+      s"${balanced.count()} after reweight → " +
+      s"${chunks.count()} training chunks")
+
+    // 14. decontamination at eval-suite scale (bloom prefilter + exact
+    // verify — identical output to the broadcast path) and semantic dedup
+    // over the embedding space (SemDeDup)
+    val evalSet = docs.where(col("doc_id") % 97 === 0)
+    val contaminated = Dedup.bloomContamination(docs, evalSet, k = 3)
+      .where(col("contamination") > 0.5).count()
+    val semKept = Dedup.semDedup(emb, threshold = 0.3, numClusters = 8).count()
+    println(s"[14] $contaminated contaminated docs; semDedup keeps $semKept vectors")
+
     spark.stop()
   }
 }

@@ -447,7 +447,19 @@ object Dedup {
     * wide ops are the per-cluster bounded-heap pair generation
     * ([[bucketPairs]] — a runaway mega-cluster degrades recall, never
     * the job, observable via `graft_bucket_cap_cid`) and one anti join.
-    * Returns the SURVIVING rows `(id, vector, cid)`. */
+    * Returns the SURVIVING rows `(id, vector, cid)`.
+    *
+    * Cost model (how to size it): assignment is O(n·k·dims) — LINEAR in
+    * n only at fixed k, and k is hard-capped at
+    * [[Similarity.MaxCentroids]]; the pair stage is
+    * O(k · min(n/k, maxCluster)²). Size k ≈ n/maxCluster so clusters sit
+    * near the cap; past n ≈ k·maxCluster the cap engages and RECALL
+    * degrades (pairs beyond the cap's smallest-id window are skipped)
+    * while cost stays bounded — measured in ScaleProbe's `semdedup`
+    * shape. Growing k with the corpus instead compounds train and pair
+    * cost superlinearly (a measured 14× at 10× data); at that scale,
+    * train the codebook on a fixed-size SAMPLE of the corpus and keep k
+    * at the cap. */
   def semDedup(emb: DataFrame, threshold: Double, numClusters: Int,
                iters: Int = 5, seed: Long = 42L, maxCluster: Int = 4096,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
