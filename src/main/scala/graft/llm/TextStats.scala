@@ -295,6 +295,47 @@ object TextStats {
           col("n_grams") * 2).cast("double") / 10000.0).as("rep_ratio"))
   }
 
+  /** Adaptive length gate — [[qualityGate]]'s token-count band with the
+    * cuts DERIVED from the corpus instead of fixed: keep documents whose
+    * token count lies between the `pLow` and `pHigh` DISCRETE percentiles
+    * (cut(p) = smallest count v with `|docs ≤ v| ≥ ceil(p·n)` — the exact
+    * order-statistic definition, integer arithmetic end-to-end, so both
+    * engines agree on every boundary document; interpolating percentiles
+    * differ between engines in their last ulp and flip boundary rows).
+    *
+    * Plan shape for 100 TB: one narrow token-count projection, a groupBy
+    * onto the LENGTH HISTOGRAM (cardinality = distinct doc lengths,
+    * ~10⁵-ish at web scale — tiny), a running-sum window OVER THE
+    * HISTOGRAM (single-partition by construction, and safe ONLY because
+    * the input is histogram-sized, never the corpus), the two cuts
+    * reduced to one broadcast row, and a narrow BETWEEN filter back over
+    * the corpus. The corpus is scanned twice and shuffled never. */
+  def adaptiveLengthGate(docs: DataFrame, pLow: Double, pHigh: Double,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(pLow >= 0.0 && pHigh <= 1.0 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val loBp = math.round(pLow * 10000)
+    val hiBp = math.round(pHigh * 10000)
+    val nt = docs.select(col(idCol),
+      size(toks(col(textCol))).cast("long").as("n_tokens"))
+    val hist = nt.groupBy("n_tokens").agg(count(lit(1)).as("__c"))
+    val cdf = hist.withColumn("__cum",
+      sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("n_tokens")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val withTotal = cdf.crossJoin(
+      broadcast(cdf.agg(max(col("__cum")).as("__total"))))
+    // ceil(p·n) in integer bp: (n·p_bp + 9999) div 10000
+    def cut(bp: Long) = min(when(
+      col("__cum") >= intDiv(col("__total") * bp + 9999L, lit(10000L)),
+      col("n_tokens")))
+    val cuts = withTotal.agg(cut(loBp).as("__lo"), cut(hiBp).as("__hi"))
+    nt.crossJoin(broadcast(cuts))
+      .where(col("n_tokens").between(col("__lo"), col("__hi")))
+      .select(col(idCol), col("n_tokens"))
+  }
+
   /** Document fingerprint: min over 5-char-gram xxhash64 rolling hashes —
     * a winnowing-style content signature, stable under trailing edits.
     * One narrow kernel pass per doc ([[graft.functions.MinGramHash]] —

@@ -291,6 +291,33 @@ object LlmQueries {
         TextStats.normalize(planted).orderBy("doc_id")
     },
 
+    // Adaptive length gate: token-count band with corpus-DERIVED discrete
+    // percentile cuts (exact order statistics, integer ceil arithmetic —
+    // interpolating percentiles flip boundary rows between engines).
+    Q("llm_adaptive_gate",
+      """WITH nt AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |h AS (SELECT n_tokens, count(*) AS c FROM nt GROUP BY 1),
+        |cdf AS (
+        |  SELECT n_tokens, sum(c) OVER (ORDER BY n_tokens
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |t AS (SELECT max(cum) AS total FROM cdf),
+        |cuts AS (
+        |  SELECT
+        |    min(CASE WHEN cum >= (total * 500 + 9999) // 10000 THEN n_tokens END) AS lo,
+        |    min(CASE WHEN cum >= (total * 9500 + 9999) // 10000 THEN n_tokens END) AS hi
+        |  FROM cdf, t)
+        |SELECT nt.doc_id, nt.n_tokens FROM nt, cuts
+        |WHERE nt.n_tokens BETWEEN cuts.lo AND cuts.hi
+        |ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        TextStats.adaptiveLengthGate(Tables.documents(spark, sf),
+            pLow = 0.05, pHigh = 0.95)
+          .orderBy("doc_id")
+    },
+
     // Markup stripping (web-crawl extraction), oracle-gated for real: the
     // fixture corpus is clean text, so HTML structure — comments, style
     // and script blocks, tags, escaped entities — is planted in-query on

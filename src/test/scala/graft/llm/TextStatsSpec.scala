@@ -253,4 +253,35 @@ class TextStatsSpec extends SparkSpec {
     r(2) shouldBe "ssn <ID> on file; order 12-345 untouched"
     r(3) shouldBe "nothing sensitive here 1.2 about 3.4"
   }
+
+  test("adaptiveLengthGate cuts at exact discrete percentiles") {
+    // 10 docs with token counts 1..10: cut(p) = smallest count with
+    // cdf >= ceil(p·10) → lo = 2 (ceil(0.2·10)=2), hi = 8 → keep 2..8
+    val docs = (1 to 10)
+      .map(i => (i.toLong, (1 to i).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextStats.adaptiveLengthGate(docs, 0.2, 0.8)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    out.map(_._2) shouldBe (2L to 8L).toArray
+  }
+
+  test("adaptiveLengthGate full band keeps everything; cuts are partition-invariant") {
+    val docs = (1 to 20)
+      .map(i => (i.toLong, ("w " * (i % 5 + 1)).trim))
+      .toDF("doc_id", "text")
+    TextStats.adaptiveLengthGate(docs, 0.0, 1.0).count() shouldBe 20L
+    val a = TextStats.adaptiveLengthGate(docs, 0.25, 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    val b = TextStats.adaptiveLengthGate(docs.repartition(7), 0.25, 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    b shouldBe a
+  }
+
+  test("adaptiveLengthGate rejects a malformed band") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      TextStats.adaptiveLengthGate(docs, 0.8, 0.2)
+    an[IllegalArgumentException] should be thrownBy
+      TextStats.adaptiveLengthGate(docs, -0.1, 0.5)
+  }
 }
