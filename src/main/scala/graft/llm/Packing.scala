@@ -51,4 +51,56 @@ object Packing {
         col("__start") - col("shard_id") * tokensPerShard)
       .drop("__start")
   }
+
+  /** TRUE sequence packing — where [[packShards]] assigns whole documents
+    * to the shard their start falls in, packSequences emits the training
+    * rows themselves: within each stratum, documents concatenate in
+    * `orderCol` order and split into EXACT `blockTokens`-token blocks
+    * (the model's context length); a document straddling a boundary is
+    * sliced across both blocks, so every block except a stratum's last
+    * has exactly `blockTokens` tokens and no token is dropped or padded.
+    *
+    * Plan shape: the [[packShards]] running-sum window (same per-stratum
+    * sizing rule), then `explode(sequence(firstBlock, lastBlock))` — a
+    * document amplifies only by the number of blocks it TOUCHES
+    * (ceil(nt/B)+1 worst case) — a narrow per-row slice of the token
+    * array, and ONE groupBy on the fixed-width (stratum, block) key
+    * whose sorted-struct reassembly is the SURVEY §2.9-bis
+    * sorted-collect discipline. Every stage is integer arithmetic +
+    * list slicing, so the operator is oracle-gated end-to-end. */
+  def packSequences(docs: DataFrame, blockTokens: Long,
+                    partitionCols: Seq[String] = Seq("source"),
+                    orderCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = lit(blockTokens)
+    val laid = docs
+      .withColumn("__toks", split(col(textCol), TextStats.WsRun))
+      .withColumn("__nt", size(col("__toks")).cast("long"))
+      .withColumn("__start", sum(col("__nt")).over(w) - col("__nt"))
+    val exploded = laid.select(
+      partitionCols.map(col) ++ Seq(
+        col("__toks"), col("__nt"), col("__start"),
+        explode(sequence(intDiv(col("__start"), b),
+          intDiv(col("__start") + col("__nt") - 1, b))).as("block_id")): _*)
+    val pieceFrom = greatest(col("block_id") * b, col("__start"))
+    val pieceLen = least((col("block_id") + 1) * b, col("__start") + col("__nt")) - pieceFrom
+    val pieces = exploded.select(
+      partitionCols.map(col) ++ Seq(
+        col("block_id"),
+        col("__start"),
+        slice(col("__toks"), (pieceFrom - col("__start") + 1).cast("int"),
+          pieceLen.cast("int")).as("__piece")): _*)
+    pieces
+      .groupBy((partitionCols :+ "block_id").map(col): _*)
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("__start"), col("__piece")))),
+        s => s.getField("__piece"))).as("__flat"))
+      .select((partitionCols :+ "block_id").map(col) ++ Seq(
+        array_join(col("__flat"), " ").as("block_text"),
+        size(col("__flat")).cast("long").as("n_tokens")): _*)
+  }
 }

@@ -759,6 +759,44 @@ object LlmQueries {
           .orderBy("doc_id", "chunk_id")
     },
 
+    // True sequence packing: per-source concatenation sliced into exact
+    // 256-token blocks, straddling documents split across blocks — window
+    // prefix sum + block-range explode + sorted reassembly, integer/list
+    // arithmetic both sides, oracle-gated end-to-end.
+    Q("llm_pack_sequences",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS toks,
+        |    CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |laid AS (
+        |  SELECT doc_id, source, toks, nt,
+        |    CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS BIGINT) AS strt
+        |  FROM t),
+        |e AS (
+        |  SELECT source, toks, nt, strt,
+        |    unnest(generate_series(strt // 256, (strt + nt - 1) // 256)) AS block_id
+        |  FROM laid),
+        |pieces AS (
+        |  SELECT source, block_id, strt,
+        |    toks[(greatest(block_id * 256, strt) - strt + 1) :
+        |         (least((block_id + 1) * 256, strt + nt) - strt)] AS piece
+        |  FROM e),
+        |blocks AS (
+        |  SELECT source, block_id, flatten(list(piece ORDER BY strt)) AS ftoks
+        |  FROM pieces GROUP BY 1, 2)
+        |SELECT source, CAST(block_id AS BIGINT) AS block_id,
+        |  array_to_string(ftoks, ' ') AS block_text,
+        |  CAST(len(ftoks) AS BIGINT) AS n_tokens
+        |FROM blocks ORDER BY source, block_id""".stripMargin) {
+      (spark, sf) =>
+        Packing.packSequences(
+            Tables.documents(spark, sf).select("doc_id", "source", "text"),
+            blockTokens = 256L)
+          .orderBy("source", "block_id")
+    },
+
     // Seeded hash-Bernoulli sample — xxhash64 has no DuckDB analog, so
     // rows-only here; determinism/accuracy pinned in SamplingSpec.
     Q.noOracle("llm_sample_bernoulli") { (spark, sf) =>

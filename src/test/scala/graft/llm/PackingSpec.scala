@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Token-budget shard packing: hand-computed layout, per-stratum
   * independence, boundary-straddle rule, partition invariance. */
@@ -44,5 +45,60 @@ class PackingSpec extends SparkSpec {
     val docs = Seq((0L, "a", "t", 9L)).toDF("doc_id", "source", "text", "shard_id")
     an[IllegalArgumentException] should be thrownBy
       Packing.packShards(docs, 5)
+  }
+
+  test("packSequences emits exact-size blocks with straddling docs sliced") {
+    // one stratum, docs of 3/4/2 tokens, blocks of 4:
+    // stream = a1 a2 a3 | b1 b2 b3 b4 | c1 c2 → blocks:
+    //   0: a1 a2 a3 b1   1: b2 b3 b4 c1   2: c2
+    val docs = Seq(
+      (1L, "s", "a1 a2 a3"),
+      (2L, "s", "b1 b2 b3 b4"),
+      (3L, "s", "c1 c2")).toDF("doc_id", "source", "text")
+    val out = Packing.packSequences(docs, blockTokens = 4L)
+      .orderBy("block_id")
+      .select("block_id", "block_text", "n_tokens")
+      .as[(Long, String, Long)].collect()
+    out shouldBe Array(
+      (0L, "a1 a2 a3 b1", 4L),
+      (1L, "b2 b3 b4 c1", 4L),
+      (2L, "c2", 1L))
+  }
+
+  test("packSequences conserves every token, per stratum, in order") {
+    val docs = Seq(
+      (1L, "x", "p q r s t"),
+      (2L, "x", "u v"),
+      (1L, "y", "m n o")).toDF("doc_id", "source", "text")
+    val blocks = Packing.packSequences(docs, blockTokens = 3L)
+      .orderBy("source", "block_id")
+      .select("source", "block_text").as[(String, String)].collect()
+    blocks.filter(_._1 == "x").map(_._2).mkString(" ") shouldBe "p q r s t u v"
+    blocks.filter(_._1 == "y").map(_._2).mkString(" ") shouldBe "m n o"
+    // every block but each stratum's last is exactly full
+    val sizes = Packing.packSequences(docs, 3L)
+      .orderBy("source", "block_id")
+      .select("source", "n_tokens").as[(String, Long)].collect()
+    sizes.groupBy(_._1).values.foreach { s =>
+      s.init.foreach(_._2 shouldBe 3L)
+    }
+  }
+
+  test("packSequences layout is invariant under input partitioning") {
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(3))).as("source"),
+      concat_ws(" ", lit("w1 w2 w3"), col("id").cast("string")).as("text"))
+    val base = Packing.packSequences(docs, 7L)
+      .select("source", "block_id", "block_text")
+      .as[(String, Long, String)].collect().toSet
+    Packing.packSequences(docs.repartition(13), 7L)
+      .select("source", "block_id", "block_text")
+      .as[(String, Long, String)].collect().toSet shouldBe base
+  }
+
+  test("packSequences rejects a non-positive block size") {
+    val docs = Seq((0L, "s", "t")).toDF("doc_id", "source", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Packing.packSequences(docs, 0L)
   }
 }
