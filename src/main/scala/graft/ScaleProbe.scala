@@ -211,6 +211,15 @@ object ScaleProbe {
       // to a measured 14× at 10×; that regime is the documented misuse.)
       ("semdedup", () => graft.llm.Dedup.semDedup(synthEmb(n),
         threshold = 0.7, numClusters = 32, maxCluster = 256).count()),
+      // true sequence packing: per-stratum prefix-sum window + block
+      // explode + one groupBy that REUSES the window's partitioning (the
+      // plan has no extra exchange) — should track the window shape
+      ("pack_sequences", () => {
+        val docs = synthDocs(n).select(col("doc_id"), col("text"),
+          concat(lit("s"), pmod(xxhash64(col("doc_id")), lit(8))).as("source"))
+        graft.llm.Packing.packSequences(docs, blockTokens = 256)
+          .agg(sum("n_tokens"), sum(length(col("block_text")))).count()
+      }),
       // gap-based sessionization (the batch form of stream_session): n*20
       // events over 1000 users, ~5k-second spread per user
       ("session_window", () => {

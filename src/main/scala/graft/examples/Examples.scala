@@ -169,6 +169,16 @@ object Examples {
       s"${balanced.count()} after reweight → " +
       s"${chunks.count()} training chunks")
 
+    // 13b. the two block-emitting finishers: exact context-length blocks
+    // (docs straddle boundaries — no padding, no dropped tokens) and the
+    // corpus-derived length band
+    val blocks = graft.llm.Packing.packSequences(
+      splits.where(col("split") === "train").select("doc_id", "lang", "text"),
+      blockTokens = 256, partitionCols = Seq("lang"))
+    val lengthBand = graft.llm.TextStats.adaptiveLengthGate(docs, 0.05, 0.95)
+    println(s"[13b] ${blocks.count()} packed blocks; " +
+      s"${lengthBand.count()} docs inside the 5–95 pct length band")
+
     // 14. decontamination at eval-suite scale (bloom prefilter + exact
     // verify — identical output to the broadcast path) and semantic dedup
     // over the embedding space (SemDeDup)
