@@ -73,6 +73,8 @@ object Packing {
                     orderCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     require(blockTokens > 0, "blockTokens must be positive")
+    require(!docs.columns.exists(Seq("block_id", "block_text", "n_tokens").contains),
+      "packSequences writes block_id/block_text/n_tokens; input already has one — rename it first")
     val w = Window.partitionBy(partitionCols.map(col): _*)
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -89,6 +89,8 @@ object Sampling {
     * upstream filters. */
   def split(df: DataFrame, fractions: Seq[(String, Double)],
             idCol: String = "doc_id"): DataFrame = {
+    require(!df.columns.contains("split"),
+      "split writes a 'split' column; input already has one — rename it first")
     require(fractions.nonEmpty, "split needs at least one band")
     require(fractions.forall(_._2 >= 0.0), "fractions must be non-negative")
     val sum = fractions.map(_._2).sum

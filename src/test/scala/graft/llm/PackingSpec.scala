@@ -101,4 +101,10 @@ class PackingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Packing.packSequences(docs, 0L)
   }
+
+  test("packSequences rejects reserved output-column collisions") {
+    val docs = Seq((0L, "s", "t", 1L)).toDF("doc_id", "source", "text", "block_id")
+    an[IllegalArgumentException] should be thrownBy
+      Packing.packSequences(docs, 4L)
+  }
 }

@@ -132,6 +132,12 @@ class SamplingSpec extends SparkSpec {
       Sampling.split(docs, Seq.empty)
   }
 
+  test("split rejects a reserved output-column collision") {
+    val docs = spark.range(10).select(col("id").as("doc_id"), lit("x").as("split"))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.split(docs, Seq("a" -> 1.0))
+  }
+
   test("reweight realizes the target mixture at the largest feasible size") {
     // skewed strata: a=6000, b=3000, c=1000; target 1/3 each → c binds:
     // T = 3000, expected kept ≈ 1000 per stratum (b rate 3333bp, c rate 10000bp)
