@@ -200,8 +200,57 @@ object TextStats {
     * input yields the empty string (regexp_extract's no-match value in
     * both engines). */
   def domainOf(url: Column): Column =
-    lower(regexp_replace(
-      regexp_extract(url, "^[a-z]+://([^/:?#]+)", 1), "^www\\.", ""))
+    // lowercase BEFORE stripping www. — the reversed order misses
+    // 'WWW.Host' (same both-sides bug canonicalUrl's spec caught: a
+    // mirrored oracle cannot see it)
+    regexp_replace(lower(
+      regexp_extract(url, "^[A-Za-z]+://([^/:?#]+)", 1)), "^www\\.", "")
+
+  /** Canonical form of a URL — the key for crawl-level dedup (the same
+    * page is fetched as `http://WWW.X.com:80/a/`, `https://x.com/a#top`,
+    * `https://x.com/a?utm_source=…`): scheme and host lowercased,
+    * `www.` stripped, default ports (http:80, https:443) dropped,
+    * non-default ports kept, QUERY AND FRAGMENT DROPPED (the aggressive
+    * crawl-dedup policy — tracking params dominate query strings; keep
+    * the query upstream if your corpus has meaningful ones), trailing
+    * path slashes trimmed. Pure regexp_extract/replace + concat in the
+    * Java∩RE2 dialect — a narrow codegen'd projection the oracle replays
+    * byte-for-byte. Path CASE IS PRESERVED (paths are case-sensitive;
+    * hosts aren't). A non-URL input canonicalizes to the empty string. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    // lowercase BEFORE stripping www.: the strip pattern is lowercase and
+    // 'WWW.Host' must not keep its prefix (caught by spec, not oracle —
+    // a both-sides bug is invisible to a mirrored oracle)
+    val host = regexp_replace(lower(
+      regexp_extract(noFrag, "^[A-Za-z]+://([^/:?#]+)", 1)), "^www\\.", "")
+    val port = regexp_extract(noFrag, "^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
+    // the path group matches the EMPTY alternative rather than being
+    // optional: a non-participating group's extract differs between
+    // engines; an empty match is '' in both
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]*(/[^?#]*|)", 1), "/+$", "")
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    when(scheme === "", lit(""))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path))
+  }
+
+  /** Crawl-level URL dedup: group by [[canonicalUrl]], keep the min-id
+    * fetch of each page, report the duplicate count — [[graft.llm.Dedup.exact]]'s
+    * contract keyed on the canonical URL instead of the content hash (it
+    * runs FIRST in a crawl pipeline: no text needs reading to drop a
+    * re-fetch). One groupBy on a string key; at 100 TB, hash the
+    * canonical form (`xxhash64`) if URL lengths dominate the shuffle. */
+  def urlDedup(docs: DataFrame, idCol: String = "doc_id",
+               urlCol: String = "url"): DataFrame =
+    docs
+      .select(col(idCol), canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** URL blocklist gate — the web-corpus filter that runs before any
     * text processing: annotate each row with its normalized domain and

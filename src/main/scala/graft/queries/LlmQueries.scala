@@ -245,13 +245,14 @@ object LlmQueries {
     Q("llm_url_filter",
       """WITH planted AS (
         |  SELECT doc_id,
-        |    'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+        |    'https://' || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
+        |                        WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
         |    'h' || (doc_id % 20) || '.example.com/p/' || doc_id AS url
         |  FROM documents),
         |d AS (
         |  SELECT doc_id,
-        |    lower(regexp_replace(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1),
-        |      '^www\.', '')) AS domain
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)),
+        |      '^www\.', '') AS domain
         |  FROM planted)
         |SELECT doc_id, domain FROM d
         |WHERE domain NOT IN ('h3.example.com', 'h7.example.com', 'h11.example.com')
@@ -259,7 +260,8 @@ object LlmQueries {
       (spark, sf) =>
         val planted = Tables.documents(spark, sf).select(col("doc_id"),
           concat(lit("https://"),
-            when(col("doc_id") % 2 === 0, "www.").otherwise(""),
+            when(col("doc_id") % 4 === 0, "WWW.")
+              .when(col("doc_id") % 2 === 0, "www.").otherwise(""),
             lit("h"), pmod(col("doc_id"), lit(20)),
             lit(".example.com/p/"), col("doc_id")).as("url"))
         TextStats.blockDomains(planted,
@@ -316,6 +318,51 @@ object LlmQueries {
         TextStats.adaptiveLengthGate(Tables.documents(spark, sf),
             pLow = 0.05, pHigh = 0.95)
           .orderBy("doc_id")
+    },
+
+    // Crawl-level URL dedup: canonicalization (scheme/host case, www,
+    // default ports, query+fragment, trailing slashes) planted as 4
+    // variants per group of 4 ids on BOTH sides; groups of 4 fetches
+    // collapse to one canonical page each, min-id kept.
+    Q("llm_url_dedup",
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://WWW.Site' || (doc_id // 4) || '.com:443/p/Q/'
+        |      WHEN 1 THEN 'https://site' || (doc_id // 4) || '.com/p/Q#frag'
+        |      WHEN 2 THEN 'https://site' || (doc_id // 4) || '.com/p/Q?utm_source=news'
+        |      ELSE 'https://site' || (doc_id // 4) || '.com/p/Q'
+        |    END AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM planted),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/:?#]+)', 1)), '^www\.', '') AS host,
+        |    regexp_extract(u, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+        |    regexp_replace(regexp_extract(u, '^[A-Za-z]+://[^/?#]*(/[^?#]*|)', 1), '/+$', '') AS path
+        |  FROM nf),
+        |canon AS (
+        |  SELECT doc_id,
+        |    CASE WHEN scheme = '' THEN '' ELSE
+        |      scheme || '://' || host ||
+        |      (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |                 OR (scheme = 'https' AND port = '443')
+        |            THEN '' ELSE ':' || port END) || path END AS canonical_url
+        |  FROM parts)
+        |SELECT canonical_url, min(doc_id) AS keep_id,
+        |  count(*) AS dup_count
+        |FROM canon GROUP BY 1 ORDER BY keep_id""".stripMargin) {
+      (spark, sf) =>
+        val g = graft.functions.VectorFunctions.intDiv(col("doc_id"), lit(4L))
+          .cast("string")
+        val v = pmod(col("doc_id"), lit(4))
+        val planted = Tables.documents(spark, sf).select(col("doc_id"),
+          when(v === 0, concat(lit("https://WWW.Site"), g, lit(".com:443/p/Q/")))
+            .when(v === 1, concat(lit("https://site"), g, lit(".com/p/Q#frag")))
+            .when(v === 2, concat(lit("https://site"), g, lit(".com/p/Q?utm_source=news")))
+            .otherwise(concat(lit("https://site"), g, lit(".com/p/Q"))).as("url"))
+        TextStats.urlDedup(planted).orderBy("keep_id")
     },
 
     // Markup stripping (web-crawl extraction), oracle-gated for real: the

@@ -105,7 +105,8 @@ class TextStatsSpec extends SparkSpec {
       (0L, "https://www.Evil.example.com/x?q=1"),
       (1L, "http://good.example.com:8080/y"),
       (2L, "https://evil.example.com/z"),
-      (3L, "not a url at all"))
+      (3L, "not a url at all"),
+      (4L, "HTTPS://WWW.Evil.example.com/x")) // case tricks must not evade the blocklist
       .toDF("doc_id", "url")
     val out = TextStats.blockDomains(docs, Seq("evil.example.com"))
       .select("doc_id", "domain").as[(Long, String)].collect().toMap
@@ -275,6 +276,38 @@ class TextStatsSpec extends SparkSpec {
     val b = TextStats.adaptiveLengthGate(docs.repartition(7), 0.25, 0.75)
       .select("doc_id").as[Long].collect().toSet
     b shouldBe a
+  }
+
+  test("canonicalUrl normalizes case, www, default ports, query, fragment, slashes") {
+    val urls = Seq(
+      (1L, "https://WWW.Example.com:443/a/B/"),
+      (2L, "https://example.com/a/B#frag"),
+      (3L, "https://example.com/a/B?utm_source=x"),
+      (4L, "http://example.com:80/a/B"),
+      (5L, "http://example.com:8080/a/B"), // non-default port KEPT
+      (6L, "https://example.com"),         // no path
+      (7L, "not a url")).toDF("doc_id", "url")
+    val out = urls.select(col("doc_id"), TextStats.canonicalUrl(col("url")))
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "https://example.com/a/B"
+    out(2L) shouldBe "https://example.com/a/B"
+    out(3L) shouldBe "https://example.com/a/B"
+    out(4L) shouldBe "http://example.com/a/B" // path case preserved
+    out(5L) shouldBe "http://example.com:8080/a/B"
+    out(6L) shouldBe "https://example.com"
+    out(7L) shouldBe ""
+  }
+
+  test("urlDedup keeps the min-id fetch per canonical page") {
+    val docs = Seq(
+      (10L, "https://www.x.com/p/"),
+      (11L, "https://x.com/p#top"),
+      (12L, "https://x.com/q")).toDF("doc_id", "url")
+    val out = TextStats.urlDedup(docs).orderBy("keep_id")
+      .as[(String, Long, Long)].collect()
+    out shouldBe Array(
+      ("https://x.com/p", 10L, 2L),
+      ("https://x.com/q", 12L, 1L))
   }
 
   test("adaptiveLengthGate rejects a malformed band") {
