@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
-  /** Chunk each document's whitespace tokens into windows of
+  /** Chunk each document's whitespace tokens ([[TextStats.WsRun]] runs —
+    * the same token metric the packing ops budget in) into windows of
     * `chunkTokens` advancing by `chunkTokens - overlap`:
     * chunk `i` covers tokens `[i·stride, i·stride + chunkTokens)`,
     * `nChunks = max(1, ceil((nt − overlap) / stride))` — the final chunk
@@ -34,8 +35,13 @@ object Chunking {
       s"overlap must be in [0, chunkTokens), got $overlap")
     val stride = chunkTokens - overlap
     val intDiv = graft.functions.VectorFunctions.intDiv _
-    val toks = docs.select(col(idCol), split(col(textCol), " ").as("__toks"),
-      size(split(col(textCol), " ")).cast("long").as("__nt"))
+    // WsRun tokenization, NOT single-space split: chunk feeds
+    // packShards/packSequences, whose budgets count WsRun tokens — a
+    // single-space tokenizer could emit chunks whose WsRun token count
+    // exceeds C on multi-line text (round-7 review catch)
+    val t = split(col(textCol), TextStats.WsRun)
+    val toks = docs.select(col(idCol), t.as("__toks"),
+      size(t).cast("long").as("__nt"))
     val nChunks = greatest(lit(1L),
       intDiv(col("__nt") - overlap + (stride - 1), lit(stride.toLong)))
     val start = col("chunk_id") * stride // 0-based token offset of the window

@@ -38,17 +38,13 @@ object Classifier {
     * projection, no shuffle, no UDF — the classifier gate composes with
     * scan-pushed filters in a single whole-stage-codegen span. */
   def score(docs: DataFrame, w: Weights, threshold: Long,
-            stopwords: Seq[String] = Seq("the", "a", "fast", "slow"),
+            stopwords: Seq[String] = TextStats.DefaultStopwords,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val t = split(col(textCol), " ")
-    def bp(a: Column, b: Column): Column =
-      graft.functions.VectorFunctions.intDiv(a * 20000 + b, b * 2)
-    val counted = docs.select(
-      col(idCol),
-      size(t).cast("long").as("__nt"),
-      graft.functions.CountTokensIn(t, stopwords).as("__ns"),
-      size(array_distinct(t)).cast("long").as("__nd"),
-      length(col(textCol)).cast("long").as("__len"))
+    // ONE feature definition shared with TextStats.quality — the
+    // classifier's features can never silently diverge from the quality
+    // operator's (both the projection and the bp formula live there)
+    val counted = TextStats.bpFeatures(docs, stopwords, idCol, textCol)
+    import TextStats.bp
     val s =
       lit(w.bias) +
         lit(w.wTokens) * col("__nt") +

@@ -68,7 +68,11 @@ object Components {
     var labels: DataFrame = labelsCk
     var iter = 0
     var done = false
-    while (!done && iter < maxIter) {
+    // a failed run (non-convergence, a dead executor mid-count) must not
+    // leave edge + label blocks pinned in the long-lived session — the
+    // exact lag the explicit releases exist to avoid
+    try {
+      while (!done && iter < maxIter) {
       // min over neighbours' current labels (one keyed shuffle, map-side min)
       val neighbourMin = sym.join(labels, col("__b") === col("id"))
         .groupBy(col("__a")).agg(min("comp").as("__ncomp"))
@@ -96,14 +100,20 @@ object Components {
       // the count materialized `next`; the previous round's blocks are
       // now unreachable — free them before the next round allocates
       org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(labelsCk)
-      labelsCk = next
-      labels = next.select("id", "comp")
-      iter += 1
+        labelsCk = next
+        labels = next.select("id", "comp")
+        iter += 1
+      }
+      if (!done)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "raise maxIter; a partial closure would leak duplicates")
+    } catch {
+      case t: Throwable =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(sym)
+        org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(labelsCk)
+        throw t
     }
-    if (!done)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "raise maxIter; a partial closure would leak duplicates")
     // converged: downstream consumers read only the final labels
     // checkpoint — the edge view's blocks are dead, release them
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(sym)

@@ -108,8 +108,14 @@ object Curation {
     val participants = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol)))
       .distinct()
-    val losers = Components.dupClusters(participants, pairs, idCol = idCol)
-      .where(!col("is_rep")).select(col(idCol))
+    val losers =
+      try Components.dupClusters(participants, pairs, idCol = idCol)
+        .where(!col("is_rep")).select(col(idCol))
+      catch {
+        case t: Throwable => // failed clustering must not pin the pair blocks
+          org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(pairs)
+          throw t
+      }
     // dupClusters ran its rounds eagerly just now; `losers` reads only the
     // final labels checkpoint, so the pair blocks are already dead — free
     // them before the (lazy) anti join + cap run

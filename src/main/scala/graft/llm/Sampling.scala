@@ -76,17 +76,33 @@ object Sampling {
   def latticeResidue(id: Column): Column =
     pmod(pmod(id.cast("long"), lit(10000L)) * 5761L, lit(10000L))
 
+  /** [[split]]'s lattice: same construction as [[latticeResidue]] but
+    * over the PRIME modulus 10007 with multiplier 4871 — coprime to the
+    * mixture/reweight modulus 10⁴, which is what makes the two residues
+    * jointly equidistributed (CRT): a row's split band is statistically
+    * independent of whether the mixture/reweight residue kept it.
+    * Largest intermediate 10006·4871 < 2²⁶ — ANSI-safe at any id. */
+  val SplitModulus = 10007L
+  private val splitMultiplier = 4871L
+
   /** Deterministic train/val/test split: every row gets a `split` label
-    * from contiguous residue bands of [[latticeResidue]] — `fractions`
-    * lists (label, fraction) in band order, fractions summing to 1 (±1
-    * basis point of rounding; the LAST band absorbs the residue so the
-    * assignment is total). A pure narrow projection — no shuffle, no RNG:
-    * the same id lands in the same split across runs, retries, cluster
-    * sizes and engine versions, which is what makes a held-out set
-    * trustworthy at 100 TB (`df.randomSplit`'s partition-seeded RNG is
-    * none of those). Band layout also nests with [[mixture]]/[[bernoulli]]
-    * subsets: a row's split never depends on which other rows survived
-    * upstream filters. */
+    * from contiguous residue bands of a SECOND lattice hash —
+    * `fractions` lists (label, fraction) in band order, fractions
+    * summing to 1 (the LAST band absorbs rounding so the assignment is
+    * total). A pure narrow projection — no shuffle, no RNG: the same id
+    * lands in the same split across runs, retries, cluster sizes and
+    * engine versions, which is what makes a held-out set trustworthy at
+    * 100 TB (`df.randomSplit`'s partition-seeded RNG is none of those).
+    *
+    * The split lattice runs over the prime modulus [[SplitModulus]],
+    * COPRIME to [[mixture]]/[[reweight]]'s 10⁴ — deliberately: with the
+    * same lattice, the survivors of a rate-R stratum all have residues
+    * below R·10⁴ and land 100 % in the first band, silently destroying
+    * the held-out sets (caught in round-7 review; spec-pinned). With
+    * coprime moduli the band proportions hold WITHIN any
+    * mixture/reweight survivor set, so recipe → split composes in
+    * either order. A row's split also never depends on which other rows
+    * survived upstream filters. */
   def split(df: DataFrame, fractions: Seq[(String, Double)],
             idCol: String = "doc_id"): DataFrame = {
     require(!df.columns.contains("split"),
@@ -96,9 +112,11 @@ object Sampling {
     val sum = fractions.map(_._2).sum
     require(math.abs(sum - 1.0) < 1e-9, s"fractions must sum to 1, got $sum")
     val cuts = fractions.init
-      .scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * 10000) }
+      .scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * SplitModulus) }
       .tail // cumulative upper bounds for all bands but the last
-    val res = latticeResidue(col(idCol))
+    val res = pmod(
+      pmod(col(idCol).cast("long"), lit(SplitModulus)) * splitMultiplier,
+      lit(SplitModulus))
     val label = fractions.init.zip(cuts).reverse
       .foldLeft(lit(fractions.last._1)) { case (acc, ((name, _), cut)) =>
         when(res < cut, lit(name)).otherwise(acc)
@@ -114,7 +132,11 @@ object Sampling {
     * are dropped. The realized corpus is the LARGEST achievable under
     * downsampling: feasible total `T = min_s floor(nₛ·10⁴ / pₛ_bp)`, per-
     * stratum keep-rate `rₛ_bp = min(10⁴, floor(pₛ_bp·T / nₛ))`, rows kept
-    * by `latticeResidue(id) < rₛ_bp`.
+    * by `latticeResidue(id) < rₛ_bp`. The min ranges over the TARGET
+    * strata: a listed stratum with zero input rows (a typo'd name, a
+    * missing source) makes T = 0 and the output EMPTY — a recipe whose
+    * mixture cannot be realized fails loudly rather than silently
+    * ignoring one constraint.
     *
     * Plan shape: one map-side-combined `groupBy(stratum).count()` (rows
     * shrink to |strata| before the exchange), the rate arithmetic on that
@@ -136,15 +158,20 @@ object Sampling {
     require(math.abs(sum - 1.0) < 1e-9, s"target proportions must sum to 1, got $sum")
     val pBp = target.map { case (s, p) => s -> math.round(p * 10000) }
     val intDiv = graft.functions.VectorFunctions.intDiv _
-    val pCol = pBp.foldLeft(lit(-1L)) { case (acc, (s, b)) =>
-      when(col(stratumCol) === s, lit(b)).otherwise(acc)
-    }
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
-      .withColumn("__pbp", pCol)
-      .where(col("__pbp") > 0)
+    // anchor the feasibility scan on the TARGET list, not the observed
+    // strata: a target stratum with zero input rows must drive T to 0
+    // (an empty feasible corpus — its proportion is unsatisfiable), not
+    // silently drop out of the min and skew the realized mixture
+    // (round-7 review catch, spec-pinned)
+    import df.sparkSession.implicits._
+    val targets = pBp.toSeq.toDF(stratumCol, "__pbp")
+    val counts = targets
+      .join(df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n")),
+        Seq(stratumCol), "left")
+      .select(col(stratumCol), col("__pbp"), coalesce(col("__n"), lit(0L)).as("__n"))
     val feasible = counts
       .agg(min(intDiv(col("__n") * 10000L, col("__pbp"))).as("__t"))
-    val rates = counts.crossJoin(broadcast(feasible))
+    val rates = counts.where(col("__n") > 0).crossJoin(broadcast(feasible))
       .select(col(stratumCol),
         least(lit(10000L),
           intDiv(col("__pbp").cast("decimal(38,0)") * col("__t"), col("__n"))

@@ -58,29 +58,44 @@ object TextStats {
       .drop(textCol)
   }
 
-  /** Quality heuristics: token count, mean token length, stopword ratio,
-    * distinct-token ratio, and a composite score.
-    *
-    * All ratios are 4dp ROUND-HALF-UP computed in INTEGER arithmetic:
+  /** Default stopword marker set shared by [[quality]] and
+    * [[Classifier.score]] — fixture-vocabulary stand-ins, same contract
+    * as [[profiles]]. */
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "fast", "slow")
+
+  /** 4dp basis points of a/b, round-half-up, pure integer ops —
     * `(20000·a + b) div (2·b)` is round(10000·a/b) exactly, with no
-    * floating division anywhere. Double `round(a/b, 4)` disagrees between
-    * engines when the true ratio lands on a .00005 boundary (observed at
-    * sf0.1) — integer arithmetic cannot. The scaled value divided by 1e4
-    * is an exact double (≤ 2^53).
-    */
-  def quality(docs: DataFrame, stopwords: Seq[String] = Seq("the", "a", "fast", "slow"),
-              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    * floating division anywhere. Double `round(a/b, 4)` disagrees
+    * between engines when the true ratio lands on a .00005 boundary
+    * (observed at sf0.1) — integer arithmetic cannot. Shared by every
+    * ratio-emitting operator in this tier. */
+  private[llm] def bp(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.intDiv(a * 20000 + b, b * 2)
+
+  /** The raw integer feature projection [[quality]] and
+    * [[Classifier.score]] both build on — ONE definition so the
+    * classifier's features can never silently diverge from the quality
+    * operator's: `(id, __nt tokens, __ns stopword hits, __nd distinct
+    * tokens, __len chars)`. */
+  private[llm] def bpFeatures(docs: DataFrame, stopwords: Seq[String],
+                              idCol: String, textCol: String): DataFrame = {
     val t = toks(col(textCol))
-    // 4dp basis points of a/b, round-half-up, pure integer ops
-    def bp(a: Column, b: Column): Column =
-      graft.functions.VectorFunctions.intDiv(a * 20000 + b, b * 2)
-    def asRatio(bpCol: Column): Column = bpCol.cast("double") / 10000.0
-    val counted = docs.select(
+    docs.select(
       col(idCol),
       size(t).cast("long").as("__nt"),
       graft.functions.CountTokensIn(t, stopwords).as("__ns"),
       size(array_distinct(t)).cast("long").as("__nd"),
       length(col(textCol)).cast("long").as("__len"))
+  }
+
+  /** Quality heuristics: token count, mean token length, stopword ratio,
+    * distinct-token ratio, and a composite score. All ratios via [[bp]]
+    * (integer round-half-up, cross-engine exact); the scaled value
+    * divided by 1e4 is an exact double (≤ 2^53). */
+  def quality(docs: DataFrame, stopwords: Seq[String] = DefaultStopwords,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def asRatio(bpCol: Column): Column = bpCol.cast("double") / 10000.0
+    val counted = bpFeatures(docs, stopwords, idCol, textCol)
     val srBp = bp(col("__ns"), col("__nt"))
     val drBp = bp(col("__nd"), col("__nt"))
     counted.select(
@@ -243,14 +258,24 @@ object TextStats {
     * fetch of each page, report the duplicate count — [[graft.llm.Dedup.exact]]'s
     * contract keyed on the canonical URL instead of the content hash (it
     * runs FIRST in a crawl pipeline: no text needs reading to drop a
-    * re-fetch). One groupBy on a string key; at 100 TB, hash the
+    * re-fetch). A NON-PARSING url (canonical form '') is its own group:
+    * collapsing every malformed row into one '' bucket would mark all
+    * but one of them duplicates and silently drop distinct pages
+    * (round-7 review catch, spec-pinned) — unparsed rows pass through
+    * with `canonical_url = ''` and `dup_count = 1` for the caller's
+    * quarantine policy. One groupBy on a string key; at 100 TB, hash the
     * canonical form (`xxhash64`) if URL lengths dominate the shuffle. */
   def urlDedup(docs: DataFrame, idCol: String = "doc_id",
                urlCol: String = "url"): DataFrame =
     docs
       .select(col(idCol), canonicalUrl(col(urlCol)).as("canonical_url"))
-      .groupBy("canonical_url")
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .withColumn("__k", when(col("canonical_url") === "",
+          concat(lit("unparsed:"), col(idCol).cast("string")))
+        .otherwise(col("canonical_url")))
+      .groupBy("__k")
+      .agg(min(col("canonical_url")).as("canonical_url"),
+        min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("canonical_url", "keep_id", "dup_count")
 
   /** URL blocklist gate — the web-corpus filter that runs before any
     * text processing: annotate each row with its normalized domain and

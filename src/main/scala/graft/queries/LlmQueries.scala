@@ -327,11 +327,11 @@ object LlmQueries {
     Q("llm_url_dedup",
       """WITH planted AS (
         |  SELECT doc_id,
-        |    CASE doc_id % 4
-        |      WHEN 0 THEN 'https://WWW.Site' || (doc_id // 4) || '.com:443/p/Q/'
-        |      WHEN 1 THEN 'https://site' || (doc_id // 4) || '.com/p/Q#frag'
-        |      WHEN 2 THEN 'https://site' || (doc_id // 4) || '.com/p/Q?utm_source=news'
-        |      ELSE 'https://site' || (doc_id // 4) || '.com/p/Q'
+        |    CASE WHEN doc_id % 8 = 7 THEN 'relative/path/' || doc_id
+        |         WHEN doc_id % 4 = 0 THEN 'https://WWW.Site' || (doc_id // 4) || '.com:443/p/Q/'
+        |         WHEN doc_id % 4 = 1 THEN 'https://site' || (doc_id // 4) || '.com/p/Q#frag'
+        |         WHEN doc_id % 4 = 2 THEN 'https://site' || (doc_id // 4) || '.com/p/Q?utm_source=news'
+        |         ELSE 'https://site' || (doc_id // 4) || '.com/p/Q'
         |    END AS url
         |  FROM documents),
         |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM planted),
@@ -349,16 +349,23 @@ object LlmQueries {
         |      (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
         |                 OR (scheme = 'https' AND port = '443')
         |            THEN '' ELSE ':' || port END) || path END AS canonical_url
-        |  FROM parts)
-        |SELECT canonical_url, min(doc_id) AS keep_id,
+        |  FROM parts),
+        |keyed AS (
+        |  SELECT doc_id, canonical_url,
+        |    CASE WHEN canonical_url = '' THEN 'unparsed:' || doc_id
+        |         ELSE canonical_url END AS k
+        |  FROM canon)
+        |SELECT min(canonical_url) AS canonical_url, min(doc_id) AS keep_id,
         |  count(*) AS dup_count
-        |FROM canon GROUP BY 1 ORDER BY keep_id""".stripMargin) {
+        |FROM keyed GROUP BY k ORDER BY keep_id""".stripMargin) {
       (spark, sf) =>
         val g = graft.functions.VectorFunctions.intDiv(col("doc_id"), lit(4L))
           .cast("string")
         val v = pmod(col("doc_id"), lit(4))
         val planted = Tables.documents(spark, sf).select(col("doc_id"),
-          when(v === 0, concat(lit("https://WWW.Site"), g, lit(".com:443/p/Q/")))
+          when(pmod(col("doc_id"), lit(8)) === 7,
+              concat(lit("relative/path/"), col("doc_id").cast("string")))
+            .when(v === 0, concat(lit("https://WWW.Site"), g, lit(".com:443/p/Q/")))
             .when(v === 1, concat(lit("https://site"), g, lit(".com/p/Q#frag")))
             .when(v === 2, concat(lit("https://site"), g, lit(".com/p/Q?utm_source=news")))
             .otherwise(concat(lit("https://site"), g, lit(".com/p/Q"))).as("url"))
@@ -716,12 +723,15 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
-    // Deterministic train/val/test split: contiguous lattice-residue
-    // bands, total assignment, no RNG — oracle-gated end-to-end.
+    // Deterministic train/val/test split: contiguous residue bands over
+    // the PRIME-modulus split lattice (10007/4871 — coprime to the
+    // mixture/reweight lattice so recipe→split composes), total
+    // assignment, no RNG — oracle-gated end-to-end. Cuts are cumulative
+    // rounds: round(0.8·10007)=8006, +round(0.1·10007)=9007.
     Q("llm_split",
       """SELECT doc_id, source,
-        |  CASE WHEN ((doc_id % 10000) * 5761) % 10000 < 8000 THEN 'train'
-        |       WHEN ((doc_id % 10000) * 5761) % 10000 < 9000 THEN 'val'
+        |  CASE WHEN ((doc_id % 10007) * 4871) % 10007 < 8006 THEN 'train'
+        |       WHEN ((doc_id % 10007) * 4871) % 10007 < 9007 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin) {
       (spark, sf) =>
@@ -787,8 +797,8 @@ object LlmQueries {
     // sides, oracle-gated end-to-end.
     Q("llm_chunk",
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  SELECT doc_id, regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS toks,
+        |    CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS nt
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, toks,

@@ -42,6 +42,13 @@ class ChunkingSpec extends SparkSpec {
     out shouldBe Array((0L, "x y z", 3L))
   }
 
+  test("chunk tokenizes by whitespace RUNS — the packing ops' token metric") {
+    // "a\nb c" is 3 WsRun tokens; a single-space split would see 2 and
+    // emit a chunk whose downstream WsRun count exceeds C
+    val out = run("a\nb c", 2, 0)
+    out shouldBe Array((0L, "a b", 2L), (1L, "c", 1L))
+  }
+
   test("chunking is a pure flatMap projection — no shuffle, no join") {
     val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val plan = Chunking.chunk(docs, 2, 1).queryExecution.executedPlan.toString

@@ -67,6 +67,19 @@ class ComponentsSpec extends SparkSpec {
     out.count() shouldBe 16L // and it is still readable
   }
 
+  test("a non-converged run releases every checkpoint before throwing") {
+    // the failure path must not pin edge + label blocks in a long-lived
+    // session: maxIter = 0 forces the non-convergence throw immediately
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    an[IllegalStateException] should be thrownBy
+      Components.connectedComponents(
+        (0L to 7L).toDF("id"),
+        (0L until 7L).map(i => (i, i + 1)).toDF("src", "dst"),
+        maxIter = 0)
+    (sc.getPersistentRDDs.keySet -- before) shouldBe empty
+  }
+
   test("orderable non-numeric ids cluster with lexicographic-min representatives") {
     // min-wins election needs only an ordered, joinable id type — string
     // doc ids work, with the representative being the lexicographic min

@@ -107,6 +107,21 @@ class SamplingSpec extends SparkSpec {
       out.select("doc_id", "split").as[(Long, String)].collect().toMap
   }
 
+  test("split bands hold WITHIN mixture/reweight survivor sets (coprime lattices)") {
+    // the round-7 review catch: with split on the SAME mod-1e4 lattice as
+    // mixture, the survivors of a 0.6422-rate stratum all had residues
+    // < 6422 and landed 100% in 'train' — val/test were EMPTY. The prime
+    // split modulus must keep band proportions inside any survivor set.
+    val docs = spark.range(100000).select(col("id").as("doc_id"), lit("s0").as("source"))
+    val survivors = Sampling.mixture(docs, Map("s0" -> 0.6422))
+    val bands = Sampling.split(survivors, Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = bands.values.sum.toDouble
+    bands("train") / n shouldBe 0.9 +- 0.01
+    bands("val") / n shouldBe 0.05 +- 0.01
+    bands("test") / n shouldBe 0.05 +- 0.01 // was 0 before the coprime fix
+  }
+
   test("split assignment is independent of upstream filtering (nests with mixture)") {
     val docs = ids.withColumnRenamed("id", "doc_id")
     val full = Sampling.split(docs, Seq("a" -> 0.5, "b" -> 0.5))
@@ -168,6 +183,15 @@ class SamplingSpec extends SparkSpec {
     val plan = Sampling.reweight(docs, Map("s0" -> 0.5, "s1" -> 0.5))
       .queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
+  }
+
+  test("reweight with an absent target stratum yields an empty corpus, not a skewed one") {
+    // a typo'd stratum name must not be silently ignored: its zero count
+    // drives the feasible total to 0 (the target mixture is unrealizable)
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(2))).as("source"))
+    Sampling.reweight(docs,
+      Map("s0" -> 0.5, "s1" -> 0.3, "wiki" -> 0.2)).count() shouldBe 0L
   }
 
   test("reweight rejects malformed targets") {

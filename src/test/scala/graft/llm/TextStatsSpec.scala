@@ -310,6 +310,23 @@ class TextStatsSpec extends SparkSpec {
       ("https://x.com/q", 12L, 1L))
   }
 
+  test("urlDedup never merges distinct non-parsing URLs") {
+    // malformed rows canonicalize to '' — each must stay its OWN group
+    // (one '' bucket would mark all but one of them duplicates)
+    val docs = Seq(
+      (1L, "relative/a"),
+      (2L, "relative/b"),
+      (3L, "https://x.com/p"),
+      (4L, "http://x.com/p")).toDF("doc_id", "url") // different scheme: distinct pages
+    val out = TextStats.urlDedup(docs).orderBy("keep_id")
+      .as[(String, Long, Long)].collect()
+    out shouldBe Array(
+      ("", 1L, 1L),
+      ("", 2L, 1L),
+      ("https://x.com/p", 3L, 1L),
+      ("http://x.com/p", 4L, 1L))
+  }
+
   test("adaptiveLengthGate rejects a malformed band") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     an[IllegalArgumentException] should be thrownBy
