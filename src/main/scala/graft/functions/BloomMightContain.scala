@@ -41,13 +41,21 @@ case class BloomMightContainStr(child: Expression, bloomBytes: Array[Byte])
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
 
+  /** Called from generated code too — keeps deserialization lazy and
+    * once-per-executor on BOTH eval paths. */
+  def probe(s: UTF8String): Boolean = bloom.mightContainBinary(s.getBytes)
+
   override def nullSafeEval(input: Any): Any =
-    bloom.mightContainBinary(input.asInstanceOf[UTF8String].getBytes)
+    probe(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloom", bloom,
-      classOf[BloomFilter].getName)
-    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.mightContainBinary($s.getBytes());")
+    // reference THIS expression (bytes ride once in the case-class field)
+    // rather than the deserialized BloomFilter: referencing the live
+    // filter shipped the multi-MB sketch TWICE per plan (references array
+    // + field) and forced an eager driver-side deserialize
+    val self = ctx.addReferenceObj("bloomProbe", this,
+      classOf[BloomMightContainStr].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $self.probe($s);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -13,6 +13,13 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   *
   * Either makes the kernels callable from SQL text, e.g.
   * `SELECT graft_dot(a.embedding, b.embedding) FROM ...`.
+  *
+  * ASYMMETRY: `graft_product` (the UDAF-backed custom aggregate) is only
+  * installed by the runtime `register(spark)` route — a typed
+  * `Aggregator` registers through the UDF registry, which the boot-time
+  * `SparkSessionExtensions.injectFunction` hook cannot reach. A session
+  * booted with `spark.sql.extensions` that needs `graft_product` in SQL
+  * text must also call `register` (idempotent).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

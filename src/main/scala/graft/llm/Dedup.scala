@@ -38,6 +38,8 @@ object Dedup {
     * with a < b; a FIXED-WIDTH payload column (e.g. a 64-bit hash) can ride
     * along in the bucket set so downstream scoring needs no re-attach join
     * — never route wide payloads (vectors, shingle sets) through here. */
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[llm] def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
                                idCol: String, payloadCol: Option[String] = None,
                                maxBucket: Int = 256): DataFrame = {
@@ -57,7 +59,11 @@ object Dedup {
       .where(size(col("__ids")) > 1)
       // a bucket at exactly maxBucket members was (possibly) truncated —
       // surface the count so operators can see recall-degrading skew
-      .observe(s"graft_bucket_cap_${bucketCols.mkString("_")}",
+      // the name carries a per-invocation sequence number: two
+      // bucketPairs calls with the same bucket columns composed into ONE
+      // plan (multi-resolution dedup, a union of two band configs)
+      // otherwise define the same observed metric twice and fail analysis
+      .observe(s"graft_bucket_cap_${bucketCols.mkString("_")}_${metricSeq.incrementAndGet()}",
         sum(when(size(col("__ids")) === maxBucket, 1L).otherwise(0L))
           .as("capped_buckets"))
       .select(explode(flatten(transform(col("__ids"), (a, i) =>
@@ -148,11 +154,23 @@ object Dedup {
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
     withSets
-      .withColumn("jaccard",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jaccard", jaccardOf(col("sa"), col("sb")))
       .where(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard of two shingle-set columns, 4dp round-half-up in
+    * integer arithmetic — ONE rounding discipline shared by
+    * [[minHashNearDups]]'s verify stage and [[ngramJaccard]] (they
+    * previously disagreed on .00005-boundary pairs: double `round(i/u,4)`
+    * vs integer bp — exactly the cross-engine divergence SURVEY §2.9-bis
+    * rule 2 exists to prevent, here INTRA-engine). Thresholds compare
+    * against the rounded value. */
+  private def jaccardOf(sa: Column, sb: Column): Column = {
+    val i = size(array_intersect(sa, sb)).cast("long")
+    val u = size(array_union(sa, sb)).cast("long")
+    graft.functions.VectorFunctions.intDiv(i * 20000 + u, u * 2)
+      .cast("double") / 10000.0
   }
 
   /** Paragraph-level exact dedup — the C4-style boilerplate-removal pass:
@@ -215,13 +233,20 @@ object Dedup {
   def simHashNearDups(docs: DataFrame, maxHamming: Int = 3,
                       idCol: String = "doc_id", textCol: String = "text",
                       maxBucket: Int = 256): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val chunks = maxHamming + 1
     val width = 64 / chunks
+    // width == 64 (the maxHamming = 0 exact-match case) needs the
+    // all-ones mask spelled -1L: Scala masks shift counts mod 64, so
+    // (1L << 64) - 1 is 0 — which made every doc land in ONE (0, 0)
+    // bucket and silently capped exact-dup recall at maxBucket
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sh = simHash(docs, idCol, textCol)
     val banded = sh.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("simhash"), c * width)
-          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("chunk", "cv")))
+          .bitwiseAND(lit(mask))): _*)).as(Seq("chunk", "cv")))
     // one-pass bucket pairing with the 64-bit hash riding in the bucket
     // set — the 64-lane vote aggregation runs ONCE and no re-attach join
     bucketPairs(banded, Seq("chunk", "cv"), idCol, payloadCol = Some("simhash"),
@@ -250,15 +275,8 @@ object Dedup {
     pairs
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
-      .select(col("a"), col("b"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"),
-        size(array_union(col("sa"), col("sb"))).cast("long").as("u"))
-      // 4dp round-half-up via integer arithmetic — (20000i+u)//(2u) is
-      // engine-exact where double round(i/u, 4) flips .00005-boundary rows
-      // (SURVEY §2.9-bis rule 2; same discipline as llm_quality)
-      .select(col("a"), col("b"),
-        (graft.functions.VectorFunctions.intDiv(col("i") * 20000 + col("u"), col("u") * 2)
-          .cast("double") / 10000.0).as("jaccard"))
+      // one rounding discipline with minHashNearDups' verify stage
+      .select(col("a"), col("b"), jaccardOf(col("sa"), col("sb")).as("jaccard"))
   }
 
   /** Benchmark-contamination check — the decontamination pass a training
@@ -375,10 +393,16 @@ object Dedup {
                         numTables: Int = 8, bitsPerTable: Int = 0,
                         seed: Long = 42L, maxBucket: Int = 256): DataFrame = {
     val n = Similarity.withNorm(emb.select(col(idCol), col(vecCol)), vecCol, "n")
-    val dims = emb.select(size(col(vecCol)).as("d")).take(1) match {
+    // dims probe skips NULL vectors: without the filter, a corpus whose
+    // FIRST-returned row (partition-order dependent) happens to carry a
+    // null embedding crashed getInt with a flaky NPE, while the same
+    // corpus under another partitioning worked — null rows are tolerated
+    // by the signature kernel, so they must be tolerated here too
+    val dims = emb.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).take(1) match {
       case Array(row) => row.getInt(0)
       case _ => return n.select(col(idCol).as("a"), col(idCol).as("b"),
-        col("n").as("cos")).where(lit(false)) // empty input → empty result
+        col("n").as("cos")).where(lit(false)) // no non-null vectors → empty result
     }
     val bits =
       if (bitsPerTable > 0) bitsPerTable

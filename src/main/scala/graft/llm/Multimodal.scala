@@ -56,6 +56,11 @@ object Multimodal {
     * per-payload kernel. */
   def resize(media: DataFrame, w: Int, h: Int, batchSize: Int = 512): DataFrame = {
     require(w > 0 && h > 0, "target dimensions must be positive")
+    // w·h in Int wraps for large-but-valid dimensions (50000² → negative
+    // → NegativeArraySizeException per row; 65536² → exactly 0 → silent
+    // empty payloads); check the product in Long and bound the buffer
+    require(w.toLong * h <= (1L << 30),
+      s"target payload $w x $h exceeds 1 GiB per row — resize smaller or tile")
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     val target = w * h
     media.select("doc_id", "media", "meta").mapPartitions { it =>

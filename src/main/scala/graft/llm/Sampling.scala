@@ -157,6 +157,12 @@ object Sampling {
     val sum = target.values.sum
     require(math.abs(sum - 1.0) < 1e-9, s"target proportions must sum to 1, got $sum")
     val pBp = target.map { case (s, p) => s -> math.round(p * 10000) }
+    // a proportion below half a basis point rounds to pBp = 0, which
+    // would divide-by-zero the feasibility scan (null under non-ANSI —
+    // the stratum silently drops out of the min; a crash under ANSI)
+    require(pBp.values.forall(_ >= 1L),
+      "target proportions below 0.00005 are under the lattice granularity — " +
+        "merge the stratum or coarsen the recipe")
     val intDiv = graft.functions.VectorFunctions.intDiv _
     // anchor the feasibility scan on the TARGET list, not the observed
     // strata: a target stratum with zero input rows must drive T to 0

@@ -252,7 +252,11 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cb = codebook(centroids, idCol, vecCol)
+    // accept trainCodebook's (cid, embedding) frame directly: its id
+    // column is 'cid', not the corpus idCol — every caller used to need
+    // a rename, and the trainCodebook scaladoc promised the direct pass
+    val centroidIdCol = if (centroids.columns.contains(idCol)) idCol else "cid"
+    val cb = codebook(centroids, centroidIdCol, vecCol)
     val assigned = withNorm(assignWith(corpus, cb, idCol, vecCol), vecCol, "cn")
     // nprobe nearest centroids per query — the kernel clamps to the
     // codebook size, so an over-asked nprobe can't drop queries

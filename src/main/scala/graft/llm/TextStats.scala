@@ -43,6 +43,9 @@ object TextStats {
     * incoming column except the text body is kept, so no id column needs
     * naming. */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val reserved = profiles.map { case (l, _) => s"score_$l" } :+ "pred_lang"
+    require(!docs.columns.exists(reserved.contains),
+      s"langId writes ${reserved.mkString("/")}; input already has one — rename it first")
     // keep every incoming column (e.g. the true label) except the text body
     val scored = profiles.foldLeft(docs) {
       case (df, (lang, markers)) =>
@@ -331,6 +334,8 @@ object TextStats {
                   minTokens: Long, maxTokens: Long, maxRepetition: Double,
                   n: Int = 2, textCol: String = "text",
                   langCol: String = "lang"): DataFrame = {
+    require(!docs.columns.exists(Seq("fail_lang", "fail_len", "fail_rep", "keep").contains),
+      "qualityGate writes fail_lang/fail_len/fail_rep/keep; input already has one — rename it first")
     val t = toks(col(textCol))
     val g = graft.functions.WordShingles(col(textCol), n)
     val total = size(g).cast("long")

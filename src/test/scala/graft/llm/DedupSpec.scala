@@ -116,6 +116,37 @@ class DedupSpec extends SparkSpec {
     out(3) shouldBe ((3L, 0L, 8L, 0.0)) // 9 words → 8 shingles, none shared
   }
 
+  test("simHashNearDups(maxHamming = 0) finds exact matches beyond one bucket's cap") {
+    // width = 64 made the old (1L << 64) - 1 mask 0 (Scala masks shift
+    // counts mod 64): EVERY doc landed in one (0, 0) bucket and exact-dup
+    // recall silently capped at maxBucket. With the -1L mask, distinct
+    // hashes spread across buckets and identical ones still pair.
+    val docs = ((0 until 300).map(i => (i.toLong, s"unique text number $i prose")) ++
+      Seq((900L, "twin document body"), (901L, "twin document body")))
+      .toDF("doc_id", "text")
+    val out = Dedup.simHashNearDups(docs, maxHamming = 0, maxBucket = 8)
+      .select("a", "b").as[(Long, Long)].collect()
+    out should contain((900L, 901L))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simHashNearDups(docs, maxHamming = -1)
+  }
+
+  test("embeddingNearDups tolerates a null vector in the dims-probe row") {
+    // the dims probe reads the first-returned row; a null embedding there
+    // crashed with a partition-order-dependent NPE
+    val emb = Seq[(Long, Array[Float])](
+      (1L, null),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.01f))).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDups(emb, threshold = 0.9, bitsPerTable = 4)
+      .select("a", "b").as[(Long, Long)].collect()
+    out should contain((2L, 3L))
+    // all-null corpus → empty result, not a crash
+    Dedup.embeddingNearDups(
+      Seq[(Long, Array[Float])]((1L, null)).toDF("vec_id", "embedding"),
+      threshold = 0.9, bitsPerTable = 4).count() shouldBe 0L
+  }
+
   test("bloomContamination returns exactly contamination's output (prefilter loses nothing)") {
     val bench = docs.where(col("doc_id") === 0)
     val exact = Dedup.contamination(docs, bench, k = 2).orderBy("doc_id")
@@ -226,17 +257,32 @@ class DedupSpec extends SparkSpec {
     pairs.length should be > 0 // recall degraded, not zeroed
     all(pairs.flatMap(p => Seq(p._1, p._2))) should be < 32L // smallest ids kept
     // the truncation is observable: both band buckets sat at the cap
-    val capped = out.queryExecution.observedMetrics("graft_bucket_cap_band_sig")
-    capped.getLong(0) should be >= 2L
+    // (metric names carry a per-invocation sequence number — look up by
+    // prefix so composed plans can define several)
+    capMetric(out) should be >= 2L
   }
 
   test("bucketPairs cap metric reads zero on a well-bucketed corpus") {
     val out = Dedup.minHashNearDups(docs, k = 2, bands = 8, rowsPerBand = 2,
       threshold = 0.5)
     out.collect()
-    out.queryExecution.observedMetrics("graft_bucket_cap_band_sig")
-      .getLong(0) shouldBe 0L
+    capMetric(out) shouldBe 0L
   }
+
+  test("two same-column bucketPairs invocations compose in one plan") {
+    // the observe() names are sequence-numbered: without that, a union of
+    // two band configs defined the same metric twice and failed analysis
+    val coarse = Dedup.minHashNearDups(docs, k = 2, bands = 2, rowsPerBand = 4,
+      threshold = 0.3)
+    val fine = Dedup.minHashNearDups(docs, k = 2, bands = 8, rowsPerBand = 1,
+      threshold = 0.3)
+    noException should be thrownBy coarse.union(fine).collect()
+  }
+
+  private def capMetric(out: org.apache.spark.sql.DataFrame): Long =
+    out.queryExecution.observedMetrics
+      .collectFirst { case (n, r) if n.startsWith("graft_bucket_cap_band_sig") => r.getLong(0) }
+      .get
 
   test("paragraphDedup keeps first global occurrence, reassembles in order") {
     val pdocs = Seq(

@@ -200,5 +200,9 @@ class SamplingSpec extends SparkSpec {
       Sampling.reweight(docs, Map("s" -> 0.5)) // does not sum to 1
     an[IllegalArgumentException] should be thrownBy
       Sampling.reweight(docs, Map.empty[String, Double])
+    // a proportion under half a basis point rounds to 0 bp — it would
+    // divide-by-zero the feasibility scan (silently under non-ANSI)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.reweight(docs, Map("s" -> 0.99996, "rare" -> 0.00004))
   }
 }
