@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Aggs {
 
-  /** A6 `product` — multiplicative fold. Spark has no product aggregate. */
-  val product: Aggregator[Double, Double, Double] =
-    new Aggregator[Double, Double, Double] {
+  /** A6 `product` — multiplicative fold. Spark has no product aggregate.
+    * The input is the BOXED double so SQL NULLs arrive as null and are
+    * SKIPPED, like every built-in aggregate — the primitive-Double form
+    * decoded a null as 0.0 and zeroed the whole group's product. */
+  val product: Aggregator[java.lang.Double, Double, Double] =
+    new Aggregator[java.lang.Double, Double, Double] {
       def zero: Double = 1.0
-      def reduce(b: Double, a: Double): Double = b * a
+      def reduce(b: Double, a: java.lang.Double): Double =
+        if (a == null) b else b * a.doubleValue()
       def merge(b1: Double, b2: Double): Double = b1 * b2
       def finish(b: Double): Double = b
       def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
@@ -46,14 +50,27 @@ object Aggs {
     * single-pass built-in (no window, no second shuffle). */
   def firstBy(value: Column, order: Column): Column = min_by(value, order)
 
-  /** Typed reduction used by Pipeline.distinctBy and QL `combineAll`. */
-  def foldAggregator[A: Encoder](z: A)(f: (A, A) => A): Aggregator[A, A, A] =
-    new Aggregator[A, A, A] {
-      def zero: A = z
-      def reduce(b: A, a: A): A = f(b, a)
-      def merge(b1: A, b2: A): A = f(b1, b2)
-      def finish(b: A): A = b
-      def bufferEncoder: Encoder[A] = implicitly[Encoder[A]]
+  /** Typed distributed fold. `z` is applied exactly ONCE, at finish: an
+    * Aggregator's `zero` initializes EVERY partition's partial buffer, so
+    * folding `z` in there applies it once per partition and makes the
+    * result partitioning-dependent for any non-identity zero (36 vs 16
+    * for z=10 over [1,2,3] in 3 partitions — caught in review; the
+    * identity-zero spec masked it). The buffer is (seen, acc): partials
+    * reduce/merge with `f` alone, and finish computes `f(z, a₁ f a₂ …)`
+    * — the fold, under the associativity any distributed fold requires.
+    * Empty input → z. */
+  def foldAggregator[A: Encoder](z: A)(f: (A, A) => A): Aggregator[A, (Boolean, A), A] =
+    new Aggregator[A, (Boolean, A), A] {
+      def zero: (Boolean, A) = (false, z) // z here is a placeholder, never folded
+      def reduce(b: (Boolean, A), a: A): (Boolean, A) =
+        if (!b._1) (true, a) else (true, f(b._2, a))
+      def merge(b1: (Boolean, A), b2: (Boolean, A)): (Boolean, A) =
+        if (!b1._1) b2
+        else if (!b2._1) b1
+        else (true, f(b1._2, b2._2))
+      def finish(b: (Boolean, A)): A = if (b._1) f(z, b._2) else z
+      def bufferEncoder: Encoder[(Boolean, A)] =
+        Encoders.tuple(Encoders.scalaBoolean, implicitly[Encoder[A]])
       def outputEncoder: Encoder[A] = implicitly[Encoder[A]]
     }
 }

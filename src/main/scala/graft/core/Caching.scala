@@ -30,6 +30,12 @@ object Caching {
     // and low-frequency, so a lock is the right tool
     registry.synchronized {
       val now = System.currentTimeMillis()
+      // opportunistic sweep: without it, a key cached once and never
+      // re-requested pins its persisted blocks for the application
+      // lifetime (per-date keys leak one dataset per day) — expiry was
+      // only ever checked on a same-key hit
+      registry.filter { case (k, e) => k != key && e.expiresAtMs <= now }
+        .keys.foreach(k => registry.remove(k).foreach(_.ds.unpersist(blocking = false)))
       registry.get(key) match {
         case Some(Entry(prev, exp)) if exp > now =>
           prev.asInstanceOf[Dataset[T]]

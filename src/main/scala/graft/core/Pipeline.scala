@@ -67,10 +67,13 @@ final class Pipeline[A](val ds: Dataset[A]) extends Serializable {
   /** Reference `mapM`/`mapG` — effectful per-element map (SURVEY §2.2 P5).
     * No Catalyst analog: run `f` with at most `parallelism` in-flight
     * futures per partition. Results keep partition-local order, so a
-    * downstream deterministic sort yields reproducible output.
+    * downstream deterministic sort yields reproducible output. `f`
+    * schedules its own futures — this operator only bounds how many are
+    * in flight (it used to take an ExecutionContext it never used, which
+    * read as if it controlled where `f` runs).
     */
   def mapAsync[B: Encoder](parallelism: Int, timeout: Duration = Duration.Inf)(
-      f: A => Future[B])(implicit ec: ExecutionContext = ExecutionContext.global): Pipeline[B] =
+      f: A => Future[B]): Pipeline[B] =
     new Pipeline(ds.mapPartitions { it =>
       // sliding in-flight window, not batch-await: completing the head
       // immediately admits the next element, so slow outliers don't stall
@@ -109,7 +112,12 @@ final class Pipeline[A](val ds: Dataset[A]) extends Serializable {
   /** Reference `pausedWith` throttling (P8) — deliberately a per-partition
     * token-bucket; never on a verified/bench path (SURVEY §7.5).
     */
-  def throttled(perSecondPerPartition: Double): Pipeline[A] =
+  def throttled(perSecondPerPartition: Double): Pipeline[A] = {
+    // rate <= 0 made nanosPer overflow (1e9/0 → Infinity → Long.MaxValue)
+    // and `next` wrap negative — throttling silently OFF, the opposite of
+    // what a non-positive rate could possibly mean
+    require(perSecondPerPartition > 0,
+      s"throttle rate must be positive, got $perSecondPerPartition")
     new Pipeline(ds.mapPartitions { it =>
       val nanosPer = (1e9 / perSecondPerPartition).toLong
       var next = System.nanoTime()
@@ -120,6 +128,7 @@ final class Pipeline[A](val ds: Dataset[A]) extends Serializable {
         a
       }
     }(ds.encoder))
+  }
 
   // ----- §2.3 typed joins (reference CanJoin: theta-join to pairs) -----
   /** Inner theta-join to (A, B) pairs — the reference's `join(that)(on)`.
@@ -246,6 +255,8 @@ object Positional {
   import org.apache.spark.sql.types.LongType
 
   private def withIndex(df: DataFrame, order: Seq[Column], idxCol: String): DataFrame = {
+    require(!df.columns.contains(idxCol),
+      s"zipWithIndex writes '$idxCol'; input already has it — pass another idxCol or rename")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val schema = sorted.schema.add(idxCol, LongType, nullable = false)

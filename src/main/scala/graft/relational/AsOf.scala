@@ -39,6 +39,12 @@ object AsOf {
                timeCol: String, keys: Seq[String],
                rightCols: Seq[String],
                maxGap: Option[Column] = None): DataFrame = {
+    // an empty key set would make the window partition-less — one task
+    // fills every row of both sides, the exact single-partition global
+    // window this operator's design exists to avoid; a genuine global
+    // as-of join must say so explicitly with a constant key
+    require(keys.nonEmpty,
+      "joinAsOf needs at least one key; for a global as-of join add an explicit constant key column")
     val overlap = rightCols.toSet.intersect(left.columns.toSet)
     require(overlap.isEmpty,
       s"right payload columns collide with left columns: ${overlap.mkString(", ")} — alias them first")

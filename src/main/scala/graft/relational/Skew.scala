@@ -25,6 +25,8 @@ object Skew {
                  bigKey: Column, smallKey: Column,
                  discriminator: Column, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin writes a '__salt' working column; input already has one — rename it first")
     val saltedBig = big.withColumn("__salt", pmod(xxhash64(discriminator), lit(buckets)))
     // replicate the small side once per salt bucket — explode of a literal
     // range, no shuffle on this side until the join itself

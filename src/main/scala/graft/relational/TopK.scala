@@ -23,6 +23,8 @@ object TopK {
   def topKPerGroup(df: DataFrame, keys: Seq[Column], sortCols: Seq[Column],
                    k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!df.columns.exists(Seq("__topk", "__row").contains),
+      "topKPerGroup uses __topk/__row working columns; input already has one — rename it first")
     val sortStruct = struct(sortCols: _*)
     // CollectTopK(reverse = true) keeps the k SMALLEST under struct order
     val collect = ColumnBridge.collectTopK(
@@ -41,6 +43,10 @@ object TopK {
   def topKPerGroupRanked(df: DataFrame, keys: Seq[Column], sortCols: Seq[Column],
                          k: Int, rankCol: String): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!df.columns.contains(rankCol),
+      s"topKPerGroupRanked writes '$rankCol'; input already has it — pick another rankCol")
+    require(!df.columns.exists(Seq("__topk", "__pos", "__row").contains),
+      "topKPerGroupRanked uses __topk/__pos/__row working columns; input already has one — rename it first")
     val sortStruct = struct(sortCols: _*)
     val collect = ColumnBridge.collectTopK(
       ColumnBridge.expression(sortStruct), k, reverse = true)

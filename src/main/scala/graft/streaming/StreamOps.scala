@@ -121,7 +121,11 @@ object StreamOps {
 
   /** Streaming sinks. Durable sinks REQUIRE a checkpoint location — at
     * scale that is the exactly-once contract, not an option. */
-  def toMemory(df: DataFrame, name: String, mode: String = "complete")
+  // default 'append': 'complete' is only legal for aggregation queries
+  // and crashed this module's own non-aggregating streams (curateStream,
+  // dedupWithinWatermark, streamStreamJoin); windowed aggregations pass
+  // mode = "complete" explicitly
+  def toMemory(df: DataFrame, name: String, mode: String = "append")
       : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 

@@ -59,8 +59,31 @@ class AggsSpec extends SparkSpec {
   test("foldAggregator obeys the fold for any op (ScalaCheck)") {
     val agg = Aggs.foldAggregator(Int.MinValue)(math.max)
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-1000, 1000))) { xs =>
-      xs.foldLeft(agg.zero)(agg.reduce) == xs.max
+      agg.finish(xs.foldLeft(agg.zero)(agg.reduce)) == xs.max
     })
+  }
+
+  test("foldAggregator applies a NON-identity zero exactly once, any partitioning") {
+    // the old form folded zero into EVERY partition's buffer: z=10 over
+    // [1,2,3] in 3 partitions returned 36 instead of 16 and varied with
+    // the partition count (the identity-zero property above masked it)
+    val agg = Aggs.foldAggregator(10)(_ + _)
+    for (parts <- Seq(1, 3, 7)) {
+      spark.range(3).select((col("id") + 1).cast("int").as("v"))
+        .repartition(parts)
+        .as[Int].select(agg.toColumn).head() shouldBe 16
+    }
+    // empty input folds to exactly z
+    spark.emptyDataset[Int].select(agg.toColumn).head() shouldBe 10
+  }
+
+  test("product skips SQL NULLs like every built-in aggregate") {
+    // a null used to decode as 0.0 and zero the whole group's product
+    val df = Seq(("a", Some(2.0)), ("a", None), ("b", Some(5.0)))
+      .toDF("k", "v")
+    val out = df.groupBy("k").agg(Aggs.productCol(col("v")).as("p"))
+      .orderBy("k").as[(String, Double)].collect()
+    out shouldBe Array(("a", 2.0), ("b", 5.0))
   }
 
   test("Ql builder: where → groupBy → aggregate → having → orderBy") {
