@@ -28,6 +28,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failure that throws BEFORE the overwrite deletes anything
+        // (analysis error) would leave a PREVIOUS run's dump in a reused
+        // outDir — and check.py would report OK against stale data,
+        // passing a broken query through the gate. Remove the dir so the
+        // failure surfaces as MISSING_DUMP instead.
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dir)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,7 +54,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // filtered runs write a filtered oracle map too: check.py flags every
+    // declared-but-undumped oracle as MISSING_DUMP, which would bury the
+    // one query being iterated on under ~90 noise lines in a fresh dir
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

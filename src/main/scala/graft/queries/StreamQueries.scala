@@ -36,7 +36,7 @@ object StreamQueries {
 
     Q("stream_session",
       """WITH m AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    -- <= : session_window merges events landing exactly on the
         |    -- previous session's end (gap boundary is inclusive)
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -44,7 +44,11 @@ object StreamQueries {
         |  FROM events),
         |s AS (
         |  SELECT user_id, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    -- same (ts, event_id) tiebreak as the lag above: a ROWS frame
+        |    -- ordered by ts alone leaves tied rows' visit order to the
+        |    -- engine, and a tied pair straddling a session break would
+        |    -- get sids flakily (brk was assigned under the full order)
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                   ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM m)
         |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, count(*) AS n
