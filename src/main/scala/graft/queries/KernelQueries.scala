@@ -257,14 +257,21 @@ object KernelQueries {
           .orderBy("c_custkey")
     },
 
+    // Subtrahend restricted to pre-1996 orders so the expected result is
+    // non-empty at every scale factor (fixture orderdates span 1995..2001):
+    // the unrestricted form compared empty-to-empty at sf0.01, making the
+    // gate unable to detect inverted operands.
     Q("op_except",
       """SELECT c_custkey FROM customer WHERE c_acctbal > 0
         |EXCEPT
         |SELECT o_custkey AS c_custkey FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1996-01-01'
         |ORDER BY c_custkey""".stripMargin) {
       (spark, sf) =>
         Tables.customer(spark, sf).where(col("c_acctbal") > 0).select("c_custkey")
-          .except(Tables.orders(spark, sf).select(col("o_custkey").as("c_custkey")))
+          .except(Tables.orders(spark, sf)
+            .where(col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+            .select(col("o_custkey").as("c_custkey")))
           .orderBy("c_custkey")
     }
   )

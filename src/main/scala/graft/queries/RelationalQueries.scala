@@ -75,13 +75,20 @@ object RelationalQueries {
           .select("c_custkey").orderBy("c_custkey")
     },
 
+    // Subtrahend restricted to pre-1996 orders so the expected result is
+    // non-empty at every scale factor (fixture orderdates span 1995..2001):
+    // an unrestricted anti join compares empty-to-empty at sf0.01 and the
+    // gate cannot detect a wrong answer.
     Q("op_join_anti",
       """SELECT c_custkey FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate < TIMESTAMP '1996-01-01')
         |ORDER BY c_custkey""".stripMargin) {
       (spark, sf) =>
+        val earlyOrders = Tables.orders(spark, sf)
+          .where(col("o_orderdate") < to_timestamp(lit("1996-01-01")))
         Tables.customer(spark, sf)
-          .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(earlyOrders, col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey").orderBy("c_custkey")
     },
 
