@@ -27,14 +27,16 @@ object Cleanup {
     * Tags are replaced by a SPACE, not the empty string — block tags
     * separate words (`…end.<p>Next…`), and the final whitespace collapse
     * folds any doubled separators back to one. Patterns stay lowercase-
-    * tag only (the normalize-before-extract order every pipeline uses);
-    * dotall is not enabled, so comment/script bodies are single-line —
-    * documents with multi-line scripts should normalize newlines first.
+    * tag only (the normalize-before-extract order every pipeline uses).
+    * The three block rules run with `(?s)` (supported by Java and RE2
+    * alike, so oracle parity holds): real crawl HTML has multi-line
+    * script/style/comment bodies, and without DOTALL their payload leaks
+    * into `clean_text`.
     */
   val markupRules: Seq[(String, String)] = Seq(
-    "<!--.*?-->" -> " ",
-    "<script[^>]*>.*?</script>" -> " ",
-    "<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "(?s)<script[^>]*>.*?</script>" -> " ",
+    "(?s)<style[^>]*>.*?</style>" -> " ",
     "<[^>]*>" -> " ",
     "&lt;" -> "<",
     "&gt;" -> ">",

@@ -32,8 +32,12 @@ object Dedup {
     * members (the smallest ids — deterministic under any partitioning),
     * bounding BOTH the aggregation buffer and the quadratic within-bucket
     * explosion. The worst case degrades recall, never the job; the number
-    * of buckets that hit the cap is observable as the
-    * `graft_bucket_cap_<cols>` metric (`queryExecution.observedMetrics`).
+    * of buckets that hit the cap is observable via
+    * `queryExecution.observedMetrics` under a name PREFIX-matched as
+    * `graft_bucket_cap_<cols>_<seq>` — the suffix is a per-JVM sequence
+    * (two bucketPairs calls composed into ONE plan must not define the
+    * same observed metric twice), so match by `startsWith`, never by the
+    * exact name, when scraping across runs.
     * Output pairs are distinct
     * with a < b; a FIXED-WIDTH payload column (e.g. a 64-bit hash) can ride
     * along in the bucket set so downstream scoring needs no re-attach join
@@ -339,7 +343,15 @@ object Dedup {
     * join), so it's cut once with a lazy localCheckpoint (the
     * [[Curation.curateFull]] pattern — no lineage after the cut, by
     * design). `expectedItems < 0` (default) sizes the bloom from the cut
-    * set's exact count; pass it when known to skip that job. */
+    * set's exact count; pass it when known to skip that job.
+    *
+    * RETENTION: the checkpoint's blocks stay pinned until the session's
+    * ContextCleaner notices the frame is unreachable — in a long-lived
+    * session, callers that are done with the RESULT should release them
+    * eagerly via `ColumnBridge.releaseCheckpoint(result)` (the cut
+    * benchmark set is the plan's only `LogicalRDD` leaf). Any later
+    * action on the result then fails instead of recomputing — release
+    * only after the result is materialized. */
   def bloomContamination(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
                          fpp: Double = 0.01, expectedItems: Long = -1L,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -470,7 +482,8 @@ object Dedup {
     * Scale shape: train + assign are narrow kernel projections; the only
     * wide ops are the per-cluster bounded-heap pair generation
     * ([[bucketPairs]] — a runaway mega-cluster degrades recall, never
-    * the job, observable via `graft_bucket_cap_cid`) and one anti join.
+    * the job, observable via the prefix-matched `graft_bucket_cap_cid_*`
+    * metric) and one anti join.
     * Returns the SURVIVING rows `(id, vector, cid)`.
     *
     * Cost model (how to size it): assignment is O(n·k·dims) — LINEAR in

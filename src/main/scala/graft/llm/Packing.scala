@@ -31,7 +31,14 @@ object Packing {
     * [k·budget, (k+1)·budget); a document straddling the boundary counts
     * toward the shard where it starts — shards overflow by at most one
     * document rather than splitting one (the downstream tokenizer packs
-    * the remainder). Integer arithmetic throughout. */
+    * the remainder). Integer arithmetic throughout.
+    *
+    * PRECONDITION: `orderCol` must be UNIQUE within each stratum (e.g. a
+    * doc_id) — the running sum and the block reassembly in
+    * [[packSequences]] order by it alone, so ties would make `__start`
+    * and the block layout partition-order-dependent. Not guarded (a
+    * distributed uniqueness check is a full shuffle); violating it costs
+    * determinism, not correctness of token counts. */
   def packShards(docs: DataFrame, tokensPerShard: Long,
                  partitionCols: Seq[String] = Seq("source"),
                  orderCol: String = "doc_id",
@@ -67,7 +74,8 @@ object Packing {
     * array, and ONE groupBy on the fixed-width (stratum, block) key
     * whose sorted-struct reassembly is the SURVEY §2.9-bis
     * sorted-collect discipline. Every stage is integer arithmetic +
-    * list slicing, so the operator is oracle-gated end-to-end. */
+    * list slicing, so the operator is oracle-gated end-to-end.
+    * Same [[packShards]] PRECONDITION: `orderCol` unique per stratum. */
   def packSequences(docs: DataFrame, blockTokens: Long,
                     partitionCols: Seq[String] = Seq("source"),
                     orderCol: String = "doc_id",

@@ -385,7 +385,8 @@ object LlmQueries {
       }
       val clean = s"trim(regexp_replace($chain, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
       val prefix = """<html><head><style type="text/css">p{color:red}</style></head><body class="m"><!-- nav bar --><h1>"""
-      val suffix = """ &amp; &lt;raw&gt; &quot;it&#39;s&quot;&nbsp;end</p><script src="x.js">var i=0;</script><br/></body></html>"""
+      val suffix = """ &amp; &lt;raw&gt; &quot;it&#39;s&quot;&nbsp;end</p><script src="x.js">var i=0;
+""" + """var j=1;</script><br/></body></html>"""
       s"""WITH planted AS (
          |  SELECT doc_id,
          |    '${sq(prefix)}' || substr(text, 1, 20) || '</h1><p>' || text ||
@@ -397,7 +398,8 @@ object LlmQueries {
          |FROM planted ORDER BY doc_id""".stripMargin
     }) { (spark, sf) =>
       val prefix = """<html><head><style type="text/css">p{color:red}</style></head><body class="m"><!-- nav bar --><h1>"""
-      val suffix = """ &amp; &lt;raw&gt; &quot;it&#39;s&quot;&nbsp;end</p><script src="x.js">var i=0;</script><br/></body></html>"""
+      val suffix = """ &amp; &lt;raw&gt; &quot;it&#39;s&quot;&nbsp;end</p><script src="x.js">var i=0;
+""" + """var j=1;</script><br/></body></html>"""
       val planted = Tables.documents(spark, sf).select(col("doc_id"),
         concat(lit(prefix), substring(col("text"), 1, 20), lit("</h1><p>"),
           col("text"), lit(suffix)).as("text"))

@@ -27,6 +27,16 @@ class CleanupSpec extends SparkSpec {
     out(3L)._1 shouldBe "a b"
   }
 
+  test("multi-line script/style/comment bodies are dropped (DOTALL)") {
+    val out = strip(
+      1L -> "a<script>\nvar secret = 1;\nvar more = 2;\n</script>b",
+      2L -> "a<style>\np { color: red }\n</style>b",
+      3L -> "a<!-- line one\nline two -->b")
+    out(1L)._1 shouldBe "a b"
+    out(2L)._1 shouldBe "a b"
+    out(3L)._1 shouldBe "a b"
+  }
+
   test("entities unescape once, ampersand last") {
     val out = strip(
       1L -> "x &lt;tag&gt; &quot;q&#39;s&quot; a&nbsp;b &amp; done",
