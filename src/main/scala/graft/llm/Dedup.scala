@@ -216,6 +216,76 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Exact-substring dedup (the Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" class): every k-token window that
+    * occurs at MORE than one (doc, start) position — across documents or
+    * within one — keeps only its first occurrence (min (id, start)); all
+    * other occurrences have those token positions removed from their
+    * documents, and the surviving tokens are re-joined in order. This is
+    * the repeated-long-span memorization lever doc-level dedup can't
+    * reach: two distinct pages sharing one boilerplate paragraph are not
+    * near-dups, but the paragraph still repeats in the training set.
+    *
+    * Returns (id, text, n_kept) for EVERY input document, like
+    * [[paragraphDedup]] — a fully-duplicated document survives with
+    * empty text and n_kept = 0.
+    *
+    * Scale design: the paper's suffix array is a single-node structure;
+    * the distributed, declarative equivalent is window-granular. Window
+    * construction is explode + slice + sha2 in ONE narrow codegen stage
+    * (O(nt·k) hash CPU, but each emitted row is a fixed-width
+    * (id, start, 32-byte hash) — the doc body never rides the explode
+    * past its own stage). Winner election is a window MIN over the hash
+    * partition — ONE shuffle of the fixed-width stream, no join (the
+    * groupBy+join alternative shuffles it twice); per-hash groups are
+    * occurrence counts, so the WindowExec buffer is duplicate-bounded.
+    * Removed-position explosion amplifies LOSERS only — proportional to
+    * the duplicated volume being deleted, not the corpus. The final
+    * anti-join + reassembly shuffle narrow (id, pos, token) rows keyed
+    * by the id they already carry. The covered-position stream is NOT
+    * distinct'd — the anti join dedups inherently (CLAUDE.md rule).
+    *
+    * Granularity caveat (documented, inherent): spans shorter than k
+    * tokens are never matched, and a duplicated span's first/last
+    * partial windows align to window starts, so up to k-1 leading
+    * tokens of a repeat can survive. Pick k = the span length you mean
+    * to police (the paper uses 50 BPE tokens). */
+  def substringDedup(docs: DataFrame, k: Int = 50,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      split(col(textCol), TextStats.WsRun).as("__toks"))
+    val hashed = toks
+      .select(col(idCol), col("__toks"),
+        explode(when(size(col("__toks")) >= k,
+            sequence(lit(1), size(col("__toks")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("__s"))
+      .select(col(idCol), col("__s"),
+        sha2(array_join(slice(col("__toks"), col("__s"), lit(k)), " "), 256).as("__wh"))
+    val byHash = Window.partitionBy(col("__wh"))
+    val losers = hashed
+      .withColumn("__w", min(struct(col(idCol), col("__s"))).over(byHash))
+      .where(col(idCol) =!= col(s"__w.$idCol") || col("__s") =!= col("__w.__s"))
+      .select(col(idCol), col("__s"))
+    val covered = losers
+      .select(col(idCol), explode(sequence(col("__s"), col("__s") + (k - 1))).as("__i"))
+    val tokens = toks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__i0", "__tok")))
+      .select(col(idCol), (col("__i0") + 1).as("__i"), col("__tok"))
+    val rebuilt = tokens.join(covered, Seq(idCol, "__i"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("__i"), col("__tok")))),
+          s => s.getField("__tok")), " ").as(textCol),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** 64-bit SimHash per document: per-token xxhash64, bitwise majority
     * vote, as ONE narrow codegen'd projection
     * ([[graft.functions.SimHash64]]). SimHash is a pure per-document

@@ -135,6 +135,55 @@ object LlmQueries {
         Dedup.paragraphDedup(planted).orderBy("doc_id")
     },
 
+    // Exact-substring dedup (Lee et al. 2022 class): repeated ≥k-token
+    // spans keep only their first occurrence. The fixture corpus is
+    // unique prose, so a 30-token boilerplate span is planted on every
+    // 5th document on BOTH sides (the llm_redact discipline); with k=20
+    // the span is fully window-covered, so every planted doc but the
+    // first loses it. Spark elects winners by window-hash; the oracle
+    // groups by the window TEXT itself — equal text ⟺ equal sha2, so
+    // the elections agree without a cross-engine hash.
+    Q("llm_dedup_substring", {
+      val bp = (0 until 30).map(i => f"bp$i%02d").mkString(" ")
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' ' || '$bp'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS toks,
+         |    CAST(len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS nt
+         |  FROM planted),
+         |h AS (
+         |  SELECT doc_id, unnest(range(1, nt - 18)) AS s, toks FROM t),
+         |h2 AS (
+         |  SELECT doc_id, s, array_to_string(toks[s : s + 19], ' ') AS wtext FROM h),
+         |ranked AS (
+         |  SELECT doc_id, s,
+         |    row_number() OVER (PARTITION BY wtext ORDER BY doc_id, s) AS rn
+         |  FROM h2),
+         |cov AS (
+         |  SELECT doc_id, unnest(range(s, s + 20)) AS i FROM ranked WHERE rn > 1),
+         |tok AS (
+         |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM t),
+         |tok2 AS (SELECT doc_id, i, toks[i] AS tok FROM tok),
+         |surv AS (
+         |  SELECT k.doc_id, k.i, k.tok FROM tok2 k
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = k.doc_id AND c.i = k.i)),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text, count(*) AS n_kept
+         |  FROM surv GROUP BY doc_id)
+         |SELECT p.doc_id, coalesce(r.text, '') AS text,
+         |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM planted p LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin
+    }) { (spark, sf) =>
+      val bp = (0 until 30).map(i => f"bp$i%02d").mkString(" ")
+      val planted = Tables.documents(spark, sf).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + bp)))
+          .otherwise(col("text")).as("text"))
+      Dedup.substringDedup(planted, k = 20).orderBy("doc_id")
+    },
+
     // Transitive duplicate clustering: near-dup pair lists only ever name
     // (A,B) and (B,C) — turning them into keep/drop decisions needs the
     // transitive closure. Edges are planted arithmetically on BOTH sides

@@ -301,4 +301,41 @@ class DedupSpec extends SparkSpec {
     Dedup.paragraphDedup(pdocs.repartition(5)).orderBy("doc_id")
       .as[(Long, String, Long)].collect() shouldBe out
   }
+
+  test("substringDedup removes a shared 60-token span everywhere but its first occurrence") {
+    val span = (0 until 60).map(i => s"s$i").mkString(" ")
+    val sdocs = Seq(
+      (0L, s"intro zero $span outro zero"),
+      (1L, s"one starts differently $span and ends differently"),
+      (2L, span),                       // the span IS the doc → fully removed
+      (3L, "unrelated words that never repeat anywhere at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(sdocs, k = 20).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    // doc 0 is the first (min doc_id) occurrence — untouched
+    out(0) shouldBe ((0L, s"intro zero $span outro zero", 64L))
+    // docs 1 and 2 lose the span: every k-window inside the span repeats
+    // doc 0's, and the covering windows blanket all 60 positions
+    out(1) shouldBe ((1L, "one starts differently and ends differently", 6L))
+    out(2) shouldBe ((2L, "", 0L))
+    out(3) shouldBe ((3L, "unrelated words that never repeat anywhere at all", 8L))
+    // partition-invariance: winner is min (doc_id, start) under any layout
+    Dedup.substringDedup(sdocs.repartition(5), k = 20).orderBy("doc_id")
+      .as[(Long, String, Long)].collect() shouldBe out
+  }
+
+  test("substringDedup dedups an intra-document repeat and ignores sub-k spans") {
+    val span = (0 until 20).map(i => s"r$i").mkString(" ")
+    val short = "tiny shared bit" // 3 tokens < k — never matched
+    val sdocs = Seq(
+      (0L, s"$span middle words $span"), // same 20-token span twice in one doc
+      (1L, s"$short padding apple $short banana cherry"),
+      (2L, "a b")) // shorter than k: no windows at all, passes through
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(sdocs, k = 20).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    out(0) shouldBe ((0L, s"$span middle words", 22L))
+    out(1) shouldBe ((1L, s"$short padding apple $short banana cherry", 10L))
+    out(2) shouldBe ((2L, "a b", 2L))
+  }
 }
