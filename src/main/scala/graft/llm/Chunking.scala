@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Context-length chunking — the "split every document into ≤C-token
@@ -29,7 +29,8 @@ object Chunking {
     * with `chunk_text` reassembled by single spaces (string output — the
     * oracle-comparator discipline bans array columns). */
   def chunk(docs: DataFrame, chunkTokens: Int, overlap: Int = 0,
-            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+            idCol: String = "doc_id", textCol: String = "text",
+            tokens: Option[Column] = None): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens), got $overlap")
@@ -38,8 +39,10 @@ object Chunking {
     // WsRun tokenization, NOT single-space split: chunk feeds
     // packShards/packSequences, whose budgets count WsRun tokens — a
     // single-space tokenizer could emit chunks whose WsRun token count
-    // exceeds C on multi-line text (round-7 review catch)
-    val t = split(col(textCol), TextStats.WsRun)
+    // exceeds C on multi-line text (round-7 review catch). `tokens`
+    // overrides what gets windowed (e.g. [[TextStats.bpeTokens]] for
+    // subword chunks).
+    val t = tokens.getOrElse(split(col(textCol), TextStats.WsRun))
     val toks = docs.select(col(idCol), t.as("__toks"),
       size(t).cast("long").as("__nt"))
     val nChunks = greatest(lit(1L),

@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.functions.VectorFunctions.intDiv
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,11 +38,16 @@ object Packing {
     * [[packSequences]] order by it alone, so ties would make `__start`
     * and the block layout partition-order-dependent. Not guarded (a
     * distributed uniqueness check is a full shuffle); violating it costs
-    * determinism, not correctness of token counts. */
+    * determinism, not correctness of token counts.
+    *
+    * `tokenCount` overrides the budget metric (default: [[TextStats.WsRun]]
+    * run count) — pass [[TextStats.bpeTokenCount]] for subword-faithful
+    * budgets; the expression must be evaluable against `docs`' columns. */
   def packShards(docs: DataFrame, tokensPerShard: Long,
                  partitionCols: Seq[String] = Seq("source"),
                  orderCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text",
+                 tokenCount: Option[Column] = None): DataFrame = {
     require(tokensPerShard > 0, "tokensPerShard must be positive")
     require(!docs.columns.exists(Seq("n_tokens", "shard_id", "offset_in_shard").contains),
       "packShards writes n_tokens/shard_id/offset_in_shard; input already has one — rename it first")
@@ -51,7 +56,7 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("n_tokens",
-        size(split(col(textCol), TextStats.WsRun)).cast("long"))
+        tokenCount.getOrElse(size(split(col(textCol), TextStats.WsRun)).cast("long")))
       .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("shard_id", intDiv(col("__start"), lit(tokensPerShard)))
       .withColumn("offset_in_shard",
@@ -75,11 +80,19 @@ object Packing {
     * whose sorted-struct reassembly is the SURVEY §2.9-bis
     * sorted-collect discipline. Every stage is integer arithmetic +
     * list slicing, so the operator is oracle-gated end-to-end.
-    * Same [[packShards]] PRECONDITION: `orderCol` unique per stratum. */
+    * Same [[packShards]] PRECONDITION: `orderCol` unique per stratum.
+    *
+    * `tokens` overrides WHAT gets packed (default: the [[TextStats.WsRun]]
+    * word array) — pass [[TextStats.bpeTokens]] to pack subword tokens
+    * into exact context-length blocks; `block_text` then joins subwords
+    * by single spaces (packed training rows are token streams, not
+    * prose — word boundaries are the tokenizer's concern, not the
+    * packer's). */
   def packSequences(docs: DataFrame, blockTokens: Long,
                     partitionCols: Seq[String] = Seq("source"),
                     orderCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    tokens: Option[Column] = None): DataFrame = {
     require(blockTokens > 0, "blockTokens must be positive")
     require(!docs.columns.exists(Seq("block_id", "block_text", "n_tokens").contains),
       "packSequences writes block_id/block_text/n_tokens; input already has one — rename it first")
@@ -88,7 +101,7 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val b = lit(blockTokens)
     val laid = docs
-      .withColumn("__toks", split(col(textCol), TextStats.WsRun))
+      .withColumn("__toks", tokens.getOrElse(split(col(textCol), TextStats.WsRun)))
       .withColumn("__nt", size(col("__toks")).cast("long"))
       .withColumn("__start", sum(col("__nt")).over(w) - col("__nt"))
     val exploded = laid.select(

@@ -112,6 +112,21 @@ object TextStats {
         drBp * (lit(10000L) - srBp) * 2 + lit(10000L), lit(20000L))).as("quality"))
   }
 
+  /** Greedy-subword (BPE-faithful) token count of `textCol` under a
+    * fixed vocabulary: the [[WsRun]] split feeds
+    * [[graft.functions.BpeTokenCount]] — one narrow kernel projection.
+    * This is the budget column to hand [[Packing.packShards]] /
+    * [[adaptiveLengthGate]] when whitespace-run counts under-state the
+    * real context-length cost. */
+  def bpeTokenCount(textCol: Column, vocab: Seq[String]): Column =
+    graft.functions.BpeTokenCount(split(textCol, WsRun), vocab)
+
+  /** The greedy subword tokens themselves (flattened, in order) — what
+    * [[Packing.packSequences]] / [[Chunking.chunk]] slice when packing
+    * BPE-faithful blocks. */
+  def bpeTokens(textCol: Column, vocab: Seq[String]): Column =
+    graft.functions.BpeTokens(split(textCol, WsRun), vocab)
+
   /** Token counting: whitespace tokens plus a BPE-ish regex token count
     * (runs of letters / digits / single punctuation). */
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -390,14 +405,17 @@ object TextStats {
     * reduced to one broadcast row, and a narrow BETWEEN filter back over
     * the corpus. The corpus is scanned twice and shuffled never. */
   def adaptiveLengthGate(docs: DataFrame, pLow: Double, pHigh: Double,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                         idCol: String = "doc_id", textCol: String = "text",
+                         tokenCount: Option[Column] = None): DataFrame = {
     require(pLow >= 0.0 && pHigh <= 1.0 && pLow < pHigh,
       s"need 0 <= pLow < pHigh <= 1, got ($pLow, $pHigh)")
     val intDiv = graft.functions.VectorFunctions.intDiv _
     val loBp = math.round(pLow * 10000)
     val hiBp = math.round(pHigh * 10000)
+    // tokenCount overrides the length metric (e.g. [[bpeTokenCount]] for
+    // subword-faithful cuts); the histogram stays count-keyed either way
     val nt = docs.select(col(idCol),
-      size(toks(col(textCol))).cast("long").as("n_tokens"))
+      tokenCount.getOrElse(size(toks(col(textCol))).cast("long")).as("n_tokens"))
     val hist = nt.groupBy("n_tokens").agg(count(lit(1)).as("__c"))
     val cdf = hist.withColumn("__cum",
       sum(col("__c")).over(org.apache.spark.sql.expressions.Window

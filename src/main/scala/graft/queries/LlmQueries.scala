@@ -19,6 +19,41 @@ object LlmQueries {
   private val docCap = 2000L  // fixed prefix for pairwise ops
   private val vecCap = 500L
 
+  // Planted subword vocabulary for the BPE-budget queries (the llm_redact
+  // discipline: the tokenizer model is DATA, planted identically on both
+  // sides). Entries overlap ('scan' vs 'sc'+'an') so greedy longest-match
+  // actually discriminates; unmatched code points fall back to
+  // single-char tokens.
+  private val bpeVocab: Seq[String] = Seq(
+    "scan", "sc", "an", "cust", "omer", "er", "ta", "ble", "or", "der",
+    "val", "ue", "qu", "ery", "ow", "in", "dow", "str", "eam", "gr",
+    "oup", "jo", "ha", "sh", "ba", "tch", "fil", "ter", "sm", "all",
+    "ro", "w", "li", "ne", "da", "the", "key", "agg")
+
+  // Greedy longest-match subword counting as recursive SQL: one
+  // recursion step per emitted token (the correlated max-length lookup
+  // IS the longest-match rule), summed per document. Shared by
+  // llm_bpe_count and llm_pack_shards_bpe.
+  private val bpeCountCtes: String = {
+    val vlist = bpeVocab.map(v => s"('$v')").mkString(", ")
+    s"""vocab(tok) AS (VALUES $vlist),
+       |__ws AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS toks
+       |         FROM documents),
+       |__words AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS widx, toks FROM __ws),
+       |__w2 AS (SELECT doc_id, widx, toks[widx] AS w FROM __words),
+       |__step AS (
+       |  SELECT doc_id, widx, w, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n FROM __w2
+       |  UNION ALL
+       |  SELECT doc_id, widx, w,
+       |    pos + coalesce((SELECT max(length(v.tok)) FROM vocab v
+       |                    WHERE substr(w, CAST(pos AS INTEGER), length(v.tok)) = v.tok), 1),
+       |    n + 1
+       |  FROM __step WHERE pos <= length(w)),
+       |__done AS (SELECT doc_id, widx, n FROM __step WHERE pos > length(w)),
+       |__bpe AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS bpe_tokens
+       |          FROM __done GROUP BY doc_id)""".stripMargin
+  }
+
   // Shared by llm_contamination and llm_contamination_bloom (identical
   // output contract; the bloom path is prefilter-then-exact-verify).
   private val contaminationSql: String =
@@ -841,6 +876,53 @@ object LlmQueries {
             tokensPerShard = 2048L)
           .select("doc_id", "source", "n_tokens", "shard_id", "offset_in_shard")
           .orderBy("doc_id")
+    },
+
+    // Deterministic subword (BPE-faithful) token counting: greedy
+    // longest-match over the planted vocab — the kernel's direct gate.
+    // The oracle replays greedy matching as a recursive CTE (one step
+    // per emitted token); ws_tokens rides along so the "whitespace
+    // under-counts real budgets" gap is visible in the result itself.
+    Q("llm_bpe_count",
+      s"""WITH RECURSIVE
+         |$bpeCountCtes
+         |SELECT d.doc_id,
+         |  CAST(len(regexp_split_to_array(d.text, '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS ws_tokens,
+         |  b.bpe_tokens
+         |FROM documents d JOIN __bpe b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (spark, sf) =>
+      Tables.documents(spark, sf).select(col("doc_id"),
+          size(split(col("text"), TextStats.WsRun)).cast("long").as("ws_tokens"),
+          TextStats.bpeTokenCount(col("text"), bpeVocab).as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Shard packing under SUBWORD budgets: same window arithmetic as
+    // llm_pack_shards, but n_tokens comes from the BPE kernel — the
+    // composition gate for tokenCount-parameterized budgets (any count
+    // error shifts every downstream running sum, so shard ids mismatch
+    // loudly).
+    Q("llm_pack_shards_bpe",
+      s"""WITH RECURSIVE
+         |$bpeCountCtes,
+         |t AS (
+         |  SELECT d.doc_id, d.source, b.bpe_tokens AS n_tokens
+         |  FROM documents d JOIN __bpe b USING (doc_id)),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(strt // 1024 AS BIGINT) AS shard_id,
+         |  CAST(strt - (strt // 1024) * 1024 AS BIGINT) AS offset_in_shard
+         |FROM c ORDER BY doc_id""".stripMargin) { (spark, sf) =>
+      Packing.packShards(
+          Tables.documents(spark, sf).select("doc_id", "source", "text"),
+          tokensPerShard = 1024L,
+          tokenCount = Some(TextStats.bpeTokenCount(col("text"), bpeVocab)))
+        .select("doc_id", "source", "n_tokens", "shard_id", "offset_in_shard")
+        .orderBy("doc_id")
     },
 
     // Context-length chunking: 16-token windows, 4-token overlap —
