@@ -152,4 +152,53 @@ object Curation {
         rowsPerBand = 2, threshold = nearDupThreshold,
         idCol = idCol, textCol = textCol)
       .localCheckpoint(eager = true)
+
+  /** Corpus ASSEMBLY — the recipe stage after curation: exact dedup →
+    * quality gate → deterministic split (keep one band) → reweight to a
+    * target stratum mixture → TRUE sequence packing into context-length
+    * blocks. Where [[curateFull]] is the cleaning pass (and needs
+    * minhash, which no SQL oracle can replay), every assembly stage is
+    * integer/hash arithmetic — so this composite is the END-TO-END
+    * oracle gate of the tier: one DuckDB query replays dedup election,
+    * the quality gate, both lattices, the feasibility scan, and the
+    * block layout, and any drift anywhere in the chain shifts the
+    * packed blocks loudly.
+    *
+    * Plan shape at 100 TB: the dedup groupBy is the only corpus-wide
+    * shuffle (32-byte sha2 keys); quality is one narrow projection;
+    * split and reweight are narrow residue filters (reweight's
+    * feasibility scan reduces to |strata| rows before its exchange);
+    * packing shuffles only the `keepSplit` survivors of the target
+    * strata — the smallest frame in the pipeline — per [[Packing]]'s
+    * per-stratum sizing rule. Everything is ONE Catalyst plan (no
+    * iterative stage), so AQE sizes every exchange from runtime stats.
+    *
+    * Returns [[Packing.packSequences]]'s (stratum, block_id, block_text,
+    * n_tokens) rows; `tokens` switches the packed unit (e.g.
+    * [[TextStats.bpeTokens]] for subword-faithful blocks). */
+  def assemble(docs: DataFrame, minQuality: Double,
+               splits: Seq[(String, Double)], keepSplit: String,
+               mixture: Map[String, Double], blockTokens: Long,
+               idCol: String = "doc_id", textCol: String = "text",
+               stratumCol: String = "lang",
+               tokens: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(splits.exists(_._1 == keepSplit),
+      s"keepSplit '$keepSplit' is not one of the split bands ${splits.map(_._1)}")
+    val keepers = Dedup.exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    val deduped = docs.join(keepers, idCol)
+    // the score is computed INLINE (TextStats.qualityCol), not joined
+    // back from the stats frame: quality is a narrow function of the row,
+    // and the join formulation re-derives the dedup stage on its second
+    // input — a full extra scan + SortMergeJoin for nothing (caught in
+    // this operator's own .explain audit)
+    val gated = deduped
+      .where(TextStats.qualityCol(col(textCol)) >= minQuality)
+    val kept = Sampling.split(gated, splits, idCol)
+      .where(col("split") === keepSplit)
+    val balanced = Sampling.reweight(kept, mixture, idCol, stratumCol)
+    Packing.packSequences(
+      balanced.select(col(idCol), col(stratumCol), col(textCol)),
+      blockTokens, partitionCols = Seq(stratumCol), orderCol = idCol,
+      textCol = textCol, tokens = tokens)
+  }
 }

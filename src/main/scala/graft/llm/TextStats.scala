@@ -91,6 +91,20 @@ object TextStats {
       length(col(textCol)).cast("long").as("__len"))
   }
 
+  /** The composite quality score of [[quality]] as ONE column expression
+    * — for pipelines that gate on the score inline ([[Curation.assemble]])
+    * instead of joining the full stats frame back on: the same integer-bp
+    * arithmetic, zero extra scan, zero join. */
+  def qualityCol(textCol: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val t = toks(textCol)
+    val nt = size(t).cast("long")
+    val srBp = bp(graft.functions.CountTokensIn(t, stopwords), nt)
+    val drBp = bp(size(array_distinct(t)).cast("long"), nt)
+    graft.functions.VectorFunctions.intDiv(
+      drBp * (lit(10000L) - srBp) * 2 + lit(10000L), lit(20000L))
+      .cast("double") / 10000.0
+  }
+
   /** Quality heuristics: token count, mean token length, stopword ratio,
     * distinct-token ratio, and a composite score. All ratios via [[bp]]
     * (integer round-half-up, cross-engine exact); the scaled value

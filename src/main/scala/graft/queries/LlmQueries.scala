@@ -987,6 +987,79 @@ object LlmQueries {
           .orderBy("source", "block_id")
     },
 
+    // End-to-end corpus ASSEMBLY, fully oracle-gated: exact dedup →
+    // quality gate → train split → lang-mixture reweight → true sequence
+    // packing, ONE DuckDB query replaying the dedup election, the gate's
+    // integer-bp arithmetic, both lattices, the feasibility scan and the
+    // block layout. llm_curate_full can't have this gate (minhash isn't
+    // SQL-expressible); this composite is the tier's end-to-end check —
+    // drift in ANY stage shifts every packed block downstream.
+    Q("llm_assemble",
+      """WITH dd AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |base AS (SELECT d.* FROM documents d JOIN dd USING (doc_id)),
+        |c0 AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'fast', 'slow'], t))) AS BIGINT) AS ns,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+        |  FROM base),
+        |q AS (
+        |  SELECT doc_id,
+        |    ((((20000 * nd + nt) // (2 * nt)) *
+        |      (10000 - ((20000 * ns + nt) // (2 * nt))) * 2 + 10000) // 20000) AS q_bp
+        |  FROM c0),
+        |gated AS (
+        |  SELECT b.doc_id, b.lang, b.text FROM base b JOIN q USING (doc_id)
+        |  WHERE q.q_bp >= 3000),
+        |kept AS (SELECT * FROM gated WHERE ((doc_id % 10007) * 4871) % 10007 < 8006),
+        |cnt AS (
+        |  SELECT lang, count(*) AS n,
+        |    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+        |              WHEN 'zh' THEN 3000 ELSE -1 END AS pbp
+        |  FROM kept GROUP BY 1),
+        |k AS (SELECT * FROM cnt WHERE pbp > 0),
+        |tt AS (SELECT min(n * 10000 // pbp) AS t FROM k),
+        |r AS (SELECT lang, least(10000, pbp * t // n) AS rate FROM k, tt),
+        |bal AS (
+        |  SELECT g.doc_id, g.lang, g.text FROM kept g JOIN r USING (lang)
+        |  WHERE ((g.doc_id % 10000) * 5761) % 10000 < r.rate),
+        |toks AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(text, '[ \t\n\x0B\f\r]+') AS toks,
+        |    CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS nt
+        |  FROM bal),
+        |laid AS (
+        |  SELECT doc_id, lang, toks, nt,
+        |    CAST(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS BIGINT) AS strt
+        |  FROM toks),
+        |e AS (
+        |  SELECT lang, toks, nt, strt,
+        |    unnest(generate_series(strt // 128, (strt + nt - 1) // 128)) AS block_id
+        |  FROM laid),
+        |pieces AS (
+        |  SELECT lang, block_id, strt,
+        |    toks[(greatest(block_id * 128, strt) - strt + 1) :
+        |         (least((block_id + 1) * 128, strt + nt) - strt)] AS piece
+        |  FROM e),
+        |blocks AS (
+        |  SELECT lang, block_id, flatten(list(piece ORDER BY strt)) AS ftoks
+        |  FROM pieces GROUP BY 1, 2)
+        |SELECT lang, CAST(block_id AS BIGINT) AS block_id,
+        |  array_to_string(ftoks, ' ') AS block_text,
+        |  CAST(len(ftoks) AS BIGINT) AS n_tokens
+        |FROM blocks ORDER BY lang, block_id""".stripMargin) { (spark, sf) =>
+      Curation.assemble(
+          Tables.documents(spark, sf).select("doc_id", "lang", "text"),
+          minQuality = 0.3,
+          splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          keepSplit = "train",
+          mixture = Map("en" -> 0.5, "de" -> 0.2, "zh" -> 0.3),
+          blockTokens = 128L)
+        .orderBy("lang", "block_id")
+    },
+
     // Seeded hash-Bernoulli sample — xxhash64 has no DuckDB analog, so
     // rows-only here; determinism/accuracy pinned in SamplingSpec.
     Q.noOracle("llm_sample_bernoulli") { (spark, sf) =>

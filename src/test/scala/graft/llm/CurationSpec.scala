@@ -106,4 +106,41 @@ class CurationSpec extends SparkSpec {
     spark.sharedState.cacheManager.isEmpty shouldBe true
     mat.select("doc_id").as[Long].collect().toSet shouldBe plainIds
   }
+
+  test("assemble IS the five-stage composition, in order") {
+    import org.apache.spark.sql.functions._
+    // enough rows per lang that split/reweight keep something
+    val corpus = (0L until 120L).map { i =>
+      val lang = Seq("en", "de", "zh")((i % 3).toInt)
+      (i, s"alpha$i bravo charlie delta echo foxtrot golf$i hotel india", lang)
+    } :+ ((120L, "alpha0 bravo charlie delta echo foxtrot golf0 hotel india", "en")) // exact dup of 0
+    val docs = corpus.toDF("doc_id", "text", "lang")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val mix = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25)
+
+    val out = Curation.assemble(docs, minQuality = 0.2, splits, "train",
+      mix, blockTokens = 16L).orderBy("lang", "block_id")
+
+    // the same stages composed by hand, same order
+    val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+    val deduped = docs.join(keepers, "doc_id")
+    val gated = deduped
+      .join(TextStats.quality(deduped).select("doc_id", "quality"), "doc_id")
+      .where(col("quality") >= 0.2)
+    val kept = Sampling.split(gated, splits).where(col("split") === "train")
+    val balanced = Sampling.reweight(kept, mix, stratumCol = "lang")
+    val manual = Packing.packSequences(
+        balanced.select("doc_id", "lang", "text"), 16L,
+        partitionCols = Seq("lang"))
+      .orderBy("lang", "block_id")
+
+    val a = out.as[(String, Long, String, Long)].collect()
+    a.nonEmpty shouldBe true
+    a shouldBe manual.as[(String, Long, String, Long)].collect()
+    // the exact dup was consumed by stage 1: doc 120's marker word can
+    // appear at most once across all block text
+    a.map(_._3).mkString(" ").sliding("alpha0 ".length).count(_ == "alpha0 ") should be <= 1
+    // every non-final block per stratum is exactly full
+    a.groupBy(_._1).values.foreach(bs => bs.init.foreach(_._4 shouldBe 16L))
+  }
 }
