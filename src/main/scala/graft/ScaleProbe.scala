@@ -229,6 +229,25 @@ object ScaleProbe {
         graft.llm.Packing.packSequences(docs, blockTokens = 256)
           .agg(sum("n_tokens"), sum(length(col("block_text")))).count()
       }),
+      // the fully-oracle-gated assembly composite under stratum SKEW: one
+      // lang holds 50% of the corpus (the mixture matches the planted
+      // proportions, so reweight keeps ~everything and the packing load is
+      // maximal). The per-stratum prefix-sum window then serializes half
+      // the corpus through one partition — the documented worst case of
+      // Packing's sizing rule ("pack per (source, dt-bucket) when one
+      // stratum is a double-digit share"); the ratio probes that rule's
+      // cost, not just the happy path
+      ("assemble_skewed", () => {
+        val lane = pmod(xxhash64(col("doc_id"), lit("al")), lit(4))
+        val corpus = synthDocs(n).select(col("doc_id"), col("text"),
+          when(lane < 2, "en").when(lane === 2, "de").otherwise("zh").as("lang"))
+        graft.llm.Curation.assemble(corpus, minQuality = 0.0,
+            splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+            keepSplit = "train",
+            mixture = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25),
+            blockTokens = 256L)
+          .agg(sum("n_tokens"), sum(length(col("block_text")))).count()
+      }),
       // gap-based sessionization (the batch form of stream_session): n*20
       // events over 1000 users, ~5k-second spread per user
       ("session_window", () => {
