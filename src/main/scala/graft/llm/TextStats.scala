@@ -447,6 +447,36 @@ object TextStats {
       .select(col(idCol), col("n_tokens"))
   }
 
+  /** A fixed n-gram language model as DATA: integer centi-log-prob scores
+    * per unigram/bigram plus backoff and OOV penalties — the
+    * deterministic stand-in for a KenLM binary (the model is a table;
+    * scoring is lookup + addition). */
+  final case class LmModel(unigrams: Seq[(String, Long)],
+                           bigrams: Seq[(String, String, Long)],
+                           backoffPenalty: Long, oovPenalty: Long)
+
+  /** Perplexity-style LM quality scoring (the CCNet/Gopher "does this
+    * document look like the reference corpus" filter): total
+    * [[graft.functions.NgramLmScore]] over the [[WsRun]] words, the
+    * transition count, and a keep flag gating on the PER-TRANSITION
+    * score — `lm_score >= n_trans · minPerTransition`, kept in integer
+    * space so both engines agree on every boundary document (scores are
+    * negative centi-log-probs, so a HIGHER per-transition score means
+    * more model-like text). Documents with fewer than two words have no
+    * transitions and keep trivially (0 ≥ 0) — compose with a length
+    * gate, which is the stage that owns short-document policy.
+    * One narrow kernel projection: no explode, no model join, no
+    * shuffle. */
+  def lmScore(docs: DataFrame, model: LmModel, minPerTransition: Long,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = split(col(textCol), WsRun)
+    val nTrans = greatest(size(t).cast("long") - 1L, lit(0L))
+    val sc = graft.functions.NgramLmScore(t, model.unigrams, model.bigrams,
+      model.backoffPenalty, model.oovPenalty)
+    docs.select(col(idCol), sc.as("lm_score"), nTrans.as("n_trans"),
+      (sc >= nTrans * minPerTransition).as("keep"))
+  }
+
   /** Document fingerprint: min over 5-char-gram xxhash64 rolling hashes —
     * a winnowing-style content signature, stable under trailing edits.
     * One narrow kernel pass per doc ([[graft.functions.MinGramHash]] —

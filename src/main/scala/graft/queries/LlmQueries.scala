@@ -30,6 +30,20 @@ object LlmQueries {
     "oup", "jo", "ha", "sh", "ba", "tch", "fil", "ter", "sm", "all",
     "ro", "w", "li", "ne", "da", "the", "key", "agg")
 
+  // Planted n-gram LM (the llm_redact discipline: the model is data,
+  // written identically on both sides). Scores are negative
+  // centi-log-probs; entries are formula-generated so the two listings
+  // can't drift.
+  private val lmUnigrams: Seq[(String, Long)] =
+    Seq("the", "a", "table", "scan", "query", "join", "hash", "row",
+      "batch", "value", "fast", "data", "key", "sort", "group")
+      .zipWithIndex.map { case (w, i) => w -> -(900L + 37L * i) }
+  private val lmBigrams: Seq[(String, String, Long)] =
+    Seq(("the", "table"), ("fast", "scan"), ("hash", "join"),
+      ("table", "scan"), ("query", "join"), ("a", "row"), ("sort", "key"),
+      ("data", "value"), ("group", "value"), ("the", "key"))
+      .zipWithIndex.map { case ((a, b), i) => (a, b, -(250L + 41L * i)) }
+
   // Greedy longest-match subword counting as recursive SQL: one
   // recursion step per emitted token (the correlated max-length lookup
   // IS the longest-match rule), summed per document. Shared by
@@ -985,6 +999,44 @@ object LlmQueries {
             Tables.documents(spark, sf).select("doc_id", "source", "text"),
             blockTokens = 256L)
           .orderBy("source", "block_id")
+    },
+
+    // Perplexity-style LM quality filter (the CCNet/KenLM stage): the
+    // n-gram model is DATA — integer centi-log-prob tables planted
+    // identically on both sides — so scoring is lookup + addition and
+    // the keep gate is integer arithmetic (threshold −2400/transition ≈
+    // the corpus median: the gate splits ~50/50, maximally
+    // discriminating). Spark scores in ONE kernel projection; the oracle
+    // replays it as explode + two LEFT JOINs + the backoff coalesce.
+    Q("llm_lm_score", {
+      val uv = lmUnigrams.map { case (w, s) => s"('$w', $s)" }.mkString(", ")
+      val bv = lmBigrams.map { case (a, b, s) => s"('$a', '$b', $s)" }.mkString(", ")
+      s"""WITH uni(w, s) AS (VALUES $uv),
+         |big(w1, w2, s) AS (VALUES $bv),
+         |t AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS toks,
+         |    CAST(len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS nt
+         |  FROM documents),
+         |tr AS (SELECT doc_id, unnest(range(2, nt + 1)) AS i, toks FROM t),
+         |p AS (SELECT doc_id, toks[i-1] AS w1, toks[i] AS w2 FROM tr),
+         |sc AS (
+         |  SELECT p.doc_id, coalesce(b.s, u.s + (-450), -3200) AS s
+         |  FROM p LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+         |         LEFT JOIN uni u ON u.w = p.w2),
+         |agg AS (
+         |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS lm_score,
+         |         CAST(count(*) AS BIGINT) AS n_trans
+         |  FROM sc GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.lm_score, 0) AS lm_score,
+         |  coalesce(a.n_trans, 0) AS n_trans,
+         |  coalesce(a.lm_score, 0) >= coalesce(a.n_trans, 0) * (-2400) AS keep
+         |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+    }) { (spark, sf) =>
+      TextStats.lmScore(Tables.documents(spark, sf),
+          TextStats.LmModel(lmUnigrams, lmBigrams,
+            backoffPenalty = -450L, oovPenalty = -3200L),
+          minPerTransition = -2400L)
+        .orderBy("doc_id")
     },
 
     // End-to-end corpus ASSEMBLY, fully oracle-gated: exact dedup →
