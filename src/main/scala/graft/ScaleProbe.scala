@@ -50,15 +50,15 @@ object ScaleProbe {
         replicate(t, keys, factor, out)
     }
 
-    def time(f: => Long): Double = {
+    def time(f: => Any): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def shapes(dir: String): Seq[(String, () => Long)] = {
+    def shapes(dir: String): Seq[(String, () => Any)] = {
       def li: DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
       def od: DataFrame = spark.read.parquet(s"$dir/orders.parquet")
       Seq(
         ("scan_agg", () => li.groupBy("l_returnflag", "l_linestatus")
-          .agg(sum("l_quantity"), avg("l_extendedprice")).count()),
+          .agg(sum("l_quantity"), avg("l_extendedprice")).head()),
         ("shuffle_join_agg", () => li.join(od, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority").agg(count(lit(1))).count()),
         ("window_topk", () => od.withColumn("rnk",
@@ -82,7 +82,7 @@ object ScaleProbe {
           i => (pmod(xxhash64(col("id"), i), lit(2000)).cast("double") / 1000.0 - 1.0)
             .cast("float")).as("embedding"))
 
-    def llmShapes(n: Long): Seq[(String, () => Long)] = Seq(
+    def llmShapes(n: Long): Seq[(String, () => Any)] = Seq(
       ("minhash_neardup", () => graft.llm.Dedup.minHashNearDups(
         synthDocs(n), k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5).count()),
       // default bitsPerTable = auto: clamp(ceil(log2(n)), 4, 24) — this
@@ -133,13 +133,15 @@ object ScaleProbe {
             substring(col("text"), 1, 60),
             lit("subscribe to our newsletter"),
             substring(col("text"), 61, 120)).as("text"))
-        graft.llm.Dedup.paragraphDedup(pdocs).count()
+        graft.llm.Dedup.paragraphDedup(pdocs)
+          .agg(sum("n_kept"), sum(length(col("text")))).head()
       }),
       // benchmark decontamination: the eval side is FIXED-size by contract
       // (it broadcasts), so only the document side scales — the ratio
       // should track the narrow document scan, not a join blow-up
       ("contamination", () => graft.llm.Dedup.contamination(
-        synthDocs(n), synthDocs(200), k = 3).count()),
+        synthDocs(n), synthDocs(200), k = 3)
+        .agg(sum("matched"), sum("contamination")).head()),
       // iterative IVF codebook training + assignment: per-iter shuffle
       // carries k×dims partial sums per partition, assignment is a narrow
       // kernel pass — the ratio should track the corpus scan
@@ -178,26 +180,33 @@ object ScaleProbe {
       ("pack_shards", () => {
         val docs = synthDocs(n).select(col("doc_id"), col("text"),
           concat(lit("s"), pmod(xxhash64(col("doc_id")), lit(8))).as("source"))
-        graft.llm.Packing.packShards(docs, tokensPerShard = 2048).count()
+        graft.llm.Packing.packShards(docs, tokensPerShard = 2048)
+          .agg(sum("shard_id"), sum("offset_in_shard")).head()
       }),
       // TF-IDF top-k: explode → (doc,term) count → term-keyed df join →
       // per-doc cut; vocab is fixed (500 synthetic terms), so the join's
       // build side stays constant while the probe side scales
       ("tfidf", () => graft.llm.TextStats.tfIdf(synthDocs(n), topK = 3,
         nDocs = n).count()),
-      // markup stripping: pure regexp_replace chain — the agg sink keeps
-      // the projection alive (count() would prune it and measure nothing)
+      // markup stripping: pure regexp_replace chain — the agg + head()
+      // sink keeps the projection alive. head(), NOT count(): count() on
+      // top of an agg prunes the (unreferenced) aggregate expressions and
+      // then ELIMINATES every row-preserving operator under them —
+      // windows, projections, left joins with unique keys — timing an
+      // empty pipeline (round-8 catch: 0.22 s flat vs 6.55 s real on
+      // substring_dedup at 10×; same bug invalidated the flat
+      // paragraph_dedup / pack_shards / contamination rows)
       ("strip_markup", () => {
         val html = synthDocs(n).select(col("doc_id"),
           concat(lit("<html><body class=\"m\"><!-- nav --><p>"), col("text"),
             lit(" &amp; tail</p><script>var i=0;</script></body></html>")).as("text"))
         graft.llm.Cleanup.stripMarkup(html)
-          .agg(sum(length(col("clean_text"))), sum("chars_removed")).count()
+          .agg(sum(length(col("clean_text"))), sum("chars_removed")).head()
       }),
       // context-length chunking: sequence→explode→slice row amplification
       // (~nt/stride ×); the length sink forces the chunk_text slices
       ("chunk", () => graft.llm.Chunking.chunk(synthDocs(n), 16, 4)
-        .agg(sum(length(col("chunk_text"))), sum("n_tokens")).count()),
+        .agg(sum(length(col("chunk_text"))), sum("n_tokens")).head()),
       // target-mixture reweighting: stratum counts (map-side combined) +
       // broadcast rates join + narrow residue filter — should track the scan
       ("reweight", () => {
@@ -210,7 +219,8 @@ object ScaleProbe {
       // scaling doc side probed in codegen — only survivors shuffle; the
       // ratio should track contamination's (same fixture sizes)
       ("bloom_contamination", () => graft.llm.Dedup.bloomContamination(
-        synthDocs(n), synthDocs(200), k = 3).count()),
+        synthDocs(n), synthDocs(200), k = 3)
+        .agg(sum("matched"), sum("contamination")).head()),
       // SemDeDup at FIXED codebook size with the bounded pair cap engaged:
       // train+assign are O(n·k·d) (linear at fixed k); cluster population
       // grows with n, so the within-cluster pair stage is quadratic UNTIL
@@ -227,7 +237,22 @@ object ScaleProbe {
         val docs = synthDocs(n).select(col("doc_id"), col("text"),
           concat(lit("s"), pmod(xxhash64(col("doc_id")), lit(8))).as("source"))
         graft.llm.Packing.packSequences(docs, blockTokens = 256)
-          .agg(sum("n_tokens"), sum(length(col("block_text")))).count()
+          .agg(sum("n_tokens"), sum(length(col("block_text")))).head()
+      }),
+      // exact-substring dedup: the window-hash election shuffles one
+      // fixed-width (id, start, sha2) row per token position — the
+      // probe's stream is ~40n rows regardless of text width. Corpus-wide
+      // boilerplate rides in HALF the docs, so the loser-position
+      // explosion (proportional to the duplicated volume being removed,
+      // by design) genuinely engages at both scales
+      ("substring_dedup", () => {
+        val bp = (1 to 30).map(i => s"bp$i").mkString(" ")
+        val sdocs = synthDocs(n).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+              concat(col("text"), lit(" " + bp)))
+            .otherwise(col("text")).as("text"))
+        graft.llm.Dedup.substringDedup(sdocs, k = 20)
+          .agg(sum("n_kept"), sum(length(col("text")))).head()
       }),
       // the fully-oracle-gated assembly composite under stratum SKEW: one
       // lang holds 50% of the corpus (the mixture matches the planted
@@ -246,7 +271,7 @@ object ScaleProbe {
             keepSplit = "train",
             mixture = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25),
             blockTokens = 256L)
-          .agg(sum("n_tokens"), sum(length(col("block_text")))).count()
+          .agg(sum("n_tokens"), sum(length(col("block_text")))).head()
       }),
       // gap-based sessionization (the batch form of stream_session): n*20
       // events over 1000 users, ~5k-second spread per user
@@ -262,19 +287,19 @@ object ScaleProbe {
     // Per-shape error isolation: one shape failing at factor× (the case
     // the probe exists to find) must not abort the run and discard every
     // other measurement — record a -1 sentinel instead (Bench discipline).
-    def timeSafe(f: () => Long): Double =
+    def timeSafe(f: () => Any): Double =
       try time(f()) catch {
         case e: Throwable =>
           System.err.println(s"[scaleprobe] shape failed: ${e.getMessage}")
           -1.0
       }
-    def warmSafe(f: () => Long): Unit =
+    def warmSafe(f: () => Any): Unit =
       try { f(); () } catch { case _: Throwable => () }
     // warm both paths once (JIT/codegen/parquet footers), then measure —
     // TWICE per shape as two separated passes, keeping the min: a single
     // contention spike in a one-shot measurement lands straight in the
     // printed ratio (the BENCH_r03 lesson; CLAUDE.md forbids single-shot)
-    val all: Seq[(String, () => Long, () => Long)] =
+    val all: Seq[(String, () => Any, () => Any)] =
       shapes(base1x).zip(shapes(out)).map { case ((n, f1), (_, fN)) => (n, f1, fN) } ++
         llmShapes(llmBase).zip(llmShapes(llmBase * factor))
           .map { case ((n, f1), (_, fN)) => (n, f1, fN) }

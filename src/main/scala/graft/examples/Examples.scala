@@ -188,6 +188,44 @@ object Examples {
     val semKept = Dedup.semDedup(emb, threshold = 0.3, numClusters = 8).count()
     println(s"[14] $contaminated contaminated docs; semDedup keeps $semKept vectors")
 
+    // 15. exact-substring dedup (Lee et al. 2022): repeated ≥k-token
+    // spans keep only their first occurrence — the memorization lever
+    // doc-level dedup can't reach
+    val substrDeduped = Dedup.substringDedup(docs, k = 20)
+    println(s"[15] substring dedup: " +
+      s"${substrDeduped.where(col("n_kept") === 0).count()} docs fully consumed, " +
+      s"${substrDeduped.agg(sum("n_kept")).head().getLong(0)} tokens kept")
+
+    // 16. BPE-faithful budgets: a fixed subword vocab makes every packing
+    // budget mean what it says (ws-run counts under-state context cost);
+    // the same tokens can be packed directly
+    val vocab = Seq("scan", "sc", "an", "cust", "omer", "qu", "ery", "ta", "ble")
+    val bpeBudgeted = graft.llm.Packing.packShards(
+      docs.select("doc_id", "source", "text"), tokensPerShard = 1024,
+      tokenCount = Some(graft.llm.TextStats.bpeTokenCount(col("text"), vocab)))
+    println(s"[16] ${bpeBudgeted.agg(max("shard_id")).head().getLong(0) + 1} " +
+      "BPE-budgeted shards")
+
+    // 17. LM quality filter (the KenLM/CCNet stage): the n-gram model is
+    // a planted integer table, scoring is one kernel projection
+    val lm = graft.llm.TextStats.LmModel(
+      unigrams = Seq("the" -> -900L, "table" -> -950L, "scan" -> -1000L),
+      bigrams = Seq(("the", "table", -250L)),
+      backoffPenalty = -450L, oovPenalty = -3200L)
+    val lmKept = graft.llm.TextStats.lmScore(docs, lm, minPerTransition = -3000L)
+      .where(col("keep")).count()
+    println(s"[17] LM filter keeps $lmKept docs")
+
+    // 18. the fully-oracle-gated assembly composite: dedup → quality
+    // gate → split → mixture reweight → context-length blocks, one plan
+    val assembled = graft.llm.Curation.assemble(
+      docs.select("doc_id", "lang", "text"), minQuality = 0.2,
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      keepSplit = "train",
+      mixture = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25),
+      blockTokens = 128)
+    println(s"[18] assembled ${assembled.count()} training blocks")
+
     spark.stop()
   }
 }
