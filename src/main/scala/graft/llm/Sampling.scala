@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling (training-data pipeline mandate; no
@@ -122,6 +123,49 @@ object Sampling {
         when(res < cut, lit(name)).otherwise(acc)
       }
     df.withColumn("split", label)
+  }
+
+  /** Token-budget sampling — the "take ~50 B tokens from each source"
+    * assembly step: within each stratum, documents are taken in
+    * deterministic [[latticeResidue]] order (an unbiased hash order —
+    * id order would correlate the sample with crawl time) until the
+    * cumulative token count reaches `budgetTokens`. A document straddling
+    * the budget boundary is KEPT — the same start-offset discipline as
+    * [[Packing.packShards]]: selection depends on where a document
+    * STARTS, so the realized total overshoots by less than one document
+    * and a stratum with fewer than `budgetTokens` tokens survives whole.
+    * Deterministic, retry-stable, and integer arithmetic end-to-end
+    * (oracle-gated).
+    *
+    * Plan shape: one narrow token-count projection, then a per-stratum
+    * running-sum window ordered by (residue, id) — [[Packing]]'s sizing
+    * rule applies verbatim (the prefix sum serializes per stratum; pack
+    * per (source, dt-bucket) when one stratum dominates). When exact
+    * greedy selection isn't required, the window is avoidable entirely:
+    * derive a keep-RATE `budget/Σtokens` per stratum ([[reweight]]'s
+    * two-scan shape) and filter on the residue — approximate budget, no
+    * window. This operator is the exact variant.
+    *
+    * `tokenCount` overrides the budget metric (default [[TextStats.WsRun]]
+    * run count) — pass [[TextStats.bpeTokenCount]] for subword-faithful
+    * budgets, same contract as [[Packing.packShards]]. */
+  def tokenBudget(df: DataFrame, budgetTokens: Long,
+                  partitionCols: Seq[String] = Seq("source"),
+                  idCol: String = "doc_id",
+                  textCol: String = "text",
+                  tokenCount: Option[Column] = None): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(!df.columns.contains("n_tokens"),
+      "tokenBudget writes an 'n_tokens' column; input already has one — rename it first")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(latticeResidue(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens",
+        tokenCount.getOrElse(size(org.apache.spark.sql.functions
+          .split(col(textCol), TextStats.WsRun)).cast("long")))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .where(col("__start") < budgetTokens)
+      .drop("__start")
   }
 
   /** Downsample-only rebalancing toward a target mixture — the "make the

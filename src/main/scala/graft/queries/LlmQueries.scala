@@ -867,6 +867,32 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // Token-budget sampling: greedy prefix in lattice-hash order until
+    // each source's running token sum reaches the budget (600 — every
+    // fixture source holds 1.1–1.7k tokens, so the gate discriminates at
+    // every scale); the straddling doc is kept (start < budget). Window
+    // + integer arithmetic on both sides — oracle-gated end-to-end.
+    Q("llm_token_budget",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+        |    ((doc_id % 10000) * 5761) % 10000 AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens FROM c
+        |WHERE strt < 600 ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        Sampling.tokenBudget(
+            Tables.documents(spark, sf).select("doc_id", "source", "text"),
+            budgetTokens = 600L)
+          .select("doc_id", "source", "n_tokens")
+          .orderBy("doc_id")
+    },
+
     // Token-budget shard packing: running token sum per source (stable
     // doc_id order), shard = start-offset // budget — integer window
     // arithmetic, oracle-gated end-to-end.

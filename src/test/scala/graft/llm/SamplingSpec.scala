@@ -194,6 +194,71 @@ class SamplingSpec extends SparkSpec {
       Map("s0" -> 0.5, "s1" -> 0.3, "wiki" -> 0.2)).count() shouldBe 0L
   }
 
+  test("tokenBudget takes the greedy lattice-order prefix, keeping the straddling doc") {
+    // expectation computed INDEPENDENTLY from the mathematical definition
+    // (sort by (residue, id), keep while the running start < budget) — not
+    // mirrored from the implementation. Token counts are distinct primes so
+    // any mis-ordering changes the kept set.
+    val toks = Map(0L -> 13L, 1L -> 7L, 2L -> 11L, 3L -> 5L, 4L -> 17L,
+      5L -> 3L, 6L -> 19L, 7L -> 23L, 8L -> 29L, 9L -> 2L)
+    val docs = toks.keys.toSeq.sorted.map { id =>
+      (id, "s0", Seq.fill(toks(id).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val budget = 40L
+    def residue(id: Long) = ((id % 10000L) * 5761L) % 10000L
+    val order = toks.keys.toSeq.sortBy(id => (residue(id), id))
+    val expect = order.zip(order.scanLeft(0L)((acc, id) => acc + toks(id)))
+      .collect { case (id, start) if start < budget => id }.toSet
+    // the fixture must separate hash order from id order, and the budget
+    // must fall mid-document (straddler kept, overshoot < one doc)
+    expect should not be order.sorted.zip(order.sorted.scanLeft(0L)((a, id) => a + toks(id)))
+      .collect { case (id, start) if start < budget => id }.toSet
+    val keptTokens = expect.toSeq.map(toks).sum
+    keptTokens should be >= budget
+    val out = Sampling.tokenBudget(docs, budget)
+    out.select("doc_id").as[Long].collect().toSet shouldBe expect
+    // minimal prefix: dropping the LAST kept doc in hash order goes under budget
+    val lastKept = order.filter(expect).last
+    (keptTokens - toks(lastKept)) should be < budget
+    // n_tokens rides along correctly
+    out.where(col("doc_id") === lastKept).select("n_tokens").as[Long].head() shouldBe
+      toks(lastKept)
+  }
+
+  test("tokenBudget treats strata independently; an under-budget stratum survives whole") {
+    val docs = (0L until 40L).map { id =>
+      (id, if (id % 2 == 0) "big" else "tiny", Seq.fill(if (id % 2 == 0) 50 else 1)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = Sampling.tokenBudget(docs, 200L)
+    // tiny: 20 docs × 1 token = 20 < 200 → all survive
+    out.where(col("source") === "tiny").count() shouldBe 20L
+    // big: starts at 0,50,100,150 are < 200; start 200 is not → exactly 4
+    out.where(col("source") === "big").count() shouldBe 4L
+  }
+
+  test("tokenBudget is retry-stable and honors a tokenCount override") {
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(2))).as("source"),
+      lit("a b c").as("text"))
+    val out = Sampling.tokenBudget(docs, 30L)
+    Sampling.tokenBudget(docs.repartition(7), 30L)
+      .select("doc_id").as[Long].collect().toSet shouldBe
+      out.select("doc_id").as[Long].collect().toSet
+    // tokenCount = 1 per doc → budget N keeps exactly N docs per stratum
+    val counted = Sampling.tokenBudget(docs, 12L, tokenCount = Some(lit(1L)))
+    counted.groupBy("source").count().as[(String, Long)].collect().toMap
+      .values.toSet shouldBe Set(12L)
+  }
+
+  test("tokenBudget rejects bad budgets and reserved columns") {
+    val docs = spark.range(10).select(col("id").as("doc_id"),
+      lit("s").as("source"), lit("x").as("text"))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.tokenBudget(docs, 0L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.tokenBudget(docs.withColumn("n_tokens", lit(1L)), 10L)
+  }
+
   test("reweight rejects malformed targets") {
     val docs = spark.range(10).select(col("id").as("doc_id"), lit("s").as("source"))
     an[IllegalArgumentException] should be thrownBy
