@@ -64,6 +64,51 @@ object Packing {
       .drop("__start")
   }
 
+  /** The shuffle-order lattice shared by [[shuffleShards]]: the same
+    * multiplicative construction as [[Sampling.latticeResidue]] but over
+    * the prime modulus 999999937 (with 2654435761 ≡ 654435887 reduced mod
+    * it), so the order is a fine-grained pseudo-permutation of the id
+    * space rather than 10⁴ coarse residue classes. Largest intermediate
+    * 999999936·654435887 < 2⁶⁰ — ANSI-overflow-free at any id, and
+    * replayable in any SQL engine. Ids congruent mod 10⁹ collide;
+    * ordering ties break on the id itself, so the layout stays total and
+    * deterministic. */
+  val ShuffleModulus = 999999937L
+  private val shuffleMultiplier = 654435887L
+  def shuffleHash(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(ShuffleModulus)) * shuffleMultiplier,
+      lit(ShuffleModulus))
+
+  /** Deterministic global corpus shuffle + shard layout — the "shuffle
+    * the corpus before training" step: every row gets a global position
+    * under [[shuffleHash]] order (a seed-free pseudo-random permutation —
+    * id order would feed the model each crawl/source in sequence) and a
+    * `(shard_id, pos_in_shard)` layout of `rowsPerShard` rows per shard.
+    * No RNG: the permutation is a pure function of the ids, so it is
+    * identical across runs, retries and cluster sizes — a training run
+    * can be resumed or re-sharded byte-for-byte.
+    *
+    * Plan shape (100 TB): a global permutation is the ONE genuinely
+    * global operation in training prep and costs exactly one exchange —
+    * `repartitionByRange` on the hash (range bounds come from Spark's
+    * sampling; the lattice's uniformity keeps them balanced), sort
+    * within partitions, then [[graft.core.Positional]]'s two-pass offset
+    * index (per-partition counts + narrow add — NO single-partition
+    * window). Shard arithmetic is a narrow projection; shard files write
+    * out partition-local. */
+  def shuffleShards(df: DataFrame, rowsPerShard: Long,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    require(!df.columns.exists(Seq("shard_id", "pos_in_shard").contains),
+      "shuffleShards writes shard_id/pos_in_shard; input already has one — rename it first")
+    val indexed = graft.core.Positional.zipWithIndex(df,
+      Seq(shuffleHash(col(idCol)), col(idCol)), "__pos")
+    indexed.select(df.columns.map(col) ++ Seq(
+      intDiv(col("__pos"), lit(rowsPerShard)).as("shard_id"),
+      (col("__pos") - intDiv(col("__pos"), lit(rowsPerShard)) * rowsPerShard)
+        .as("pos_in_shard")): _*)
+  }
+
   /** TRUE sequence packing — where [[packShards]] assigns whole documents
     * to the shard their start falls in, packSequences emits the training
     * rows themselves: within each stratum, documents concatenate in

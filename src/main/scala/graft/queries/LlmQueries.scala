@@ -918,6 +918,29 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // Deterministic global corpus shuffle + shard layout: global position
+    // under the prime-modulus shuffle lattice (999999937/654435887 — a
+    // fine-grained pseudo-permutation, ties on id), 64 rows per shard.
+    // The oracle replays the permutation with row_number over the same
+    // (hash, id) order — integer arithmetic end-to-end.
+    Q("llm_shuffle_shards",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 999999937) * 654435887) % 999999937 AS hh
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos
+        |  FROM h)
+        |SELECT doc_id, CAST(pos // 64 AS BIGINT) AS shard_id,
+        |  CAST(pos - (pos // 64) * 64 AS BIGINT) AS pos_in_shard
+        |FROM p ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        Packing.shuffleShards(
+            Tables.documents(spark, sf).select("doc_id"),
+            rowsPerShard = 64L)
+          .orderBy("doc_id")
+    },
+
     // Deterministic subword (BPE-faithful) token counting: greedy
     // longest-match over the planted vocab — the kernel's direct gate.
     // The oracle replays greedy matching as a recursive CTE (one step

@@ -47,6 +47,55 @@ class PackingSpec extends SparkSpec {
       Packing.packShards(docs, 5)
   }
 
+  test("shuffleShards assigns the exact layout of the hash permutation") {
+    // expectation computed INDEPENDENTLY: hash in BigInt space from the
+    // mathematical definition, sort by (hash, id), positions 0..n-1,
+    // shard arithmetic — any deviation in the implementation's order or
+    // index base changes the layout.
+    val ids = (0L until 23L) :+ (1L << 40) :+ 999999937L // a collision with id 0
+    def h(id: Long): Long =
+      ((BigInt(id) * BigInt(2654435761L)) mod BigInt(999999937L)).toLong
+    val order = ids.sortBy(id => (h(id), id))
+    val expect = order.zipWithIndex.map { case (id, p) =>
+      (id, p.toLong / 7L, p.toLong % 7L)
+    }.sortBy(_._1)
+    // the fixture must separate hash order from id order, and exercise
+    // the mod-P collision tiebreak (999999937 hashes like 0; id breaks it)
+    order should not be ids.sorted
+    h(999999937L) shouldBe h(0L)
+    val out = Packing.shuffleShards(ids.toDF("doc_id"), rowsPerShard = 7L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    out.toSeq shouldBe expect
+  }
+
+  test("shuffleShards is a permutation: full shards, bijective positions, retry-stable") {
+    val docs = spark.range(100).toDF("doc_id")
+    val out = Packing.shuffleShards(docs, rowsPerShard = 8L)
+    val layout = out.as[(Long, Long, Long)].collect()
+    // bijection: 100 distinct (shard, pos) cells, shards 0..12 laid densely
+    layout.map(r => (r._2, r._3)).toSet should have size 100
+    val byShard = layout.groupBy(_._2).view.mapValues(_.length).toMap
+    (0L until 12L).foreach(s => byShard(s) shouldBe 8)
+    byShard(12L) shouldBe 4 // the tail shard holds the remainder
+    // retry-stability: identical layout under a different partitioning
+    Packing.shuffleShards(docs.repartition(13), rowsPerShard = 8L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1) shouldBe layout.sortBy(_._1)
+  }
+
+  test("shuffleShards avoids the single-partition global window") {
+    val plan = Packing.shuffleShards(spark.range(100).toDF("doc_id"), 10L)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+  }
+
+  test("shuffleShards rejects bad shard sizes and reserved columns") {
+    val docs = spark.range(10).toDF("doc_id")
+    an[IllegalArgumentException] should be thrownBy
+      Packing.shuffleShards(docs, 0L)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.shuffleShards(docs.withColumn("shard_id", lit(1L)), 10L)
+  }
+
   test("packSequences emits exact-size blocks with straddling docs sliced") {
     // one stratum, docs of 3/4/2 tokens, blocks of 4:
     // stream = a1 a2 a3 | b1 b2 b3 b4 | c1 c2 → blocks:
