@@ -95,14 +95,20 @@ object TextStats {
     * — for pipelines that gate on the score inline ([[Curation.assemble]])
     * instead of joining the full stats frame back on: the same integer-bp
     * arithmetic, zero extra scan, zero join. */
-  def qualityCol(textCol: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+  def qualityCol(textCol: Column, stopwords: Seq[String] = DefaultStopwords): Column =
+    qualityBp(textCol, stopwords).cast("double") / 10000.0
+
+  /** [[qualityCol]]'s integer basis-point form — for operators that
+    * aggregate or compare the score in exact integer space
+    * ([[domainGate]]'s cross-multiplied mean test) instead of reporting
+    * it as a ratio. ONE arithmetic definition for both. */
+  def qualityBp(textCol: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
     val t = toks(textCol)
     val nt = size(t).cast("long")
     val srBp = bp(graft.functions.CountTokensIn(t, stopwords), nt)
     val drBp = bp(size(array_distinct(t)).cast("long"), nt)
     graft.functions.VectorFunctions.intDiv(
       drBp * (lit(10000L) - srBp) * 2 + lit(10000L), lit(20000L))
-      .cast("double") / 10000.0
   }
 
   /** Quality heuristics: token count, mean token length, stopword ratio,
@@ -325,6 +331,46 @@ object TextStats {
       "blockDomains writes a 'domain' working column; input already has one — rename it first")
     val d = docs.withColumn("domain", domainOf(col(urlCol)))
     if (blocked.isEmpty) d else d.where(!col("domain").isin(blocked: _*))
+  }
+
+  /** Corpus-DERIVED domain blocklist — where [[blockDomains]] applies a
+    * list someone else wrote, domainGate derives the list from the corpus
+    * itself (the spam/SEO-farm removal pass of web curation): a domain is
+    * blocked when its MEAN [[qualityBp]] falls below `minAvgQualityBp`
+    * (compared as `sum(q) < minAvg·n` — integer cross-multiplication,
+    * no division, cross-engine exact) or when it crowds the corpus with
+    * more than `maxDocsPerDomain` fetches (host-crowding: one domain
+    * dominating a crawl is itself a spam signal). Rows whose URL does not
+    * parse (domain = '') are NEVER gated — collapsing them into one ''
+    * bucket would block or pass them as a group ([[urlDedup]]'s
+    * round-7 lesson); they pass through with `domain = ''` for the
+    * caller's quarantine policy.
+    *
+    * Plan shape (100 TB): one narrow domain+quality projection over the
+    * scan, a map-side-combined `groupBy(domain)` whose exchange carries
+    * per-domain partials (not rows), the gate on that tiny table, and a
+    * BROADCAST anti join of the blocked list back onto the corpus — the
+    * corpus itself is never shuffled. The broadcast assumes the BLOCKED
+    * list stays driver-sized (failing domains are the tail, and a crawl's
+    * domain count is millions, not billions); for an adversarial corpus
+    * where most domains fail, drop the hint and let AQE pick the join. */
+  def domainGate(docs: DataFrame, minAvgQualityBp: Long, maxDocsPerDomain: Long,
+                 stopwords: Seq[String] = DefaultStopwords,
+                 urlCol: String = "url", textCol: String = "text"): DataFrame = {
+    require(!docs.columns.contains("domain"),
+      "domainGate writes a 'domain' working column; input already has one — rename it first")
+    require(minAvgQualityBp >= 0L && minAvgQualityBp <= 10000L,
+      "minAvgQualityBp is a basis-point score in [0, 10000]")
+    require(maxDocsPerDomain > 0L, "maxDocsPerDomain must be positive")
+    val d = docs.withColumn("domain", domainOf(col(urlCol)))
+    val blocked = d.where(col("domain") =!= "")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("__n"),
+        sum(qualityBp(col(textCol), stopwords)).as("__q"))
+      .where(col("__q") < lit(minAvgQualityBp) * col("__n") ||
+        col("__n") > maxDocsPerDomain)
+      .select("domain")
+    d.join(broadcast(blocked), Seq("domain"), "left_anti")
   }
 
   /** Deterministic text normalization — the C4-style cleanup pass that

@@ -367,6 +367,54 @@ object LlmQueries {
           .select("doc_id", "domain").orderBy("doc_id")
     },
 
+    // Corpus-derived domain blocklist: URLs planted so one domain crowds
+    // past the 400-doc cap at every scale (445-450 fetches), per-domain
+    // mean quality (integer cross-multiplied, threshold 4400bp) splits
+    // the 20 h*-domains both ways at every scale (verified: domain means
+    // span 2806-7034 at sf0.001/0.01, 4168-4635 at sf0.1), and %97 rows
+    // get unparsable URLs exercising the ''-passthrough quarantine.
+    Q("llm_domain_gate",
+      """WITH planted AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 97 = 0 THEN 'relative/' || doc_id
+        |         WHEN doc_id < 450 THEN 'https://crowd.example.com/p/' || doc_id
+        |         ELSE 'https://h' || (doc_id % 20) || '.example.com/p/' || doc_id
+        |    END AS url
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)),
+        |      '^www\.', '') AS domain,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'fast', 'slow'], t))) AS BIGINT) AS ns,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+        |  FROM planted),
+        |q AS (
+        |  SELECT doc_id, domain,
+        |    (((20000*nd+nt) // (2*nt)) * (10000 - ((20000*ns+nt) // (2*nt))) * 2
+        |      + 10000) // 20000 AS qbp
+        |  FROM d),
+        |blocked AS (
+        |  SELECT domain FROM q WHERE domain <> ''
+        |  GROUP BY domain
+        |  HAVING sum(qbp) < 4400 * count(*) OR count(*) > 400)
+        |SELECT doc_id, domain FROM q
+        |WHERE domain NOT IN (SELECT domain FROM blocked)
+        |ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        val planted = Tables.documents(spark, sf).select(col("doc_id"), col("text"),
+          when(pmod(col("doc_id"), lit(97)) === 0,
+              concat(lit("relative/"), col("doc_id").cast("string")))
+            .when(col("doc_id") < 450,
+              concat(lit("https://crowd.example.com/p/"), col("doc_id").cast("string")))
+            .otherwise(concat(lit("https://h"), pmod(col("doc_id"), lit(20)),
+              lit(".example.com/p/"), col("doc_id").cast("string"))).as("url"))
+        TextStats.domainGate(planted, minAvgQualityBp = 4400L,
+            maxDocsPerDomain = 400L)
+          .select("doc_id", "domain").orderBy("doc_id")
+    },
+
     // Text normalization (C4-style cleanup before hashing/dedup):
     // lowercase + whitespace-collapse + trim, oracle-exercised on planted
     // messiness (upper-cased prefix, double spaces, a tab, trailing

@@ -118,6 +118,49 @@ class TextStatsSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("domainGate blocks by quality mean and crowding cap; unparsed rows pass through") {
+    // quality arithmetic worked by hand against qualityBp's definition:
+    // all-stopword text → qbp 0; 4 distinct non-stopwords → 10000;
+    // "x x y y" (dr 5000, sr 0) → exactly 5000 — the threshold boundary
+    val lowQ = "the the the the"
+    val hiQ = "alpha beta gamma delta"
+    val mid = "x x y y"
+    val docs = Seq(
+      (0L, "https://spam.com/a", lowQ), // mean 0 < 5000 → blocked
+      (1L, "https://spam.com/b", lowQ),
+      (2L, "https://good.com/a", hiQ), // mean 10000 → kept
+      (3L, "https://good.com/b", hiQ),
+      (4L, "https://good.com/c", hiQ),
+      (5L, "https://edge.com/a", mid), // mean EXACTLY 5000 → kept (strict <)
+      (6L, "https://crowd.com/a", hiQ), // high quality but 4 docs > cap 3 → blocked
+      (7L, "https://crowd.com/b", hiQ),
+      (8L, "https://crowd.com/c", hiQ),
+      (9L, "https://crowd.com/d", hiQ),
+      (10L, "not a url", lowQ)) // unparsed: worst quality, still passes through
+      .toDF("doc_id", "url", "text")
+    val out = TextStats.domainGate(docs, minAvgQualityBp = 5000L, maxDocsPerDomain = 3L)
+    out.select("doc_id").as[Long].collect().toSet shouldBe Set(2L, 3L, 4L, 5L, 10L)
+    out.where(col("doc_id") === 10L).select("domain").as[String].head() shouldBe ""
+  }
+
+  test("domainGate anti-joins a broadcast blocklist — the corpus is never exchanged") {
+    val docs = Seq((0L, "https://a.com/x", "w w")).toDF("doc_id", "url", "text")
+    val plan = TextStats.domainGate(docs, 5000L, 10L)
+      .queryExecution.executedPlan.toString
+    plan should include("LeftAnti")
+    plan should include("Broadcast")
+  }
+
+  test("domainGate rejects reserved columns and malformed thresholds") {
+    val docs = Seq((0L, "https://a.com/x", "w")).toDF("doc_id", "url", "text")
+    an[IllegalArgumentException] should be thrownBy
+      TextStats.domainGate(docs.withColumn("domain", lit("d")), 5000L, 10L)
+    an[IllegalArgumentException] should be thrownBy
+      TextStats.domainGate(docs, 10001L, 10L)
+    an[IllegalArgumentException] should be thrownBy
+      TextStats.domainGate(docs, 5000L, 0L)
+  }
+
   test("normalize lowercases, collapses whitespace, trims, and counts removals") {
     val docs = Seq(
       (0L, "  Hello   WORLD \t again\n"),
