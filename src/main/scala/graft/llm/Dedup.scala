@@ -92,6 +92,49 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup — dedup a NEW batch against an existing
+    * corpus snapshot (the daily-crawl regime: yesterday's corpus is
+    * already deduped; only the delta needs election). A batch document
+    * survives iff (1) it wins [[exact]]'s min-id election WITHIN the
+    * batch, and (2) its content hash has NO occurrence in `corpus`.
+    * Output is [[exact]]'s contract (`content_hash, keep_id, dup_count`
+    * — dup_count counts WITHIN-BATCH copies) restricted to hashes new to
+    * the corpus.
+    *
+    * Plan shape (100 TB corpus, GB-scale delta): the naive anti join
+    * shuffles the ENTIRE corpus by hash to discard a delta-sized result —
+    * the exact asymmetry [[bloomContamination]] solves, applied in
+    * reverse: the SMALL side (the batch's elected hashes) builds a bloom
+    * sketch that rides into a [[graft.functions.BloomMightContainStr]]
+    * probe over the corpus-hash scan, dropping non-candidates inside
+    * whole-stage codegen; only corpus rows whose hash might be in the
+    * batch (true re-fetches + the FPP sliver) reach the exact anti join,
+    * so both exchange inputs are batch-sized and the corpus is scanned
+    * once, narrowly, and never shuffled. Bloom error is one-sided: a
+    * false positive only sends a row to exact verification, so the
+    * output equals the naive plan's exactly (spec-pinned at fpp = 0.5).
+    *
+    * The elected batch feeds the bloom build and the anti join, so it's
+    * cut once with a lazy localCheckpoint ([[bloomContamination]]'s
+    * pattern — no lineage after the cut, by design). Same RETENTION
+    * contract: long-lived sessions should release the blocks after the
+    * result is materialized via `ColumnBridge.releaseCheckpoint(result)`.
+    * `expectedItems < 0` (default) sizes the bloom from the cut set's
+    * exact count; pass it when known to skip that job. */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame,
+                       fpp: Double = 0.01, expectedItems: Long = -1L,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.BloomMightContainStr
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    val elected = exact(batch, idCol, textCol).localCheckpoint(false)
+    val n = if (expectedItems >= 0) expectedItems else elected.count()
+    val bloom = elected.stat.bloomFilter("content_hash", math.max(n, 1L), fpp)
+    val priorCand = corpus
+      .select(sha2(col(textCol), 256).as("content_hash"))
+      .where(BloomMightContainStr(col("content_hash"), bloom))
+    elected.join(priorCand, Seq("content_hash"), "left_anti")
+  }
+
   /** Word k-shingles per doc — the Jaccard universe for MinHash. `distinct`
     * costs a full shuffle of the shingle stream; min-lane signatures don't
     * need it (min over duplicates is the same min) so the minhash path

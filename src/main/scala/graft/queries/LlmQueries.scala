@@ -102,6 +102,40 @@ object LlmQueries {
         Dedup.exact(Tables.documents(spark, sf)).orderBy("keep_id")
     },
 
+    // Incremental exact dedup: the batch/corpus split and the overlaps
+    // are PLANTED in-query on both sides (the oracle-planting rule) —
+    // %5 rows become the new batch under fresh ids, %7-not-%5 rows enter
+    // the batch with text already in the corpus (must drop), %35 rows
+    // appear TWICE in the batch (within-batch election must keep the
+    // lower fresh id) — all three behaviors non-empty at every scale.
+    Q("llm_dedup_incremental",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |batch AS (
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0 OR doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 35 = 0),
+        |elected AS (
+        |  SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        |    count(*) AS dup_count
+        |  FROM batch GROUP BY 1)
+        |SELECT e.content_hash, e.keep_id, e.dup_count FROM elected e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM corpus c WHERE sha256(c.text) = e.content_hash)
+        |ORDER BY keep_id""".stripMargin) {
+      (spark, sf) =>
+        val docs = Tables.documents(spark, sf).select("doc_id", "text")
+        val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        val batch = docs
+          .where(pmod(col("doc_id"), lit(5)) === 0 || pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+          .unionAll(docs.where(pmod(col("doc_id"), lit(35)) === 0)
+            .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+        Dedup.incrementalExact(batch, corpus).orderBy("keep_id")
+    },
+
     Q.noOracle("llm_dedup_near") { (spark, sf) =>
       Dedup.minHashNearDups(
           Tables.documents(spark, sf).where(col("doc_id") < docCap),

@@ -179,6 +179,53 @@ class DedupSpec extends SparkSpec {
       Dedup.bloomContamination(docs, docs, fpp = 1.0)
   }
 
+  test("incrementalExact elects within the batch and drops corpus re-fetches") {
+    val corpus = Seq((0L, "alpha text"), (1L, "beta text")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "gamma text"), // new content, one copy → kept
+      (11L, "alpha text"), // re-fetch of corpus content → dropped
+      (12L, "delta text"), // within-batch dup pair: 12 wins, 13 drops
+      (13L, "delta text"),
+      (14L, "beta text")) // another re-fetch → dropped
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, corpus)
+      .select("keep_id", "dup_count").orderBy("keep_id")
+      .as[(Long, Long)].collect()
+    out shouldBe Array((10L, 1L), (12L, 2L))
+  }
+
+  test("incrementalExact equals the naive anti join even with a sloppy bloom") {
+    // fpp 0.5 + undersized sketch floods the prefilter with false
+    // positives; the exact anti join owns correctness, so the output
+    // must not change — the bloom only owns the data volume
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val naive = Dedup.exact(batch).join(
+        corpus.select(sha2(col("text"), 256).as("content_hash")),
+        Seq("content_hash"), "left_anti")
+      .orderBy("keep_id").as[(String, Long, Long)].collect()
+    naive should not be empty // the planted overlap must actually discriminate
+    Dedup.incrementalExact(batch, corpus).orderBy("keep_id")
+      .as[(String, Long, Long)].collect() shouldBe naive
+    Dedup.incrementalExact(batch, corpus, fpp = 0.5, expectedItems = 2L)
+      .orderBy("keep_id").as[(String, Long, Long)].collect() shouldBe naive
+  }
+
+  test("incrementalExact plans the bloom probe on the corpus scan") {
+    // a Range-backed frame: a LocalRelation corpus would let Catalyst
+    // evaluate the probe at optimization time and elide it from the plan
+    val ranged = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("text "), col("id")).as("text"))
+    val corpus = ranged.where(col("doc_id") % 2 === 0)
+    val batch = ranged.where(col("doc_id") % 3 === 0)
+    val plan = Dedup.incrementalExact(batch, corpus)
+      .queryExecution.executedPlan.toString
+    plan should include("graft_bloom_might_contain")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.incrementalExact(batch, corpus, fpp = 0.0)
+  }
+
   test("semDedup keeps the min id of each within-cluster near-dup group") {
     // two tight direction-clusters plus an outlier; cos(1,2)=cos(1,3)=1
     // (scaled copies), cos(10,11)=1 — greedy min-id keeps 1, 10, 20
