@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.llm.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextStats}
+import graft.llm.{Audit, Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextStats}
 import graft.model.Tables
 import org.apache.spark.sql.functions._
 
@@ -134,6 +134,40 @@ object LlmQueries {
           .unionAll(docs.where(pmod(col("doc_id"), lit(35)) === 0)
             .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
         Dedup.incrementalExact(batch, corpus).orderBy("keep_id")
+    },
+
+    // Corpus snapshot diff: the two versions are PLANTED from one table
+    // on both sides — %6 rows deleted, %5-not-%6 rows get edited text,
+    // %11 rows re-enter under fresh ids — so added/removed/changed/
+    // unchanged are all non-empty at every scale.
+    Q("llm_corpus_diff",
+      """WITH prev AS (
+        |  SELECT doc_id, text FROM documents),
+        |next AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 6 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |p AS (SELECT doc_id, sha256(text) AS h FROM prev),
+        |n AS (SELECT doc_id, sha256(text) AS h FROM next)
+        |SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN p.h IS NULL THEN 'added'
+        |       WHEN n.h IS NULL THEN 'removed'
+        |       WHEN p.h <> n.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM p FULL OUTER JOIN n ON p.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        val docs = Tables.documents(spark, sf).select("doc_id", "text")
+        val next = docs.where(pmod(col("doc_id"), lit(6)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" [edited]"))).otherwise(col("text")).as("text"))
+          .unionAll(docs.where(pmod(col("doc_id"), lit(11)) === 0)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+        Audit.corpusDiff(docs, next).orderBy("doc_id")
     },
 
     Q.noOracle("llm_dedup_near") { (spark, sf) =>
