@@ -127,15 +127,20 @@ object Sampling {
 
   /** Token-budget sampling — the "take ~50 B tokens from each source"
     * assembly step: within each stratum, documents are taken in
-    * deterministic [[latticeResidue]] order (an unbiased hash order —
-    * id order would correlate the sample with crawl time) until the
-    * cumulative token count reaches `budgetTokens`. A document straddling
-    * the budget boundary is KEPT — the same start-offset discipline as
-    * [[Packing.packShards]]: selection depends on where a document
-    * STARTS, so the realized total overshoots by less than one document
-    * and a stratum with fewer than `budgetTokens` tokens survives whole.
-    * Deterministic, retry-stable, and integer arithmetic end-to-end
-    * (oracle-gated).
+    * deterministic [[Packing.shuffleHash]] order (an unbiased hash
+    * order — id order would correlate the sample with crawl time; the
+    * FINE-GRAINED prime lattice, not the coarse mod-10⁴ [[latticeResidue]],
+    * because the budget boundary falls inside one residue class and with
+    * only 10⁴ classes a billion-doc stratum would degrade to id order
+    * exactly there) until the cumulative token count reaches
+    * `budgetTokens`. A document straddling the budget boundary is KEPT —
+    * the same start-offset discipline as [[Packing.packShards]]:
+    * selection depends on where a document STARTS, so the realized total
+    * overshoots by less than one document and a stratum with fewer than
+    * `budgetTokens` tokens survives whole. The shuffle modulus is prime
+    * (coprime to both recipe lattices), so budget sampling composes with
+    * [[mixture]]/[[reweight]]/[[split]] without correlation. Deterministic,
+    * retry-stable, and integer arithmetic end-to-end (oracle-gated).
     *
     * Plan shape: one narrow token-count projection, then a per-stratum
     * running-sum window ordered by (residue, id) — [[Packing]]'s sizing
@@ -158,7 +163,7 @@ object Sampling {
     require(!df.columns.contains("n_tokens"),
       "tokenBudget writes an 'n_tokens' column; input already has one — rename it first")
     val w = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(latticeResidue(col(idCol)), col(idCol))
+      .orderBy(Packing.shuffleHash(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tokens",
         tokenCount.getOrElse(size(org.apache.spark.sql.functions

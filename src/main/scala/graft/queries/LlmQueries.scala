@@ -983,8 +983,9 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
-    // Token-budget sampling: greedy prefix in lattice-hash order until
-    // each source's running token sum reaches the budget (600 — every
+    // Token-budget sampling: greedy prefix in shuffle-lattice order
+    // (the FINE prime modulus — see tokenBudget's scaladoc) until each
+    // source's running token sum reaches the budget (600 — every
     // fixture source holds 1.1–1.7k tokens, so the gate discriminates at
     // every scale); the straddling doc is kept (start < budget). Window
     // + integer arithmetic on both sides — oracle-gated end-to-end.
@@ -992,7 +993,7 @@ object LlmQueries {
       """WITH t AS (
         |  SELECT doc_id, source,
         |    CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
-        |    ((doc_id % 10000) * 5761) % 10000 AS h
+        |    ((doc_id % 999999937) * 654435887) % 999999937 AS h
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source, n_tokens,

@@ -196,16 +196,17 @@ class SamplingSpec extends SparkSpec {
 
   test("tokenBudget takes the greedy lattice-order prefix, keeping the straddling doc") {
     // expectation computed INDEPENDENTLY from the mathematical definition
-    // (sort by (residue, id), keep while the running start < budget) — not
-    // mirrored from the implementation. Token counts are distinct primes so
-    // any mis-ordering changes the kept set.
+    // (sort by (shuffle hash, id), keep while the running start < budget) —
+    // not mirrored from the implementation. Token counts are distinct primes
+    // so any mis-ordering changes the kept set.
     val toks = Map(0L -> 13L, 1L -> 7L, 2L -> 11L, 3L -> 5L, 4L -> 17L,
       5L -> 3L, 6L -> 19L, 7L -> 23L, 8L -> 29L, 9L -> 2L)
     val docs = toks.keys.toSeq.sorted.map { id =>
       (id, "s0", Seq.fill(toks(id).toInt)("w").mkString(" "))
     }.toDF("doc_id", "source", "text")
     val budget = 40L
-    def residue(id: Long) = ((id % 10000L) * 5761L) % 10000L
+    def residue(id: Long) =
+      ((BigInt(id) * BigInt(2654435761L)) mod BigInt(999999937L)).toLong
     val order = toks.keys.toSeq.sortBy(id => (residue(id), id))
     val expect = order.zip(order.scanLeft(0L)((acc, id) => acc + toks(id)))
       .collect { case (id, start) if start < budget => id }.toSet
