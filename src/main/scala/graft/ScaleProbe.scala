@@ -273,6 +273,59 @@ object ScaleProbe {
             blockTokens = 256L)
           .agg(sum("n_tokens"), sum(length(col("block_text")))).head()
       }),
+      // token-budget sampling: same per-stratum window as pack_shards but
+      // with the early-out filter — the ratio should match pack_shards'
+      // (the budget cut changes the OUTPUT volume, not the window cost)
+      ("token_budget", () => {
+        val docs = synthDocs(n).select(col("doc_id"), col("text"),
+          concat(lit("s"), pmod(xxhash64(col("doc_id")), lit(8))).as("source"))
+        graft.llm.Sampling.tokenBudget(docs, budgetTokens = 64L * n)
+          .agg(sum("n_tokens"), count(lit(1))).head()
+      }),
+      // deterministic global shuffle: the one genuinely global op in
+      // training prep — a range-partitioned sort on the lattice hash +
+      // the two-pass offset index; the ratio probes the global sort's
+      // scaling, which positional_index (id-ordered, pre-sorted ranges)
+      // does not exercise
+      ("shuffle_shards", () => graft.llm.Packing.shuffleShards(
+        spark.range(n * 20).toDF("doc_id"), rowsPerShard = 1024L)
+        .agg(sum("shard_id"), sum("pos_in_shard")).head()),
+      // corpus-derived domain gate: per-domain partials (map-side
+      // combined, n/50 domains) + broadcast anti join — the corpus side
+      // is scanned twice (stats + gate) but never shuffled, so the ratio
+      // should track the scan
+      ("domain_gate", () => {
+        val docs = synthDocs(n).select(col("doc_id"), col("text"),
+          concat(lit("https://d"), pmod(xxhash64(col("doc_id"), lit("dg")), lit(n / 50)),
+            lit(".example.com/p/"), col("doc_id")).as("url"))
+        graft.llm.TextStats.domainGate(docs, minAvgQualityBp = 5000L,
+            maxDocsPerDomain = 1L << 40)
+          .agg(count(lit(1)), sum(length(col("domain")))).head()
+      }),
+      // incremental exact dedup: the delta is FIXED-size by contract (a
+      // day's crawl vs the accumulated corpus; 250 re-fetches + 250 fresh
+      // docs here), the corpus side scales — the bloom probe keeps the
+      // exchange delta-sized, so the ratio should track the narrow
+      // corpus-hash scan
+      ("incremental_dedup", () => {
+        val corpus = synthDocs(n)
+        val batch = synthDocs(n + 250).where(col("doc_id") >= n - 250)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+        graft.llm.Dedup.incrementalExact(batch, corpus)
+          .agg(count(lit(1)), sum("dup_count")).head()
+      }),
+      // snapshot diff: BOTH sides scale — the fixed-width (id, hash)
+      // full-outer sort-merge join is the whole cost; text never shuffles
+      ("corpus_diff", () => {
+        val prev = synthDocs(n)
+        val next = synthDocs(n + n / 10)
+          .where(pmod(col("doc_id"), lit(6)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" e"))).otherwise(col("text")).as("text"))
+        graft.llm.Audit.corpusDiff(prev, next)
+          .agg(count(lit(1)), sum(length(col("status")))).head()
+      }),
       // gap-based sessionization (the batch form of stream_session): n*20
       // events over 1000 users, ~5k-second spread per user
       ("session_window", () => {

@@ -226,6 +226,34 @@ object Examples {
       blockTokens = 128)
     println(s"[18] assembled ${assembled.count()} training blocks")
 
+    // 19. corpus operations day-to-day: sample each source to a token
+    // budget, shuffle globally into training shards, gate spam domains on
+    // corpus-derived stats, dedup a crawl delta against the snapshot, and
+    // diff two releases
+    val budgeted = graft.llm.Sampling.tokenBudget(
+      docs.select("doc_id", "source", "text"), budgetTokens = 400)
+    val shuffled = graft.llm.Packing.shuffleShards(
+      budgeted.select("doc_id"), rowsPerShard = 32)
+    val withUrls = docs.select(col("doc_id"), col("text"),
+      concat(lit("https://h"), pmod(col("doc_id"), lit(20)),
+        lit(".example.com/p/"), col("doc_id")).as("url"))
+    val domainKept = graft.llm.TextStats.domainGate(withUrls,
+      minAvgQualityBp = 4400, maxDocsPerDomain = 1000).count()
+    val delta = docs.where(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val freshInDelta = Dedup.incrementalExact(
+      delta, docs.where(col("doc_id") % 9 =!= 0)).count()
+    val nextRelease = docs.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      .unionAll(delta.select("doc_id", "text"))
+    val diffed = graft.llm.Audit.corpusDiff(docs, nextRelease)
+      .groupBy("status").count().orderBy("status")
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"[19] ${budgeted.count()} docs in budget → " +
+      s"${shuffled.agg(countDistinct(col("shard_id"))).head.getLong(0)} shuffled shards; " +
+      s"$domainKept past the domain gate; $freshInDelta fresh in delta; diff: $diffed")
+
     spark.stop()
   }
 }
