@@ -275,11 +275,15 @@ object ScaleProbe {
       }),
       // token-budget sampling: same per-stratum window as pack_shards but
       // with the early-out filter — the ratio should match pack_shards'
-      // (the budget cut changes the OUTPUT volume, not the window cost)
+      // (the budget cut changes the OUTPUT volume, not the window cost).
+      // Each of the 8 sources holds ~40·n/8 = 5n tokens, so budget 2n
+      // keeps ~40% — the cut BINDS at both scales (a budget above the
+      // per-source total would keep every row and time a vacuous filter,
+      // the round-8 sink-vacuity class)
       ("token_budget", () => {
         val docs = synthDocs(n).select(col("doc_id"), col("text"),
           concat(lit("s"), pmod(xxhash64(col("doc_id")), lit(8))).as("source"))
-        graft.llm.Sampling.tokenBudget(docs, budgetTokens = 64L * n)
+        graft.llm.Sampling.tokenBudget(docs, budgetTokens = 2L * n)
           .agg(sum("n_tokens"), count(lit(1))).head()
       }),
       // deterministic global shuffle: the one genuinely global op in
@@ -293,13 +297,20 @@ object ScaleProbe {
       // corpus-derived domain gate: per-domain partials (map-side
       // combined, n/50 domains) + broadcast anti join — the corpus side
       // is scanned twice (stats + gate) but never shuffled, so the ratio
-      // should track the scan
+      // should track the scan. One planted crowd domain holds ~n/10 docs
+      // against a cap of n/20, so the blocklist is NON-EMPTY and the
+      // anti join actually drops ~10% of rows at both scales (an
+      // unreachable threshold left the gate empty — AQE's empty-relation
+      // propagation could then erase the very join being probed)
       ("domain_gate", () => {
         val docs = synthDocs(n).select(col("doc_id"), col("text"),
-          concat(lit("https://d"), pmod(xxhash64(col("doc_id"), lit("dg")), lit(n / 50)),
+          concat(lit("https://d"),
+            when(pmod(xxhash64(col("doc_id"), lit("dg2")), lit(10)) === 0, lit("crowd"))
+              .otherwise(pmod(xxhash64(col("doc_id"), lit("dg")), lit(n / 50))
+                .cast("string")),
             lit(".example.com/p/"), col("doc_id")).as("url"))
         graft.llm.TextStats.domainGate(docs, minAvgQualityBp = 5000L,
-            maxDocsPerDomain = 1L << 40)
+            maxDocsPerDomain = n / 20)
           .agg(count(lit(1)), sum(length(col("domain")))).head()
       }),
       // incremental exact dedup: the delta is FIXED-size by contract (a

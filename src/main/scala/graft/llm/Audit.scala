@@ -25,13 +25,18 @@ object Audit {
     * accounting (`groupBy(status).count()`) map-side combines. */
   def corpusDiff(prev: DataFrame, next: DataFrame,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val p = prev.select(col(idCol).as("__id"), sha2(col(textCol), 256).as("__ph"))
-    val n = next.select(col(idCol).as("__id"), sha2(col(textCol), 256).as("__nh"))
+    // presence is tested on explicit markers, NOT hash nullness: sha2 of a
+    // NULL text is NULL, and a null-text row present in both snapshots
+    // must read 'unchanged' (null-safe hash compare), not 'added'
+    val p = prev.select(col(idCol).as("__id"), lit(true).as("__inp"),
+      sha2(col(textCol), 256).as("__ph"))
+    val n = next.select(col(idCol).as("__id"), lit(true).as("__inn"),
+      sha2(col(textCol), 256).as("__nh"))
     p.join(n, Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
-        when(col("__ph").isNull, "added")
-          .when(col("__nh").isNull, "removed")
-          .when(col("__ph") =!= col("__nh"), "changed")
+        when(col("__inp").isNull, "added")
+          .when(col("__inn").isNull, "removed")
+          .when(!(col("__ph") <=> col("__nh")), "changed")
           .otherwise("unchanged").as("status"))
   }
 }

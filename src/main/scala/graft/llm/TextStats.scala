@@ -98,17 +98,25 @@ object TextStats {
   def qualityCol(textCol: Column, stopwords: Seq[String] = DefaultStopwords): Column =
     qualityBp(textCol, stopwords).cast("double") / 10000.0
 
+  /** THE composite-score arithmetic — round-half-up of dr·(1−sr) at 4dp,
+    * in integer space: the single definition [[quality]], [[qualityCol]],
+    * [[qualityBp]] (and through them [[domainGate]], `Classifier`,
+    * `Curation.assemble`) all reduce to, so the gate arithmetic can never
+    * silently diverge from the quality report. */
+  private[llm] def compositeBp(drBp: Column, srBp: Column): Column =
+    graft.functions.VectorFunctions.intDiv(
+      drBp * (lit(10000L) - srBp) * 2 + lit(10000L), lit(20000L))
+
   /** [[qualityCol]]'s integer basis-point form — for operators that
     * aggregate or compare the score in exact integer space
     * ([[domainGate]]'s cross-multiplied mean test) instead of reporting
-    * it as a ratio. ONE arithmetic definition for both. */
+    * it as a ratio. */
   def qualityBp(textCol: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
     val t = toks(textCol)
     val nt = size(t).cast("long")
     val srBp = bp(graft.functions.CountTokensIn(t, stopwords), nt)
     val drBp = bp(size(array_distinct(t)).cast("long"), nt)
-    graft.functions.VectorFunctions.intDiv(
-      drBp * (lit(10000L) - srBp) * 2 + lit(10000L), lit(20000L))
+    compositeBp(drBp, srBp)
   }
 
   /** Quality heuristics: token count, mean token length, stopword ratio,
@@ -128,8 +136,7 @@ object TextStats {
       asRatio(srBp).as("stopword_ratio"),
       asRatio(drBp).as("distinct_ratio"),
       // composite in integer space too: round(dr·(1−sr)) at 4dp
-      asRatio(graft.functions.VectorFunctions.intDiv(
-        drBp * (lit(10000L) - srBp) * 2 + lit(10000L), lit(20000L))).as("quality"))
+      asRatio(compositeBp(drBp, srBp)).as("quality"))
   }
 
   /** Greedy-subword (BPE-faithful) token count of `textCol` under a

@@ -25,6 +25,19 @@ class AuditSpec extends SparkSpec {
     Audit.corpusDiff(prev, next).select("status").as[String].head() shouldBe "unchanged"
   }
 
+  test("corpusDiff does not conflate a NULL text with an absent id") {
+    // sha2(NULL) is NULL: presence must come from id markers, and the
+    // hash compare must be null-safe — a null-text row in both snapshots
+    // is 'unchanged', one that gains text is 'changed', never 'added'
+    val prev = Seq((1L, null: String), (2L, null: String), (3L, "t"))
+      .toDF("doc_id", "text")
+    val next = Seq((1L, null: String), (2L, "now present"), (3L, null: String))
+      .toDF("doc_id", "text")
+    Audit.corpusDiff(prev, next).orderBy("doc_id")
+      .as[(Long, String)].collect() shouldBe Array(
+      (1L, "unchanged"), (2L, "changed"), (3L, "changed"))
+  }
+
   test("corpusDiff is invariant under input partitioning") {
     val prev = spark.range(100).select(col("id").as("doc_id"),
       concat(lit("t"), col("id")).as("text"))

@@ -49,6 +49,25 @@ class ChunkingSpec extends SparkSpec {
     out shouldBe Array((0L, "a b", 2L), (1L, "c", 1L))
   }
 
+  test("the tokens override windows AND slices the caller's array") {
+    // subword-style override: each ws token splits into two halves. The
+    // window math must run on the OVERRIDDEN array's length (4 subwords
+    // → two 2-token chunks at C=2), and the slices must come from the
+    // same array — a mis-wiring that windowed size(override) but sliced
+    // the default split would emit the wrong text
+    val docs = Seq((9L, "abcd efgh")).toDF("doc_id", "text")
+    val halves = org.apache.spark.sql.functions.flatten(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.split(col("text"), " "),
+        w => org.apache.spark.sql.functions.array(
+          w.substr(lit(1), lit(2)), w.substr(lit(3), lit(2)))))
+    val out = Chunking.chunk(docs, chunkTokens = 2, overlap = 0,
+        tokens = Some(halves))
+      .orderBy("chunk_id").select("chunk_id", "chunk_text", "n_tokens")
+      .as[(Long, String, Long)].collect()
+    out shouldBe Array((0L, "ab cd", 2L), (1L, "ef gh", 2L))
+  }
+
   test("chunking is a pure flatMap projection — no shuffle, no join") {
     val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val plan = Chunking.chunk(docs, 2, 1).queryExecution.executedPlan.toString

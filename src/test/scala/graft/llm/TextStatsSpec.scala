@@ -321,6 +321,23 @@ class TextStatsSpec extends SparkSpec {
     b shouldBe a
   }
 
+  test("adaptiveLengthGate's tokenCount override drives BOTH the cuts and the gate") {
+    // the override counts CHARACTERS: docs have 1..10 chars but a
+    // CONSTANT ws-token count (1), so any path still reading the default
+    // metric degenerates (all lengths equal → band keeps everything);
+    // with the override, lengths 1..10 → cuts 2..8, same shape as the
+    // percentile spec above
+    val docs = (1 to 10)
+      .map(i => (i.toLong, "x" * i))
+      .toDF("doc_id", "text")
+    val out = TextStats.adaptiveLengthGate(docs, 0.2, 0.8,
+        tokenCount = Some(
+          org.apache.spark.sql.functions.length(col("text")).cast("long")))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    out.map(_._2) shouldBe (2L to 8L).toArray
+    out.map(_._1) shouldBe (2L to 8L).toArray
+  }
+
   test("canonicalUrl normalizes case, www, default ports, query, fragment, slashes") {
     val urls = Seq(
       (1L, "https://WWW.Example.com:443/a/B/"),
