@@ -75,9 +75,21 @@ object Packing {
     * deterministic. */
   val ShuffleModulus = 999999937L
   private val shuffleMultiplier = 654435887L
-  def shuffleHash(id: Column): Column =
-    pmod(pmod(id.cast("long"), lit(ShuffleModulus)) * shuffleMultiplier,
-      lit(ShuffleModulus))
+
+  /** `epoch` re-keys the permutation for multi-epoch training — the
+    * multiplier becomes M^(epoch+1) mod P (computed driver-side, so the
+    * per-row expression stays one multiply+mod and any epoch's order is
+    * replayable in plain SQL from its literal multiplier). Distinct
+    * epochs give distinct permutations unless ord(M) divides their
+    * difference — ord(M) divides P−1 ≈ 10⁹ and is astronomically larger
+    * than any epoch count in practice (spec pins epochs 0–2 pairwise
+    * distinct). */
+  def shuffleHash(id: Column, epoch: Int = 0): Column = {
+    require(epoch >= 0, "epoch must be non-negative")
+    val m = BigInt(shuffleMultiplier)
+      .modPow(BigInt(epoch + 1), BigInt(ShuffleModulus)).toLong
+    pmod(pmod(id.cast("long"), lit(ShuffleModulus)) * m, lit(ShuffleModulus))
+  }
 
   /** Deterministic global corpus shuffle + shard layout — the "shuffle
     * the corpus before training" step: every row gets a global position
@@ -86,7 +98,8 @@ object Packing {
     * `(shard_id, pos_in_shard)` layout of `rowsPerShard` rows per shard.
     * No RNG: the permutation is a pure function of the ids, so it is
     * identical across runs, retries and cluster sizes — a training run
-    * can be resumed or re-sharded byte-for-byte.
+    * can be resumed or re-sharded byte-for-byte; pass `epoch` for a
+    * fresh deterministic order each training epoch.
     *
     * Plan shape (100 TB): a global permutation is the ONE genuinely
     * global operation in training prep and costs exactly one exchange —
@@ -97,12 +110,12 @@ object Packing {
     * window). Shard arithmetic is a narrow projection; shard files write
     * out partition-local. */
   def shuffleShards(df: DataFrame, rowsPerShard: Long,
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id", epoch: Int = 0): DataFrame = {
     require(rowsPerShard > 0, "rowsPerShard must be positive")
     require(!df.columns.exists(Seq("shard_id", "pos_in_shard").contains),
       "shuffleShards writes shard_id/pos_in_shard; input already has one — rename it first")
     val indexed = graft.core.Positional.zipWithIndex(df,
-      Seq(shuffleHash(col(idCol)), col(idCol)), "__pos")
+      Seq(shuffleHash(col(idCol), epoch), col(idCol)), "__pos")
     indexed.select(df.columns.map(col) ++ Seq(
       intDiv(col("__pos"), lit(rowsPerShard)).as("shard_id"),
       (col("__pos") - intDiv(col("__pos"), lit(rowsPerShard)) * rowsPerShard)

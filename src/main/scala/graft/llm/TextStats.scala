@@ -500,6 +500,49 @@ object TextStats {
       .select(col(idCol), col("n_tokens"))
   }
 
+  /** Quality-tier assignment — the curriculum/quality-bucket stage
+    * (sample tier-3 web heavily, tier-0 rarely; DCLM-style quality
+    * buckets): every document gets a tier in `[0, tiers)` from exact
+    * DISCRETE percentile cuts over the [[qualityBp]] distribution —
+    * cut_i = smallest score v with `|docs ≤ v| ≥ ceil(i·n/tiers)`
+    * ([[adaptiveLengthGate]]'s order-statistic definition, integer
+    * arithmetic end-to-end), tier = #cuts at or below the document's
+    * score. Deterministic and total; heavy ties at a cut land in the
+    * higher tier together, so tier POPULATIONS are equal only up to
+    * tie mass — what exact bucketing means on a discrete score.
+    *
+    * Plan shape is [[adaptiveLengthGate]]'s verbatim: narrow score
+    * projection, histogram groupBy (cardinality ≤ 10⁴+1 by construction
+    * — the score is basis points), running sum over the HISTOGRAM (the
+    * only window, score-domain-sized), cuts reduced to one broadcast
+    * row, narrow tier projection back over the corpus. Scanned twice,
+    * shuffled never. */
+  def qualityTiers(docs: DataFrame, tiers: Int,
+                   stopwords: Seq[String] = DefaultStopwords,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tiers >= 2 && tiers <= 1000, s"tiers must be in [2, 1000], got $tiers")
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val q = docs.select(col(idCol), qualityBp(col(textCol), stopwords).as("quality_bp"))
+    val hist = q.groupBy("quality_bp").agg(count(lit(1)).as("__c"))
+    val cdf = hist.withColumn("__cum",
+      sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy("quality_bp")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val withTotal = cdf.crossJoin(
+      broadcast(cdf.agg(max(col("__cum")).as("__total"))))
+    val cutCols = (1 until tiers).map { i =>
+      min(when(
+        col("__cum") >= intDiv(col("__total") * i + (tiers - 1), lit(tiers.toLong)),
+        col("quality_bp"))).as(s"__cut$i")
+    }
+    val cuts = withTotal.agg(cutCols.head, cutCols.tail: _*)
+    q.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("quality_bp"),
+        (1 until tiers).foldLeft(lit(0L)) { (acc, i) =>
+          acc + when(col("quality_bp") >= col(s"__cut$i"), 1L).otherwise(0L)
+        }.as("tier"))
+  }
+
   /** A fixed n-gram language model as DATA: integer centi-log-prob scores
     * per unigram/bigram plus backoff and OOV penalties — the
     * deterministic stand-in for a KenLM binary (the model is a table;

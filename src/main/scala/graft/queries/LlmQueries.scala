@@ -435,6 +435,47 @@ object LlmQueries {
           .select("doc_id", "domain").orderBy("doc_id")
     },
 
+    // Quality-tier assignment (curriculum buckets): exact discrete
+    // quartile cuts over the quality-bp histogram — the adaptive-gate
+    // order-statistic machinery applied to the score domain; tier =
+    // #cuts at or below the doc's score. The fixture's quality spread
+    // (we measured 2806-7034bp domain means) makes all 4 tiers
+    // non-empty at every scale.
+    Q("llm_quality_tiers",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'fast', 'slow'], t))) AS BIGINT) AS ns,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    (((20000*nd+nt) // (2*nt)) * (10000 - ((20000*ns+nt) // (2*nt))) * 2
+        |      + 10000) // 20000 AS q_bp
+        |  FROM c),
+        |h AS (SELECT q_bp, count(*) AS cnt FROM q GROUP BY 1),
+        |cdf AS (
+        |  SELECT q_bp, sum(cnt) OVER (ORDER BY q_bp
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |t AS (SELECT max(cum) AS total FROM cdf),
+        |cuts AS (
+        |  SELECT
+        |    min(CASE WHEN cum >= (total * 1 + 3) // 4 THEN q_bp END) AS c1,
+        |    min(CASE WHEN cum >= (total * 2 + 3) // 4 THEN q_bp END) AS c2,
+        |    min(CASE WHEN cum >= (total * 3 + 3) // 4 THEN q_bp END) AS c3
+        |  FROM cdf, t)
+        |SELECT q.doc_id, q.q_bp AS quality_bp,
+        |  CAST((CASE WHEN q.q_bp >= c1 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN q.q_bp >= c2 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN q.q_bp >= c3 THEN 1 ELSE 0 END) AS BIGINT) AS tier
+        |FROM q, cuts ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        TextStats.qualityTiers(Tables.documents(spark, sf), tiers = 4)
+          .orderBy("doc_id")
+    },
+
     // Corpus-derived domain blocklist: URLs planted so one domain crowds
     // past the 400-doc cap at every scale (445-450 fetches), per-domain
     // mean quality (integer cross-multiplied, threshold 4400bp) splits
@@ -1055,6 +1096,28 @@ object LlmQueries {
         Packing.shuffleShards(
             Tables.documents(spark, sf).select("doc_id"),
             rowsPerShard = 64L)
+          .orderBy("doc_id")
+    },
+
+    // Epoch re-shuffle: epoch 1's multiplier is M^2 mod P = 175517260 —
+    // a DIFFERENT deterministic permutation of the same corpus, laid out
+    // with the same shard arithmetic; the oracle replays it from the
+    // literal multiplier (driver-side modPow, per-row one multiply+mod).
+    Q("llm_shuffle_epoch",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 999999937) * 175517260) % 999999937 AS hh
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos
+        |  FROM h)
+        |SELECT doc_id, CAST(pos // 64 AS BIGINT) AS shard_id,
+        |  CAST(pos - (pos // 64) * 64 AS BIGINT) AS pos_in_shard
+        |FROM p ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        Packing.shuffleShards(
+            Tables.documents(spark, sf).select("doc_id"),
+            rowsPerShard = 64L, epoch = 1)
           .orderBy("doc_id")
     },
 

@@ -82,6 +82,22 @@ class PackingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1) shouldBe layout.sortBy(_._1)
   }
 
+  test("shuffleShards epochs give distinct permutations; same epoch reproduces") {
+    val docs = spark.range(200).toDF("doc_id")
+    def layout(e: Int) = Packing.shuffleShards(docs, 16L, epoch = e)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val e0 = layout(0); val e1 = layout(1); val e2 = layout(2)
+    e0 should not be e1
+    e1 should not be e2
+    e0 should not be e2
+    layout(1) shouldBe e1 // same epoch → byte-identical layout
+    // epoch 0 must be the unparameterized permutation (back-compat)
+    Packing.shuffleShards(docs, 16L).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq shouldBe e0
+    an[IllegalArgumentException] should be thrownBy
+      Packing.shuffleShards(docs, 16L, epoch = -1)
+  }
+
   test("shuffleShards avoids the single-partition global window") {
     val plan = Packing.shuffleShards(spark.range(100).toDF("doc_id"), 10L)
       .queryExecution.executedPlan.toString

@@ -338,6 +338,45 @@ class TextStatsSpec extends SparkSpec {
     out.map(_._1) shouldBe (2L to 8L).toArray
   }
 
+  test("qualityTiers buckets by exact discrete percentile cuts, ties land high") {
+    // six docs with hand-computed quality_bp 0, 2500, 5000, 7500, 8333,
+    // 10000 (one each); k=3 → cuts at the ceil(6i/3)-th order statistic:
+    // cut1 = 2500 (cum≥2), cut2 = 7500 (cum≥4); tier = #cuts ≤ score →
+    // {0}=0, {2500,5000}=1, {7500,8333,10000}=2 — worked independently
+    // from the order-statistic definition, not mirrored from the code
+    val docs = Seq(
+      (0L, "the the the the"),      // q 0
+      (1L, "a a a a"),              // dr 2500, sr 10000 → wait: 'a' IS a stopword
+      (2L, "x x y y"),              // q 5000
+      (3L, "m b c c"),              // q 7500 (no stopwords; dr 7500)
+      (4L, "p q r s t t"),          // q 8333
+      (5L, "alpha beta gamma delta")) // q 10000
+      .toDF("doc_id", "text")
+    // doc 1 must be q=2500: 4 tokens, all the SAME non-stopword
+    val fixed = docs.withColumn("text",
+      when(col("doc_id") === 1L, "zz zz zz zz").otherwise(col("text")))
+    val out = TextStats.qualityTiers(fixed, tiers = 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    out.map(_._2) shouldBe Array(0L, 2500L, 5000L, 7500L, 8333L, 10000L)
+    out.map(_._3) shouldBe Array(0L, 1L, 1L, 2L, 2L, 2L)
+  }
+
+  test("qualityTiers is total, partition-invariant, and its windows stay histogram-sized") {
+    // vocab size varies 1..10 over a fixed 10 tokens → distinct-ratio
+    // (and so quality) spans 10 values; a uniform fixture would be a
+    // point mass where ties-land-high puts EVERY doc in the top tier
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 until 10).map(j => s"w${j % (1 + i % 10)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextStats.qualityTiers(docs, tiers = 4)
+    out.count() shouldBe 200L // total: every doc gets a tier
+    out.select("tier").distinct().as[Long].collect().toSet shouldBe Set(0L, 1L, 2L, 3L)
+    val again = TextStats.qualityTiers(docs.repartition(7), tiers = 4)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    again shouldBe out.orderBy("doc_id").as[(Long, Long, Long)].collect()
+    an[IllegalArgumentException] should be thrownBy TextStats.qualityTiers(docs, 1)
+  }
+
   test("canonicalUrl normalizes case, www, default ports, query, fragment, slashes") {
     val urls = Seq(
       (1L, "https://WWW.Example.com:443/a/B/"),
