@@ -37,6 +37,18 @@ object Classifier {
     * `score = bias + w·features`; `keep = score >= threshold`. One
     * projection, no shuffle, no UDF — the classifier gate composes with
     * scan-pushed filters in a single whole-stage-codegen span. */
+  // the linear form over bpFeatures' columns — ONE definition for score
+  // and sweep, so a calibration sweep can never measure a different
+  // model than the gate applies
+  private def scoreCol(w: Weights): Column = {
+    import TextStats.bp
+    lit(w.bias) +
+      lit(w.wTokens) * col("__nt") +
+      lit(w.wMeanLen) * bp(col("__len") - col("__nt") + 1, col("__nt")) +
+      lit(w.wStopword) * bp(col("__ns"), col("__nt")) +
+      lit(w.wDistinct) * bp(col("__nd"), col("__nt"))
+  }
+
   def score(docs: DataFrame, w: Weights, threshold: Long,
             stopwords: Seq[String] = TextStats.DefaultStopwords,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -44,14 +56,40 @@ object Classifier {
     // classifier's features can never silently diverge from the quality
     // operator's (both the projection and the bp formula live there)
     val counted = TextStats.bpFeatures(docs, stopwords, idCol, textCol)
-    import TextStats.bp
-    val s =
-      lit(w.bias) +
-        lit(w.wTokens) * col("__nt") +
-        lit(w.wMeanLen) * bp(col("__len") - col("__nt") + 1, col("__nt")) +
-        lit(w.wStopword) * bp(col("__ns"), col("__nt")) +
-        lit(w.wDistinct) * bp(col("__nd"), col("__nt"))
+    val s = scoreCol(w)
     counted.select(col(idCol), s.as("score"),
       (s >= threshold).as("keep"))
+  }
+
+  /** Threshold calibration — the "what cutoff keeps X % of the corpus"
+    * sweep run before committing a classifier gate: for each candidate
+    * threshold, the kept-document and kept-token counts (tokens in the
+    * feature tokenization, `__nt` — the same count the model scores).
+    * ONE corpus scan regardless of how many thresholds: each candidate
+    * is a pair of conditional aggregates over the same score projection
+    * — map-side combined, the exchange carries 2·|thresholds| partials —
+    * versus running [[score]]+count once per candidate. Output one row
+    * per threshold, ascending. */
+  def sweep(docs: DataFrame, w: Weights, thresholds: Seq[Long],
+            stopwords: Seq[String] = TextStats.DefaultStopwords,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(thresholds.nonEmpty, "sweep needs at least one threshold")
+    require(thresholds.distinct.size == thresholds.size,
+      "duplicate thresholds — each output row must be one candidate")
+    val counted = TextStats.bpFeatures(docs, stopwords, idCol, textCol)
+    val scored = counted.select(scoreCol(w).as("score"), col("__nt"))
+    val sorted = thresholds.sorted
+    val aggs = sorted.flatMap { t =>
+      Seq(sum(when(col("score") >= t, 1L).otherwise(0L)).as(s"__kept_$t"),
+        sum(when(col("score") >= t, col("__nt")).otherwise(0L)).as(s"__toks_$t"))
+    }
+    val wide = scored.agg(aggs.head, aggs.tail: _*)
+    val rows = sorted.map { t =>
+      struct(lit(t).as("threshold"),
+        coalesce(col(s"__kept_$t"), lit(0L)).as("kept_docs"),
+        coalesce(col(s"__toks_$t"), lit(0L)).as("kept_tokens"))
+    }
+    wide.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.threshold"), col("__r.kept_docs"), col("__r.kept_tokens"))
   }
 }

@@ -122,6 +122,49 @@ object Packing {
         .as("pos_in_shard")): _*)
   }
 
+  /** Deterministic weighted source interleaving — where [[shuffleShards]]
+    * randomizes the training order globally, interleave guarantees the
+    * LOCAL mixture: with weights web=2, code=1, every consecutive
+    * 3-document window reads web, web, code — the "curriculum mixing at
+    * batch granularity" training-order layout, with no RNG anywhere.
+    * Each source's documents are ranked in [[shuffleHash]] order, and
+    * rank `r` of source `s` (weight `w_s`) lands in round-robin cycle
+    * `r div w_s` at slot `(source order, r mod w_s)` — a source that
+    * exhausts early simply stops contributing and later cycles shrink.
+    * Sources not in `weights` are DROPPED ([[Sampling.mixture]]'s
+    * unlisted-stratum discipline). Output adds `interleave_pos`, the
+    * 0-based global training position.
+    *
+    * Plan shape (100 TB): the per-source rank is a row_number window —
+    * [[Packing]]'s per-stratum serialization rule applies verbatim
+    * (interleave per (source, dt-bucket) when one source dominates);
+    * the global cycle order then costs ONE range-sort exchange + the
+    * two-pass offset index, exactly [[shuffleShards]]'s tail. */
+  def interleave(df: DataFrame, weights: Map[String, Int],
+                 sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty, "interleave needs at least one source weight")
+    require(weights.values.forall(_ > 0), "interleave weights must be positive")
+    require(!df.columns.contains("interleave_pos"),
+      "interleave writes 'interleave_pos'; input already has it — rename it first")
+    val srcOrder = weights.keys.toSeq.sorted
+    val wCol = srcOrder.foldLeft(lit(-1L)) { (acc, s) =>
+      when(col(sourceCol) === s, lit(weights(s).toLong)).otherwise(acc)
+    }
+    val prio = srcOrder.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col(sourceCol) === s, lit(i)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(shuffleHash(col(idCol)), col(idCol))
+    val ranked = df.where(col(sourceCol).isin(srcOrder: _*))
+      .withColumn("__r", row_number().over(w).cast("long") - 1L)
+      .withColumn("__c", intDiv(col("__r"), wCol))
+      .withColumn("__p", prio)
+      .withColumn("__o", pmod(col("__r"), wCol))
+    graft.core.Positional
+      .zipWithIndex(ranked, Seq(col("__c"), col("__p"), col("__o")), "interleave_pos")
+      .drop("__r", "__c", "__p", "__o")
+  }
+
   /** TRUE sequence packing — where [[packShards]] assigns whole documents
     * to the shard their start falls in, packSequences emits the training
     * rows themselves: within each stratum, documents concatenate in

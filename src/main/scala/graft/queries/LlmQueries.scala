@@ -891,6 +891,40 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // Threshold calibration sweep: kept docs/tokens at each candidate
+    // cutoff in ONE scan (conditional aggregates over one score
+    // projection); same planted weights as llm_classifier, thresholds
+    // straddling its 2800 so the sweep rows differ at every scale.
+    Q("llm_classifier_sweep",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'fast', 'slow'], t))) AS BIGINT) AS ns,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, nt,
+        |    -60000 + 3 * nt + ((20000 * (len - nt + 1) + nt) // (2 * nt))
+        |      - 4 * ((20000 * ns + nt) // (2 * nt))
+        |      + 5 * ((20000 * nd + nt) // (2 * nt)) AS score
+        |  FROM c)
+        |SELECT CAST(t.threshold AS BIGINT) AS threshold,
+        |  CAST(sum(CASE WHEN s.score >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_docs,
+        |  CAST(sum(CASE WHEN s.score >= t.threshold THEN s.nt ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens
+        |FROM s CROSS JOIN (VALUES (0), (2800), (6000)) AS t(threshold)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        graft.llm.Classifier.sweep(Tables.documents(spark, sf),
+            graft.llm.Classifier.Weights(wTokens = 3, wMeanLen = 1,
+              wStopword = -4, wDistinct = 5, bias = -60000),
+            thresholds = Seq(0L, 2800L, 6000L))
+          .orderBy("threshold")
+    },
+
     Q("llm_tokens",
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS ws_tokens,
@@ -1096,6 +1130,33 @@ object LlmQueries {
         Packing.shuffleShards(
             Tables.documents(spark, sf).select("doc_id"),
             rowsPerShard = 64L)
+          .orderBy("doc_id")
+    },
+
+    // Weighted round-robin interleaving: src0 at weight 2 against src1/
+    // src2 at 1 — every 4-slot cycle reads src0, src0, src1, src2 until
+    // a source exhausts; unlisted sources dropped. The oracle replays
+    // the per-source rank windows and the (cycle, source, slot) sort.
+    Q("llm_interleave",
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    ((doc_id % 999999937) * 654435887) % 999999937 AS h
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 AS r,
+        |    CASE source WHEN 'src0' THEN 2 ELSE 1 END AS w,
+        |    CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1 ELSE 2 END AS p
+        |  FROM d),
+        |k AS (SELECT doc_id, source, r // w AS c, p, r % w AS o FROM r)
+        |SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY c, p, o) - 1 AS interleave_pos
+        |FROM k ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        Packing.interleave(
+            Tables.documents(spark, sf).select("doc_id", "source"),
+            Map("src0" -> 2, "src1" -> 1, "src2" -> 1))
+          .select("doc_id", "source", "interleave_pos")
           .orderBy("doc_id")
     },
 

@@ -119,6 +119,36 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 
+  /** Continuous-ingest incremental dedup — the streaming face of
+    * [[graft.llm.Dedup.incrementalExact]]: arriving documents are
+    * dropped when their content hash (1) already occurred in the stream
+    * within the watermark (`dropDuplicatesWithinWatermark` — bounded
+    * state), or (2) exists in the STATIC corpus snapshot, via a
+    * stream-static left-anti join on the 32-byte hash. The static side
+    * re-resolves per micro-batch against a snapshot the caller keeps
+    * stable for the run; joining reduces it to hashes first so the
+    * per-batch probe never reads corpus text. Stream-static joins are
+    * STATELESS (no watermark cost beyond the dedup's own), so the only
+    * state is the within-watermark hash set — arrival-rate × lateness
+    * bounded, same contract as [[curateStream]].
+    *
+    * Ordering caveat by construction: a stream dedups by ARRIVAL (first
+    * fetch wins within the watermark), where the batch operator elects
+    * min-id; re-run [[graft.llm.Dedup.exact]] at compaction when the
+    * election identity matters. */
+  def dedupAgainstSnapshot(docs: DataFrame, corpus: DataFrame,
+                           lateness: String = "10 minutes",
+                           tsCol: String = "ts", textCol: String = "text"): DataFrame = {
+    require(!docs.columns.contains("content_hash"),
+      "dedupAgainstSnapshot writes a 'content_hash' working column; input already has one — rename it first")
+    val priorH = corpus
+      .select(sha2(col(textCol), 256).as("content_hash")).distinct()
+    docs.withColumn("content_hash", sha2(col(textCol), 256))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .join(priorH, Seq("content_hash"), "left_anti")
+  }
+
   /** Streaming sinks. Durable sinks REQUIRE a checkpoint location — at
     * scale that is the exactly-once contract, not an option. */
   // default 'append': 'complete' is only legal for aggregation queries

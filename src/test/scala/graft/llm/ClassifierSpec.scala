@@ -45,4 +45,35 @@ class ClassifierSpec extends SparkSpec {
     out.select("score").as[Long].collect().toSet shouldBe Set(7L)
     out.where(col("keep")).count() shouldBe 0L
   }
+
+  test("sweep agrees with score() at every threshold, in one scan") {
+    val docs = Seq(
+      (1L, "m n o p"), (2L, "q q q q"), (3L, "r s r s"),
+      (4L, "t u v w x y"), (5L, "the the the")).toDF("doc_id", "text")
+    val w = Classifier.Weights(wTokens = 10, wDistinct = 1, bias = -5000)
+    val thresholds = Seq(-5000L, 0L, 5000L, 99999L)
+    val out = Classifier.sweep(docs, w, thresholds)
+      .orderBy("threshold").as[(Long, Long, Long)].collect()
+    // parity against the gate operator itself, threshold by threshold —
+    // sweep measuring a different model than score applies is the bug
+    // this exists to catch
+    thresholds.sorted.zip(out).foreach { case (t, (tOut, docsKept, toksKept)) =>
+      tOut shouldBe t
+      val kept = Classifier.score(docs, w, t).where(col("keep"))
+      docsKept shouldBe kept.count()
+      val keptIds = kept.select("doc_id").as[Long].collect().toSet
+      val toks = docs.collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").length.toLong).toMap
+      toksKept shouldBe keptIds.toSeq.map(toks).sum
+    }
+    out.head._2 shouldBe 5L   // -5000 keeps everything
+    out.last._2 shouldBe 0L   // 99999 keeps nothing (coalesce path)
+    val plan = Classifier.sweep(docs, w, thresholds)
+      .queryExecution.executedPlan.toString
+    plan should not include "Join"
+    an[IllegalArgumentException] should be thrownBy
+      Classifier.sweep(docs, w, Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Classifier.sweep(docs, w, Seq(1L, 1L))
+  }
 }

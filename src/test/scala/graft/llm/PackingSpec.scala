@@ -98,6 +98,40 @@ class PackingSpec extends SparkSpec {
       Packing.shuffleShards(docs, 16L, epoch = -1)
   }
 
+  test("interleave lays out a 2:1 local mixture and absorbs source exhaustion") {
+    // expectation computed INDEPENDENTLY: rank docs per source by the
+    // BigInt shuffle hash, slot rank r of source s at key
+    // (r/w_s, sourceIndex, r%w_s), sort keys. Source 'a' has 6 docs at
+    // weight 2, 'b' has 2 at weight 1 → cycles 0-1 read a,a,b; cycles
+    // 2 on read only a (b exhausted); source 'z' is unlisted → dropped.
+    val ids = Map("a" -> Seq(0L, 1L, 2L, 3L, 4L, 5L), "b" -> Seq(10L, 11L),
+      "z" -> Seq(20L))
+    val docs = ids.toSeq.flatMap { case (s, is) => is.map(i => (i, s)) }
+      .toDF("doc_id", "source")
+    def h(id: Long): Long =
+      ((BigInt(id) * BigInt(2654435761L)) mod BigInt(999999937L)).toLong
+    val weights = Map("a" -> 2, "b" -> 1)
+    val keyed = for {
+      (s, is) <- ids.toSeq if weights.contains(s)
+      srcIdx = weights.keys.toSeq.sorted.indexOf(s)
+      (id, r) <- is.sortBy(i => (h(i), i)).zipWithIndex
+    } yield (id, s, (r / weights(s), srcIdx, r % weights(s)))
+    val expect = keyed.sortBy(_._3).zipWithIndex
+      .map { case ((id, s, _), pos) => (id, s, pos.toLong) }.sortBy(_._1)
+    val out = Packing.interleave(docs, weights)
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    out.toSeq shouldBe expect
+    // the local mixture property itself: positions 0-5 hold cycles 0-1
+    // as a,a,b,a,a,b
+    val bySlot = out.sortBy(_._3).map(_._2).toSeq
+    bySlot.take(6) shouldBe Seq("a", "a", "b", "a", "a", "b")
+    bySlot.drop(6) shouldBe Seq("a", "a") // b exhausted, cycles shrink
+    an[IllegalArgumentException] should be thrownBy
+      Packing.interleave(docs, Map.empty[String, Int])
+    an[IllegalArgumentException] should be thrownBy
+      Packing.interleave(docs, Map("a" -> 0))
+  }
+
   test("shuffleShards avoids the single-partition global window") {
     val plan = Packing.shuffleShards(spark.range(100).toDF("doc_id"), 10L)
       .queryExecution.executedPlan.toString

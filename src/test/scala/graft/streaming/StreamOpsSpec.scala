@@ -196,6 +196,29 @@ class StreamOpsSpec extends SparkSpec {
     kept shouldBe Set(0L, 4L) // 1 lang-gated, 2 rep-gated, 3 deduped
   }
 
+  test("dedupAgainstSnapshot drops snapshot content and within-stream repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "already in corpus"), (101L, "also known text"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[StreamOpsSpec.Doc]
+    val sink = "incr_sink_" + System.nanoTime()
+    val q = StreamOps.dedupAgainstSnapshot(mem.toDF(), corpus, lateness = "1 hour")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        StreamOpsSpec.Doc(0L, ts(0), "en", "fresh content one"),
+        StreamOpsSpec.Doc(1L, ts(1), "en", "already in corpus"), // snapshot dup
+        StreamOpsSpec.Doc(2L, ts(2), "en", "fresh content one")) // stream dup of 0
+      q.processAllAvailable()
+      mem.addData(
+        StreamOpsSpec.Doc(3L, ts(10), "en", "also known text"), // snapshot dup, later batch
+        StreamOpsSpec.Doc(4L, ts(11), "en", "fresh content two"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).select("doc_id").as[Long].collect().toSet shouldBe Set(0L, 4L)
+  }
+
   test("runningPerUser keyed state accumulates per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
