@@ -254,6 +254,30 @@ object Examples {
       s"${shuffled.agg(countDistinct(col("shard_id"))).head.getLong(0)} shuffled shards; " +
       s"$domainKept past the domain gate; $freshInDelta fresh in delta; diff: $diffed")
 
+    // 20. calibration and curriculum: price classifier cutoffs in one
+    // scan, bucket quality into quartiles, interleave sources at a fixed
+    // local ratio, re-shuffle deterministically for epoch 2, and
+    // near-dedup a crawl delta against the existing corpus
+    val sweep = graft.llm.Classifier.sweep(docs,
+        graft.llm.Classifier.Weights(wDistinct = 5, wStopword = -4, bias = -30000),
+        thresholds = Seq(0L, 10000L, 20000L))
+      .collect().map(r => s"${r.getLong(0)}→${r.getLong(1)}").mkString(" ")
+    val tiers = graft.llm.TextStats.qualityTiers(docs, tiers = 4)
+      .groupBy("tier").count().orderBy("tier")
+      .collect().map(r => r.getLong(1)).mkString("/")
+    val interleaved = graft.llm.Packing.interleave(
+      docs.select("doc_id", "source"),
+      Map("src0" -> 2, "src1" -> 1, "src2" -> 1))
+    val epoch2 = graft.llm.Packing.shuffleShards(
+      docs.select("doc_id"), rowsPerShard = 64, epoch = 2)
+    val nearFresh = Dedup.incrementalNear(
+      delta, docs.where(col("doc_id") % 9 =!= 0), k = 2, bands = 8,
+      rowsPerBand = 2, threshold = 0.3).count()
+    println(s"[20] sweep kept: $sweep; tier sizes $tiers; " +
+      s"${interleaved.count()} docs interleaved; " +
+      s"${epoch2.agg(countDistinct(col("shard_id"))).head.getLong(0)} epoch-2 shards; " +
+      s"$nearFresh delta docs near-fresh")
+
     spark.stop()
   }
 }

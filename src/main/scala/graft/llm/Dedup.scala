@@ -168,22 +168,8 @@ object Dedup {
                       rowsPerBand: Int = 4, threshold: Double = 0.8,
                       idCol: String = "doc_id", textCol: String = "text",
                       maxBucket: Int = 256): DataFrame = {
-    val h = bands * rowsPerBand
-    import graft.functions.{MinHashLanes, WordShingles}
-    // per-doc minhash lanes in one narrow kernel pass — null text drops
-    // (the exploded formulation dropped those docs the same way)
-    val minhash = docs
-      .select(col(idCol), MinHashLanes(WordShingles(col(textCol), k), h).as("mh"))
-      .where(col("mh").isNotNull)
-    // Band signature = xxhash64 over the band's ordered lanes — identical
-    // bytes to the lane-column formulation (element_at of the lane array
-    // stringifies like the long column did), exploded to (band, sig) keys.
-    val bandSig = minhash.select(col(idCol),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          (0 until rowsPerBand).map(r =>
-            element_at(col("mh"), b * rowsPerBand + r + 1)): _*))
-      }: _*)).as(Seq("band", "sig")))
+    import graft.functions.WordShingles
+    val bandSig = bandSignatures(docs, k, bands, rowsPerBand, idCol, textCol)
     // Same (band, sig) bucket → candidate pair, one pass (no self-join).
     val candidates = bucketPairs(bandSig, Seq("band", "sig"), idCol,
       maxBucket = maxBucket)
@@ -204,6 +190,76 @@ object Dedup {
       .withColumn("jaccard", jaccardOf(col("sa"), col("sb")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** The (id, band, sig) LSH index rows shared by [[minHashNearDups]]
+    * and [[incrementalNear]]: per-doc minhash lanes in one narrow
+    * [[graft.functions.MinHashLanes]] kernel pass (null text drops, as
+    * the exploded formulation did), band signature = xxhash64 over the
+    * band's ordered lanes — identical bytes to the lane-column
+    * formulation. At scale this IS the signature index a corpus keeps
+    * on disk (8 B × bands per doc) so incremental runs never recompute
+    * the corpus side. */
+  private def bandSignatures(docs: DataFrame, k: Int, bands: Int,
+                             rowsPerBand: Int, idCol: String,
+                             textCol: String): DataFrame = {
+    import graft.functions.{MinHashLanes, WordShingles}
+    val h = bands * rowsPerBand
+    val minhash = docs
+      .select(col(idCol), MinHashLanes(WordShingles(col(textCol), k), h).as("mh"))
+      .where(col("mh").isNotNull)
+    minhash.select(col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r =>
+            element_at(col("mh"), b * rowsPerBand + r + 1)): _*))
+      }: _*)).as(Seq("band", "sig")))
+  }
+
+  /** Near-dup face of [[incrementalExact]] — drop batch documents that
+    * are near-duplicates of the EXISTING corpus (the crawl-delta regime
+    * where yesterday's corpus is already near-deduped, so only
+    * batch-vs-corpus pairs need checking, never corpus-vs-corpus): a
+    * batch doc is dropped when it shares any LSH band bucket with a
+    * corpus doc AND the exact n-gram Jaccard clears `threshold`
+    * (the [[minHashNearDups]] verify discipline — candidates from
+    * banding, correctness from exact verification). Returns the
+    * SURVIVING batch rows unchanged. Within-batch near-dups are the
+    * caller's [[minHashNearDups]] pass — this operator's contract is
+    * batch-vs-corpus only.
+    *
+    * Scale shape: both signature sides are narrow kernel projections
+    * (fixed-width (id, band, sig) rows — at 100 TB the corpus side is
+    * the PRECOMPUTED signature index, stored once, 8 B × bands per
+    * doc); the bucket join is a hash equi-join on (band, sig); corpus
+    * TEXT is touched only for candidate docs (semi-join-pruned before
+    * the shingle-set attach). A corpus-wide boilerplate bucket
+    * multiplies |batch ∩ bucket| × |corpus ∩ bucket| — AQE skew-join
+    * splits it, and fewer rowsPerBand / more bands trades that skew
+    * against recall exactly as in [[minHashNearDups]]. */
+  def incrementalNear(batch: DataFrame, corpus: DataFrame,
+                      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                      threshold: Double = 0.8,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.WordShingles
+    val bSig = bandSignatures(batch, k, bands, rowsPerBand, idCol, textCol)
+    val cSig = bandSignatures(corpus, k, bands, rowsPerBand, idCol, textCol)
+      .select(col(idCol).as("__cid"), col("band"), col("sig"))
+    val cand = bSig.join(cSig, Seq("band", "sig"))
+      .select(col(idCol), col("__cid")).distinct()
+    val bSets = batch
+      .select(col(idCol), array_distinct(WordShingles(col(textCol), k)).as("__sa"))
+      .join(cand.select(idCol), Seq(idCol), "left_semi")
+    val cSets = corpus
+      .select(col(idCol).as("__cid"),
+        array_distinct(WordShingles(col(textCol), k)).as("__sb"))
+      .join(cand.select("__cid"), Seq("__cid"), "left_semi")
+    val matched = cand
+      .join(bSets, Seq(idCol))
+      .join(cSets, Seq("__cid"))
+      .where(jaccardOf(col("__sa"), col("__sb")) >= threshold)
+      .select(col(idCol))
+    batch.join(matched, Seq(idCol), "left_anti")
   }
 
   /** Exact Jaccard of two shingle-set columns, 4dp round-half-up in

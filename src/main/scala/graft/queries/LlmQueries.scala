@@ -177,6 +177,24 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
+    // Near-dup face of incremental dedup: batch-vs-corpus LSH banding +
+    // exact-Jaccard verify (xxhash64 signatures — not DuckDB-expressible,
+    // so rows-only here; the behavioral gate is DedupSpec's planted
+    // near-dup/exact-dup/fresh triple and the llm_dedup_near recall
+    // suite the banding machinery shares).
+    Q.noOracle("llm_dedup_incremental_near") { (spark, sf) =>
+      val docs = Tables.documents(spark, sf)
+        .where(col("doc_id") < docCap).select("doc_id", "text")
+      val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionAll(docs.where(pmod(col("doc_id"), lit(10)) === 1)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      Dedup.incrementalNear(batch, corpus, k = 2, bands = 8,
+          rowsPerBand = 2, threshold = 0.3)
+        .orderBy("doc_id")
+    },
+
     Q.noOracle("llm_dedup_simhash") { (spark, sf) =>
       Dedup.simHashNearDups(
           Tables.documents(spark, sf).where(col("doc_id") < docCap), maxHamming = 3)

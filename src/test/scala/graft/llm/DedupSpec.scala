@@ -212,6 +212,31 @@ class DedupSpec extends SparkSpec {
       .orderBy("keep_id").as[(String, Long, Long)].collect() shouldBe naive
   }
 
+  test("incrementalNear drops near-dups and exact dups of the corpus, keeps fresh docs") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "pack my box with five dozen liquor jugs right now"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // one word changed vs corpus 0 → near-dup, must drop
+      (10L, "the quick brown fox leaps over the lazy dog today"),
+      // exact copy of corpus 1 → jaccard 1.0, must drop
+      (11L, "pack my box with five dozen liquor jugs right now"),
+      // unrelated → must survive
+      (12L, "completely different words entirely unrelated content appears here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNear(batch, corpus, k = 2, bands = 8,
+      rowsPerBand = 2, threshold = 0.3)
+    out.select("doc_id").as[Long].collect().toSet shouldBe Set(12L)
+    // survivors come back as the batch's own rows, text intact
+    out.columns shouldBe Array("doc_id", "text")
+    // a stricter threshold than the near-pair's jaccard lets the
+    // near-dup back through while the exact copy still drops
+    Dedup.incrementalNear(batch, corpus, k = 2, bands = 8,
+        rowsPerBand = 2, threshold = 0.95)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(10L, 12L)
+  }
+
   test("incrementalExact plans the bloom probe on the corpus scan") {
     // a Range-backed frame: a LocalRelation corpus would let Catalyst
     // evaluate the probe at optimization time and elide it from the plan
