@@ -29,14 +29,6 @@ object Classifier {
       wDistinct: Long = 0L,
       bias: Long = 0L)
 
-  /** Per-document linear quality score plus thresholded keep decision.
-    *
-    * Features (all integer): token count; mean token length, stopword
-    * ratio and distinct-token ratio in 4dp round-half-up basis points
-    * (`(20000·a + b) div (2·b)` — the [[TextStats.quality]] discipline).
-    * `score = bias + w·features`; `keep = score >= threshold`. One
-    * projection, no shuffle, no UDF — the classifier gate composes with
-    * scan-pushed filters in a single whole-stage-codegen span. */
   // the linear form over bpFeatures' columns — ONE definition for score
   // and sweep, so a calibration sweep can never measure a different
   // model than the gate applies
@@ -49,6 +41,14 @@ object Classifier {
       lit(w.wDistinct) * bp(col("__nd"), col("__nt"))
   }
 
+  /** Per-document linear quality score plus thresholded keep decision.
+    *
+    * Features (all integer): token count; mean token length, stopword
+    * ratio and distinct-token ratio in 4dp round-half-up basis points
+    * (`(20000·a + b) div (2·b)` — the [[TextStats.quality]] discipline).
+    * `score = bias + w·features`; `keep = score >= threshold`. One
+    * projection, no shuffle, no UDF — the classifier gate composes with
+    * scan-pushed filters in a single whole-stage-codegen span. */
   def score(docs: DataFrame, w: Weights, threshold: Long,
             stopwords: Seq[String] = TextStats.DefaultStopwords,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -236,7 +236,13 @@ object Dedup {
     * the shingle-set attach). A corpus-wide boilerplate bucket
     * multiplies |batch ∩ bucket| × |corpus ∩ bucket| — AQE skew-join
     * splits it, and fewer rowsPerBand / more bands trades that skew
-    * against recall exactly as in [[minHashNearDups]]. */
+    * against recall exactly as in [[minHashNearDups]]. The candidate
+    * list feeds THREE consumers (both semi-prunes and the verify join),
+    * so it's cut once with a lazy localCheckpoint — without the cut,
+    * both corpus-wide signature passes would derive three times per
+    * action. Same RETENTION contract as [[bloomContamination]]:
+    * long-lived sessions release the blocks after materializing the
+    * result (`ColumnBridge.releaseCheckpoint`). */
   def incrementalNear(batch: DataFrame, corpus: DataFrame,
                       k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                       threshold: Double = 0.8,
@@ -247,6 +253,7 @@ object Dedup {
       .select(col(idCol).as("__cid"), col("band"), col("sig"))
     val cand = bSig.join(cSig, Seq("band", "sig"))
       .select(col(idCol), col("__cid")).distinct()
+      .localCheckpoint(false)
     val bSets = batch
       .select(col(idCol), array_distinct(WordShingles(col(textCol), k)).as("__sa"))
       .join(cand.select(idCol), Seq(idCol), "left_semi")

@@ -483,21 +483,36 @@ object TextStats {
     // subword-faithful cuts); the histogram stays count-keyed either way
     val nt = docs.select(col(idCol),
       tokenCount.getOrElse(size(toks(col(textCol))).cast("long")).as("n_tokens"))
-    val hist = nt.groupBy("n_tokens").agg(count(lit(1)).as("__c"))
-    val cdf = hist.withColumn("__cum",
-      sum(col("__c")).over(org.apache.spark.sql.expressions.Window
-        .orderBy("n_tokens")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    val withTotal = cdf.crossJoin(
-      broadcast(cdf.agg(max(col("__cum")).as("__total"))))
     // ceil(p·n) in integer bp: (n·p_bp + 9999) div 10000
-    def cut(bp: Long) = min(when(
-      col("__cum") >= intDiv(col("__total") * bp + 9999L, lit(10000L)),
-      col("n_tokens")))
-    val cuts = withTotal.agg(cut(loBp).as("__lo"), cut(hiBp).as("__hi"))
+    val cuts = discreteCuts(nt, "n_tokens", Seq(
+      "__lo" -> (t => intDiv(t * loBp + 9999L, lit(10000L))),
+      "__hi" -> (t => intDiv(t * hiBp + 9999L, lit(10000L)))))
     nt.crossJoin(broadcast(cuts))
       .where(col("n_tokens").between(col("__lo"), col("__hi")))
       .select(col(idCol), col("n_tokens"))
+  }
+
+  /** THE discrete-percentile machinery [[adaptiveLengthGate]] and
+    * [[qualityTiers]] share — one definition so the two order-statistic
+    * operators can never drift: histogram over `valCol` (the groupBy
+    * that shrinks the corpus to its value domain), running-sum CDF over
+    * the HISTOGRAM (the only window — value-domain-sized by
+    * construction, never corpus-sized), and one broadcast row of cuts,
+    * each `min(valCol | cum ≥ rank(total))` for a caller-supplied rank
+    * function (exact order statistics, integer arithmetic). */
+  private def discreteCuts(vals: DataFrame, valCol: String,
+                           ranks: Seq[(String, Column => Column)]): DataFrame = {
+    val hist = vals.groupBy(valCol).agg(count(lit(1)).as("__c"))
+    val cdf = hist.withColumn("__cum",
+      sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(valCol)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val withTotal = cdf.crossJoin(
+      broadcast(cdf.agg(max(col("__cum")).as("__total"))))
+    val cutCols = ranks.map { case (name, rankOf) =>
+      min(when(col("__cum") >= rankOf(col("__total")), col(valCol))).as(name)
+    }
+    withTotal.agg(cutCols.head, cutCols.tail: _*)
   }
 
   /** Quality-tier assignment — the curriculum/quality-bucket stage
@@ -523,19 +538,10 @@ object TextStats {
     require(tiers >= 2 && tiers <= 1000, s"tiers must be in [2, 1000], got $tiers")
     val intDiv = graft.functions.VectorFunctions.intDiv _
     val q = docs.select(col(idCol), qualityBp(col(textCol), stopwords).as("quality_bp"))
-    val hist = q.groupBy("quality_bp").agg(count(lit(1)).as("__c"))
-    val cdf = hist.withColumn("__cum",
-      sum(col("__c")).over(org.apache.spark.sql.expressions.Window
-        .orderBy("quality_bp")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-    val withTotal = cdf.crossJoin(
-      broadcast(cdf.agg(max(col("__cum")).as("__total"))))
-    val cutCols = (1 until tiers).map { i =>
-      min(when(
-        col("__cum") >= intDiv(col("__total") * i + (tiers - 1), lit(tiers.toLong)),
-        col("quality_bp"))).as(s"__cut$i")
-    }
-    val cuts = withTotal.agg(cutCols.head, cutCols.tail: _*)
+    // ceil(i·n/tiers): cut_i = smallest score covering the i-th k-tile
+    val cuts = discreteCuts(q, "quality_bp", (1 until tiers).map { i =>
+      s"__cut$i" -> ((t: Column) => intDiv(t * i + (tiers - 1), lit(tiers.toLong)))
+    })
     q.crossJoin(broadcast(cuts))
       .select(col(idCol), col("quality_bp"),
         (1 until tiers).foldLeft(lit(0L)) { (acc, i) =>

@@ -141,8 +141,11 @@ object StreamOps {
                            tsCol: String = "ts", textCol: String = "text"): DataFrame = {
     require(!docs.columns.contains("content_hash"),
       "dedupAgainstSnapshot writes a 'content_hash' working column; input already has one — rename it first")
+    // no .distinct(): the anti join dedups inherently, and the static
+    // side re-resolves EVERY micro-batch — a distinct here would add a
+    // corpus-wide shuffle to each one (the r4 probe-side lesson)
     val priorH = corpus
-      .select(sha2(col(textCol), 256).as("content_hash")).distinct()
+      .select(sha2(col(textCol), 256).as("content_hash"))
     docs.withColumn("content_hash", sha2(col(textCol), 256))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("content_hash")
