@@ -337,6 +337,34 @@ object ScaleProbe {
         graft.llm.Audit.corpusDiff(prev, next)
           .agg(count(lit(1)), sum(length(col("status")))).head()
       }),
+      // quality tiers: two corpus scans + a score-domain histogram — the
+      // adaptive-gate family. Per-doc vocab size varies so the score
+      // distribution SPREADS (a point mass degenerates the tier fold,
+      // the CLAUDE.md percentile-fixture lesson)
+      ("quality_tiers", () => {
+        val varied = spark.range(n).select(col("id").as("doc_id"),
+          array_join(transform(sequence(lit(1), lit(40)),
+            i => concat(lit("w"), pmod(xxhash64(col("id"), i),
+              pmod(col("id"), lit(37)) + 2))), " ").as("text"))
+        graft.llm.TextStats.qualityTiers(varied, tiers = 4)
+          .agg(sum("tier"), sum("quality_bp")).head()
+      }),
+      // classifier threshold sweep: ONE scan, 2×|thresholds| conditional
+      // aggregates — should track scan_agg regardless of threshold count
+      ("classifier_sweep", () => graft.llm.Classifier.sweep(synthDocs(n),
+        graft.llm.Classifier.Weights(wTokens = 3, wDistinct = 5, bias = -60000),
+        thresholds = Seq(-100000L, 0L, 40000L, 80000L, 120000L))
+        .agg(sum("kept_docs"), sum("kept_tokens")).head()),
+      // weighted interleaving: per-source rank windows (8 strata) + the
+      // one global (cycle, source, slot) range sort + offset index —
+      // shuffle_shards' tail plus the window family's stratum rule
+      ("interleave", () => {
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat(lit("s"), pmod(xxhash64(col("id"), lit("il")), lit(8))).as("source"))
+        graft.llm.Packing.interleave(docs,
+            (0 until 8).map(i => s"s$i" -> (if (i == 0) 3 else 1)).toMap)
+          .agg(sum("interleave_pos"), count(lit(1))).head()
+      }),
       // gap-based sessionization (the batch form of stream_session): n*20
       // events over 1000 users, ~5k-second spread per user
       ("session_window", () => {

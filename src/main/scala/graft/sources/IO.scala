@@ -61,6 +61,31 @@ object Sinks {
   def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Training-shard writer — the durable endpoint of
+    * [[graft.llm.Packing.shuffleShards]] / [[graft.llm.Packing.interleave]]:
+    * one parquet directory per shard (`shard_id=K/`), rows WITHIN each
+    * shard file laid out in training order. `repartition(shardCol)`
+    * makes each shard land in exactly one task (one output file per
+    * shard — a training loader reads shard K sequentially, no
+    * small-file spray), `sortWithinPartitions(shardCol, orderCol)`
+    * fixes the in-file row order, and `partitionBy(shardCol)` makes the
+    * shard id a directory key so a loader's shard selection is
+    * partition-pruned, never scanned. Shard count and rows-per-shard
+    * come from the upstream layout operator — by construction each task
+    * writes `rowsPerShard` rows, so executor memory sizing is the
+    * layout's `rowsPerShard` choice, not this writer's concern. */
+  def trainingShards(df: DataFrame, path: String,
+                     shardCol: String = "shard_id",
+                     orderCol: String = "pos_in_shard",
+                     mode: String = "overwrite"): Unit = {
+    require(df.columns.contains(shardCol) && df.columns.contains(orderCol),
+      s"trainingShards needs the layout columns '$shardCol' and '$orderCol' — " +
+        "run Packing.shuffleShards/interleave first")
+    df.repartition(org.apache.spark.sql.functions.col(shardCol))
+      .sortWithinPartitions(shardCol, orderCol)
+      .write.mode(mode).partitionBy(shardCol).parquet(path)
+  }
+
   /** Bucketed managed table — the co-located-join primitive: two tables
     * bucketed by the same key into the same bucket count join with NO
     * exchange on either side (each bucket pairs positionally). At 100 TB

@@ -42,6 +42,28 @@ class IOSpec extends SparkSpec {
     Sources.text(spark, dir + "/f.txt").count() shouldBe 3
   }
 
+  test("trainingShards writes one ordered file per shard directory") {
+    val dir = tmp() + "/shards"
+    val laid = graft.llm.Packing.shuffleShards(
+      spark.range(100).toDF("doc_id"), rowsPerShard = 25L)
+    Sinks.trainingShards(laid, dir)
+    val root = new java.io.File(dir)
+    val shardDirs = root.list().filter(_.startsWith("shard_id=")).sorted
+    shardDirs shouldBe Array("shard_id=0", "shard_id=1", "shard_id=2", "shard_id=3")
+    // one data file per shard — a loader reads shard K sequentially
+    shardDirs.foreach { d =>
+      new java.io.File(root, d).list().count(_.endsWith(".parquet")) shouldBe 1
+    }
+    // in-file order IS training order: reading a single shard's file
+    // (no Spark sort) yields pos_in_shard 0..24 ascending
+    val one = spark.read.parquet(s"$dir/shard_id=0")
+    one.select("pos_in_shard").as[Long].collect().toSeq shouldBe (0L until 25L)
+    // round trip: the full layout survives with shard_id as a partition key
+    Sources.parquet(spark, dir).count() shouldBe 100
+    an[IllegalArgumentException] should be thrownBy
+      Sinks.trainingShards(spark.range(3).toDF("doc_id"), dir)
+  }
+
   test("noop sink executes the plan without output") {
     Sinks.noop(Seq(1, 2, 3).toDF("v"))   // must not throw
   }
