@@ -165,6 +165,25 @@ object Packing {
       .drop("__r", "__c", "__p", "__o")
   }
 
+  /** Shard layout from ANY global position column — the bridge between
+    * an ordering operator that emits a position ([[interleave]]'s
+    * `interleave_pos`, a stored layout) and the shard-addressed world of
+    * [[graft.sources.Sinks.trainingShards]]: `shard_id = pos div
+    * rowsPerShard`, `pos_in_shard = pos mod rowsPerShard` — one narrow
+    * projection. ([[shuffleShards]] fuses this arithmetic with its own
+    * index; use shardByPos when the position already exists.) */
+  def shardByPos(df: DataFrame, rowsPerShard: Long,
+                 posCol: String = "interleave_pos"): DataFrame = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    require(df.columns.contains(posCol),
+      s"shardByPos needs the position column '$posCol'")
+    require(!df.columns.exists(Seq("shard_id", "pos_in_shard").contains),
+      "shardByPos writes shard_id/pos_in_shard; input already has one — rename it first")
+    df.withColumn("shard_id", intDiv(col(posCol), lit(rowsPerShard)))
+      .withColumn("pos_in_shard",
+        col(posCol) - intDiv(col(posCol), lit(rowsPerShard)) * rowsPerShard)
+  }
+
   /** TRUE sequence packing — where [[packShards]] assigns whole documents
     * to the shard their start falls in, packSequences emits the training
     * rows themselves: within each stratum, documents concatenate in

@@ -181,7 +181,10 @@ object LlmQueries {
     // exact-Jaccard verify (xxhash64 signatures — not DuckDB-expressible,
     // so rows-only here; the behavioral gate is DedupSpec's planted
     // near-dup/exact-dup/fresh triple and the llm_dedup_near recall
-    // suite the banding machinery shares).
+    // suite the banding machinery shares). The operator's candidate
+    // checkpoint is NOT released here by design: its blocks are
+    // candidate-pair-sized (dozens of rows at this docCap), the
+    // bloomContamination retention tradeoff the scaladoc documents.
     Q.noOracle("llm_dedup_incremental_near") { (spark, sf) =>
       val docs = Tables.documents(spark, sf)
         .where(col("doc_id") < docCap).select("doc_id", "text")

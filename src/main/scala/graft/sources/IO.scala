@@ -62,27 +62,37 @@ object Sinks {
     df.write.format("noop").mode("overwrite").save()
 
   /** Training-shard writer — the durable endpoint of
-    * [[graft.llm.Packing.shuffleShards]] / [[graft.llm.Packing.interleave]]:
-    * one parquet directory per shard (`shard_id=K/`), rows WITHIN each
-    * shard file laid out in training order. `repartition(shardCol)`
-    * makes each shard land in exactly one task (one output file per
-    * shard — a training loader reads shard K sequentially, no
-    * small-file spray), `sortWithinPartitions(shardCol, orderCol)`
-    * fixes the in-file row order, and `partitionBy(shardCol)` makes the
-    * shard id a directory key so a loader's shard selection is
-    * partition-pruned, never scanned. Shard count and rows-per-shard
-    * come from the upstream layout operator — by construction each task
-    * writes `rowsPerShard` rows, so executor memory sizing is the
-    * layout's `rowsPerShard` choice, not this writer's concern. */
+    * [[graft.llm.Packing.shuffleShards]] (or [[graft.llm.Packing.interleave]]
+    * via [[graft.llm.Packing.shardByPos]], which derives the shard
+    * layout from `interleave_pos`): one parquet directory per shard
+    * (`shard_id=K/`), rows WITHIN each shard file laid out in training
+    * order. `repartition(shardCol)` hashes each shard wholly into one
+    * task (one output file per shard — a training loader reads shard K
+    * sequentially, no small-file spray), `sortWithinPartitions(shardCol,
+    * orderCol)` fixes the in-file row order, and `partitionBy(shardCol)`
+    * makes the shard id a directory key so a loader's shard selection is
+    * partition-pruned, never scanned.
+    *
+    * Sizing: hash repartitioning packs ~`numShards / numPartitions`
+    * shards per task, so a task buffers that many × rowsPerShard rows —
+    * pass `numPartitions` ≈ the shard count to keep it near one shard
+    * per task (the default uses the session's shuffle partitions, which
+    * under-splits when shards outnumber them); the one-file-per-shard
+    * guarantee is the dynamic-partition writer's and holds regardless. */
   def trainingShards(df: DataFrame, path: String,
                      shardCol: String = "shard_id",
                      orderCol: String = "pos_in_shard",
+                     numPartitions: Option[Int] = None,
                      mode: String = "overwrite"): Unit = {
     require(df.columns.contains(shardCol) && df.columns.contains(orderCol),
       s"trainingShards needs the layout columns '$shardCol' and '$orderCol' — " +
-        "run Packing.shuffleShards/interleave first")
-    df.repartition(org.apache.spark.sql.functions.col(shardCol))
-      .sortWithinPartitions(shardCol, orderCol)
+        "run Packing.shuffleShards (or interleave + Packing.shardByPos) first")
+    val c = org.apache.spark.sql.functions.col(shardCol)
+    val parted = numPartitions match {
+      case Some(n) => df.repartition(n, c)
+      case None => df.repartition(c)
+    }
+    parted.sortWithinPartitions(shardCol, orderCol)
       .write.mode(mode).partitionBy(shardCol).parquet(path)
   }
 

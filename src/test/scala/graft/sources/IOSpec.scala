@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{concat, lit, pmod}
 
 import java.nio.file.Files
 
@@ -62,6 +63,22 @@ class IOSpec extends SparkSpec {
     Sources.parquet(spark, dir).count() shouldBe 100
     an[IllegalArgumentException] should be thrownBy
       Sinks.trainingShards(spark.range(3).toDF("doc_id"), dir)
+  }
+
+  test("interleave output reaches trainingShards via shardByPos") {
+    val dir = tmp() + "/il_shards"
+    val docs = spark.range(60).select($"id".as("doc_id"),
+      concat(lit("s"), pmod($"id", lit(2))).as("source"))
+    val laid = graft.llm.Packing.shardByPos(
+      graft.llm.Packing.interleave(docs, Map("s0" -> 2, "s1" -> 1)),
+      rowsPerShard = 20L)
+    Sinks.trainingShards(laid, dir, numPartitions = Some(3))
+    val root = new java.io.File(dir)
+    root.list().count(_.startsWith("shard_id=")) shouldBe 3
+    // shard 0's file preserves the 2:1 interleave order on disk
+    spark.read.parquet(s"$dir/shard_id=0").orderBy("pos_in_shard")
+      .select("source").as[String].collect().take(6).toSeq shouldBe
+      Seq("s0", "s0", "s1", "s0", "s0", "s1")
   }
 
   test("noop sink executes the plan without output") {
