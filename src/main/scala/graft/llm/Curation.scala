@@ -201,4 +201,39 @@ object Curation {
       blockTokens, partitionCols = Seq(stratumCol), orderCol = idCol,
       textCol = textCol, tokens = tokens)
   }
+
+  /** TRAINING-ORDER assembly — the recipe stage after [[assemble]]'s
+    * content work: per-source token-budget sampling → deterministic
+    * split (keep one band) → weighted round-robin interleaving → shard
+    * layout. Where [[assemble]] answers "which tokens go in the
+    * corpus", trainOrder answers "in what order does the model see
+    * them" — and like assemble, every stage is integer/hash arithmetic,
+    * so the whole path from curated docs to `(shard_id, pos_in_shard)`
+    * is ONE oracle-gated plan (budget window, both lattices, the
+    * interleave windows and the global position all replay in SQL; any
+    * drift anywhere shifts the layout loudly).
+    * [[graft.sources.Sinks.trainingShards]] is its durable endpoint.
+    *
+    * Plan shape at 100 TB: the budget and interleave rank windows are
+    * per-source ([[Packing]]'s stratum sizing rule), the split is a
+    * narrow residue filter between them, and the only global operation
+    * is interleave's (cycle, source, slot) range sort + the two-pass
+    * offset index — [[Packing.shuffleShards]]'s tail. Sources not in
+    * `weights` are dropped (the unlisted-stratum discipline). */
+  def trainOrder(docs: DataFrame, budgetTokens: Long,
+                 splits: Seq[(String, Double)], keepSplit: String,
+                 weights: Map[String, Int], rowsPerShard: Long,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 sourceCol: String = "source"): DataFrame = {
+    require(splits.exists(_._1 == keepSplit),
+      s"keepSplit '$keepSplit' is not one of the split bands ${splits.map(_._1)}")
+    val budgeted = Sampling.tokenBudget(docs, budgetTokens,
+      partitionCols = Seq(sourceCol), idCol = idCol, textCol = textCol)
+    val kept = Sampling.split(budgeted, splits, idCol)
+      .where(col("split") === keepSplit).drop("split")
+    val ordered = Packing.interleave(
+      kept.select(col(idCol), col(sourceCol), col("n_tokens")),
+      weights, sourceCol, idCol)
+    Packing.shardByPos(ordered, rowsPerShard, "interleave_pos")
+  }
 }

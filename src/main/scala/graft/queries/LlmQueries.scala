@@ -1154,6 +1154,52 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // TRAINING-ORDER composite, fully oracle-gated: per-source token
+    // budget (600, binds at every scale) → split keep 'train' (0.9 band
+    // of the prime lattice, cut round(0.9·10007) = 9006) → 2:1:1
+    // interleave of src0-2 (others dropped) → 16-row shards. One DuckDB
+    // query replays the budget window, both lattices, the interleave
+    // windows and the global position — drift anywhere shifts the
+    // layout loudly.
+    Q("llm_train_order",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+        |    ((doc_id % 999999937) * 654435887) % 999999937 AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens, h,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        |  FROM t),
+        |b AS (SELECT doc_id, source, n_tokens, h FROM c WHERE strt < 600),
+        |s AS (SELECT * FROM b
+        |  WHERE ((doc_id % 10007) * 4871) % 10007 < 9006
+        |    AND source IN ('src0', 'src1', 'src2')),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1 AS r,
+        |    CASE source WHEN 'src0' THEN 2 ELSE 1 END AS w,
+        |    CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1 ELSE 2 END AS p
+        |  FROM s)
+        |SELECT doc_id, source, n_tokens, pos AS interleave_pos,
+        |  CAST(pos // 16 AS BIGINT) AS shard_id,
+        |  CAST(pos - (pos // 16) * 16 AS BIGINT) AS pos_in_shard
+        |FROM (SELECT doc_id, source, n_tokens,
+        |    row_number() OVER (ORDER BY r // w, p, r % w) - 1 AS pos
+        |  FROM r)
+        |ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        Curation.trainOrder(
+            Tables.documents(spark, sf).select("doc_id", "source", "text"),
+            budgetTokens = 600L,
+            splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+            keepSplit = "train",
+            weights = Map("src0" -> 2, "src1" -> 1, "src2" -> 1),
+            rowsPerShard = 16L)
+          .orderBy("doc_id")
+    },
+
     // Weighted round-robin interleaving: src0 at weight 2 against src1/
     // src2 at 1 — every 4-slot cycle reads src0, src0, src1, src2 until
     // a source exhausts; unlisted sources dropped. The oracle replays

@@ -107,6 +107,32 @@ class CurationSpec extends SparkSpec {
     mat.select("doc_id").as[Long].collect().toSet shouldBe plainIds
   }
 
+  test("trainOrder IS budget -> split -> interleave -> shards, in order") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 200L).map { i =>
+      (i, s"s${i % 4}", (0 to (i % 7).toInt).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val weights = Map("s0" -> 2, "s1" -> 1, "s2" -> 1)
+    val out = Curation.trainOrder(docs, budgetTokens = 60L,
+        splits, "train", weights, rowsPerShard = 8L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    // the same stages composed by hand, same order
+    val budgeted = Sampling.tokenBudget(docs, 60L)
+    val kept = Sampling.split(budgeted, splits).where(col("split") === "train")
+    val manual = Packing.shardByPos(
+        Packing.interleave(kept.select("doc_id", "source", "n_tokens"), weights),
+        8L, "interleave_pos")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    out shouldBe manual
+    // every stage must actually bind on this fixture
+    out.length should be < 200 // budget + split + unlisted-source drops
+    out.map(_._2).toSet shouldBe Set("s0", "s1", "s2") // s3 dropped
+    out.map(_._5).toSet.size should be > 1 // more than one shard
+  }
+
   test("assemble IS the five-stage composition, in order") {
     import org.apache.spark.sql.functions._
     // enough rows per lang that split/reweight keep something
