@@ -235,4 +235,50 @@ object Sampling {
       .where(latticeResidue(col(idCol)) < col("__rate"))
       .drop("__rate")
   }
+
+  /** [[scoreWeighted]]'s lattice: prime modulus 9973 with multiplier
+    * 7919 — coprime to [[mixture]]/[[reweight]]'s 10⁴, [[split]]'s
+    * 10007 and [[graft.llm.Packing.shuffleHash]]'s primes, so a row's
+    * score-sampling fate is jointly equidistributed (CRT) with every
+    * other recipe lattice and the operators compose in any order.
+    * Largest intermediate 9972·7919 < 2²⁷ — ANSI-safe at any id. */
+  val ScoreModulus = 9973L
+  private val scoreMultiplier = 7919L
+
+  /** Score-proportional (temperature) sampling — the classifier-weighted
+    * keep step of quality-filtered corpus assembly (the GPT-3/LLaMA
+    * "sample in proportion to the quality score" recipe, made
+    * deterministic): each row survives with probability
+    * `(score/10⁴)^temperature`, decided by its OWN id's lattice residue,
+    * never an RNG. Where [[mixture]]/[[reweight]] rate whole strata and
+    * a hard classifier gate rates every doc 0-or-1, this grades the
+    * keep-rate per document: temperature 1 is score-proportional,
+    * higher temperatures sharpen toward high-scoring docs (a doc at
+    * 0.5 quality survives at 0.5, 0.25, 0.125 for t = 1, 2, 3).
+    *
+    * `scoreBp` is any integer basis-point column (0..10⁴ — e.g.
+    * [[TextStats.qualityCol]] or a [[Classifier]] score); values are
+    * clamped to the range, so 10⁴ always keeps and ≤0 always drops.
+    * The keep rule compares integers exactly — `res·10^(4t) <
+    * M·score^t` — so it is retry-stable, upstream-filter-stable and
+    * replayable in ANSI SQL (oracle-gated); `temperature ≤ 3` keeps the
+    * largest intermediate (≲10¹⁶) inside Long for both engines. Per
+    * row the rule is monotone in score: raising a doc's score can only
+    * flip it drop→keep (spec-pinned).
+    *
+    * Scale shape: one narrow codegen'd filter over (id, score) — no
+    * shuffle, no state; when `scoreBp` is a stored column the predicate
+    * pushes into the scan. */
+  def scoreWeighted(df: DataFrame, scoreBp: Column, temperature: Int = 1,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(temperature >= 1 && temperature <= 3,
+      "temperature must be in 1..3 (the integer-exact Long range)")
+    val s = greatest(lit(0L), least(lit(10000L), scoreBp.cast("long")))
+    val res = pmod(
+      pmod(col(idCol).cast("long"), lit(ScoreModulus)) * scoreMultiplier,
+      lit(ScoreModulus))
+    val lhs = res * lit(Seq.fill(temperature)(10000L).product)
+    val rhs = Seq.fill(temperature)(s).reduce(_ * _) * lit(ScoreModulus)
+    df.where(lhs < rhs)
+  }
 }

@@ -682,6 +682,77 @@ object LlmQueries {
       graft.llm.Cleanup.stripMarkup(planted).orderBy("doc_id")
     },
 
+    // Per-domain boilerplate removal (C4 line-frequency / RefinedWeb
+    // host-level cleanup). The fixture has no domains or repeated
+    // paragraphs, so both are planted in-query on BOTH sides (the
+    // llm_redact discipline), with the distribution SPREAD so every rule
+    // edge discriminates (CLAUDE.md): 7 domains of 70 docs each, plus one
+    // single-doc domain carved out (doc 480, exercising the minDf floor —
+    // its paragraphs all have df=1 and must ALL survive). Planted
+    // paragraphs per doc, against ratioPct=40:
+    //   - 'mailing list'  on doc_id%2=0  → 50%/domain   → stripped;
+    //   - 'shared promo'  on %7=0 or %70=1 → 100% of d0 (stripped) but
+    //     10% of d1 (kept) — a global, domain-blind df would get one of
+    //     the two wrong;
+    //   - 'limited time'  on %5∈{0,1}   → EXACTLY 28/70 = 40% in d0–d6
+    //     (ties strip: a '>' where '≥' belongs flips every domain) —
+    //     except d4, which lost doc 480 to 'solo' → 27/69 = 39.1% (kept:
+    //     the same paragraph lands on both sides of the threshold in
+    //     different domains);
+    //   - 'occasional footnote' on %10=0 → 10% → kept everywhere.
+    Q("llm_domain_boilerplate",
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id = 480 THEN 'solo'
+        |         ELSE 'd' || CAST(doc_id % 7 AS VARCHAR) END AS domain,
+        |    concat_ws(chr(10)||chr(10),
+        |      substr(text, 1, 80),
+        |      CASE WHEN doc_id % 2 = 0 THEN 'join our mailing list for updates' END,
+        |      CASE WHEN doc_id % 7 = 0 OR doc_id % 70 = 1 THEN 'shared promo line' END,
+        |      CASE WHEN doc_id % 5 IN (0, 1) THEN 'limited time offer banner' END,
+        |      CASE WHEN doc_id % 10 = 0 THEN 'occasional footnote' END,
+        |      substr(text, 41, 80)) AS text
+        |  FROM documents WHERE doc_id < 490),
+        |parts AS (SELECT doc_id, domain, string_split(text, chr(10)||chr(10)) AS ps FROM planted),
+        |paras AS (
+        |  SELECT doc_id, domain, unnest(generate_series(1, len(ps))) AS idx, unnest(ps) AS para
+        |  FROM parts),
+        |stats AS (
+        |  SELECT domain, para, count(DISTINCT doc_id) AS df FROM paras GROUP BY 1, 2),
+        |dn AS (SELECT domain, count(*) AS nd FROM planted GROUP BY 1),
+        |chrome AS (
+        |  SELECT domain, para FROM stats JOIN dn USING (domain)
+        |  WHERE df >= 2 AND df * 100 >= nd * 40),
+        |surv AS (
+        |  SELECT p.doc_id, p.idx, p.para FROM paras p
+        |  WHERE NOT EXISTS (SELECT 1 FROM chrome c
+        |                    WHERE c.domain = p.domain AND c.para = p.para)),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text,
+        |         count(*) AS n_kept
+        |  FROM surv GROUP BY doc_id)
+        |SELECT d.doc_id, d.domain, coalesce(r.text, '') AS text,
+        |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM planted d LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        val planted = Tables.documents(spark, sf).where(col("doc_id") < 490)
+          .select(col("doc_id"),
+            when(col("doc_id") === 480, lit("solo"))
+              .otherwise(concat(lit("d"), (col("doc_id") % 7).cast("string")))
+              .as("domain"),
+            concat_ws("\n\n",
+              substring(col("text"), 1, 80),
+              when(col("doc_id") % 2 === 0, lit("join our mailing list for updates")),
+              when(col("doc_id") % 7 === 0 || col("doc_id") % 70 === 1,
+                lit("shared promo line")),
+              when(col("doc_id") % 5 === 0 || col("doc_id") % 5 === 1,
+                lit("limited time offer banner")),
+              when(col("doc_id") % 10 === 0, lit("occasional footnote")),
+              substring(col("text"), 41, 80)).as("text"))
+        graft.llm.Cleanup.domainBoilerplate(planted, ratioPct = 40)
+          .orderBy("doc_id")
+    },
+
     // Gopher-style quality gate with per-rule drop accounting: each rule
     // (language, token-count band, duplicate-bigram fraction) is its own
     // flag, aggregated per (lang, source) — the "why was data dropped"
@@ -1032,6 +1103,31 @@ object LlmQueries {
         Sampling.mixture(
             Tables.documents(spark, sf).select("doc_id", "source"),
             Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+          .orderBy("doc_id")
+    },
+
+    // Score-proportional (temperature) sampling at t=2: keep probability
+    // (score/10⁴)², decided by the 9973/7919 score lattice. The planted
+    // score (doc_id·37 mod 101)·100 SPREADS over {0,100,…,10000}
+    // (CLAUDE.md: a point-mass score puts every doc on one side of the
+    // keep rule and the gate stops discriminating), so the survivor set
+    // exercises the whole threshold range: score-0 docs must all drop,
+    // score-10000 docs must all survive. Intent (keep-rate ≈ (s/10⁴)^t,
+    // per-row monotonicity, lattice independence) is pinned by
+    // SamplingSpec — the SQL here replays the integer rule.
+    Q("llm_score_sample",
+      """WITH scored AS (
+        |  SELECT doc_id, source, ((doc_id * 37) % 101) * 100 AS score_bp
+        |  FROM documents)
+        |SELECT doc_id, source, score_bp FROM scored
+        |WHERE ((doc_id % 9973) * 7919 % 9973) * 100000000
+        |      < 9973 * score_bp * score_bp
+        |ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        val scored = Tables.documents(spark, sf)
+          .select(col("doc_id"), col("source"),
+            (col("doc_id") * 37 % 101 * 100).as("score_bp"))
+        Sampling.scoreWeighted(scored, col("score_bp"), temperature = 2)
           .orderBy("doc_id")
     },
 

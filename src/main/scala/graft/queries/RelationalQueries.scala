@@ -166,6 +166,30 @@ object RelationalQueries {
           .orderBy("event_id")
     },
 
+    // Salted skew join: the static fallback for keys so hot that even AQE's
+    // skew split leaves oversized partitions (SURVEY §4 policy). The Spark
+    // side runs the actual salting machinery — big side bucketed by a
+    // deterministic discriminator hash, small side replicated buckets× via
+    // explode — while the oracle is a PLAIN inner join, so a wrong bucket
+    // match (duplicated rows), a dropped bucket (missing rows) or a
+    // nondeterministic salt all hash-mismatch. Row-level output on unique
+    // (l_orderkey, l_linenumber) keeps the gate maximally discriminating.
+    Q("op_join_skew",
+      """SELECT l_orderkey, l_linenumber, l_suppkey, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (spark, sf) =>
+        val li = Tables.lineitem(spark, sf)
+          .select("l_orderkey", "l_linenumber", "l_suppkey")
+        val sup = Tables.supplier(spark, sf).select("s_suppkey", "s_name")
+        graft.relational.Skew.saltedJoin(
+            li, sup,
+            col("l_suppkey"), col("s_suppkey"),
+            struct(col("l_orderkey"), col("l_linenumber")), buckets = 8)
+          .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name")
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ----- §2.4 grouping & aggregation ---------------------------------
     // A1 kernel groupBy: typed groupByKey — the reference's (K, Iterable[A])
     // shape; group size keeps the oracle hash-stable (SURVEY §2.4 A1).

@@ -271,4 +271,73 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.reweight(docs, Map("s" -> 0.99996, "rare" -> 0.00004))
   }
+
+  // ----- scoreWeighted ------------------------------------------------
+
+  test("scoreWeighted realizes (score/10⁴)^t keep rates on uniform scores") {
+    val docs = spark.range(20000).select(col("id").as("doc_id"))
+    // constant score 5000 bp: t=1 keeps ~50%, t=2 ~25%, t=3 ~12.5%
+    val half = docs.withColumn("s", lit(5000))
+    Sampling.scoreWeighted(half, col("s"), temperature = 1).count().toDouble /
+      20000 shouldBe 0.5 +- 0.01
+    Sampling.scoreWeighted(half, col("s"), temperature = 2).count().toDouble /
+      20000 shouldBe 0.25 +- 0.01
+    Sampling.scoreWeighted(half, col("s"), temperature = 3).count().toDouble /
+      20000 shouldBe 0.125 +- 0.01
+  }
+
+  test("scoreWeighted endpoints: 10⁴ always keeps, ≤0 always drops, clamped") {
+    val docs = spark.range(5000).select(col("id").as("doc_id"))
+    Sampling.scoreWeighted(docs.withColumn("s", lit(10000)), col("s"))
+      .count() shouldBe 5000L
+    Sampling.scoreWeighted(docs.withColumn("s", lit(0)), col("s"))
+      .count() shouldBe 0L
+    // out-of-range scores clamp, not overflow or invert
+    Sampling.scoreWeighted(docs.withColumn("s", lit(99999)), col("s"))
+      .count() shouldBe 5000L
+    Sampling.scoreWeighted(docs.withColumn("s", lit(-7)), col("s"))
+      .count() shouldBe 0L
+  }
+
+  test("scoreWeighted is per-row monotone in score: raising a score never drops a kept row") {
+    val docs = spark.range(9973).select(col("id").as("doc_id"))
+    val lowKept = Sampling.scoreWeighted(
+      docs.withColumn("s", lit(3000)), col("s"), temperature = 2)
+      .select("doc_id").as[Long].collect().toSet
+    val highKept = Sampling.scoreWeighted(
+      docs.withColumn("s", lit(7000)), col("s"), temperature = 2)
+      .select("doc_id").as[Long].collect().toSet
+    lowKept.subsetOf(highKept) shouldBe true
+  }
+
+  test("scoreWeighted survivors keep split-band proportions (coprime lattices)") {
+    // the round-7 split/mixture correlation class: with a SHARED lattice,
+    // score survivors would pile into the first split band
+    val docs = spark.range(40000).select(col("id").as("doc_id"))
+      .withColumn("s", lit(5000))
+    val surv = Sampling.scoreWeighted(docs, col("s"), temperature = 1)
+    val bands = Sampling.split(surv, Seq("train" -> 0.8, "test" -> 0.2))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = bands.values.sum.toDouble
+    bands("train") / total shouldBe 0.8 +- 0.02
+    bands("test") / total shouldBe 0.2 +- 0.02
+  }
+
+  test("scoreWeighted stays a narrow filter — no join, no shuffle") {
+    val docs = spark.range(100).select(col("id").as("doc_id"))
+      .withColumn("s", lit(4000))
+    val plan = Sampling.scoreWeighted(docs, col("s"))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
+  test("scoreWeighted rejects temperatures outside the integer-exact range") {
+    val docs = spark.range(10).select(col("id").as("doc_id"))
+      .withColumn("s", lit(5000))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.scoreWeighted(docs, col("s"), temperature = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.scoreWeighted(docs, col("s"), temperature = 4)
+  }
 }
