@@ -365,6 +365,27 @@ object ScaleProbe {
             (0 until 8).map(i => s"s$i" -> (if (i == 0) 3 else 1)).toMap)
           .agg(sum("interleave_pos"), count(lit(1))).head()
       }),
+      // per-domain boilerplate removal: paragraph stats are fixed-width
+      // (domain, sha2, id) rows, chrome broadcast-anti-joins, text
+      // shuffles only for reassembly — ratio should track the explode +
+      // reassembly. Chrome is planted NON-EMPTY at both scales (60% of
+      // each domain's docs share the domain footer ≥ the 50% default
+      // ratio; the 10% 'rare' note stays under it) so the anti join
+      // genuinely drops ~half the paragraph volume — an empty chrome set
+      // would let AQE's empty-relation propagation erase the join being
+      // probed (the round-8 vacuity class)
+      ("domain_boilerplate", () => {
+        val dom = concat(lit("d"), pmod(xxhash64(col("doc_id"), lit("db")), lit(n / 100)))
+        val docs = synthDocs(n).select(col("doc_id"), dom.as("domain"),
+          concat_ws("\n\n",
+            col("text"),
+            when(pmod(xxhash64(col("doc_id"), lit("db2")), lit(5)) < 3,
+              concat(lit("footer for "), dom)),
+            when(pmod(xxhash64(col("doc_id"), lit("db3")), lit(10)) === 0,
+              concat(lit("rare note "), dom))).as("text"))
+        graft.llm.Cleanup.domainBoilerplate(docs)
+          .agg(sum("n_kept"), sum(length(col("text")))).head()
+      }),
       // gap-based sessionization (the batch form of stream_session): n*20
       // events over 1000 users, ~5k-second spread per user
       ("session_window", () => {

@@ -278,6 +278,28 @@ object Examples {
       s"${epoch2.agg(countDistinct(col("shard_id"))).head.getLong(0)} epoch-2 shards; " +
       s"$nearFresh delta docs near-fresh")
 
+    // 21. host-level cleanup and graded sampling: strip each domain's
+    // shared footer chrome (but keep the paragraph where it is rare),
+    // then keep docs in proportion to a quality score, sharper at t=2;
+    // and a salted join for the one key too hot for AQE's skew split
+    val hosted = docs.select(col("doc_id"),
+      concat(lit("host"), col("doc_id") % 3).as("domain"),
+      concat_ws("\n\n", col("text"),
+        when(col("doc_id") % 3 =!= 2, concat(lit("(c) host"), col("doc_id") % 3)))
+        .as("text"))
+    val dechromed = graft.llm.Cleanup.domainBoilerplate(hosted, ratioPct = 60)
+    val chromeFree = dechromed.where(!col("text").contains("(c) host")).count()
+    val graded = graft.llm.Sampling.scoreWeighted(
+      docs.select(col("doc_id"), (col("doc_id") % 101 * 100).as("q")),
+      col("q"), temperature = 2).count()
+    val salted = graft.relational.Skew.saltedJoin(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_suppkey"),
+      Tables.supplier(spark, sf).select("s_suppkey", "s_name"),
+      col("l_suppkey"), col("s_suppkey"),
+      struct(col("l_orderkey"), col("l_linenumber")), buckets = 4).count()
+    println(s"[21] chrome stripped: $chromeFree chrome-free docs; " +
+      s"$graded docs kept by score; $salted salted-join rows")
+
     spark.stop()
   }
 }
