@@ -236,4 +236,43 @@ object Curation {
       weights, sourceCol, idCol)
     Packing.shardByPos(ordered, rowsPerShard, "interleave_pos")
   }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * land in the SAME band, or the held-out sets silently contain
+    * near-copies of training documents and every eval on them is
+    * contaminated (the near-dup face of train/test leakage — doc-level
+    * [[Sampling.split]] cannot see it, because each member of a dup
+    * cluster hashes independently). Takes the near-dup pair list (from
+    * [[Dedup.minHashNearDups]]/[[Dedup.ngramJaccard]]/any pair source),
+    * closes it TRANSITIVELY ([[Components.connectedComponents]] — A~B,
+    * B~C puts A and C together even though (A,C) was never a pair), and
+    * assigns every document the band of its cluster's min-id
+    * representative; documents in no pair keep their own id as the
+    * group key, so on a pair-free corpus this IS [[Sampling.split]].
+    * Band proportions then hold over GROUPS rather than docs — the
+    * deviation is bounded by the dup-cluster mass, which is exactly the
+    * mass that had to move to make the split sound.
+    *
+    * Scale shape: the component iteration runs over PAIR PARTICIPANTS
+    * only (the dup graph — a small fraction of the corpus, the
+    * [[curateFull]] discipline); the label map joins back to the corpus
+    * as fixed-width (id, component) rows on the id the corpus already
+    * carries, and the band itself is [[Sampling.split]]'s narrow
+    * lattice projection. The corpus body never shuffles. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       fractions: Seq[(String, Double)],
+                       idCol: String = "doc_id",
+                       aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val participants = pairs.select(col(aCol).as(idCol))
+      .union(pairs.select(col(bCol).as(idCol)))
+      .distinct() // node set for the iteration, not a probe side
+    val comp = Components
+      .connectedComponents(participants, pairs, idCol, aCol, bCol)
+      .select(col(idCol).as("__cid"), col("component"))
+    val keyed = docs
+      .join(comp, docs(idCol) === col("__cid"), "left")
+      .withColumn("__g", coalesce(col("component"), col(idCol)))
+      .drop("__cid", "component")
+    Sampling.split(keyed, fractions, idCol = "__g").drop("__g")
+  }
 }

@@ -246,4 +246,55 @@ object Packing {
         array_join(col("__flat"), " ").as("block_text"),
         size(col("__flat")).cast("long").as("n_tokens")): _*)
   }
+
+  /** Padding-waste sweep — block-size calibration for the PAD-TO-BLOCK
+    * loading regime (one document per block, short blocks padded; the
+    * regime a loader uses when documents must not straddle blocks —
+    * contrast [[packSequences]], which concatenates and never pads).
+    * For each candidate context length C: a doc of `nt` tokens fills
+    * `ceil(nt/C)` blocks, wasting `ceil(nt/C)·C − nt` pad tokens; the
+    * sweep reports, per candidate, total blocks, real tokens, padded
+    * tokens and the waste fraction in round-half-up basis points — the
+    * "which context length wastes the least compute on this corpus"
+    * question answered in ONE corpus scan (the [[Classifier.sweep]]
+    * shape: conditional aggregates over one shared token-count
+    * projection, so every candidate is measured against the same
+    * corpus by construction; |candidates| changes the aggregate width,
+    * never the scan count). Zero-token docs occupy zero blocks.
+    *
+    * `tokenCount` overrides the metric (default [[TextStats.WsRun]]
+    * runs; pass [[TextStats.bpeTokenCount]] for subword-faithful
+    * budgets — the [[packShards]] contract). */
+  def paddingSweep(docs: DataFrame, blockCandidates: Seq[Long],
+                   textCol: String = "text",
+                   tokenCount: Option[Column] = None): DataFrame = {
+    require(blockCandidates.nonEmpty, "paddingSweep needs at least one candidate")
+    require(blockCandidates.forall(_ > 0), "block sizes must be positive")
+    require(blockCandidates.distinct.size == blockCandidates.size,
+      "duplicate candidates — each output row must be one block size")
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val nt = tokenCount
+      .getOrElse(size(split(col(textCol), TextStats.WsRun)).cast("long"))
+    val counted = docs.select(nt.as("__nt"))
+    val sorted = blockCandidates.sorted
+    val aggs = sorted.flatMap { c =>
+      val blocks = intDiv(col("__nt") + (c - 1), lit(c))
+      Seq(sum(blocks).as(s"__blocks_$c"),
+        sum(col("__nt")).as(s"__toks_$c"),
+        sum(blocks * c).as(s"__padded_$c"))
+    }
+    val wide = counted.agg(aggs.head, aggs.tail: _*)
+    val rows = sorted.map { c =>
+      val padded = coalesce(col(s"__padded_$c"), lit(0L))
+      val toks = coalesce(col(s"__toks_$c"), lit(0L))
+      struct(lit(c).as("block_tokens"),
+        coalesce(col(s"__blocks_$c"), lit(0L)).as("n_blocks"),
+        toks.as("total_tokens"),
+        padded.as("padded_tokens"),
+        when(padded > 0,
+            intDiv((padded - toks) * 20000L + padded, padded * 2L))
+          .otherwise(lit(0L)).as("waste_bp"))
+    }
+    wide.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
 }

@@ -987,6 +987,33 @@ object LlmQueries {
     // cutoff in ONE scan (conditional aggregates over one score
     // projection); same planted weights as llm_classifier, thresholds
     // straddling its 2800 so the sweep rows differ at every scale.
+    // Padding-waste sweep for the pad-to-block loading regime: per
+    // candidate context length, total blocks / real / padded tokens and
+    // the round-half-up waste fraction, all from ONE corpus scan. The
+    // candidates straddle the fixture's token-count band (~40–90), so
+    // short lengths split docs into multiple blocks and long lengths
+    // pad heavily — every candidate produces a DIFFERENT waste profile
+    // (a sweep whose candidates all land on one side of the corpus
+    // would not discriminate the ceil arithmetic).
+    Q("llm_padding_sweep",
+      """WITH c AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT CAST(t.c AS BIGINT) AS block_tokens,
+        |  CAST(sum((nt + t.c - 1) // t.c) AS BIGINT) AS n_blocks,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(((nt + t.c - 1) // t.c) * t.c) AS BIGINT) AS padded_tokens,
+        |  CAST(((sum(((nt + t.c - 1) // t.c) * t.c) - sum(nt)) * 20000
+        |          + sum(((nt + t.c - 1) // t.c) * t.c))
+        |        // (2 * sum(((nt + t.c - 1) // t.c) * t.c)) AS BIGINT) AS waste_bp
+        |FROM c CROSS JOIN (VALUES (32), (64), (128), (256)) AS t(c)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        graft.llm.Packing.paddingSweep(Tables.documents(spark, sf),
+            Seq(32L, 64L, 128L, 256L))
+          .orderBy("block_tokens")
+    },
+
     Q("llm_classifier_sweep",
       """WITH c AS (
         |  SELECT doc_id,
@@ -1128,6 +1155,44 @@ object LlmQueries {
           .select(col("doc_id"), col("source"),
             (col("doc_id") * 37 % 101 * 100).as("score_bp"))
         Sampling.scoreWeighted(scored, col("score_bp"), temperature = 2)
+          .orderBy("doc_id")
+    },
+
+    // Leakage-safe split: near-dup clusters land whole in one band. The
+    // pair list is planted (chains of length 4: (x, x+1) for x%6<3, so
+    // ids ≡ 4,5 mod 6 are NOT participants and must fall back to their
+    // own id — the coalesce path), the closure is transitive (the chain
+    // pairs never link 6k to 6k+3 directly), and the oracle recomputes
+    // components with a recursive CTE + the split lattice on the
+    // representative — so a split that hashed member ids instead of the
+    // rep, or a non-transitive closure, hash-mismatches.
+    Q("llm_split_safe",
+      """WITH RECURSIVE nodes AS (SELECT doc_id FROM documents),
+        |e AS (SELECT x.doc_id AS a, y.doc_id AS b FROM nodes x
+        |      JOIN nodes y ON y.doc_id = x.doc_id + 1 WHERE x.doc_id % 6 < 3),
+        |sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+        |parts AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, m) AS (
+        |  SELECT id, id FROM parts
+        |  UNION
+        |  SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.id),
+        |comp AS (SELECT id AS doc_id, min(m) AS component FROM reach GROUP BY id),
+        |g AS (SELECT d.doc_id, d.source, coalesce(c.component, d.doc_id) AS gk
+        |      FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, source,
+        |  CASE WHEN ((gk % 10007) * 4871) % 10007 < 8006 THEN 'train'
+        |       WHEN ((gk % 10007) * 4871) % 10007 < 9007 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM g ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        val ids = Tables.documents(spark, sf).select("doc_id")
+        val pairs = ids.as("x").join(ids.as("y"),
+            col("y.doc_id") === col("x.doc_id") + 1)
+          .where(col("x.doc_id") % 6 < 3)
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        graft.llm.Curation.leakageSafeSplit(
+            Tables.documents(spark, sf).select("doc_id", "source"), pairs,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
           .orderBy("doc_id")
     },
 

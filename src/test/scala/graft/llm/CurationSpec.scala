@@ -169,4 +169,55 @@ class CurationSpec extends SparkSpec {
     // every non-final block per stratum is exactly full
     a.groupBy(_._1).values.foreach(bs => bs.init.foreach(_._4 shouldBe 16L))
   }
+
+  // ----- leakageSafeSplit ---------------------------------------------
+  // Hand-computed lattice bands (cuts train<8006, val<9007 over the
+  // 10007/4871 lattice): res(1)=4871→train, res(2)=9742→test,
+  // res(10)=8682→val, res(11)=3546→train, res(12)=8417→val.
+
+  private val splitFracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("leakageSafeSplit keeps a near-dup pair in the rep's band, not each member's own") {
+    // ids 1 and 2 individually hash to DIFFERENT bands (train vs test);
+    // paired, both must take rep 1's band
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val out = Curation.leakageSafeSplit(docs, pairs, splitFracs)
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "train"
+    out(2L) shouldBe "train" // member-hashing would say "test"
+  }
+
+  test("leakageSafeSplit closes transitively: A~B, B~C land together without an (A,C) pair") {
+    val docs = Seq(10L, 11L, 12L).toDF("doc_id")
+    val pairs = Seq((10L, 11L), (11L, 12L)).toDF("a", "b")
+    val out = Curation.leakageSafeSplit(docs, pairs, splitFracs)
+      .as[(Long, String)].collect().toMap
+    // rep 10 → val; 11 alone would be train, 12 alone val
+    out.values.toSet shouldBe Set("val")
+  }
+
+  test("leakageSafeSplit unpaired docs keep their own band — equals Sampling.split") {
+    val docs = spark.range(500).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val safe = Curation.leakageSafeSplit(docs, pairs, splitFracs)
+      .as[(Long, String)].collect().toMap
+    val plain = Sampling.split(docs, splitFracs)
+      .as[(Long, String)].collect().toMap
+    safe shouldBe plain
+  }
+
+  test("leakageSafeSplit mixes paired and unpaired docs correctly in one corpus") {
+    val docs = Seq(1L, 2L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (10L, 11L), (11L, 12L)).toDF("a", "b")
+    val out = Curation.leakageSafeSplit(docs, pairs, splitFracs)
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "train"
+    out(2L) shouldBe "train"
+    out(10L) shouldBe "val"
+    out(11L) shouldBe "val"
+    out(12L) shouldBe "val"
+    // 20 is in no pair: res(20)=20*4871%10007=7357 → train, its own band
+    out(20L) shouldBe "train"
+  }
 }

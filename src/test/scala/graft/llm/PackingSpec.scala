@@ -206,4 +206,50 @@ class PackingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Packing.packSequences(docs, 4L)
   }
+
+  // ----- paddingSweep -------------------------------------------------
+
+  test("paddingSweep hand-computed blocks and round-half-up waste") {
+    // docs of exactly 5, 10, 17 whitespace tokens
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 17).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Packing.paddingSweep(docs, Seq(8L, 16L))
+      .orderBy("block_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // C=8: blocks 1+2+3=6, padded 48, real 32, waste 16/48 → 3333 bp
+    // C=16: blocks 1+1+2=4, padded 64, real 32, waste 32/64 → 5000 bp
+    out shouldBe Array(
+      (8L, 6L, 32L, 48L, 3333L),
+      (16L, 4L, 32L, 64L, 5000L))
+  }
+
+  test("paddingSweep zero-token docs occupy zero blocks (tokenCount override)") {
+    val docs = Seq((1L, "ignored", 0L), (2L, "ignored", 7L))
+      .toDF("doc_id", "text", "n")
+    val out = Packing.paddingSweep(docs, Seq(4L), tokenCount = Some(col("n")))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // only doc 2 contributes: ceil(7/4)=2 blocks, padded 8, waste 1/8 → 1250
+    out shouldBe Array((4L, 2L, 7L, 8L, 1250L))
+  }
+
+  test("paddingSweep one scan regardless of candidate count") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Packing.paddingSweep(docs, (1L to 12L).toSeq)
+      .queryExecution.executedPlan.toString
+    // conditional aggregates over one shared projection — no join of
+    // per-candidate subplans
+    plan should not include "Join"
+  }
+
+  test("paddingSweep rejects malformed candidate lists") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Packing.paddingSweep(docs, Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.paddingSweep(docs, Seq(0L))
+    an[IllegalArgumentException] should be thrownBy
+      Packing.paddingSweep(docs, Seq(8L, 8L))
+  }
 }
