@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-versioning audit ops (training-data pipeline mandate; no analog
@@ -38,5 +38,61 @@ object Audit {
           .when(col("__inn").isNull, "removed")
           .when(!(col("__ph") <=> col("__nh")), "changed")
           .otherwise("unchanged").as("status"))
+  }
+
+  /** Cross-source duplicate matrix — for every unordered source pair
+    * (a < b), how many DISTINCT contents appear in both: the "how much
+    * of source B is already in source A" question a mixture designer
+    * asks before weighting sources ([[graft.llm.Sampling.mixture]]
+    * rates over overlapping sources double-count unless dedup runs
+    * first — this measures by how much). Content identity is sha2-256
+    * over `textCol`, the [[Dedup.exact]] discipline.
+    *
+    * Scale shape: one shuffle, keyed on the 32-byte hash, with map-side
+    * partial `collect_set` (source cardinality is small by nature —
+    * tens, not millions — so per-hash sets are bounded); hashes seen in
+    * one source only are dropped before pair expansion, and the pair
+    * expansion itself is a per-row transform over those bounded sets.
+    * The text never shuffles; the matrix aggregation runs on
+    * |sources|² keys. */
+  def sourceOverlap(docs: DataFrame, textCol: String = "text",
+                    sourceCol: String = "source"): DataFrame = {
+    val sets = docs
+      .select(sha2(col(textCol), 256).as("__h"), col(sourceCol).as("__s"))
+      .groupBy("__h").agg(sort_array(collect_set(col("__s"))).as("__ss"))
+      .where(size(col("__ss")) > 1)
+    val pairs = sets.select(explode(expr(
+      "flatten(transform(__ss, (x, i) -> transform(" +
+        "slice(__ss, i + 2, size(__ss)), y -> struct(x AS a, y AS b))))"))
+      .as("__p"))
+    pairs.groupBy(col("__p.a").as("source_a"), col("__p.b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Per-source corpus datasheet — the summary table a dataset release
+    * publishes: document count, whitespace-token and character totals,
+    * token-length extremes, distinct-language count, and mean document
+    * length in round-half-up centitokens (integer arithmetic both
+    * sides, SURVEY §2.9-bis rule 2). One scan, map-side combined —
+    * |sources| output rows regardless of corpus size. `tokenCount`
+    * overrides the length metric (pass
+    * [[TextStats.bpeTokenCount]] for subword-faithful totals). */
+  def corpusReport(docs: DataFrame, textCol: String = "text",
+                   sourceCol: String = "source", langCol: String = "lang",
+                   tokenCount: Option[Column] = None): DataFrame = {
+    val nt = tokenCount
+      .getOrElse(size(split(col(textCol), TextStats.WsRun)).cast("long"))
+    val cnt = count(lit(1))
+    docs.select(col(sourceCol), nt.as("__nt"),
+        length(col(textCol)).cast("long").as("__nc"), col(langCol))
+      .groupBy(sourceCol)
+      .agg(cnt.as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        sum(col("__nc")).as("total_chars"),
+        min(col("__nt")).as("min_tokens"),
+        max(col("__nt")).as("max_tokens"),
+        countDistinct(col(langCol)).as("n_langs"),
+        graft.functions.VectorFunctions.intDiv(
+          sum(col("__nt")) * 200L + cnt, cnt * 2L).as("mean_tokens_centi"))
   }
 }

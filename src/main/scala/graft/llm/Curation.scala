@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The composite the individual LLM operators exist for: a training-data
@@ -274,5 +274,48 @@ object Curation {
       .withColumn("__g", coalesce(col("component"), col(idCol)))
       .drop("__cid", "component")
     Sampling.split(keyed, fractions, idCol = "__g").drop("__g")
+  }
+
+  /** Quality-aware dedup winner election: within each transitive
+    * duplicate cluster keep the member with the HIGHEST `scoreCol`
+    * (ties to the smallest id), drop the rest. [[Dedup.exact]] and
+    * [[Components.dupClusters]] elect the min-id member — correct for
+    * byte-identical copies, but for NEAR-duplicates the members differ
+    * (one is the cleanly-extracted page, one the ad-ridden mirror) and
+    * min-id keeps whichever was crawled first. This operator keeps the
+    * best copy instead — the retention policy a curated corpus wants.
+    *
+    * `pairs` is any verified near-dup pair list; the closure is
+    * transitive ([[leakageSafeSplit]]'s discipline — A~B, B~C elects
+    * ONE winner among {A,B,C}). `scoreCol` is evaluated over `docs`
+    * (pass [[TextStats.qualityBp]]`(col("text"))` or a stored column).
+    * Pairs whose endpoints are missing from `docs` elect among the
+    * present members only; clusters wholly absent are a no-op.
+    *
+    * Scale shape: the component iteration and the argmax election run
+    * over PAIR PARTICIPANTS only; the corpus pays one narrow score
+    * projection on that participant subset plus the final anti join
+    * against the loser set — dup-mass-sized, usually broadcastable.
+    * The corpus text itself never shuffles. */
+  def qualityDedup(docs: DataFrame, pairs: DataFrame, scoreCol: Column,
+                   idCol: String = "doc_id",
+                   aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val participants = pairs.select(col(aCol).as(idCol))
+      .union(pairs.select(col(bCol).as(idCol)))
+      .distinct() // node set for the iteration, not a probe side
+    val comp = Components
+      .connectedComponents(participants, pairs, idCol, aCol, bCol)
+      .select(col(idCol).as("__pid"), col("component").as("__comp"))
+    val scored = comp.join(
+      docs.select(col(idCol).as("__pid"), scoreCol.as("__score")), Seq("__pid"))
+    // min(struct(-score, id)) = highest score, ties to the smallest id
+    val winners = scored.groupBy("__comp")
+      .agg(min(struct((-col("__score")).as("__ns"), col("__pid").as("__wid")))
+        .as("__w"))
+      .select(col("__comp"), col("__w.__wid").as("__winner"))
+    val losers = scored.join(winners, Seq("__comp"))
+      .where(col("__pid") =!= col("__winner"))
+      .select(col("__pid").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -547,6 +547,38 @@ object Dedup {
     contaminationRatio(docs, matched, k, idCol, textCol)
   }
 
+  /** Eval-integrity report — the TRANSPOSE of [[contamination]]: for
+    * each BENCHMARK document, the fraction of its distinct word
+    * k-shingles that appear anywhere in the training corpus. Same
+    * output contract (id, matched, total, contamination), but the ids
+    * are benchmark ids — the direction an eval-set release review is
+    * written in ("which of OUR prompts does the corpus already
+    * contain"), where [[contamination]] answers the corpus-curation
+    * direction ("which corpus docs must be dropped").
+    *
+    * Scale shape: the benchmark shingle set is small by contract and
+    * BROADCASTS into an in-scan semi join that discards every
+    * non-matching corpus shingle inside codegen — the corpus is
+    * scanned once and never shuffles; the only exchange is the
+    * distinct over MATCHED corpus shingles, whose cardinality is
+    * bounded by the benchmark shingle set itself (map-side partial
+    * distinct caps each task's emit at that bound). The per-benchmark
+    * aggregation then runs entirely on benchmark-sized frames. */
+  def contaminationReport(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.WordShingles
+    val benchSh = benchmark.select(col(idCol),
+      explode(array_distinct(WordShingles(col(textCol), k))).as("shingle"))
+    val benchSet = benchSh.select("shingle").distinct()
+    val hit = docs
+      .select(explode(array_distinct(WordShingles(col(textCol), k))).as("shingle"))
+      .join(broadcast(benchSet), Seq("shingle"), "left_semi")
+      .distinct()
+    val matched = benchSh.join(hit, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("matched"))
+    contaminationRatio(benchmark, matched, k, idCol, textCol)
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold, LSH-bucketed.
     *
     * Candidate generation is banded sign-random-projection LSH — the

@@ -170,6 +170,51 @@ object LlmQueries {
         Audit.corpusDiff(docs, next).orderBy("doc_id")
     },
 
+    // Cross-source duplicate matrix. The fixture corpus has no natural
+    // cross-source exact dups, so content is PLANTED in-query on both
+    // sides (the oracle-planting rule): text := doc_id % 23 — every
+    // residue class spans many sources at every scale (sf0.001's ids
+    // 0–49 still collide mod 23), so the matrix is dense and a pair
+    // expansion that emitted ordered pairs twice, dropped the a<b
+    // dedup, or counted docs instead of distinct contents all
+    // hash-mismatch.
+    Q("llm_source_overlap",
+      """WITH d AS (
+        |  SELECT source, CAST(doc_id % 23 AS VARCHAR) AS text FROM documents),
+        |hs AS (SELECT DISTINCT sha256(text) AS h, source FROM d)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*) AS n_shared
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (spark, sf) =>
+        Audit.sourceOverlap(Tables.documents(spark, sf)
+            .select(col("source"),
+              pmod(col("doc_id"), lit(23)).cast("string").as("text")))
+          .orderBy("source_a", "source_b")
+    },
+
+    // Per-source datasheet: one scan, |sources| rows, integer mean in
+    // round-half-up centitokens. Non-trivial at every scale (the fixture
+    // always has >1 source and variable-length texts), and the lang
+    // column gives countDistinct a real target.
+    Q("llm_corpus_report",
+      """WITH d AS (
+        |  SELECT source, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS total_chars,
+        |  min(nt) AS min_tokens, max(nt) AS max_tokens,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST((sum(nt) * 200 + count(*)) // (2 * count(*)) AS BIGINT)
+        |    AS mean_tokens_centi
+        |FROM d GROUP BY source ORDER BY source""".stripMargin) {
+      (spark, sf) =>
+        Audit.corpusReport(Tables.documents(spark, sf)).orderBy("source")
+    },
+
     Q.noOracle("llm_dedup_near") { (spark, sf) =>
       Dedup.minHashNearDups(
           Tables.documents(spark, sf).where(col("doc_id") < docCap),
@@ -355,6 +400,48 @@ object LlmQueries {
           .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
         graft.llm.Components.connectedComponents(
             ids, e1.union(e2), idCol = "doc_id")
+          .orderBy("doc_id")
+    },
+
+    // Quality-aware dedup winner: within each planted chain cluster
+    // ({6k..6k+3}, the llm_split_safe lattice) keep the member with the
+    // highest planted score ((id%101)*37%101 — consecutive ids never
+    // tie, and the max lands on a DIFFERENT chain position per cluster,
+    // so a min-id election, a min-score election, or a non-transitive
+    // closure each drop different ids and hash-mismatch; the tiebreak
+    // path is spec-pinned instead, since the lattice never ties).
+    Q("llm_quality_dedup",
+      """WITH RECURSIVE nodes AS (SELECT doc_id FROM documents),
+        |e AS (SELECT x.doc_id AS a, y.doc_id AS b FROM nodes x
+        |      JOIN nodes y ON y.doc_id = x.doc_id + 1 WHERE x.doc_id % 6 < 3),
+        |sym AS (SELECT a AS src, b AS dst FROM e UNION SELECT b, a FROM e),
+        |parts AS (SELECT DISTINCT src AS id FROM sym),
+        |reach(id, m) AS (
+        |  SELECT id, id FROM parts
+        |  UNION
+        |  SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.id),
+        |comp AS (SELECT id AS doc_id, min(m) AS component FROM reach GROUP BY id),
+        |scored AS (SELECT c.doc_id, c.component,
+        |           ((c.doc_id % 101) * 37) % 101 AS score FROM comp c),
+        |r AS (SELECT doc_id, row_number() OVER
+        |        (PARTITION BY component ORDER BY score DESC, doc_id) AS rn
+        |      FROM scored),
+        |losers AS (SELECT doc_id FROM r WHERE rn > 1)
+        |SELECT d.doc_id, d.source,
+        |  CAST(((d.doc_id % 101) * 37) % 101 AS BIGINT) AS score
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY d.doc_id""".stripMargin) {
+      (spark, sf) =>
+        val docs = Tables.documents(spark, sf).select("doc_id", "source")
+          .withColumn("score",
+            pmod(pmod(col("doc_id"), lit(101)) * 37, lit(101)))
+        val ids = Tables.documents(spark, sf).select("doc_id")
+        val pairs = ids.as("x").join(ids.as("y"),
+            col("y.doc_id") === col("x.doc_id") + 1)
+          .where(col("x.doc_id") % 6 < 3)
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        graft.llm.Curation.qualityDedup(docs, pairs, col("score"))
           .orderBy("doc_id")
     },
 
@@ -811,6 +898,45 @@ object LlmQueries {
           prefix.where(col("doc_id") < 500),
           prefix.where(col("doc_id") % 50 === 0), k = 2)
         .orderBy("doc_id")
+    },
+
+    // Eval-integrity transpose: per BENCHMARK doc, the fraction of its
+    // shingles found anywhere in the corpus. The benchmark is PLANTED
+    // in-query as a mix — its first five words copy a real corpus doc
+    // (those shingles must match), its tail is doc-unique junk (those
+    // must not) — so every report row is strictly between 0 and 1: a
+    // report that compared the benchmark against itself (vacuous 1.0),
+    // or dropped the corpus side (0.0), hash-mismatches at every scale.
+    Q("llm_contamination_report",
+      """WITH bench AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:5], ' ')
+        |      || ' zzq' || doc_id || 'a zzq' || doc_id || 'b' AS text
+        |  FROM documents WHERE doc_id % 50 = 7),
+        |ct AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |csh AS (SELECT DISTINCT unnest(list_transform(
+        |    range(1, greatest(len(t) - 1, 1) + 1),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS shingle FROM ct),
+        |bt AS (SELECT doc_id, string_split(text, ' ') AS t FROM bench),
+        |bsh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1) + 1),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS s FROM bt),
+        |du AS (SELECT doc_id, unnest(s) AS shingle FROM bsh),
+        |m AS (SELECT doc_id, count(*) AS matched FROM du
+        |      WHERE shingle IN (SELECT shingle FROM csh) GROUP BY doc_id),
+        |t AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS total FROM bsh)
+        |SELECT t.doc_id, COALESCE(m.matched, 0) AS matched, t.total,
+        |  ((20000 * COALESCE(m.matched, 0) + t.total) // (2 * t.total)) / 10000.0
+        |    AS contamination
+        |FROM t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id""".stripMargin) {
+      (spark, sf) =>
+        val docs = Tables.documents(spark, sf)
+        val bench = docs.where(pmod(col("doc_id"), lit(50)) === 7)
+          .select(col("doc_id"), concat_ws(" ",
+            concat_ws(" ", slice(split(col("text"), " "), 1, 5)),
+            concat(lit("zzq"), col("doc_id"), lit("a")),
+            concat(lit("zzq"), col("doc_id"), lit("b"))).as("text"))
+        Dedup.contaminationReport(docs, bench, k = 2).orderBy("doc_id")
     },
 
     Q.noOracle("llm_dedup_embed") { (spark, sf) =>

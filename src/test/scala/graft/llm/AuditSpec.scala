@@ -53,4 +53,70 @@ class AuditSpec extends SparkSpec {
     // every status class must be represented for the fixture to mean anything
     a.map(_._2).toSet shouldBe Set("added", "removed", "changed", "unchanged")
   }
+
+  // ----- sourceOverlap ------------------------------------------------
+
+  test("sourceOverlap counts distinct shared contents once per unordered source pair") {
+    val docs = Seq(
+      ("s1", "alpha"), ("s2", "alpha"), // shared content → (s1,s2)
+      ("s1", "alpha"), // same content AGAIN in s1 — must not double-count
+      ("s1", "beta"), ("s2", "beta"), ("s3", "beta"), // 3 sources → 3 pairs
+      ("s1", "gamma")) // single-source content → no pair at all
+      .toDF("source", "text")
+    val out = Audit.sourceOverlap(docs).orderBy("source_a", "source_b")
+      .select("source_a", "source_b", "n_shared")
+      .as[(String, String, Long)].collect()
+    out shouldBe Array(
+      ("s1", "s2", 2L), // alpha and beta
+      ("s1", "s3", 1L), // beta
+      ("s2", "s3", 1L))
+  }
+
+  test("sourceOverlap is invariant under input partitioning") {
+    val docs = spark.range(200).select(
+      concat(lit("s"), pmod(col("id"), lit(5))).as("source"),
+      concat(lit("c"), pmod(col("id"), lit(13))).as("text"))
+    val a = Audit.sourceOverlap(docs).orderBy("source_a", "source_b")
+      .as[(String, String, Long)].collect()
+    val b = Audit.sourceOverlap(docs.repartition(7))
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long)].collect()
+    b shouldBe a
+    a should not be empty // 13 contents × 5 sources: dense by construction
+  }
+
+  // ----- corpusReport -------------------------------------------------
+
+  test("corpusReport hand-computed per-source datasheet") {
+    val docs = Seq(
+      ("s1", "en", "a b c"), // 3 tokens, 5 chars
+      ("s1", "de", "d e"), // 2 tokens, 3 chars
+      ("s2", "en", "f")) // 1 token, 1 char
+      .toDF("source", "lang", "text")
+    val out = Audit.corpusReport(docs).orderBy("source")
+      .select("source", "n_docs", "total_tokens", "total_chars",
+        "min_tokens", "max_tokens", "n_langs", "mean_tokens_centi")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    // s1 mean = 2.5 tokens → 250 centitokens exactly
+    out shouldBe Array(
+      ("s1", 2L, 5L, 8L, 2L, 3L, 2L, 250L),
+      ("s2", 1L, 1L, 1L, 1L, 1L, 1L, 100L))
+  }
+
+  test("corpusReport mean is round-half-up, not truncation") {
+    // 1 + 2 + 2 = 5 tokens over 3 docs = 1.666… → 167 centi, not 166
+    val docs = Seq(("s", "en", "a"), ("s", "en", "b c"), ("s", "en", "d e"))
+      .toDF("source", "lang", "text")
+    Audit.corpusReport(docs).select("mean_tokens_centi")
+      .as[Long].head() shouldBe 167L
+  }
+
+  test("corpusReport token override drives every token statistic") {
+    val docs = Seq(("s1", "en", "ignored text", 10L), ("s1", "en", "x", 20L))
+      .toDF("source", "lang", "text", "n")
+    val out = Audit.corpusReport(docs, tokenCount = Some(col("n")))
+      .select("total_tokens", "min_tokens", "max_tokens", "mean_tokens_centi")
+      .as[(Long, Long, Long, Long)].head()
+    out shouldBe ((30L, 10L, 20L, 1500L))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 /** curateFull: every stage of the composite pipeline must fire on its
   * planted victim — exact dup, near dup, quality gate, language gate,
@@ -219,5 +220,49 @@ class CurationSpec extends SparkSpec {
     out(12L) shouldBe "val"
     // 20 is in no pair: res(20)=20*4871%10007=7357 → train, its own band
     out(20L) shouldBe "train"
+  }
+
+  // ----- qualityDedup -------------------------------------------------
+
+  test("qualityDedup keeps the highest-scoring member of each transitive cluster") {
+    // {1,2,3} is one cluster only via transitivity (no (1,3) pair);
+    // 2 has the top score; 9 is unpaired and must survive untouched
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 20L), (9L, 5L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = Curation.qualityDedup(docs, pairs, col("score"))
+      .select("doc_id").as[Long].collect().sorted
+    out shouldBe Array(2L, 9L) // min-id election would keep 1 instead
+  }
+
+  test("qualityDedup ties go to the smallest id") {
+    val docs = Seq((5L, 7L), (6L, 7L)).toDF("doc_id", "score")
+    val pairs = Seq((5L, 6L)).toDF("a", "b")
+    Curation.qualityDedup(docs, pairs, col("score"))
+      .select("doc_id").as[Long].collect() shouldBe Array(5L)
+  }
+
+  test("qualityDedup elects among present members when a pair endpoint is missing") {
+    // id 1 is referenced by the pair list but absent from docs — the
+    // {1,2,3} cluster elects among {2,3}; a winner lookup that required
+    // every member would drop the whole cluster
+    val docs = Seq((2L, 1L), (3L, 9L)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    Curation.qualityDedup(docs, pairs, col("score"))
+      .select("doc_id").as[Long].collect() shouldBe Array(3L)
+  }
+
+  test("qualityDedup is invariant under input partitioning") {
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      pmod(col("id") * 7, lit(31)).as("score"))
+    val pairs = spark.range(299).select(col("id").as("a"), (col("id") + 1).as("b"))
+      .where(pmod(col("id"), lit(4)) < 2)
+    val a = Curation.qualityDedup(docs, pairs, col("score"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val b = Curation.qualityDedup(docs.repartition(7), pairs.repartition(3),
+        col("score"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    b shouldBe a
+    a.length should be < 300 // the fixture must actually drop losers
   }
 }

@@ -410,4 +410,34 @@ class DedupSpec extends SparkSpec {
     out(1) shouldBe ((1L, s"$short padding apple $short banana cherry", 10L))
     out(2) shouldBe ((2L, "a b", 2L))
   }
+
+  // ----- contaminationReport ------------------------------------------
+
+  test("contaminationReport scores each BENCHMARK doc against the whole corpus") {
+    // bench 100: every shingle from corpus doc 0 → 1.0; bench 101: one
+    // of four shingles in the corpus → 0.25; bench 102: disjoint → 0.0
+    val bench = Seq(
+      (100L, "the fast key order sort"),
+      (101L, "table scan zz1 zz2 zz3"),
+      (102L, "qq1 qq2 qq3"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(docs, bench, k = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "matched", "total", "contamination")
+      .as[(Long, Long, Long, Double)].collect()
+    out shouldBe Array(
+      (100L, 4L, 4L, 1.0),
+      (101L, 1L, 4L, 0.25),
+      (102L, 0L, 2L, 0.0))
+  }
+
+  test("contaminationReport matches against the corpus only, never benchmark-vs-benchmark") {
+    // 'xx yy'/'yy zz' appear in BOTH benchmark docs but nowhere in the
+    // corpus — a report that pooled benchmark shingles into the corpus
+    // side would read 1.0 here
+    val bench = Seq((200L, "xx yy zz"), (201L, "xx yy zz")).toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(docs, bench, k = 2)
+      .select("contamination").as[Double].collect()
+    out shouldBe Array(0.0, 0.0)
+  }
 }
