@@ -394,6 +394,58 @@ object ScaleProbe {
           timestamp_seconds(lit(1700000000L) +
             pmod(xxhash64(col("id")), lit(500000))).as("ts"))
         graft.streaming.StreamOps.sessions(evts, gap = "30 minutes").count()
+      }),
+      // leakage-safe split: the closure runs over ~2n·20/3 participants
+      // in length-4 chains (2 pointer-jump rounds), then the corpus pays
+      // one (id, component) left join + the narrow band projection —
+      // n*20 rows so the join work clears the closure's fixed
+      // per-round checkpoint cost at the 1× base
+      ("leakage_safe_split", () => {
+        val docs = spark.range(n * 20).toDF("doc_id")
+        val pairs = spark.range(n * 20 - 1)
+          .where(pmod(col("id"), lit(6)) < 3)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        graft.llm.Curation.leakageSafeSplit(docs, pairs,
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .agg(count(lit(1)), sum(length(col("split")))).head()
+      }),
+      // quality-aware winner election: same chain closure + the
+      // participant-subset argmax + the dup-mass anti join against the
+      // corpus — scores spread mod 31 so every cluster has one strict
+      // winner and the anti join genuinely drops ~half the participants
+      ("quality_dedup", () => {
+        val docs = spark.range(n * 20).select(col("id").as("doc_id"),
+          pmod(col("id") * 7, lit(31)).as("score"))
+        val pairs = spark.range(n * 20 - 1)
+          .where(pmod(col("id"), lit(6)) < 3)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        graft.llm.Curation.qualityDedup(docs, pairs, col("score"))
+          .agg(count(lit(1)), sum("score")).head()
+      }),
+      // eval-integrity report: the corpus side (scales, ×4 so the 1×
+      // base outweighs fixed costs) explodes its shingles through the
+      // broadcast benchmark-set semi filter; the benchmark (FIXED 200
+      // docs — half real corpus text, half junk, so matched is strictly
+      // between 0 and total at both scales) pays the bounded distinct.
+      // Ratio should track the corpus scan + explode
+      ("contamination_report", () => {
+        val bench = synthDocs(200).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+            .otherwise(concat(lit("jj"), col("doc_id"), lit(" jk"),
+              col("doc_id"), lit(" jl"), col("doc_id"))).as("text"))
+        graft.llm.Dedup.contaminationReport(synthDocs(n * 4), bench, k = 2)
+          .agg(sum("matched"), sum("total")).head()
+      }),
+      // cross-source duplicate matrix: ONE hash-keyed shuffle with
+      // map-side collect_set over 20 sources; contents repeat ~10× each
+      // (n*2 distinct contents over n*20 rows) so the matrix stays dense
+      // and the pair expansion runs on every hash at both scales
+      ("source_overlap", () => {
+        val docs = spark.range(n * 20).select(
+          concat(lit("s"), pmod(col("id"), lit(20))).as("source"),
+          concat(lit("c"), pmod(xxhash64(col("id")), lit(n * 2))).as("text"))
+        graft.llm.Audit.sourceOverlap(docs)
+          .agg(sum("n_shared"), count(lit(1))).head()
       }))
     val llmBase = 5000L
 
@@ -412,10 +464,14 @@ object ScaleProbe {
     // TWICE per shape as two separated passes, keeping the min: a single
     // contention spike in a one-shot measurement lands straight in the
     // printed ratio (the BENCH_r03 lesson; CLAUDE.md forbids single-shot)
+    // optional shape-name filter (args 3+): probe just the named shapes —
+    // iterating on one new operator must not pay the whole suite
+    val only = args.drop(2).toSet
     val all: Seq[(String, () => Any, () => Any)] =
-      shapes(base1x).zip(shapes(out)).map { case ((n, f1), (_, fN)) => (n, f1, fN) } ++
+      (shapes(base1x).zip(shapes(out)).map { case ((n, f1), (_, fN)) => (n, f1, fN) } ++
         llmShapes(llmBase).zip(llmShapes(llmBase * factor))
-          .map { case ((n, f1), (_, fN)) => (n, f1, fN) }
+          .map { case ((n, f1), (_, fN)) => (n, f1, fN) })
+        .filter { case (n, _, _) => only.isEmpty || only.contains(n) }
     all.foreach { case (_, f1, fN) => warmSafe(f1); warmSafe(fN) }
     def pass(): Seq[(Double, Double)] =
       all.map { case (_, f1, fN) => (timeSafe(f1), timeSafe(fN)) }
