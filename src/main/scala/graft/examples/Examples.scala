@@ -300,6 +300,34 @@ object Examples {
     println(s"[21] chrome stripped: $chromeFree chrome-free docs; " +
       s"$graded docs kept by score; $salted salted-join rows")
 
+    // 22. release hygiene: split so near-dup clusters can't straddle
+    // train/val, keep the best copy (not the first-crawled) of each
+    // cluster, report how contaminated an eval set already is, measure
+    // cross-source duplication before picking mixture weights, pick the
+    // least-wasteful context length, and publish the per-source datasheet
+    val chains = docs.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      .where(col("a") % 6 < 3)
+    val safeSplit = graft.llm.Curation.leakageSafeSplit(
+        docs.select("doc_id"), chains,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().orderBy("split")
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    val bestKept = graft.llm.Curation.qualityDedup(
+      docs.select(col("doc_id"), (col("doc_id") % 101).as("q")),
+      chains, col("q")).count()
+    val evalHoldout = docs.where(col("doc_id") % 25 === 3).limit(8)
+    val reported = Dedup.contaminationReport(docs, evalHoldout, k = 2)
+      .agg(max("contamination")).head.getDouble(0)
+    val overlap = graft.llm.Audit.sourceOverlap(
+      docs.select(col("source"), (col("doc_id") % 11).cast("string").as("text")))
+      .agg(coalesce(sum("n_shared"), lit(0L))).head.getLong(0)
+    val bestBlock = graft.llm.Packing.paddingSweep(docs, Seq(64L, 128L, 256L))
+      .orderBy("waste_bp").select("block_tokens").as[Long].head()
+    val datasheet = graft.llm.Audit.corpusReport(docs).count()
+    println(s"[22] safe split: $safeSplit; $bestKept best copies kept; " +
+      s"max eval contamination $reported; $overlap shared contents; " +
+      s"block $bestBlock wastes least; $datasheet datasheet rows")
+
     spark.stop()
   }
 }
