@@ -58,6 +58,7 @@ object Audit {
   def sourceOverlap(docs: DataFrame, textCol: String = "text",
                     sourceCol: String = "source"): DataFrame = {
     val sets = docs
+      .where(col(textCol).isNotNull) // null text is absence, not shared content
       .select(sha2(col(textCol), 256).as("__h"), col(sourceCol).as("__s"))
       .groupBy("__h").agg(sort_array(collect_set(col("__s"))).as("__ss"))
       .where(size(col("__ss")) > 1)

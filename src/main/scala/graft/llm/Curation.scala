@@ -263,6 +263,10 @@ object Curation {
                        fractions: Seq[(String, Double)],
                        idCol: String = "doc_id",
                        aCol: String = "a", bCol: String = "b"): DataFrame = {
+    Seq("__cid", "component", "__g").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"leakageSafeSplit reserves '$c' internally; rename the input column")
+    }
     val participants = pairs.select(col(aCol).as(idCol))
       .union(pairs.select(col(bCol).as(idCol)))
       .distinct() // node set for the iteration, not a probe side
@@ -290,7 +294,10 @@ object Curation {
     * ONE winner among {A,B,C}). `scoreCol` is evaluated over `docs`
     * (pass [[TextStats.qualityBp]]`(col("text"))` or a stored column).
     * Pairs whose endpoints are missing from `docs` elect among the
-    * present members only; clusters wholly absent are a no-op.
+    * present members only; clusters wholly absent are a no-op. A NULL
+    * score means unknown quality and LOSES to every scored member
+    * (spec-pinned); a cluster that is all-NULL falls back to the min-id
+    * election.
     *
     * Scale shape: the component iteration and the argmax election run
     * over PAIR PARTICIPANTS only; the corpus pays one narrow score
@@ -300,6 +307,8 @@ object Curation {
   def qualityDedup(docs: DataFrame, pairs: DataFrame, scoreCol: Column,
                    idCol: String = "doc_id",
                    aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(!docs.columns.exists(_.startsWith("__")),
+      "qualityDedup reserves '__'-prefixed names internally; rename the input columns")
     val participants = pairs.select(col(aCol).as(idCol))
       .union(pairs.select(col(bCol).as(idCol)))
       .distinct() // node set for the iteration, not a probe side
@@ -308,9 +317,14 @@ object Curation {
       .select(col(idCol).as("__pid"), col("component").as("__comp"))
     val scored = comp.join(
       docs.select(col(idCol).as("__pid"), scoreCol.as("__score")), Seq("__pid"))
-    // min(struct(-score, id)) = highest score, ties to the smallest id
+    // min(struct(null-marker, -score, id)) = highest score, ties to the
+    // smallest id; the marker makes NULL scores sort LAST (struct
+    // ordering is NULLS FIRST per field, which would otherwise hand a
+    // null-score member the win)
     val winners = scored.groupBy("__comp")
-      .agg(min(struct((-col("__score")).as("__ns"), col("__pid").as("__wid")))
+      .agg(min(struct(
+        when(col("__score").isNull, 1).otherwise(0).as("__nm"),
+        (-col("__score")).as("__ns"), col("__pid").as("__wid")))
         .as("__w"))
       .select(col("__comp"), col("__w.__wid").as("__winner"))
     val losers = scored.join(winners, Seq("__comp"))

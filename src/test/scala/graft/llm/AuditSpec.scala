@@ -72,6 +72,14 @@ class AuditSpec extends SparkSpec {
       ("s2", "s3", 1L))
   }
 
+  test("sourceOverlap treats null text as absence, not as shared content") {
+    // null-text rows in two sources must NOT read as a duplicate
+    val docs = Seq(("s1", null), ("s2", null), ("s1", "x"), ("s2", "x"))
+      .toDF("source", "text")
+    Audit.sourceOverlap(docs).as[(String, String, Long)].collect() shouldBe
+      Array(("s1", "s2", 1L))
+  }
+
   test("sourceOverlap is invariant under input partitioning") {
     val docs = spark.range(200).select(
       concat(lit("s"), pmod(col("id"), lit(5))).as("source"),

@@ -252,6 +252,26 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect() shouldBe Array(3L)
   }
 
+  test("qualityDedup: a NULL score loses the election; all-NULL falls back to min id") {
+    val docs = Seq((1L, Some(3L)), (2L, None), (5L, None), (6L, None))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    // {1,2}: scored 1 beats null 2 (NULLS-FIRST struct order would say 2);
+    // {5,6}: both null → min id 5
+    Curation.qualityDedup(docs, pairs, col("score"))
+      .select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 5L)
+  }
+
+  test("qualityDedup and leakageSafeSplit fail fast on reserved column collisions") {
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    an[IllegalArgumentException] should be thrownBy
+      Curation.qualityDedup(Seq((1L, 1L)).toDF("doc_id", "__score"),
+        pairs, lit(1L))
+    an[IllegalArgumentException] should be thrownBy
+      Curation.leakageSafeSplit(Seq((1L, "x")).toDF("doc_id", "component"),
+        pairs, Seq("train" -> 1.0))
+  }
+
   test("qualityDedup is invariant under input partitioning") {
     val docs = spark.range(300).select(col("id").as("doc_id"),
       pmod(col("id") * 7, lit(31)).as("score"))
