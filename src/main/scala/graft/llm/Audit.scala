@@ -70,6 +70,27 @@ object Audit {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Duplication profile — the multiplicity histogram a dedup audit
+    * publishes: for each copy-count k, how many DISTINCT contents occur
+    * exactly k times and how many documents that accounts for
+    * (`n_docs = k · n_contents`, emitted for direct reading). The
+    * "what fraction of the corpus is duplicate mass" number falls out
+    * as `1 − Σn_contents/Σn_docs`; a post-[[Dedup.exact]] corpus must
+    * profile to a single `dup_count = 1` row (idempotence check —
+    * cheaper than re-running dedup to find out). Null text is absence,
+    * the [[sourceOverlap]] rule.
+    *
+    * Scale shape: one hash-keyed shuffle with map-side combine (the
+    * [[Dedup.exact]] exchange), then a second aggregation over
+    * \|distinct copy-counts\| keys — dozens of rows, effectively free. */
+  def dupProfile(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .groupBy(sha2(col(textCol), 256).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("__c").agg(count(lit(1)).as("n_contents"))
+      .select(col("__c").as("dup_count"), col("n_contents"),
+        (col("__c") * col("n_contents")).as("n_docs"))
+
   /** Per-source corpus datasheet — the summary table a dataset release
     * publishes: document count, whitespace-token and character totals,
     * token-length extremes, distinct-language count, and mean document

@@ -247,6 +247,58 @@ object Packing {
         size(col("__flat")).cast("long").as("n_tokens")): _*)
   }
 
+  /** Loss-mask span metadata for [[packSequences]]' layout: one row per
+    * (block, document piece) — `span_start`/`span_len` locate each
+    * document's slice INSIDE its block, which is exactly what a trainer
+    * needs to reset attention (and mask loss) across document
+    * boundaries within a packed block. Emitting the spans beside the
+    * packed text (same `blockTokens`/`partitionCols`/`orderCol` →
+    * bit-identical layout, spec-pinned) keeps the packed rows narrow
+    * while the mask metadata stays exact.
+    *
+    * Plan shape: the [[packShards]] running-sum window, then the
+    * block-range explode — and NOTHING else: no token arrays are
+    * carried (only counts), no reassembly groupBy, no second exchange.
+    * The spans stream is fixed-width and strictly narrower than
+    * [[packSequences]]' — the cheapest member of the packing family.
+    * Zero-token documents occupy no span (filtered before the explode —
+    * a 0-length doc would otherwise walk the block sequence backwards).
+    * Same PRECONDITION: `orderCol` unique per stratum.
+    *
+    * `tokenCount` overrides the length metric (pass
+    * [[TextStats.bpeTokenCount]] for the subword-faithful layout —
+    * pair it with [[packSequences]]`(tokens = bpeTokens(...))`). */
+  def packSpans(docs: DataFrame, blockTokens: Long,
+                partitionCols: Seq[String] = Seq("source"),
+                orderCol: String = "doc_id",
+                textCol: String = "text",
+                tokenCount: Option[Column] = None): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    require(!docs.columns.exists(Seq("block_id", "span_start", "span_len").contains),
+      "packSpans writes block_id/span_start/span_len; input already has one — rename it first")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = lit(blockTokens)
+    val laid = docs
+      .withColumn("__nt", tokenCount
+        .getOrElse(size(split(col(textCol), TextStats.WsRun)).cast("long")))
+      .withColumn("__start", sum(col("__nt")).over(w) - col("__nt"))
+      .where(col("__nt") > 0)
+    val exploded = laid.select(
+      partitionCols.map(col) ++ Seq(
+        col(orderCol), col("__nt"), col("__start"),
+        explode(sequence(intDiv(col("__start"), b),
+          intDiv(col("__start") + col("__nt") - 1, b))).as("block_id")): _*)
+    val pieceFrom = greatest(col("block_id") * b, col("__start"))
+    val pieceLen = least((col("block_id") + 1) * b, col("__start") + col("__nt")) - pieceFrom
+    exploded.select(
+      partitionCols.map(col) ++ Seq(
+        col("block_id"), col(orderCol),
+        (pieceFrom - col("block_id") * b).as("span_start"),
+        pieceLen.as("span_len")): _*)
+  }
+
   /** Padding-waste sweep — block-size calibration for the PAD-TO-BLOCK
     * loading regime (one document per block, short blocks padded; the
     * regime a loader uses when documents must not straddle blocks —

@@ -193,6 +193,24 @@ object LlmQueries {
           .orderBy("source_a", "source_b")
     },
 
+    // Duplication-multiplicity histogram over the same planted mod-23
+    // content: at every scale the id range splits residues into two
+    // adjacent copy-counts (e.g. 500 docs → 17 residues × 22 copies +
+    // 6 × 21), so the profile always has ≥2 rows and a profiler that
+    // counted docs where it should count contents mismatches both.
+    Q("llm_dup_profile",
+      """WITH d AS (
+        |  SELECT CAST(doc_id % 23 AS VARCHAR) AS text FROM documents),
+        |h AS (SELECT sha256(text) AS hh, count(*) AS c FROM d GROUP BY 1)
+        |SELECT c AS dup_count, count(*) AS n_contents,
+        |  c * count(*) AS n_docs
+        |FROM h GROUP BY c ORDER BY dup_count""".stripMargin) {
+      (spark, sf) =>
+        Audit.dupProfile(Tables.documents(spark, sf)
+            .select(pmod(col("doc_id"), lit(23)).cast("string").as("text")))
+          .orderBy("dup_count")
+    },
+
     // Per-source datasheet: one scan, |sources| rows, integer mean in
     // round-half-up centitokens. Non-trivial at every scale (the fixture
     // always has >1 source and variable-length texts), and the lang
@@ -1643,6 +1661,38 @@ object LlmQueries {
             Tables.documents(spark, sf).select("doc_id", "source", "text"),
             blockTokens = 256L)
           .orderBy("source", "block_id")
+    },
+
+    // Loss-mask span metadata for the packed layout above — same window
+    // arithmetic, one row per (block, doc piece), no reassembly shuffle.
+    // Same 256-token blocks as llm_pack_sequences, so straddling docs
+    // produce multi-block span chains at every scale; the SpanSpec
+    // parity test pins the two layouts to each other bit-for-bit.
+    Q("llm_pack_spans",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |laid AS (
+        |  SELECT doc_id, source, nt,
+        |    CAST(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS BIGINT) AS strt
+        |  FROM t WHERE nt > 0),
+        |e AS (
+        |  SELECT source, doc_id, nt, strt,
+        |    unnest(generate_series(strt // 256, (strt + nt - 1) // 256)) AS block_id
+        |  FROM laid)
+        |SELECT source, CAST(block_id AS BIGINT) AS block_id, doc_id,
+        |  CAST(greatest(block_id * 256, strt) - block_id * 256 AS BIGINT)
+        |    AS span_start,
+        |  CAST(least((block_id + 1) * 256, strt + nt)
+        |    - greatest(block_id * 256, strt) AS BIGINT) AS span_len
+        |FROM e ORDER BY source, block_id, span_start""".stripMargin) {
+      (spark, sf) =>
+        Packing.packSpans(
+            Tables.documents(spark, sf).select("doc_id", "source", "text"),
+            blockTokens = 256L)
+          .orderBy("source", "block_id", "span_start")
     },
 
     // Perplexity-style LM quality filter (the CCNet/KenLM stage): the

@@ -93,6 +93,28 @@ class AuditSpec extends SparkSpec {
     a should not be empty // 13 contents × 5 sources: dense by construction
   }
 
+  // ----- dupProfile ---------------------------------------------------
+
+  test("dupProfile hand-computed multiplicity histogram") {
+    // contents: a×3, b×2, c×2, d×1 → (1,1,1), (2,2,4), (3,1,3)
+    val docs = Seq("a", "a", "a", "b", "b", "c", "c", "d").toDF("text")
+    val out = Audit.dupProfile(docs).orderBy("dup_count")
+      .select("dup_count", "n_contents", "n_docs")
+      .as[(Long, Long, Long)].collect()
+    out shouldBe Array((1L, 1L, 1L), (2L, 2L, 4L), (3L, 1L, 3L))
+  }
+
+  test("dupProfile: null text is absence; a deduped corpus profiles flat") {
+    val docs = Seq(Some("a"), Some("a"), None, Some("b")).toDF("text")
+    Audit.dupProfile(docs).orderBy("dup_count")
+      .as[(Long, Long, Long)].collect() shouldBe
+      Array((1L, 1L, 1L), (2L, 1L, 2L))
+    // post-exact-dedup idempotence: every content exactly once
+    val deduped = Seq("a", "b", "c").toDF("text")
+    Audit.dupProfile(deduped).as[(Long, Long, Long)].collect() shouldBe
+      Array((1L, 3L, 3L))
+  }
+
   // ----- corpusReport -------------------------------------------------
 
   test("corpusReport hand-computed per-source datasheet") {

@@ -207,6 +207,91 @@ class PackingSpec extends SparkSpec {
       Packing.packSequences(docs, 4L)
   }
 
+  // ----- packSpans ----------------------------------------------------
+
+  test("packSpans hand-computed span layout") {
+    // docs of 5, 10, 17 tokens in one stratum; 8-token blocks
+    val docs = Seq(
+      ("s", 1L, (1 to 5).map(i => s"w$i").mkString(" ")),
+      ("s", 2L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      ("s", 3L, (1 to 17).map(i => s"w$i").mkString(" ")))
+      .toDF("source", "doc_id", "text")
+    val out = Packing.packSpans(docs, 8L)
+      .orderBy("block_id", "span_start")
+      .select("source", "block_id", "doc_id", "span_start", "span_len")
+      .as[(String, Long, Long, Long, Long)].collect()
+    out shouldBe Array(
+      ("s", 0L, 1L, 0L, 5L), ("s", 0L, 2L, 5L, 3L),
+      ("s", 1L, 2L, 0L, 7L), ("s", 1L, 3L, 7L, 1L),
+      ("s", 2L, 3L, 0L, 8L), ("s", 3L, 3L, 0L, 8L))
+  }
+
+  test("packSpans partitions every packSequences block exactly") {
+    // spans and packed blocks from the SAME inputs must agree: per
+    // (stratum, block) the span lengths sum to the block's n_tokens,
+    // spans tile the block contiguously from 0, and every doc's spans
+    // sum to its token count
+    val docs = spark.range(80).select(
+      concat(lit("s"), pmod(col("id"), lit(3))).as("source"),
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(1), pmod(col("id") * 13, lit(29)) + 1),
+        i => concat(lit("t"), i)), " ").as("text"))
+    val blocks = Packing.packSequences(docs, 32L)
+      .select("source", "block_id", "n_tokens")
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val spans = Packing.packSpans(docs, 32L)
+      .select("source", "block_id", "doc_id", "span_start", "span_len")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byBlock = spans.groupBy(s => (s._1, s._2))
+    byBlock.keySet shouldBe blocks.keySet
+    byBlock.foreach { case (k, ss) =>
+      ss.map(_._5).sum shouldBe blocks(k)
+      val sorted = ss.sortBy(_._4)
+      sorted.head._4 shouldBe 0L
+      sorted.sliding(2).foreach {
+        case Array(a, b) => b._4 shouldBe (a._4 + a._5)
+        case _ => ()
+      }
+    }
+    val nt = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(split(col("text"), " "))
+        .cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    spans.groupBy(_._3).foreach { case (d, ss) =>
+      assert(ss.map(_._5).sum == nt(d))
+    }
+  }
+
+  test("packSpans zero-token docs occupy no span (tokenCount override)") {
+    val docs = Seq(("s", 1L, "x", 0L), ("s", 2L, "x", 5L))
+      .toDF("source", "doc_id", "text", "n")
+    val out = Packing.packSpans(docs, 8L, tokenCount = Some(col("n")))
+      .select("doc_id").as[Long].collect()
+    out shouldBe Array(2L)
+  }
+
+  test("packSpans layout is invariant under input partitioning") {
+    val docs = spark.range(60).select(lit("s").as("source"),
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(1), pmod(col("id"), lit(7)) + 1),
+        i => concat(lit("t"), i)), " ").as("text"))
+    val a = Packing.packSpans(docs, 16L)
+      .orderBy("block_id", "span_start")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val b = Packing.packSpans(docs.repartition(7), 16L)
+      .orderBy("block_id", "span_start")
+      .as[(String, Long, Long, Long, Long)].collect()
+    b shouldBe a
+  }
+
+  test("packSpans rejects bad block sizes and reserved columns") {
+    val docs = Seq(("s", 1L, "a b")).toDF("source", "doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Packing.packSpans(docs, 0L)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.packSpans(docs.withColumn("span_len", lit(1L)), 8L)
+  }
+
   // ----- paddingSweep -------------------------------------------------
 
   test("paddingSweep hand-computed blocks and round-half-up waste") {
