@@ -237,6 +237,35 @@ object Curation {
     Packing.shardByPos(ordered, rowsPerShard, "interleave_pos")
   }
 
+  /** CURRICULUM training order — the third oracle-gated composite:
+    * [[TextStats.qualityTiers]]' corpus-derived quality buckets become
+    * the training schedule (`bestFirst` feeds the model the cleanest
+    * tier first — curriculum learning's easy-to-hard schedule over data
+    * quality; flip it for anti-curriculum), documents WITHIN a tier run
+    * in [[Packing.shuffleHash]] order (a tier is a quality band, not an
+    * order — id order inside it would replay crawl sequence), and the
+    * whole order lands in [[Packing.shardByPos]]'s shard layout, ready
+    * for [[graft.sources.Sinks.trainingShards]]. Deterministic
+    * end-to-end: tier cuts are exact discrete percentiles, the in-tier
+    * order is the lattice permutation, so the layout replays in SQL and
+    * across retries/cluster sizes.
+    *
+    * Plan shape at 100 TB: qualityTiers' two narrow corpus scans + its
+    * histogram-sized cut window, then ONE global range-sort exchange on
+    * (tier, hash) + the two-pass offset index — [[Packing.shuffleShards]]'
+    * tail with the tier prepended to the sort key. The output carries
+    * (id, quality_bp, tier, layout) — fixed-width rows; join text back
+    * by id at write time if the sink needs it. */
+  def curriculumOrder(docs: DataFrame, tiers: Int, rowsPerShard: Long,
+                      bestFirst: Boolean = true,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tiered = TextStats.qualityTiers(docs, tiers, idCol = idCol, textCol = textCol)
+    val tierOrd = if (bestFirst) -col("tier") else col("tier")
+    val indexed = graft.core.Positional.zipWithIndex(tiered,
+      Seq(tierOrd, Packing.shuffleHash(col(idCol)), col(idCol)), "curriculum_pos")
+    Packing.shardByPos(indexed, rowsPerShard, "curriculum_pos")
+  }
+
   /** Leakage-safe train/val/test split: near-duplicate documents must
     * land in the SAME band, or the held-out sets silently contain
     * near-copies of training documents and every eval on them is

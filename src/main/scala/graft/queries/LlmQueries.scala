@@ -602,6 +602,58 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // Curriculum order: the tier CTE above + best-first global position
+    // (tier DESC, then the 999999937/654435887 shuffle lattice, then id)
+    // + the 64-row shard arithmetic — one oracle over the whole
+    // composite, so a tier drift, an id-ordered tier interior, or an
+    // off-by-one in the position all shift the layout loudly.
+    Q("llm_curriculum",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'fast', 'slow'], t))) AS BIGINT) AS ns,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    (((20000*nd+nt) // (2*nt)) * (10000 - ((20000*ns+nt) // (2*nt))) * 2
+        |      + 10000) // 20000 AS q_bp
+        |  FROM c),
+        |h AS (SELECT q_bp, count(*) AS cnt FROM q GROUP BY 1),
+        |cdf AS (
+        |  SELECT q_bp, sum(cnt) OVER (ORDER BY q_bp
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |t AS (SELECT max(cum) AS total FROM cdf),
+        |cuts AS (
+        |  SELECT
+        |    min(CASE WHEN cum >= (total * 1 + 3) // 4 THEN q_bp END) AS c1,
+        |    min(CASE WHEN cum >= (total * 2 + 3) // 4 THEN q_bp END) AS c2,
+        |    min(CASE WHEN cum >= (total * 3 + 3) // 4 THEN q_bp END) AS c3
+        |  FROM cdf, t),
+        |tiers AS (
+        |  SELECT q.doc_id, q.q_bp AS quality_bp,
+        |    CAST((CASE WHEN q.q_bp >= c1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN q.q_bp >= c2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN q.q_bp >= c3 THEN 1 ELSE 0 END) AS BIGINT) AS tier
+        |  FROM q, cuts),
+        |pos AS (
+        |  SELECT doc_id, quality_bp, tier,
+        |    CAST(row_number() OVER (ORDER BY tier DESC,
+        |      (doc_id % 999999937) * 654435887 % 999999937, doc_id) - 1
+        |      AS BIGINT) AS curriculum_pos
+        |  FROM tiers)
+        |SELECT doc_id, quality_bp, tier, curriculum_pos,
+        |  curriculum_pos // 64 AS shard_id,
+        |  curriculum_pos % 64 AS pos_in_shard
+        |FROM pos ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        graft.llm.Curation.curriculumOrder(
+            Tables.documents(spark, sf), tiers = 4, rowsPerShard = 64L)
+          .orderBy("doc_id")
+    },
+
     // Corpus-derived domain blocklist: URLs planted so one domain crowds
     // past the 400-doc cap at every scale (445-450 fetches), per-domain
     // mean quality (integer cross-multiplied, threshold 4400bp) splits

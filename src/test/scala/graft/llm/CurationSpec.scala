@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.{col, lit, pmod}
+import org.apache.spark.sql.functions.{col, concat, lit, pmod}
 
 /** curateFull: every stage of the composite pipeline must fire on its
   * planted victim — exact dup, near dup, quality gate, language gate,
@@ -220,6 +220,70 @@ class CurationSpec extends SparkSpec {
     out(12L) shouldBe "val"
     // 20 is in no pair: res(20)=20*4871%10007=7357 → train, its own band
     out(20L) shouldBe "train"
+  }
+
+  // ----- curriculumOrder ----------------------------------------------
+
+  test("curriculumOrder schedules whole tiers, best first, shuffled inside") {
+    // vocabulary-rich docs score high; repetitive docs score low with a
+    // SPREAD of scores (a point-mass low band would vault whole into the
+    // top tier under ties-land-high cuts — the CLAUDE.md percentile
+    // lesson, re-learned by this very spec's first draft)
+    val docs = (0L until 40L).map { i =>
+      val text = if (i % 2 == 0) s"alpha beta gamma delta epsilon z$i"
+      else ("the " * (2 + (i % 4)).toInt).trim + s" t$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = Curation.curriculumOrder(docs, tiers = 2, rowsPerShard = 8L)
+      .orderBy("curriculum_pos")
+      .select("doc_id", "tier", "curriculum_pos", "shard_id", "pos_in_shard")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // positions are a 0-based total order
+    out.map(_._3) shouldBe (0L until 40L).toArray
+    // every high-tier doc precedes every low-tier doc (bestFirst), and
+    // both tiers are populated
+    val tiersInOrder = out.map(_._2)
+    tiersInOrder.zip(tiersInOrder.tail).foreach { case (a, b) => a should be >= b }
+    tiersInOrder.toSet shouldBe Set(0L, 1L)
+    // every rich doc is in the top tier (the cut may promote some of the
+    // best repetitive docs too — that's the percentile's call)
+    val topIds = out.takeWhile(_._2 == 1L).map(_._1)
+    topIds.toSet should contain allElementsOf (0L until 40L).filter(_ % 2 == 0)
+    // within each tier the order is the shuffle lattice, not id order
+    def latticeOf(i: Long): Long = (i % 999999937L) * 654435887L % 999999937L
+    out.groupBy(_._2).values.foreach { tier =>
+      val ids = tier.sortBy(_._3).map(_._1)
+      ids shouldBe ids.sortBy(i => (latticeOf(i), i))
+    }
+    topIds should not be topIds.sorted
+    // shard arithmetic
+    out.foreach { case (_, _, p, s, ps) =>
+      s shouldBe p / 8L
+      ps shouldBe p % 8L
+    }
+  }
+
+  test("curriculumOrder bestFirst=false reverses the tier schedule only") {
+    val docs = (0L until 30L).map { i =>
+      (i, if (i % 3 == 0) s"alpha beta gamma delta e$i" else s"the the the t$i")
+    }.toDF("doc_id", "text")
+    val best = Curation.curriculumOrder(docs, 2, 8L, bestFirst = true)
+      .orderBy("curriculum_pos").select("doc_id").as[Long].collect()
+    val anti = Curation.curriculumOrder(docs, 2, 8L, bestFirst = false)
+      .orderBy("curriculum_pos").select("doc_id").as[Long].collect()
+    best should not be anti
+    best.toSet shouldBe anti.toSet
+  }
+
+  test("curriculumOrder is invariant under input partitioning") {
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("w"), pmod(col("id") * 17, lit(23)),
+        lit(" x"), pmod(col("id"), lit(7)), lit(" y z")).as("text"))
+    val a = Curation.curriculumOrder(docs, 4, 16L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long, Long)].collect()
+    val b = Curation.curriculumOrder(docs.repartition(7), 4, 16L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long, Long)].collect()
+    b shouldBe a
   }
 
   // ----- qualityDedup -------------------------------------------------
