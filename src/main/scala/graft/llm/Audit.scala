@@ -91,6 +91,31 @@ object Audit {
       .select(col("__c").as("dup_count"), col("n_contents"),
         (col("__c") * col("n_contents")).as("n_docs"))
 
+  /** Embedding-integrity report — the audit an ANN/semantic-dedup stage
+    * runs BEFORE trusting a vector column: per dimension-count, how many
+    * vectors there are, how many contain a NaN (poisons every cosine
+    * they touch), and how many are all-zero (norm 0 — undefined cosine,
+    * the [[Dedup.embeddingNearDups]] null-probe class). NULL vectors
+    * report as `dims = -1`. A healthy corpus reports ONE row: the model's
+    * dimension, n_nan = 0, n_zero = 0 — anything else names the broken
+    * slice and how big it is. All counts are integer-exact (no float
+    * aggregation), so the report is oracle-gated.
+    *
+    * Scale shape: one narrow scan with per-row lambda probes; the only
+    * exchange carries \|distinct dims\| keys. The HOF lambdas run
+    * interpreted (CLAUDE.md rule) — fine for an audit pass that runs
+    * once per release; kernel-ize if it ever sits in a hot loop. */
+  def embeddingReport(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb.select(
+        coalesce(size(col(vecCol)).cast("long"), lit(-1L)).as("dims"),
+        when(exists(col(vecCol), x => isnan(x)), 1L).otherwise(0L).as("__nan"),
+        when(col(vecCol).isNotNull &&
+          forall(col(vecCol), x => x === lit(0.0f)), 1L)
+          .otherwise(0L).as("__zero"))
+      .groupBy("dims")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("__nan").as("n_nan"), sum("__zero").as("n_zero"))
+
   /** Per-source corpus datasheet — the summary table a dataset release
     * publishes: document count, whitespace-token and character totals,
     * token-length extremes, distinct-language count, and mean document

@@ -193,6 +193,44 @@ object LlmQueries {
           .orderBy("source_a", "source_b")
     },
 
+    // Embedding-integrity audit: the fixture vectors are all clean, so
+    // every defect class is PLANTED in-query on both sides — %17
+    // residues become null / NaN-poisoned / truncated-to-16 / all-zero
+    // vectors — and the report must name each slice with exact counts
+    // (a NaN probe using x <> x would miss under Spark's NaN = NaN
+    // comparison semantics; an exists-based zero test would miscount
+    // the NaN rows).
+    Q("llm_embed_audit",
+      """WITH d AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 17 = 0 THEN NULL
+        |         WHEN vec_id % 17 = 1
+        |           THEN [CAST('nan' AS FLOAT)] || embedding[2:]
+        |         WHEN vec_id % 17 = 2 THEN embedding[1:16]
+        |         WHEN vec_id % 17 = 3
+        |           THEN list_transform(embedding, x -> CAST(0 AS FLOAT))
+        |         ELSE embedding END AS v
+        |  FROM embeddings)
+        |SELECT CAST(coalesce(len(v), -1) AS BIGINT) AS dims,
+        |  count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN len(list_filter(v, x -> isnan(x))) > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        |  CAST(sum(CASE WHEN v IS NOT NULL
+        |      AND len(list_filter(v, x -> x <> 0)) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        val m = pmod(col("vec_id"), lit(17))
+        val planted = Tables.embeddings(spark, sf).select(col("vec_id"),
+          when(m === 0, lit(null).cast("array<float>"))
+            .when(m === 1,
+              concat(array(lit(Float.NaN)), slice(col("embedding"), 2, 63)))
+            .when(m === 2, slice(col("embedding"), 1, 16))
+            .when(m === 3, transform(col("embedding"), _ => lit(0.0f)))
+            .otherwise(col("embedding")).as("embedding"))
+        Audit.embeddingReport(planted).orderBy("dims")
+    },
+
     // Duplication-multiplicity histogram over the same planted mod-23
     // content: at every scale the id range splits residues into two
     // adjacent copy-counts (e.g. 500 docs → 17 residues × 22 copies +

@@ -93,6 +93,38 @@ class AuditSpec extends SparkSpec {
     a should not be empty // 13 contents × 5 sources: dense by construction
   }
 
+  // ----- embeddingReport ----------------------------------------------
+
+  test("embeddingReport names every defect slice with exact counts") {
+    val emb = Seq[(Long, Array[Float])](
+      (1L, Array(1.0f, 2.0f)), // clean
+      (2L, Array(Float.NaN, 1.0f)), // NaN-poisoned
+      (3L, Array(0.0f, 0.0f)), // zero-norm
+      (4L, null), // absent
+      (5L, Array(1.0f, 2.0f, 3.0f))) // wrong dims
+      .toDF("vec_id", "embedding")
+    val out = Audit.embeddingReport(emb).orderBy("dims")
+      .select("dims", "n_vecs", "n_nan", "n_zero")
+      .as[(Long, Long, Long, Long)].collect()
+    out shouldBe Array(
+      (-1L, 1L, 0L, 0L),
+      (2L, 3L, 1L, 1L),
+      (3L, 1L, 0L, 0L))
+  }
+
+  test("embeddingReport: a NaN vector is not zero-norm; a healthy corpus is one row") {
+    // NaN != 0 must keep the poisoned vector OUT of the zero count
+    val emb = Seq[(Long, Array[Float])]((1L, Array(Float.NaN, 0.0f)))
+      .toDF("vec_id", "embedding")
+    Audit.embeddingReport(emb)
+      .select("n_nan", "n_zero").as[(Long, Long)].head() shouldBe ((1L, 0L))
+    val healthy = Seq[(Long, Array[Float])](
+      (1L, Array(1.0f, 0.5f)), (2L, Array(0.1f, -0.2f)))
+      .toDF("vec_id", "embedding")
+    Audit.embeddingReport(healthy)
+      .as[(Long, Long, Long, Long)].collect() shouldBe Array((2L, 2L, 0L, 0L))
+  }
+
   // ----- dupProfile ---------------------------------------------------
 
   test("dupProfile hand-computed multiplicity histogram") {
