@@ -328,6 +328,29 @@ object Examples {
       s"max eval contamination $reported; $overlap shared contents; " +
       s"block $bestBlock wastes least; $datasheet datasheet rows")
 
+    // 23. training-run endgame: curriculum schedule from quality tiers,
+    // loss-mask spans beside the packed blocks, and the two audits a
+    // release sign-off reads — the copy-count histogram (flat after
+    // dedup) and the vector-integrity report (one healthy row)
+    val schedule = graft.llm.Curation.curriculumOrder(docs,
+        tiers = 4, rowsPerShard = 64L)
+      .groupBy("tier").count().orderBy(desc("tier"))
+      .collect().map(r => s"t${r.getLong(0)}:${r.getLong(1)}").mkString(" ")
+    val spans = graft.llm.Packing.packSpans(
+      docs.select("doc_id", "source", "text"), blockTokens = 256L)
+    val straddlers = spans.groupBy("source", "doc_id").count()
+      .where(col("count") > 1).count()
+    val profile = graft.llm.Audit.dupProfile(docs)
+      .orderBy("dup_count")
+      .collect().map(r => s"${r.getLong(0)}x${r.getLong(1)}").mkString(" ")
+    val vecHealth = graft.llm.Audit.embeddingReport(
+        Tables.embeddings(spark, sf))
+      .select("dims", "n_vecs", "n_nan", "n_zero")
+      .collect().map(r => s"dims=${r.getLong(0)} n=${r.getLong(1)} " +
+        s"nan=${r.getLong(2)} zero=${r.getLong(3)}").mkString("; ")
+    println(s"[23] curriculum $schedule; $straddlers docs straddle blocks; " +
+      s"dup profile $profile; vectors: $vecHealth")
+
     spark.stop()
   }
 }
