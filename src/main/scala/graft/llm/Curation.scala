@@ -237,6 +237,45 @@ object Curation {
     Packing.shardByPos(ordered, rowsPerShard, "interleave_pos")
   }
 
+  /** CONTINUOUS-INGEST composite — the fourth oracle-gated composite:
+    * "accept today's crawl into the corpus". Within-batch exact dedup +
+    * drop-already-known ([[Dedup.incrementalExact]] — the bloom-probed
+    * plan, corpus scanned once and never shuffled) → quality gate
+    * ([[TextStats.qualityBp]] ≥ `minQualityBp`) → eval decontamination
+    * ([[Dedup.contamination]] against the benchmark, round-half-up
+    * basis points ≤ `maxContamBp`). Returns the rows a snapshot append
+    * would write, carrying the audit columns a release log keeps:
+    * `dup_count` (within-batch copies), `quality_bp`,
+    * `contamination_bp`. [[Audit.corpusDiff]] against the post-append
+    * snapshot is the matching review artifact.
+    *
+    * Scale shape: every exchange is DELTA-sized — the corpus pays one
+    * narrow bloom-probed hash scan, the benchmark broadcasts into the
+    * contamination semi join, and the batch is the only side that
+    * shuffles (on its own id). Stage order is the 100 TB order: dedup
+    * halves the batch before quality scoring touches text, and only
+    * gate survivors pay the shingle explode. */
+  def ingestDelta(batch: DataFrame, corpus: DataFrame, benchmark: DataFrame,
+                  minQualityBp: Long, maxContamBp: Long, k: Int = 3,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    Seq("dup_count", "quality_bp", "contamination_bp").foreach { c =>
+      require(!batch.columns.contains(c),
+        s"ingestDelta writes '$c'; the batch already has it — rename it first")
+    }
+    val fresh = Dedup.incrementalExact(batch, corpus,
+        idCol = idCol, textCol = textCol)
+      .select(col("keep_id").as(idCol), col("dup_count"))
+    val kept = batch.join(fresh, Seq(idCol))
+      .withColumn("quality_bp", TextStats.qualityBp(col(textCol)))
+      .where(col("quality_bp") >= minQualityBp)
+    val contam = Dedup.contamination(kept, benchmark, k, idCol, textCol)
+      .select(col(idCol), graft.functions.VectorFunctions.intDiv(
+        col("matched") * 20000L + col("total"), col("total") * 2L)
+        .as("contamination_bp"))
+    kept.join(contam, Seq(idCol))
+      .where(col("contamination_bp") <= maxContamBp)
+  }
+
   /** CURRICULUM training order — the third oracle-gated composite:
     * [[TextStats.qualityTiers]]' corpus-derived quality buckets become
     * the training schedule (`bestFirst` feeds the model the cleanest

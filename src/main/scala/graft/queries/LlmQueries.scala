@@ -136,6 +136,78 @@ object LlmQueries {
         Dedup.incrementalExact(batch, corpus).orderBy("keep_id")
     },
 
+    // Continuous-ingest composite: the llm_dedup_incremental planting
+    // (re-fetches, within-batch dups, fresh docs) + a %35 benchmark
+    // whose exact copies in the batch read 10000 bp contamination and
+    // are dropped at EVERY scale, while k=3 trigram shingles keep the
+    // background contamination low (k=2 saturates ≥8889 at sf0.1 — the
+    // fixture vocabulary is small, so bigrams are corpus-universal; a
+    // probed, not guessed, threshold choice). Both gates split
+    // non-trivially tri-scale (quality ≥4500 keeps ~40%, contamination
+    // ≤7000 keeps ~85%). Surviving dup_counts are all 1 by construction
+    // (the within-batch dups ARE the benchmark copies) — dup election
+    // itself is llm_dedup_incremental's oracle.
+    Q("llm_ingest",
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+        |batch AS (
+        |  SELECT doc_id + 100000 AS doc_id, text FROM docs
+        |  WHERE doc_id % 5 = 0 OR doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM docs WHERE doc_id % 35 = 0),
+        |bench AS (SELECT text FROM docs WHERE doc_id % 35 = 0),
+        |elected AS (
+        |  SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count
+        |  FROM batch GROUP BY 1),
+        |fresh AS (SELECT e.* FROM elected e WHERE NOT EXISTS
+        |  (SELECT 1 FROM corpus c WHERE sha256(c.text) = e.h)),
+        |kept AS (SELECT b.doc_id, b.text, f.dup_count
+        |         FROM batch b JOIN fresh f ON b.doc_id = f.keep_id),
+        |c AS (SELECT doc_id, text, dup_count,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      t -> list_contains(['the','a','fast','slow'], t))) AS BIGINT) AS ns,
+        |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS nd
+        |  FROM kept),
+        |qq AS (SELECT doc_id, text, dup_count,
+        |    (((20000*nd+nt) // (2*nt)) * (10000 - ((20000*ns+nt) // (2*nt))) * 2
+        |      + 10000) // 20000 AS q_bp
+        |  FROM c),
+        |bt AS (SELECT string_split(text,' ') AS t FROM bench),
+        |bsh AS (SELECT DISTINCT unnest(list_transform(
+        |    range(1, greatest(len(t)-2,1)+1),
+        |    i -> array_to_string(t[i:i+2],' '))) AS sh FROM bt),
+        |dsh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |    i -> array_to_string(string_split(text,' ')[i:i+2],' '))) AS s
+        |  FROM qq WHERE q_bp >= 4500),
+        |m AS (SELECT doc_id, count(*) AS matched FROM
+        |    (SELECT doc_id, unnest(s) AS sh FROM dsh)
+        |  WHERE sh IN (SELECT sh FROM bsh) GROUP BY 1),
+        |t AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS total FROM dsh),
+        |cb AS (SELECT t.doc_id,
+        |    (20000*coalesce(m.matched,0)+t.total) // (2*t.total) AS c_bp
+        |  FROM t LEFT JOIN m USING (doc_id))
+        |SELECT qq.doc_id, qq.dup_count, CAST(qq.q_bp AS BIGINT) AS quality_bp,
+        |  CAST(cb.c_bp AS BIGINT) AS contamination_bp
+        |FROM qq JOIN cb USING (doc_id)
+        |WHERE qq.q_bp >= 4500 AND cb.c_bp <= 7000
+        |ORDER BY qq.doc_id""".stripMargin) {
+      (spark, sf) =>
+        val docs = Tables.documents(spark, sf).select("doc_id", "text")
+        val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        val batch = docs
+          .where(pmod(col("doc_id"), lit(5)) === 0 || pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+          .unionAll(docs.where(pmod(col("doc_id"), lit(35)) === 0)
+            .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+        val bench = docs.where(pmod(col("doc_id"), lit(35)) === 0)
+        graft.llm.Curation.ingestDelta(batch, corpus, bench,
+            minQualityBp = 4500L, maxContamBp = 7000L, k = 3)
+          .select("doc_id", "dup_count", "quality_bp", "contamination_bp")
+          .orderBy("doc_id")
+    },
+
     // Corpus snapshot diff: the two versions are PLANTED from one table
     // on both sides — %6 rows deleted, %5-not-%6 rows get edited text,
     // %11 rows re-enter under fresh ids — so added/removed/changed/

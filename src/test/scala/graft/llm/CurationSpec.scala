@@ -222,6 +222,37 @@ class CurationSpec extends SparkSpec {
     out(20L) shouldBe "train"
   }
 
+  // ----- ingestDelta --------------------------------------------------
+
+  test("ingestDelta: every gate fires on its planted victim, nothing else") {
+    val corpus = Seq((1L, "known corpus document body here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "omega psi chi phi")).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "known corpus document body here"), // already in corpus → dedup drops
+      (102L, "alpha beta gamma delta"), // within-batch dup, min id wins
+      (103L, "alpha beta gamma delta"),
+      (104L, "the the the the"), // all stopwords → quality 0 → gate drops
+      (105L, "omega psi chi phi"), // exact benchmark copy → contamination 10000
+      (106L, "epsilon zeta eta theta")) // clean → kept
+      .toDF("doc_id", "text")
+    val out = Curation.ingestDelta(batch, corpus, bench,
+        minQualityBp = 2000L, maxContamBp = 9000L, k = 3)
+      .select("doc_id", "dup_count", "quality_bp", "contamination_bp")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    out shouldBe Array(
+      (102L, 2L, 10000L, 0L),
+      (106L, 1L, 10000L, 0L))
+  }
+
+  test("ingestDelta fails fast when the batch already carries an audit column") {
+    val df = Seq((1L, "x", 1L)).toDF("doc_id", "text", "quality_bp")
+    an[IllegalArgumentException] should be thrownBy
+      Curation.ingestDelta(df, df.select("doc_id", "text"),
+        df.select("doc_id", "text"), 0L, 10000L)
+  }
+
   // ----- curriculumOrder ----------------------------------------------
 
   test("curriculumOrder schedules whole tiers, best first, shuffled inside") {
