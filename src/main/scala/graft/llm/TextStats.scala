@@ -154,6 +154,100 @@ object TextStats {
   def bpeTokens(textCol: Column, vocab: Seq[String]): Column =
     graft.functions.BpeTokens(split(textCol, WsRun), vocab)
 
+  /** BPE merge TRAINING — the learn side of [[bpeTokenCount]]/
+    * [[bpeTokens]]' apply side. The classic algorithm (Sennrich et al.
+    * 2016) trains on the WORD-FREQUENCY TABLE, not the corpus: one
+    * corpus scan builds `word → count` (map-side combined — the only
+    * distributed work regardless of corpus size), then `numMerges`
+    * rounds of "merge the most frequent adjacent symbol pair" run
+    * driver-side over that bounded table. Deterministic tiebreak: max
+    * pair count, then lexicographically smallest (left, right) —
+    * retry/partitioning stable. Pair occurrences merge left-to-right
+    * non-overlapping (the reference implementation's greedy rule:
+    * `a a a` has ONE `(a,a)` merge site after the first is taken).
+    *
+    * Returns the ranked merge table (rank, left, right, pair_count);
+    * [[bpeVocabOf]] turns it into the vocabulary [[bpeTokens]] expects.
+    * Training stops early if no pair reaches `minPairCount`.
+    *
+    * Sizing at scale: the driver table is the DISTINCT VOCABULARY —
+    * millions of rows for web corpora, not corpus-sized — and is capped
+    * at `maxVocab` with a fail-fast (the [[Similarity]] codebook
+    * discipline): past the cap, raise `minCount` (rare words contribute
+    * ~nothing to merge statistics) or train on a
+    * [[Sampling.bernoulli]] sample, both standard practice. */
+  def bpeTrain(docs: DataFrame, numMerges: Int, minCount: Long = 1L,
+               minPairCount: Long = 2L, textCol: String = "text",
+               maxVocab: Int = 1 << 20): DataFrame = {
+    require(numMerges > 0 && numMerges <= 65536,
+      s"numMerges must be in [1, 65536], got $numMerges")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(col(textCol), WsRun)).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount)
+    val vocabRows = words.limit(maxVocab + 1).collect()
+    require(vocabRows.length <= maxVocab,
+      s"vocabulary exceeds maxVocab=$maxVocab — raise minCount or train on a sample")
+    var seqs: Seq[(Vector[String], Long)] = vocabRows
+      .map(r => (r.getString(0).map(_.toString).toVector, r.getLong(1))).toSeq
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var rank = 0L
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap[(String, String), Long]()
+      seqs.foreach { case (s, c) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val p = (s(i), s(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      val best = pairCounts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= minPairCount =>
+          merges += ((rank, l, r, c))
+          val merged = l + r
+          seqs = seqs.map { case (s, c0) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+                out += merged; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            (out.result(), c0)
+          }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      merges.map(m => org.apache.spark.sql.Row(m._1, m._2, m._3, m._4)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("left",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("right",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair_count",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** The [[bpeTokens]]/[[bpeTokenCount]] vocabulary implied by a
+    * [[bpeTrain]] merge table: every merged symbol, longest-match
+    * greedy inference then reconstructs the training segmentation
+    * closely (exactly, for text whose words appeared in training —
+    * the single-char fallback covers the rest). */
+  def bpeVocabOf(merges: DataFrame): Seq[String] =
+    merges.select(concat(col("left"), col("right")))
+      .collect().map(_.getString(0)).toSeq
+
   /** Token counting: whitespace tokens plus a BPE-ish regex token count
     * (runs of letters / digits / single punctuation). */
   def tokenCounts(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

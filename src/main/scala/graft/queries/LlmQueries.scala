@@ -1716,6 +1716,19 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // BPE merge TRAINING (the learn side of llm_bpe_count's apply side):
+    // word-frequency table → numMerges rounds of most-frequent-pair
+    // merge, driver-side over the bounded vocab. No oracle by design —
+    // each round's argmax depends on the previous round's re-segmented
+    // vocabulary, a stateful iteration with no tractable SQL analog;
+    // the behavioral gate is TextStatsSpec's canonical Sennrich
+    // sequence (hand-computed 4-merge fixture), the non-overlap rule,
+    // the minPairCount stop, partition invariance and the vocab cap.
+    Q.noOracle("llm_bpe_train") { (spark, sf) =>
+      TextStats.bpeTrain(Tables.documents(spark, sf), numMerges = 16)
+        .orderBy("rank")
+    },
+
     // Deterministic subword (BPE-faithful) token counting: greedy
     // longest-match over the planted vocab — the kernel's direct gate.
     // The oracle replays greedy matching as a recursive CTE (one step

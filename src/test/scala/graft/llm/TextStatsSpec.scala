@@ -433,4 +433,58 @@ class TextStatsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TextStats.adaptiveLengthGate(docs, -0.1, 0.5)
   }
+
+  // ----- bpeTrain -----------------------------------------------------
+
+  test("bpeTrain learns the canonical Sennrich merge sequence") {
+    // low×5 lower×2 newest×6 widest×3: (e,s)=9 ties (s,t)=9 → lexicographic
+    // min wins; then (es,t)=9; then (l,o)=7 ties (o,w) → (l,o); then (lo,w)
+    val text = (List.fill(5)("low") ++ List.fill(2)("lower") ++
+      List.fill(6)("newest") ++ List.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = TextStats.bpeTrain(docs, numMerges = 4)
+      .orderBy("rank")
+      .select("rank", "left", "right", "pair_count")
+      .as[(Long, String, String, Long)].collect()
+    out shouldBe Array(
+      (0L, "e", "s", 9L), (1L, "es", "t", 9L),
+      (2L, "l", "o", 7L), (3L, "lo", "w", 7L))
+  }
+
+  test("bpeTrain stops below minPairCount and its vocab drives the apply side") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val m = TextStats.bpeTrain(docs, numMerges = 10) // (a,b)=2; (c,d)=1 < 2 → stop
+    val merges = m.select("left", "right").as[(String, String)].collect()
+    merges shouldBe Array(("a", "b"))
+    val vocab = TextStats.bpeVocabOf(m)
+    vocab shouldBe Seq("ab")
+    // greedy apply: 'ab' = 1 token twice, 'cd' falls back to chars = 2
+    docs.select(TextStats.bpeTokenCount(col("text"), vocab))
+      .as[Long].head() shouldBe 4L
+  }
+
+  test("bpeTrain merges non-overlapping sites left-to-right") {
+    // 'aaa': after taking the first (a,a), only ONE merge site exists —
+    // a count that double-counted overlaps would merge differently
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val out = TextStats.bpeTrain(docs, numMerges = 2)
+      .orderBy("rank").select("left", "right", "pair_count")
+      .as[(String, String, Long)].collect()
+    // round 1: (a,a) count 4 (two per 'aaa' by adjacent-pair counting);
+    // merge leaves 'aa'+'a'; round 2: (aa,a) count 2
+    out shouldBe Array(("a", "a", 4L), ("aa", "a", 2L))
+  }
+
+  test("bpeTrain is invariant under input partitioning and caps the vocab") {
+    val docs = spark.range(120).select(col("id").as("doc_id"),
+      concat(lit("w"), pmod(col("id"), lit(9)), lit("x y"),
+        pmod(col("id"), lit(4))).as("text"))
+    val a = TextStats.bpeTrain(docs, numMerges = 5)
+      .orderBy("rank").as[(Long, String, String, Long)].collect()
+    val b = TextStats.bpeTrain(docs.repartition(7), numMerges = 5)
+      .orderBy("rank").as[(Long, String, String, Long)].collect()
+    b shouldBe a
+    an[IllegalArgumentException] should be thrownBy
+      TextStats.bpeTrain(docs, numMerges = 1, maxVocab = 2)
+  }
 }
