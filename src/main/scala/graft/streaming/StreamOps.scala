@@ -152,6 +152,54 @@ object StreamOps {
       .join(priorH, Seq("content_hash"), "left_anti")
   }
 
+  /** Streaming face of [[graft.llm.Curation.ingestDelta]] — continuous
+    * crawl acceptance: within-watermark + vs-snapshot dedup
+    * ([[dedupAgainstSnapshot]]), then the quality gate, then
+    * decontamination against the eval set — all three as NARROW
+    * projections/filters after the one stateful dedup, so the plan
+    * stays append-mode legal with no extra state.
+    *
+    * The contamination stage is where streaming differs structurally
+    * from batch: a per-doc shingle AGGREGATION would add keyed state,
+    * so the benchmark's distinct shingle set (small by contract,
+    * `maxBenchShingles` fail-fast) is collected ONCE at plan-build time
+    * into an `array_intersect` literal — `contamination_bp` is then a
+    * pure per-row expression, bit-identical to the batch operator's
+    * round-half-up ratio (spec-pinned: stream survivors == batch
+    * [[graft.llm.Curation.ingestDelta]] survivors on the same data).
+    * The benchmark is frozen at START, matching the static-snapshot
+    * contract of the dedup stage; restart the query to pick up a new
+    * eval set. Same arrival-order caveat as [[dedupAgainstSnapshot]]:
+    * within a watermark the FIRST fetch wins, not the min id. */
+  def ingestStream(docs: DataFrame, corpus: DataFrame, benchmark: DataFrame,
+                   minQualityBp: Long, maxContamBp: Long, k: Int = 3,
+                   lateness: String = "10 minutes",
+                   tsCol: String = "ts", textCol: String = "text",
+                   maxBenchShingles: Int = 1 << 20): DataFrame = {
+    import graft.functions.WordShingles
+    Seq("quality_bp", "contamination_bp").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"ingestStream writes '$c'; input already has it — rename it first")
+    }
+    val benchRows = benchmark
+      .select(explode(array_distinct(WordShingles(col(textCol), k))).as("sh"))
+      .distinct().limit(maxBenchShingles + 1).collect()
+    require(benchRows.length <= maxBenchShingles,
+      s"benchmark shingle set exceeds maxBenchShingles=$maxBenchShingles — " +
+        "decontaminate in the batch compactor (Curation.ingestDelta) instead")
+    val benchLit = typedLit(benchRows.map(_.getString(0)).toSeq)
+    val sh = array_distinct(WordShingles(col(textCol), k))
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    dedupAgainstSnapshot(docs, corpus, lateness, tsCol, textCol)
+      .withColumn("quality_bp", graft.llm.TextStats.qualityBp(col(textCol)))
+      .where(col("quality_bp") >= minQualityBp)
+      .withColumn("contamination_bp", intDiv(
+        size(array_intersect(sh, benchLit)).cast("long") * 20000L
+          + size(sh).cast("long"),
+        size(sh).cast("long") * 2L))
+      .where(col("contamination_bp") <= maxContamBp)
+  }
+
   /** Streaming sinks. Durable sinks REQUIRE a checkpoint location — at
     * scale that is the exactly-once contract, not an option. */
   // default 'append': 'complete' is only legal for aggregation queries

@@ -219,6 +219,57 @@ class StreamOpsSpec extends SparkSpec {
     spark.table(sink).select("doc_id").as[Long].collect().toSet shouldBe Set(0L, 4L)
   }
 
+  test("ingestStream: every gate fires, and survivors match the batch composite") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "known corpus document body here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "omega psi chi phi")).toDF("doc_id", "text")
+    val mem = MemoryStream[StreamOpsSpec.Doc]
+    val sink = "ingest_sink_" + System.nanoTime()
+    val q = StreamOps.ingestStream(mem.toDF(), corpus, bench,
+        minQualityBp = 2000L, maxContamBp = 9000L, k = 3, lateness = "1 hour")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        StreamOpsSpec.Doc(101L, ts(0), "en", "known corpus document body here"), // snapshot dup
+        StreamOpsSpec.Doc(102L, ts(1), "en", "alpha beta gamma delta"), // first fetch wins
+        StreamOpsSpec.Doc(103L, ts(2), "en", "alpha beta gamma delta"), // stream dup of 102
+        StreamOpsSpec.Doc(104L, ts(3), "en", "the the the the"), // quality 0
+        StreamOpsSpec.Doc(105L, ts(4), "en", "omega psi chi phi"), // benchmark copy
+        StreamOpsSpec.Doc(106L, ts(5), "en", "epsilon zeta eta theta")) // clean
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(sink)
+      .select("doc_id", "quality_bp", "contamination_bp")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    streamed.map(_._1) shouldBe Array(102L, 106L)
+    // the per-row contamination literal must agree with the batch
+    // operator's aggregate formulation on identical inputs
+    val batchOut = graft.llm.Curation.ingestDelta(
+        spark.table(sink).sparkSession.createDataFrame(Seq(
+          (101L, "known corpus document body here"),
+          (102L, "alpha beta gamma delta"),
+          (103L, "alpha beta gamma delta"),
+          (104L, "the the the the"),
+          (105L, "omega psi chi phi"),
+          (106L, "epsilon zeta eta theta"))).toDF("doc_id", "text"),
+        corpus, bench, minQualityBp = 2000L, maxContamBp = 9000L, k = 3)
+      .select("doc_id", "quality_bp", "contamination_bp")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    streamed shouldBe batchOut
+  }
+
+  test("ingestStream fails fast on an un-collectable benchmark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOpsSpec.Doc]
+    val corpus = Seq((1L, "x")).toDF("doc_id", "text")
+    val bench = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.ingestStream(mem.toDF(), corpus, bench,
+        minQualityBp = 0L, maxContamBp = 10000L, maxBenchShingles = 2)
+  }
+
   test("runningPerUser keyed state accumulates per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
