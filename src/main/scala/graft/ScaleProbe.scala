@@ -446,6 +446,22 @@ object ScaleProbe {
           concat(lit("c"), pmod(xxhash64(col("id")), lit(n * 2))).as("text"))
         graft.llm.Audit.sourceOverlap(docs)
           .agg(sum("n_shared"), count(lit(1))).head()
+      }),
+      // continuous-ingest composite: FIXED 500-doc delta (half corpus
+      // re-fetches, half fresh) + fixed 100-doc benchmark vs a SCALING
+      // corpus — like incremental_dedup the ratio should stay near flat
+      // (the corpus pays one narrow bloom-probed hash scan; quality and
+      // contamination run on the delta only), and a regression that
+      // re-introduces a corpus-sized exchange reads as a jump to
+      // scan_agg-like ratios
+      ("ingest_delta", () => {
+        val corpus = synthDocs(n)
+        val batch = synthDocs(n + 250).where(col("doc_id") >= n - 250)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+        val bench = synthDocs(100)
+        graft.llm.Curation.ingestDelta(batch, corpus, bench,
+            minQualityBp = 4000L, maxContamBp = 9000L, k = 3)
+          .agg(count(lit(1)), sum("quality_bp"), sum("contamination_bp")).head()
       }))
     val llmBase = 5000L
 

@@ -254,7 +254,12 @@ object Curation {
     * contamination semi join, and the batch is the only side that
     * shuffles (on its own id). Stage order is the 100 TB order: dedup
     * halves the batch before quality scoring touches text, and only
-    * gate survivors pay the shingle explode. */
+    * gate survivors pay the shingle explode.
+    *
+    * RETENTION: inherits [[Dedup.incrementalExact]]'s contract — the
+    * elected-batch checkpoint stays pinned until the ContextCleaner
+    * collects it; long-lived sessions release it after materializing
+    * the result via `ColumnBridge.releaseCheckpoint`. */
   def ingestDelta(batch: DataFrame, corpus: DataFrame, benchmark: DataFrame,
                   minQualityBp: Long, maxContamBp: Long, k: Int = 3,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
