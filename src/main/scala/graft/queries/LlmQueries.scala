@@ -1621,6 +1621,43 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // Z-order (Morton) storage layout: interleave (lang code, token
+    // count) bits and range-sort on the interleaved value, so every
+    // 64-row shard covers a tight rectangle of (lang, length) space and
+    // a reader filtering on EITHER dimension partition-prunes. The
+    // DuckDB bit-interleave is GENERATED from Layout.mortonSql's per-bit
+    // term list — both engines replay one formula; position/shard
+    // arithmetic is llm_shuffle_shards' row_number machinery.
+    Q("llm_zorder",
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |    CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+        |              WHEN 'fr' THEN 3 WHEN 'zh' THEN 4 ELSE 5 END AS a,
+        |    least(greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 0),
+        |          1023) AS b
+        |  FROM documents),
+        |z AS (SELECT doc_id, ${graft.llm.Layout.mortonSql("a", "b", 10)} AS zv
+        |      FROM c),
+        |p AS (SELECT doc_id, zv,
+        |        row_number() OVER (ORDER BY zv, doc_id) - 1 AS pos
+        |      FROM z)
+        |SELECT doc_id, CAST(zv AS BIGINT) AS z_value,
+        |  CAST(pos // 64 AS BIGINT) AS shard_id,
+        |  CAST(pos % 64 AS BIGINT) AS pos_in_shard
+        |FROM p ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+        val langCode = when(col("lang") === "de", 0L)
+          .when(col("lang") === "en", 1L).when(col("lang") === "es", 2L)
+          .when(col("lang") === "fr", 3L).when(col("lang") === "zh", 4L)
+          .otherwise(5L)
+        val nTok = size(split(col("text"), TextStats.WsRun)).cast("long")
+        graft.llm.Layout.zOrder(docs, langCode, nTok, bits = 10,
+            rowsPerShard = 64L)
+          .select("doc_id", "z_value", "shard_id", "pos_in_shard")
+          .orderBy("doc_id")
+    },
+
     // TRAINING-ORDER composite, fully oracle-gated: per-source token
     // budget (600, binds at every scale) → split keep 'train' (0.9 band
     // of the prime lattice, cut round(0.9·10007) = 9006) → 2:1:1
