@@ -92,6 +92,45 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Duplication BUDGET — the middle ground between "keep every copy"
+    * (memorization risk, Lee et al. 2022) and [[exact]]'s "keep one":
+    * keep up to `maxCopies` members of each exact-content group. Bounded
+    * duplication is how curated mixes upsample naturally-popular content
+    * without letting a viral page dominate an epoch — the per-content
+    * repetition cap of quality-weighted corpus designs. Emits one row
+    * per SURVIVOR: `content_hash`, the `order` fields, `idCol`,
+    * `copy_rank` (1-based within the group).
+    *
+    * `order` ranks copies within a group; it defaults to crawl order
+    * (the id alone), so `maxCopies = 1` elects exactly [[exact]]'s
+    * min-id winners. Exact copies have identical text, so a
+    * content-derived order (quality, length) cannot discriminate here —
+    * that is [[graft.llm.Curation.qualityDedup]]'s job on NEAR-dup
+    * clusters; pass e.g. `Packing.shuffleHash(col("doc_id"))` for an
+    * unbiased copy sample instead of earliest-crawled.
+    *
+    * Plan shape (100 TB): delegates to the bounded-heap
+    * [[graft.relational.TopK.topKPerGroupRanked]] — each map task keeps
+    * ≤ `maxCopies` sort structs per content, so the shuffle carries
+    * `maxCopies·|contents|` fixed-width rows and the TEXT never moves
+    * (column pruning keeps the scan at id + hash + order fields); a
+    * million-copy viral page costs the heap `maxCopies`, not a
+    * partition sort. Rejoin survivors to the corpus by id when the
+    * payload is needed. */
+  def duplicationBudget(docs: DataFrame, maxCopies: Int,
+                        order: Seq[Column] = Seq.empty,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(maxCopies > 0, s"maxCopies must be positive, got $maxCopies")
+    Seq("content_hash", "copy_rank").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"duplicationBudget writes '$c'; input already has it — rename it first")
+    }
+    graft.relational.TopK.topKPerGroupRanked(
+      docs.withColumn("content_hash", sha2(col(textCol), 256)),
+      Seq(col("content_hash")), order :+ col(idCol), maxCopies, "copy_rank")
+  }
+
   /** Incremental exact dedup — dedup a NEW batch against an existing
     * corpus snapshot (the daily-crawl regime: yesterday's corpus is
     * already deduped; only the delta needs election). A batch document

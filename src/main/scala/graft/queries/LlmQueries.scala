@@ -102,6 +102,40 @@ object LlmQueries {
         Dedup.exact(Tables.documents(spark, sf)).orderBy("keep_id")
     },
 
+    // Duplication budget: keep ≤2 copies per exact content. Copy groups
+    // are PLANTED in-query on both sides — %3 rows gain a second copy,
+    // %9 rows a third — so the cap binds (3-copy groups lose one) and
+    // doesn't (1- and 2-copy groups survive whole) at every scale. The
+    // oracle replays the crawl-order election with row_number; drift in
+    // the heap's struct comparison or rank numbering hash-mismatches.
+    Q("llm_dedup_budget",
+      """WITH batch AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 9 = 0),
+        |r AS (
+        |  SELECT sha256(text) AS content_hash, doc_id,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id)
+        |      AS rk
+        |  FROM batch)
+        |SELECT content_hash, doc_id, CAST(rk AS BIGINT) AS copy_rank
+        |FROM r WHERE rk <= 2 ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        val docs = Tables.documents(spark, sf).select("doc_id", "text")
+        val batch = docs
+          .unionAll(docs.where(pmod(col("doc_id"), lit(3)) === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .unionAll(docs.where(pmod(col("doc_id"), lit(9)) === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        Dedup.duplicationBudget(batch, maxCopies = 2)
+          .select("content_hash", "doc_id", "copy_rank")
+          .orderBy("doc_id")
+    },
+
     // Incremental exact dedup: the batch/corpus split and the overlaps
     // are PLANTED in-query on both sides (the oracle-planting rule) —
     // %5 rows become the new batch under fresh ids, %7-not-%5 rows enter

@@ -440,4 +440,40 @@ class DedupSpec extends SparkSpec {
       .select("contamination").as[Double].collect()
     out shouldBe Array(0.0, 0.0)
   }
+
+  test("duplicationBudget keeps the first maxCopies of each content group, ranked") {
+    // content A ×4 (ids 10,11,12,13), B ×2 (20,21), C ×1 (30)
+    val batch = Seq((10L, "aa"), (11L, "aa"), (12L, "aa"), (13L, "aa"),
+      (20L, "bb"), (21L, "bb"), (30L, "cc")).toDF("doc_id", "text")
+    val out = Dedup.duplicationBudget(batch, maxCopies = 2)
+      .orderBy("doc_id").select("doc_id", "copy_rank")
+      .as[(Long, Long)].collect()
+    out shouldBe Array((10L, 1L), (11L, 2L), (20L, 1L), (21L, 2L), (30L, 1L))
+  }
+
+  test("duplicationBudget with maxCopies=1 elects exactly Dedup.exact's winners") {
+    val batch = Seq((5L, "x"), (3L, "x"), (9L, "y"), (1L, "z"), (2L, "z"))
+      .toDF("doc_id", "text")
+    val budget = Dedup.duplicationBudget(batch, maxCopies = 1)
+      .select("doc_id").as[Long].collect().sorted
+    val exact = Dedup.exact(batch).select("keep_id").as[Long].collect().sorted
+    budget shouldBe exact
+  }
+
+  test("duplicationBudget honors a caller order and stays partition-invariant") {
+    // descending-id order via negation: the LAST two copies survive
+    val batch = Seq((10L, "aa"), (11L, "aa"), (12L, "aa"), (20L, "bb"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicationBudget(batch.repartition(5), maxCopies = 2,
+        order = Seq((-col("doc_id")).as("__neg")))
+      .select("doc_id", "copy_rank").orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    // 12 ranks first, 11 second; 10 (rank 3) exceeds the budget
+    out shouldBe Array((11L, 2L), (12L, 1L), (20L, 1L))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.duplicationBudget(batch, 0)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.duplicationBudget(
+        batch.withColumn("copy_rank", lit(1L)), 2)
+  }
 }
