@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -39,6 +39,76 @@ object TextKernelObjs {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Winnowing fingerprint SET (Schleimer et al. 2003 — the MOSS
+    * algorithm): hash every k-token gram, slide a window of `w`
+    * consecutive gram hashes, keep each window's minimum; the distinct
+    * selected values, sorted ascending, are the document's fingerprints.
+    * Guarantee: two documents sharing any run of ≥ w+k-1 identical
+    * tokens share at least one fingerprint — position-robust overlap
+    * detection a single global min ([[minGramHash]]) can't give.
+    *
+    * All hashing is cross-engine-replayable integer arithmetic (NOT
+    * xxhash): token hash = polynomial over code points, base 31 mod the
+    * Mersenne prime 2³¹−1 (largest intermediate < 2³⁶); gram hash =
+    * polynomial over token hashes, base 1000003 mod the same prime
+    * (< 2⁵², ANSI-safe) — both spelled as a SQL `list_reduce` whose
+    * first element seeds the accumulator. Tokens split on single
+    * spaces, empties dropped (so both engines agree on positions);
+    * n < k grams clip to the text end; m < w windows collapse to one
+    * window over all grams; empty text → empty set. Only VALUES are
+    * selected (no positions), so the rightmost-min tie rule of the
+    * paper is moot here. O(m) via a monotonic deque. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val M = 2147483647L
+    val toks = text.split(space, -1).filter(_.numChars() > 0)
+    val n = toks.length
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = toks(i).toString
+      var h = -1L
+      var ci = 0
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        h = if (h < 0) cp.toLong else (h * 31L + cp) % M
+        ci += Character.charCount(cp)
+      }
+      th(i) = h
+      i += 1
+    }
+    val m = math.max(n - k, 0) + 1
+    val gh = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      val end = math.min(p + k, n)
+      var g = th(p)
+      var j = p + 1
+      while (j < end) { g = (g * 1000003L + th(j)) % M; j += 1 }
+      gh(p) = g
+      p += 1
+    }
+    val ws = math.min(w, m)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = -1
+    p = 0
+    while (p < m) {
+      while (tail >= head && gh(deque(tail)) >= gh(p)) tail -= 1
+      tail += 1
+      deque(tail) = p
+      if (deque(head) <= p - ws) head += 1
+      if (p >= ws - 1) sel.add(gh(deque(head)))
+      p += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** min over i of xxhash64(substr(text, i, gram)) for i in
@@ -255,6 +325,41 @@ case class MinGramHash(child: Expression, gram: Int) extends UnaryExpression {
 object MinGramHash {
   def apply(text: Column, gram: Int): Column =
     ColumnBridge.column(MinGramHash(ColumnBridge.expression(text), gram))
+}
+
+/** [[TextKernelObjs.winnow]] as a narrow codegen kernel: the document's
+  * winnowing fingerprint set (distinct selected window-min gram hashes,
+  * sorted ascending). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k > 0, s"gram size k must be positive, got $k")
+  require(w > 0, s"window size w must be positive, got $w")
+
+  override def prettyName: String = "graft_winnow"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelObjs.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernelObjs.winnow($s, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  def apply(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(
+      WinnowFingerprints(ColumnBridge.expression(text), k, w))
 }
 
 /** Deflate compression ratio of the text's UTF-8 bytes in 4dp basis

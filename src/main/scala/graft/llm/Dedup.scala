@@ -512,16 +512,73 @@ object Dedup {
     * all (the per-doc matched counts aggregate on the already-id-keyed
     * stream). Totals come from a second narrow projection, no explode. */
   def contamination(docs: DataFrame, benchmark: DataFrame, k: Int = 3,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    contaminationRatio(docs,
+      benchmarkMatchedCounts(docs, benchmark, k, idCol, textCol),
+      k, idCol, textCol)
+
+  /** Per-doc count of distinct shingles present in the broadcast
+    * benchmark set — the matched side shared by [[contamination]] and
+    * [[contaminationSweep]] (ONE definition, so a sweep can never
+    * measure a different overlap than the gate applies). */
+  private def benchmarkMatchedCounts(docs: DataFrame, benchmark: DataFrame,
+                                     k: Int, idCol: String,
+                                     textCol: String): DataFrame = {
     import graft.functions.WordShingles
     val docSh = docs.select(col(idCol),
       explode(array_distinct(WordShingles(col(textCol), k))).as("shingle"))
     val benchSh = benchmark
       .select(explode(array_distinct(WordShingles(col(textCol), k))).as("shingle"))
       .distinct()
-    val matched = docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
+    docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("matched"))
-    contaminationRatio(docs, matched, k, idCol, textCol)
+  }
+
+  /** Decontamination threshold calibration — "what does each candidate
+    * contamination cutoff COST?": for every threshold, the documents and
+    * tokens that survive `contamination_bp <= threshold`. The eval-risk
+    * side of [[graft.llm.Classifier.sweep]]'s quality calibration, and
+    * the tool that makes shingle-size saturation VISIBLE (a k too small
+    * for the corpus reads as every threshold keeping ~nothing — see the
+    * k=2-vs-k=3 probe note in CLAUDE.md).
+    *
+    * One corpus pass regardless of candidate count: the per-doc bp and
+    * token count are computed once, and each threshold is a pair of
+    * conditional aggregates over that shared projection
+    * ([[Classifier.sweep]]'s shape) — the exchange carries
+    * 2·|thresholds| partials. The matched counts are
+    * [[benchmarkMatchedCounts]], the SAME definition [[contamination]]
+    * gates on. `tokenCount` overrides the token metric (pass
+    * [[TextStats.bpeTokenCount]] for subword-faithful budgets). */
+  def contaminationSweep(docs: DataFrame, benchmark: DataFrame,
+                         thresholds: Seq[Long], k: Int = 3,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         tokenCount: Option[Column] = None): DataFrame = {
+    require(thresholds.nonEmpty, "sweep needs at least one threshold")
+    require(thresholds.distinct.size == thresholds.size,
+      "duplicate thresholds — each output row must be one candidate")
+    val matched = benchmarkMatchedCounts(docs, benchmark, k, idCol, textCol)
+    val perDoc = docs.select(col(idCol),
+        size(array_distinct(graft.functions.WordShingles(col(textCol), k)))
+          .cast("long").as("__total"),
+        tokenCount.getOrElse(
+          size(split(col(textCol), TextStats.WsRun)).cast("long")).as("__nt"))
+      .join(matched, Seq(idCol), "left")
+      .select(TextStats.bp(coalesce(col("matched"), lit(0L)), col("__total"))
+        .as("__cbp"), col("__nt"))
+    val sorted = thresholds.sorted
+    val aggs = sorted.flatMap { t =>
+      Seq(sum(when(col("__cbp") <= t, 1L).otherwise(0L)).as(s"__kept_$t"),
+        sum(when(col("__cbp") <= t, col("__nt")).otherwise(0L)).as(s"__toks_$t"))
+    }
+    val wide = perDoc.agg(aggs.head, aggs.tail: _*)
+    val rows = sorted.map { t =>
+      struct(lit(t).as("threshold"),
+        coalesce(col(s"__kept_$t"), lit(0L)).as("kept_docs"),
+        coalesce(col(s"__toks_$t"), lit(0L)).as("kept_tokens"))
+    }
+    wide.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.threshold"), col("__r.kept_docs"), col("__r.kept_tokens"))
   }
 
   /** Shared tail of the two contamination paths: per-doc distinct-shingle

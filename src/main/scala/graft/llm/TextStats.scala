@@ -683,4 +683,23 @@ object TextStats {
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
       graft.functions.MinGramHash(col(textCol), gram).as("fingerprint"))
+
+  /** Winnowing fingerprints (Schleimer et al. 2003 — MOSS): one row per
+    * (doc, selected fingerprint). Where [[fingerprint]] is one global
+    * min per document (cheap, but a single leading edit changes it),
+    * winnowing guarantees any shared token run of ≥ w+k−1 tokens between
+    * two documents yields a SHARED fingerprint — the position-robust
+    * overlap signal plagiarism/boilerplate detection joins on. All
+    * arithmetic is polynomial hashing mod 2³¹−1
+    * ([[graft.functions.TextKernelObjs.winnow]]), replayable in ANSI SQL
+    * — unlike [[fingerprint]]'s xxhash64, this IS oracle-gated.
+    *
+    * Scale shape: ONE narrow kernel projection + explode — no shuffle at
+    * all; output is ~1/w of the gram stream. Overlap mining composes
+    * downstream: join/[[graft.llm.Dedup]]-style banding on `fp` keys,
+    * each fingerprint a 2³¹-bounded long. */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.WinnowFingerprints(col(textCol), k, w)).as("fp"))
 }

@@ -1114,6 +1114,54 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Decontamination threshold sweep over llm_contamination's exact
+    // planting: per candidate cutoff, surviving docs + tokens in one
+    // conditional-aggregate scan. Thresholds (3000/6000/9000/10000) were
+    // PROBED against the bp distribution at all three scales (CLAUDE.md
+    // rule): medians run ~3.6k/4.2k/9.0k bp at sf0.001/0.01/0.1, so at
+    // least two cutoffs split strictly between 0% and 100% at every
+    // scale — and the sf0.1 saturation of k=2 bigrams is exactly what
+    // the sweep exists to expose.
+    Q("llm_contamination_sweep",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE doc_id < $docCap),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |      range(1, greatest(len(t) - 1, 1) + 1),
+         |      i -> array_to_string(t[i:i+1], ' '))) AS s
+         |  FROM toks),
+         |dsh AS (SELECT doc_id, s FROM sh WHERE doc_id < 500),
+         |du AS (SELECT doc_id, unnest(s) AS shingle FROM dsh),
+         |bsh AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+         |        WHERE doc_id % 50 = 0),
+         |m AS (
+         |  SELECT doc_id, count(*) AS matched FROM du
+         |  WHERE shingle IN (SELECT shingle FROM bsh) GROUP BY doc_id),
+         |t AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS total FROM dsh),
+         |ntk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+         |          AS nt
+         |        FROM documents WHERE doc_id < 500),
+         |j AS (
+         |  SELECT (20000 * COALESCE(m.matched, 0) + t.total)
+         |      // (2 * t.total) AS cbp, ntk.nt
+         |  FROM t LEFT JOIN m USING (doc_id) JOIN ntk USING (doc_id)),
+         |th AS (SELECT unnest([3000, 6000, 9000, 10000]) AS threshold)
+         |SELECT CAST(th.threshold AS BIGINT) AS threshold,
+         |  CAST(sum(CASE WHEN j.cbp <= th.threshold THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS kept_docs,
+         |  CAST(sum(CASE WHEN j.cbp <= th.threshold THEN j.nt ELSE 0 END)
+         |    AS BIGINT) AS kept_tokens
+         |FROM th, j GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (spark, sf) =>
+        val prefix = Tables.documents(spark, sf).where(col("doc_id") < docCap)
+        Dedup.contaminationSweep(
+            prefix.where(col("doc_id") < 500),
+            prefix.where(col("doc_id") % 50 === 0),
+            thresholds = Seq(3000L, 6000L, 9000L, 10000L), k = 2)
+          .orderBy("threshold")
+    },
+
     // Eval-integrity transpose: per BENCHMARK doc, the fraction of its
     // shingles found anywhere in the corpus. The benchmark is PLANTED
     // in-query as a mix — its first five words copy a real corpus doc
@@ -1400,6 +1448,49 @@ object LlmQueries {
     // plus the winnowing laws (append-monotonicity, partition-invariance).
     Q.noOracle("llm_fingerprint") { (spark, sf) =>
       TextStats.fingerprint(Tables.documents(spark, sf)).orderBy("doc_id")
+    },
+
+    // Winnowing fingerprint SET (MOSS): k=3 token grams, window w=4,
+    // distinct window-min hashes per doc. Unlike llm_fingerprint's
+    // xxhash64 this is pure polynomial arithmetic mod 2^31-1, so the
+    // oracle replays the whole pipeline — token hashes and gram hashes
+    // as list_reduce (first element seeds the accumulator, matching the
+    // kernel), window mins as a frame, the m<w collapse via the
+    // window-start filter. Fixed docCap prefix bounds the output.
+    Q("llm_winnow",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+         |  FROM documents WHERE doc_id < $docCap),
+         |th AS (
+         |  SELECT doc_id, list_transform(tk, t ->
+         |      list_reduce(list_transform(string_split(t, ''),
+         |          c -> CAST(unicode(c) AS BIGINT)),
+         |        (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+         |  FROM toks WHERE len(tk) > 0),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, greatest(len(hs) - 3 + 1, 1) + 1)) AS pos, hs
+         |  FROM th),
+         |grams AS (
+         |  SELECT doc_id, pos,
+         |    list_reduce(hs[pos:least(pos + 2, len(hs))],
+         |      (a, b) -> (a * 1000003 + b) % 2147483647) AS h
+         |  FROM g),
+         |wm AS (
+         |  SELECT doc_id, pos,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         |    count(*) OVER (PARTITION BY doc_id) AS m
+         |  FROM grams)
+         |SELECT DISTINCT doc_id, wmin AS fp FROM wm
+         |WHERE pos <= greatest(m - 4, 0) + 1
+         |ORDER BY doc_id, fp""".stripMargin) {
+      (spark, sf) =>
+        TextStats.winnow(
+            Tables.documents(spark, sf).where(col("doc_id") < docCap),
+            k = 3, w = 4)
+          .orderBy("doc_id", "fp")
     },
 
     // PII redaction, oracle-gated for real: deterministic synthetic PII

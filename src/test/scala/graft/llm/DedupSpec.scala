@@ -441,6 +441,37 @@ class DedupSpec extends SparkSpec {
     out shouldBe Array(0.0, 0.0)
   }
 
+  test("contaminationSweep counts survivors per threshold from the gate's own bp") {
+    // corpus: 100 (4 tokens, all bigrams in bench → 10000bp),
+    // 101 (4 tokens, 1 of 4 bigrams matched? compute: text 'aa bb qq rr'
+    // vs bench 'aa bb cc': doc bigrams {aa bb, bb qq, qq rr}, bench
+    // {aa bb, bb cc} → 1/3 → 3333bp), 102 (no overlap → 0bp)
+    val corpus = Seq((100L, "aa bb cc dd"), (101L, "aa bb qq rr"),
+      (102L, "xx yy zz ww")).toDF("doc_id", "text")
+    val bench = Seq((0L, "aa bb cc")).toDF("doc_id", "text")
+    val out = Dedup.contaminationSweep(corpus, bench,
+        thresholds = Seq(0L, 3333L, 9999L, 10000L), k = 2)
+      .orderBy("threshold")
+      .as[(Long, Long, Long)].collect()
+    // doc 100: bigrams {aa bb, bb cc, cc dd}, matched {aa bb, bb cc} →
+    // 2/3 → 6667bp; tokens are 4 each
+    out shouldBe Array((0L, 1L, 4L), (3333L, 2L, 8L), (9999L, 3L, 12L),
+      (10000L, 3L, 12L))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.contaminationSweep(corpus, bench, Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.contaminationSweep(corpus, bench, Seq(1L, 1L))
+  }
+
+  test("contaminationSweep token override drives kept_tokens") {
+    val corpus = Seq((1L, "aa bb"), (2L, "zz ww")).toDF("doc_id", "text")
+    val bench = Seq((0L, "aa bb")).toDF("doc_id", "text")
+    val out = Dedup.contaminationSweep(corpus, bench, Seq(5000L), k = 2,
+        tokenCount = Some(lit(100L)))
+      .as[(Long, Long, Long)].head()
+    out shouldBe ((5000L, 1L, 100L))
+  }
+
   test("duplicationBudget keeps the first maxCopies of each content group, ranked") {
     // content A ×4 (ids 10,11,12,13), B ×2 (20,21), C ×1 (30)
     val batch = Seq((10L, "aa"), (11L, "aa"), (12L, "aa"), (13L, "aa"),
