@@ -270,4 +270,29 @@ object Similarity {
         (dot(col("qv"), col(vecCol)) / (col("qn") * col("cn"))).as("cos"))
     topK(scored, k, idCol)
   }
+
+  /** Product-quantization codes for every vector — one row per
+    * (id, subspace, code): [[graft.functions.PqEncode]]'s narrow kernel
+    * projection, exploded. `codebooks` is `[subspace][centroid][dim]`;
+    * with 8 subspaces × ≤256 centroids a 64-dim float vector compresses
+    * 256 B → 8 B, the storage step that makes billion-vector ANN
+    * (IVF-PQ) fit executor memory. Defect vectors (wrong dims,
+    * null/NaN elements — [[Audit.embeddingReport]]'s classes) yield NO
+    * rows here, never a wrong code.
+    *
+    * Scale shape: codebooks ride the plan as a compiled reference
+    * object — no join, no shuffle, no explode before the final
+    * (id, sub, code) stream; downstream asymmetric-distance search
+    * joins per-subspace lookup tables against these fixed-width rows.
+    * Train per-subspace codebooks by slicing the corpus and running
+    * [[trainCodebook]] on each slice; PLANTED codebooks keep the whole
+    * encoder replayable in ANSI SQL (the declared-query discipline). */
+  def pqEncode(vectors: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    vectors.select(col(idCol),
+        posexplode(graft.functions.PqEncode(col(vecCol), codebooks))
+          .as(Seq("subspace", "code")))
+      .select(col(idCol), col("subspace").cast("long").as("subspace"),
+        col("code").cast("long").as("code"))
 }

@@ -30,6 +30,15 @@ object LlmQueries {
     "oup", "jo", "ha", "sh", "ba", "tch", "fil", "ter", "sm", "all",
     "ro", "w", "li", "ne", "da", "the", "key", "agg")
 
+  // Planted product-quantization codebooks for llm_pq: 8 subspaces ×
+  // 4 centroids × 8 dims, quarter-step values in [-2.25, 2.25] — every
+  // value exactly representable in binary, so squared-L2 double
+  // arithmetic is identical across engines; formula-generated so the
+  // Spark kernel and the DuckDB VALUES literal share one definition.
+  private val pqCodebooks: Seq[Seq[Seq[Double]]] =
+    (0 until 8).map(s => (0 until 4).map(k =>
+      (0 until 8).map(j => (((s * 31 + k * 17 + j * 7) % 19) - 9) / 4.0)))
+
   // Planted n-gram LM (the llm_redact discipline: the model is data,
   // written identically on both sides). Scores are negative
   // centi-log-probs; entries are formula-generated so the two listings
@@ -1271,6 +1280,40 @@ object LlmQueries {
         .join(cb.select(col("cid"),
           round(Similarity.norm(col("embedding")), 4).as("c_norm")), "cid")
         .orderBy("cid")
+    },
+
+    // Product-quantization codes over a PLANTED 8×4×8 codebook (quarter-
+    // step values — exact in binary, so double arithmetic agrees across
+    // engines; formula-generated so the two listings can't drift). The
+    // oracle replays subspace slicing, squared-L2 distances and the
+    // ties-to-lowest-code argmin with row_number.
+    Q("llm_pq", {
+      val cbSql = pqCodebooks.zipWithIndex.flatMap { case (ks, s) =>
+        ks.zipWithIndex.map { case (vals, k) =>
+          s"($s, $k, [${vals.mkString(", ")}])"
+        }
+      }.mkString(", ")
+      s"""WITH cb(sub, code, vals) AS (VALUES $cbSql),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings WHERE vec_id < $vecCap),
+         |sv AS (SELECT vec_id, s.sub, v[s.sub*8+1 : s.sub*8+8] AS sl
+         |       FROM e, (SELECT unnest(range(0, 8)) AS sub) s),
+         |d AS (SELECT vec_id, sv.sub, cb.code,
+         |        list_sum(list_transform(range(1, 9),
+         |          j -> (sl[j] - vals[j]) * (sl[j] - vals[j]))) AS dist
+         |      FROM sv JOIN cb ON sv.sub = cb.sub),
+         |r AS (SELECT vec_id, sub, code,
+         |        row_number() OVER (PARTITION BY vec_id, sub
+         |          ORDER BY dist, code) AS rn
+         |      FROM d)
+         |SELECT vec_id, CAST(sub AS BIGINT) AS subspace,
+         |  CAST(code AS BIGINT) AS code
+         |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+    }) { (spark, sf) =>
+      Similarity.pqEncode(
+          Tables.embeddings(spark, sf).where(col("vec_id") < vecCap),
+          pqCodebooks)
+        .orderBy("vec_id", "subspace")
     },
 
     Q.noOracle("llm_ann_lsh") { (spark, sf) =>

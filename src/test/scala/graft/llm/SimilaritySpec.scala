@@ -148,4 +148,49 @@ class SimilaritySpec extends SparkSpec {
         .orderBy("cid").collect().map(_.toString).toSeq
     train(2) shouldBe train(9)
   }
+
+  // 2 subspaces × 2 centroids × 2 dims: sub 0 separates on x, sub 1 on y
+  private val pqCb: Seq[Seq[Seq[Double]]] = Seq(
+    Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)),
+    Seq(Seq(5.0, 5.0), Seq(-5.0, -5.0)))
+
+  test("pqEncode assigns each subspace slice to its nearest centroid") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f, 4.0f, 6.0f)),    // sub0→code0, sub1→code0
+      (1L, Array(9.0f, 8.0f, -4.0f, -6.0f)),  // sub0→code1, sub1→code1
+      (2L, Array(11.0f, 9.0f, 4.0f, 4.0f)))   // sub0→code1, sub1→code0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(vecs, pqCb)
+      .orderBy("vec_id", "subspace")
+      .as[(Long, Long, Long)].collect()
+    out shouldBe Array((0L, 0L, 0L), (0L, 1L, 0L), (1L, 0L, 1L),
+      (1L, 1L, 1L), (2L, 0L, 1L), (2L, 1L, 0L))
+  }
+
+  test("pqEncode ties go to the lowest code; defects yield no rows") {
+    // (5,5) is equidistant from (0,0) and (10,10) → code 0
+    val tie = Seq((0L, Array(5.0f, 5.0f, 5.0f, 5.0f))).toDF("vec_id", "embedding")
+    Similarity.pqEncode(tie, pqCb).where(col("subspace") === 0)
+      .select("code").as[Long].head() shouldBe 0L
+    // wrong dims and NaN elements are the embeddingReport defect classes
+    val bad = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),               // dims ≠ 4
+      (2L, Array(Float.NaN, 0f, 0f, 0f)),           // NaN
+      (3L, Array(1.0f, 1.0f, 1.0f, 1.0f)))          // healthy
+      .toDF("vec_id", "embedding")
+    Similarity.pqEncode(bad, pqCb).select("vec_id").distinct()
+      .as[Long].collect() shouldBe Array(3L)
+  }
+
+  test("pqEncode works on double vectors and is partition-invariant") {
+    val vecs = spark.range(50).select(col("id").as("vec_id"),
+      array((0 until 4).map(j => (col("id") * (j + 1) % 21).cast("double") - 10): _*)
+        .as("embedding"))
+    val once = Similarity.pqEncode(vecs, pqCb).collect().toSet
+    val again = Similarity.pqEncode(vecs.repartition(7), pqCb).collect().toSet
+    again shouldBe once
+    once.size shouldBe 100 // 50 vectors × 2 subspaces
+    an[IllegalArgumentException] should be thrownBy
+      graft.functions.PqEncode(lit("x"), Seq.empty)
+  }
 }
