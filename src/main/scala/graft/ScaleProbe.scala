@@ -462,7 +462,49 @@ object ScaleProbe {
         graft.llm.Curation.ingestDelta(batch, corpus, bench,
             minQualityBp = 4000L, maxContamBp = 9000L, k = 3)
           .agg(count(lit(1)), sum("quality_bp"), sum("contamination_bp")).head()
-      }))
+      }),
+      // z-order layout: ONE range-sort exchange + the two-pass offset
+      // index — shuffle_shards' profile with a morton projection in
+      // front; the agg references z_value AND pos_in_shard so neither
+      // the projection nor the positional index can be pruned
+      ("zorder", () => {
+        val docs = synthDocs(n).select(col("doc_id"), col("text"),
+          pmod(xxhash64(col("doc_id")), lit(1024L)).as("qa"),
+          pmod(xxhash64(col("doc_id"), lit(7)), lit(1024L)).as("qb"))
+        graft.llm.Layout.zOrder(docs, col("qa"), col("qb"),
+            bits = 10, rowsPerShard = 256L)
+          .agg(sum("z_value"), sum("pos_in_shard"), max("shard_id")).head()
+      }),
+      // winnowing fingerprints: pure narrow kernel + explode, NO
+      // shuffle — should track the scan near-linearly; n*4 in-shape so
+      // the 1x base clears the fixed-cost floor (CLAUDE.md probe rule)
+      ("winnow", () => graft.llm.TextStats.winnow(synthDocs(n * 20), k = 3, w = 4)
+        .agg(sum("fp"), count(lit(1))).head()),
+      // PQ encoding: narrow reference-object kernel + posexplode, no
+      // shuffle; 8×4×4 codebook over the 32-dim synth vectors
+      ("pq_encode", () => {
+        val cb = (0 until 8).map(s => (0 until 4).map(k =>
+          (0 until 4).map(j => (((s * 31 + k * 17 + j * 7) % 19) - 9) / 4.0)))
+        graft.llm.Similarity.pqEncode(synthEmb(n * 20), cb)
+          .agg(sum("code"), count(lit(1))).head()
+      }),
+      // duplication budget: n distinct contents × 10 copies, cap 3 —
+      // the bounded-heap shuffle carries ≤3 structs per content while
+      // the text column never moves; a window-row_number regression
+      // would sort all 10 copies per group and read superlinear
+      ("dedup_budget", () => {
+        val docs = spark.range(n * 10).select(col("id").as("doc_id"),
+          concat(lit("c"), pmod(xxhash64(col("id")), lit(n))).as("text"))
+        graft.llm.Dedup.duplicationBudget(docs, maxCopies = 3)
+          .agg(sum("copy_rank"), count(lit(1))).head()
+      }),
+      // contamination sweep: all the work (shingle explode, broadcast
+      // semi join, matched agg) is threshold-independent — four
+      // candidates must cost one corpus pass, not four
+      ("contamination_sweep", () => graft.llm.Dedup.contaminationSweep(
+        synthDocs(n), synthDocs(100),
+        thresholds = Seq(2500L, 5000L, 7500L, 10000L), k = 3)
+        .agg(sum("kept_docs"), sum("kept_tokens")).head()))
     val llmBase = 5000L
 
     // Per-shape error isolation: one shape failing at factor× (the case
