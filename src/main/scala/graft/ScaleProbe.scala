@@ -476,7 +476,7 @@ object ScaleProbe {
           .agg(sum("z_value"), sum("pos_in_shard"), max("shard_id")).head()
       }),
       // winnowing fingerprints: pure narrow kernel + explode, NO
-      // shuffle — should track the scan near-linearly; n*4 in-shape so
+      // shuffle — should track the scan near-linearly; n*20 in-shape so
       // the 1x base clears the fixed-cost floor (CLAUDE.md probe rule)
       ("winnow", () => graft.llm.TextStats.winnow(synthDocs(n * 20), k = 3, w = 4)
         .agg(sum("fp"), count(lit(1))).head()),

@@ -549,7 +549,15 @@ object Dedup {
     * 2·|thresholds| partials. The matched counts are
     * [[benchmarkMatchedCounts]], the SAME definition [[contamination]]
     * gates on. `tokenCount` overrides the token metric (pass
-    * [[TextStats.bpeTokenCount]] for subword-faithful budgets). */
+    * [[TextStats.bpeTokenCount]] for subword-faithful budgets).
+    *
+    * Empty input: an EMPTY docs frame still yields one row per
+    * threshold with zero counts (the global aggregate over zero rows
+    * produces one all-null partial row; the coalesces turn it into
+    * zeros). A SQL mirror built as `thresholds CROSS JOIN per_doc_cte`
+    * would instead emit ZERO rows on empty input — if this shape is
+    * ever oracle-gated on a possibly-empty slice, write the oracle as a
+    * LEFT JOIN from the threshold list so both engines agree. */
   def contaminationSweep(docs: DataFrame, benchmark: DataFrame,
                          thresholds: Seq[Long], k: Int = 3,
                          idCol: String = "doc_id", textCol: String = "text",

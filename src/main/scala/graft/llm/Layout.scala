@@ -59,7 +59,11 @@ object Layout {
     * the clamped dimensions), `shard_id` and `pos_in_shard`. Dimension
     * values are clamped into [0, 2^bits) — out-of-range values cluster
     * at the edge rather than aliasing across the space (masking would
-    * put 2^bits and 0 in the same cell).
+    * put 2^bits and 0 in the same cell). A NULL dimension value is
+    * treated as 0 (explicit coalesce): null-dimension rows cluster at
+    * the origin cell and carry no skipping signal on that dimension —
+    * if NULLs are frequent, derive a real sentinel value upstream
+    * (e.g. a "missing" band) instead of letting them pile up at (0, _).
     *
     * Plan shape (100 TB): identical to [[Packing.shuffleShards]] — ONE
     * range-sort exchange on (z_value, id) plus
@@ -76,7 +80,8 @@ object Layout {
     require(!df.columns.exists(Seq("z_value", "shard_id", "pos_in_shard").contains),
       "zOrder writes z_value/shard_id/pos_in_shard; input already has one — rename it first")
     val maxV = lit((1L << bits) - 1)
-    def clamp(c: Column): Column = least(greatest(c.cast("long"), lit(0L)), maxV)
+    def clamp(c: Column): Column =
+      least(greatest(coalesce(c.cast("long"), lit(0L)), lit(0L)), maxV)
     val withZ = df.withColumn("z_value", mortonColumn(clamp(a), clamp(b), bits))
     val indexed = graft.core.Positional.zipWithIndex(withZ,
       Seq(col("z_value"), col(idCol)), "__pos")

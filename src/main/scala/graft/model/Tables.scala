@@ -48,17 +48,32 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = df(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = df(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = df(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * natively; read it as raw long nanos and rebuild a µs timestamp. The
-    * fixture's ns values are exact microseconds (FIXTURES.md), and DuckDB's
-    * ns→µs cast floors identically, so both engines see the same instants.
-    * `div` keeps the arithmetic in exact integer space (ns since 2024 ≈
-    * 1.7e18 would lose precision as a double).
+  /** `events.ts` has shipped in two physical encodings across fixture
+    * generations, so this reader adapts to the footer instead of assuming
+    * one:
+    *  - TIMESTAMP(NANOS) (isAdjustedToUTC either way): Spark 4 refuses to
+    *    read it natively — read raw long nanos (`nanosAsLong`) and rebuild
+    *    a µs timestamp. The fixture's ns values are exact microseconds
+    *    (FIXTURES.md) and DuckDB's ns→µs cast floors identically, so both
+    *    engines see the same instants; `div` keeps the arithmetic in exact
+    *    integer space (ns since 2024 ≈ 1.7e18 would lose precision as a
+    *    double).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark TIMESTAMP_NTZ:
+    *    cast to TimestampType under the pinned-UTC session so the same
+    *    wall-clock instants flow through every downstream query unchanged.
+    * Every consumer sees one contract either way: `ts` is TimestampType
+    * at µs precision.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = df(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = df(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = df(spark, sfDir, "embeddings")
