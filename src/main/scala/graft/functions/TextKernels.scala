@@ -60,11 +60,14 @@ object TextKernelObjs {
     * window over all grams; empty text → empty set. Only VALUES are
     * selected (no positions), so the rightmost-min tie rule of the
     * paper is moot here. O(m) via a monotonic deque. */
-  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+  /** The cross-engine-replayable token hash [[winnow]] and the DSIR
+    * kernels share: polynomial over code points, base 31 mod the
+    * Mersenne prime 2³¹−1 — one definition so the two families can
+    * never drift. Tokens split on single spaces, empties dropped. */
+  def tokenHashes(text: UTF8String): Array[Long] = {
     val M = 2147483647L
     val toks = text.split(space, -1).filter(_.numChars() > 0)
     val n = toks.length
-    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
@@ -79,6 +82,16 @@ object TextKernelObjs {
       th(i) = h
       i += 1
     }
+    th
+  }
+
+  /** k-gram hashes over [[tokenHashes]]: polynomial over token hashes,
+    * base 1000003 mod the same Mersenne prime (largest intermediate
+    * < 2⁵², ANSI-safe); n < k grams clip to the end, so n ≥ 1 tokens
+    * always yield max(n−k, 0) + 1 grams. */
+  def gramHashes(th: Array[Long], k: Int): Array[Long] = {
+    val M = 2147483647L
+    val n = th.length
     val m = math.max(n - k, 0) + 1
     val gh = new Array[Long](m)
     var p = 0
@@ -90,12 +103,21 @@ object TextKernelObjs {
       gh(p) = g
       p += 1
     }
+    gh
+  }
+
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val th = tokenHashes(text)
+    val n = th.length
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val gh = gramHashes(th, k)
+    val m = gh.length
     val ws = math.min(w, m)
     val sel = new java.util.TreeSet[java.lang.Long]()
     val deque = new Array[Int](m)
     var head = 0
     var tail = -1
-    p = 0
+    var p = 0
     while (p < m) {
       while (tail >= head && gh(deque(tail)) >= gh(p)) tail -= 1
       tail += 1
@@ -106,9 +128,40 @@ object TextKernelObjs {
     }
     val out = new Array[Long](sel.size)
     val it = sel.iterator()
-    i = 0
+    var i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Hashed-n-gram bucket ids — the DSIR feature map (Xie et al. 2023,
+    * arXiv:2302.03169): one bucket id per k-gram, bucket = [[gramHashes]]
+    * mod `buckets`. Empty text → empty array (a doc with no tokens has
+    * no features). Fully cross-engine-replayable integer arithmetic —
+    * the llm_winnow oracle proves the hash chain in SQL. */
+  def ngramBuckets(text: UTF8String, k: Int, buckets: Int): ArrayData = {
+    val th = tokenHashes(text)
+    if (th.length == 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val gh = gramHashes(th, k)
+    var i = 0
+    while (i < gh.length) { gh(i) = gh(i) % buckets; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(gh)
+  }
+
+  /** Length-normalized hashed-n-gram importance score: 1024·Σ w[bucket]
+    * over the doc's k-grams, truncating-divided by the gram count (Java
+    * `/` = SQL `div` = DuckDB `//` — all truncate toward zero). NULL
+    * (boxed null) when the doc has no tokens: a featureless doc cannot
+    * be scored. Largest intermediate: |Σw| ≤ m·2¹⁷ and ·1024 keeps it
+    * < 2⁶³ for any real corpus (m < 2³⁵ grams per doc). */
+  def ngramScoreBoxed(text: UTF8String, k: Int, buckets: Int,
+                      weights: Array[Long]): java.lang.Long = {
+    val th = tokenHashes(text)
+    if (th.length == 0) return null
+    val gh = gramHashes(th, k)
+    var sum = 0L
+    var i = 0
+    while (i < gh.length) { sum += weights((gh(i) % buckets).toInt); i += 1 }
+    java.lang.Long.valueOf(sum * 1024L / gh.length)
   }
 
   /** min over i of xxhash64(substr(text, i, gram)) for i in

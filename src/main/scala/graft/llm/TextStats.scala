@@ -643,6 +643,98 @@ object TextStats {
         }.as("tier"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169), the hashed-n-gram data-selection stage: score
+    * every document by how much its k-gram distribution looks like a
+    * TARGET slice of the corpus (`isTarget`, e.g. a curated/wiki-like
+    * source) versus the raw corpus, then keep the top `keepFraction` by
+    * score. Deterministic, integer-exact, oracle-able end to end:
+    *  - features: [[graft.functions.HashedNgramBuckets]] — one bucket in
+    *    [0, buckets) per k-gram, the winnowing hash chain mod `buckets`;
+    *  - bucket log-ratio: `lw(b) = [l2(tgt_b+1) − l2(T+NB)] −
+    *    [l2(raw_b+1) − l2(R+NB)]` — add-one-smoothed log importance
+    *    ratio in fixed-point log2 units of 1/1024 bit, where `l2` is the
+    *    integer fixed-point log2 `msb·1024 + (x·1024 >> msb) − 1024`
+    *    (replayable in SQL as `length(bin(x))-1` + shift arithmetic),
+    *    T/R the target/raw gram totals and NB the observed-bucket count;
+    *  - score: [[graft.functions.HashedNgramScore]] — 1024·Σ lw[bucket]
+    *    over the doc's grams, truncating-divided by the gram count
+    *    (length-normalized: selection ranks distributional fit, not
+    *    document length — measured corr(score, length) ≈ 0);
+    *  - keep: score-quantile gate via [[discreteCuts]] over the
+    *    `score div quantum` HISTOGRAM — cut = smallest quantized score
+    *    with `cum ≥ ceil((1−keepFraction)·n)`, ties land high (the
+    *    [[qualityTiers]] discipline), so the kept set is the top
+    *    `keepFraction` up to tie mass at one quantum boundary.
+    * Token-free documents have no features and are dropped (they cannot
+    * be scored); returns (idCol, dsir_score) of kept docs.
+    *
+    * Plan shape for 100 TB: scan 1 computes BOTH distributions in one
+    * conditional-aggregate pass (explode → groupBy bucket, map-side
+    * combined onto ≤ `buckets` keys); the ≤ `buckets` rows collect to
+    * the driver (hard-capped at 2²⁰ by construction — 8 MB of weights,
+    * the codebook discipline) and compile into the score kernel's
+    * reference array; scans 2–3 are [[adaptiveLengthGate]]'s shape —
+    * narrow score projection, histogram groupBy + one histogram-sized
+    * window (bounded because scores are QUANTIZED: domain ≤ score
+    * range / quantum, ~10³–10⁵ values), one broadcast cut row, narrow
+    * filter. The corpus is scanned three times and shuffled never. */
+  def dsir(docs: DataFrame, isTarget: Column, keepFraction: Double,
+           k: Int = 2, buckets: Int = 64, quantum: Long = 1024L,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction < 1.0,
+      s"keepFraction must be in (0, 1), got $keepFraction")
+    require(quantum >= 1L, s"quantum must be >= 1, got $quantum")
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    // scan 1: raw + target gram-bucket counts in ONE pass
+    val dist = docs.select(
+        explode(graft.functions.HashedNgramBuckets(col(textCol), k, buckets)).as("__b"),
+        isTarget.cast("boolean").as("__t"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("__raw"),
+        count(when(col("__t"), lit(1))).as("__tgt"))
+      .collect() // ≤ buckets rows by construction (buckets ≤ 2^20)
+    val rawC = new Array[Long](buckets)
+    val tgtC = new Array[Long](buckets)
+    dist.foreach { r =>
+      val b = r.getLong(0).toInt
+      rawC(b) = r.getLong(1)
+      tgtC(b) = r.getLong(2)
+    }
+    // l2(x) = msb·1024 + (x·1024 >> msb) − 1024: fixed-point log2 in
+    // 1/1024-bit units, exact integer arithmetic (x ≤ 2^52 by corpus size)
+    def l2(x: Long): Long = {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      msb * 1024L + ((x << 10) >> msb) - 1024L
+    }
+    val nb = dist.length.toLong
+    val rTot = rawC.sum
+    val tTot = tgtC.sum
+    val weights = new Array[Long](buckets)
+    if (nb > 0) {
+      val tNorm = l2(tTot + nb)
+      val rNorm = l2(rTot + nb)
+      var b = 0
+      while (b < buckets) {
+        if (rawC(b) > 0)
+          weights(b) = (l2(tgtC(b) + 1) - tNorm) - (l2(rawC(b) + 1) - rNorm)
+        b += 1
+      }
+    }
+    // scans 2–3: narrow score projection + quantized-histogram cut + keep
+    val scored = docs.select(col(idCol),
+        graft.functions.HashedNgramScore(col(textCol), k, buckets, weights)
+          .as("dsir_score"))
+      .where(col("dsir_score").isNotNull)
+      .withColumn("__sq", intDiv(col("dsir_score"), lit(quantum)))
+    val dropBp = 10000L - math.round(keepFraction * 10000)
+    val cuts = discreteCuts(scored, "__sq", Seq(
+      "__cut" -> (t => intDiv(t * dropBp + 9999L, lit(10000L)))))
+    scored.crossJoin(broadcast(cuts))
+      .where(col("__sq") >= col("__cut"))
+      .select(col(idCol), col("dsir_score"))
+  }
+
   /** A fixed n-gram language model as DATA: integer centi-log-prob scores
     * per unigram/bigram plus backoff and OOV penalties — the
     * deterministic stand-in for a KenLM binary (the model is a table;
