@@ -173,6 +173,92 @@ object Sampling {
       .drop("__start")
   }
 
+  /** UniMax mixture (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a token budget across strata as uniformly as
+    * possible, capping every stratum at `maxEpochs` passes over its own
+    * data — the epoch-capped water-filling that keeps low-resource
+    * strata from being over-repeated and high-resource strata from
+    * swallowing the budget. Budget `T = total_tokens · budgetBp / 10⁴`
+    * (basis points of the RAW corpus token total, so one recipe scales
+    * with the corpus; > 10⁴ oversamples deliberately).
+    *
+    * Allocation (exact integer water-filling, single closed-form pass —
+    * no driver loop): strata ascending by capacity `cap = tokens·E`
+    * (ties by name); at rank i, `share = (T − prefix) div (S − i + 1)`;
+    * a stratum with `cap ≤ share` is EXHAUSTED (gets its full cap); the
+    * first non-exhausted rank's share is the water level — every
+    * non-exhausted stratum gets exactly that. Exhaustion is
+    * prefix-closed under integer division (`cap_i > share_i` forces
+    * `share_{i+1} < cap_i ≤ cap_{i+1}`), so the one-pass rule IS the
+    * fixpoint; division remainders leave < S − i* + 1 tokens of the
+    * budget unspent, by design.
+    *
+    * Application: each stratum's allocation becomes `full = alloc div
+    * tokens` whole epochs plus a partial-epoch greedy prefix in
+    * [[Packing.shuffleHash]] order ([[tokenBudget]]'s start-offset
+    * discipline: a doc is in the partial epoch iff its running start
+    * precedes `alloc − full·tokens`). Output: one row per (doc,
+    * epoch) — `(idCol, stratumCol, n_tokens, epoch)`, epochs 0-based,
+    * every doc of an exhausted stratum appearing exactly `maxEpochs`
+    * times. Deterministic, integer-exact, oracle-replayable end to end.
+    *
+    * Plan shape for 100 TB: one narrow token projection, a map-side-
+    * combined groupBy onto |strata| rows, the water-filling on that tiny
+    * frame (the only single-partition window is STRATA-domain-sized —
+    * the histogram discipline), the plan broadcast back, and
+    * [[tokenBudget]]'s per-stratum running-sum window (the packing
+    * sizing rule applies). The epoch explode amplifies rows only by the
+    * epochs actually allocated, bounded by `maxEpochs`. Overflow:
+    * `total_tokens · budgetBp` ≤ 2.5e13·10⁵ < 2⁶³ at 100 TB. */
+  def unimax(df: DataFrame, budgetBp: Long, maxEpochs: Int,
+             stratumCol: String = "source", idCol: String = "doc_id",
+             textCol: String = "text",
+             tokenCount: Option[Column] = None): DataFrame = {
+    require(budgetBp > 0, s"budgetBp must be positive, got $budgetBp")
+    require(maxEpochs >= 1 && maxEpochs <= 1000,
+      s"maxEpochs must be in [1, 1000], got $maxEpochs")
+    Seq("n_tokens", "epoch").foreach(c => require(!df.columns.contains(c),
+      s"unimax writes an '$c' column; input already has one — rename it first"))
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val nt = df.withColumn("n_tokens",
+      tokenCount.getOrElse(size(org.apache.spark.sql.functions
+        .split(col(textCol), TextStats.WsRun)).cast("long")))
+    val strata = nt.groupBy(stratumCol).agg(sum("n_tokens").as("__tok"))
+    val totals = strata.agg(sum("__tok").as("__tt"), count(lit(1)).as("__ns"))
+    val w1 = Window.orderBy(col("__cap"), col(stratumCol))
+    val ranked = strata
+      .withColumn("__cap", col("__tok") * maxEpochs)
+      .crossJoin(broadcast(totals))
+      .withColumn("__T", intDiv(col("__tt") * budgetBp, lit(10000L)))
+      .withColumn("__i", row_number().over(w1).cast("long"))
+      .withColumn("__pre", coalesce(
+        sum(col("__cap")).over(w1.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__share",
+        intDiv(col("__T") - col("__pre"), col("__ns") - col("__i") + 1))
+      .withColumn("__exh", col("__cap") <= col("__share"))
+    val star = ranked
+      .agg(min(when(!col("__exh"), struct(col("__i"), col("__share")))).as("__m"))
+      .select(coalesce(col("__m.__share"), lit(0L)).as("__star"))
+    val plan = ranked.crossJoin(broadcast(star))
+      .withColumn("__alloc", when(col("__exh"), col("__cap")).otherwise(col("__star")))
+      .withColumn("__full", when(col("__tok") > 0,
+        intDiv(col("__alloc"), col("__tok"))).otherwise(lit(0L)))
+      .withColumn("__part", col("__alloc") - col("__full") * col("__tok"))
+      .select(col(stratumCol), col("__full"), col("__part"))
+    val w2 = Window.partitionBy(stratumCol)
+      .orderBy(Packing.shuffleHash(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nt.join(broadcast(plan), Seq(stratumCol))
+      .withColumn("__start", sum(col("n_tokens")).over(w2) - col("n_tokens"))
+      .withColumn("__napp", col("__full") +
+        when(col("__start") < col("__part"), 1L).otherwise(0L))
+      .where(col("__napp") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__napp") - 1)))
+      .select(col(idCol), col(stratumCol), col("n_tokens"), col("epoch"))
+  }
+
   /** Downsample-only rebalancing toward a target mixture — the "make the
     * corpus 60 % web / 30 % code / 10 % wiki" assembly step when the raw
     * strata DON'T already have those proportions (where [[mixture]] takes

@@ -1741,6 +1741,63 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // UniMax epoch-capped mixture (Chung et al. 2023): integer
+    // water-filling of a 90%-of-corpus token budget across LANG strata
+    // (langs, not sources — source sizes are near-uniform in the
+    // fixture, which would leave the exhausted branch vacuous; langs
+    // are skewed en≈2.8×, probed tri-scale: 4 strata exhaust, en is
+    // water-leveled at every sf), then per-stratum partial-epoch greedy
+    // prefix in shuffleHash order. One row per (doc, epoch).
+    Q("llm_unimax",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+        |    ((doc_id % 999999937) * 654435887) % 999999937 AS h
+        |  FROM documents),
+        |s AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tok FROM t GROUP BY lang),
+        |tt AS (
+        |  SELECT CAST(sum(tok) * 9000 // 10000 AS BIGINT) AS bdg,
+        |    CAST(count(*) AS BIGINT) AS ns
+        |  FROM s),
+        |r AS (
+        |  SELECT lang, tok, tok AS cap,
+        |    CAST(row_number() OVER (ORDER BY tok, lang) AS BIGINT) AS i,
+        |    coalesce(sum(tok) OVER (ORDER BY tok, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM s),
+        |sh AS (
+        |  SELECT r.*, (bdg - pre) // (ns - i + 1) AS share,
+        |    cap <= (bdg - pre) // (ns - i + 1) AS exh
+        |  FROM r, tt),
+        |star AS (SELECT coalesce(arg_min(share, i) FILTER (NOT exh), 0) AS st FROM sh),
+        |plan AS (
+        |  SELECT lang, tok,
+        |    CASE WHEN exh THEN cap ELSE st END AS alloc
+        |  FROM sh, star),
+        |plan2 AS (
+        |  SELECT lang,
+        |    CASE WHEN tok > 0 THEN alloc // tok ELSE 0 END AS fullep,
+        |    alloc - (CASE WHEN tok > 0 THEN alloc // tok ELSE 0 END) * tok AS part
+        |  FROM plan),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        |  FROM t),
+        |a AS (
+        |  SELECT c.doc_id, c.lang, c.n_tokens,
+        |    CAST(p.fullep + (CASE WHEN c.strt < p.part THEN 1 ELSE 0 END) AS BIGINT) AS napp
+        |  FROM c JOIN plan2 p USING (lang))
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(unnest(range(0, napp)) AS BIGINT) AS epoch
+        |FROM a WHERE napp > 0 ORDER BY doc_id, epoch""".stripMargin) {
+      (spark, sf) =>
+        Sampling.unimax(
+            Tables.documents(spark, sf).select("doc_id", "lang", "text"),
+            budgetBp = 9000L, maxEpochs = 1, stratumCol = "lang")
+          .orderBy("doc_id", "epoch")
+    },
+
     // Token-budget shard packing: running token sum per source (stable
     // doc_id order), shard = start-offset // budget — integer window
     // arithmetic, oracle-gated end-to-end.
