@@ -164,6 +164,26 @@ object TextKernelObjs {
     java.lang.Long.valueOf(sum * 1024L / gh.length)
   }
 
+  /** Content hash of the WHOLE text under the same cross-engine
+    * polynomial chain as [[tokenHashes]] (base 31 over code points, mod
+    * 2³¹−1, spaces included): the manifest-checksum hash — summable
+    * per shard into an order-invariant release fingerprint, and
+    * replayable in SQL as a `list_reduce` over the character split.
+    * Empty text → 0. */
+  def charPolyHash(text: UTF8String): Long = {
+    val M = 2147483647L
+    val s = text.toString
+    if (s.isEmpty) return 0L
+    var h = -1L
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      h = if (h < 0) cp.toLong else (h * 31L + cp) % M
+      ci += Character.charCount(cp)
+    }
+    h
+  }
+
   /** min over i of xxhash64(substr(text, i, gram)) for i in
     * 1..max(len-gram+1, 1) — the winnowing fingerprint, identical to the
     * `array_min(transform(sequence(...), i => xxhash64(substr(...))))`
@@ -378,6 +398,35 @@ case class MinGramHash(child: Expression, gram: Int) extends UnaryExpression {
 object MinGramHash {
   def apply(text: Column, gram: Int): Column =
     ColumnBridge.column(MinGramHash(ColumnBridge.expression(text), gram))
+}
+
+/** [[TextKernelObjs.charPolyHash]] as a narrow codegen kernel: the
+  * whole-text polynomial content hash backing shard-manifest checksums. */
+case class CharPolyHash(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_char_poly_hash"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelObjs.charPolyHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernelObjs.charPolyHash($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharPolyHash {
+  def apply(text: Column): Column =
+    ColumnBridge.column(CharPolyHash(ColumnBridge.expression(text)))
 }
 
 /** [[TextKernelObjs.winnow]] as a narrow codegen kernel: the document's

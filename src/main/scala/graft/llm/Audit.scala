@@ -124,6 +124,44 @@ object Audit {
     * |sources| output rows regardless of corpus size. `tokenCount`
     * overrides the length metric (pass
     * [[TextStats.bpeTokenCount]] for subword-faithful totals). */
+  /** Shard manifest — the release-integrity record written NEXT TO a
+    * sharded corpus layout ([[Packing.shuffleShards]] /
+    * [[Packing.shardByPos]] output): per shard, the doc count, token
+    * total, position range with a contiguity flag (first..last must
+    * cover exactly n_docs positions — a dropped or duplicated row shows
+    * up here before a training run does), and an ORDER-INVARIANT content
+    * checksum `Σ charPolyHash(text)` in DECIMAL(38,0) (summable → the
+    * aggregation is map-side combinable and re-runnable in any order;
+    * the per-doc hash is [[graft.functions.CharPolyHash]], the
+    * cross-engine polynomial chain, so the whole manifest replays in
+    * SQL). A loader verifies a shard by recomputing three numbers; two
+    * releases diff by comparing manifests, never bytes.
+    *
+    * Plan shape (100 TB): ONE map-side-combined groupBy onto |shards|
+    * fixed-width rows — no corpus shuffle beyond the shard keys; with
+    * the corpus already written `partitionBy(shard_id)`
+    * ([[graft.sources.Sinks.trainingShards]]) the agg is
+    * partition-local. `tokenCount` overrides the token metric (pass
+    * [[TextStats.bpeTokenCount]] for subword-faithful manifests). */
+  def shardManifest(shards: DataFrame, shardCol: String = "shard_id",
+                    posCol: String = "pos_in_shard", textCol: String = "text",
+                    tokenCount: Option[Column] = None): DataFrame = {
+    Seq(shardCol, posCol, textCol).foreach(c => require(shards.columns.contains(c),
+      s"shardManifest needs the '$c' column (a sharded layout output)"))
+    val nt = tokenCount.getOrElse(
+      size(split(col(textCol), TextStats.WsRun)).cast("long"))
+    shards.groupBy(col(shardCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nt).as("n_tokens"),
+        min(col(posCol)).as("first_pos"),
+        max(col(posCol)).as("last_pos"),
+        sum(graft.functions.CharPolyHash(col(textCol))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("checksum"))
+      .withColumn("contiguous",
+        col("last_pos") - col("first_pos") + 1 === col("n_docs"))
+  }
+
   def corpusReport(docs: DataFrame, textCol: String = "text",
                    sourceCol: String = "source", langCol: String = "lang",
                    tokenCount: Option[Column] = None): DataFrame = {

@@ -317,6 +317,51 @@ object Packing {
     * `tokenCount` overrides the metric (default [[TextStats.WsRun]]
     * runs; pass [[TextStats.bpeTokenCount]] for subword-faithful
     * budgets — the [[packShards]] contract). */
+  /** Length-grouped batching — the pad-to-longest loading regime's
+    * batch ASSIGNMENT (where [[paddingSweep]] calibrates a block size,
+    * this op builds the batches): within each stratum, documents sort
+    * by (token count, id) and chop into fixed-size batches of
+    * `batchSize` docs, so same-batch documents have near-equal lengths
+    * and the pad-to-max waste collapses (the dynamic-batching /
+    * length-bucketing standard). Returns one row per batch:
+    * `(partitionCols…, batch_id, n_docs, max_tokens, real_tokens,
+    * waste_bp)` — waste in round-half-up basis points of the padded
+    * total `max_tokens · n_docs` (0 for an all-empty batch). Batch ids
+    * are 0-based per stratum in length order, so batch 0 is the
+    * shortest — a curriculum-friendly ordering for free. Deterministic
+    * and integer-exact end to end.
+    *
+    * Plan shape (100 TB): one narrow token projection, a per-stratum
+    * row_number window over (n_tokens, id) — [[Packing]]'s sizing rule
+    * applies verbatim (batch per (source, dt-bucket) when one stratum
+    * dominates) — then a map-side-combinable groupBy on the fixed-width
+    * (stratum, batch_id) key. The corpus shuffles once, for the sort. */
+  def lengthBatches(df: DataFrame, batchSize: Int,
+                    partitionCols: Seq[String] = Seq("source"),
+                    idCol: String = "doc_id", textCol: String = "text",
+                    tokenCount: Option[Column] = None): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    Seq("batch_id", "n_tokens").foreach(c => require(!df.columns.contains(c),
+      s"lengthBatches writes a '$c' column; input already has one — rename it first"))
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col("n_tokens"), col(idCol))
+    val batched = df
+      .withColumn("n_tokens", tokenCount.getOrElse(
+        size(split(col(textCol), TextStats.WsRun)).cast("long")))
+      .withColumn("batch_id",
+        intDiv(row_number().over(w).cast("long") - 1L, lit(batchSize.toLong)))
+    batched.groupBy((partitionCols :+ "batch_id").map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("real_tokens"))
+      .withColumn("__padded", col("max_tokens") * col("n_docs"))
+      .withColumn("waste_bp", when(col("__padded") > 0,
+          intDiv((col("__padded") - col("real_tokens")) * 20000L + col("__padded"),
+            col("__padded") * 2L))
+        .otherwise(lit(0L)))
+      .drop("__padded")
+  }
+
   def paddingSweep(docs: DataFrame, blockCandidates: Seq[Long],
                    textCol: String = "text",
                    tokenCount: Option[Column] = None): DataFrame = {

@@ -1846,6 +1846,75 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // Length-grouped batching: per-source sort by (token count, id),
+    // chop into 16-doc batches, report pad-to-longest waste in
+    // round-half-up bp — the dynamic-batching layout stage.
+    Q("llm_length_batches",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    (row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) - 1) // 16 AS batch_id,
+        |    nt
+        |  FROM t),
+        |a AS (
+        |  SELECT source, CAST(batch_id AS BIGINT) AS batch_id,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(max(nt) AS BIGINT) AS max_tokens,
+        |    CAST(sum(nt) AS BIGINT) AS real_tokens
+        |  FROM b GROUP BY 1, 2)
+        |SELECT source, batch_id, n_docs, max_tokens, real_tokens,
+        |  CAST(CASE WHEN max_tokens * n_docs > 0
+        |    THEN ((max_tokens * n_docs - real_tokens) * 20000 + max_tokens * n_docs)
+        |         // (max_tokens * n_docs * 2)
+        |    ELSE 0 END AS BIGINT) AS waste_bp
+        |FROM a ORDER BY source, batch_id""".stripMargin) { (spark, sf) =>
+      Packing.lengthBatches(
+          Tables.documents(spark, sf).select("doc_id", "source", "text"),
+          batchSize = 16)
+        .orderBy("source", "batch_id")
+    },
+
+    // Shard manifest: shuffleShards layout → per-shard doc/token counts,
+    // position-contiguity flag and an order-invariant Σ charPolyHash
+    // checksum in DECIMAL(38,0) — the release-integrity record a loader
+    // re-verifies without reading manifests' neighbors.
+    Q("llm_manifest",
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    ((doc_id % 999999937) * 654435887) % 999999937 AS hh
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, text, row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos
+        |  FROM h),
+        |s AS (
+        |  SELECT doc_id, text, CAST(pos // 64 AS BIGINT) AS shard_id,
+        |    CAST(pos - (pos // 64) * 64 AS BIGINT) AS pis
+        |  FROM p),
+        |ch AS (
+        |  SELECT shard_id, pis,
+        |    CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS nt,
+        |    CASE WHEN len(text) = 0 THEN 0
+        |      ELSE list_reduce(list_transform(string_split(text, ''),
+        |             c -> CAST(unicode(c) AS BIGINT)),
+        |           (a, b) -> (a * 31 + b) % 2147483647) END AS chash
+        |  FROM s)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(min(pis) AS BIGINT) AS first_pos,
+        |  CAST(max(pis) AS BIGINT) AS last_pos,
+        |  CAST(sum(chash) AS DECIMAL(38,0)) AS checksum,
+        |  max(pis) - min(pis) + 1 = count(*) AS contiguous
+        |FROM ch GROUP BY shard_id ORDER BY shard_id""".stripMargin) { (spark, sf) =>
+      Audit.shardManifest(
+          Packing.shuffleShards(
+            Tables.documents(spark, sf).select("doc_id", "text"),
+            rowsPerShard = 64L))
+        .orderBy("shard_id")
+    },
+
     // Z-order (Morton) storage layout: interleave (lang code, token
     // count) bits and range-sort on the interleaved value, so every
     // 64-row shard covers a tight rectangle of (lang, length) space and

@@ -149,6 +149,42 @@ class AuditSpec extends SparkSpec {
 
   // ----- corpusReport -------------------------------------------------
 
+  test("shardManifest hand-computed counts, range, contiguity and checksum") {
+    // charPolyHash("ab") = 97·31+98 = 3105; charPolyHash("a b") =
+    // ((97·31+32)·31+98) = 94307; charPolyHash("") = 0
+    val shards = Seq(
+      (0L, 0L, "ab"), (0L, 1L, "a b"), (0L, 2L, ""),
+      (1L, 0L, "ab"), (1L, 2L, "ab") // gap at pos 1 → not contiguous
+    ).toDF("shard_id", "pos_in_shard", "text")
+    val out = Audit.shardManifest(shards).orderBy("shard_id")
+      .select("shard_id", "n_docs", "n_tokens", "first_pos", "last_pos",
+        "checksum", "contiguous")
+      .as[(Long, Long, Long, Long, Long, BigDecimal, Boolean)].collect()
+    out(0) shouldBe ((0L, 3L, 4L, 0L, 2L, BigDecimal(3105L + 94307L), true))
+    out(1) shouldBe ((1L, 2L, 2L, 0L, 2L, BigDecimal(2 * 3105L), false))
+  }
+
+  test("shardManifest checksum is order-invariant and detects a content flip") {
+    val base = (0 until 40).map(i =>
+      (i.toLong / 8, (i % 8).toLong, s"doc number $i payload"))
+      .toDF("shard_id", "pos_in_shard", "text")
+    val a = Audit.shardManifest(base).orderBy("shard_id").collect()
+    val b = Audit.shardManifest(base.orderBy(rand(7)).repartition(5))
+      .orderBy("shard_id").collect()
+    a shouldBe b
+    val flipped = base.withColumn("text",
+      when(col("shard_id") === 2 && col("pos_in_shard") === 3,
+        lit("doc number XX payload")).otherwise(col("text")))
+    val c = Audit.shardManifest(flipped).orderBy("shard_id").collect()
+    assert(a(2) != c(2), "a flipped doc must change its shard's checksum")
+    assert(a(0) == c(0) && a(4) == c(4), "other shards' manifests unchanged")
+  }
+
+  test("shardManifest requires the layout columns") {
+    an[IllegalArgumentException] should be thrownBy
+      Audit.shardManifest(Seq((1L, "t")).toDF("doc_id", "text"))
+  }
+
   test("corpusReport hand-computed per-source datasheet") {
     val docs = Seq(
       ("s1", "en", "a b c"), // 3 tokens, 5 chars

@@ -294,6 +294,53 @@ class PackingSpec extends SparkSpec {
 
   // ----- paddingSweep -------------------------------------------------
 
+  test("lengthBatches hand-computed: length-sorted 2-doc batches, round-half-up waste") {
+    // lengths: d1=1, d2=3, d3=3, d4=5 (one source). batchSize 2, sorted
+    // by (nt, id): batch 0 = (d1:1, d2:3) max 3 real 4 padded 6 →
+    // waste = rhu(2/6·10⁴) = (2·20000+6)//12 = 3333 bp; batch 1 =
+    // (d3:3, d4:5) max 5 real 8 padded 10 → (2·20000+10)//20 = 2000 bp
+    val docs = Seq(
+      (1L, "s", "a"), (2L, "s", "a b c"), (3L, "s", "d e f"),
+      (4L, "s", "a b c d e")).toDF("doc_id", "source", "text")
+    val out = Packing.lengthBatches(docs, batchSize = 2)
+      .orderBy("batch_id")
+      .select("source", "batch_id", "n_docs", "max_tokens", "real_tokens", "waste_bp")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    out shouldBe Array(
+      ("s", 0L, 2L, 3L, 4L, 3333L),
+      ("s", 1L, 2L, 5L, 8L, 2000L))
+  }
+
+  test("lengthBatches: batch 0 is the shortest; strata batch independently; invariant under partitioning") {
+    val docs = (0 until 50).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      (i.toLong, src, Seq.fill(1 + (i * 7) % 23)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = Packing.lengthBatches(docs, batchSize = 8)
+    val perBatch = out.orderBy("source", "batch_id")
+      .select("source", "batch_id", "max_tokens").as[(String, Long, Long)].collect()
+    // within each source, max_tokens is non-decreasing in batch_id
+    perBatch.groupBy(_._1).values.foreach { rows =>
+      val ms = rows.sortBy(_._2).map(_._3)
+      ms.zip(ms.tail).foreach { case (a, b) => assert(a <= b) }
+    }
+    val again = Packing.lengthBatches(docs.repartition(9), batchSize = 8)
+      .orderBy("source", "batch_id").collect()
+    out.orderBy("source", "batch_id").collect() shouldBe again
+  }
+
+  test("lengthBatches: all-empty batch has waste 0; rejects bad sizes and reserved columns") {
+    val docs = Seq((1L, "s", ""), (2L, "s", "")).toDF("doc_id", "source", "text")
+    // "" splits to one zero-length token under WsRun → nt=1; force nt=0
+    // via the tokenCount override to exercise the padded=0 branch
+    val out = Packing.lengthBatches(docs, 4, tokenCount = Some(lit(0L)))
+      .select("waste_bp").as[Long].collect()
+    out shouldBe Array(0L)
+    an[IllegalArgumentException] should be thrownBy Packing.lengthBatches(docs, 0)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.lengthBatches(docs.withColumn("batch_id", lit(1)), 4)
+  }
+
   test("paddingSweep hand-computed blocks and round-half-up waste") {
     // docs of exactly 5, 10, 17 whitespace tokens
     val docs = Seq(
