@@ -377,6 +377,43 @@ object Curation {
     * projection on that participant subset plus the final anti join
     * against the loser set — dup-mass-sized, usually broadcastable.
     * The corpus text itself never shuffles. */
+  /** Post-split leakage audit — the check a release runs AFTER
+    * [[Sampling.split]] (or [[leakageSafeSplit]]) and BEFORE training:
+    * how much of each TRAIN document's shingle set already appears in
+    * the held-out bands? Composes the split lattice with
+    * [[Dedup.contamination]], treating every held-out doc as benchmark
+    * text: train docs with high contamination mean the held-out sets
+    * can't measure generalization (shared boilerplate, near-copies the
+    * split separated, template text). Returns one row per TRAIN doc —
+    * `(idCol, matched, total, contamination)`, contamination in
+    * [[Dedup.contamination]]'s round-half-up convention. Use k ≥ 3:
+    * k = 2 bigrams are corpus-universal and saturate (the CLAUDE.md
+    * shingle lesson — probed: k = 3 spreads 230–804 distinct bp values
+    * at every fixture scale).
+    *
+    * Plan shape (100 TB): the split is a pure narrow projection (no
+    * shuffle), so this inherits [[Dedup.contamination]]'s shape — the
+    * held-out shingle set broadcasts (≈ heldFraction of the corpus's
+    * distinct shingles; past broadcast size, swap in
+    * [[Dedup.bloomContamination]] — same output contract), and the
+    * train side is scanned once, never shuffled. */
+  def splitLeakage(docs: DataFrame, fractions: Seq[(String, Double)],
+                   heldOutLabels: Seq[String], k: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(heldOutLabels.nonEmpty, "splitLeakage needs at least one held-out label")
+    val labels = fractions.map(_._1).toSet
+    heldOutLabels.foreach(l => require(labels.contains(l),
+      s"held-out label '$l' is not a split band (${labels.mkString(", ")})"))
+    require(heldOutLabels.toSet != labels,
+      "at least one band must remain train-side")
+    val split = Sampling.split(docs, fractions, idCol)
+    val heldOut = split.where(col("split").isInCollection(heldOutLabels))
+      .select(col(idCol), col(textCol))
+    val train = split.where(!col("split").isInCollection(heldOutLabels))
+      .select(col(idCol), col(textCol))
+    Dedup.contamination(train, heldOut, k, idCol, textCol)
+  }
+
   def qualityDedup(docs: DataFrame, pairs: DataFrame, scoreCol: Column,
                    idCol: String = "doc_id",
                    aCol: String = "a", bCol: String = "b"): DataFrame = {

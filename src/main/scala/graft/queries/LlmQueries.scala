@@ -1123,6 +1123,38 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Post-split leakage audit: split 90/5/5 on the coprime split
+    // lattice, treat val+test as benchmark, k=3 shingle contamination of
+    // every train doc (k=2 saturates; k=3 probed to spread 230-804
+    // distinct bp values tri-scale).
+    Q("llm_split_leakage",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |      range(1, greatest(len(t) - 2, 1) + 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS s
+        |  FROM toks),
+        |tr AS (SELECT doc_id, s FROM sh
+        |  WHERE ((doc_id % 10007) * 4871) % 10007 < 9006),
+        |bm AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+        |  WHERE ((doc_id % 10007) * 4871) % 10007 >= 9006),
+        |du AS (SELECT doc_id, unnest(s) AS shingle FROM tr),
+        |m AS (
+        |  SELECT doc_id, count(*) AS matched FROM du
+        |  WHERE shingle IN (SELECT shingle FROM bm) GROUP BY doc_id),
+        |t AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS total FROM tr)
+        |SELECT t.doc_id, COALESCE(m.matched, 0) AS matched, t.total,
+        |  ((20000 * COALESCE(m.matched, 0) + t.total) // (2 * t.total)) / 10000.0
+        |    AS contamination
+        |FROM t LEFT JOIN m USING (doc_id) ORDER BY t.doc_id""".stripMargin) {
+      (spark, sf) =>
+        Curation.splitLeakage(
+            Tables.documents(spark, sf).select("doc_id", "text"),
+            fractions = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+            heldOutLabels = Seq("val", "test"), k = 3)
+          .orderBy("doc_id")
+    },
+
     // Decontamination threshold sweep over llm_contamination's exact
     // planting: per candidate cutoff, surviving docs + tokens in one
     // conditional-aggregate scan. Thresholds (3000/6000/9000/10000) were

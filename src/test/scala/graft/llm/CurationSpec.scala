@@ -367,6 +367,41 @@ class CurationSpec extends SparkSpec {
         pairs, Seq("train" -> 1.0))
   }
 
+  test("splitLeakage flags a train doc copying held-out text and clears disjoint vocab") {
+    // find ids landing train vs held-out under the .9/.05/.05 lattice
+    val res = (id: Long) => ((id % 10007L) * 4871L) % 10007L
+    val ids = (0L until 4000L)
+    val trainIds = ids.filter(res(_) < 9006L)
+    val heldIds = ids.filter(res(_) >= 9006L)
+    val held = heldIds.head
+    val leakyTrain = trainIds.head
+    val cleanTrain = trainIds(1)
+    val docs = Seq(
+      (held, "alpha beta gamma delta epsilon zeta eta theta"),
+      (leakyTrain, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim copy
+      (cleanTrain, "uno dos tres cuatro cinco seis siete ocho")      // disjoint vocab
+    ).toDF("doc_id", "text")
+    val out = Curation.splitLeakage(docs,
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+        heldOutLabels = Seq("val", "test"), k = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    out.keySet shouldBe Set(leakyTrain, cleanTrain) // held-out docs are not scored
+    out(leakyTrain) shouldBe 1.0
+    out(cleanTrain) shouldBe 0.0
+  }
+
+  test("splitLeakage rejects unknown and all-covering held-out label sets") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val fr = Seq("train" -> 0.9, "val" -> 0.1)
+    an[IllegalArgumentException] should be thrownBy
+      Curation.splitLeakage(docs, fr, Seq("dev"))
+    an[IllegalArgumentException] should be thrownBy
+      Curation.splitLeakage(docs, fr, Seq("train", "val"))
+    an[IllegalArgumentException] should be thrownBy
+      Curation.splitLeakage(docs, fr, Seq.empty)
+  }
+
   test("qualityDedup is invariant under input partitioning") {
     val docs = spark.range(300).select(col("id").as("doc_id"),
       pmod(col("id") * 7, lit(31)).as("score"))
