@@ -124,6 +124,42 @@ object Audit {
     * |sources| output rows regardless of corpus size. `tokenCount`
     * overrides the length metric (pass
     * [[TextStats.bpeTokenCount]] for subword-faithful totals). */
+  /** Duplicated-token-mass audit — the substring-level companion to
+    * [[dupProfile]] (which counts whole-doc copies): per group, how many
+    * tokens does [[Dedup.substringDedup]]'s repeated-span removal
+    * (Lee et al. 2022 class) take away? Returns one row per `groupCol`
+    * value: `(groupCol, n_docs, total_tokens, kept_tokens, removed_bp)`
+    * — removal in round-half-up basis points of the group's token total
+    * (0 for a token-free group). A healthy post-dedup release profiles
+    * near-flat here; a high-removal source is shipping boilerplate.
+    *
+    * Plan shape (100 TB): [[Dedup.substringDedup]]'s plan (ONE
+    * window-hash shuffle, loser-only position explosion) feeding a
+    * fixed-width id join and a map-side-combined groupBy onto |groups|
+    * rows — the audit adds no corpus-sized exchange beyond the dedup it
+    * measures. */
+  def dupMass(docs: DataFrame, k: Int = 50, groupCol: String = "source",
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(docs.columns.contains(groupCol),
+      s"dupMass groups by '$groupCol' — column not found")
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val nt = docs.select(col(idCol), col(groupCol),
+      size(split(col(textCol), TextStats.WsRun)).cast("long").as("__nt"))
+    val surv = Dedup.substringDedup(
+        docs.select(col(idCol), col(textCol)), k, idCol, textCol)
+      .select(col(idCol), col("n_kept"))
+    nt.join(surv, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("total_tokens"),
+        sum(col("n_kept")).as("kept_tokens"))
+      .withColumn("removed_bp", when(col("total_tokens") > 0,
+          intDiv((col("total_tokens") - col("kept_tokens")) * 20000L
+              + col("total_tokens"),
+            col("total_tokens") * 2L))
+        .otherwise(lit(0L)))
+  }
+
   /** Shard manifest — the release-integrity record written NEXT TO a
     * sharded corpus layout ([[Packing.shuffleShards]] /
     * [[Packing.shardByPos]] output): per shard, the doc count, token

@@ -538,6 +538,52 @@ object LlmQueries {
       Dedup.substringDedup(planted, k = 20).orderBy("doc_id")
     },
 
+    // Duplicated-token-mass audit: per source, tokens removed by
+    // substring dedup in round-half-up bp — llm_dedup_substring's
+    // planted boilerplate (%5 docs share a 30-token run) guarantees a
+    // non-zero removal mass at every scale.
+    Q("llm_dup_mass", {
+      val bp = (0 until 30).map(i => f"bp$i%02d").mkString(" ")
+      s"""WITH planted AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' ' || '$bp'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, source,
+         |    regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS toks,
+         |    CAST(len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS nt
+         |  FROM planted),
+         |h AS (
+         |  SELECT doc_id, unnest(range(1, nt - 18)) AS s, toks FROM t),
+         |h2 AS (
+         |  SELECT doc_id, s, array_to_string(toks[s : s + 19], ' ') AS wtext FROM h),
+         |ranked AS (
+         |  SELECT doc_id, s,
+         |    row_number() OVER (PARTITION BY wtext ORDER BY doc_id, s) AS rn
+         |  FROM h2),
+         |cov AS (
+         |  SELECT doc_id, unnest(range(s, s + 20)) AS i FROM ranked WHERE rn > 1),
+         |covd AS (SELECT doc_id, count(DISTINCT i) AS ncov FROM cov GROUP BY doc_id),
+         |perdoc AS (
+         |  SELECT t.doc_id, t.source, t.nt,
+         |    t.nt - coalesce(c.ncov, 0) AS n_kept
+         |  FROM t LEFT JOIN covd c USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_kept) AS BIGINT) AS kept_tokens,
+         |  CAST(CASE WHEN sum(nt) > 0
+         |    THEN ((sum(nt) - sum(n_kept)) * 20000 + sum(nt)) // (2 * sum(nt))
+         |    ELSE 0 END AS BIGINT) AS removed_bp
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+    }) { (spark, sf) =>
+      val bp = (0 until 30).map(i => f"bp$i%02d").mkString(" ")
+      val planted = Tables.documents(spark, sf).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + bp)))
+          .otherwise(col("text")).as("text"))
+      Audit.dupMass(planted, k = 20).orderBy("source")
+    },
+
     // Transitive duplicate clustering: near-dup pair lists only ever name
     // (A,B) and (B,C) — turning them into keep/drop decisions needs the
     // transitive closure. Edges are planted arithmetically on BOTH sides

@@ -180,6 +180,33 @@ class AuditSpec extends SparkSpec {
     assert(a(0) == c(0) && a(4) == c(4), "other shards' manifests unchanged")
   }
 
+  test("dupMass hand-computed: shared span mass is charged to the loser's group") {
+    // k=3: docs 1 and 2 share a 4-token run "p q r s" (doc 1 wins the
+    // min-(id, pos) election); doc 3 is clean. src a = {1, 3}, src b = {2}.
+    val docs = Seq(
+      (1L, "a", "p q r s x y"),      // 6 tokens, keeps all
+      (2L, "b", "p q r s z"),        // 5 tokens, loses positions 1..4
+      (3L, "a", "u v w")             // 3 tokens
+    ).toDF("doc_id", "source", "text")
+    val out = Audit.dupMass(docs, k = 3).orderBy("source")
+      .select("source", "n_docs", "total_tokens", "kept_tokens", "removed_bp")
+      .as[(String, Long, Long, Long, Long)].collect()
+    out(0) shouldBe (("a", 2L, 9L, 9L, 0L))
+    // b: windows of doc 2 at pos 1..3 — "p q r","q r s","r s z"; doc 1
+    // has "p q r","q r s" (wins both) → doc 2 loses pos 1..4, keeps "z"
+    out(1) shouldBe (("b", 1L, 5L, 1L, 8000L))
+  }
+
+  test("dupMass is flat on a span-free corpus and guards the group column") {
+    val docs = Seq((1L, "a", "one two"), (2L, "a", "three four"))
+      .toDF("doc_id", "source", "text")
+    val out = Audit.dupMass(docs, k = 2)
+      .select("removed_bp").as[Long].collect()
+    out shouldBe Array(0L)
+    an[IllegalArgumentException] should be thrownBy
+      Audit.dupMass(docs.drop("source"), k = 2)
+  }
+
   test("shardManifest requires the layout columns") {
     an[IllegalArgumentException] should be thrownBy
       Audit.shardManifest(Seq((1L, "t")).toDF("doc_id", "text"))
