@@ -216,6 +216,53 @@ object StreamOps {
       .option("path", path).option("checkpointLocation", checkpoint)
       .outputMode("append").start()
 
+  final case class DocIn(doc_id: Long, source: String, text: String)
+  final case class Admitted(doc_id: Long, source: String,
+                            n_tokens: Long, start_offset: Long)
+
+  /** Streaming token-budget admission — the continuous-ingest face of
+    * [[graft.llm.Sampling.tokenBudget]]: admit arriving documents per
+    * stratum until the stratum's cumulative token count reaches
+    * `budgetTokens`, carrying ONE Long of state per stratum (the
+    * consumed-token counter — state is |strata|-bounded, no timeout
+    * needed). The start-offset discipline holds exactly: a document is
+    * admitted iff the stratum's consumed count BEFORE it is under
+    * budget, so the straddling document is kept and overshoot is less
+    * than one document — byte-identical to the batch operator's rule.
+    *
+    * Ordering caveat (the [[dedupAgainstSnapshot]] class): the batch
+    * operator takes the greedy prefix in shuffleHash order; a stream
+    * admits in ARRIVAL order (within a micro-batch, ties broken by
+    * doc_id for determinism). The admitted SET therefore differs from
+    * the batch set whenever arrival order isn't the lattice order —
+    * run the batch operator for retrospective corrections; use this for
+    * the live admission gate. Token metric: [[graft.llm.TextStats.WsRun]]
+    * split, matching the batch default. */
+  def budgetAdmission(docs: Dataset[DocIn], budgetTokens: Long): Dataset[Admitted] = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import docs.sparkSession.implicits._
+    val wsRun = graft.llm.TextStats.WsRun
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, Admitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, it: Iterator[DocIn], state: GroupState[Long]) =>
+          var consumed = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[Admitted]
+          // within-batch determinism: micro-batch iteration order is not
+          // guaranteed — admit in doc_id order
+          it.toSeq.sortBy(_.doc_id).foreach { d =>
+            if (consumed < budgetTokens) {
+              val nt = if (d.text == null) 0L
+                else d.text.split(wsRun, -1).length.toLong
+              out += Admitted(d.doc_id, src, nt, consumed)
+              consumed += nt
+            }
+          }
+          state.update(consumed)
+          out.result().iterator
+      }
+  }
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   /** T5b custom keyed state: running per-user count/sum via

@@ -270,6 +270,54 @@ class StreamOpsSpec extends SparkSpec {
         minQualityBp = 0L, maxContamBp = 10000L, maxBenchShingles = 2)
   }
 
+  test("budgetAdmission admits per-stratum until the budget, straddler kept, state crosses batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.DocIn
+    val mem = MemoryStream[DocIn]
+    val q = StreamOps.budgetAdmission(mem.toDS(), budgetTokens = 7L)
+      .writeStream.format("memory").queryName("budget_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1, source a: 3+3 tokens — d1 (start 0), d2 (start 3) admitted
+      mem.addData(
+        DocIn(1L, "a", "x y z"), DocIn(2L, "a", "p q r"),
+        DocIn(10L, "b", "a b c d e f"))
+      q.processAllAvailable()
+      // batch 2: a has consumed 6 < 7 → d3 straddles (start 6, kept),
+      // d4 (start 10) dropped; b consumed 6 < 7 → d11 kept, then full
+      mem.addData(
+        DocIn(3L, "a", "l m n o"), DocIn(4L, "a", "u v"),
+        DocIn(11L, "b", "g h"), DocIn(12L, "b", "i"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("budget_sink")
+      .orderBy("doc_id")
+      .select("doc_id", "source", "n_tokens", "start_offset")
+      .as[(Long, String, Long, Long)].collect()
+    out shouldBe Array(
+      (1L, "a", 3L, 0L), (2L, "a", 3L, 3L), (3L, "a", 4L, 6L),
+      (10L, "b", 6L, 0L), (11L, "b", 2L, 6L))
+  }
+
+  test("budgetAdmission start-offset rule matches the batch operator's on aligned order") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.DocIn
+    // ids chosen so doc_id order == shuffleHash order is NOT required:
+    // we assert the RULE (start < budget), not set-parity — the
+    // ordering caveat is the documented contract
+    val docs = Seq(
+      DocIn(1L, "s", "a b"), DocIn(2L, "s", "c d e"), DocIn(3L, "s", "f"))
+    val mem = MemoryStream[DocIn]
+    val q = StreamOps.budgetAdmission(mem.toDS(), budgetTokens = 4L)
+      .writeStream.format("memory").queryName("budget_rule_sink")
+      .outputMode("append").start()
+    try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    val admitted = spark.table("budget_rule_sink")
+      .select("doc_id", "start_offset").as[(Long, Long)].collect().toMap
+    // starts in doc_id order: 0, 2, 5 → d3's start 5 >= 4 dropped
+    admitted shouldBe Map(1L -> 0L, 2L -> 2L)
+  }
+
   test("runningPerUser keyed state accumulates per user") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
