@@ -504,7 +504,59 @@ object ScaleProbe {
       ("contamination_sweep", () => graft.llm.Dedup.contaminationSweep(
         synthDocs(n), synthDocs(100),
         thresholds = Seq(2500L, 5000L, 7500L, 10000L), k = 3)
-        .agg(sum("kept_docs"), sum("kept_tokens")).head()))
+        .agg(sum("kept_docs"), sum("kept_tokens")).head()),
+      // DSIR: three corpus scans (distribution agg → 64-row driver
+      // collect, score histogram, keep filter), shuffled never — the
+      // eager collect is part of the timed plan; n*4 in-shape clears
+      // the fixed-cost floor
+      ("dsir", () => graft.llm.TextStats.dsir(synthDocs(n * 4),
+          isTarget = pmod(col("doc_id"), lit(3L)) === 0L, keepFraction = 0.4)
+        .agg(sum("dsir_score"), count(lit(1))).head()),
+      // UniMax: one skewed stratum at 50% of rows probes the
+      // partial-epoch window under the packing sizing rule's worst case
+      // (the assemble_skewed discipline); water-filling itself runs on
+      // the tiny strata frame
+      ("unimax", () => {
+        val docs = synthDocs(n * 4).select(col("doc_id"), col("text"),
+          when(pmod(col("doc_id"), lit(2L)) === 0L, lit("big"))
+            .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(10L)))).as("source"))
+        graft.llm.Sampling.unimax(docs, budgetBp = 7000L, maxEpochs = 2)
+          .agg(sum("n_tokens"), count(lit(1))).head()
+      }),
+      // length-grouped batching: one per-stratum sort exchange + a
+      // fixed-width groupBy — should track shuffle_shards
+      ("length_batches", () => {
+        val docs = synthDocs(n * 4).select(col("doc_id"), col("text"),
+          concat(lit("s"), pmod(col("doc_id"), lit(16L))).as("source"))
+        graft.llm.Packing.lengthBatches(docs, batchSize = 32)
+          .agg(sum("real_tokens"), max("batch_id"), sum("waste_bp")).head()
+      }),
+      // shard manifest over the shuffleShards layout: the range-sort
+      // exchange plus ONE map-side-combined agg onto |shards| rows —
+      // manifest cost must ride the layout's, not add to it
+      ("manifest", () => graft.llm.Audit.shardManifest(
+          graft.llm.Packing.shuffleShards(synthDocs(n * 4), rowsPerShard = 256L))
+        .agg(sum("n_tokens"), sum("checksum"), count(lit(1))).head()),
+      // post-split leakage: the held-out shingle set is ~10% of the
+      // corpus's distinct trigrams and BROADCASTS — this shape watches
+      // that broadcast grow with n (the documented regime boundary where
+      // bloomContamination takes over)
+      ("split_leakage", () => graft.llm.Curation.splitLeakage(synthDocs(n),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+          heldOutLabels = Seq("val", "test"), k = 3)
+        .agg(sum("matched"), sum("total"), count(lit(1))).head()),
+      // dup-mass audit: substring_dedup's plan + a |groups|-row agg —
+      // planted shared 30-token runs on %5 docs so the loser explosion
+      // is exercised, not skipped
+      ("dup_mass", () => {
+        val bp = (0 until 30).map(i => f"bp$i%02d").mkString(" ")
+        val docs = synthDocs(n).select(col("doc_id"),
+          concat(lit("s"), pmod(col("doc_id"), lit(8L))).as("source"),
+          when(pmod(col("doc_id"), lit(5L)) === 0L,
+            concat(col("text"), lit(" " + bp))).otherwise(col("text")).as("text"))
+        graft.llm.Audit.dupMass(docs, k = 20)
+          .agg(sum("total_tokens"), sum("kept_tokens"), sum("removed_bp")).head()
+      }))
     val llmBase = 5000L
 
     // Per-shape error isolation: one shape failing at factor× (the case
