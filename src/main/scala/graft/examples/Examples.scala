@@ -351,6 +351,36 @@ object Examples {
     println(s"[23] curriculum $schedule; $straddlers docs straddle blocks; " +
       s"dup profile $profile; vectors: $vecHealth")
 
+    // 24. data selection + loading layout: DSIR keeps the docs whose
+    // hashed-ngram distribution matches the target slice; UniMax spreads
+    // a token budget with an epoch cap; length-grouped batches cut
+    // pad-to-longest waste; the split-leakage audit and the shard
+    // manifest are what a release sign-off actually reads
+    val dsirKept = graft.llm.TextStats.dsir(docs,
+      isTarget = col("lang") === "en", keepFraction = 0.4).count()
+    val epochs = graft.llm.Sampling.unimax(
+        docs.select("doc_id", "lang", "text"),
+        budgetBp = 9000L, maxEpochs = 2, stratumCol = "lang")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang")
+      .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(" ")
+    val batches = graft.llm.Packing.lengthBatches(
+        docs.select("doc_id", "source", "text"), batchSize = 16)
+      .agg(count(lit(1)), max("waste_bp")).head()
+    val leaky = graft.llm.Curation.splitLeakage(
+        docs.select("doc_id", "text"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+        heldOutLabels = Seq("val", "test"), k = 3)
+      .where(col("contamination") > 0.5).count()
+    val manifest = graft.llm.Audit.shardManifest(
+        graft.llm.Packing.shuffleShards(
+          docs.select("doc_id", "text"), rowsPerShard = 64L))
+      .agg(count(lit(1)), min("contiguous")).head()
+    println(s"[24] dsir keeps $dsirKept; unimax rows $epochs; " +
+      s"${batches.getLong(0)} batches (worst waste ${batches.getLong(1)} bp); " +
+      s"$leaky train docs >50% leaked; ${manifest.getLong(0)} shards " +
+      s"(all contiguous: ${manifest.getBoolean(1)})")
+
     spark.stop()
   }
 }
