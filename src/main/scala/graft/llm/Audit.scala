@@ -192,10 +192,15 @@ object Audit {
         sum(nt).as("n_tokens"),
         min(col(posCol)).as("first_pos"),
         max(col(posCol)).as("last_pos"),
+        countDistinct(col(posCol)).as("__np"),
         sum(graft.functions.CharPolyHash(col(textCol))
           .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("checksum"))
+      // span check alone is spoofable by duplicate positions (0,0,2 spans
+      // 3 = n_docs): contiguity also requires every position distinct
       .withColumn("contiguous",
-        col("last_pos") - col("first_pos") + 1 === col("n_docs"))
+        (col("last_pos") - col("first_pos") + 1 === col("n_docs")) &&
+          (col("__np") === col("n_docs")))
+      .drop("__np")
   }
 
   def corpusReport(docs: DataFrame, textCol: String = "text",

@@ -1984,7 +1984,8 @@ object LlmQueries {
         |  CAST(min(pis) AS BIGINT) AS first_pos,
         |  CAST(max(pis) AS BIGINT) AS last_pos,
         |  CAST(sum(chash) AS DECIMAL(38,0)) AS checksum,
-        |  max(pis) - min(pis) + 1 = count(*) AS contiguous
+        |  max(pis) - min(pis) + 1 = count(*)
+        |    AND count(DISTINCT pis) = count(*) AS contiguous
         |FROM ch GROUP BY shard_id ORDER BY shard_id""".stripMargin) { (spark, sf) =>
       Audit.shardManifest(
           Packing.shuffleShards(

@@ -164,6 +164,13 @@ class AuditSpec extends SparkSpec {
     out(1) shouldBe ((1L, 2L, 2L, 0L, 2L, BigDecimal(2 * 3105L), false))
   }
 
+  test("shardManifest: duplicate positions cannot spoof the contiguity flag") {
+    // positions 0,0,2 span 3 = n_docs, but pos 0 is duplicated
+    val shards = Seq((0L, 0L, "x"), (0L, 0L, "y"), (0L, 2L, "z"))
+      .toDF("shard_id", "pos_in_shard", "text")
+    Audit.shardManifest(shards).select("contiguous").as[Boolean].head() shouldBe false
+  }
+
   test("shardManifest checksum is order-invariant and detects a content flip") {
     val base = (0 until 40).map(i =>
       (i.toLong / 8, (i % 8).toLong, s"doc number $i payload"))
