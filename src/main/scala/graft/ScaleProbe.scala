@@ -545,6 +545,22 @@ object ScaleProbe {
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
           heldOutLabels = Seq("val", "test"), k = 3)
         .agg(sum("matched"), sum("total"), count(lit(1))).head()),
+      // cluster-balanced sampling: ONE narrow PQ-cell kernel projection
+      // + the bounded-heap per-cell quota. The cap stays FIXED while the
+      // corpus grows — the real selection regime (quota set by token
+      // budget, corpus by crawl). The ~4.1 ratio is the K×dims kernel
+      // arithmetic scaling near-linearly with rows (substring_dedup's
+      // compute-bound band), not a shuffle: the quota exchange is
+      // bounded at 8·cap structs. (A cap that SCALES with n additionally
+      // turns heap partials into O(cap) buffers per partition — the
+      // window-vs-heap regime boundary documented on clusterBalance.)
+      ("cluster_balance", () => {
+        val cb = (0 until 8).map(k =>
+          (0 until 32).map(j => (((k * 17 + j * 7) % 19) - 9) / 4.0))
+        graft.llm.Similarity.clusterBalance(synthEmb(n * 20), Seq(cb),
+            capPerCluster = 256)
+          .agg(sum("cluster"), count(lit(1))).head()
+      }),
       // dup-mass audit: substring_dedup's plan + a |groups|-row agg —
       // planted shared 30-token runs on %5 docs so the loser explosion
       // is exercised, not skipped

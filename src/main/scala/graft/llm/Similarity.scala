@@ -295,4 +295,46 @@ object Similarity {
           .as(Seq("subspace", "code")))
       .select(col(idCol), col("subspace").cast("long").as("subspace"),
         col("code").cast("long").as("code"))
+
+  /** Cluster-balanced diversity sampling — the embedding-space
+    * counterpart of [[graft.llm.Sampling.capPerGroup]] (cluster-capped
+    * pruning: semantic density must not buy corpus share, the
+    * "diversify by cluster" selection stage next to
+    * [[graft.llm.Dedup.semDedup]]'s near-duplicate pruning): every
+    * vector lands in its PRODUCT-QUANTIZATION CELL (per-subspace nearest
+    * centroid under squared L2 via [[graft.functions.PqEncode]], cell =
+    * Σ codeₛ·Kˢ — K^S cells from S·K centroids), and each cell keeps at
+    * most `capPerCluster` members in [[Packing.shuffleHash]] order (an
+    * unbiased deterministic draw — id order would keep each cluster's
+    * earliest crawl). Defect vectors (wrong dims, NULL/NaN components)
+    * encode to NULL and are dropped — run [[graft.llm.Audit.embeddingReport]]
+    * first. With PLANTED codebooks the whole selection replays in SQL.
+    *
+    * Plan shape (100 TB): assignment is ONE narrow codegen'd kernel
+    * projection (codebooks ride the plan via addReferenceObj — no join);
+    * the quota is the bounded-heap [[graft.relational.TopK]] collector
+    * keyed by cell (≤ capPerCluster structs per cell cross the wire,
+    * never a window sort). The only exchange is cell-keyed and
+    * fixed-width. Regime note: the heap carries O(capPerCluster) structs
+    * per (cell, partition) in the partial aggregate — right for quotas
+    * up to ~10⁴–10⁵; for caps that SCALE with the corpus, a per-cell
+    * window row_number (cell-sized sort, constant memory) is the better
+    * physical plan. */
+  def clusterBalance(vectors: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+                     capPerCluster: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(capPerCluster > 0, s"capPerCluster must be positive, got $capPerCluster")
+    val k = codebooks.head.length
+    require(codebooks.forall(_.length == k),
+      "all subspaces must share one centroid count (cell id = Σ code·K^s)")
+    val cell = aggregate(
+      graft.functions.PqEncode(col(vecCol), codebooks),
+      lit(0L), (acc, c) => acc * k + c)
+    val assigned = vectors.select(col(idCol), cell.as("cluster"))
+      .where(col("cluster").isNotNull)
+    Sampling.capPerGroup(assigned, Seq(col("cluster")), capPerCluster,
+        Seq(Packing.shuffleHash(col(idCol)).as("__h"), col(idCol)))
+      .select(col(idCol), col("cluster"))
+  }
 }

@@ -39,6 +39,13 @@ object LlmQueries {
     (0 until 8).map(s => (0 until 4).map(k =>
       (0 until 8).map(j => (((s * 31 + k * 17 + j * 7) % 19) - 9) / 4.0)))
 
+  // Planted full-width codebook for llm_cluster_balance: ONE subspace of
+  // 8 centroids x 64 dims (the fixture's embedding width), same
+  // quarter-step formula family as pqCodebooks — every value exactly
+  // representable, squared-L2 double arithmetic identical cross-engine.
+  private val clusterCodebook: Seq[Seq[Double]] =
+    (0 until 8).map(k => (0 until 64).map(j => (((k * 17 + j * 7) % 19) - 9) / 4.0))
+
   // Planted n-gram LM (the llm_redact discipline: the model is data,
   // written identically on both sides). Scores are negative
   // centi-log-probs; entries are formula-generated so the two listings
@@ -1399,6 +1406,38 @@ object LlmQueries {
       Similarity.lshTopK(emb.where(col("vec_id") < 20), emb, k = 5)
         .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cos"), col("rnk"))
         .orderBy("qid", "rnk")
+    },
+
+    // Cluster-balanced diversity sampling: one planted 8-centroid/64-dim
+    // codebook (quarter-step values — double arithmetic identical
+    // cross-engine, the llm_pq discipline) assigns every vector a PQ
+    // cell; each cell keeps <= 100 members in shuffleHash order. Cap 100
+    // PROBED tri-scale: cluster sizes 12-828, so the cap binds for some
+    // clusters and spares others at every scale (both branches live).
+    Q("llm_cluster_balance", {
+      val cbSql = clusterCodebook.zipWithIndex.map { case (vals, kk) =>
+        s"($kk, [${vals.mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH cb(code, vals) AS (VALUES $cbSql),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT vec_id, cb.code,
+         |        list_reduce(list_transform(range(1, 65),
+         |          j -> (v[j] - vals[j]) * (v[j] - vals[j])), (a, b) -> a + b) AS dist
+         |      FROM e, cb),
+         |r AS (SELECT vec_id, code,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn
+         |      FROM d),
+         |a AS (SELECT vec_id, CAST(code AS BIGINT) AS cluster FROM r WHERE rn = 1),
+         |h AS (SELECT vec_id, cluster,
+         |        ((vec_id % 999999937) * 654435887) % 999999937 AS hh FROM a),
+         |q AS (SELECT vec_id, cluster,
+         |        row_number() OVER (PARTITION BY cluster ORDER BY hh, vec_id) AS rn2
+         |      FROM h)
+         |SELECT vec_id, cluster FROM q WHERE rn2 <= 100 ORDER BY vec_id""".stripMargin
+    }) { (spark, sf) =>
+      Similarity.clusterBalance(Tables.embeddings(spark, sf),
+          Seq(clusterCodebook), capPerCluster = 100)
+        .orderBy("vec_id")
     },
 
     Q("llm_text_stats",

@@ -182,6 +182,52 @@ class SimilaritySpec extends SparkSpec {
       .as[Long].collect() shouldBe Array(3L)
   }
 
+  test("clusterBalance assigns PQ cells and caps each cell in shuffleHash order") {
+    // 1 subspace, 2 centroids at (0,0) and (4,4): vectors near each are
+    // assigned to it; cap 2 binds for the origin cluster (3 members)
+    val cb = Seq(Seq(Seq(0.0, 0.0), Seq(4.0, 4.0)))
+    val vecs = Seq(
+      (1L, Array(0.1f, 0.0f)), (2L, Array(0.0f, 0.2f)), (3L, Array(0.3f, 0.3f)),
+      (10L, Array(4.1f, 3.9f))).toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalance(vecs, cb, capPerCluster = 2)
+      .orderBy("vec_id").as[(Long, Long)].collect()
+    val byCluster = out.groupBy(_._2)
+    byCluster(0L).length shouldBe 2 // cap binds: 3 near-origin vectors -> 2
+    byCluster(1L).map(_._1) shouldBe Array(10L)
+    // the kept pair is the shuffleHash-order prefix of {1, 2, 3}
+    val hash = (id: Long) => ((id % 999999937L) * 654435887L) % 999999937L
+    val expected = Seq(1L, 2L, 3L).sortBy(id => (hash(id), id)).take(2).toSet
+    byCluster(0L).map(_._1).toSet shouldBe expected
+  }
+
+  test("clusterBalance: multi-subspace cell id is Σ code·K^s; defects drop") {
+    // 2 subspaces × 2 centroids of 1 dim each: centroids {0, 4} per
+    // subspace; vector (4, 0) → codes (1, 0) → cell 1·2+0 = 2
+    val cb = Seq(Seq(Seq(0.0), Seq(4.0)), Seq(Seq(0.0), Seq(4.0)))
+    val vecs = Seq(
+      (1L, Array(4.0f, 0.0f)), (2L, Array(0.0f, 4.0f)), (3L, Array(4.0f, 4.0f)),
+      (4L, Array(1.0f, 1.0f, 1.0f)), // wrong dims -> dropped
+      (5L, Array(Float.NaN, 0.0f))   // NaN -> dropped
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalance(vecs, cb, capPerCluster = 10)
+      .as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 2L, 2L -> 1L, 3L -> 3L)
+  }
+
+  test("clusterBalance is invariant under input partitioning") {
+    val cb = Seq(clusterishCodebook)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.clusterBalance(vecs, cb, 20).orderBy("vec_id").collect()
+    val b = Similarity.clusterBalance(vecs.repartition(13), cb, 20)
+      .orderBy("vec_id").collect()
+    a shouldBe b
+  }
+
+  private def clusterishCodebook: Seq[Seq[Double]] =
+    (0 until 4).map(k => (0 until 4).map(j => (((k * 17 + j * 7) % 19) - 9) / 4.0))
+
   test("pqEncode works on double vectors and is partition-invariant") {
     val vecs = spark.range(50).select(col("id").as("vec_id"),
       array((0 until 4).map(j => (col("id") * (j + 1) % 21).cast("double") - 10): _*)
