@@ -596,13 +596,20 @@ object TextStats {
     * function (exact order statistics, integer arithmetic). */
   private def discreteCuts(vals: DataFrame, valCol: String,
                            ranks: Seq[(String, Column => Column)]): DataFrame = {
+    // the histogram feeds TWO consumers (the CDF window and the total);
+    // without a cut point each consumer re-derives it from the CORPUS —
+    // one extra full scan per percentile-gated operator (caught in the
+    // round-9 plan audit). The lazy localCheckpoint materializes the
+    // tiny value-domain-sized frame once (the multi-consumer rule;
+    // no lineage after the cut, by design — bounded by construction).
     val hist = vals.groupBy(valCol).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
     val cdf = hist.withColumn("__cum",
       sum(col("__c")).over(org.apache.spark.sql.expressions.Window
         .orderBy(valCol)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
     val withTotal = cdf.crossJoin(
-      broadcast(cdf.agg(max(col("__cum")).as("__total"))))
+      broadcast(hist.agg(sum(col("__c")).as("__total"))))
     val cutCols = ranks.map { case (name, rankOf) =>
       min(when(col("__cum") >= rankOf(col("__total")), col(valCol))).as(name)
     }
