@@ -224,7 +224,13 @@ object Sampling {
     val nt = df.withColumn("n_tokens",
       tokenCount.getOrElse(size(org.apache.spark.sql.functions
         .split(col(textCol), TextStats.WsRun)).cast("long")))
+    // the |strata| frame feeds FOUR consumers (totals, ranked, star,
+    // plan) — without a cut each would re-derive it from the corpus
+    // (5 scans measured in the round-9 plan audit); the lazy
+    // localCheckpoint materializes the tiny frame once (multi-consumer
+    // rule; no lineage after the cut, by design)
     val strata = nt.groupBy(stratumCol).agg(sum("n_tokens").as("__tok"))
+      .localCheckpoint(false)
     val totals = strata.agg(sum("__tok").as("__tt"), count(lit(1)).as("__ns"))
     val w1 = Window.orderBy(col("__cap"), col(stratumCol))
     val ranked = strata
