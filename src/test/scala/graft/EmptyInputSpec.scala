@@ -47,6 +47,24 @@ class EmptyInputSpec extends SparkSpec {
       Similarity.trainCodebook(emptyEmb, k = 4, iters = 1)
   }
 
+  test("round-9 selection/layout tier on empty input returns empty, not error") {
+    val emptySrc = emptyDocs.withColumn("source", lit(null).cast(StringType))
+    TextStats.dsir(emptyDocs, isTarget = lit(true), keepFraction = 0.4)
+      .count() shouldBe 0
+    graft.llm.Sampling.unimax(emptySrc, budgetBp = 9000L, maxEpochs = 2)
+      .count() shouldBe 0
+    graft.llm.Packing.lengthBatches(emptySrc, batchSize = 8).count() shouldBe 0
+    graft.llm.Audit.dupMass(emptySrc).count() shouldBe 0
+    graft.llm.Curation.splitLeakage(emptyDocs,
+      Seq("train" -> 0.9, "val" -> 0.1), Seq("val")).count() shouldBe 0
+    graft.llm.Audit.shardManifest(emptySrc
+      .withColumnRenamed("source", "x")
+      .withColumn("shard_id", lit(null).cast(LongType))
+      .withColumn("pos_in_shard", lit(null).cast(LongType))).count() shouldBe 0
+    Similarity.clusterBalance(emptyEmb,
+      Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0))), 5).count() shouldBe 0
+  }
+
   test("Pipeline ops on empty dataset") {
     val p = Pipeline.fromSeq(spark, Seq.empty[Int])
     p.map(_ + 1).evalSize shouldBe 0
