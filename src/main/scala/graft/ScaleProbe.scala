@@ -545,6 +545,18 @@ object ScaleProbe {
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
           heldOutLabels = Seq("val", "test"), k = 3)
         .agg(sum("matched"), sum("total"), count(lit(1))).head()),
+      // PQ ADC search: fixed 20-query LUT broadcast against a SCALING
+      // code index (8 fixed-width rows per vector) — raw vectors never
+      // read after encoding; the (qid, id) sum map-side combines
+      ("pq_search", () => {
+        val cb = (0 until 8).map(s => (0 until 4).map(k =>
+          (0 until 4).map(j => (((s * 31 + k * 17 + j * 7) % 19) - 9) / 4.0)))
+        val emb = synthEmb(n * 4)
+        graft.llm.Similarity.pqTopK(
+            emb.where(col("vec_id") < 20).withColumnRenamed("vec_id", "qid"),
+            graft.llm.Similarity.pqEncode(emb, cb), cb, k = 5)
+          .agg(sum("dist16"), count(lit(1))).head()
+      }),
       // cluster-balanced sampling: ONE narrow PQ-cell kernel projection
       // + the bounded-heap per-cell quota. The cap stays FIXED while the
       // corpus grows — the real selection regime (quota set by token

@@ -296,6 +296,62 @@ object Similarity {
       .select(col(idCol), col("subspace").cast("long").as("subspace"),
         col("code").cast("long").as("code"))
 
+  /** Top-k search over a PRODUCT-QUANTIZATION index — the search side of
+    * [[pqEncode]] (together they are the PQ half of IVF-PQ): score every
+    * indexed vector against each query using only its (subspace, code)
+    * pairs and a per-query lookup table, never the raw vectors. The
+    * query is first snapped to the codebook's quarter-step grid
+    * (`floor(q·4 + 0.5)` — floor, not round: both engines compute it
+    * identically on the exactly-representable q·4), which makes every
+    * distance an INTEGER — `dist16` = 16 · squared-L2 between the
+    * quantized query and the code's centroid chain — so the per-vector
+    * sum over subspaces is order-free (no double-accumulation
+    * nondeterminism in the aggregate) and the whole search replays in
+    * SQL. Ranking: (dist16, id) ascending — ties deterministic.
+    *
+    * Plan shape (100 TB): the LUT is |queries|·S·K rows built from the
+    * broadcast query set and the LITERAL codebook (no corpus touch);
+    * the stored code index — S fixed-width int rows per vector, the
+    * artifact [[pqEncode]] exists to produce — broadcast-joins the LUT
+    * in-scan, one map-side-combinable (qid, id) sum, and the
+    * bounded-heap top-k collector. The corpus's raw vectors are never
+    * read: that is the point of ADC search. */
+  def pqTopK(queries: DataFrame, codes: DataFrame,
+             codebooks: Seq[Seq[Seq[Double]]], k: Int,
+             queryIdCol: String = "qid", vecCol: String = "embedding",
+             idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val subDim = codebooks.head.head.size
+    // literal codebook in quarter-step INTEGER space (values are
+    // quarter-steps by the pqEncode planting discipline; round() here is
+    // driver-side Scala on exact doubles)
+    val cbRows = codebooks.zipWithIndex.flatMap { case (ks, s) =>
+      ks.zipWithIndex.map { case (c, code) =>
+        (s, code, c.map(v => math.round(v * 4).toLong))
+      }
+    }
+    val cbDf = cbRows.toDF("subspace", "code", "__ci")
+    val qQuant = queries.select(col(queryIdCol),
+      transform(col(vecCol),
+        v => floor(v.cast("double") * 4.0 + 0.5).cast("long")).as("__qi"))
+    val lut = qQuant.crossJoin(cbDf)
+      .select(col(queryIdCol), col("subspace").cast("long").as("subspace"),
+        col("code").cast("long").as("code"),
+        aggregate(
+          zip_with(
+            slice(col("__qi"), col("subspace").cast("int") * subDim + 1, lit(subDim)),
+            col("__ci"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("__d"))
+    val scored = codes.join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__d")).as("dist16"))
+    graft.relational.TopK.topKPerGroupRanked(scored, Seq(col(queryIdCol)),
+        Seq(col("dist16"), col(idCol)), k, "rnk")
+      .select(col(queryIdCol), col(idCol), col("dist16"), col("rnk"))
+  }
+
   /** Cluster-balanced diversity sampling — the embedding-space
     * counterpart of [[graft.llm.Sampling.capPerGroup]] (cluster-capped
     * pruning: semantic density must not buy corpus share, the

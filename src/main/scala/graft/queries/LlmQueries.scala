@@ -1408,6 +1408,55 @@ object LlmQueries {
         .orderBy("qid", "rnk")
     },
 
+    // PQ top-k search (ADC over the code index): corpus vectors are
+    // scored through their (subspace, code) pairs and a per-query LUT —
+    // raw vectors never read. Queries snap to the quarter-step grid
+    // (floor(q·4+0.5), exact both engines) so dist16 is an INTEGER and
+    // the subspace sum is order-free.
+    Q("llm_pq_search", {
+      val cbSql = pqCodebooks.zipWithIndex.flatMap { case (ks, s) =>
+        ks.zipWithIndex.map { case (vals, k) =>
+          s"($s, $k, [${vals.mkString(", ")}])"
+        }
+      }.mkString(", ")
+      s"""WITH cb(sub, code, vals) AS (VALUES $cbSql),
+         |cbi AS (SELECT sub, code,
+         |  list_transform(vals, v -> CAST(round(v * 4) AS BIGINT)) AS ci FROM cb),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sv AS (SELECT vec_id, s.sub, v[s.sub*8+1 : s.sub*8+8] AS sl
+         |       FROM e, (SELECT unnest(range(0, 8)) AS sub) s),
+         |d AS (SELECT vec_id, sv.sub, cb.code,
+         |        list_sum(list_transform(range(1, 9),
+         |          j -> (sl[j] - vals[j]) * (sl[j] - vals[j]))) AS dist
+         |      FROM sv JOIN cb ON sv.sub = cb.sub),
+         |r AS (SELECT vec_id, sub, code,
+         |        row_number() OVER (PARTITION BY vec_id, sub
+         |          ORDER BY dist, code) AS rn
+         |      FROM d),
+         |codes AS (SELECT vec_id, sub, code FROM r WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid,
+         |        list_transform(v, x -> CAST(floor(x * 4 + 0.5) AS BIGINT)) AS qi
+         |      FROM e WHERE vec_id < 20),
+         |lut AS (SELECT qid, cbi.sub, cbi.code,
+         |          list_sum(list_transform(range(1, 9),
+         |            j -> (qi[sub*8+j] - ci[j]) * (qi[sub*8+j] - ci[j]))) AS dd
+         |        FROM q, cbi),
+         |sc AS (SELECT qid, vec_id, CAST(sum(dd) AS BIGINT) AS dist16
+         |       FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+         |       GROUP BY qid, vec_id),
+         |rk AS (SELECT qid, vec_id, dist16,
+         |         row_number() OVER (PARTITION BY qid ORDER BY dist16, vec_id) AS rnk
+         |       FROM sc)
+         |SELECT qid, vec_id, dist16, CAST(rnk AS BIGINT) AS rnk
+         |FROM rk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+    }) { (spark, sf) =>
+      val emb = Tables.embeddings(spark, sf)
+      Similarity.pqTopK(
+          emb.where(col("vec_id") < 20).withColumnRenamed("vec_id", "qid"),
+          Similarity.pqEncode(emb, pqCodebooks), pqCodebooks, k = 5)
+        .orderBy("qid", "rnk")
+    },
+
     // Cluster-balanced diversity sampling: one planted 8-centroid/64-dim
     // codebook (quarter-step values — double arithmetic identical
     // cross-engine, the llm_pq discipline) assigns every vector a PQ

@@ -182,6 +182,44 @@ class SimilaritySpec extends SparkSpec {
       .as[Long].collect() shouldBe Array(3L)
   }
 
+  test("pqTopK: on-grid vectors rank exactly; dist16 is the integer 16x squared L2") {
+    // 2 subspaces x 2 centroids x 2 dims; centroids at quarter-step values
+    val cb = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      Seq(Seq(0.0, 0.0), Seq(2.0, 2.0)))
+    // corpus ON the centroid grid: codes are exact, ADC distance = true distance
+    val corpus = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // cells (0,0)
+      (1L, Array(1.0f, 1.0f, 0.0f, 0.0f)), // cells (1,0)
+      (2L, Array(1.0f, 1.0f, 2.0f, 2.0f))  // cells (1,1)
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("qid", "embedding")
+    val codes = Similarity.pqEncode(corpus, cb)
+    val out = Similarity.pqTopK(queries, codes, cb, k = 3)
+      .orderBy("rnk").as[(Long, Long, Long, Long)].collect()
+    // true squared L2 from (1,1,0,0): v1 -> 0, v0 -> 2, v2 -> 8; x16
+    out shouldBe Array(
+      (100L, 1L, 0L, 1L), (100L, 0L, 32L, 2L), (100L, 2L, 128L, 3L))
+  }
+
+  test("pqTopK quantizes off-grid queries with floor(q*4 + 0.5) and is partition-invariant") {
+    val cb = Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+    val corpus = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    // 0.95 -> floor(3.8+0.5)=4 quarter-steps = 1.0 exactly: dist to
+    // centroid 1 becomes 0, to centroid 0 becomes 16*(1+1)=32
+    val queries = Seq((7L, Array(0.95f, 0.95f))).toDF("qid", "embedding")
+    val codes = Similarity.pqEncode(corpus, cb)
+    val out = Similarity.pqTopK(queries, codes, cb, k = 2)
+      .orderBy("rnk").as[(Long, Long, Long, Long)].collect()
+    out shouldBe Array((7L, 1L, 0L, 1L), (7L, 0L, 32L, 2L))
+    val again = Similarity.pqTopK(queries, codes.repartition(5), cb, k = 2)
+      .orderBy("rnk").collect()
+    out.map(t => (t._1, t._2, t._3, t._4)) shouldBe again.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  }
+
   test("clusterBalance assigns PQ cells and caps each cell in shuffleHash order") {
     // 1 subspace, 2 centroids at (0,0) and (4,4): vectors near each are
     // assigned to it; cap 2 binds for the origin cluster (3 members)
