@@ -557,6 +557,23 @@ object ScaleProbe {
             graft.llm.Similarity.pqEncode(emb, cb), cb, k = 5)
           .agg(sum("dist16"), count(lit(1))).head()
       }),
+      // IVF-PQ: this shape times INDEX CONSTRUCTION + search (the thunk
+      // is the whole plan), so at probe scale encoding dominates and the
+      // ratio (~3.2) tracks pq_search's (~3.0) rather than undercutting
+      // it — the routing benefit is that the (qid, id) sum sees ~3/8 of
+      // the index rows, which matters when the index is PRE-BUILT and
+      // queries are the recurring cost
+      ("ivf_pq", () => {
+        val coarse = (0 until 8).map(kk =>
+          (0 until 32).map(j => (((kk * 17 + j * 7) % 19) - 9) / 4.0))
+        val cb = (0 until 8).map(s => (0 until 4).map(k =>
+          (0 until 4).map(j => (((s * 31 + k * 17 + j * 7) % 19) - 9) / 4.0)))
+        val emb = synthEmb(n * 4)
+        graft.llm.Similarity.ivfPqTopK(
+            emb.where(col("vec_id") < 20).withColumnRenamed("vec_id", "qid"),
+            emb, coarse, cb, k = 5, nprobe = 3)
+          .agg(sum("dist16"), count(lit(1))).head()
+      }),
       // cluster-balanced sampling: ONE narrow PQ-cell kernel projection
       // + the bounded-heap per-cell quota. The cap stays FIXED while the
       // corpus grows — the real selection regime (quota set by token

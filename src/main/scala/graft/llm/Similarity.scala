@@ -321,6 +321,22 @@ object Similarity {
              queryIdCol: String = "qid", vecCol: String = "embedding",
              idCol: String = "vec_id"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    val lut = pqLut(queries, codebooks, queryIdCol, vecCol)
+    val scored = codes.join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__d")).as("dist16"))
+    graft.relational.TopK.topKPerGroupRanked(scored, Seq(col(queryIdCol)),
+        Seq(col("dist16"), col(idCol)), k, "rnk")
+      .select(col(queryIdCol), col(idCol), col("dist16"), col("rnk"))
+  }
+
+  /** The ADC lookup table [[pqTopK]] and [[ivfPqTopK]] share: per
+    * (query, subspace, code), the integer 16× squared-L2 between the
+    * quarter-step-quantized query slice and the centroid. |queries|·S·K
+    * rows from the broadcast query set and the LITERAL codebook — no
+    * corpus touch. */
+  private def pqLut(queries: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+                    queryIdCol: String, vecCol: String): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val subDim = codebooks.head.head.size
@@ -336,7 +352,7 @@ object Similarity {
     val qQuant = queries.select(col(queryIdCol),
       transform(col(vecCol),
         v => floor(v.cast("double") * 4.0 + 0.5).cast("long")).as("__qi"))
-    val lut = qQuant.crossJoin(cbDf)
+    qQuant.crossJoin(cbDf)
       .select(col(queryIdCol), col("subspace").cast("long").as("subspace"),
         col("code").cast("long").as("code"),
         aggregate(
@@ -344,7 +360,51 @@ object Similarity {
             slice(col("__qi"), col("subspace").cast("int") * subDim + 1, lit(subDim)),
             col("__ci"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x).as("__d"))
-    val scored = codes.join(broadcast(lut), Seq("subspace", "code"))
+  }
+
+  /** IVF-PQ search — the full two-level ANN index this tier builds up
+    * to ([[pqEncode]] stores codes, [[pqTopK]] scores them; this adds
+    * the IVF routing that makes the scan PROBE-BOUND): every corpus
+    * vector lives in a coarse cell (nearest `coarse` centroid — one
+    * full-width subspace, [[clusterBalance]]'s assignment), each query
+    * routes to its `nprobe` nearest cells by the SAME integer
+    * quantized-query distance the ADC stage uses, and only vectors in
+    * probed cells are scored. Returns `(queryIdCol, idCol, dist16,
+    * rnk)` like [[pqTopK]] — recall is bounded by the routing (a true
+    * neighbor in an unprobed cell is missed; raise nprobe), exactness
+    * within probed cells is [[pqTopK]]'s.
+    *
+    * Plan shape (100 TB): the stored index is `(id, cell, subspace,
+    * code)` fixed-width rows, written partitioned by cell — the probed
+    * cell set broadcasts as a semi filter and PRUNES PARTITIONS before
+    * any scoring; the LUT join, (qid, id) sum and bounded-heap top-k
+    * then run over probed cells only (~nprobe/C of the index). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+                k: Int, nprobe: Int = 2,
+                queryIdCol: String = "qid", vecCol: String = "embedding",
+                idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe must be in [1, ${coarse.length}], got $nprobe")
+    // stored index: cell (coarse assignment) + PQ codes per vector
+    val cells = corpus.select(col(idCol),
+      element_at(graft.functions.PqEncode(col(vecCol), Seq(coarse)), 1)
+        .cast("long").as("__cell"))
+    val index = pqEncode(corpus, codebooks, idCol, vecCol)
+      .join(cells, Seq(idCol))
+    // query routing: nprobe nearest coarse centroids under the SAME
+    // integer quantized-query metric as the ADC stage (coarse = one
+    // subspace, so the LUT rows ARE the query-to-cell distances)
+    val routed = pqLut(queries, Seq(coarse), queryIdCol, vecCol)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("__d"), col("code"))))
+      .where(col("__rn") <= nprobe)
+      .select(col(queryIdCol), col("code").as("__cell"))
+    val lut = pqLut(queries, codebooks, queryIdCol, vecCol)
+    val scored = index.join(broadcast(routed), Seq("__cell"))
+      .join(broadcast(lut), Seq(queryIdCol, "subspace", "code"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__d")).as("dist16"))
     graft.relational.TopK.topKPerGroupRanked(scored, Seq(col(queryIdCol)),

@@ -220,6 +220,31 @@ class SimilaritySpec extends SparkSpec {
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
   }
 
+  test("ivfPqTopK probes only routed cells; probing all cells equals pqTopK") {
+    // coarse: 2 cells at (0,0,..) and (4,4,..); PQ: 2 subspaces x 2 x 2
+    val coarse = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(4.0, 4.0, 4.0, 4.0))
+    val cb = Seq(
+      Seq(Seq(0.0, 0.0), Seq(4.0, 4.0)),
+      Seq(Seq(0.0, 0.0), Seq(4.0, 4.0)))
+    val corpus = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.5f, 0.0f, 0.0f)),
+      (2L, Array(4.0f, 4.0f, 4.0f, 4.0f)),
+      (3L, Array(4.0f, 3.5f, 4.0f, 4.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((9L, Array(0.25f, 0.0f, 0.0f, 0.0f))).toDF("qid", "embedding")
+    // nprobe 1: the query routes to cell 0 — vectors 2,3 must NOT appear
+    val near = Similarity.ivfPqTopK(queries, corpus, coarse, cb, k = 4, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    near shouldBe Set(0L, 1L)
+    // nprobe = |cells|: identical to flat pqTopK over the same codes
+    val all = Similarity.ivfPqTopK(queries, corpus, coarse, cb, k = 4, nprobe = 2)
+      .orderBy("rnk").collect().map(_.toSeq)
+    val flat = Similarity.pqTopK(queries,
+        Similarity.pqEncode(corpus, cb), cb, k = 4)
+      .orderBy("rnk").collect().map(_.toSeq)
+    all shouldBe flat
+  }
+
   test("clusterBalance assigns PQ cells and caps each cell in shuffleHash order") {
     // 1 subspace, 2 centroids at (0,0) and (4,4): vectors near each are
     // assigned to it; cap 2 binds for the origin cluster (3 members)
