@@ -35,6 +35,15 @@ object Warmup {
       // constituents' — compile those once too
       graft.llm.Curation.curateFull(docs, lang = "en", minQuality = 0.0,
         nearDupThreshold = 0.9, maxPerGroup = 4).count()
+      // round-9 kernels: HashedNgram{Buckets,Score} (dsir), CharPolyHash
+      // (manifest), and the PQ ADC join shape
+      graft.llm.TextStats.dsir(docs, isTarget = col("lang") === "en",
+        keepFraction = 0.5, quantum = 16L).count()
+      docs.select(graft.functions.CharPolyHash(col("text"))).count()
+      val pqcb = Seq(Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0, 1.0)))
+      graft.llm.Similarity.pqTopK(
+        emb.withColumnRenamed("vec_id", "qid"),
+        graft.llm.Similarity.pqEncode(emb, pqcb), pqcb, k = 2).count()
     } catch { case _: Throwable => () } // warmup must never fail the bench
   }
 }
