@@ -381,6 +381,24 @@ object Examples {
       s"$leaky train docs >50% leaked; ${manifest.getLong(0)} shards " +
       s"(all contiguous: ${manifest.getBoolean(1)})")
 
+    // 25. the PQ index family: encode once, then search the codes —
+    // flat ADC or IVF-routed — and keep the corpus diverse per cell
+    val embAll = Tables.embeddings(spark, sf)
+    val coarse = (0 until 8).map(k =>
+      (0 until 64).map(j => (((k * 17 + j * 7) % 19) - 9) / 4.0))
+    val pqcb = (0 until 8).map(s => (0 until 4).map(k =>
+      (0 until 8).map(j => (((s * 31 + k * 17 + j * 7) % 19) - 9) / 4.0)))
+    val queries25 = embAll.where(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "qid")
+    val flatTop = graft.llm.Similarity.pqTopK(queries25,
+      graft.llm.Similarity.pqEncode(embAll, pqcb), pqcb, k = 3).count()
+    val routedTop = graft.llm.Similarity.ivfPqTopK(queries25, embAll,
+      coarse, pqcb, k = 3, nprobe = 3).count()
+    val diverse = graft.llm.Similarity.clusterBalance(embAll,
+      Seq(coarse), capPerCluster = 50).count()
+    println(s"[25] ADC top-3 rows: flat $flatTop, ivf-routed $routedTop; " +
+      s"cluster-balanced corpus keeps $diverse vectors")
+
     spark.stop()
   }
 }
