@@ -291,7 +291,37 @@ object Sampling {
     * per-stratum shuffle. */
   def reweight(df: DataFrame, target: Map[String, Double],
                idCol: String = "doc_id",
-               stratumCol: String = "source"): DataFrame = {
+               stratumCol: String = "source"): DataFrame =
+    reweightBy(df, target, lit(1L), idCol, stratumCol)
+
+  /** [[reweight]] with the target proportions read as TOKEN shares, not
+    * row shares — the form mixture recipes are actually written in
+    * ("60 % of TOKENS from web"): per-stratum mass is the token sum, the
+    * feasibility scan and rates run on token mass, and the keep decision
+    * stays the per-row lattice filter. Realized token share therefore
+    * tracks the target in EXPECTATION (rows are hash-sampled uniformly
+    * within a stratum, so kept-token mass ≈ rate·tokens with sampling
+    * noise from length variance — the hash-rate contract [[mixture]]
+    * documents, on the token metric); for exact-to-the-document token
+    * totals use [[tokenBudget]] with per-stratum budgets derived from
+    * the same proportions. `tokenCount` overrides the metric (pass
+    * [[graft.llm.TextStats.bpeTokenCount]] for subword-faithful
+    * shares). Plan shape identical to [[reweight]]: one
+    * map-side-combined sum per stratum, broadcast rates, narrow residue
+    * filter — the corpus never shuffles. */
+  def reweightTokens(df: DataFrame, target: Map[String, Double],
+                     idCol: String = "doc_id",
+                     stratumCol: String = "source",
+                     textCol: String = "text",
+                     tokenCount: Option[Column] = None): DataFrame =
+    reweightBy(df, target,
+      tokenCount.getOrElse(size(org.apache.spark.sql.functions
+        .split(col(textCol), TextStats.WsRun)).cast("long")),
+      idCol, stratumCol)
+
+  private def reweightBy(df: DataFrame, target: Map[String, Double],
+                         mass: Column, idCol: String,
+                         stratumCol: String): DataFrame = {
     require(target.nonEmpty, "reweight needs at least one target stratum")
     require(target.values.forall(p => p > 0.0 && p <= 1.0),
       "target proportions must be in (0, 1]")
@@ -306,14 +336,15 @@ object Sampling {
         "merge the stratum or coarsen the recipe")
     val intDiv = graft.functions.VectorFunctions.intDiv _
     // anchor the feasibility scan on the TARGET list, not the observed
-    // strata: a target stratum with zero input rows must drive T to 0
+    // strata: a target stratum with zero input mass must drive T to 0
     // (an empty feasible corpus — its proportion is unsatisfiable), not
     // silently drop out of the min and skew the realized mixture
     // (round-7 review catch, spec-pinned)
     import df.sparkSession.implicits._
     val targets = pBp.toSeq.toDF(stratumCol, "__pbp")
     val counts = targets
-      .join(df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n")),
+      .join(df.groupBy(col(stratumCol))
+          .agg(org.apache.spark.sql.functions.sum(mass).as("__n")),
         Seq(stratumCol), "left")
       .select(col(stratumCol), col("__pbp"), coalesce(col("__n"), lit(0L)).as("__n"))
     val feasible = counts

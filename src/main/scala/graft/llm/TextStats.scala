@@ -708,27 +708,76 @@ object TextStats {
       rawC(b) = r.getLong(1)
       tgtC(b) = r.getLong(2)
     }
-    // l2(x) = msb·1024 + (x·1024 >> msb) − 1024: fixed-point log2 in
-    // 1/1024-bit units, exact integer arithmetic (x ≤ 2^52 by corpus size)
+    dsirSelect(docs, dsirWeights(rawC, tgtC), keepFraction, k, buckets,
+      quantum, idCol, textCol)
+  }
+
+  /** [[dsir]] when the target is a SEPARATE curated corpus (the method's
+    * native call shape — Xie et al. score a raw crawl against Wikipedia
+    * + books): the raw distribution comes from `docs` alone, the target
+    * distribution from `target` alone, and only `docs` are scored and
+    * selected. Same integer weight/score/cut machinery as [[dsir]]
+    * (which handles the target-is-a-slice-of-the-corpus case); the
+    * smoothing constant counts buckets observed in EITHER corpus. One
+    * extra distribution scan over `target` — everything else is
+    * [[dsir]]'s plan shape. */
+  def dsirAgainst(docs: DataFrame, target: DataFrame, keepFraction: Double,
+                  k: Int = 2, buckets: Int = 64, quantum: Long = 1024L,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction < 1.0,
+      s"keepFraction must be in (0, 1), got $keepFraction")
+    require(quantum >= 1L, s"quantum must be >= 1, got $quantum")
+    def counts(df: DataFrame): Array[Long] = {
+      val out = new Array[Long](buckets)
+      df.select(explode(
+          graft.functions.HashedNgramBuckets(col(textCol), k, buckets)).as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as("__n"))
+        .collect()
+        .foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+      out
+    }
+    dsirSelect(docs, dsirWeights(counts(docs), counts(target)), keepFraction,
+      k, buckets, quantum, idCol, textCol)
+  }
+
+  /** Add-one-smoothed fixed-point log2 importance weights shared by
+    * [[dsir]] and [[dsirAgainst]] — one definition so the two entry
+    * points can never drift. `l2(x) = msb·1024 + (x·1024 >> msb) − 1024`
+    * (1/1024-bit units, exact integer arithmetic for x ≤ 2⁵²); the
+    * smoothing normalizer counts observed buckets. */
+  private def dsirWeights(rawC: Array[Long], tgtC: Array[Long]): Array[Long] = {
+    val buckets = rawC.length
     def l2(x: Long): Long = {
       val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
       msb * 1024L + ((x << 10) >> msb) - 1024L
     }
-    val nb = dist.length.toLong
-    val rTot = rawC.sum
-    val tTot = tgtC.sum
+    var nb = 0L
+    var b = 0
+    while (b < buckets) {
+      if (rawC(b) > 0 || tgtC(b) > 0) nb += 1
+      b += 1
+    }
     val weights = new Array[Long](buckets)
     if (nb > 0) {
-      val tNorm = l2(tTot + nb)
-      val rNorm = l2(rTot + nb)
-      var b = 0
+      val tNorm = l2(tgtC.sum + nb)
+      val rNorm = l2(rawC.sum + nb)
+      b = 0
       while (b < buckets) {
-        if (rawC(b) > 0)
+        if (rawC(b) > 0 || tgtC(b) > 0)
           weights(b) = (l2(tgtC(b) + 1) - tNorm) - (l2(rawC(b) + 1) - rNorm)
         b += 1
       }
     }
-    // scans 2–3: narrow score projection + quantized-histogram cut + keep
+    weights
+  }
+
+  /** Scans 2–3 of the DSIR plan, shared by both entry points: narrow
+    * score projection, quantized score-histogram percentile cut, keep. */
+  private def dsirSelect(docs: DataFrame, weights: Array[Long],
+                         keepFraction: Double, k: Int, buckets: Int,
+                         quantum: Long, idCol: String,
+                         textCol: String): DataFrame = {
+    val intDiv = graft.functions.VectorFunctions.intDiv _
     val scored = docs.select(col(idCol),
         graft.functions.HashedNgramScore(col(textCol), k, buckets, weights)
           .as("dsir_score"))

@@ -1952,6 +1952,36 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // Token-mass reweighting: the mixture recipe read in TOKENS (the
+    // form recipes are written in) — feasibility and rates on per-lang
+    // token sums, keep decision the same row lattice.
+    Q("llm_reweight_tokens",
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, CAST(sum(nt) AS BIGINT) AS n,
+        |    CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+        |              WHEN 'zh' THEN 2500 ELSE -1 END AS pbp
+        |  FROM d GROUP BY 1),
+        |k AS (SELECT lang, n, pbp FROM c WHERE pbp > 0),
+        |t AS (SELECT min(n * 10000 // pbp) AS t FROM k),
+        |r AS (SELECT lang, least(10000, pbp * t // n) AS rate FROM k, t)
+        |SELECT d.doc_id, d.lang, d.nt AS n_tokens FROM d JOIN r USING (lang)
+        |WHERE ((d.doc_id % 10000) * 5761) % 10000 < r.rate
+        |ORDER BY d.doc_id""".stripMargin) {
+      (spark, sf) =>
+        Sampling.reweightTokens(
+            Tables.documents(spark, sf).select("doc_id", "lang", "text"),
+            Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.25),
+            stratumCol = "lang")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), "[ \\t\\n\\x0B\\f\\r]+")).cast("long")
+              .as("n_tokens"))
+          .orderBy("doc_id")
+    },
+
     // Token-budget sampling: greedy prefix in shuffle-lattice order
     // (the FINE prime modulus — see tokenBudget's scaladoc) until each
     // source's running token sum reaches the budget (600 — every

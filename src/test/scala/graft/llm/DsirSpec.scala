@@ -99,6 +99,24 @@ class DsirSpec extends SparkSpec {
       s"pure off-distribution docs must not survive a 34% cut, got $keptTags")
   }
 
+  test("dsirAgainst: a separate target corpus drives selection; matches dsir's ranking direction") {
+    val docs = planted(90)
+    // target corpus = pure target-vocab docs, as a SEPARATE frame with
+    // overlapping ids (ids don't matter on the target side)
+    val target = (0 until 30).map { i =>
+      val a = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+      (i.toLong, (0 until 12).map(j => a((i * 7 + j * 5) % a.size)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val kept = TextStats.dsirAgainst(docs.select("doc_id", "text"), target,
+      keepFraction = 0.34, quantum = 256L)
+    val keptTags = kept.join(docs, "doc_id").groupBy("tag").count()
+      .as[(String, Long)].collect().toMap
+    assert(keptTags.getOrElse("tgt", 0L) >= 25L,
+      s"target-matching docs must dominate, got $keptTags")
+    assert(keptTags.getOrElse("junk", 0L) == 0L,
+      s"off-distribution docs must not survive, got $keptTags")
+  }
+
   test("dsir is invariant under input partitioning and drops token-free docs") {
     val docs = planted(60).union(Seq((999L, "   ", "tgt")).toDF("doc_id", "text", "tag"))
     val r1 = TextStats.dsir(docs, col("tag") === "tgt", 0.5, quantum = 256L)

@@ -332,6 +332,29 @@ class SamplingSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  test("reweightTokens targets TOKEN shares where reweight targets row shares") {
+    // stratum a: 100 docs x 1 token; stratum b: 100 docs x 9 tokens.
+    // target 50/50. By ROWS both strata keep everything (already 50/50);
+    // by TOKENS stratum b must downsample to ~100 tokens (rate ~1111bp)
+    val docs = ((0 until 100).map(i => (i.toLong, "a", "w")) ++
+      (100 until 200).map(i => (i.toLong, "b", Seq.fill(9)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val byRows = Sampling.reweight(docs, Map("a" -> 0.5, "b" -> 0.5))
+    byRows.count() shouldBe 200L
+    val byTokens = Sampling.reweightTokens(docs, Map("a" -> 0.5, "b" -> 0.5))
+    val kept = byTokens.groupBy("source")
+      .agg(sum(expr("cast(size(split(text, ' ')) as long)")).as("t"))
+      .as[(String, Long)].collect().toMap
+    kept("a") shouldBe 100L // feasibility binds on a: it survives whole
+    // b keeps ~rate 1111bp of 100 docs => ~11 docs => ~99 tokens; the
+    // lattice is approximate at n=100, allow a band
+    assert(kept("b") >= 54L && kept("b") <= 153L,
+      s"b should downsample to ~100 tokens, got ${kept("b")}")
+    // and the realized token MIX is near 50/50 where the row op left 10/90
+    val shareB = kept("b").toDouble / (kept("a") + kept("b"))
+    assert(shareB > 0.35 && shareB < 0.61, s"token share of b: $shareB")
+  }
+
   // ---- unimax ----
 
   // strata with 10-token docs: a=2 docs (20 tok), b=3 docs (30 tok),
