@@ -160,6 +160,48 @@ object Audit {
         .otherwise(lit(0L)))
   }
 
+  /** Per-shard mixture-balance audit — checks the property
+    * [[Packing.interleave]] GUARANTEES and [[Packing.shuffleShards]]
+    * only approximates: does every shard locally reproduce the global
+    * stratum mix? (A loader reading shards sequentially sees the
+    * mixture only if it holds per shard.) Returns one row per shard:
+    * `(shardCol, n_docs, max_dev_bp)` — the worst absolute deviation
+    * between the shard's local stratum share and the global share, both
+    * in round-half-up basis points; a stratum absent from a shard
+    * contributes its full global share as deviation. 0 everywhere =
+    * perfectly locally-mixed layout.
+    *
+    * Plan shape (100 TB): ONE corpus aggregation onto fixed-width
+    * (shard, stratum) cells — cut with a lazy localCheckpoint because
+    * THREE consumers derive from it (shard totals, global strata, the
+    * deviation matrix — the multi-consumer rule; \|shards\|·\|strata\|
+    * rows, fixed-width by construction); global shares broadcast; the
+    * deviation matrix and final max are map-side-combinable. The corpus
+    * is scanned once. */
+  def mixReport(laidOut: DataFrame, shardCol: String = "shard_id",
+                stratumCol: String = "source"): DataFrame = {
+    Seq(shardCol, stratumCol).foreach(c => require(laidOut.columns.contains(c),
+      s"mixReport needs the '$c' column"))
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    def rhu(num: Column, den: Column): Column =
+      intDiv(num * 20000L + den, den * 2L)
+    val cell = laidOut.groupBy(col(shardCol), col(stratumCol))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val shardTot = cell.groupBy(col(shardCol)).agg(sum("__c").as("__n"))
+    val strata = cell.groupBy(col(stratumCol)).agg(sum("__c").as("__g"))
+    val total = strata.agg(sum("__g").as("__t"))
+    val global = strata.crossJoin(broadcast(total))
+      .select(col(stratumCol), rhu(col("__g"), col("__t")).as("__gbp"))
+    shardTot.crossJoin(broadcast(global))
+      .join(cell, Seq(shardCol, stratumCol), "left")
+      .select(col(shardCol), col("__n"), col("__gbp"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+      .withColumn("__dev", abs(rhu(col("__c"), col("__n")) - col("__gbp")))
+      .groupBy(col(shardCol))
+      .agg(max(col("__n")).as("n_docs"), max(col("__dev")).as("max_dev_bp"))
+  }
+
   /** Shard manifest — the release-integrity record written NEXT TO a
     * sharded corpus layout ([[Packing.shuffleShards]] /
     * [[Packing.shardByPos]] output): per shard, the doc count, token

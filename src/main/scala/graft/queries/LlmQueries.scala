@@ -2184,6 +2184,42 @@ object LlmQueries {
         .orderBy("shard_id")
     },
 
+    // Per-shard mixture balance over the shuffleShards layout: worst
+    // |local share − global share| per shard in round-half-up bp — the
+    // local-mixture property interleave guarantees, audited. Strata
+    // absent from a shard charge their full global share.
+    Q("llm_mix_audit",
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ((doc_id % 999999937) * 654435887) % 999999937 AS hh
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos
+        |  FROM h),
+        |s AS (SELECT doc_id, source, CAST(pos // 64 AS BIGINT) AS shard_id FROM p),
+        |cell AS (
+        |  SELECT shard_id, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM s GROUP BY 1, 2),
+        |st AS (SELECT shard_id, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY 1),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS gc FROM cell GROUP BY 1),
+        |tt AS (SELECT CAST(sum(gc) AS BIGINT) AS t FROM g),
+        |gl AS (SELECT source, (gc * 20000 + t) // (2 * t) AS gbp FROM g, tt),
+        |m AS (
+        |  SELECT st.shard_id, st.n, gl.source, gl.gbp,
+        |    coalesce(cell.c, 0) AS c
+        |  FROM st CROSS JOIN gl
+        |  LEFT JOIN cell ON cell.shard_id = st.shard_id AND cell.source = gl.source)
+        |SELECT shard_id, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(max(abs((c * 20000 + n) // (2 * n) - gbp)) AS BIGINT) AS max_dev_bp
+        |FROM m GROUP BY shard_id ORDER BY shard_id""".stripMargin) {
+      (spark, sf) =>
+        Audit.mixReport(
+            Packing.shuffleShards(
+              Tables.documents(spark, sf).select("doc_id", "source"),
+              rowsPerShard = 64L))
+          .orderBy("shard_id")
+    },
+
     // Z-order (Morton) storage layout: interleave (lang code, token
     // count) bits and range-sort on the interleaved value, so every
     // 64-row shard covers a tight rectangle of (lang, length) space and

@@ -214,6 +214,28 @@ class AuditSpec extends SparkSpec {
       Audit.dupMass(docs.drop("source"), k = 2)
   }
 
+  test("mixReport hand-computed: local shares vs global, absent stratum charges its global share") {
+    // global: a=6, b=2 → a 7500bp, b 2500bp. shard 0 = 2a+2b: local a
+    // 5000 (dev 2500), b 5000 (dev 2500) → max 2500. shard 1 = 4a:
+    // local a 10000 (dev 2500), b ABSENT → dev = its global 2500.
+    val laid = Seq(
+      (0L, "a"), (0L, "a"), (0L, "b"), (0L, "b"),
+      (1L, "a"), (1L, "a"), (1L, "a"), (1L, "a")
+    ).zipWithIndex.map { case ((s, src), i) => (i.toLong, s, src) }
+      .toDF("doc_id", "shard_id", "source")
+    val out = Audit.mixReport(laid).orderBy("shard_id")
+      .select("shard_id", "n_docs", "max_dev_bp")
+      .as[(Long, Long, Long)].collect()
+    out shouldBe Array((0L, 4L, 2500L), (1L, 4L, 2500L))
+  }
+
+  test("mixReport: a perfectly interleaved layout reads 0 everywhere") {
+    val laid = (0 until 64).map(i => (i.toLong, (i / 8).toLong, s"s${i % 8}"))
+      .toDF("doc_id", "shard_id", "source")
+    Audit.mixReport(laid).select("max_dev_bp").as[Long].collect()
+      .foreach(_ shouldBe 0L)
+  }
+
   test("shardManifest requires the layout columns") {
     an[IllegalArgumentException] should be thrownBy
       Audit.shardManifest(Seq((1L, "t")).toDF("doc_id", "text"))
