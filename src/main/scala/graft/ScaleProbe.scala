@@ -557,6 +557,16 @@ object ScaleProbe {
             graft.llm.Similarity.pqEncode(emb, cb), cb, k = 5)
           .agg(sum("dist16"), count(lit(1))).head()
       }),
+      // mixture-balance audit over the shuffleShards layout: the layout's
+      // range-sort exchange + ONE corpus agg onto checkpointed
+      // (shard, stratum) cells — must ride the manifest shape's profile
+      ("mix_audit", () => {
+        val docs = synthDocs(n * 4).select(col("doc_id"),
+          concat(lit("s"), pmod(col("doc_id"), lit(16L))).as("source"))
+        graft.llm.Audit.mixReport(
+            graft.llm.Packing.shuffleShards(docs, rowsPerShard = 256L))
+          .agg(sum("max_dev_bp"), count(lit(1))).head()
+      }),
       // IVF-PQ: this shape times INDEX CONSTRUCTION + search (the thunk
       // is the whole plan), so at probe scale encoding dominates and the
       // ratio (~3.2) tracks pq_search's (~3.0) rather than undercutting
