@@ -2173,14 +2173,19 @@ object LlmQueries {
         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
         |  CAST(min(pis) AS BIGINT) AS first_pos,
         |  CAST(max(pis) AS BIGINT) AS last_pos,
-        |  CAST(sum(chash) AS DECIMAL(38,0)) AS checksum,
+        |  CAST(CAST(sum(chash) AS DECIMAL(38,0)) AS VARCHAR) AS checksum,
         |  max(pis) - min(pis) + 1 = count(*)
         |    AND count(DISTINCT pis) = count(*) AS contiguous
         |FROM ch GROUP BY shard_id ORDER BY shard_id""".stripMargin) { (spark, sf) =>
+      // DECIMAL(38,0) is summable (manifest stays map-side combinable and
+      // the streaming face can Σ per-batch checksums), but the driver's
+      // comparator can't hash decimal.Decimal objects — serialize the
+      // GATED representation to a canonical string on both sides.
       Audit.shardManifest(
           Packing.shuffleShards(
             Tables.documents(spark, sf).select("doc_id", "text"),
             rowsPerShard = 64L))
+        .withColumn("checksum", col("checksum").cast("string"))
         .orderBy("shard_id")
     },
 
