@@ -223,6 +223,40 @@ object TextKernelObjs {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(lanes)
   }
 
+  /** All MinHash lanes under the CROSS-ENGINE affine family — the
+    * poly-hash twin of [[minHashLanes]]: shingle universe =
+    * [[gramHashes]] over [[tokenHashes]] (base-31 / base-1000003 chains
+    * mod the Mersenne prime 2³¹−1, the exact arithmetic the llm_winnow
+    * oracle already replays in SQL), lane i = min over gram hashes g of
+    * `((2i+3)·g + (5i+7)) mod (2³¹−1)` — an affine map over the prime
+    * field, pairwise-independent like any universal family, and every
+    * intermediate < 2³⁸ so DuckDB BIGINT replays it exactly. xxhash64
+    * mixes better; THIS family exists so the whole LSH pipeline can be
+    * oracle-gated end to end. Empty/whitespace-only text → null (a doc
+    * with no tokens has no shingles, hence no signature). */
+  def polyMinHashLanes(text: UTF8String, k: Int, numLanes: Int): ArrayData = {
+    val M = 2147483647L
+    val th = tokenHashes(text)
+    if (th.length == 0) return null
+    val gh = gramHashes(th, k)
+    val lanes = new Array[Long](numLanes)
+    var l = 0
+    while (l < numLanes) {
+      val a = 2L * l + 3L
+      val b = 5L * l + 7L
+      var best = Long.MaxValue
+      var j = 0
+      while (j < gh.length) {
+        val v = (a * gh(j) + b) % M
+        if (v < best) best = v
+        j += 1
+      }
+      lanes(l) = best
+      l += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(lanes)
+  }
+
   // per-thread Deflater, reset per row — raw deflate (no zlib header),
   // fixed level 6 so the signal is comparable across the corpus
   private val deflaters: ThreadLocal[java.util.zip.Deflater] =
@@ -313,6 +347,46 @@ case class MinHashLanes(child: Expression, numLanes: Int) extends UnaryExpressio
 object MinHashLanes {
   def apply(shingles: Column, numLanes: Int): Column =
     ColumnBridge.column(MinHashLanes(ColumnBridge.expression(shingles), numLanes))
+}
+
+/** MinHash lanes under the cross-engine affine family, straight from the
+  * text column ([[TextKernelObjs.polyMinHashLanes]]) — the oracle-gatable
+  * signature side of [[graft.llm.Dedup.polyMinHashNearDups]]. Unlike
+  * [[MinHashLanes]] this never materializes shingle STRINGS at all: the
+  * k-gram universe is the integer gram-hash chain, so the per-row cost is
+  * one token-hash pass + numLanes·m multiply-mods. Null for tokenless
+  * text (no shingles → no signature → the doc drops from banding). */
+case class PolyMinHashLanes(child: Expression, k: Int, numLanes: Int)
+    extends UnaryExpression {
+
+  require(k > 0, "shingle size k must be positive")
+  require(numLanes > 0, "need at least one lane")
+
+  override def prettyName: String = "graft_poly_minhash_lanes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // tokenless text → null signature
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelObjs.polyMinHashLanes(input.asInstanceOf[UTF8String], k, numLanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"""
+      ${ev.value} = graft.functions.TextKernelObjs.polyMinHashLanes($s, $k, $numLanes);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyMinHashLanes {
+  def apply(text: Column, k: Int, numLanes: Int): Column =
+    ColumnBridge.column(PolyMinHashLanes(ColumnBridge.expression(text), k, numLanes))
 }
 
 /** Occurrence count of tokens belonging to a fixed marker set, as ONE

@@ -212,11 +212,41 @@ object Dedup {
     // Same (band, sig) bucket → candidate pair, one pass (no self-join).
     val candidates = bucketPairs(bandSig, Seq("band", "sig"), idCol,
       maxBucket = maxBucket)
-    // Verify with exact Jaccard over distinct shingle sets — narrow
-    // array_distinct per doc, semi-join-pruned to docs that appear in a
-    // candidate pair (a tiny fraction of the corpus). No distinct on the
-    // probe side: left_semi dedups inherently, and the distinct was an
-    // extra shuffle.
+    verifiedPairs(docs, candidates, k, threshold, idCol, textCol)
+  }
+
+  /** [[minHashNearDups]] under the CROSS-ENGINE affine hash family
+    * ([[graft.functions.PolyMinHashLanes]]) instead of xxhash64: same
+    * banding topology, same bucket cap, same exact-Jaccard verify — but
+    * every hash in the candidate stage is polynomial arithmetic mod
+    * 2³¹−1, so the WHOLE pipeline (signatures → banding → cap → verify)
+    * replays in DuckDB SQL and the family is oracle-gated end to end,
+    * not just rows-checked. Recall characteristics are the universal-
+    * family guarantee rather than xxhash64's avalanche, which is why
+    * the xxhash64 path remains the production default; the two share
+    * [[bucketPairs]] and [[verifiedPairs]] so they cannot drift. Plan
+    * shape is identical: one narrow signature projection (no shingle
+    * strings materialized at all on this path), banding groupBy, two
+    * candidate-pruned verify joins. */
+  def polyMinHashNearDups(docs: DataFrame, k: Int = 3, bands: Int = 4,
+                          rowsPerBand: Int = 4, threshold: Double = 0.8,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          maxBucket: Int = 256): DataFrame = {
+    val bandSig = bandSignaturesPoly(docs, k, bands, rowsPerBand, idCol, textCol)
+    val candidates = bucketPairs(bandSig, Seq("band", "sig"), idCol,
+      maxBucket = maxBucket)
+    verifiedPairs(docs, candidates, k, threshold, idCol, textCol)
+  }
+
+  /** The exact-Jaccard verify stage every near-dup candidate generator
+    * funnels through: narrow array_distinct shingle sets, semi-join-
+    * pruned to docs that appear in a candidate pair (a tiny fraction of
+    * the corpus). No distinct on the probe side: left_semi dedups
+    * inherently, and the distinct was an extra shuffle. */
+  private def verifiedPairs(docs: DataFrame, candidates: DataFrame, k: Int,
+                            threshold: Double, idCol: String,
+                            textCol: String): DataFrame = {
+    import graft.functions.WordShingles
     val candIds = candidates.select(col("a").as(idCol))
       .union(candidates.select(col("b").as(idCol)))
     val sets = docs
@@ -252,6 +282,29 @@ object Dedup {
         xxhash64(concat_ws(",",
           (0 until rowsPerBand).map(r =>
             element_at(col("mh"), b * rowsPerBand + r + 1)): _*))
+      }: _*)).as(Seq("band", "sig")))
+  }
+
+  /** The cross-engine twin of [[bandSignatures]]: lanes from
+    * [[graft.functions.PolyMinHashLanes]], band signature = the base-
+    * 1000003 polynomial chain over the band's ordered lanes mod 2³¹−1
+    * (the [[graft.functions.TextKernelObjs.gramHashes]] combine — a
+    * DuckDB `list_reduce` replays it; largest intermediate < 2⁵¹).
+    * Same (id, band, sig) index-row contract, so [[bucketPairs]] and
+    * the incremental faces compose with either family. */
+  private[llm] def bandSignaturesPoly(docs: DataFrame, k: Int, bands: Int,
+                                      rowsPerBand: Int, idCol: String,
+                                      textCol: String): DataFrame = {
+    val h = bands * rowsPerBand
+    val minhash = docs
+      .select(col(idCol),
+        graft.functions.PolyMinHashLanes(col(textCol), k, h).as("mh"))
+      .where(col("mh").isNotNull)
+    minhash.select(col(idCol),
+      posexplode(array((0 until bands).map { b =>
+        (0 until rowsPerBand)
+          .map(r => element_at(col("mh"), b * rowsPerBand + r + 1))
+          .reduceLeft((acc, l) => (acc * lit(1000003L) + l) % lit(2147483647L))
       }: _*)).as(Seq("band", "sig")))
   }
 

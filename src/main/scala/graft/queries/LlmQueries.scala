@@ -400,6 +400,68 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
+    // MinHash/LSH near-dup under the cross-engine affine hash family —
+    // the oracle-gated face of the whole LSH pipeline: poly lane mins,
+    // band signatures, the smallest-256-ids bucket cap (mirrored as
+    // row_number ≤ 256; probed max bucket is 56 at sf0.1, so the cap is
+    // live code on both sides but never truncates on the fixture) and
+    // the exact-Jaccard verify all replay in SQL. Same banding topology
+    // and verify stage as llm_dedup_near (shared bucketPairs/
+    // verifiedPairs), so this gate also pins the machinery the xxhash64
+    // path rides. 25–45 verified pairs tri-scale (probed).
+    Q("llm_dedup_near_poly",
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tkf
+         |  FROM documents WHERE doc_id < $docCap),
+         |th AS (
+         |  SELECT doc_id, list_transform(tkf, t ->
+         |      list_reduce(list_transform(string_split(t, ''),
+         |          c -> CAST(unicode(c) AS BIGINT)),
+         |        (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+         |  FROM toks WHERE len(tkf) > 0),
+         |gh AS (
+         |  SELECT doc_id, list_transform(range(1, greatest(len(hs) - 2, 0) + 2),
+         |      p -> list_reduce(hs[p:least(p + 1, len(hs))],
+         |        (a, b) -> (a * 1000003 + b) % 2147483647)) AS gh
+         |  FROM th),
+         |lanes AS (
+         |  SELECT doc_id, list_transform(range(0, 16),
+         |      i -> list_min(list_transform(gh,
+         |        g -> ((2*i + 3) * g + (5*i + 7)) % 2147483647))) AS ln
+         |  FROM gh),
+         |sigs AS (
+         |  SELECT doc_id, band,
+         |    list_reduce(ln[band*2 + 1:band*2 + 2],
+         |      (a, b) -> (a * 1000003 + b) % 2147483647) AS sig
+         |  FROM (SELECT doc_id, unnest(range(0, 8)) AS band, ln FROM lanes)),
+         |capped AS (
+         |  SELECT doc_id, band, sig,
+         |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id AND a.rn <= 256 AND b.rn <= 256),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |      range(1, greatest(len(tk) - 1, 1) + 1),
+         |      i -> array_to_string(tk[i:i+1], ' '))) AS s
+         |  FROM toks),
+         |p AS (
+         |  SELECT c.a, c.b,
+         |    CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS i,
+         |    CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT) AS u
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
+         |SELECT a, b, ((20000 * i + u) // (2 * u)) / 10000.0 AS jaccard
+         |FROM p WHERE ((20000 * i + u) // (2 * u)) / 10000.0 >= 0.3
+         |ORDER BY a, b""".stripMargin) { (spark, sf) =>
+      Dedup.polyMinHashNearDups(
+          Tables.documents(spark, sf).where(col("doc_id") < docCap),
+          k = 2, bands = 8, rowsPerBand = 2, threshold = 0.3)
+        .orderBy("a", "b")
+    },
+
     // Near-dup face of incremental dedup: batch-vs-corpus LSH banding +
     // exact-Jaccard verify (xxhash64 signatures — not DuckDB-expressible,
     // so rows-only here; the behavioral gate is DedupSpec's planted

@@ -52,6 +52,37 @@ class TextKernelsSpec extends SparkSpec {
     kernel.foreach { case (id, mh) => mh shouldBe naive(id) }
   }
 
+  // independent reference: straightforward Scala reimplementation of the
+  // token-chain / gram-chain / affine-lane arithmetic (no shared code
+  // with the kernel beyond the published constants)
+  private def refPolyLanes(text: String, k: Int, h: Int): Option[Seq[Long]] = {
+    val M = 2147483647L
+    val toks = text.split(" ", -1).filter(_.nonEmpty)
+    if (toks.isEmpty) return None
+    val th = toks.map(t =>
+      t.codePoints().toArray.foldLeft(-1L)((a, c) =>
+        if (a < 0) c.toLong else (a * 31 + c) % M))
+    val m = math.max(th.length - k, 0) + 1
+    val gh = (0 until m).map { p =>
+      th.slice(p, math.min(p + k, th.length)).reduceLeft((a, b) => (a * 1000003 + b) % M)
+    }
+    Some((0 until h).map(i => gh.map(g => ((2L * i + 3) * g + (5L * i + 7)) % M).min))
+  }
+
+  test("PolyMinHashLanes matches the independent reference, null on tokenless text") {
+    for (k <- Seq(1, 2, 3)) {
+      val kernel = texts.select(col("doc_id"),
+          PolyMinHashLanes(col("text"), k, 8).as("mh"))
+        .as[(Long, Option[Seq[Long]])].collect().toMap
+      val expected = texts.as[(Long, String)].collect()
+        .map { case (id, t) => id -> refPolyLanes(t, k, 8) }.toMap
+      kernel shouldBe expected
+    }
+    // doc 4 is empty → tokenless → null signature
+    texts.where(col("doc_id") === 4L)
+      .select(PolyMinHashLanes(col("text"), 2, 4).isNull).as[Boolean].head() shouldBe true
+  }
+
   test("MinGramHash matches array_min(transform(sequence, xxhash64(substr)))") {
     val gram = 5
     val kernel = texts.select(col("doc_id"),

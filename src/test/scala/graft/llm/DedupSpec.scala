@@ -45,6 +45,30 @@ class DedupSpec extends SparkSpec {
     out.flatMap(p => Set(p._1, p._2)) should not contain 3L
   }
 
+  test("poly minhash LSH finds the identical and near-dup pairs, not the unrelated one") {
+    val out = Dedup.polyMinHashNearDups(docs, k = 2, bands = 8, rowsPerBand = 2,
+        threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    out should contain((0L, 1L))   // identical → every lane equal → every band
+    out should contain((0L, 2L))   // near-dup → high jaccard
+    out.flatMap(p => Set(p._1, p._2)) should not contain 3L
+  }
+
+  test("poly and xxhash64 near-dup paths agree on every shared pair's jaccard") {
+    // the verify stage is shared code — any pair BOTH families surface
+    // must carry the identical exact-Jaccard value; the identical pair
+    // is guaranteed surfaced by both (all lanes collide in any family)
+    val xx = Dedup.minHashNearDups(docs, k = 2, bands = 8, rowsPerBand = 2,
+        threshold = 0.3).as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val poly = Dedup.polyMinHashNearDups(docs, k = 2, bands = 8, rowsPerBand = 2,
+        threshold = 0.3).as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    poly.keySet should contain((0L, 1L))
+    xx.keySet should contain((0L, 1L))
+    (poly.keySet intersect xx.keySet).foreach { p => poly(p) shouldBe xx(p) }
+  }
+
   test("simhash of identical docs is identical; near-dup within small hamming") {
     val sh = Dedup.simHash(docs).as[(Long, Long)].collect().toMap
     sh(0L) shouldBe sh(1L)
