@@ -25,6 +25,36 @@ object Sampling {
       < (fraction * 1000000L).toLong)
   }
 
+  /** CONTENT-keyed Bernoulli sample: the keep decision hashes the text
+    * itself — `((a·charPolyHash(text) + b) mod (2³¹−1)) mod 10⁶ <
+    * fraction·10⁶` with the seeded affine pair `a = 2·(seed mod 2²⁰)+3`,
+    * `b = 5·(seed mod 2²⁰)+7` (a < 2²¹ keeps every intermediate < 2⁵²,
+    * ANSI-safe and DuckDB-BIGINT-exact, which is why the seed is folded
+    * to 20 bits). Two properties [[bernoulli]] can't give: (1) exact
+    * duplicates sample IDENTICALLY — a content-hash decision survives id
+    * reassignment across re-crawls, so resampled snapshots stay
+    * consistent row-for-row; (2) the whole decision is cross-engine
+    * arithmetic, so downstream pipelines built on it stay oracle-gatable.
+    * Same plan shape: one narrow pushable filter, no shuffle.
+    *
+    * Mixing caveat: an affine map of a polynomial hash keeps NEARBY
+    * inputs nearby — a family of texts differing only in a trailing
+    * counter lands in a narrow residue band and can sample at 0% or
+    * 100% as a block (probed). Real corpus text varies enough (keep
+    * rate 0.50–0.55 at fraction 0.5 tri-scale); for id-like or
+    * templated keys use the xxhash64 [[bernoulli]], whose avalanche
+    * has no such bands. */
+  def bernoulliContent(df: DataFrame, fraction: Double,
+                       textCol: String = "text", seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    val s = java.lang.Math.floorMod(seed, 1048576L)
+    val a = 2L * s + 3L
+    val b = 5L * s + 7L
+    df.where(
+      ((graft.functions.CharPolyHash(col(textCol)) * a + b) % 2147483647L)
+        % 1000000L < (fraction * 1000000L).toLong)
+  }
+
   /** Stratified cap: at most `n` rows per `keys` group, chosen as the
     * first `n` under `order` — the "≤ N documents per (source, lang)"
     * balancing step of corpus curation. Delegates to the bounded-heap

@@ -2746,12 +2746,27 @@ object LlmQueries {
         .orderBy("lang", "block_id")
     },
 
-    // Seeded hash-Bernoulli sample — xxhash64 has no DuckDB analog, so
-    // rows-only here; determinism/accuracy pinned in SamplingSpec.
-    Q.noOracle("llm_sample_bernoulli") { (spark, sf) =>
-      Sampling.bernoulli(
-          Tables.documents(spark, sf).select("doc_id", "lang"),
-          fraction = 0.5, keys = Seq(col("doc_id")))
+    // Seeded hash-Bernoulli sample, CONTENT-keyed — the keep decision is
+    // the seeded affine map over charPolyHash(text) (seed 42 → a=87,
+    // b=217), so exact duplicates sample identically across id
+    // reassignment AND the whole decision replays in SQL. Keep rate
+    // probed 0.50–0.55 tri-scale at fraction 0.5. The id-keyed xxhash64
+    // face (Sampling.bernoulli) stays spec-covered in SamplingSpec.
+    Q("llm_sample_bernoulli",
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(text) = 0 THEN 0
+        |      ELSE list_reduce(list_transform(string_split(text, ''),
+        |             c -> CAST(unicode(c) AS BIGINT)),
+        |           (a, b) -> (a * 31 + b) % 2147483647) END AS h
+        |  FROM documents)
+        |SELECT doc_id, lang FROM h
+        |WHERE ((87 * h + 217) % 2147483647) % 1000000 < 500000
+        |ORDER BY doc_id""".stripMargin) { (spark, sf) =>
+      Sampling.bernoulliContent(
+          Tables.documents(spark, sf).select("doc_id", "lang", "text"),
+          fraction = 0.5)
+        .select("doc_id", "lang")
         .orderBy("doc_id")
     },
 

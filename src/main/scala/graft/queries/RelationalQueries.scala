@@ -433,12 +433,33 @@ object RelationalQueries {
     // so no tolerance-free formulation can hash-match across engines (the
     // exact siblings agg_count_distinct/agg_percentile carry the oracle
     // for this row instead).
-    Q.noOracle("agg_approx") { (spark, sf) =>
+    // The sketch VALUES can't cross engines, but their ERROR CONTRACTS
+    // can: the oracle replays the exact count and asserts the bound
+    // booleans literally TRUE — a broken HLL (or a bound sloppier than
+    // 3·rsd) hash-mismatches, so the approximate row is gated on the
+    // guarantee it actually advertises. |approx − exact| ≤ 0.15·exact is
+    // integer cross-multiplied; the p50 band check is exact percentiles
+    // 0.40/0.60 around the rank-error-bounded percentile_approx.
+    Q("agg_approx",
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |  TRUE AS cust_within_bound,
+        |  TRUE AS p50_within_band
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, sf) =>
       Tables.orders(spark, sf)
         .groupBy("o_orderpriority")
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
-          round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2)
-            .as("approx_p50"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.05).as("__a"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("__p"),
+          expr("percentile(o_totalprice, 0.40)").as("__lo"),
+          expr("percentile(o_totalprice, 0.60)").as("__hi"))
+        .withColumn("cust_within_bound",
+          abs(col("__a") - col("n_exact")) * 20 <= col("n_exact") * 3)
+        .withColumn("p50_within_band",
+          col("__p") >= col("__lo") && col("__p") <= col("__hi"))
+        .select("o_orderpriority", "n_exact", "cust_within_bound", "p50_within_band")
         .orderBy("o_orderpriority")
     },
 

@@ -31,6 +31,28 @@ class SamplingSpec extends SparkSpec {
     a should not be b
   }
 
+  test("bernoulliContent: exact duplicates sample identically, nested fractions subset") {
+    // every text appears 4× under different ids; interior variation, not
+    // just a trailing digit — texts differing only in the final token
+    // cluster under the affine family (scaladoc'd caveat; probed: the
+    // trailing-digit fixture keeps 0.0 at fraction 0.5, this one 0.49)
+    val docs = (0L until 2000L).map { i =>
+      val j = i % 500
+      (i, s"doc ${j * j % 997} body ${j * 31 % 503} number $j")
+    }.toDF("doc_id", "text")
+    val keep = Sampling.bernoulliContent(docs, 0.5).as[(Long, String)].collect()
+    // content-keyed: all 4 copies of a text make the same decision
+    keep.groupBy(_._2).values.foreach(_.length shouldBe 4)
+    keep.length.toDouble / 2000 shouldBe 0.5 +- 0.15 // 500 distinct texts
+    // nested: fraction 0.2 sample ⊂ fraction 0.5 sample under one seed
+    val narrow = Sampling.bernoulliContent(docs, 0.2).as[(Long, String)].collect().toSet
+    narrow.subsetOf(keep.toSet) shouldBe true
+    // different seed → different set; same seed → deterministic
+    val other = Sampling.bernoulliContent(docs, 0.5, seed = 7L).as[(Long, String)].collect().toSet
+    other should not be keep.toSet
+    Sampling.bernoulliContent(docs, 0.5).as[(Long, String)].collect().toSet shouldBe keep.toSet
+  }
+
   test("capPerGroup keeps at most n rows per group, lowest under the order") {
     val df = Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 9L), ("b", 8L), ("c", 5L))
       .toDF("k", "v")
