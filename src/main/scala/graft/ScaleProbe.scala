@@ -584,6 +584,29 @@ object ScaleProbe {
             emb, coarse, cb, k = 5, nprobe = 3)
           .agg(sum("dist16"), count(lit(1))).head()
       }),
+      // SEARCH-ONLY over a PERSISTED IVF-PQ index — the recurring cost of
+      // the build-once/search-many regime ivf_pq's construction-dominated
+      // shape can't see: the index is built+written during the warm pass
+      // (ensure-once per (shape, n) dir), so the timed thunk is
+      // loadPqIndex (codebook table read — constant) + routing + the
+      // probed-cell ADC scan (~nprobe/8 of the code rows) + top-k. The
+      // ratio is the probed SCAN growing with the index; LUT/routing are
+      // flat in n
+      ("pq_search_loaded", () => {
+        val coarse = (0 until 8).map(kk =>
+          (0 until 32).map(j => (((kk * 17 + j * 7) % 19) - 9) / 4.0))
+        val cb = (0 until 8).map(s => (0 until 4).map(k =>
+          (0 until 4).map(j => (((s * 31 + k * 17 + j * 7) % 19) - 9) / 4.0)))
+        val dir = s"/tmp/graft_probe_pqidx_$n"
+        if (!new java.io.File(s"$dir/codes/_SUCCESS").exists())
+          graft.sources.Sinks.pqIndex(synthEmb(n * 20), dir, coarse, cb)
+        val idx = graft.llm.Similarity.loadPqIndex(spark, dir)
+        graft.llm.Similarity.searchPqIndex(
+            synthEmb(n * 20).where(col("vec_id") < 20)
+              .withColumnRenamed("vec_id", "qid"),
+            idx, k = 5, nprobe = 3)
+          .agg(sum("dist16"), count(lit(1))).head()
+      }),
       // cluster-balanced sampling: ONE narrow PQ-cell kernel projection
       // + the bounded-heap per-cell quota. The cap stays FIXED while the
       // corpus grows — the real selection regime (quota set by token

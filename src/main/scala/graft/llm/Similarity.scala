@@ -383,33 +383,93 @@ object Similarity {
                 coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
                 k: Int, nprobe: Int = 2,
                 queryIdCol: String = "qid", vecCol: String = "embedding",
-                idCol: String = "vec_id"): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(nprobe >= 1 && nprobe <= coarse.length,
-      s"nprobe must be in [1, ${coarse.length}], got $nprobe")
-    // stored index: cell (coarse assignment) + PQ codes per vector
+                idCol: String = "vec_id"): DataFrame =
+    searchPqIndex(queries,
+      PqIndex(buildPqIndex(corpus, coarse, codebooks, idCol, vecCol),
+        coarse, codebooks),
+      k, nprobe, queryIdCol, vecCol, idCol)
+
+  /** A loaded (or inline-built) IVF-PQ index: `codes` = the fixed-width
+    * `(id, cell, subspace, code)` rows, plus the two codebooks as plan
+    * literals. Built by [[buildPqIndex]], persisted by
+    * [[graft.sources.Sinks.pqIndex]], reloaded by [[loadPqIndex]] — the
+    * round trip is identity (spec-pinned), so a search over a reloaded
+    * index returns exactly what [[ivfPqTopK]] returns inline. */
+  case class PqIndex(codes: DataFrame, coarse: Seq[Seq[Double]],
+                     codebooks: Seq[Seq[Seq[Double]]])
+
+  /** The STORED side of IVF-PQ: every corpus vector's coarse cell
+    * (nearest `coarse` centroid) + its PQ codes — S+1 fixed-width ints
+    * per vector, the entire artifact ANN search needs (raw vectors are
+    * never read again). Persist with [[graft.sources.Sinks.pqIndex]],
+    * which writes these rows partitioned by `cell` so [[searchPqIndex]]'s
+    * probed-cell filter partition-prunes the scan. */
+  def buildPqIndex(corpus: DataFrame, coarse: Seq[Seq[Double]],
+                   codebooks: Seq[Seq[Seq[Double]]],
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
     val cells = corpus.select(col(idCol),
       element_at(graft.functions.PqEncode(col(vecCol), Seq(coarse)), 1)
-        .cast("long").as("__cell"))
-    val index = pqEncode(corpus, codebooks, idCol, vecCol)
-      .join(cells, Seq(idCol))
-    // query routing: nprobe nearest coarse centroids under the SAME
-    // integer quantized-query metric as the ADC stage (coarse = one
-    // subspace, so the LUT rows ARE the query-to-cell distances)
-    val routed = pqLut(queries, Seq(coarse), queryIdCol, vecCol)
+        .cast("long").as("cell"))
+    pqEncode(corpus, codebooks, idCol, vecCol).join(cells, Seq(idCol))
+      .select(col(idCol), col("cell"), col("subspace"), col("code"))
+  }
+
+  /** SEARCH over a built/loaded IVF-PQ index — [[ivfPqTopK]] minus the
+    * construction: query routing (nprobe nearest coarse centroids under
+    * the SAME integer quantized-query metric as the ADC stage — coarse =
+    * one subspace, so the LUT rows ARE the query-to-cell distances),
+    * probed-cell pruning, ADC scoring, bounded-heap top-k. Search cost
+    * tracks |queries| · nprobe/C · |index| — NOT corpus construction —
+    * which is the point of persisting the index. */
+  def searchPqIndex(queries: DataFrame, index: PqIndex, k: Int,
+                    nprobe: Int = 2, queryIdCol: String = "qid",
+                    vecCol: String = "embedding",
+                    idCol: String = "vec_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nprobe >= 1 && nprobe <= index.coarse.length,
+      s"nprobe must be in [1, ${index.coarse.length}], got $nprobe")
+    val routed = pqLut(queries, Seq(index.coarse), queryIdCol, vecCol)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(queryIdCol))
           .orderBy(col("__d"), col("code"))))
       .where(col("__rn") <= nprobe)
-      .select(col(queryIdCol), col("code").as("__cell"))
-    val lut = pqLut(queries, codebooks, queryIdCol, vecCol)
-    val scored = index.join(broadcast(routed), Seq("__cell"))
+      .select(col(queryIdCol), col("code").as("cell"))
+    val lut = pqLut(queries, index.codebooks, queryIdCol, vecCol)
+    val scored = index.codes.join(broadcast(routed), Seq("cell"))
       .join(broadcast(lut), Seq(queryIdCol, "subspace", "code"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__d")).as("dist16"))
     graft.relational.TopK.topKPerGroupRanked(scored, Seq(col(queryIdCol)),
         Seq(col("dist16"), col(idCol)), k, "rnk")
       .select(col(queryIdCol), col(idCol), col("dist16"), col("rnk"))
+  }
+
+  /** Reload an index persisted by [[graft.sources.Sinks.pqIndex]]. The
+    * codes frame stays DISTRIBUTED (partition-pruned by `cell` at scan
+    * time); only the codebook table is collected, under the
+    * [[MaxCentroids]] fail-fast — the same driver-side-plan-object
+    * discipline as [[codebook]]. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String, idCol: String = "vec_id"): PqIndex = {
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .limit(MaxCentroids + 1).collect()
+    require(cb.length <= MaxCentroids,
+      s"persisted codebook exceeds $MaxCentroids centroids — not a codebook table")
+    def level(l: Int): Seq[(Int, Int, Seq[Double])] = cb.toSeq
+      .filter(_.getAs[Int]("level") == l)
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code"),
+        r.getSeq[Double](r.fieldIndex("centroid"))))
+      .sortBy(t => (t._1, t._2))
+    val coarse = level(0).map(_._3)
+    val codebooks = level(1).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+    require(coarse.nonEmpty && codebooks.nonEmpty,
+      s"$path/codebooks has no coarse (level 0) or pq (level 1) rows")
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col(idCol), col("cell").cast("long"),
+        col("subspace").cast("long"), col("code").cast("long"))
+    PqIndex(codes, coarse, codebooks)
   }
 
   /** Cluster-balanced diversity sampling — the embedding-space

@@ -46,6 +46,73 @@ object LlmQueries {
   private val clusterCodebook: Seq[Seq[Double]] =
     (0 until 8).map(k => (0 until 64).map(j => (((k * 17 + j * 7) % 19) - 9) / 4.0))
 
+  // The IVF-PQ search oracle, shared VERBATIM by llm_ivf_pq (inline
+  // construction) and llm_pq_persist (write → reload → search): the
+  // persisted round trip must be IDENTITY, so the two queries gating on
+  // one SQL string is itself the save/load contract.
+  private lazy val ivfPqSql: String = {
+    val coarseSql = clusterCodebook.zipWithIndex.map { case (vals, kk) =>
+      s"($kk, [${vals.mkString(", ")}])"
+    }.mkString(", ")
+    val cbSql = pqCodebooks.zipWithIndex.flatMap { case (ks, s) =>
+      ks.zipWithIndex.map { case (vals, k) =>
+        s"($s, $k, [${vals.mkString(", ")}])"
+      }
+    }.mkString(", ")
+    s"""WITH co(code, vals) AS (VALUES $coarseSql),
+       |coi AS (SELECT code,
+       |  list_transform(vals, v -> CAST(round(v * 4) AS BIGINT)) AS ci FROM co),
+       |cb(sub, code, vals) AS (VALUES $cbSql),
+       |cbi AS (SELECT sub, code,
+       |  list_transform(vals, v -> CAST(round(v * 4) AS BIGINT)) AS ci FROM cb),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cd AS (SELECT vec_id, co.code,
+       |        list_reduce(list_transform(range(1, 65),
+       |          j -> (v[j] - vals[j]) * (v[j] - vals[j])), (a, b) -> a + b) AS dist
+       |      FROM e, co),
+       |cr AS (SELECT vec_id, code,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn
+       |      FROM cd),
+       |cells AS (SELECT vec_id, code AS cell FROM cr WHERE rn = 1),
+       |sv AS (SELECT vec_id, s.sub, v[s.sub*8+1 : s.sub*8+8] AS sl
+       |       FROM e, (SELECT unnest(range(0, 8)) AS sub) s),
+       |d AS (SELECT vec_id, sv.sub, cb.code,
+       |        list_sum(list_transform(range(1, 9),
+       |          j -> (sl[j] - vals[j]) * (sl[j] - vals[j]))) AS dist
+       |      FROM sv JOIN cb ON sv.sub = cb.sub),
+       |r AS (SELECT vec_id, sub, code,
+       |        row_number() OVER (PARTITION BY vec_id, sub
+       |          ORDER BY dist, code) AS rn
+       |      FROM d),
+       |codes AS (SELECT vec_id, sub, code FROM r WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid,
+       |        list_transform(v, x -> CAST(floor(x * 4 + 0.5) AS BIGINT)) AS qi
+       |      FROM e WHERE vec_id < 20),
+       |route AS (SELECT qid, coi.code AS cell,
+       |            row_number() OVER (PARTITION BY qid ORDER BY
+       |              list_sum(list_transform(range(1, 65),
+       |                j -> (qi[j] - ci[j]) * (qi[j] - ci[j]))), coi.code) AS rn
+       |          FROM q, coi),
+       |probed AS (SELECT qid, cell FROM route WHERE rn <= 3),
+       |lut AS (SELECT qid, cbi.sub, cbi.code,
+       |          list_sum(list_transform(range(1, 9),
+       |            j -> (qi[sub*8+j] - ci[j]) * (qi[sub*8+j] - ci[j]))) AS dd
+       |        FROM q, cbi),
+       |cand AS (SELECT p.qid, c.vec_id FROM probed p
+       |         JOIN cells c ON c.cell = p.cell),
+       |sc AS (SELECT cand.qid, cand.vec_id, CAST(sum(dd) AS BIGINT) AS dist16
+       |       FROM cand
+       |       JOIN codes ON codes.vec_id = cand.vec_id
+       |       JOIN lut ON lut.qid = cand.qid AND lut.sub = codes.sub
+       |              AND lut.code = codes.code
+       |       GROUP BY cand.qid, cand.vec_id),
+       |rk AS (SELECT qid, vec_id, dist16,
+       |         row_number() OVER (PARTITION BY qid ORDER BY dist16, vec_id) AS rnk
+       |       FROM sc)
+       |SELECT qid, vec_id, dist16, CAST(rnk AS BIGINT) AS rnk
+       |FROM rk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
   // Planted n-gram LM (the llm_redact discipline: the model is data,
   // written identically on both sides). Scores are negative
   // centi-log-probs; entries are formula-generated so the two listings
@@ -1522,72 +1589,29 @@ object LlmQueries {
     // IVF-PQ: coarse cells from the full-width planted codebook route
     // each query to its 3 nearest cells (same integer quantized-query
     // metric as the ADC stage), then PQ-ADC scores probed cells only.
-    Q("llm_ivf_pq", {
-      val coarseSql = clusterCodebook.zipWithIndex.map { case (vals, kk) =>
-        s"($kk, [${vals.mkString(", ")}])"
-      }.mkString(", ")
-      val cbSql = pqCodebooks.zipWithIndex.flatMap { case (ks, s) =>
-        ks.zipWithIndex.map { case (vals, k) =>
-          s"($s, $k, [${vals.mkString(", ")}])"
-        }
-      }.mkString(", ")
-      s"""WITH co(code, vals) AS (VALUES $coarseSql),
-         |coi AS (SELECT code,
-         |  list_transform(vals, v -> CAST(round(v * 4) AS BIGINT)) AS ci FROM co),
-         |cb(sub, code, vals) AS (VALUES $cbSql),
-         |cbi AS (SELECT sub, code,
-         |  list_transform(vals, v -> CAST(round(v * 4) AS BIGINT)) AS ci FROM cb),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cd AS (SELECT vec_id, co.code,
-         |        list_reduce(list_transform(range(1, 65),
-         |          j -> (v[j] - vals[j]) * (v[j] - vals[j])), (a, b) -> a + b) AS dist
-         |      FROM e, co),
-         |cr AS (SELECT vec_id, code,
-         |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn
-         |      FROM cd),
-         |cells AS (SELECT vec_id, code AS cell FROM cr WHERE rn = 1),
-         |sv AS (SELECT vec_id, s.sub, v[s.sub*8+1 : s.sub*8+8] AS sl
-         |       FROM e, (SELECT unnest(range(0, 8)) AS sub) s),
-         |d AS (SELECT vec_id, sv.sub, cb.code,
-         |        list_sum(list_transform(range(1, 9),
-         |          j -> (sl[j] - vals[j]) * (sl[j] - vals[j]))) AS dist
-         |      FROM sv JOIN cb ON sv.sub = cb.sub),
-         |r AS (SELECT vec_id, sub, code,
-         |        row_number() OVER (PARTITION BY vec_id, sub
-         |          ORDER BY dist, code) AS rn
-         |      FROM d),
-         |codes AS (SELECT vec_id, sub, code FROM r WHERE rn = 1),
-         |q AS (SELECT vec_id AS qid,
-         |        list_transform(v, x -> CAST(floor(x * 4 + 0.5) AS BIGINT)) AS qi
-         |      FROM e WHERE vec_id < 20),
-         |route AS (SELECT qid, coi.code AS cell,
-         |            row_number() OVER (PARTITION BY qid ORDER BY
-         |              list_sum(list_transform(range(1, 65),
-         |                j -> (qi[j] - ci[j]) * (qi[j] - ci[j]))), coi.code) AS rn
-         |          FROM q, coi),
-         |probed AS (SELECT qid, cell FROM route WHERE rn <= 3),
-         |lut AS (SELECT qid, cbi.sub, cbi.code,
-         |          list_sum(list_transform(range(1, 9),
-         |            j -> (qi[sub*8+j] - ci[j]) * (qi[sub*8+j] - ci[j]))) AS dd
-         |        FROM q, cbi),
-         |cand AS (SELECT p.qid, c.vec_id FROM probed p
-         |         JOIN cells c ON c.cell = p.cell),
-         |sc AS (SELECT cand.qid, cand.vec_id, CAST(sum(dd) AS BIGINT) AS dist16
-         |       FROM cand
-         |       JOIN codes ON codes.vec_id = cand.vec_id
-         |       JOIN lut ON lut.qid = cand.qid AND lut.sub = codes.sub
-         |              AND lut.code = codes.code
-         |       GROUP BY cand.qid, cand.vec_id),
-         |rk AS (SELECT qid, vec_id, dist16,
-         |         row_number() OVER (PARTITION BY qid ORDER BY dist16, vec_id) AS rnk
-         |       FROM sc)
-         |SELECT qid, vec_id, dist16, CAST(rnk AS BIGINT) AS rnk
-         |FROM rk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
-    }) { (spark, sf) =>
+    Q("llm_ivf_pq", ivfPqSql) { (spark, sf) =>
       val emb = Tables.embeddings(spark, sf)
       Similarity.ivfPqTopK(
           emb.where(col("vec_id") < 20).withColumnRenamed("vec_id", "qid"),
           emb, clusterCodebook, pqCodebooks, k = 5, nprobe = 3)
+        .orderBy("qid", "rnk")
+    },
+
+    // The PERSISTED-index face of IVF-PQ: build + write the index
+    // (codes parquet partitioned by coarse cell + a codebook table),
+    // reload it from disk, and search over the LOADED index. The oracle
+    // is llm_ivf_pq's SQL verbatim — the save/load round trip must be
+    // identity, and gating both queries on one SQL string IS that
+    // contract. At scale this is the build-once/search-many ANN story:
+    // search cost tracks nprobe/C of the index, never the corpus.
+    Q("llm_pq_persist", ivfPqSql) { (spark, sf) =>
+      val emb = Tables.embeddings(spark, sf)
+      val dir = s"/tmp/graft_pq_index_${math.abs(sf.hashCode).toString}"
+      graft.sources.Sinks.pqIndex(emb, dir, clusterCodebook, pqCodebooks)
+      val idx = Similarity.loadPqIndex(spark, dir)
+      Similarity.searchPqIndex(
+          emb.where(col("vec_id") < 20).withColumnRenamed("vec_id", "qid"),
+          idx, k = 5, nprobe = 3)
         .orderBy("qid", "rnk")
     },
 

@@ -96,6 +96,32 @@ object Sinks {
       .write.mode(mode).partitionBy(shardCol).parquet(path)
   }
 
+  /** Persist an IVF-PQ ANN index — the durable endpoint of
+    * [[graft.llm.Similarity.buildPqIndex]]: `<path>/codes/` holds the
+    * fixed-width `(id, subspace, code)` rows PARTITIONED BY coarse
+    * `cell` (so [[graft.llm.Similarity.searchPqIndex]]'s probed-cell
+    * set partition-prunes the scan — a search at nprobe/C touches only
+    * that fraction of the files), and `<path>/codebooks/` holds both
+    * codebook levels as one tiny table (`level` 0 = coarse, 1 = pq;
+    * one row per centroid). At 100 TB the codes directory is the ~1%
+    * artifact the corpus's raw vectors compress to; build once, search
+    * many — [[graft.llm.Similarity.loadPqIndex]] reloads without
+    * touching the corpus. */
+  def pqIndex(corpus: DataFrame, path: String, coarse: Seq[Seq[Double]],
+              codebooks: Seq[Seq[Seq[Double]]], idCol: String = "vec_id",
+              vecCol: String = "embedding"): Unit = {
+    graft.llm.Similarity.buildPqIndex(corpus, coarse, codebooks, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = coarse.zipWithIndex.map { case (c, k) => (0, 0, k, c) } ++
+      codebooks.zipWithIndex.flatMap { case (ks, s) =>
+        ks.zipWithIndex.map { case (c, k) => (1, s, k, c) }
+      }
+    rows.toDF("level", "subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
   /** Bucketed managed table — the co-located-join primitive: two tables
     * bucketed by the same key into the same bucket count join with NO
     * exchange on either side (each bucket pairs positionally). At 100 TB

@@ -245,6 +245,38 @@ class SimilaritySpec extends SparkSpec {
     all shouldBe flat
   }
 
+  test("pqIndex save → loadPqIndex → searchPqIndex is identity with inline ivfPqTopK") {
+    val coarse = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(4.0, 4.0, 4.0, 4.0))
+    val cb = Seq(
+      Seq(Seq(0.0, 0.0), Seq(4.0, 4.0)),
+      Seq(Seq(0.25, 0.0), Seq(4.0, 3.75)))
+    val corpus = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.5f, 0.0f, 0.0f)),
+      (2L, Array(4.0f, 4.0f, 4.0f, 4.0f)),
+      (3L, Array(4.0f, 3.5f, 4.0f, 4.0f))).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (9L, Array(0.25f, 0.0f, 0.0f, 0.0f)),
+      (8L, Array(4.0f, 4.0f, 3.75f, 4.0f))).toDF("qid", "embedding")
+    val dir = "/tmp/graft_test_pq_index"
+    graft.sources.Sinks.pqIndex(corpus, dir, coarse, cb)
+    val idx = Similarity.loadPqIndex(spark, dir)
+    // codebooks round-trip EXACTLY (quarter-step doubles are exact)
+    idx.coarse shouldBe coarse
+    idx.codebooks shouldBe cb
+    // codes directory is partitioned by cell — the layout that lets a
+    // probed-cell set prune files before any scoring
+    new java.io.File(s"$dir/codes").listFiles().map(_.getName)
+      .filter(_.startsWith("cell=")).toSet shouldBe Set("cell=0", "cell=1")
+    for (np <- Seq(1, 2)) {
+      val loaded = Similarity.searchPqIndex(queries, idx, k = 4, nprobe = np)
+        .orderBy("qid", "rnk").collect().map(_.toSeq)
+      val inline = Similarity.ivfPqTopK(queries, corpus, coarse, cb, k = 4, nprobe = np)
+        .orderBy("qid", "rnk").collect().map(_.toSeq)
+      loaded shouldBe inline
+    }
+  }
+
   test("clusterBalance assigns PQ cells and caps each cell in shuffleHash order") {
     // 1 subspace, 2 centroids at (0,0) and (4,4): vectors near each are
     // assigned to it; cap 2 binds for the origin cluster (3 members)
