@@ -77,6 +77,20 @@ case class HashedNgramScore(child: Expression, k: Int, buckets: Int,
   def score(text: UTF8String): java.lang.Long =
     TextKernelObjs.ngramScoreBoxed(text, k, buckets, weights)
 
+  // The Array field would otherwise compare by reference identity, so two
+  // structurally identical score expressions never canonicalize equal
+  // (defeating semanticEquals / exchange reuse). Compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case that: HashedNgramScore =>
+      child == that.child && k == that.k && buckets == that.buckets &&
+        java.util.Arrays.equals(weights, that.weights)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(k), Int.box(buckets),
+      Int.box(java.util.Arrays.hashCode(weights)))
+
   override def nullSafeEval(input: Any): Any =
     score(input.asInstanceOf[UTF8String])
 

@@ -245,6 +245,50 @@ object Audit {
       .drop("__np")
   }
 
+  /** Fold per-batch partial manifests ([[shardManifest]] over each
+    * micro-batch of a streaming layout writer, stamped with a
+    * `batch_id` — [[graft.streaming.StreamOps.manifestStream]]'s sink
+    * rows) into the manifest of the WHOLE layout. Counts, token totals
+    * and the checksum are sums, the position range is min/max — all
+    * order-invariant, so the fold is EXACT regardless of batch
+    * boundaries or arrival order. Contiguity is re-proven from the
+    * partials, not trusted: the merged flag holds iff every partial was
+    * contiguous AND, per shard, the partials' position ranges are
+    * ADJACENT in sorted order (each batch starts one past the previous
+    * batch's end) — which together prove global distinctness and full
+    * span without re-reading a single document. A writer whose batches
+    * INTERLEAVE positions within one shard (not slab-per-batch) can be
+    * contiguous in total yet read `false` here — the conservative
+    * direction; the streaming contract is slab-per-batch, which
+    * [[graft.llm.Packing.shuffleShards]] layouts streamed in
+    * position order satisfy by construction.
+    *
+    * Plan shape: the input is |batches|·|shards| MANIFEST rows, never
+    * corpus data — the per-shard adjacency window and the fold both run
+    * on a frame that fits in one partition per thousands of shards. */
+  def mergeManifests(partials: DataFrame,
+                     shardCol: String = "shard_id"): DataFrame = {
+    Seq(shardCol, "n_docs", "n_tokens", "first_pos", "last_pos",
+        "checksum", "contiguous").foreach(c =>
+      require(partials.columns.contains(c),
+        s"mergeManifests needs the '$c' column (shardManifest partials)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col("first_pos"), col("last_pos"))
+    partials
+      .withColumn("__prevLast", lag(col("last_pos"), 1).over(w))
+      .withColumn("__adj", col("contiguous") &&
+        (col("__prevLast").isNull || col("first_pos") === col("__prevLast") + 1))
+      .groupBy(col(shardCol))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("first_pos")).as("first_pos"),
+        max(col("last_pos")).as("last_pos"),
+        sum(col("checksum"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("checksum"),
+        bool_and(col("__adj")).as("contiguous"))
+  }
+
   def corpusReport(docs: DataFrame, textCol: String = "text",
                    sourceCol: String = "source", langCol: String = "lang",
                    tokenCount: Option[Column] = None): DataFrame = {

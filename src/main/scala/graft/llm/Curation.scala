@@ -442,4 +442,58 @@ object Curation {
       .select(col("__pid").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** DATA-SELECTION composite — the fifth oracle-gated composite, the
+    * end-to-end gate of the selection tier: [[TextStats.dsirKeep]]
+    * (distributional fit vs the target slice, top `keepFraction` by
+    * score) → [[Sampling.tokenBudget]] (hard per-`budgetStratumCol`
+    * token cap — the "no source dominates" guard) → [[Sampling.unimax]]
+    * (epoch-capped water-filling of `budgetBp` of the SELECTED tokens
+    * across `mixStratumCol` strata — the fair-mixture pass, one row per
+    * (doc, epoch)) → [[Packing.shuffleShards]] over the (doc, epoch)
+    * slot key (`id·maxEpochs + epoch` — unique since epoch < maxEpochs;
+    * requires id ≤ Long.Max / maxEpochs). Stage order is the 100 TB
+    * order: quality selection prunes before any window pays for a row,
+    * the budget cap bounds what unimax and the global sort ever see.
+    * Feed the result to [[Audit.shardManifest]] for the release record
+    * and [[graft.sources.Sinks.trainingShards]] for the durable layout —
+    * every stage is integer/hash arithmetic, so selection, budget,
+    * water-filling, epoch explosion and layout all replay in SQL and a
+    * drift ANYWHERE shifts every downstream shard checksum loudly.
+    *
+    * Plan shape at 100 TB: DSIR's three corpus scans (distribution
+    * collect, score histogram, the in-place keep filter — no join-back:
+    * [[TextStats.dsirKeep]] exists exactly so this composite doesn't pay
+    * a corpus shuffle to recover text), the budget window per source
+    * ([[Packing]]'s stratum sizing rule), then a lazy localCheckpoint at
+    * the budget boundary — the frame is budget-bounded (≈ |sources|·
+    * budget tokens, tiny vs the corpus) and feeds unimax's strata agg
+    * AND its join side (the multi-consumer rule; no lineage after the
+    * cut, by design). unimax's only single-partition window is
+    * |strata|-sized; the epoch explosion amplifies by allocated epochs
+    * only; the layout costs the ONE global range-sort + two-pass offset
+    * index. Returns `(idCol, mixStratumCol, n_tokens, epoch, textCol,
+    * shard_id, pos_in_shard)`. */
+  def selectFull(docs: DataFrame, isTarget: Column, keepFraction: Double,
+                 budgetTokens: Long, budgetBp: Long, maxEpochs: Int,
+                 rowsPerShard: Long,
+                 k: Int = 2, buckets: Int = 64, quantum: Long = 1024L,
+                 budgetStratumCol: String = "source",
+                 mixStratumCol: String = "lang",
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val kept = TextStats.dsirKeep(docs, isTarget, keepFraction, k, buckets,
+      quantum, idCol, textCol)
+    val budgeted = Sampling.tokenBudget(kept, budgetTokens,
+        partitionCols = Seq(budgetStratumCol), idCol = idCol, textCol = textCol)
+      .withColumnRenamed("n_tokens", "__bnt")
+      .localCheckpoint(false)
+    val epochs = Sampling.unimax(budgeted, budgetBp, maxEpochs, mixStratumCol,
+      idCol, textCol, tokenCount = Some(col("__bnt")),
+      carryCols = Seq(textCol))
+    Packing.shuffleShards(
+        epochs.withColumn("__rid",
+          col(idCol) * maxEpochs.toLong + col("epoch")),
+        rowsPerShard, idCol = "__rid")
+      .drop("__rid")
+  }
 }

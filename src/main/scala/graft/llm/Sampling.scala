@@ -229,7 +229,9 @@ object Sampling {
     * [[Packing.shuffleHash]] order ([[tokenBudget]]'s start-offset
     * discipline: a doc is in the partial epoch iff its running start
     * precedes `alloc − full·tokens`). Output: one row per (doc,
-    * epoch) — `(idCol, stratumCol, n_tokens, epoch)`, epochs 0-based,
+    * epoch) — `(idCol, stratumCol, n_tokens, epoch)` plus any
+    * `carryCols` (the composition face: [[graft.llm.Curation.selectFull]]
+    * carries text through to the manifest), epochs 0-based,
     * every doc of an exhausted stratum appearing exactly `maxEpochs`
     * times. Deterministic, integer-exact, oracle-replayable end to end.
     *
@@ -244,8 +246,11 @@ object Sampling {
   def unimax(df: DataFrame, budgetBp: Long, maxEpochs: Int,
              stratumCol: String = "source", idCol: String = "doc_id",
              textCol: String = "text",
-             tokenCount: Option[Column] = None): DataFrame = {
+             tokenCount: Option[Column] = None,
+             carryCols: Seq[String] = Nil): DataFrame = {
     require(budgetBp > 0, s"budgetBp must be positive, got $budgetBp")
+    carryCols.foreach(c => require(df.columns.contains(c),
+      s"unimax carryCols references '$c', not an input column"))
     require(maxEpochs >= 1 && maxEpochs <= 1000,
       s"maxEpochs must be in [1, 1000], got $maxEpochs")
     Seq("n_tokens", "epoch").foreach(c => require(!df.columns.contains(c),
@@ -292,7 +297,8 @@ object Sampling {
         when(col("__start") < col("__part"), 1L).otherwise(0L))
       .where(col("__napp") > 0)
       .withColumn("epoch", explode(sequence(lit(0L), col("__napp") - 1)))
-      .select(col(idCol), col(stratumCol), col("n_tokens"), col("epoch"))
+      .select(Seq(col(idCol), col(stratumCol), col("n_tokens"), col("epoch")) ++
+        carryCols.map(col): _*)
   }
 
   /** Downsample-only rebalancing toward a target mixture — the "make the

@@ -692,15 +692,42 @@ object TextStats {
     require(keepFraction > 0.0 && keepFraction < 1.0,
       s"keepFraction must be in (0, 1), got $keepFraction")
     require(quantum >= 1L, s"quantum must be >= 1, got $quantum")
-    val intDiv = graft.functions.VectorFunctions.intDiv _
-    // scan 1: raw + target gram-bucket counts in ONE pass
+    val (rawC, tgtC) = dsirDist(docs, isTarget, k, buckets, textCol)
+    dsirSelect(docs, dsirWeights(rawC, tgtC), keepFraction, k, buckets,
+      quantum, idCol, textCol)
+  }
+
+  /** [[dsir]] returning the kept documents with ALL input columns plus
+    * `dsir_score` — the composition face (a downstream stage needs the
+    * text/strata it selects on, and joining the (id, score) projection
+    * back would cost a corpus-sized shuffle the in-place filter
+    * avoids). Same distributions, weights, score kernel and percentile
+    * cut as [[dsir]] — one machinery, two output shapes. */
+  def dsirKeep(docs: DataFrame, isTarget: Column, keepFraction: Double,
+               k: Int = 2, buckets: Int = 64, quantum: Long = 1024L,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction < 1.0,
+      s"keepFraction must be in (0, 1), got $keepFraction")
+    require(quantum >= 1L, s"quantum must be >= 1, got $quantum")
+    require(!docs.columns.contains("dsir_score"),
+      "dsirKeep writes a 'dsir_score' column; input already has one — rename it first")
+    val (rawC, tgtC) = dsirDist(docs, isTarget, k, buckets, textCol)
+    dsirSelect(docs, dsirWeights(rawC, tgtC), keepFraction, k, buckets,
+      quantum, idCol, textCol, keepAll = true)
+  }
+
+  /** Scan 1 of the DSIR plan: raw + target gram-bucket counts in ONE
+    * conditional-aggregate pass; ≤ `buckets` rows collect to the driver
+    * (hard-capped at 2²⁰ by construction — the codebook discipline). */
+  private def dsirDist(docs: DataFrame, isTarget: Column, k: Int,
+                       buckets: Int, textCol: String): (Array[Long], Array[Long]) = {
     val dist = docs.select(
         explode(graft.functions.HashedNgramBuckets(col(textCol), k, buckets)).as("__b"),
         isTarget.cast("boolean").as("__t"))
       .groupBy("__b")
       .agg(count(lit(1)).as("__raw"),
         count(when(col("__t"), lit(1))).as("__tgt"))
-      .collect() // ≤ buckets rows by construction (buckets ≤ 2^20)
+      .collect()
     val rawC = new Array[Long](buckets)
     val tgtC = new Array[Long](buckets)
     dist.foreach { r =>
@@ -708,8 +735,7 @@ object TextStats {
       rawC(b) = r.getLong(1)
       tgtC(b) = r.getLong(2)
     }
-    dsirSelect(docs, dsirWeights(rawC, tgtC), keepFraction, k, buckets,
-      quantum, idCol, textCol)
+    (rawC, tgtC)
   }
 
   /** [[dsir]] when the target is a SEPARATE curated corpus (the method's
@@ -776,19 +802,22 @@ object TextStats {
   private def dsirSelect(docs: DataFrame, weights: Array[Long],
                          keepFraction: Double, k: Int, buckets: Int,
                          quantum: Long, idCol: String,
-                         textCol: String): DataFrame = {
+                         textCol: String, keepAll: Boolean = false): DataFrame = {
     val intDiv = graft.functions.VectorFunctions.intDiv _
-    val scored = docs.select(col(idCol),
-        graft.functions.HashedNgramScore(col(textCol), k, buckets, weights)
-          .as("dsir_score"))
+    // withColumn (not a narrow select) so keepAll can carry the input
+    // columns through; the (id, score) shape still prunes to a narrow
+    // scan — the final select drops everything else before the source
+    val scored = docs.withColumn("dsir_score",
+        graft.functions.HashedNgramScore(col(textCol), k, buckets, weights))
       .where(col("dsir_score").isNotNull)
       .withColumn("__sq", intDiv(col("dsir_score"), lit(quantum)))
     val dropBp = 10000L - math.round(keepFraction * 10000)
     val cuts = discreteCuts(scored, "__sq", Seq(
       "__cut" -> (t => intDiv(t * dropBp + 9999L, lit(10000L)))))
-    scored.crossJoin(broadcast(cuts))
+    val kept = scored.crossJoin(broadcast(cuts))
       .where(col("__sq") >= col("__cut"))
-      .select(col(idCol), col("dsir_score"))
+    if (keepAll) kept.drop("__sq", "__cut")
+    else kept.select(col(idCol), col("dsir_score"))
   }
 
   /** A fixed n-gram language model as DATA: integer centi-log-prob scores

@@ -2311,6 +2311,146 @@ object LlmQueries {
           .orderBy("shard_id")
     },
 
+    // The SELECTION-tier composite, fully oracle-gated end to end: DSIR
+    // (llm_dsir's exact machinery, keep top 40% by distributional fit
+    // vs lang='en') → per-source token budget (300 — binds: ~200 kept
+    // docs → ~120 budgeted tri-scale) → UniMax water-filling of 140% of
+    // the selected tokens across LANG strata at maxEpochs=2 (bbp>10⁴ =
+    // deliberate oversampling, PROBED so BOTH branches live at every
+    // scale: low-resource langs exhaust at 2 epochs, en is water-leveled
+    // with a partial epoch) → global shuffle of the (doc, epoch) slots →
+    // 16-row shards. The gated output is the shard MANIFEST — doc/token
+    // counts, position range, order-invariant poly-hash checksum — so a
+    // drift in ANY stage (weights, cut, budget window, water level,
+    // epoch explosion, permutation) shifts a shard checksum loudly. One
+    // DuckDB query replays all five stages.
+    Q("llm_select_full", {
+      def l2(x: String): String =
+        s"((length(bin($x)) - 1) * 1024 + (($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1))) - 1024)"
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, text,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id, lang, list_transform(tk, t ->
+         |      list_reduce(list_transform(string_split(t, ''),
+         |          c -> CAST(unicode(c) AS BIGINT)),
+         |        (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+         |  FROM toks WHERE len(tk) > 0),
+         |g AS (
+         |  SELECT doc_id, lang,
+         |    unnest(range(1, greatest(len(hs) - 1, 1) + 1)) AS pos, hs
+         |  FROM th),
+         |grams AS (
+         |  SELECT doc_id, lang,
+         |    list_reduce(hs[pos:least(pos + 1, len(hs))],
+         |      (a, b) -> (a * 1000003 + b) % 2147483647) % 64 AS b
+         |  FROM g),
+         |dist AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS rc,
+         |    CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS tc
+         |  FROM grams GROUP BY b),
+         |tot AS (
+         |  SELECT CAST(sum(rc) AS BIGINT) AS r, CAST(sum(tc) AS BIGINT) AS t,
+         |    CAST(count(*) AS BIGINT) AS nb
+         |  FROM dist),
+         |lw AS (
+         |  SELECT b, (${l2("tc + 1")} - ${l2("t + nb")})
+         |           - (${l2("rc + 1")} - ${l2("r + nb")}) AS w
+         |  FROM dist, tot),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(w) AS BIGINT) * 1024 // count(*) AS dsir_score
+         |  FROM grams JOIN lw USING (b) GROUP BY doc_id),
+         |sq AS (SELECT doc_id, dsir_score // 1024 AS s FROM sc),
+         |hist AS (SELECT s, count(*) AS c FROM sq GROUP BY s),
+         |cdf AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM hist),
+         |n AS (SELECT max(cum) AS n FROM cdf),
+         |cut AS (
+         |  SELECT min(s) AS cut FROM cdf, n
+         |  WHERE cum >= (n * 6000 + 9999) // 10000),
+         |keptd AS (
+         |  SELECT t.doc_id, t.source, t.lang, t.text
+         |  FROM toks t JOIN sq USING (doc_id), cut WHERE sq.s >= cut.cut),
+         |tb AS (
+         |  SELECT doc_id, source, lang, text,
+         |    CAST(len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
+         |    ((doc_id % 999999937) * 654435887) % 999999937 AS h
+         |  FROM keptd),
+         |cw AS (
+         |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+         |  FROM tb),
+         |bud AS (SELECT doc_id, lang, text, n_tokens, h FROM cw WHERE strt < 300),
+         |s2 AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tok FROM bud GROUP BY lang),
+         |tt2 AS (
+         |  SELECT CAST(sum(tok) * 14000 // 10000 AS BIGINT) AS bdg,
+         |    CAST(count(*) AS BIGINT) AS ns
+         |  FROM s2),
+         |r2 AS (
+         |  SELECT lang, tok, tok * 2 AS cap,
+         |    CAST(row_number() OVER (ORDER BY tok * 2, lang) AS BIGINT) AS i,
+         |    coalesce(sum(tok * 2) OVER (ORDER BY tok * 2, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM s2),
+         |sh2 AS (
+         |  SELECT r2.*, (bdg - pre) // (ns - i + 1) AS share,
+         |    cap <= (bdg - pre) // (ns - i + 1) AS exh
+         |  FROM r2, tt2),
+         |star AS (SELECT coalesce(arg_min(share, i) FILTER (NOT exh), 0) AS st FROM sh2),
+         |plan AS (
+         |  SELECT lang, tok, CASE WHEN exh THEN cap ELSE st END AS alloc
+         |  FROM sh2, star),
+         |plan2 AS (
+         |  SELECT lang,
+         |    CASE WHEN tok > 0 THEN alloc // tok ELSE 0 END AS fullep,
+         |    alloc - (CASE WHEN tok > 0 THEN alloc // tok ELSE 0 END) * tok AS part
+         |  FROM plan),
+         |cb AS (
+         |  SELECT doc_id, lang, text, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+         |  FROM bud),
+         |a2 AS (
+         |  SELECT cb.doc_id, cb.text, cb.n_tokens,
+         |    CAST(p.fullep + (CASE WHEN cb.strt < p.part THEN 1 ELSE 0 END) AS BIGINT) AS napp
+         |  FROM cb JOIN plan2 p USING (lang)),
+         |ep AS (
+         |  SELECT doc_id, text, n_tokens,
+         |    CAST(unnest(range(0, napp)) AS BIGINT) AS epoch
+         |  FROM a2 WHERE napp > 0),
+         |rid AS (SELECT *, doc_id * 2 + epoch AS rid FROM ep),
+         |hh AS (SELECT *, ((rid % 999999937) * 654435887) % 999999937 AS hh FROM rid),
+         |p AS (SELECT *, row_number() OVER (ORDER BY hh, rid) - 1 AS pos FROM hh),
+         |shl AS (
+         |  SELECT *, CAST(pos // 16 AS BIGINT) AS shard_id,
+         |    CAST(pos - (pos // 16) * 16 AS BIGINT) AS pis
+         |  FROM p),
+         |mh AS (
+         |  SELECT shard_id, pis, n_tokens,
+         |    CASE WHEN len(text) = 0 THEN 0
+         |      ELSE list_reduce(list_transform(string_split(text, ''),
+         |             c -> CAST(unicode(c) AS BIGINT)),
+         |           (a, b) -> (a * 31 + b) % 2147483647) END AS chash
+         |  FROM shl)
+         |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(min(pis) AS BIGINT) AS first_pos,
+         |  CAST(max(pis) AS BIGINT) AS last_pos,
+         |  CAST(CAST(sum(chash) AS DECIMAL(38,0)) AS VARCHAR) AS checksum,
+         |  max(pis) - min(pis) + 1 = count(*)
+         |    AND count(DISTINCT pis) = count(*) AS contiguous
+         |FROM mh GROUP BY shard_id ORDER BY shard_id""".stripMargin
+    }) { (spark, sf) =>
+      Audit.shardManifest(
+          Curation.selectFull(
+            Tables.documents(spark, sf).select("doc_id", "source", "lang", "text"),
+            isTarget = col("lang") === "en", keepFraction = 0.4,
+            budgetTokens = 300L, budgetBp = 14000L, maxEpochs = 2,
+            rowsPerShard = 16L))
+        .withColumn("checksum", col("checksum").cast("string"))
+        .orderBy("shard_id")
+    },
+
     // Z-order (Morton) storage layout: interleave (lang code, token
     // count) bits and range-sort on the interleaved value, so every
     // 64-row shard covers a tight rectangle of (lang, length) space and

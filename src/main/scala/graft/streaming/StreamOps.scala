@@ -216,6 +216,40 @@ object StreamOps {
       .option("path", path).option("checkpointLocation", checkpoint)
       .outputMode("append").start()
 
+  /** Incremental shard manifest — the streaming RELEASE face of
+    * [[graft.llm.Audit.shardManifest]]: as a layout writer streams
+    * `(shard_id, pos_in_shard, text)` rows out, each micro-batch's
+    * PARTIAL manifest (the batch's per-shard counts, token totals,
+    * position range, order-invariant checksum) is appended to
+    * `manifestPath`, stamped with the batch id.
+    * [[graft.llm.Audit.mergeManifests]] folds the partials into the
+    * exact whole-layout manifest — the checksum is an order-invariant
+    * DECIMAL(38,0) sum precisely so this fold loses nothing (spec-pinned
+    * stream == batch, column for column). The release record thus grows
+    * WITH the corpus write instead of requiring a full re-read after it.
+    *
+    * Contract: slab-per-batch — a batch carries contiguous position
+    * runs per shard (any layout streamed in position order does);
+    * interleaved writers merge with a conservative `contiguous=false`
+    * (see mergeManifests). State: none — each batch aggregates
+    * independently onto |its shards| rows; the checkpoint carries only
+    * source offsets, so the sink is exactly-once per batch id. */
+  def manifestStream(laidOut: DataFrame, manifestPath: String,
+                     checkpoint: String, shardCol: String = "shard_id",
+                     posCol: String = "pos_in_shard", textCol: String = "text",
+                     tokenCount: Option[Column] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    laidOut.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.llm.Audit
+          .shardManifest(batch.toDF(), shardCol, posCol, textCol, tokenCount)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(manifestPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   final case class DocIn(doc_id: Long, source: String, text: String)
   final case class Admitted(doc_id: Long, source: String,
                             n_tokens: Long, start_offset: Long)
@@ -237,7 +271,14 @@ object StreamOps {
     * the batch set whenever arrival order isn't the lattice order —
     * run the batch operator for retrospective corrections; use this for
     * the live admission gate. Token metric: [[graft.llm.TextStats.WsRun]]
-    * split, matching the batch default. */
+    * split, matching the batch default.
+    *
+    * Memory bound: within-batch doc_id ordering materializes ONE
+    * stratum's micro-batch slice in the task (the sort buffer) — an
+    * exhausted stratum short-circuits and streams, but an open stratum's
+    * per-trigger memory is O(its rows in the trigger). Cap the trigger
+    * (`maxOffsetsPerTrigger` / rate limit) so a single stratum's slice
+    * fits executor memory; state itself stays one Long per stratum. */
   def budgetAdmission(docs: Dataset[DocIn], budgetTokens: Long): Dataset[Admitted] = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     import docs.sparkSession.implicits._
@@ -248,9 +289,15 @@ object StreamOps {
         (src: String, it: Iterator[DocIn], state: GroupState[Long]) =>
           var consumed = state.getOption.getOrElse(0L)
           val out = Seq.newBuilder[Admitted]
-          // within-batch determinism: micro-batch iteration order is not
-          // guaranteed — admit in doc_id order
-          it.toSeq.sortBy(_.doc_id).foreach { d =>
+          // exhausted stratum: drain without buffering (no sort needed —
+          // nothing can be admitted), keeping the task memory flat
+          val ordered =
+            if (consumed >= budgetTokens) Iterator.empty
+            // within-batch determinism: micro-batch iteration order is not
+            // guaranteed — admit in doc_id order (buffers this stratum's
+            // slice of the trigger; see the scaladoc memory bound)
+            else it.toSeq.sortBy(_.doc_id).iterator
+          ordered.foreach { d =>
             if (consumed < budgetTokens) {
               val nt = if (d.text == null) 0L
                 else d.text.split(wsRun, -1).length.toLong

@@ -273,4 +273,39 @@ class AuditSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].head()
     out shouldBe ((30L, 10L, 20L, 1500L))
   }
+
+  // (shard, n_docs, n_tokens, first, last, checksum, contiguous, batch)
+  private def partials(rows: (Long, Long, Long, Long, Long, Long, Boolean, Long)*) =
+    rows.toSeq
+      .toDF("shard_id", "n_docs", "n_tokens", "first_pos", "last_pos",
+        "checksum", "contiguous", "batch_id")
+      .withColumn("checksum",
+        col("checksum").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+
+  test("mergeManifests folds adjacent slabs: sums, range, decimal checksum") {
+    val merged = Audit.mergeManifests(partials(
+        (0L, 3L, 30L, 0L, 2L, 100L, true, 0L),
+        (0L, 2L, 25L, 3L, 4L, 40L, true, 1L),
+        (1L, 5L, 55L, 0L, 4L, 77L, true, 1L)))
+      .orderBy("shard_id")
+      .withColumn("checksum", col("checksum").cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    merged shouldBe Array(
+      (0L, 5L, 55L, 0L, 4L, 140L, true),
+      (1L, 5L, 55L, 0L, 4L, 77L, true))
+  }
+
+  test("mergeManifests re-proves contiguity: gap, overlap, and a bad partial all fail") {
+    val merged = Audit.mergeManifests(partials(
+        (0L, 3L, 30L, 0L, 2L, 1L, true, 0L), // gap: next starts at 4
+        (0L, 2L, 25L, 4L, 5L, 1L, true, 1L),
+        (1L, 3L, 30L, 0L, 2L, 1L, true, 0L), // overlap: next starts at 2
+        (1L, 3L, 25L, 2L, 4L, 1L, true, 1L),
+        (2L, 3L, 30L, 0L, 3L, 1L, false, 0L), // batch itself not contiguous
+        (3L, 2L, 20L, 0L, 1L, 1L, true, 0L))) // single clean slab
+      .orderBy("shard_id")
+      .select("shard_id", "contiguous")
+      .as[(Long, Boolean)].collect()
+    merged shouldBe Array((0L, false), (1L, false), (2L, false), (3L, true))
+  }
 }

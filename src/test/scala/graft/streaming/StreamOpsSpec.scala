@@ -260,6 +260,41 @@ class StreamOpsSpec extends SparkSpec {
     streamed shouldBe batchOut
   }
 
+  test("manifestStream partials fold to the batch manifest exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    // 20 docs laid out by shuffleShards, streamed slab-per-batch in
+    // global position order (the writer contract); the folded partial
+    // manifests must equal the one-shot batch manifest column for column
+    val docs = (0 until 20)
+      .map(i => (i.toLong, s"body word number $i tail" + " pad" * (i % 3)))
+      .toDF("doc_id", "text")
+    val layout = graft.llm.Packing.shuffleShards(docs, rowsPerShard = 6L)
+      .localCheckpoint()
+    val ordered = layout.select("doc_id", "shard_id", "pos_in_shard", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(r => (r._2, r._3))
+      .map { case (d, s, p, t) => StreamOpsSpec.Laid(d, s, p, t) }
+    val base = java.nio.file.Files.createTempDirectory("graft_mstream").toString
+    val mem = MemoryStream[StreamOpsSpec.Laid]
+    val q = StreamOps.manifestStream(mem.toDF(),
+      s"$base/manifests", s"$base/ckpt")
+    try {
+      ordered.grouped(7).foreach { slab =>
+        mem.addData(slab.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val partials = spark.read.parquet(s"$base/manifests")
+    partials.select("batch_id").distinct().count() should be >= 2L
+    def canon(df: DataFrame): Seq[String] = df
+      .select("shard_id", "n_docs", "n_tokens", "first_pos", "last_pos",
+        "checksum", "contiguous")
+      .withColumn("checksum", col("checksum").cast("string"))
+      .collect().map(_.toString).sorted.toSeq
+    canon(graft.llm.Audit.mergeManifests(partials)) shouldBe
+      canon(graft.llm.Audit.shardManifest(layout))
+  }
+
   test("ingestStream fails fast on an un-collectable benchmark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOpsSpec.Doc]
@@ -337,4 +372,8 @@ object StreamOpsSpec {
     * MemoryStream encoder derives). */
   final case class Doc(doc_id: Long, ts: java.sql.Timestamp,
                        lang: String, text: String)
+
+  /** Laid-out layout row for the manifestStream spec. */
+  final case class Laid(doc_id: Long, shard_id: Long, pos_in_shard: Long,
+                        text: String)
 }
