@@ -634,6 +634,27 @@ object ScaleProbe {
             concat(col("text"), lit(" " + bp))).otherwise(col("text")).as("text"))
         graft.llm.Audit.dupMass(docs, k = 20)
           .agg(sum("total_tokens"), sum("kept_tokens"), sum("removed_bp")).head()
+      }),
+      // selection composite end to end (DSIR → budget → unimax →
+      // layout → manifest) under the tier's worst case: skewed lang
+      // strata (en = 50% of rows vs four 12.5% langs — the unimax
+      // water-filling imbalance CLAUDE.md's stratify-by-lang rule is
+      // about). The BUDGET SCALES with n (a fixed budget would bound
+      // every post-budget stage to a constant and the probe would read
+      // overhead-flat while saying nothing — the ScaleProbe floor rule);
+      // with it, every stage sees n-proportional data: three DSIR
+      // scans, the per-source budget window, the strata-frame
+      // water-filling, the global layout sort, the manifest agg
+      ("select_full", () => {
+        val docs = synthDocs(n * 4).select(col("doc_id"), col("text"),
+          when(pmod(xxhash64(col("doc_id"), lit("l")), lit(2)) === 0, lit("en"))
+            .otherwise(concat(lit("l"), pmod(col("doc_id"), lit(4L)))).as("lang"),
+          concat(lit("s"), pmod(col("doc_id"), lit(8L))).as("source"))
+        graft.llm.Audit.shardManifest(graft.llm.Curation.selectFull(docs,
+            isTarget = col("lang") === "en", keepFraction = 0.4,
+            budgetTokens = n * 10L, budgetBp = 14000L, maxEpochs = 2,
+            rowsPerShard = 256L))
+          .agg(sum("n_tokens"), count(lit(1))).head()
       }))
     val llmBase = 5000L
 

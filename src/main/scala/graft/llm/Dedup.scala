@@ -338,10 +338,32 @@ object Dedup {
   def incrementalNear(batch: DataFrame, corpus: DataFrame,
                       k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                       threshold: Double = 0.8,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    incrementalNearImpl(batch, corpus, bandSignatures, k, bands, rowsPerBand,
+      threshold, idCol, textCol)
+
+  /** [[incrementalNear]] under the cross-engine affine hash family —
+    * the [[polyMinHashNearDups]] relationship exactly: same plan, same
+    * candidate checkpoint, same verify, but the signature index is
+    * [[bandSignaturesPoly]]'s polynomial arithmetic mod 2³¹−1, so the
+    * whole batch-vs-corpus path is oracle-replayable in SQL. xxhash64
+    * remains the production default (avalanche mixing); the two share
+    * one implementation so they cannot drift. */
+  def incrementalNearPoly(batch: DataFrame, corpus: DataFrame,
+                          k: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                          threshold: Double = 0.8,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    incrementalNearImpl(batch, corpus, bandSignaturesPoly, k, bands,
+      rowsPerBand, threshold, idCol, textCol)
+
+  private def incrementalNearImpl(
+      batch: DataFrame, corpus: DataFrame,
+      signatures: (DataFrame, Int, Int, Int, String, String) => DataFrame,
+      k: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      idCol: String, textCol: String): DataFrame = {
     import graft.functions.WordShingles
-    val bSig = bandSignatures(batch, k, bands, rowsPerBand, idCol, textCol)
-    val cSig = bandSignatures(corpus, k, bands, rowsPerBand, idCol, textCol)
+    val bSig = signatures(batch, k, bands, rowsPerBand, idCol, textCol)
+    val cSig = signatures(corpus, k, bands, rowsPerBand, idCol, textCol)
       .select(col(idCol).as("__cid"), col("band"), col("sig"))
     val cand = bSig.join(cSig, Seq("band", "sig"))
       .select(col(idCol), col("__cid")).distinct()

@@ -39,6 +39,59 @@ object KernelQueries {
       (spark, sf) => Tables.lineitem(spark, sf).agg(count(lit(1)).as("n_rows"))
     },
 
+    // The DataSource V2 connector gate (S5's engine analog): write the
+    // shuffleShards layout as sharded JSONL, read it back through the
+    // graft-jsonl V2 table with a shard-pruning filter, and manifest
+    // the survivors — doc counts, id range, poly-hash text checksum per
+    // shard. The oracle replays the LAYOUT from documents directly, so
+    // the whole connector path (JSON serialization round trip incl.
+    // escaping, directory pruning, partition-column restoration, line
+    // parsing) must be lossless to hash-match.
+    Q("src_shard_jsonl",
+      """WITH h AS (
+        |  SELECT doc_id, source, text,
+        |    ((doc_id % 999999937) * 654435887) % 999999937 AS hh
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, text,
+        |    row_number() OVER (ORDER BY hh, doc_id) - 1 AS pos
+        |  FROM h),
+        |s AS (
+        |  SELECT doc_id, text, CAST(pos // 64 AS BIGINT) AS shard_id
+        |  FROM p),
+        |ch AS (
+        |  SELECT shard_id, doc_id,
+        |    CASE WHEN len(text) = 0 THEN 0
+        |      ELSE list_reduce(list_transform(string_split(text, ''),
+        |             c -> CAST(unicode(c) AS BIGINT)),
+        |           (a, b) -> (a * 31 + b) % 2147483647) END AS chash
+        |  FROM s WHERE shard_id < 4)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc,
+        |  CAST(CAST(sum(chash) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+        |FROM ch GROUP BY shard_id ORDER BY shard_id""".stripMargin) {
+      (spark, sf) =>
+        val dir = "/tmp/graft_jsonl_gate_" + sf.replaceAll("[^a-zA-Z0-9]", "_")
+        graft.sources.Sinks.jsonlShards(
+          graft.llm.Packing.shuffleShards(
+            Tables.documents(spark, sf).select("doc_id", "source", "text"),
+            rowsPerShard = 64L),
+          dir)
+        spark.read.format("graft-jsonl")
+          .schema("doc_id LONG, source STRING, text STRING, pos_in_shard LONG, shard_id LONG")
+          .load(dir)
+          .where(col("shard_id") < 4L)
+          .groupBy("shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"),
+            sum(graft.functions.CharPolyHash(col("text"))
+                .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast("string").as("checksum"))
+          .orderBy("shard_id")
+    },
+
     // ----- §2.2 per-element ops ----------------------------------------
     // Money math in decimal on BOTH sides: double `round` disagrees between
     // engines on representation boundaries (1222.745 → .74 vs .75); decimal

@@ -550,6 +550,82 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // The SAME batch-vs-corpus plan under the cross-engine poly hash
+    // family (the llm_dedup_near_poly relationship): signatures, the
+    // band bucket join, the exact-Jaccard verify and the anti join all
+    // replay in SQL, so the incremental face is oracle-gated end to
+    // end — llm_dedup_incremental_near stays the xxhash64 production
+    // default, rows-checked, sharing one implementation with this gate.
+    Q("llm_dedup_incremental_near_poly",
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < $docCap),
+         |corpus AS (SELECT doc_id, text FROM base WHERE doc_id % 5 <> 0),
+         |batch AS (
+         |  SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, text FROM base WHERE doc_id % 10 = 1),
+         |allr AS (
+         |  SELECT 'c' AS side, doc_id, text FROM corpus
+         |  UNION ALL
+         |  SELECT 'b' AS side, doc_id, text FROM batch),
+         |toks AS (
+         |  SELECT side, doc_id, string_split(text, ' ') AS tk,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tkf
+         |  FROM allr),
+         |th AS (
+         |  SELECT side, doc_id, list_transform(tkf, t ->
+         |      list_reduce(list_transform(string_split(t, ''),
+         |          c -> CAST(unicode(c) AS BIGINT)),
+         |        (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+         |  FROM toks WHERE len(tkf) > 0),
+         |gh AS (
+         |  SELECT side, doc_id, list_transform(range(1, greatest(len(hs) - 2, 0) + 2),
+         |      p -> list_reduce(hs[p:least(p + 1, len(hs))],
+         |        (a, b) -> (a * 1000003 + b) % 2147483647)) AS gh
+         |  FROM th),
+         |lanes AS (
+         |  SELECT side, doc_id, list_transform(range(0, 16),
+         |      i -> list_min(list_transform(gh,
+         |        g -> ((2*i + 3) * g + (5*i + 7)) % 2147483647))) AS ln
+         |  FROM gh),
+         |sigs AS (
+         |  SELECT side, doc_id, band,
+         |    list_reduce(ln[band*2 + 1:band*2 + 2],
+         |      (a, b) -> (a * 1000003 + b) % 2147483647) AS sig
+         |  FROM (SELECT side, doc_id, unnest(range(0, 8)) AS band, ln FROM lanes)),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+         |  FROM sigs b JOIN sigs c ON b.band = c.band AND b.sig = c.sig
+         |  WHERE b.side = 'b' AND c.side = 'c'),
+         |sh AS (
+         |  SELECT side, doc_id, list_distinct(list_transform(
+         |      range(1, greatest(len(tk) - 1, 1) + 1),
+         |      i -> array_to_string(tk[i:i+1], ' '))) AS s
+         |  FROM toks),
+         |matched AS (
+         |  SELECT DISTINCT cand.bid
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.bid AND sa.side = 'b'
+         |  JOIN sh sb ON sb.doc_id = cand.cid AND sb.side = 'c'
+         |  WHERE ((20000 * CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT)
+         |          + CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT))
+         |         // (2 * CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT)))
+         |        / 10000.0 >= 0.3)
+         |SELECT doc_id, text FROM batch
+         |WHERE doc_id NOT IN (SELECT bid FROM matched)
+         |ORDER BY doc_id""".stripMargin) { (spark, sf) =>
+      val docs = Tables.documents(spark, sf)
+        .where(col("doc_id") < docCap).select("doc_id", "text")
+      val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionAll(docs.where(pmod(col("doc_id"), lit(10)) === 1)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      Dedup.incrementalNearPoly(batch, corpus, k = 2, bands = 8,
+          rowsPerBand = 2, threshold = 0.3)
+        .orderBy("doc_id")
+    },
+
     Q.noOracle("llm_dedup_simhash") { (spark, sf) =>
       Dedup.simHashNearDups(
           Tables.documents(spark, sf).where(col("doc_id") < docCap), maxHamming = 3)

@@ -96,6 +96,35 @@ object Sinks {
       .write.mode(mode).partitionBy(shardCol).parquet(path)
   }
 
+  /** Sharded-JSONL layout writer — the line-oriented sibling of
+    * [[trainingShards]] and the write side of the `graft-jsonl`
+    * DataSource V2 connector ([[ShardJsonlSource]]): one text directory
+    * per shard (`shard_id=K/`), one JSON object per line, rows within a
+    * shard in training order, `shard_id` living ONLY in the directory
+    * name (the connector restores it from the path — partition-column
+    * semantics, no redundant bytes per line). Same repartition/sort
+    * discipline and sizing rule as trainingShards: one ordered file per
+    * shard, so a loader's shard selection prunes directories and reads
+    * sequentially. */
+  def jsonlShards(df: DataFrame, path: String,
+                  shardCol: String = "shard_id",
+                  orderCol: String = "pos_in_shard",
+                  numPartitions: Option[Int] = None,
+                  mode: String = "overwrite"): Unit = {
+    require(df.columns.contains(shardCol) && df.columns.contains(orderCol),
+      s"jsonlShards needs the layout columns '$shardCol' and '$orderCol' — " +
+        "run Packing.shuffleShards (or interleave + Packing.shardByPos) first")
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val dataCols = df.columns.filterNot(_ == shardCol)
+    val parted = numPartitions match {
+      case Some(n) => df.repartition(n, col(shardCol))
+      case None => df.repartition(col(shardCol))
+    }
+    parted.sortWithinPartitions(shardCol, orderCol)
+      .select(to_json(struct(dataCols.map(col): _*)).as("value"), col(shardCol))
+      .write.mode(mode).partitionBy(shardCol).text(path)
+  }
+
   /** Persist an IVF-PQ ANN index — the durable endpoint of
     * [[graft.llm.Similarity.buildPqIndex]]: `<path>/codes/` holds the
     * fixed-width `(id, subspace, code)` rows PARTITIONED BY coarse

@@ -259,6 +259,15 @@ class DedupSpec extends SparkSpec {
     Dedup.incrementalNear(batch, corpus, k = 2, bands = 8,
         rowsPerBand = 2, threshold = 0.95)
       .select("doc_id").as[Long].collect().toSet shouldBe Set(10L, 12L)
+    // the poly family agrees on the planted clear-cut triple at both
+    // thresholds (exact Jaccard decides; only candidate RECALL differs
+    // between hash families, and these pairs band together under both)
+    Dedup.incrementalNearPoly(batch, corpus, k = 2, bands = 8,
+        rowsPerBand = 2, threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(12L)
+    Dedup.incrementalNearPoly(batch, corpus, k = 2, bands = 8,
+        rowsPerBand = 2, threshold = 0.95)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(10L, 12L)
   }
 
   test("incrementalExact plans the bloom probe on the corpus scan") {

@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The graft-jsonl DataSource V2 connector: write → read round trip,
+  * planning-time shard pruning (pruned shards never become input
+  * partitions), column pruning (only projected fields parsed), schema
+  * inference, and residual-filter correctness. */
+class ShardJsonlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def layout = {
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"src${i % 3}", s"body text $i", i * 1.5, i % 2 == 0))
+      .toDF("doc_id", "source", "text", "score", "flag")
+    graft.llm.Packing.shuffleShards(docs, rowsPerShard = 8L)
+  }
+
+  private val schemaDDL =
+    "doc_id LONG, source STRING, text STRING, score DOUBLE, flag BOOLEAN, shard_id LONG"
+
+  private def writeLayout(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    Sinks.jsonlShards(layout.withColumn("pos_in_shard", col("pos_in_shard")), dir)
+    dir
+  }
+
+  test("round trip: the connector reads back exactly what jsonlShards wrote") {
+    val dir = writeLayout()
+    val back = spark.read.format("graft-jsonl").schema(schemaDDL).load(dir)
+    val got = back.select("doc_id", "source", "text", "score", "flag", "shard_id")
+      .as[(Long, String, String, Double, Boolean, Long)].collect().toSet
+    val want = layout.select("doc_id", "source", "text", "score", "flag", "shard_id")
+      .as[(Long, String, String, Double, Boolean, Long)].collect().toSet
+    want should not be empty
+    got shouldBe want
+  }
+
+  test("shard filters prune at planning time; pruned shards never become partitions") {
+    val dir = writeLayout()
+    val back = spark.read.format("graft-jsonl").schema(schemaDDL).load(dir)
+    val filtered = back.where(col("shard_id") === 2L || col("shard_id") === 2L)
+      .where(col("shard_id") >= 1L)
+    val plan = filtered.queryExecution.executedPlan.toString()
+    withClue(plan) {
+      plan should include("shards=[2]")
+      // consumed filters are pushed, not re-evaluated: no residual
+      // shard_id Filter node above the scan (the BatchScan line itself
+      // mentions shard_id in its pushed-filter description)
+      plan.linesIterator.count(l =>
+        l.contains("Filter") && l.contains("shard_id") &&
+          !l.contains("BatchScan")) shouldBe 0
+    }
+    filtered.select("shard_id").distinct().as[Long].collect() shouldBe Array(2L)
+  }
+
+  test("IN and range filters prune to the exact shard set") {
+    val dir = writeLayout()
+    val back = spark.read.format("graft-jsonl").schema(schemaDDL).load(dir)
+    val in = back.where(col("shard_id").isin(0L, 3L))
+    in.queryExecution.executedPlan.toString() should include("shards=[0,3]")
+    val range = back.where(col("shard_id") > 1L && col("shard_id") <= 3L)
+    range.queryExecution.executedPlan.toString() should include("shards=[2,3]")
+    range.select("shard_id").distinct().as[Long].collect().sorted shouldBe
+      Array(2L, 3L)
+  }
+
+  test("column pruning reaches the scan; non-shard filters stay residual and correct") {
+    val dir = writeLayout()
+    val back = spark.read.format("graft-jsonl").schema(schemaDDL).load(dir)
+    val q = back.where(col("source") === "src1").select("doc_id", "score")
+    val plan = q.queryExecution.executedPlan.toString()
+    withClue(plan) {
+      // the scan parses only the projected + filtered fields
+      // (pruned schema keeps table-schema order)
+      plan should include("columns=[doc_id,source,score]")
+      // the source filter is NOT a shard filter: Spark must evaluate it
+      plan.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("source")) shouldBe true
+    }
+    q.as[(Long, Double)].collect().toSet shouldBe
+      (0 until 40).filter(_ % 3 == 1).map(i => (i.toLong, i * 1.5)).toSet
+  }
+
+  test("schema inference types long/double/boolean/string and appends shard_id") {
+    val dir = writeLayout()
+    val inferred = spark.read.format("graft-jsonl").load(dir).schema
+    inferred("doc_id").dataType shouldBe LongType
+    inferred("score").dataType shouldBe DoubleType
+    inferred("flag").dataType shouldBe BooleanType
+    inferred("source").dataType shouldBe StringType
+    inferred("shard_id").dataType shouldBe LongType
+  }
+
+  test("missing JSON fields read as NULL; shard_id schema is enforced") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_n").toString
+    val d = new java.io.File(s"$dir/shard_id=0"); d.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/shard_id=0/part-0.txt"),
+      "{\"doc_id\":1}\n{\"doc_id\":2,\"text\":\"t\"}\n".getBytes)
+    val back = spark.read.format("graft-jsonl")
+      .schema("doc_id LONG, text STRING, shard_id LONG").load(dir)
+    back.where(col("text").isNull).select("doc_id").as[Long].collect() shouldBe
+      Array(1L)
+    an[IllegalArgumentException] should be thrownBy
+      spark.read.format("graft-jsonl")
+        .schema("doc_id LONG, shard_id INT").load(dir).collect()
+  }
+}
