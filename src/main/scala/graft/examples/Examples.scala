@@ -399,6 +399,35 @@ object Examples {
     println(s"[25] ADC top-3 rows: flat $flatTop, ivf-routed $routedTop; " +
       s"cluster-balanced corpus keeps $diverse vectors")
 
+    // 26. the selection composite: DSIR fit → per-source token budget →
+    // UniMax epoch mixture → global shuffle layout → release manifest,
+    // one plan; the manifest is the artifact a release ships
+    val selLayout = graft.llm.Curation.selectFull(
+      docs.select("doc_id", "source", "lang", "text"),
+      isTarget = col("lang") === "en", keepFraction = 0.4,
+      budgetTokens = 300L, budgetBp = 14000L, maxEpochs = 2,
+      rowsPerShard = 16L)
+    val selMani = graft.llm.Audit.shardManifest(selLayout)
+      .agg(count(lit(1)), sum("n_docs"), min("contiguous")).head()
+    println(s"[26] selectFull: ${selMani.getLong(1)} (doc, epoch) slots in " +
+      s"${selMani.getLong(0)} shards (contiguous: ${selMani.getBoolean(2)})")
+
+    // 27. the graft-jsonl DataSource V2 connector: write the layout as
+    // sharded JSONL, read it back with a shard filter — the filter is
+    // consumed at PLANNING time, so pruned shards are never even listed
+    val jdir = "/tmp/graft_examples_jsonl"
+    graft.sources.Sinks.jsonlShards(
+      graft.llm.Packing.shuffleShards(
+        docs.select("doc_id", "source", "text"), rowsPerShard = 64L),
+      jdir)
+    val backJsonl = spark.read.format("graft-jsonl")
+      .schema("doc_id LONG, source STRING, text STRING, pos_in_shard LONG, shard_id LONG")
+      .load(jdir)
+      .where(col("shard_id") === 1L)
+    println(s"[27] graft-jsonl shard 1 holds ${backJsonl.count()} docs; " +
+      s"scan: ${backJsonl.queryExecution.executedPlan.toString()
+        .linesIterator.find(_.contains("BatchScan")).map(_.trim.take(120)).getOrElse("?")}")
+
     spark.stop()
   }
 }

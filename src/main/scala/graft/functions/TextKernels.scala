@@ -257,6 +257,58 @@ object TextKernelObjs {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(lanes)
   }
 
+  /** Per-bit SimHash lane constants: multiplier `48271^(j+1) mod 2³¹−1`
+    * (MINSTD powers — multiplication mod the Mersenne prime is a strong
+    * mixer; the [[polyMinHashLanes]]-style SMALL affine multipliers are
+    * nearly monotone maps whose threshold signs correlate across lanes,
+    * measured: on the fixture they put ~90% of all pairs within Hamming
+    * 3) and offset `j·2654435761 mod 2³¹−1`. One formula generates both
+    * the kernel's table and the oracle's VALUES literal — the codebook
+    * discipline, so the engines cannot drift. */
+  def simHashLaneConsts(bits: Int): Seq[(Long, Long)] = {
+    val M = 2147483647L
+    var k = 1L
+    (0 until bits).map { j =>
+      k = (k * 48271L) % M
+      (k, (j * 2654435761L) % M)
+    }
+  }
+
+  private val simHashK: Array[Long] = simHashLaneConsts(32).map(_._1).toArray
+  private val simHashC: Array[Long] = simHashLaneConsts(32).map(_._2).toArray
+
+  /** Cross-engine SimHash over [[tokenHashes]]'s polynomial token
+    * hashes: bit j of the signature is the majority vote, over the
+    * document's tokens, of the mixed lane `(K_j·h + C_j) mod 2³¹−1`
+    * exceeding the modulus midpoint (the hash-threshold hyperplane
+    * construction — each lane splits the hash space in half, so each
+    * bit is a ±1 vote per token; ties land 0; constants from
+    * [[simHashLaneConsts]]). `bits ≤ 32`; null for token-free text.
+    * Replays in SQL as `list_sum` over CASE votes against the planted
+    * constant table — largest intermediate (2³¹−2)² + 2³¹ < 2⁶². */
+  def polySimHash(text: UTF8String, bits: Int): java.lang.Long = {
+    val M = 2147483647L
+    val half = (M - 1) / 2
+    val th = tokenHashes(text)
+    if (th.length == 0) return null
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      val kj = simHashK(j)
+      val cj = simHashC(j)
+      var vote = 0L
+      var i = 0
+      while (i < th.length) {
+        val v = (kj * th(i) + cj) % M
+        vote += (if (v > half) 1L else -1L)
+        i += 1
+      }
+      if (vote > 0) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
   // per-thread Deflater, reset per row — raw deflate (no zlib header),
   // fixed level 6 so the signal is comparable across the corpus
   private val deflaters: ThreadLocal[java.util.zip.Deflater] =
@@ -387,6 +439,44 @@ case class PolyMinHashLanes(child: Expression, k: Int, numLanes: Int)
 object PolyMinHashLanes {
   def apply(text: Column, k: Int, numLanes: Int): Column =
     ColumnBridge.column(PolyMinHashLanes(ColumnBridge.expression(text), k, numLanes))
+}
+
+/** [[TextKernelObjs.polySimHash]] as a narrow codegen kernel — the
+  * cross-engine twin of [[SimHash64]] (which votes on xxhash64 bits and
+  * therefore can't be replayed in SQL). */
+case class PolySimHash(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits > 0 && bits <= 32, s"bits must be in [1, 32], got $bits")
+
+  override def prettyName: String = "graft_poly_simhash"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // tokenless text → null signature
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelObjs.polySimHash(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("polySimhash")
+    nullSafeCodeGen(ctx, ev, s => s"""
+      java.lang.Long $r = graft.functions.TextKernelObjs.polySimHash($s, $bits);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.longValue(); }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolySimHash {
+  def apply(text: Column, bits: Int): Column =
+    ColumnBridge.column(PolySimHash(ColumnBridge.expression(text), bits))
 }
 
 /** Occurrence count of tokens belonging to a fixed marker set, as ONE

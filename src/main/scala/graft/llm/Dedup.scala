@@ -550,6 +550,43 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** [[simHashNearDups]] under the cross-engine affine family — the
+    * [[polyMinHashNearDups]] relationship for the SimHash axis: a
+    * 32-bit signature from [[graft.functions.PolySimHash]] (bit j =
+    * majority vote of an affine hash-threshold lane over the doc's
+    * polynomial token hashes), the same pigeonhole banding (maxHamming
+    * + 1 chunks — ≤ maxHamming flipped bits leave at least one chunk
+    * intact, and bits above `chunks·width` only ADD candidate recall),
+    * the same bounded bucket cap, exact Hamming verify via
+    * bit_count(xor). Every stage is integer arithmetic both engines
+    * share, so the SimHash family is oracle-gated end to end; xxhash64
+    * [[simHashNearDups]] stays the production default (64 avalanche
+    * bits vs 32 affine ones). */
+  def polySimHashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          maxBucket: Int = 256): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val bits = 32
+    val chunks = maxHamming + 1
+    val width = bits / chunks
+    require(width > 0, s"maxHamming $maxHamming leaves zero-width chunks at $bits bits")
+    val mask = (1L << width) - 1
+    val sh = docs.select(col(idCol),
+        graft.functions.PolySimHash(col(textCol), bits).as("simhash"))
+      .where(col("simhash").isNotNull)
+    val banded = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("simhash"), c * width)
+          .bitwiseAND(lit(mask))): _*)).as(Seq("chunk", "cv")))
+    bucketPairs(banded, Seq("chunk", "cv"), idCol, payloadCol = Some("simhash"),
+      maxBucket = maxBucket)
+      .select(col("a"), col("b"),
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram (word) Jaccard similarity for given candidate pairs —
     * the verification kernel shared by the approximate paths. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 2,

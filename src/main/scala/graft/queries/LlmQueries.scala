@@ -632,6 +632,60 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
+    // SimHash under the cross-engine family (the llm_dedup_near_poly
+    // relationship for the SimHash axis): 32-bit signature from
+    // majority votes of MIXED hash-threshold lanes (MINSTD-power
+    // multipliers mod 2³¹−1 — the VALUES table below is GENERATED from
+    // TextKernelObjs.simHashLaneConsts, one formula both engines;
+    // small affine multipliers measured ~90% of all pairs into radius
+    // 3 on this fixture — too correlated), pigeonhole banding, exact
+    // bit_count(xor) verify. maxHamming=1 PROBED: 286/251/3610 pairs
+    // tri-scale — non-vacuous and discriminating at a 1/32 radius.
+    Q("llm_dedup_simhash_poly", {
+      val kv = graft.functions.TextKernelObjs.simHashLaneConsts(32)
+        .zipWithIndex.map { case ((k, c), j) => s"($j, $k, $c)" }.mkString(", ")
+      s"""WITH kc(j, kk, cc) AS (VALUES $kv),
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS tkf
+         |  FROM documents WHERE doc_id < $docCap),
+         |th AS (
+         |  SELECT doc_id, list_transform(tkf, t ->
+         |      list_reduce(list_transform(string_split(t, ''),
+         |          c -> CAST(unicode(c) AS BIGINT)),
+         |        (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+         |  FROM toks WHERE len(tkf) > 0),
+         |votes AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN list_sum(list_transform(hs, h ->
+         |        CASE WHEN (kk * h + cc) % 2147483647 > 1073741823
+         |             THEN 1 ELSE -1 END)) > 0
+         |      THEN (1::BIGINT << j) ELSE 0 END AS bitv
+         |  FROM th, kc),
+         |sig AS (
+         |  SELECT doc_id, CAST(sum(bitv) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, simhash, chunk, (simhash >> (chunk * 16)) & 65535 AS cv
+         |  FROM (SELECT doc_id, simhash, unnest(range(0, 2)) AS chunk FROM sig)),
+         |capped AS (
+         |  SELECT doc_id, simhash, chunk, cv,
+         |    row_number() OVER (PARTITION BY chunk, cv ORDER BY doc_id) AS rn
+         |  FROM banded),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, a.simhash AS sa,
+         |    b.doc_id AS b, b.simhash AS sb
+         |  FROM capped a JOIN capped b ON a.chunk = b.chunk AND a.cv = b.cv
+         |    AND a.doc_id < b.doc_id AND a.rn <= 256 AND b.rn <= 256)
+         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+         |ORDER BY a, b""".stripMargin
+    }) { (spark, sf) =>
+      Dedup.polySimHashNearDups(
+          Tables.documents(spark, sf).where(col("doc_id") < docCap),
+          maxHamming = 1)
+        .orderBy("a", "b")
+    },
+
     // Consecutive-id pairs through the exact Jaccard verifier — fully
     // DuckDB-expressible (list ops + the integer round-half-up discipline),
     // so the verification kernel shared by every near-dup path is

@@ -83,6 +83,45 @@ class TextKernelsSpec extends SparkSpec {
       .select(PolyMinHashLanes(col("text"), 2, 4).isNull).as[Boolean].head() shouldBe true
   }
 
+  // independent SimHash reference: recompute the MINSTD-power constants
+  // from their published recurrence and replay the vote arithmetic
+  private def refPolySimHash(text: String, bits: Int): Option[Long] = {
+    val M = 2147483647L
+    val toks = text.split(" ", -1).filter(_.nonEmpty)
+    if (toks.isEmpty) return None
+    val th = toks.map(t =>
+      t.codePoints().toArray.foldLeft(-1L)((a, c) =>
+        if (a < 0) c.toLong else (a * 31 + c) % M))
+    var k = 1L
+    var sig = 0L
+    for (j <- 0 until bits) {
+      k = (k * 48271L) % M
+      val c = (j * 2654435761L) % M
+      val vote = th.map(h => if ((k * h + c) % M > (M - 1) / 2) 1L else -1L).sum
+      if (vote > 0) sig |= (1L << j)
+    }
+    Some(sig)
+  }
+
+  test("PolySimHash matches the independent reference, null on tokenless text") {
+    for (bits <- Seq(8, 32)) {
+      val kernel = texts.select(col("doc_id"),
+          PolySimHash(col("text"), bits).as("sh"))
+        .as[(Long, Option[Long])].collect().toMap
+      val expected = texts.as[(Long, String)].collect()
+        .map { case (id, t) => id -> refPolySimHash(t, bits) }.toMap
+      kernel shouldBe expected
+    }
+    texts.where(col("doc_id") === 4L)
+      .select(PolySimHash(col("text"), 32).isNull).as[Boolean].head() shouldBe true
+    // one flipped token flips few bits; disjoint vocab flips many
+    val near = refPolySimHash("alpha beta gamma delta epsilon zeta", 32).get ^
+      refPolySimHash("alpha beta gamma delta epsilon eta", 32).get
+    val far = refPolySimHash("alpha beta gamma delta epsilon zeta", 32).get ^
+      refPolySimHash("one two three four five six", 32).get
+    java.lang.Long.bitCount(near) should be < java.lang.Long.bitCount(far)
+  }
+
   test("MinGramHash matches array_min(transform(sequence, xxhash64(substr)))") {
     val gram = 5
     val kernel = texts.select(col("doc_id"),

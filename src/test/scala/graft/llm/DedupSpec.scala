@@ -78,6 +78,19 @@ class DedupSpec extends SparkSpec {
     pairs should contain((0L, 1L))
   }
 
+  test("polySimHashNearDups: identical docs pair at hamming 0, disjoint vocab stays out") {
+    val pairs = Dedup.polySimHashNearDups(docs, maxHamming = 0)
+      .as[(Long, Long, Long)].collect()
+    pairs.map(p => (p._1, p._2)) should contain((0L, 1L)) // exact copies
+    pairs.filter(p => (p._1, p._2) == ((0L, 1L))).head._3 shouldBe 0L
+    // doc 3 is a disjoint vocabulary — a generous radius still excludes it
+    val wide = Dedup.polySimHashNearDups(docs, maxHamming = 7)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    wide.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.polySimHashNearDups(docs, maxHamming = 32)
+  }
+
   test("ngramJaccard computes exact overlap for given pairs") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("a", "b")
     val out = Dedup.ngramJaccard(docs, pairs, k = 2)
