@@ -82,7 +82,8 @@ object Curation {
   def curateFull(docs: DataFrame, lang: String, minQuality: Double,
                  nearDupThreshold: Double = 0.7, maxPerGroup: Int = 1000,
                  idCol: String = "doc_id", textCol: String = "text",
-                 materializeGated: Boolean = false): DataFrame = {
+                 materializeGated: Boolean = false,
+                 polyHash: Boolean = false): DataFrame = {
     val keepers = Dedup.exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
     val deduped = docs.join(keepers, idCol)
     val scored = deduped.join(
@@ -104,7 +105,7 @@ object Curation {
     // node rows would duplicate every round's state and the output),
     // not a probe-side distinct — the anti join's probe is `losers`,
     // which feeds it without one.
-    val pairs = pairStage(gated, nearDupThreshold, idCol, textCol)
+    val pairs = pairStage(gated, nearDupThreshold, idCol, textCol, polyHash)
     val participants = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol)))
       .distinct()
@@ -147,11 +148,20 @@ object Curation {
     * Package-private so CurationSpec can assert the plan IS a checkpoint
     * boundary. */
   private[llm] def pairStage(gated: DataFrame, nearDupThreshold: Double,
-                             idCol: String, textCol: String): DataFrame =
-    Dedup.minHashNearDups(gated, k = 2, bands = 8,
+                             idCol: String, textCol: String,
+                             polyHash: Boolean = false): DataFrame = {
+    // polyHash selects the cross-engine affine family (the
+    // llm_dedup_near_poly relationship) so the WHOLE composite can be
+    // oracle-gated; xxhash64 stays the production default
+    val pairs =
+      if (polyHash) Dedup.polyMinHashNearDups(gated, k = 2, bands = 8,
         rowsPerBand = 2, threshold = nearDupThreshold,
         idCol = idCol, textCol = textCol)
-      .localCheckpoint(eager = true)
+      else Dedup.minHashNearDups(gated, k = 2, bands = 8,
+        rowsPerBand = 2, threshold = nearDupThreshold,
+        idCol = idCol, textCol = textCol)
+    pairs.localCheckpoint(eager = true)
+  }
 
   /** Corpus ASSEMBLY — the recipe stage after curation: exact dedup →
     * quality gate → deterministic split (keep one band) → reweight to a

@@ -3115,6 +3115,103 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // The FLAGSHIP composite, oracle-gated at last: curateFull under the
+    // cross-engine poly hash family (polyHash = true — the ONLY stage
+    // that blocked an oracle was xxhash64 banding). One DuckDB query
+    // replays exact dedup, the integer-bp quality gate, poly banding
+    // with the 256-id bucket cap, exact-Jaccard verify, TRANSITIVE
+    // closure via recursive CTE (min-id representative), the anti join
+    // and the stratified cap. maxPerGroup=10 PROBED to bind at every
+    // scale (largest (en, source) group: 16/16/45); near-dup losers
+    // 5/3/6 tri-scale — every stage fires.
+    Q("llm_curate_full_poly", {
+      val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+      val nStop = "CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','fast','slow'], t))) AS BIGINT)"
+      val nDist = "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)"
+      s"""WITH RECURSIVE
+         |dd AS (SELECT min(doc_id) AS doc_id FROM documents
+         |       WHERE doc_id < $docCap GROUP BY text),
+         |base AS (SELECT d.doc_id, d.lang, d.source, d.text
+         |         FROM documents d JOIN dd USING (doc_id)),
+         |c0 AS (SELECT doc_id, $nTok AS nt, $nStop AS ns, $nDist AS nd FROM base),
+         |scored AS (
+         |  SELECT b.doc_id, b.lang, b.source, b.text, c0.nt AS n_tokens,
+         |    ((((20000 * nd + nt) // (2 * nt))
+         |      * (10000 - ((20000 * ns + nt) // (2 * nt))) * 2 + 10000) // 20000)
+         |      / 10000.0 AS quality
+         |  FROM base b JOIN c0 USING (doc_id)),
+         |gated AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.3),
+         |toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tkf
+         |  FROM gated),
+         |th AS (
+         |  SELECT doc_id, list_transform(tkf, t ->
+         |      list_reduce(list_transform(string_split(t, ''),
+         |          c -> CAST(unicode(c) AS BIGINT)),
+         |        (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+         |  FROM toks WHERE len(tkf) > 0),
+         |gh AS (
+         |  SELECT doc_id, list_transform(range(1, greatest(len(hs) - 2, 0) + 2),
+         |      p -> list_reduce(hs[p:least(p + 1, len(hs))],
+         |        (a, b) -> (a * 1000003 + b) % 2147483647)) AS gh
+         |  FROM th),
+         |lanes AS (
+         |  SELECT doc_id, list_transform(range(0, 16),
+         |      i -> list_min(list_transform(gh,
+         |        g -> ((2*i + 3) * g + (5*i + 7)) % 2147483647))) AS ln
+         |  FROM gh),
+         |sigs AS (
+         |  SELECT doc_id, band,
+         |    list_reduce(ln[band*2 + 1:band*2 + 2],
+         |      (a, b) -> (a * 1000003 + b) % 2147483647) AS sig
+         |  FROM (SELECT doc_id, unnest(range(0, 8)) AS band, ln FROM lanes)),
+         |capped AS (
+         |  SELECT doc_id, band, sig,
+         |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id AND a.rn <= 256 AND b.rn <= 256),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |      range(1, greatest(len(tk) - 1, 1) + 1),
+         |      i -> array_to_string(tk[i:i+1], ' '))) AS s
+         |  FROM toks),
+         |pairs AS (
+         |  SELECT c.a, c.b
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+         |  WHERE ((20000 * CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT)
+         |          + CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT))
+         |         // (2 * CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT)))
+         |        / 10000.0 >= 0.5),
+         |sym AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         |parts AS (SELECT DISTINCT src AS id FROM sym),
+         |reach(id, m) AS (
+         |  SELECT id, id FROM parts
+         |  UNION
+         |  SELECT s.dst, r.m FROM reach r JOIN sym s ON s.src = r.id),
+         |comp AS (SELECT id, min(m) AS rep FROM reach GROUP BY id),
+         |losers AS (SELECT id FROM comp WHERE rep <> id),
+         |pruned AS (
+         |  SELECT * FROM gated WHERE doc_id NOT IN (SELECT id FROM losers)),
+         |capd AS (
+         |  SELECT doc_id, lang, source, n_tokens, quality,
+         |    row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY doc_id, n_tokens, quality) AS rn
+         |  FROM pruned)
+         |SELECT doc_id, lang, source, n_tokens, quality
+         |FROM capd WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+    }) { (spark, sf) =>
+      Curation.curateFull(
+          Tables.documents(spark, sf).where(col("doc_id") < docCap),
+          lang = "en", minQuality = 0.3, nearDupThreshold = 0.5, maxPerGroup = 10,
+          materializeGated = true, polyHash = true)
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .orderBy("doc_id")
+    },
+
     Q("llm_join_modal",
       """SELECT d.lang, e.label, count(*) AS n, min(d.doc_id) AS min_doc
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id

@@ -59,7 +59,8 @@ class ShardJsonlSource extends TableProvider with DataSourceRegister {
 }
 
 class ShardJsonlTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   tableSchema.fields.find(_.name == "shard_id").foreach(f =>
     require(f.dataType == LongType,
       s"graft-jsonl: shard_id must be LONG, got ${f.dataType.sql}"))
@@ -67,9 +68,14 @@ class ShardJsonlTable(path: String, tableSchema: StructType)
   override def name(): String = s"graft-jsonl `$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ShardJsonlScanBuilder(path, tableSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new ShardJsonlWriteBuilder(path, info.schema())
 }
 
 class ShardJsonlScanBuilder(path: String, tableSchema: StructType)
@@ -159,6 +165,162 @@ class ShardJsonlReader(p: ShardJsonlPartition, required: StructType)
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** The write side of the V2 contract. The Write declares
+  * [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]] —
+  * clustered by `shard_id`, ordered by `(shard_id, pos_in_shard)` — so
+  * Spark INSERTS the exchange and sort the layout needs: a caller can
+  * `df.write.format("graft-jsonl").save(dir)` an unsorted frame and
+  * still get one ordered file per shard (each shard hashes wholly into
+  * one task; within a task the sort makes shards contiguous runs, and
+  * the writer rolls to a new file on each shard boundary). This is the
+  * declarative V2 form of what [[Sinks.jsonlShards]] does by hand with
+  * repartition + sortWithinPartitions. `mode("overwrite")` truncates
+  * the existing shard directories (driver-side, before tasks launch);
+  * abort deletes the files the failed attempt reported. */
+class ShardJsonlWriteBuilder(path: String, writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  require(writeSchema.fieldNames.contains("shard_id"),
+    "graft-jsonl write needs a shard_id column (run Packing.shuffleShards first)")
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new ShardJsonlWrite(path, writeSchema, doTruncate)
+}
+
+class ShardJsonlWrite(path: String, writeSchema: StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(Expressions.identity("shard_id")))
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val keys = Seq("shard_id") ++
+      (if (writeSchema.fieldNames.contains("pos_in_shard")) Seq("pos_in_shard")
+       else Nil)
+    keys.map(k =>
+      Expressions.sort(Expressions.column(k), SortDirection.ASCENDING)).toArray
+  }
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new ShardJsonlBatchWrite(path, writeSchema, truncate)
+}
+
+final case class ShardJsonlCommit(files: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class ShardJsonlBatchWrite(path: String, writeSchema: StructType,
+                           truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    // truncate runs ONCE, driver-side, before any task writes
+    if (truncate) {
+      val rootPath = new Path(path)
+      val fs = rootPath.getFileSystem(new Configuration())
+      if (fs.exists(rootPath))
+        fs.listStatus(rootPath).foreach { s =>
+          if (s.isDirectory && s.getPath.getName.startsWith("shard_id="))
+            fs.delete(s.getPath, true)
+        }
+    }
+    new ShardJsonlWriterFactory(path, writeSchema)
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val rootPath = new Path(path)
+    val fs = rootPath.getFileSystem(new Configuration())
+    fs.create(new Path(rootPath, "_SUCCESS"), true).close()
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.foreach {
+      case ShardJsonlCommit(files) =>
+        files.foreach(f => fs.delete(new Path(f), false))
+      case _ =>
+    }
+  }
+}
+
+class ShardJsonlWriterFactory(path: String, writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new ShardJsonlWriter(path, writeSchema, partitionId, taskId)
+}
+
+/** Per-task writer: rows arrive sorted by (shard_id, pos_in_shard) — the
+  * Write's required ordering — so at most ONE output stream is open at a
+  * time; each shard boundary rolls to a fresh
+  * `shard_id=K/part-<partition>-<task>.jsonl`. Fields other than
+  * shard_id serialize as one JSON object per line (null fields omitted,
+  * matching `to_json` in [[Sinks.jsonlShards]]). */
+class ShardJsonlWriter(path: String, writeSchema: StructType,
+                       partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val fs = new Path(path).getFileSystem(new Configuration())
+  private val shardIdx = writeSchema.fieldIndex("shard_id")
+  private val dataFields = writeSchema.fields.zipWithIndex
+    .filter(_._1.name != "shard_id")
+  private var currentShard: Long = Long.MinValue
+  private var out: java.io.BufferedWriter = _
+  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  override def write(row: InternalRow): Unit = {
+    val sid = row.getLong(shardIdx)
+    if (sid != currentShard || out == null) {
+      if (out != null) out.close()
+      val file = new Path(path, s"shard_id=$sid/part-$partitionId-$taskId.jsonl")
+      out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(file, true), StandardCharsets.UTF_8))
+      written += file.toString
+      currentShard = sid
+    }
+    val obj = new java.util.LinkedHashMap[String, Any]()
+    dataFields.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) {
+        val v: Any = f.dataType match {
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i)
+          case DoubleType => row.getDouble(i)
+          case BooleanType => row.getBoolean(i)
+          case StringType => row.getUTF8String(i).toString
+          case t => throw new IllegalArgumentException(
+            s"graft-jsonl: unsupported type ${t.sql} for field '${f.name}'")
+        }
+        obj.put(f.name, v)
+      }
+    }
+    out.write(mapper.writeValueAsString(obj))
+    out.write("\n")
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out != null) out.close()
+    ShardJsonlCommit(written.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    written.foreach(f => fs.delete(new Path(f), false))
+  }
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
 }
 
 object ShardJsonl {

@@ -40,6 +40,21 @@ class CurationSpec extends SparkSpec {
     out shouldBe Set(0L, 5L, 6L, 7L)
   }
 
+  test("polyHash path drops the same planted victims as the xxhash64 default") {
+    // the hash family changes only CANDIDATE generation; on clear-cut
+    // planted dups (exact copy, one-token near-dup) both families band
+    // them together and the shared exact-Jaccard verify decides alike
+    for (cap <- Seq(2, 100)) {
+      val xx = Curation.curateFull(docs, lang = "en", minQuality = 0.3,
+          nearDupThreshold = 0.5, maxPerGroup = cap)
+        .select("doc_id").as[Long].collect().toSet
+      val poly = Curation.curateFull(docs, lang = "en", minQuality = 0.3,
+          nearDupThreshold = 0.5, maxPerGroup = cap, polyHash = true)
+        .select("doc_id").as[Long].collect().toSet
+      poly shouldBe xx
+    }
+  }
+
   test("near-dup prune is transitive: a chain cluster keeps exactly its min id") {
     // k=2 shingle jaccards: J(2,4)=J(3,4)=6/11≈0.55 ≥ 0.5 but
     // J(2,3)=3/13≈0.23 < 0.5 — only the pairs (2,4) and (3,4) verify.

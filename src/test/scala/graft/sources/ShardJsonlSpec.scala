@@ -94,6 +94,41 @@ class ShardJsonlSpec extends SparkSpec {
     inferred("shard_id").dataType shouldBe LongType
   }
 
+  test("V2 write: unsorted input lands as one ordered file per shard; read round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_w").toString
+    // deliberately scrambled row order — the Write's required
+    // distribution/ordering must insert the exchange + sort itself
+    val scrambled = layout.orderBy(hash(col("doc_id")))
+    scrambled.write.format("graft-jsonl").mode("append").save(dir)
+    new java.io.File(s"$dir/_SUCCESS").exists() shouldBe true
+    val back = spark.read.format("graft-jsonl").schema(schemaDDL).load(dir)
+    back.select("doc_id", "source", "text", "score", "flag", "shard_id")
+      .as[(Long, String, String, Double, Boolean, Long)].collect().toSet shouldBe
+      layout.select("doc_id", "source", "text", "score", "flag", "shard_id")
+        .as[(Long, String, String, Double, Boolean, Long)].collect().toSet
+    // one file per shard (clustered distribution puts a shard wholly in
+    // one task), rows inside in pos_in_shard order
+    val shard0 = new java.io.File(s"$dir/shard_id=0").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    shard0.length shouldBe 1
+    val posInFile = scala.io.Source.fromFile(shard0.head).getLines()
+      .map(l => """"pos_in_shard":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+      .toSeq
+    posInFile shouldBe posInFile.sorted
+    posInFile.length shouldBe 8
+  }
+
+  test("V2 write overwrite truncates the previous layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_t").toString
+    layout.write.format("graft-jsonl").mode("append").save(dir)
+    val half = layout.where(col("shard_id") < 2)
+    half.write.format("graft-jsonl").mode("overwrite").save(dir)
+    val back = spark.read.format("graft-jsonl").schema(schemaDDL).load(dir)
+    back.count() shouldBe half.count()
+    back.select("shard_id").distinct().as[Long].collect().sorted shouldBe
+      Array(0L, 1L)
+  }
+
   test("missing JSON fields read as NULL; shard_id schema is enforced") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_n").toString
     val d = new java.io.File(s"$dir/shard_id=0"); d.mkdirs()
