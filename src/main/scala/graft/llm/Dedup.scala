@@ -860,6 +860,62 @@ object Dedup {
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** [[embeddingNearDups]] under an INTEGER-EXACT construction — the
+    * embedding axis of the cross-engine family ([[polyMinHashNearDups]]
+    * / [[polySimHashNearDups]]' relationship): vectors quantize to a
+    * power-of-two grid (`floor(v·scale + 0.5)` — every step exact in
+    * binary, the llm_pq_search discipline), hyperplanes are
+    * formula-planted small INTEGERS, so the sign projections
+    * ([[graft.functions.SignProjection]] over integer-valued doubles —
+    * products ≪ 2⁵³, order-free), the banding and the verify are all
+    * integer arithmetic and the whole path replays in SQL. The verify
+    * reports `cos2_bp` — round-half-up basis points of cosine SQUARED
+    * on the quantized vectors (squaring keeps it rational; the sign
+    * guard `dot > 0` excludes anti-parallel pairs) — so `thresholdBp`
+    * compares against cos²·10⁴ (cos ≥ 0.9 → 8100). Gaussian-plane
+    * [[embeddingNearDups]] stays the production default: full-precision
+    * cosines and seeded planes, at the price of no SQL oracle. */
+  def quantizedEmbeddingNearDups(emb: DataFrame, thresholdBp: Long,
+                                 numTables: Int = 8, bits: Int = 2,
+                                 dims: Int = 64, scale: Int = 64,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding",
+                                 maxBucket: Int = 256): DataFrame = {
+    require(scale > 0 && (scale & (scale - 1)) == 0,
+      s"scale must be a power of two (exact in binary floats), got $scale")
+    require(thresholdBp >= 0 && thresholdBp <= 10000,
+      s"thresholdBp is cos²·10⁴ in [0, 10⁴], got $thresholdBp")
+    val planes = quantPlanes(numTables * bits, dims).map(_.map(_.toDouble))
+    val vq = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol), transform(col(vecCol),
+        x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+        .as("__vq"))
+    val banded = vq.select(col(idCol),
+      posexplode(graft.functions.SignProjection(col("__vq"), planes,
+        numTables, bits)).as(Seq("tbl", "sig")))
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    bucketPairs(banded, Seq("tbl", "sig"), idCol, maxBucket = maxBucket)
+      .join(vq.select(col(idCol).as("a"), col("__vq").as("__va")), "a")
+      .join(vq.select(col(idCol).as("b"), col("__vq").as("__vb")), "b")
+      .withColumn("__dot", Similarity.dot(col("__va"), col("__vb")).cast("long"))
+      .withColumn("__na", Similarity.dot(col("__va"), col("__va")).cast("long"))
+      .withColumn("__nb", Similarity.dot(col("__vb"), col("__vb")).cast("long"))
+      .where(col("__dot") > 0 && col("__na") > 0 && col("__nb") > 0)
+      .withColumn("cos2_bp", intDiv(
+        col("__dot") * col("__dot") * 20000L + col("__na") * col("__nb"),
+        col("__na") * col("__nb") * 2L))
+      .where(col("cos2_bp") >= thresholdBp)
+      .select(col("a"), col("b"), col("cos2_bp"))
+  }
+
+  /** The formula-planted integer hyperplanes
+    * [[quantizedEmbeddingNearDups]] projects against — public so the
+    * oracle's VALUES literal is GENERATED from the same definition
+    * (the codebook discipline; engines cannot drift). */
+  def quantPlanes(numPlanes: Int, dims: Int): Array[Array[Long]] =
+    Array.tabulate(numPlanes)(p =>
+      Array.tabulate(dims)(i => (((p * 31 + i * 17) % 19) - 9).toLong))
+
   /** The `bitsPerTable ≳ log2(n)` sizing rule behind
     * [[embeddingNearDups]]'s auto default, clamped to [4, 24]: below 4 the
     * tables stop discriminating even on tiny fixtures; above 24 a table is

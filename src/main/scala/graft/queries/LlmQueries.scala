@@ -1565,6 +1565,88 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
+    // The embedding axis of the cross-engine family: quantize vectors to
+    // the 1/64 grid (floor(v·64 + 0.5) — exact both engines), project
+    // against formula-planted INTEGER hyperplanes (VALUES generated from
+    // Dedup.quantPlanes — one definition), band, verify with integer
+    // cos²·10⁴. The fixture's raw vectors are near-orthogonal (probed: 0
+    // organic pairs at any threshold), so near-dups are PLANTED in-query
+    // on both sides — perturbed copies of every 7th vector (±0.04-class
+    // noise, enough to flip quantization cells: cos2_bp spreads
+    // 9471–9678, so the verify arithmetic is exercised, not an identity
+    // check). 58 pairs at every scale.
+    Q("llm_dedup_embed_q", {
+      val planes = Dedup.quantPlanes(16, 64)
+      val pl = planes.zipWithIndex.map { case (w, p) =>
+        s"($p, [${w.mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH pl(p, w) AS (VALUES $pl),
+         |raw AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 400),
+         |planted AS (
+         |  SELECT vec_id, v FROM raw
+         |  UNION ALL
+         |  -- vid, not vec_id: DuckDB's LATERAL alias resolution would bind
+         |  -- vec_id inside the lambda to the +100000 output alias
+         |  SELECT vid + 100000 AS vec_id,
+         |    list_transform(range(1, 65),
+         |      i -> v[i] + ((vid * 31 + (i-1) * 7) % 9 - 4) * 0.01) AS v
+         |  FROM (SELECT vec_id AS vid, v FROM raw WHERE vec_id % 7 = 0)),
+         |e AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS vq
+         |  FROM planted),
+         |dots AS (
+         |  SELECT e.vec_id, pl.p,
+         |    list_sum(list_transform(range(1, 65), i -> e.vq[i] * pl.w[i])) AS d
+         |  FROM e CROSS JOIN pl),
+         |bitsv AS (
+         |  SELECT vec_id, p // 2 AS tbl,
+         |    CASE WHEN d >= 0 THEN (1::BIGINT << (p % 2)) ELSE 0 END AS bv
+         |  FROM dots),
+         |sigs AS (
+         |  SELECT vec_id, tbl, CAST(sum(bv) AS BIGINT) AS sig
+         |  FROM bitsv GROUP BY 1, 2),
+         |capped AS (
+         |  SELECT vec_id, tbl, sig,
+         |    row_number() OVER (PARTITION BY tbl, sig ORDER BY vec_id) AS rn
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+         |  FROM capped a JOIN capped b ON a.tbl = b.tbl AND a.sig = b.sig
+         |    AND a.vec_id < b.vec_id AND a.rn <= 256 AND b.rn <= 256),
+         |p2 AS (
+         |  SELECT c.a, c.b,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> ea.vq[i]*eb.vq[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> ea.vq[i]*ea.vq[i])) AS BIGINT) AS na,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> eb.vq[i]*eb.vq[i])) AS BIGINT) AS nb
+         |  FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b),
+         |p3 AS (
+         |  SELECT a, b, (dot*dot*20000 + na*nb) // (na*nb*2) AS cos2_bp
+         |  FROM p2 WHERE dot > 0 AND na > 0 AND nb > 0)
+         |SELECT a, b, cos2_bp FROM p3 WHERE cos2_bp >= 8100
+         |ORDER BY a, b""".stripMargin
+    }) { (spark, sf) =>
+      val raw = Tables.embeddings(spark, sf)
+        .where(col("embedding").isNotNull && col("vec_id") < 400)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      // vid, not vec_id: BOTH engines lateral-alias-resolve a vec_id
+      // reference in the lambda to the +100000 output alias (caught by
+      // the gate — the two sides agreed with each other's bug class but
+      // not with the reference arithmetic until disambiguated)
+      val copies = raw.where(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("vid"), col("v"))
+        .select((col("vid") + 100000L).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x + (pmod(col("vid") * 31 + i * 7, lit(9)) - 4) * lit(0.01))
+            .as("v"))
+      Dedup.quantizedEmbeddingNearDups(raw.unionAll(copies),
+          thresholdBp = 8100L, vecCol = "v")
+        .orderBy("a", "b")
+    },
+
     // SemDeDup: cosine k-means clusters → within-cluster greedy min-id
     // prune. Seeded k-means has no DuckDB analog → rows-only; greedy
     // semantics, determinism and recall-vs-exact pinned in DedupSpec.

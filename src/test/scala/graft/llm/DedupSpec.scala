@@ -91,6 +91,23 @@ class DedupSpec extends SparkSpec {
       Dedup.polySimHashNearDups(docs, maxHamming = 32)
   }
 
+  test("quantizedEmbeddingNearDups: perturbed copy pairs, orthogonal stays out") {
+    val base = (0 until 64).map(i => (i % 7 - 3) * 0.1).toArray
+    val near = base.clone(); near(0) += 0.02; near(13) -= 0.02
+    val ortho = (0 until 64).map(i => if (i % 2 == 0) 0.3 else -0.3).toArray
+    val emb = Seq((0L, base.toSeq), (1L, near.toSeq), (2L, ortho.toSeq))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val out = Dedup.quantizedEmbeddingNearDups(emb, thresholdBp = 8100L,
+        vecCol = "v")
+      .as[(Long, Long, Long)].collect()
+    out.map(p => (p._1, p._2)) shouldBe Array((0L, 1L))
+    out.head._3 should be > 9000L // near-identical after quantization
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.quantizedEmbeddingNearDups(emb, thresholdBp = 8100L,
+        vecCol = "v", scale = 63) // not a power of two
+  }
+
   test("ngramJaccard computes exact overlap for given pairs") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("a", "b")
     val out = Dedup.ngramJaccard(docs, pairs, k = 2)
