@@ -893,8 +893,19 @@ object Dedup {
     val banded = vq.select(col(idCol),
       posexplode(graft.functions.SignProjection(col("__vq"), planes,
         numTables, bits)).as(Seq("tbl", "sig")))
+    cos2Verify(bucketPairs(banded, Seq("tbl", "sig"), idCol,
+      maxBucket = maxBucket), vq, thresholdBp, idCol)
+  }
+
+  /** The integer cos²·10⁴ verify stage shared by
+    * [[quantizedEmbeddingNearDups]] and [[semDedupQuantized]]: exact
+    * quantized dot/norm arithmetic, round-half-up basis points,
+    * anti-parallel pairs excluded by the `dot > 0` guard. `vq` carries
+    * (idCol, __vq) — the quantized vectors. */
+  private def cos2Verify(pairs: DataFrame, vq: DataFrame, thresholdBp: Long,
+                         idCol: String): DataFrame = {
     val intDiv = graft.functions.VectorFunctions.intDiv _
-    bucketPairs(banded, Seq("tbl", "sig"), idCol, maxBucket = maxBucket)
+    pairs
       .join(vq.select(col(idCol).as("a"), col("__vq").as("__va")), "a")
       .join(vq.select(col(idCol).as("b"), col("__vq").as("__vb")), "b")
       .withColumn("__dot", Similarity.dot(col("__va"), col("__vb")).cast("long"))
@@ -906,6 +917,45 @@ object Dedup {
         col("__na") * col("__nb") * 2L))
       .where(col("cos2_bp") >= thresholdBp)
       .select(col("a"), col("b"), col("cos2_bp"))
+  }
+
+  /** [[semDedup]] under the cross-engine construction — clusters from a
+    * PLANTED quarter-step codebook ([[Similarity.clusterBalance]]'s
+    * integer-exact PQ-cell assignment) instead of seeded k-means, the
+    * within-cluster greedy min-id prune deciding on the quantized
+    * integer cos²·10⁴ of [[quantizedEmbeddingNearDups]]. Same
+    * Σ|cluster|² cost model and `maxCluster` cap as [[semDedup]];
+    * k-means [[semDedup]] stays the production default (learned
+    * clusters track the corpus; a fixed codebook doesn't) — this face
+    * exists so the cluster-then-prune SEMANTICS are oracle-gated.
+    * Returns surviving `(idCol, cluster)` rows. */
+  def semDedupQuantized(emb: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+                        thresholdBp: Long, maxCluster: Int = 4096,
+                        scale: Int = 64, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(scale > 0 && (scale & (scale - 1)) == 0,
+      s"scale must be a power of two (exact in binary floats), got $scale")
+    val k = codebooks.head.length
+    require(codebooks.forall(_.length == k),
+      "all subspaces must share one centroid count (cell id = Σ code·K^s)")
+    val cellCol = aggregate(
+      graft.functions.PqEncode(col(vecCol), codebooks),
+      lit(0L), (acc, c) => acc * k + c)
+    val assigned = emb.select(col(idCol), cellCol.as("cluster"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+          .as("__vq"))
+      .where(col("cluster").isNotNull)
+      // three consumers (pair stage, verify vectors, anti-join base) —
+      // without the cut each re-derives the assignment projection
+      .localCheckpoint(false)
+    val pairs = bucketPairs(assigned.select(col("cluster"), col(idCol)),
+      Seq("cluster"), idCol, maxBucket = maxCluster)
+    val dropped = cos2Verify(pairs, assigned.select(col(idCol), col("__vq")),
+        thresholdBp, idCol)
+      .select(col("b").as(idCol)) // no .distinct(): the anti join dedups
+    assigned.select(col(idCol), col("cluster"))
+      .join(dropped, Seq(idCol), "left_anti")
   }
 
   /** The formula-planted integer hyperplanes

@@ -1647,6 +1647,79 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
+    // SemDeDup's cluster-then-prune SEMANTICS, oracle-gated: clusters
+    // from the planted quarter-step codebook (llm_cluster_balance's
+    // integer-exact cell assignment), within-cluster greedy min-id
+    // prune on the quantized integer cos² verify, same planted
+    // near-dups as llm_dedup_embed_q. k-means llm_semdedup stays the
+    // production face (learned clusters); this gate pins the pruning
+    // machinery both share.
+    Q("llm_semdedup_q", {
+      val cbSql = clusterCodebook.zipWithIndex.map { case (vals, kk) =>
+        s"($kk, [${vals.mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH cb(code, vals) AS (VALUES $cbSql),
+         |raw AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 400),
+         |planted AS (
+         |  SELECT vec_id, v FROM raw
+         |  UNION ALL
+         |  SELECT vid + 100000 AS vec_id,
+         |    list_transform(range(1, 65),
+         |      i -> v[i] + ((vid * 31 + (i-1) * 7) % 9 - 4) * 0.01) AS v
+         |  FROM (SELECT vec_id AS vid, v FROM raw WHERE vec_id % 7 = 0)),
+         |d AS (
+         |  SELECT vec_id, cb.code,
+         |    list_reduce(list_transform(range(1, 65),
+         |      j -> (v[j] - vals[j]) * (v[j] - vals[j])), (a, b) -> a + b) AS dist
+         |  FROM planted, cb),
+         |r AS (
+         |  SELECT vec_id, code,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, code) AS rn
+         |  FROM d),
+         |asg AS (SELECT vec_id, CAST(code AS BIGINT) AS cluster FROM r WHERE rn = 1),
+         |e AS (
+         |  SELECT p.vec_id, asg.cluster,
+         |    list_transform(p.v, x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS vq
+         |  FROM planted p JOIN asg USING (vec_id)),
+         |capped AS (
+         |  SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+         |  FROM e),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+         |  FROM capped a JOIN capped b ON a.cluster = b.cluster
+         |    AND a.vec_id < b.vec_id AND a.rn <= 4096 AND b.rn <= 4096),
+         |p2 AS (
+         |  SELECT c.a, c.b,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> ea.vq[i]*eb.vq[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> ea.vq[i]*ea.vq[i])) AS BIGINT) AS na,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> eb.vq[i]*eb.vq[i])) AS BIGINT) AS nb
+         |  FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b),
+         |dropped AS (
+         |  SELECT DISTINCT b FROM p2
+         |  WHERE dot > 0 AND na > 0 AND nb > 0
+         |    AND (dot*dot*20000 + na*nb) // (na*nb*2) >= 8100)
+         |SELECT vec_id, cluster FROM e
+         |WHERE vec_id NOT IN (SELECT b FROM dropped)
+         |ORDER BY vec_id""".stripMargin
+    }) { (spark, sf) =>
+      val raw = Tables.embeddings(spark, sf)
+        .where(col("embedding").isNotNull && col("vec_id") < 400)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val copies = raw.where(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("vid"), col("v"))
+        .select((col("vid") + 100000L).as("vec_id"),
+          transform(col("v"), (x, i) =>
+            x + (pmod(col("vid") * 31 + i * 7, lit(9)) - 4) * lit(0.01))
+            .as("v"))
+      Dedup.semDedupQuantized(raw.unionAll(copies), Seq(clusterCodebook),
+          thresholdBp = 8100L, vecCol = "v")
+        .orderBy("vec_id")
+    },
+
     // SemDeDup: cosine k-means clusters → within-cluster greedy min-id
     // prune. Seeded k-means has no DuckDB analog → rows-only; greedy
     // semantics, determinism and recall-vs-exact pinned in DedupSpec.

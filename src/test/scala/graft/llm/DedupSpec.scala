@@ -108,6 +108,23 @@ class DedupSpec extends SparkSpec {
         vecCol = "v", scale = 63) // not a power of two
   }
 
+  test("semDedupQuantized: greedy min-id prune within planted-codebook cells") {
+    val base = (0 until 64).map(i => (i % 7 - 3) * 0.1).toArray
+    val near = base.clone(); near(0) += 0.02 // same cell, cos² ≈ 1 → dropped
+    val far = (0 until 64).map(i => if (i % 2 == 0) 0.3 else -0.3).toArray
+    val emb = Seq((0L, base.toSeq), (1L, near.toSeq), (2L, far.toSeq))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val cb = (0 until 8).map(k => (0 until 64).map(j =>
+      (((k * 17 + j * 7) % 19) - 9) / 4.0))
+    val out = Dedup.semDedupQuantized(emb, Seq(cb), thresholdBp = 8100L,
+        vecCol = "v")
+      .select("vec_id").as[Long].collect().toSet
+    out should contain(0L)  // min id of the near pair survives
+    out should not contain 1L
+    out should contain(2L)  // dissimilar vector untouched
+  }
+
   test("ngramJaccard computes exact overlap for given pairs") {
     val pairs = Seq((0L, 1L), (0L, 3L)).toDF("a", "b")
     val out = Dedup.ngramJaccard(docs, pairs, k = 2)
