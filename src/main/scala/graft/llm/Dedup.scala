@@ -362,13 +362,19 @@ object Dedup {
       k: Int, bands: Int, rowsPerBand: Int, threshold: Double,
       idCol: String, textCol: String): DataFrame = {
     import graft.functions.WordShingles
-    val bSig = signatures(batch, k, bands, rowsPerBand, idCol, textCol)
+    // the BATCH side feeds three consumers (its signatures, its shingle
+    // sets, the final anti join) and is delta-sized by contract — cut it
+    // once (r10 plan audit: without the cut the batch re-derived 3×);
+    // the corpus side is NEVER cut (100 TB — its two reads are the
+    // documented signature-index + candidate-pruned text scans)
+    val b = batch.localCheckpoint(false)
+    val bSig = signatures(b, k, bands, rowsPerBand, idCol, textCol)
     val cSig = signatures(corpus, k, bands, rowsPerBand, idCol, textCol)
       .select(col(idCol).as("__cid"), col("band"), col("sig"))
     val cand = bSig.join(cSig, Seq("band", "sig"))
       .select(col(idCol), col("__cid")).distinct()
       .localCheckpoint(false)
-    val bSets = batch
+    val bSets = b
       .select(col(idCol), array_distinct(WordShingles(col(textCol), k)).as("__sa"))
       .join(cand.select(idCol), Seq(idCol), "left_semi")
     val cSets = corpus
@@ -380,7 +386,7 @@ object Dedup {
       .join(cSets, Seq("__cid"))
       .where(jaccardOf(col("__sa"), col("__sb")) >= threshold)
       .select(col(idCol))
-    batch.join(matched, Seq(idCol), "left_anti")
+    b.join(matched, Seq(idCol), "left_anti")
   }
 
   /** Exact Jaccard of two shingle-set columns, 4dp round-half-up in
@@ -890,6 +896,10 @@ object Dedup {
       .select(col(idCol), transform(col(vecCol),
         x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
         .as("__vq"))
+      // three consumers (banding, both verify sides) — without the cut
+      // each re-derives the quantization from the source (6 scans
+      // measured in the round-10 plan audit; the multi-consumer rule)
+      .localCheckpoint(false)
     val banded = vq.select(col(idCol),
       posexplode(graft.functions.SignProjection(col("__vq"), planes,
         numTables, bits)).as(Seq("tbl", "sig")))
