@@ -635,6 +635,24 @@ object ScaleProbe {
         graft.llm.Audit.dupMass(docs, k = 20)
           .agg(sum("total_tokens"), sum("kept_tokens"), sum("removed_bp")).head()
       }),
+      // the graft-jsonl connector, write + read: the shuffleShards
+      // layout serialized to sharded JSONL (one ordered file per shard)
+      // and read back through the V2 scan — both sides scale with the
+      // corpus; JSON serialization cost is the knowingly-paid price of
+      // the line-oriented format (parquet trainingShards is the
+      // columnar default)
+      ("jsonl_connector", () => {
+        val dir = s"/tmp/graft_probe_jsonl_$n"
+        // n*20 clears the fixed-cost floor (sub-2s bases read
+        // overhead-flat — the ScaleProbe floor rule)
+        graft.sources.Sinks.jsonlShards(
+          graft.llm.Packing.shuffleShards(synthDocs(n * 20),
+            rowsPerShard = 1024L), dir)
+        spark.read.format("graft-jsonl")
+          .schema("doc_id LONG, text STRING, pos_in_shard LONG, shard_id LONG")
+          .load(dir)
+          .agg(sum(length(col("text"))), count(lit(1))).head()
+      }),
       // selection composite end to end (DSIR → budget → unimax →
       // layout → manifest) under the tier's worst case: skewed lang
       // strata (en = 50% of rows vs four 12.5% langs — the unimax

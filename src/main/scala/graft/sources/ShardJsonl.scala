@@ -69,6 +69,7 @@ class ShardJsonlTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ShardJsonlScanBuilder(path, tableSchema)
@@ -104,6 +105,9 @@ class ShardJsonlScan(path: String, required: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ShardJsonlMicroBatchStream(path, required, pushed)
   override def description(): String = {
     val shards = shardFiles.map(_._1).distinct.sorted
     s"graft-jsonl path=$path shards=[${shards.mkString(",")}] " +
@@ -118,6 +122,66 @@ class ShardJsonlScan(path: String, required: StructType,
 
 final case class ShardJsonlPartition(shardId: Long, file: String)
     extends InputPartition
+
+/** Offset for the streaming face: the SET of data files seen, as a
+  * sorted JSON array. Shard files are immutable once written (the
+  * layout writers append new files, never rewrite), so set difference
+  * between two offsets is exactly the new micro-batch's files — no
+  * ordering assumption on file NAMES, which arrive non-monotonically
+  * (a late `shard_id=0/part-7` sorts before everything in shard 1).
+  * At production scale a compacted seen-file log (the FileStreamSource
+  * discipline) replaces the in-offset list; the contract is the same. */
+final case class ShardJsonlOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val arr = new ObjectMapper().createArrayNode()
+    files.foreach(arr.add)
+    arr.toString
+  }
+}
+
+/** Structured-Streaming face of the connector: each trigger's
+  * micro-batch is the set of data files that appeared since the last
+  * offset (shard pruning applies to streams too — pruned shard
+  * directories are never listed). Use it to TAIL a growing training
+  * layout: a crawl pipeline appends shards with
+  * [[Sinks.jsonlShards]]`(mode = "append")` or the V2 writer, and a
+  * downstream curation/manifest stream consumes them continuously. */
+class ShardJsonlMicroBatchStream(path: String, required: StructType,
+                                 pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def currentFiles: Seq[(Long, String)] =
+    ShardJsonl.listShardFiles(path, pushed)
+
+  override def initialOffset(): Offset = ShardJsonlOffset(Nil)
+
+  override def latestOffset(): Offset =
+    ShardJsonlOffset(currentFiles.map(_._2).sorted)
+
+  override def deserializeOffset(json: String): Offset = {
+    val node = new ObjectMapper().readTree(json)
+    val b = Seq.newBuilder[String]
+    node.elements().forEachRemaining(e => b += e.asText())
+    ShardJsonlOffset(b.result())
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[ShardJsonlOffset].files.toSet
+    val until = end.asInstanceOf[ShardJsonlOffset].files.toSet
+    currentFiles
+      .filter { case (_, f) => until.contains(f) && !seen.contains(f) }
+      .map { case (sid, f) => ShardJsonlPartition(sid, f) }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardJsonlReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class ShardJsonlReaderFactory(required: StructType)
     extends PartitionReaderFactory {

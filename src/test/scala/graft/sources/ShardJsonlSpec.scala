@@ -129,6 +129,32 @@ class ShardJsonlSpec extends SparkSpec {
       Array(0L, 1L)
   }
 
+  test("streaming read tails a growing layout; shard pruning applies to streams") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_s").toString
+    val first = layout.where(col("shard_id") < 3)
+    Sinks.jsonlShards(first, dir)
+    val stream = spark.readStream.format("graft-jsonl").schema(schemaDDL)
+      .load(dir).where(col("shard_id") =!= 1L)
+    val sink = "jsonl_stream_" + System.nanoTime()
+    val q = stream.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table(sink).count()
+      afterFirst shouldBe first.where(col("shard_id") =!= 1L).count()
+      // append the remaining shards — the next trigger reads ONLY them
+      Sinks.jsonlShards(layout.where(col("shard_id") >= 3), dir,
+        mode = "append")
+      q.processAllAvailable()
+      spark.table(sink).select("doc_id").as[Long].collect().toSet shouldBe
+        layout.where(col("shard_id") =!= 1L).select("doc_id")
+          .as[Long].collect().toSet
+      // no duplicates: immutable files are read exactly once
+      spark.table(sink).count() shouldBe
+        spark.table(sink).select("doc_id").distinct().count()
+    } finally q.stop()
+  }
+
   test("missing JSON fields read as NULL; shard_id schema is enforced") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_n").toString
     val d = new java.io.File(s"$dir/shard_id=0"); d.mkdirs()
