@@ -44,6 +44,13 @@ object Warmup {
       graft.llm.Similarity.pqTopK(
         emb.withColumnRenamed("vec_id", "qid"),
         graft.llm.Similarity.pqEncode(emb, pqcb), pqcb, k = 2).count()
+      // round-10 kernels: PolyMinHashLanes (near_poly banding),
+      // PolySimHash, and the quantized sign-projection verify shape
+      graft.llm.Dedup.polyMinHashNearDups(docs, k = 2, bands = 2,
+        rowsPerBand = 2, threshold = 0.1).count()
+      graft.llm.Dedup.polySimHashNearDups(docs, maxHamming = 8).count()
+      graft.llm.Dedup.quantizedEmbeddingNearDups(emb, thresholdBp = 100L,
+        dims = 4).count()
     } catch { case _: Throwable => () } // warmup must never fail the bench
   }
 }
