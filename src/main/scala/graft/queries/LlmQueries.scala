@@ -1891,7 +1891,10 @@ object LlmQueries {
     // search cost tracks nprobe/C of the index, never the corpus.
     Q("llm_pq_persist", ivfPqSql) { (spark, sf) =>
       val emb = Tables.embeddings(spark, sf)
-      val dir = s"/tmp/graft_pq_index_${math.abs(sf.hashCode).toString}"
+      // keyed by the sanitized sf STRING, not its hashCode: distinct
+      // sfDirs can hash-collide onto one directory (and abs(MinValue)
+      // is negative), racing overwrite-vs-read across runs
+      val dir = "/tmp/graft_pq_index_" + sf.replaceAll("[^a-zA-Z0-9]", "_")
       graft.sources.Sinks.pqIndex(emb, dir, clusterCodebook, pqCodebooks)
       val idx = Similarity.loadPqIndex(spark, dir)
       Similarity.searchPqIndex(

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -16,6 +16,24 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
+/** The session's Hadoop configuration, captured ONCE on the driver at
+  * planning time and shipped to tasks (readers/writers must not build a
+  * vanilla `new Configuration()` — that discards every `spark.hadoop.*`
+  * setting: s3a credentials, fs.defaultFS, kerberos). Serialization is
+  * the Writable round trip. */
+final class SerializableHadoopConf(@transient var conf: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 /** `graft-jsonl` — a DataSource V2 connector for the sharded-JSONL
   * training layout ([[Sinks.jsonlShards]] writes it): a directory of
   * `shard_id=K/` subdirectories, each holding text files with one JSON
@@ -24,7 +42,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Cassandra connector; with no external service in this environment,
   * the honest analog is the full V2 contract against a real on-disk
   * format): TableProvider → Table → ScanBuilder with BOTH pushdown
-  * mix-ins → Batch planning → per-file PartitionReader.
+  * mix-ins → Batch planning → per-file PartitionReader, plus the write
+  * and micro-batch streaming faces.
   *
   * What makes it scale-shaped rather than a toy:
   *  - **Shard pruning** ([[SupportsPushDownFilters]]): `shard_id`
@@ -98,16 +117,18 @@ class ShardJsonlScanBuilder(path: String, tableSchema: StructType)
 
 class ShardJsonlScan(path: String, required: StructType,
                      pushed: Array[Filter]) extends Scan with Batch {
+  // the session Hadoop conf, captured at planning on the driver
+  private val sConf = new SerializableHadoopConf(ShardJsonl.hadoopConf())
   // listed ONCE at planning, after shard pruning — a pruned shard's
   // directory never reaches the partition list
   private lazy val shardFiles: Seq[(Long, String)] =
-    ShardJsonl.listShardFiles(path, pushed)
+    ShardJsonl.listShardFiles(path, pushed, sConf.conf)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ShardJsonlMicroBatchStream(path, required, pushed)
+    new ShardJsonlMicroBatchStream(path, required, pushed, sConf)
   override def description(): String = {
     val shards = shardFiles.map(_._1).distinct.sorted
     s"graft-jsonl path=$path shards=[${shards.mkString(",")}] " +
@@ -117,7 +138,7 @@ class ShardJsonlScan(path: String, required: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     shardFiles.map { case (sid, f) => ShardJsonlPartition(sid, f) }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ShardJsonlReaderFactory(required)
+    new ShardJsonlReaderFactory(required, sConf)
 }
 
 final case class ShardJsonlPartition(shardId: Long, file: String)
@@ -148,17 +169,16 @@ final case class ShardJsonlOffset(files: Seq[String])
   * [[Sinks.jsonlShards]]`(mode = "append")` or the V2 writer, and a
   * downstream curation/manifest stream consumes them continuously. */
 class ShardJsonlMicroBatchStream(path: String, required: StructType,
-                                 pushed: Array[Filter])
+                                 pushed: Array[Filter],
+                                 sConf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
-
-  private def currentFiles: Seq[(Long, String)] =
-    ShardJsonl.listShardFiles(path, pushed)
 
   override def initialOffset(): Offset = ShardJsonlOffset(Nil)
 
   override def latestOffset(): Offset =
-    ShardJsonlOffset(currentFiles.map(_._2).sorted)
+    ShardJsonlOffset(
+      ShardJsonl.listShardFiles(path, pushed, sConf.conf).map(_._2).sorted)
 
   override def deserializeOffset(json: String): Offset = {
     val node = new ObjectMapper().readTree(json)
@@ -168,34 +188,41 @@ class ShardJsonlMicroBatchStream(path: String, required: StructType,
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // the batch is derived from the OFFSET DELTA alone — never from a
+    // second directory listing: a re-list that races an
+    // eventually-consistent store (or a concurrent truncate) could drop
+    // a file that the committed end-offset already claims as seen,
+    // losing its rows from the stream forever. The shard id is parsed
+    // from the path the offset carries.
     val seen = start.asInstanceOf[ShardJsonlOffset].files.toSet
-    val until = end.asInstanceOf[ShardJsonlOffset].files.toSet
-    currentFiles
-      .filter { case (_, f) => until.contains(f) && !seen.contains(f) }
-      .map { case (sid, f) => ShardJsonlPartition(sid, f) }
+    end.asInstanceOf[ShardJsonlOffset].files
+      .filterNot(seen.contains)
+      .flatMap(f => ShardJsonl.shardOfPath(f).map(sid => ShardJsonlPartition(sid, f)))
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ShardJsonlReaderFactory(required)
+    new ShardJsonlReaderFactory(required, sConf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-class ShardJsonlReaderFactory(required: StructType)
+class ShardJsonlReaderFactory(required: StructType,
+                              sConf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new ShardJsonlReader(p.asInstanceOf[ShardJsonlPartition], required)
+    new ShardJsonlReader(p.asInstanceOf[ShardJsonlPartition], required,
+      sConf.conf)
 }
 
-class ShardJsonlReader(p: ShardJsonlPartition, required: StructType)
+class ShardJsonlReader(p: ShardJsonlPartition, required: StructType,
+                       conf: Configuration)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
   private val hPath = new Path(p.file)
   private val in = new BufferedReader(new InputStreamReader(
-    hPath.getFileSystem(new Configuration()).open(hPath),
-    StandardCharsets.UTF_8))
+    hPath.getFileSystem(conf).open(hPath), StandardCharsets.UTF_8))
   private var row: InternalRow = _
 
   @annotation.tailrec
@@ -241,8 +268,17 @@ class ShardJsonlReader(p: ShardJsonlPartition, required: StructType)
   * the writer rolls to a new file on each shard boundary). This is the
   * declarative V2 form of what [[Sinks.jsonlShards]] does by hand with
   * repartition + sortWithinPartitions. `mode("overwrite")` truncates
-  * the existing shard directories (driver-side, before tasks launch);
-  * abort deletes the files the failed attempt reported. */
+  * the existing shard directories (driver-side, before tasks launch).
+  *
+  * Commit protocol: tasks write HIDDEN temp files
+  * (`.part-<p>-<t>-<writeId>.jsonl.tmp` — readers skip dotfiles by
+  * contract), and the driver RENAMES them to their final names only in
+  * `BatchWrite.commit` — so a crashed executor's partial file is never
+  * visible to a reader, and a task retry cannot collide (the attempt's
+  * temp is simply never renamed; leftover temps stay hidden). Final
+  * names carry a per-write id, so APPENDS from different application
+  * runs cannot clobber an earlier run's files — the immutability the
+  * streaming offset contract depends on. */
 class ShardJsonlWriteBuilder(path: String, writeSchema: StructType)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
@@ -266,6 +302,13 @@ class ShardJsonlWrite(path: String, writeSchema: StructType, truncate: Boolean)
     org.apache.spark.sql.connector.distributions.Distributions.clustered(
       Array(Expressions.identity("shard_id")))
 
+  // strict, not best-effort: with the default the planner may accept an
+  // input partitioning that splits one shard across tasks (measured:
+  // writing a shuffleShards frame directly produced two files for one
+  // shard) — the one-ordered-file-per-shard contract requires the
+  // exchange whenever clustering isn't already exact
+  override def distributionStrictlyRequired(): Boolean = true
+
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val keys = Seq("shard_id") ++
@@ -279,12 +322,17 @@ class ShardJsonlWrite(path: String, writeSchema: StructType, truncate: Boolean)
     new ShardJsonlBatchWrite(path, writeSchema, truncate)
 }
 
-final case class ShardJsonlCommit(files: Seq[String])
+/** (temp, final) path pairs of one committed task attempt. */
+final case class ShardJsonlCommit(files: Seq[(String, String)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class ShardJsonlBatchWrite(path: String, writeSchema: StructType,
                            truncate: Boolean)
     extends org.apache.spark.sql.connector.write.BatchWrite {
+  // one id per write job: final filenames carry it, so appends from
+  // different runs (same partition/task ids) can never collide
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+  private val sConf = new SerializableHadoopConf(ShardJsonl.hadoopConf())
 
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
@@ -292,67 +340,88 @@ class ShardJsonlBatchWrite(path: String, writeSchema: StructType,
     // truncate runs ONCE, driver-side, before any task writes
     if (truncate) {
       val rootPath = new Path(path)
-      val fs = rootPath.getFileSystem(new Configuration())
+      val fs = rootPath.getFileSystem(sConf.conf)
       if (fs.exists(rootPath))
         fs.listStatus(rootPath).foreach { s =>
           if (s.isDirectory && s.getPath.getName.startsWith("shard_id="))
             fs.delete(s.getPath, true)
         }
     }
-    new ShardJsonlWriterFactory(path, writeSchema)
+    new ShardJsonlWriterFactory(path, writeSchema, writeId, sConf)
   }
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val rootPath = new Path(path)
-    val fs = rootPath.getFileSystem(new Configuration())
+    val fs = rootPath.getFileSystem(sConf.conf)
+    // publish: rename every committed attempt's hidden temps to their
+    // final names — only now do the files become visible to readers
+    messages.foreach {
+      case ShardJsonlCommit(files) =>
+        files.foreach { case (tmp, fin) =>
+          if (!fs.rename(new Path(tmp), new Path(fin)))
+            throw new java.io.IOException(
+              s"graft-jsonl: commit rename failed: $tmp -> $fin")
+        }
+      case _ =>
+    }
     fs.create(new Path(rootPath, "_SUCCESS"), true).close()
   }
 
   override def abort(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(sConf.conf)
     messages.foreach {
       case ShardJsonlCommit(files) =>
-        files.foreach(f => fs.delete(new Path(f), false))
+        files.foreach { case (tmp, _) => fs.delete(new Path(tmp), false) }
       case _ =>
     }
   }
 }
 
-class ShardJsonlWriterFactory(path: String, writeSchema: StructType)
+class ShardJsonlWriterFactory(path: String, writeSchema: StructType,
+                              writeId: String, sConf: SerializableHadoopConf)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new ShardJsonlWriter(path, writeSchema, partitionId, taskId)
+    new ShardJsonlWriter(path, writeSchema, writeId, partitionId, taskId,
+      sConf.conf)
 }
 
 /** Per-task writer: rows arrive sorted by (shard_id, pos_in_shard) — the
   * Write's required ordering — so at most ONE output stream is open at a
-  * time; each shard boundary rolls to a fresh
-  * `shard_id=K/part-<partition>-<task>.jsonl`. Fields other than
+  * time; each shard boundary rolls to a fresh hidden temp file (the
+  * commit protocol on [[ShardJsonlWriteBuilder]]). Fields other than
   * shard_id serialize as one JSON object per line (null fields omitted,
-  * matching `to_json` in [[Sinks.jsonlShards]]). */
-class ShardJsonlWriter(path: String, writeSchema: StructType,
-                       partitionId: Int, taskId: Long)
+  * matching `to_json` in [[Sinks.jsonlShards]]); a NULL shard_id is an
+  * error, not a silent shard 0. */
+class ShardJsonlWriter(path: String, writeSchema: StructType, writeId: String,
+                       partitionId: Int, taskId: Long, conf: Configuration)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val fs = new Path(path).getFileSystem(new Configuration())
+  private val fs = new Path(path).getFileSystem(conf)
   private val shardIdx = writeSchema.fieldIndex("shard_id")
   private val dataFields = writeSchema.fields.zipWithIndex
     .filter(_._1.name != "shard_id")
   private var currentShard: Long = Long.MinValue
   private var out: java.io.BufferedWriter = _
-  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+  // (temp, final) per opened file
+  private val written = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
 
   override def write(row: InternalRow): Unit = {
+    if (row.isNullAt(shardIdx))
+      throw new IllegalArgumentException(
+        "graft-jsonl: NULL shard_id — layout rows must carry a shard " +
+          "(run Packing.shuffleShards first)")
     val sid = row.getLong(shardIdx)
     if (sid != currentShard || out == null) {
       if (out != null) out.close()
-      val file = new Path(path, s"shard_id=$sid/part-$partitionId-$taskId.jsonl")
+      val base = s"part-$partitionId-$taskId-$writeId.jsonl"
+      val tmp = new Path(path, s"shard_id=$sid/.$base.tmp")
+      val fin = new Path(path, s"shard_id=$sid/$base")
       out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-        fs.create(file, true), StandardCharsets.UTF_8))
-      written += file.toString
+        fs.create(tmp, true), StandardCharsets.UTF_8))
+      written += ((tmp.toString, fin.toString))
       currentShard = sid
     }
     val obj = new java.util.LinkedHashMap[String, Any]()
@@ -381,13 +450,19 @@ class ShardJsonlWriter(path: String, writeSchema: StructType,
 
   override def abort(): Unit = {
     if (out != null) out.close()
-    written.foreach(f => fs.delete(new Path(f), false))
+    written.foreach { case (tmp, _) => fs.delete(new Path(tmp), false) }
   }
 
   override def close(): Unit = if (out != null) { out.close(); out = null }
 }
 
 object ShardJsonl {
+  /** Driver-side session Hadoop conf (falls back to a plain
+    * Configuration only when no session is active — test harnesses). */
+  private[sources] def hadoopConf(): Configuration =
+    try org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    catch { case _: Throwable => new Configuration() }
+
   private[sources] def pathOf(props: java.util.Map[String, String]): String = {
     val p = props.get("path")
     require(p != null && p.nonEmpty, "graft-jsonl requires a path: .load(dir)")
@@ -397,14 +472,16 @@ object ShardJsonl {
   /** `shard_id` conjuncts the scan consumes at planning time.
     * IsNotNull is consumed too: the id comes from the directory name,
     * so it is never null — leaving it residual would put a vacuous
-    * Filter node above every pruned scan. */
+    * Filter node above every pruned scan. A filter carrying a NULL
+    * comparison value is NOT consumed (left residual — Spark's null
+    * semantics apply there; consuming it would NPE the planner). */
   def isShardFilter(f: Filter): Boolean = f match {
-    case EqualTo("shard_id", _) => true
-    case In("shard_id", _) => true
-    case GreaterThan("shard_id", _) => true
-    case GreaterThanOrEqual("shard_id", _) => true
-    case LessThan("shard_id", _) => true
-    case LessThanOrEqual("shard_id", _) => true
+    case EqualTo("shard_id", v) => v != null
+    case In("shard_id", vs) => vs != null && vs.forall(_ != null)
+    case GreaterThan("shard_id", v) => v != null
+    case GreaterThanOrEqual("shard_id", v) => v != null
+    case LessThan("shard_id", v) => v != null
+    case LessThanOrEqual("shard_id", v) => v != null
     case IsNotNull("shard_id") => true
     case _ => false
   }
@@ -427,25 +504,40 @@ object ShardJsonl {
     case _ => true
   }
 
+  /** The shard id encoded in a data file's path, if any. */
+  private[sources] def shardOfPath(file: String): Option[Long] =
+    file.split('/').reverseIterator
+      .collectFirst { case seg if seg.startsWith("shard_id=") =>
+        seg.stripPrefix("shard_id=")
+      }
+      .flatMap(_.toLongOption)
+
   /** List `(shard_id, file)` pairs under `root`, pruning shard
     * directories that fail the pushed filters BEFORE listing their
-    * contents. Hidden/metadata entries (`_SUCCESS`, dotfiles) skipped. */
-  def listShardFiles(root: String, pushed: Array[Filter]): Seq[(Long, String)] = {
+    * contents. Hidden/metadata entries (`_SUCCESS`, dotfiles — which
+    * include the write protocol's uncommitted temps) are skipped, and
+    * so are directories whose suffix is not a LONG (a
+    * `__HIVE_DEFAULT_PARTITION__` from a null-keyed writer must not
+    * crash every subsequent read of the layout). */
+  def listShardFiles(root: String, pushed: Array[Filter],
+                     conf: Configuration = null): Seq[(Long, String)] = {
     val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(new Configuration())
+    val fs = rootPath.getFileSystem(
+      if (conf != null) conf else hadoopConf())
     require(fs.exists(rootPath), s"graft-jsonl: no such directory: $root")
     fs.listStatus(rootPath).toSeq
       .filter(_.isDirectory)
       .flatMap { d =>
         val name = d.getPath.getName
         if (!name.startsWith("shard_id=")) Nil
-        else {
-          val sid = name.stripPrefix("shard_id=").toLong
-          if (!pushed.forall(accepts(sid, _))) Nil
-          else fs.listStatus(d.getPath).toSeq
-            .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-              !s.getPath.getName.startsWith("."))
-            .map(s => (sid, s.getPath.toString))
+        else name.stripPrefix("shard_id=").toLongOption match {
+          case None => Nil
+          case Some(sid) =>
+            if (!pushed.forall(accepts(sid, _))) Nil
+            else fs.listStatus(d.getPath).toSeq
+              .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith("."))
+              .map(s => (sid, s.getPath.toString))
         }
       }
       .sortBy(identity)
@@ -455,12 +547,12 @@ object ShardJsonl {
     * LONG, fractional → DOUBLE, boolean → BOOLEAN, else STRING;
     * `shard_id` appended as LONG (it lives in the directory name). */
   def inferSchema(root: String): StructType = {
-    val files = listShardFiles(root, Array.empty)
+    val conf = hadoopConf()
+    val files = listShardFiles(root, Array.empty, conf)
     require(files.nonEmpty, s"graft-jsonl: no shard data files under $root")
     val hPath = new Path(files.head._2)
     val in = new BufferedReader(new InputStreamReader(
-      hPath.getFileSystem(new Configuration()).open(hPath),
-      StandardCharsets.UTF_8))
+      hPath.getFileSystem(conf).open(hPath), StandardCharsets.UTF_8))
     val line = try in.readLine() finally in.close()
     require(line != null && line.nonEmpty,
       s"graft-jsonl: first file is empty, pass an explicit schema: ${files.head._2}")

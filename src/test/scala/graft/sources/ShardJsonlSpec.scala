@@ -118,6 +118,41 @@ class ShardJsonlSpec extends SparkSpec {
     posInFile.length shouldBe 8
   }
 
+  test("V2 write commit protocol: no temps remain, appends never collide, null shard_id errors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_p").toString
+    layout.write.format("graft-jsonl").mode("append").save(dir)
+    // committed = renamed: no hidden temp files anywhere
+    def allFiles = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName)
+    allFiles.count(_.endsWith(".tmp")) shouldBe 0
+    // a second APPEND job (fresh writeId) must add files, not clobber
+    layout.write.format("graft-jsonl").mode("append").save(dir)
+    val back = spark.read.format("graft-jsonl").schema(schemaDDL).load(dir)
+    back.count() shouldBe layout.count() * 2
+    // (exclude dotfiles: the local FS writes .crc sidecars)
+    new java.io.File(s"$dir/shard_id=0").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) shouldBe 2
+    // null shard_id is an error, not a silent shard 0
+    val nullShard = layout.withColumn("shard_id",
+      when(col("doc_id") === 0L, lit(null).cast("long")).otherwise(col("shard_id")))
+    an[Exception] should be thrownBy
+      nullShard.write.format("graft-jsonl").mode("append")
+        .save(java.nio.file.Files.createTempDirectory("graft_jsonl_n2").toString)
+  }
+
+  test("a non-numeric shard directory is skipped, not a crash") {
+    val dir = writeLayout()
+    val junk = new java.io.File(s"$dir/shard_id=__HIVE_DEFAULT_PARTITION__")
+    junk.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(junk.getPath, "part-0.txt"), "{}\n".getBytes)
+    val back = spark.read.format("graft-jsonl").schema(schemaDDL).load(dir)
+    back.count() shouldBe layout.count()
+    // and a null-valued shard filter stays residual (no planner NPE)
+    back.where(col("shard_id") === lit(null).cast("long")).count() shouldBe 0L
+  }
+
   test("V2 write overwrite truncates the previous layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_t").toString
     layout.write.format("graft-jsonl").mode("append").save(dir)
