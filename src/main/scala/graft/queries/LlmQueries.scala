@@ -17,6 +17,63 @@ import org.apache.spark.sql.functions._
 object LlmQueries {
 
   private val docCap = 2000L  // fixed prefix for pairwise ops
+
+  /** Shared DuckDB CTE fragments for the poly-hash near-dup family —
+    * the codebook discipline applied to SQL TEXT: the token-hash /
+    * gram-hash / minhash-lane / band-signature chain and the
+    * exact-Jaccard verify are generated from ONE definition, so the
+    * three gates that replay them (llm_dedup_near_poly,
+    * llm_dedup_incremental_near_poly, llm_curate_full_poly) cannot
+    * drift from each other. Each fragment expects a `toks` CTE in scope
+    * with (carry..., doc_id, tk, tkf); `carry` columns ride through. */
+  private object PolySql {
+    /** th → gh → lanes → sigs: per-doc token hashes (base-31 chain mod
+      * 2³¹−1), k=2 gram hashes (base-1000003), `lanes` affine minhash
+      * lanes, and per-band polynomial signatures. */
+    def laneSigCtes(carry: Seq[String] = Nil, lanes: Int = 16,
+                    bands: Int = 8, rowsPerBand: Int = 2): String = {
+      val cy = carry.map(_ + ", ").mkString
+      s"""th AS (
+         |  SELECT ${cy}doc_id, list_transform(tkf, t ->
+         |      list_reduce(list_transform(string_split(t, ''),
+         |          c -> CAST(unicode(c) AS BIGINT)),
+         |        (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+         |  FROM toks WHERE len(tkf) > 0),
+         |gh AS (
+         |  SELECT ${cy}doc_id, list_transform(range(1, greatest(len(hs) - 2, 0) + 2),
+         |      p -> list_reduce(hs[p:least(p + 1, len(hs))],
+         |        (a, b) -> (a * 1000003 + b) % 2147483647)) AS gh
+         |  FROM th),
+         |lanes AS (
+         |  SELECT ${cy}doc_id, list_transform(range(0, $lanes),
+         |      i -> list_min(list_transform(gh,
+         |        g -> ((2*i + 3) * g + (5*i + 7)) % 2147483647))) AS ln
+         |  FROM gh),
+         |sigs AS (
+         |  SELECT ${cy}doc_id, band,
+         |    list_reduce(ln[band*$rowsPerBand + 1:band*$rowsPerBand + $rowsPerBand],
+         |      (a, b) -> (a * 1000003 + b) % 2147483647) AS sig
+         |  FROM (SELECT ${cy}doc_id, unnest(range(0, $bands)) AS band, ln FROM lanes))""".stripMargin
+    }
+
+    /** Distinct k=2 word-shingle sets per doc (the exact-verify input). */
+    def shingleCte(carry: Seq[String] = Nil): String = {
+      val cy = carry.map(_ + ", ").mkString
+      s"""sh AS (
+         |  SELECT ${cy}doc_id, list_distinct(list_transform(
+         |      range(1, greatest(len(tk) - 1, 1) + 1),
+         |      i -> array_to_string(tk[i:i+1], ' '))) AS s
+         |  FROM toks)""".stripMargin
+    }
+
+    /** Round-half-up 4dp Jaccard of sa.s vs sb.s (the one rounding
+      * discipline `Dedup.jaccardOf` uses). */
+    val jaccard: String =
+      """((20000 * CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT)
+        |          + CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT))
+        |         // (2 * CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT)))
+        |        / 10000.0""".stripMargin
+  }
   private val vecCap = 500L
 
   // Planted subword vocabulary for the BPE-budget queries (the llm_redact
@@ -481,27 +538,7 @@ object LlmQueries {
          |  SELECT doc_id, string_split(text, ' ') AS tk,
          |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tkf
          |  FROM documents WHERE doc_id < $docCap),
-         |th AS (
-         |  SELECT doc_id, list_transform(tkf, t ->
-         |      list_reduce(list_transform(string_split(t, ''),
-         |          c -> CAST(unicode(c) AS BIGINT)),
-         |        (a, b) -> (a * 31 + b) % 2147483647)) AS hs
-         |  FROM toks WHERE len(tkf) > 0),
-         |gh AS (
-         |  SELECT doc_id, list_transform(range(1, greatest(len(hs) - 2, 0) + 2),
-         |      p -> list_reduce(hs[p:least(p + 1, len(hs))],
-         |        (a, b) -> (a * 1000003 + b) % 2147483647)) AS gh
-         |  FROM th),
-         |lanes AS (
-         |  SELECT doc_id, list_transform(range(0, 16),
-         |      i -> list_min(list_transform(gh,
-         |        g -> ((2*i + 3) * g + (5*i + 7)) % 2147483647))) AS ln
-         |  FROM gh),
-         |sigs AS (
-         |  SELECT doc_id, band,
-         |    list_reduce(ln[band*2 + 1:band*2 + 2],
-         |      (a, b) -> (a * 1000003 + b) % 2147483647) AS sig
-         |  FROM (SELECT doc_id, unnest(range(0, 8)) AS band, ln FROM lanes)),
+         |${PolySql.laneSigCtes()},
          |capped AS (
          |  SELECT doc_id, band, sig,
          |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
@@ -510,18 +547,11 @@ object LlmQueries {
          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |  FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
          |    AND a.doc_id < b.doc_id AND a.rn <= 256 AND b.rn <= 256),
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |      range(1, greatest(len(tk) - 1, 1) + 1),
-         |      i -> array_to_string(tk[i:i+1], ' '))) AS s
-         |  FROM toks),
+         |${PolySql.shingleCte()},
          |p AS (
-         |  SELECT c.a, c.b,
-         |    CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS i,
-         |    CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT) AS u
+         |  SELECT c.a, c.b, ${PolySql.jaccard} AS jaccard
          |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
-         |SELECT a, b, ((20000 * i + u) // (2 * u)) / 10000.0 AS jaccard
-         |FROM p WHERE ((20000 * i + u) // (2 * u)) / 10000.0 >= 0.3
+         |SELECT a, b, jaccard FROM p WHERE jaccard >= 0.3
          |ORDER BY a, b""".stripMargin) { (spark, sf) =>
       Dedup.polyMinHashNearDups(
           Tables.documents(spark, sf).where(col("doc_id") < docCap),
@@ -572,45 +602,18 @@ object LlmQueries {
          |  SELECT side, doc_id, string_split(text, ' ') AS tk,
          |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tkf
          |  FROM allr),
-         |th AS (
-         |  SELECT side, doc_id, list_transform(tkf, t ->
-         |      list_reduce(list_transform(string_split(t, ''),
-         |          c -> CAST(unicode(c) AS BIGINT)),
-         |        (a, b) -> (a * 31 + b) % 2147483647)) AS hs
-         |  FROM toks WHERE len(tkf) > 0),
-         |gh AS (
-         |  SELECT side, doc_id, list_transform(range(1, greatest(len(hs) - 2, 0) + 2),
-         |      p -> list_reduce(hs[p:least(p + 1, len(hs))],
-         |        (a, b) -> (a * 1000003 + b) % 2147483647)) AS gh
-         |  FROM th),
-         |lanes AS (
-         |  SELECT side, doc_id, list_transform(range(0, 16),
-         |      i -> list_min(list_transform(gh,
-         |        g -> ((2*i + 3) * g + (5*i + 7)) % 2147483647))) AS ln
-         |  FROM gh),
-         |sigs AS (
-         |  SELECT side, doc_id, band,
-         |    list_reduce(ln[band*2 + 1:band*2 + 2],
-         |      (a, b) -> (a * 1000003 + b) % 2147483647) AS sig
-         |  FROM (SELECT side, doc_id, unnest(range(0, 8)) AS band, ln FROM lanes)),
+         |${PolySql.laneSigCtes(carry = Seq("side"))},
          |cand AS (
          |  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
          |  FROM sigs b JOIN sigs c ON b.band = c.band AND b.sig = c.sig
          |  WHERE b.side = 'b' AND c.side = 'c'),
-         |sh AS (
-         |  SELECT side, doc_id, list_distinct(list_transform(
-         |      range(1, greatest(len(tk) - 1, 1) + 1),
-         |      i -> array_to_string(tk[i:i+1], ' '))) AS s
-         |  FROM toks),
+         |${PolySql.shingleCte(carry = Seq("side"))},
          |matched AS (
          |  SELECT DISTINCT cand.bid
          |  FROM cand
          |  JOIN sh sa ON sa.doc_id = cand.bid AND sa.side = 'b'
          |  JOIN sh sb ON sb.doc_id = cand.cid AND sb.side = 'c'
-         |  WHERE ((20000 * CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT)
-         |          + CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT))
-         |         // (2 * CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT)))
-         |        / 10000.0 >= 0.3)
+         |  WHERE ${PolySql.jaccard} >= 0.3)
          |SELECT doc_id, text FROM batch
          |WHERE doc_id NOT IN (SELECT bid FROM matched)
          |ORDER BY doc_id""".stripMargin) { (spark, sf) =>
@@ -3303,27 +3306,7 @@ object LlmQueries {
          |  SELECT doc_id, string_split(text, ' ') AS tk,
          |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tkf
          |  FROM gated),
-         |th AS (
-         |  SELECT doc_id, list_transform(tkf, t ->
-         |      list_reduce(list_transform(string_split(t, ''),
-         |          c -> CAST(unicode(c) AS BIGINT)),
-         |        (a, b) -> (a * 31 + b) % 2147483647)) AS hs
-         |  FROM toks WHERE len(tkf) > 0),
-         |gh AS (
-         |  SELECT doc_id, list_transform(range(1, greatest(len(hs) - 2, 0) + 2),
-         |      p -> list_reduce(hs[p:least(p + 1, len(hs))],
-         |        (a, b) -> (a * 1000003 + b) % 2147483647)) AS gh
-         |  FROM th),
-         |lanes AS (
-         |  SELECT doc_id, list_transform(range(0, 16),
-         |      i -> list_min(list_transform(gh,
-         |        g -> ((2*i + 3) * g + (5*i + 7)) % 2147483647))) AS ln
-         |  FROM gh),
-         |sigs AS (
-         |  SELECT doc_id, band,
-         |    list_reduce(ln[band*2 + 1:band*2 + 2],
-         |      (a, b) -> (a * 1000003 + b) % 2147483647) AS sig
-         |  FROM (SELECT doc_id, unnest(range(0, 8)) AS band, ln FROM lanes)),
+         |${PolySql.laneSigCtes()},
          |capped AS (
          |  SELECT doc_id, band, sig,
          |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
@@ -3332,18 +3315,11 @@ object LlmQueries {
          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |  FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
          |    AND a.doc_id < b.doc_id AND a.rn <= 256 AND b.rn <= 256),
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |      range(1, greatest(len(tk) - 1, 1) + 1),
-         |      i -> array_to_string(tk[i:i+1], ' '))) AS s
-         |  FROM toks),
+         |${PolySql.shingleCte()},
          |pairs AS (
          |  SELECT c.a, c.b
          |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
-         |  WHERE ((20000 * CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT)
-         |          + CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT))
-         |         // (2 * CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT)))
-         |        / 10000.0 >= 0.5),
+         |  WHERE ${PolySql.jaccard} >= 0.5),
          |sym AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
          |parts AS (SELECT DISTINCT src AS id FROM sym),
          |reach(id, m) AS (
