@@ -428,6 +428,28 @@ object Examples {
       s"scan: ${backJsonl.queryExecution.executedPlan.toString()
         .linesIterator.find(_.contains("BatchScan")).map(_.trim.take(120)).getOrElse("?")}")
 
+    // 28. the continuous-release loop: STREAM the layout through the
+    // connector into per-batch partial manifests, fold them — the fold
+    // is exact, so the streamed manifest equals the batch one
+    val mdir = "/tmp/graft_examples_manifest"
+    val stream28 = spark.readStream.format("graft-jsonl")
+      .schema("doc_id LONG, source STRING, text STRING, pos_in_shard LONG, shard_id LONG")
+      .load(jdir)
+    val q28 = graft.streaming.StreamOps.manifestStream(
+      stream28, s"$mdir/parts", s"$mdir/ckpt")
+    try q28.processAllAvailable() finally q28.stop()
+    val folded = graft.llm.Audit.mergeManifests(
+        spark.read.parquet(s"$mdir/parts"))
+      .agg(count(lit(1)), sum(col("checksum").cast("decimal(38,0)"))).head()
+    val direct = graft.llm.Audit.shardManifest(
+        spark.read.format("graft-jsonl")
+          .schema("doc_id LONG, source STRING, text STRING, pos_in_shard LONG, shard_id LONG")
+          .load(jdir))
+      .agg(count(lit(1)), sum(col("checksum").cast("decimal(38,0)"))).head()
+    println(s"[28] streamed manifest: ${folded.getLong(0)} shards, " +
+      s"checksum Σ ${folded.getDecimal(1)} — batch agrees: " +
+      s"${folded.getDecimal(1) == direct.getDecimal(1)}")
+
     spark.stop()
   }
 }
