@@ -295,6 +295,43 @@ class AuditSpec extends SparkSpec {
       (1L, 5L, 55L, 0L, 4L, 77L, true))
   }
 
+  test("mergeManifests law: ANY slab partition in position order folds to the batch manifest") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random corpus size + random slab boundaries over the global
+    // position order — every slabbing a slab-per-batch writer could
+    // produce must fold to exactly the one-shot manifest
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(6)
+    val gen = for {
+      n <- Gen.choose(5, 40)
+      rps <- Gen.choose(3, 9)
+      cuts <- Gen.listOfN(3, Gen.choose(1, math.max(n - 1, 1)))
+    } yield (n, rps.toLong, cuts.distinct.sorted)
+    val prop = Prop.forAll(gen) { case (n, rps, cuts) =>
+      val docs = (0 until n)
+        .map(i => (i.toLong, s"doc body $i" + " x" * (i % 4)))
+        .toDF("doc_id", "text")
+      val layout = graft.llm.Packing.shuffleShards(docs, rps)
+        .withColumn("__gpos",
+          col("shard_id") * rps + col("pos_in_shard"))
+        .localCheckpoint()
+      val bounds = (0L +: cuts.map(_.toLong) :+ n.toLong).distinct.sorted
+      val partials = bounds.zip(bounds.tail).zipWithIndex.map {
+        case ((lo, hi), bi) =>
+          Audit.shardManifest(
+              layout.where(col("__gpos") >= lo && col("__gpos") < hi))
+            .withColumn("batch_id", lit(bi.toLong))
+      }.reduce(_ unionAll _)
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+        .select("shard_id", "n_docs", "n_tokens", "first_pos", "last_pos",
+          "checksum", "contiguous")
+        .withColumn("checksum", col("checksum").cast("string"))
+        .collect().map(_.toString).sorted.toSeq
+      canon(Audit.mergeManifests(partials)) ==
+        canon(Audit.shardManifest(layout.drop("__gpos")))
+    }
+    assert(SCTest.check(params, prop).passed, "manifest fold law failed")
+  }
+
   test("mergeManifests re-proves contiguity: gap, overlap, and a bad partial all fail") {
     val merged = Audit.mergeManifests(partials(
         (0L, 3L, 30L, 0L, 2L, 1L, true, 0L), // gap: next starts at 4
