@@ -892,14 +892,10 @@ object Dedup {
     require(thresholdBp >= 0 && thresholdBp <= 10000,
       s"thresholdBp is cos²·10⁴ in [0, 10⁴], got $thresholdBp")
     val planes = quantPlanes(numTables * bits, dims).map(_.map(_.toDouble))
-    val vq = emb.where(col(vecCol).isNotNull)
-      .select(col(idCol), transform(col(vecCol),
-        x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
-        .as("__vq"))
-      // three consumers (banding, both verify sides) — without the cut
-      // each re-derives the quantization from the source (6 scans
-      // measured in the round-10 plan audit; the multi-consumer rule)
-      .localCheckpoint(false)
+    // three consumers (banding, both verify sides) — without the cut
+    // each re-derives the quantization from the source (6 scans
+    // measured in the round-10 plan audit; the multi-consumer rule)
+    val vq = quantized(emb, idCol, vecCol, scale).localCheckpoint(false)
     val banded = vq.select(col(idCol),
       posexplode(graft.functions.SignProjection(col("__vq"), planes,
         numTables, bits)).as(Seq("tbl", "sig")))
@@ -913,11 +909,24 @@ object Dedup {
     * anti-parallel pairs excluded by the `dot > 0` guard. `vq` carries
     * (idCol, __vq) — the quantized vectors. */
   private def cos2Verify(pairs: DataFrame, vq: DataFrame, thresholdBp: Long,
-                         idCol: String): DataFrame = {
+                         idCol: String): DataFrame =
+    cos2Score(pairs,
+        vq.select(col(idCol).as("a"), col("__vq").as("__va")),
+        vq.select(col(idCol).as("b"), col("__vq").as("__vb")))
+      .where(col("cos2_bp") >= thresholdBp)
+      .select(col("a"), col("b"), col("cos2_bp"))
+
+  /** The raw integer cos²·10⁴ scoring join behind [[cos2Verify]] — also
+    * the verify stage of [[Similarity.quantizedLshTopK]] (two DIFFERENT
+    * quantized frames there: queries vs corpus). `pairs` carries
+    * (a, b); `vqA`/(a, __va), `vqB`/(b, __vb). One formula, every
+    * quantized face. */
+  private[llm] def cos2Score(pairs: DataFrame, vqA: DataFrame,
+                             vqB: DataFrame): DataFrame = {
     val intDiv = graft.functions.VectorFunctions.intDiv _
     pairs
-      .join(vq.select(col(idCol).as("a"), col("__vq").as("__va")), "a")
-      .join(vq.select(col(idCol).as("b"), col("__vq").as("__vb")), "b")
+      .join(vqA, "a")
+      .join(vqB, "b")
       .withColumn("__dot", Similarity.dot(col("__va"), col("__vb")).cast("long"))
       .withColumn("__na", Similarity.dot(col("__va"), col("__va")).cast("long"))
       .withColumn("__nb", Similarity.dot(col("__vb"), col("__vb")).cast("long"))
@@ -925,8 +934,19 @@ object Dedup {
       .withColumn("cos2_bp", intDiv(
         col("__dot") * col("__dot") * 20000L + col("__na") * col("__nb"),
         col("__na") * col("__nb") * 2L))
-      .where(col("cos2_bp") >= thresholdBp)
-      .select(col("a"), col("b"), col("cos2_bp"))
+  }
+
+  /** Quantize a vector column to the `scale` grid as exact doubles —
+    * the shared entry of the quantized family ([[quantizedEmbeddingNearDups]],
+    * [[semDedupQuantized]], [[Similarity.quantizedLshTopK]]). */
+  private[llm] def quantized(df: DataFrame, idCol: String, vecCol: String,
+                             scale: Int): DataFrame = {
+    require(scale > 0 && (scale & (scale - 1)) == 0,
+      s"scale must be a power of two (exact in binary floats), got $scale")
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), transform(col(vecCol),
+        x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+        .as("__vq"))
   }
 
   /** [[semDedup]] under the cross-engine construction — clusters from a

@@ -513,4 +513,56 @@ object Similarity {
         Seq(Packing.shuffleHash(col(idCol)).as("__h"), col(idCol)))
       .select(col(idCol), col("cluster"))
   }
+
+  /** Approximate top-k SEARCH under the quantized sign-LSH construction
+    * — the search twin of [[Dedup.quantizedEmbeddingNearDups]] (one
+    * quantization, one plane family, one cos²·10⁴ scoring formula;
+    * [[lshTopK]] with its MLlib gaussian planes stays the
+    * full-precision production face): both sides quantize to the
+    * power-of-two grid, project against the shared integer hyperplanes,
+    * and a query's candidates are the corpus vectors sharing ANY
+    * table's signature — a hash equi-join on (table, sig), never a
+    * cross join. Candidates score with the exact integer metric and
+    * rank through the bounded-heap top-k (k rows per query per map
+    * task — no per-query window sort). Returns `(qIdCol, idCol,
+    * cos2_bp)`, ties on id; queries with no candidate bucket-mates are
+    * absent (raise tables / lower bits for recall, the LSH dial).
+    *
+    * Plan shape at scale: the corpus side is a narrow kernel projection
+    * onto fixed-width (id, tbl, sig) rows — at 100 TB the STORED
+    * signature index, 8 B × tables per vector — and corpus text/vectors
+    * are touched only for candidates (the [[Dedup.verifiedPairs]]
+    * discipline); the quantized-corpus frame feeds the signature and
+    * scoring consumers once (lazy checkpoint, multi-consumer rule). */
+  def quantizedLshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                       numTables: Int = 8, bits: Int = 2, dims: Int = 64,
+                       scale: Int = 64,
+                       qIdCol: String = "qid", idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val planes = Dedup.quantPlanes(numTables * bits, dims).map(_.map(_.toDouble))
+    def sigs(vq: DataFrame, id: String): DataFrame =
+      vq.select(col(id),
+        posexplode(graft.functions.SignProjection(col("__vq"), planes,
+          numTables, bits)).as(Seq("tbl", "sig")))
+    val qVq = Dedup.quantized(queries, qIdCol, vecCol, scale)
+      .localCheckpoint(false)
+    val cVq = Dedup.quantized(corpus, idCol, vecCol, scale)
+      .localCheckpoint(false)
+    val cand = sigs(qVq, qIdCol)
+      .join(sigs(cVq, idCol), Seq("tbl", "sig"))
+      .select(col(qIdCol).as("a"), col(idCol).as("b"))
+      .distinct()
+    val scored = Dedup.cos2Score(cand,
+      qVq.select(col(qIdCol).as("a"), col("__vq").as("__va")),
+      cVq.select(col(idCol).as("b"), col("__vq").as("__vb")))
+    graft.relational.TopK.topKPerGroup(
+        scored.select(col("a").as(qIdCol),
+          (lit(10000L) - col("cos2_bp")).as("__inv"),
+          col("b").as(idCol), col("cos2_bp")),
+        keys = Seq(col(qIdCol)),
+        sortCols = Seq(col("__inv"), col(idCol), col("cos2_bp")),
+        k = k)
+      .select(col(qIdCol), col(idCol), col("cos2_bp"))
+  }
 }

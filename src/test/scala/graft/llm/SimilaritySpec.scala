@@ -323,6 +323,30 @@ class SimilaritySpec extends SparkSpec {
   private def clusterishCodebook: Seq[Seq[Double]] =
     (0 until 4).map(k => (0 until 4).map(j => (((k * 17 + j * 7) % 19) - 9) / 4.0))
 
+  test("quantizedLshTopK: a near-identical query surfaces its source at rank 1") {
+    val base = (0 until 64).map(i => (i % 7 - 3) * 0.1)
+    def shift(d: Double) = base.zipWithIndex.map { case (x, i) =>
+      if (i % 5 == 0) x + d else x
+    }
+    val corpus = Seq(
+      (0L, base), (1L, shift(0.02)), (2L, shift(0.3)),
+      (3L, (0 until 64).map(i => if (i % 2 == 0) 0.3 else -0.3)))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val queries = Seq((100L, shift(0.01))).toDF("qid", "v")
+      .select(col("qid"), col("v").cast("array<double>").as("v"))
+    val out = Similarity.quantizedLshTopK(queries, corpus, k = 2, vecCol = "v")
+      .orderBy(col("cos2_bp").desc, col("vec_id"))
+      .as[(Long, Long, Long)].collect()
+    out.length should be <= 2
+    // the query is a tiny perturbation of vectors 0/1 — its best match
+    // must be one of them, near cos² = 1, and the orthogonal vector 3
+    // must not outrank true neighbors
+    Set(0L, 1L) should contain(out.head._2)
+    out.head._3 should be > 9500L
+    out.map(_._2) should not contain 3L
+  }
+
   test("pqEncode works on double vectors and is partition-invariant") {
     val vecs = spark.range(50).select(col("id").as("vec_id"),
       array((0 until 4).map(j => (col("id") * (j + 1) % 21).cast("double") - 10): _*)
