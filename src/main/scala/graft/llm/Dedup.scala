@@ -37,7 +37,11 @@ object Dedup {
     * `graft_bucket_cap_<cols>_<seq>` — the suffix is a per-JVM sequence
     * (two bucketPairs calls composed into ONE plan must not define the
     * same observed metric twice), so match by `startsWith`, never by the
-    * exact name, when scraping across runs.
+    * exact name, when scraping across runs. NOTE the metric lives on the
+    * query that EXECUTES this stage: composed faces that cut the
+    * candidate frame with a localCheckpoint ([[minHashNearDups]] since
+    * r11) publish it on the candidate-stage execution, not the final
+    * frame — read it there, or call bucketPairs directly.
     * Output pairs are distinct
     * with a < b; a FIXED-WIDTH payload column (e.g. a 64-bit hash) can ride
     * along in the bucket set so downstream scoring needs no re-attach join
@@ -242,17 +246,34 @@ object Dedup {
     * funnels through: narrow array_distinct shingle sets, semi-join-
     * pruned to docs that appear in a candidate pair (a tiny fraction of
     * the corpus). No distinct on the probe side: left_semi dedups
-    * inherently, and the distinct was an extra shuffle. */
+    * inherently, and the distinct was an extra shuffle.
+    *
+    * Multi-consumer cuts (r11, the [[incrementalNearImpl]] discipline):
+    * `candidates` feeds THREE consumers (both halves of the id union and
+    * the pair-attach join) and `sets` TWO (the a- and b-side attaches) —
+    * uncut, every consumer re-derived the full corpus signature pass and
+    * Explain showed 14 `Scan parquet` nodes on `llm_dedup_near`. Both
+    * frames are candidate-pair-sized (a tiny fraction of the corpus by
+    * the banding contract), so each gets one lazy `localCheckpoint`:
+    * per action the corpus is now read exactly twice — once for the
+    * signature/banding pass that materializes `candidates`, once for
+    * the candidate-pruned shingle-set attach — the same two reads the
+    * incremental face documents as the 100 TB shape. Tradeoff as
+    * everywhere: checkpoint drops lineage; long-lived sessions release
+    * blocks after materializing the result
+    * (`ColumnBridge.releaseCheckpoint`). */
   private def verifiedPairs(docs: DataFrame, candidates: DataFrame, k: Int,
                             threshold: Double, idCol: String,
                             textCol: String): DataFrame = {
     import graft.functions.WordShingles
-    val candIds = candidates.select(col("a").as(idCol))
-      .union(candidates.select(col("b").as(idCol)))
+    val cand = candidates.localCheckpoint(false)
+    val candIds = cand.select(col("a").as(idCol))
+      .union(cand.select(col("b").as(idCol)))
     val sets = docs
       .select(col(idCol), array_distinct(WordShingles(col(textCol), k)).as("set"))
       .join(candIds, Seq(idCol), "left_semi")
-    val withSets = candidates
+      .localCheckpoint(false)
+    val withSets = cand
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
     withSets
@@ -1063,17 +1084,28 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine threshold must be in (0, 1], got $threshold")
     val centroids = Similarity.trainCodebook(emb, numClusters, iters, seed, idCol, vecCol)
-    val assigned = Similarity.assign(emb,
-      centroids.select(col("cid").as(idCol), col(vecCol)), idCol, vecCol)
+    // The norm-annotated assignment frame feeds FOUR consumers (the
+    // pair generator, both sides of the verify join, and the final
+    // anti-join base) — uncut, each re-derived the corpus from parquet
+    // (r10 plan audit: 8 Scan parquet on llm_semdedup). One lazy
+    // localCheckpoint = the cluster-assignment materialization SemDeDup
+    // does anyway (the paper's assignments table); corpus is read once.
+    // Tradeoff as everywhere: lineage dropped; long-lived sessions
+    // release via `ColumnBridge.releaseCheckpoint` after materializing.
+    val assigned = Similarity.withNorm(
+        Similarity.assign(emb,
+          centroids.select(col("cid").as(idCol), col(vecCol)), idCol, vecCol),
+        vecCol, "__n")
+      .localCheckpoint(false)
     val pairs = bucketPairs(assigned.select(col("cid"), col(idCol)),
       Seq("cid"), idCol, maxBucket = maxCluster)
-    val n = Similarity.withNorm(emb.select(col(idCol), col(vecCol)), vecCol, "__n")
     val dropped = pairs
-      .join(n.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na")), "a")
-      .join(n.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb")), "b")
+      .join(assigned.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na")), "a")
+      .join(assigned.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb")), "b")
       .where(Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
         >= threshold)
       .select(col("b").as(idCol)) // no .distinct(): the anti join dedups inherently
     assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol), col("cid"))
   }
 }

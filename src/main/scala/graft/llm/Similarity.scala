@@ -136,7 +136,16 @@ object Similarity {
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
     val c = unitVec(corpus)
     val model = lsh.fit(c)
-    val joined = model.approxSimilarityJoin(unitVec(queries), c, maxDist, "dist")
+    // Hash the corpus ONCE and cut it: approxSimilarityJoin skips its
+    // internal transform when the hash column is already present, and
+    // uncut the corpus branch fed both fit and the join's explode side
+    // (r10 plan audit: 4 Scan parquet on llm_ann_lsh). The checkpointed
+    // hashed frame IS the persisted LSH index at scale — the artifact a
+    // 100 TB deployment stores next to the corpus. Lineage dropped;
+    // release via `ColumnBridge.releaseCheckpoint` in long sessions.
+    val cHashed = model.transform(c).localCheckpoint(false)
+    val joined = model.approxSimilarityJoin(
+        model.transform(unitVec(queries)), cHashed, maxDist, "dist")
       .select(col(s"datasetA.$idCol").as("qid"), col(s"datasetB.$idCol").as(idCol),
         (lit(1.0) - col("dist") * col("dist") / 2).as("cos"))
       .where(col("qid") =!= col(idCol))

@@ -396,13 +396,16 @@ class DedupSpec extends SparkSpec {
   }
 
   test("bucketPairs caps hot buckets: a super-cluster degrades recall, not the job") {
-    // 600 identical docs share every band signature — uncapped, each band
-    // bucket would buffer all 600 members and explode ~180k pairs; the
-    // bounded-heap collector keeps only the 32 smallest ids per bucket.
-    val supers = (0 until 600).map(i => (i.toLong, "same text all the way down"))
-      .toDF("doc_id", "text")
-    val out = Dedup.minHashNearDups(supers, k = 2, bands = 2, rowsPerBand = 2,
-      threshold = 0.9, maxBucket = 32)
+    // 600 members sharing each of 2 band buckets — uncapped, each bucket
+    // would buffer all 600 and explode ~180k pairs; the bounded-heap
+    // collector keeps only the 32 smallest ids per bucket. Driven at the
+    // bucketPairs stage directly: the composed minHashNearDups face cuts
+    // its candidate frame with a localCheckpoint (r11 single-derivation
+    // plan), which by design severs inline lineage — the cap metric's
+    // home is the candidate-stage query, which is what this exercises.
+    val banded = (0 until 600).flatMap(i => Seq((i.toLong, 0, 7L), (i.toLong, 1, 9L)))
+      .toDF("doc_id", "band", "sig")
+    val out = Dedup.bucketPairs(banded, Seq("band", "sig"), "doc_id", maxBucket = 32)
     // collect `out` itself — observedMetrics belong to the executed query
     val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1)))
     pairs.length should be <= 32 * 31 / 2
@@ -415,8 +418,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("bucketPairs cap metric reads zero on a well-bucketed corpus") {
-    val out = Dedup.minHashNearDups(docs, k = 2, bands = 8, rowsPerBand = 2,
-      threshold = 0.5)
+    val banded = Seq((0L, 0, 1L), (1L, 0, 1L), (2L, 0, 2L), (3L, 1, 3L))
+      .toDF("doc_id", "band", "sig")
+    val out = Dedup.bucketPairs(banded, Seq("band", "sig"), "doc_id", maxBucket = 32)
     out.collect()
     capMetric(out) shouldBe 0L
   }
