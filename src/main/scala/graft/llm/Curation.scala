@@ -500,9 +500,20 @@ object Curation {
     val epochs = Sampling.unimax(budgeted, budgetBp, maxEpochs, mixStratumCol,
       idCol, textCol, tokenCount = Some(col("__bnt")),
       carryCols = Seq(textCol))
+    // slot key = id*maxEpochs+epoch must stay within Long or two docs
+    // collide on __rid and the layout double-books a position. The
+    // precondition (|id| ≤ Long.Max/maxEpochs) is ENFORCED row-wise —
+    // a narrow codegen'd guard, no extra corpus pass — so overflow
+    // throws loudly instead of silently corrupting the layout.
+    val maxSafeId = (Long.MaxValue - (maxEpochs.toLong - 1L)) / maxEpochs.toLong
+    val slotKey = when(
+      col(idCol) > maxSafeId || col(idCol) < -maxSafeId,
+      raise_error(concat(
+        lit(s"selectFull: $idCol out of slot-key range ±$maxSafeId for " +
+          s"maxEpochs=$maxEpochs: "), col(idCol).cast("string"))))
+      .otherwise(col(idCol) * maxEpochs.toLong + col("epoch"))
     Packing.shuffleShards(
-        epochs.withColumn("__rid",
-          col(idCol) * maxEpochs.toLong + col("epoch")),
+        epochs.withColumn("__rid", slotKey),
         rowsPerShard, idCol = "__rid")
       .drop("__rid")
   }

@@ -331,21 +331,27 @@ class ShardJsonlBatchWrite(path: String, writeSchema: StructType,
     extends org.apache.spark.sql.connector.write.BatchWrite {
   // one id per write job: final filenames carry it, so appends from
   // different runs (same partition/task ids) can never collide
-  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+  // (sources-visible so the zombie-sweep contract is spec-testable)
+  private[sources] val writeId = java.util.UUID.randomUUID().toString.take(8)
   private val sConf = new SerializableHadoopConf(ShardJsonl.hadoopConf())
+  // truncate mode: the files the PREVIOUS layout owned, recorded at
+  // factory creation and deleted only in commit() AFTER every rename
+  // succeeded — a failed job leaves the prior layout fully intact
+  // (the r10 cut deleted them up front, destroying the old layout
+  // before any task had written a byte)
+  private var priorFiles: Seq[Path] = Nil
 
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
-    // truncate runs ONCE, driver-side, before any task writes
+    // truncate: COLLECT, don't delete — deletion is deferred to commit
     if (truncate) {
       val rootPath = new Path(path)
       val fs = rootPath.getFileSystem(sConf.conf)
       if (fs.exists(rootPath))
-        fs.listStatus(rootPath).foreach { s =>
-          if (s.isDirectory && s.getPath.getName.startsWith("shard_id="))
-            fs.delete(s.getPath, true)
-        }
+        priorFiles = fs.listStatus(rootPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard_id="))
+          .flatMap(d => fs.listStatus(d.getPath).toSeq.map(_.getPath))
     }
     new ShardJsonlWriterFactory(path, writeSchema, writeId, sConf)
   }
@@ -356,14 +362,40 @@ class ShardJsonlBatchWrite(path: String, writeSchema: StructType,
     val fs = rootPath.getFileSystem(sConf.conf)
     // publish: rename every committed attempt's hidden temps to their
     // final names — only now do the files become visible to readers
-    messages.foreach {
-      case ShardJsonlCommit(files) =>
-        files.foreach { case (tmp, fin) =>
-          if (!fs.rename(new Path(tmp), new Path(fin)))
-            throw new java.io.IOException(
-              s"graft-jsonl: commit rename failed: $tmp -> $fin")
+    val commits = messages.collect { case c: ShardJsonlCommit => c }
+    commits.foreach { c =>
+      c.files.foreach { case (tmp, fin) =>
+        if (!fs.rename(new Path(tmp), new Path(fin)))
+          throw new java.io.IOException(
+            s"graft-jsonl: commit rename failed: $tmp -> $fin")
+      }
+    }
+    // truncate: retire the prior layout only now that the new one is
+    // fully published. Not isolated from CONCURRENT readers (they can
+    // see both layouts between rename and delete — documented), but
+    // atomic against job failure: abort never reaches this point.
+    priorFiles.foreach(p => fs.delete(p, false))
+    // sweep zombie temps of THIS write: a failed/zombie task attempt
+    // whose abort never ran leaves hidden `.part-*-<writeId>.jsonl.tmp`
+    // files; committed attempts cover the same partitions, so the dirs
+    // the commit messages touched are where zombies can hide. The
+    // writeId scoping makes the sweep safe against concurrent writers.
+    val touchedDirs =
+      (commits.flatMap(_.files.map { case (_, fin) => new Path(fin).getParent }) ++
+        priorFiles.map(_.getParent)).distinct
+    touchedDirs.foreach { d =>
+      if (fs.exists(d)) {
+        fs.listStatus(d).foreach { s =>
+          val n = s.getPath.getName
+          if (n.startsWith(".") && n.endsWith(s"-$writeId.jsonl.tmp"))
+            fs.delete(s.getPath, false)
         }
-      case _ =>
+        // a truncated shard dir that received no new files would read as
+        // an empty (zero-row) shard — drop it with the old layout
+        // (recursive: ChecksumFileSystem hides .crc sidecars from
+        // listStatus but they still block a non-recursive delete)
+        if (fs.listStatus(d).isEmpty) fs.delete(d, true)
+      }
     }
     fs.create(new Path(rootPath, "_SUCCESS"), true).close()
   }

@@ -233,7 +233,19 @@ object StreamOps {
     * interleaved writers merge with a conservative `contiguous=false`
     * (see mergeManifests). State: none — each batch aggregates
     * independently onto |its shards| rows; the checkpoint carries only
-    * source offsets, so the sink is exactly-once per batch id. */
+    * source offsets.
+    *
+    * Exactly-once mechanism: foreachBatch is AT-LEAST-once (a batch can
+    * replay after a crash that wrote but didn't commit the offset), so a
+    * plain append would double-count the replayed batch's partials in
+    * [[graft.llm.Audit.mergeManifests]] (which folds by shard, not batch
+    * id). The sink therefore partitions by `batch_id` and overwrites in
+    * DYNAMIC partition-overwrite mode: a replayed batch replaces its own
+    * `batch_id=N` partition and touches nothing else, making the write
+    * idempotent per batch id — appends become true exactly-once under
+    * replay. (`batch_id` reads back as a partition column; its inferred
+    * integer width may differ from the written long — mergeManifests
+    * never reads it.) */
   def manifestStream(laidOut: DataFrame, manifestPath: String,
                      checkpoint: String, shardCol: String = "shard_id",
                      posCol: String = "pos_in_shard", textCol: String = "text",
@@ -241,14 +253,29 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     laidOut.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.llm.Audit
-          .shardManifest(batch.toDF(), shardCol, posCol, textCol, tokenCount)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(manifestPath)
-        ()
+        writeManifestPartial(batch.toDF(), batchId, manifestPath,
+          shardCol, posCol, textCol, tokenCount)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** The per-batch manifest write [[manifestStream]] runs — idempotent
+    * per `batchId` (dynamic partition overwrite of `batch_id=<id>`), so
+    * an at-least-once replay of the same batch leaves one copy.
+    * Package-visible so the replay contract is spec-testable without
+    * forcing a mid-stream crash. */
+  private[graft] def writeManifestPartial(batch: DataFrame, batchId: Long,
+                                          manifestPath: String, shardCol: String,
+                                          posCol: String, textCol: String,
+                                          tokenCount: Option[Column]): Unit = {
+    graft.llm.Audit
+      .shardManifest(batch, shardCol, posCol, textCol, tokenCount)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(manifestPath)
+  }
 
   final case class DocIn(doc_id: Long, source: String, text: String)
   final case class Admitted(doc_id: Long, source: String,

@@ -145,4 +145,27 @@ class SelectFullSpec extends SparkSpec {
       plan.linesIterator.count(_.contains("Scan parquet")) shouldBe 0
     }
   }
+
+  test("slot-key overflow throws loudly instead of colliding layout positions") {
+    // ids past Long.Max/maxEpochs would wrap id*maxEpochs+epoch and
+    // double-book shard positions — the row-wise guard must raise, and
+    // the error must surface the offending id range. collect(), not
+    // count(): count prunes the projection carrying the guard.
+    val huge = docs.withColumn("doc_id",
+      col("doc_id") + lit(Long.MaxValue / 2 + 10L))
+    // construction itself may raise: the layout's offset index runs
+    // driver-side jobs over the guarded projection
+    val e = intercept[Exception] {
+      Curation.selectFull(huge,
+        isTarget = col("lang") === "en", keepFraction = kf,
+        budgetTokens = budget, budgetBp = bbp, maxEpochs = epochs,
+        rowsPerShard = rps, k = 2, buckets = 16, quantum = 256L)
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    withClue(chain(e).mkString(" | ")) {
+      chain(e).exists(_.contains("slot-key range")) shouldBe true
+    }
+  }
 }

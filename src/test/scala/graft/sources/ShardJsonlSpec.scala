@@ -164,6 +164,47 @@ class ShardJsonlSpec extends SparkSpec {
       Array(0L, 1L)
   }
 
+  test("overwrite is failure-atomic: a failed job leaves the prior layout intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_fa").toString
+    layout.write.format("graft-jsonl").mode("append").save(dir)
+    val before = spark.read.format("graft-jsonl").schema(schemaDDL).load(dir)
+      .select("doc_id").as[Long].collect().sorted
+    // poison one row so the overwrite JOB fails mid-write: the prior
+    // layout's files must survive (deletion is deferred to commit, which
+    // a failed job never reaches — pre-r11 the truncate deleted them
+    // before the first task wrote a byte)
+    val poisoned = layout.withColumn("text",
+      when(col("doc_id") === 5L, raise_error(lit("boom"))).otherwise(col("text")))
+    an[Exception] should be thrownBy
+      poisoned.write.format("graft-jsonl").mode("overwrite").save(dir)
+    val after = spark.read.format("graft-jsonl").schema(schemaDDL).load(dir)
+      .select("doc_id").as[Long].collect().sorted
+    after shouldBe before
+  }
+
+  test("commit sweeps zombie temps of its own write; foreign temps survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_z").toString
+    val shardDir = new java.io.File(s"$dir/shard_id=0"); shardDir.mkdirs()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("shard_id", LongType)))
+    val bw = new ShardJsonlBatchWrite(dir, schema, truncate = false)
+    def plant(name: String): java.io.File = {
+      val f = new java.io.File(shardDir, name)
+      java.nio.file.Files.write(f.toPath, "{\"doc_id\":1}\n".getBytes)
+      f
+    }
+    // a committed attempt's temp, a zombie of the SAME write (task that
+    // died without abort), and a concurrent OTHER write's temp
+    val committed = plant(s".part-0-0-${bw.writeId}.jsonl.tmp")
+    val zombie = plant(s".part-0-1-${bw.writeId}.jsonl.tmp")
+    val foreign = plant(".part-0-0-ffffffff.jsonl.tmp")
+    val fin = s"$dir/shard_id=0/part-0-0-${bw.writeId}.jsonl"
+    bw.commit(Array(ShardJsonlCommit(Seq((committed.getPath, fin)))))
+    new java.io.File(fin).exists() shouldBe true
+    zombie.exists() shouldBe false  // swept: same writeId, never messaged
+    foreign.exists() shouldBe true  // concurrent writer's — untouched
+  }
+
   test("streaming read tails a growing layout; shard pruning applies to streams") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_s").toString
     val first = layout.where(col("shard_id") < 3)

@@ -295,6 +295,40 @@ class StreamOpsSpec extends SparkSpec {
       canon(graft.llm.Audit.shardManifest(layout))
   }
 
+  test("manifestStream's per-batch write is idempotent under at-least-once replay") {
+    // foreachBatch can replay a batch whose write landed but whose offset
+    // commit didn't — the sink's dynamic partition overwrite by batch_id
+    // must leave exactly one copy of the replayed partials, so the
+    // merged manifest (which folds by shard, not batch) never
+    // double-counts. Drive the extracted per-batch write directly: batch
+    // 0 once, batch 1 twice (the replay), then fold.
+    val layout = graft.llm.Packing.shuffleShards(
+        (0 until 12).map(i => (i.toLong, s"w$i body $i")).toDF("doc_id", "text"),
+        rowsPerShard = 4L)
+      .localCheckpoint()
+    val slabs = layout.select("doc_id", "shard_id", "pos_in_shard", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._2, r._3))
+    val (b0, b1) = slabs.splitAt(5)
+    def frame(rows: Array[(Long, Long, Long, String)]): DataFrame =
+      rows.toSeq.toDF("doc_id", "shard_id", "pos_in_shard", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_mreplay").toString
+    val path = s"$base/manifests"
+    def write(rows: Array[(Long, Long, Long, String)], id: Long): Unit =
+      StreamOps.writeManifestPartial(frame(rows), id, path,
+        "shard_id", "pos_in_shard", "text", None)
+    write(b0, 0L); write(b1, 1L); write(b1, 1L) // batch 1 replayed
+    val partials = spark.read.parquet(path)
+    partials.groupBy("batch_id", "shard_id").count()
+      .agg(max("count")).as[Long].head() shouldBe 1L
+    def canon(df: DataFrame): Seq[String] = df
+      .select("shard_id", "n_docs", "n_tokens", "first_pos", "last_pos",
+        "checksum", "contiguous")
+      .withColumn("checksum", col("checksum").cast("string"))
+      .collect().map(_.toString).sorted.toSeq
+    canon(graft.llm.Audit.mergeManifests(partials)) shouldBe
+      canon(graft.llm.Audit.shardManifest(layout))
+  }
+
   test("ingestStream fails fast on an un-collectable benchmark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOpsSpec.Doc]
