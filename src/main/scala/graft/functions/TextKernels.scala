@@ -201,6 +201,37 @@ object TextKernelObjs {
     best
   }
 
+  /** The CROSS-ENGINE twin of [[minGramHash]]: min over rolling CHAR-gram
+    * polynomial hashes — each gram hashed by the base-31 code-point chain
+    * of [[tokenHashes]] (first code point seeds, then (h·31+cp) mod
+    * 2³¹−1), so a DuckDB `list_reduce` over `string_split(text, '')`
+    * slices replays every gram bit-for-bit (the llm_winnow discipline).
+    * Positions 1..max(numChars−gram+1, 1); a text shorter than `gram`
+    * hashes once, whole. Boxed null on EMPTY text (no gram exists —
+    * DuckDB's list_reduce errors on an empty slice, so both engines
+    * filter empty docs instead of inventing a sentinel). */
+  def minGramHashPolyBoxed(text: UTF8String, gram: Int): java.lang.Long = {
+    val M = 2147483647L
+    val nc = text.numChars()
+    if (nc == 0) return null
+    val count = math.max(nc - (gram - 1), 1)
+    var best = Long.MaxValue
+    var i = 1
+    while (i <= count) {
+      val s = text.substringSQL(i, gram).toString
+      var h = -1L
+      var ci = 0
+      while (ci < s.length) {
+        val cp = s.codePointAt(ci)
+        h = if (h < 0) cp.toLong else (h * 31L + cp) % M
+        ci += Character.charCount(cp)
+      }
+      if (h < best) best = h
+      i += 1
+    }
+    best
+  }
+
   def minHashLanes(shingles: ArrayData, numLanes: Int): ArrayData = {
     val m = shingles.numElements()
     val lanes = new Array[Long](numLanes)
@@ -562,6 +593,47 @@ case class MinGramHash(child: Expression, gram: Int) extends UnaryExpression {
 object MinGramHash {
   def apply(text: Column, gram: Int): Column =
     ColumnBridge.column(MinGramHash(ColumnBridge.expression(text), gram))
+}
+
+/** [[TextKernelObjs.minGramHashPolyBoxed]] as a narrow codegen kernel —
+  * the CROSS-ENGINE twin of [[MinGramHash]]: same rolling char-gram min,
+  * but each gram hashed by the base-31 code-point chain mod 2³¹−1
+  * instead of xxhash64, so the whole fingerprint replays in DuckDB SQL
+  * (llm_fingerprint_poly). NULL on empty text (no gram exists). */
+case class PolyMinGramHash(child: Expression, gram: Int)
+    extends UnaryExpression {
+
+  require(gram > 0, "gram size must be positive")
+
+  override def prettyName: String = "graft_poly_min_gram_hash"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelObjs.minGramHashPolyBoxed(input.asInstanceOf[UTF8String], gram)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("polyMinGram")
+    nullSafeCodeGen(ctx, ev, s => s"""
+      java.lang.Long $r =
+        graft.functions.TextKernelObjs.minGramHashPolyBoxed($s, $gram);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.longValue(); }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyMinGramHash {
+  def apply(text: Column, gram: Int): Column =
+    ColumnBridge.column(PolyMinGramHash(ColumnBridge.expression(text), gram))
 }
 
 /** [[TextKernelObjs.charPolyHash]] as a narrow codegen kernel: the

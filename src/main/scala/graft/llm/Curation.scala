@@ -153,14 +153,19 @@ object Curation {
     // polyHash selects the cross-engine affine family (the
     // llm_dedup_near_poly relationship) so the WHOLE composite can be
     // oracle-gated; xxhash64 stays the production default
-    val pairs =
-      if (polyHash) Dedup.polyMinHashNearDups(gated, k = 2, bands = 8,
+    val (pairs, cuts) =
+      if (polyHash) Dedup.polyMinHashNearDupsCut(gated, k = 2, bands = 8,
         rowsPerBand = 2, threshold = nearDupThreshold,
         idCol = idCol, textCol = textCol)
-      else Dedup.minHashNearDups(gated, k = 2, bands = 8,
+      else Dedup.minHashNearDupsCut(gated, k = 2, bands = 8,
         rowsPerBand = 2, threshold = nearDupThreshold,
         idCol = idCol, textCol = textCol)
-    pairs.localCheckpoint(eager = true)
+    val ck = pairs.localCheckpoint(eager = true)
+    // the eager pair checkpoint supersedes the near-dup stage's internal
+    // cuts (candidates + pruned shingle sets) — release them now instead
+    // of holding candidate-sized blocks for the session
+    cuts.foreach(org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint)
+    ck
   }
 
   /** Corpus ASSEMBLY — the recipe stage after curation: exact dedup →

@@ -210,8 +210,20 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, k: Int = 3, bands: Int = 4,
                       rowsPerBand: Int = 4, threshold: Double = 0.8,
                       idCol: String = "doc_id", textCol: String = "text",
-                      maxBucket: Int = 256): DataFrame = {
-    import graft.functions.WordShingles
+                      maxBucket: Int = 256): DataFrame =
+    minHashNearDupsCut(docs, k, bands, rowsPerBand, threshold, idCol,
+      textCol, maxBucket)._1
+
+  /** [[minHashNearDups]] also returning its two internal lazy
+    * checkpoints (candidates, pruned shingle sets) so a composite that
+    * eagerly materializes the pair list ([[Curation]]'s pairStage) can
+    * release the superseded cuts immediately instead of holding them
+    * for the session. */
+  private[llm] def minHashNearDupsCut(docs: DataFrame, k: Int, bands: Int,
+                                      rowsPerBand: Int, threshold: Double,
+                                      idCol: String, textCol: String,
+                                      maxBucket: Int = 256)
+      : (DataFrame, Seq[DataFrame]) = {
     val bandSig = bandSignatures(docs, k, bands, rowsPerBand, idCol, textCol)
     // Same (band, sig) bucket → candidate pair, one pass (no self-join).
     val candidates = bucketPairs(bandSig, Seq("band", "sig"), idCol,
@@ -235,7 +247,16 @@ object Dedup {
   def polyMinHashNearDups(docs: DataFrame, k: Int = 3, bands: Int = 4,
                           rowsPerBand: Int = 4, threshold: Double = 0.8,
                           idCol: String = "doc_id", textCol: String = "text",
-                          maxBucket: Int = 256): DataFrame = {
+                          maxBucket: Int = 256): DataFrame =
+    polyMinHashNearDupsCut(docs, k, bands, rowsPerBand, threshold, idCol,
+      textCol, maxBucket)._1
+
+  /** The cuts-returning twin, as [[minHashNearDupsCut]]. */
+  private[llm] def polyMinHashNearDupsCut(docs: DataFrame, k: Int, bands: Int,
+                                          rowsPerBand: Int, threshold: Double,
+                                          idCol: String, textCol: String,
+                                          maxBucket: Int = 256)
+      : (DataFrame, Seq[DataFrame]) = {
     val bandSig = bandSignaturesPoly(docs, k, bands, rowsPerBand, idCol, textCol)
     val candidates = bucketPairs(bandSig, Seq("band", "sig"), idCol,
       maxBucket = maxBucket)
@@ -264,7 +285,7 @@ object Dedup {
     * (`ColumnBridge.releaseCheckpoint`). */
   private def verifiedPairs(docs: DataFrame, candidates: DataFrame, k: Int,
                             threshold: Double, idCol: String,
-                            textCol: String): DataFrame = {
+                            textCol: String): (DataFrame, Seq[DataFrame]) = {
     import graft.functions.WordShingles
     val cand = candidates.localCheckpoint(false)
     val candIds = cand.select(col("a").as(idCol))
@@ -276,10 +297,11 @@ object Dedup {
     val withSets = cand
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
-    withSets
+    val out = withSets
       .withColumn("jaccard", jaccardOf(col("sa"), col("sb")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+    (out, Seq(cand, sets))
   }
 
   /** The (id, band, sig) LSH index rows shared by [[minHashNearDups]]

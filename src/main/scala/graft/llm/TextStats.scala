@@ -292,6 +292,37 @@ object TextStats {
       (graft.functions.CompressionRatioBp(col(textCol)).cast("double") / 10000.0)
         .as("compression_ratio"))
 
+  /** The CROSS-ENGINE integer face of [[compressionRatio]]'s quality
+    * signal: fixed-point log2 of the k-gram DUPLICATION factor —
+    * `l2((grams·1024) div distinct_grams)` in 1/1024-bit units, where
+    * grams are the [[graft.functions.TextKernelObjs.gramHashes]] chain
+    * mod 2²⁰ buckets (the llm_winnow arithmetic) and `l2` is the
+    * `length(bin(x))` kit replayable in ANSI SQL. Redundant/templated
+    * text repeats grams → high proxy; natural prose ≈ all-distinct →
+    * 1024·log2(1) = 0. Deflate measures the same redundancy, so the two
+    * RANK documents consistently (tier-order law in TextStatsSpec) —
+    * but this face is bit-identical across engines and oracle-gated
+    * (llm_compression_q) where deflate output bytes never can be.
+    * Token-free docs have no grams and are dropped (both engines).
+    * One narrow kernel projection — no shuffle, no join. */
+  def compressibilityProxy(docs: DataFrame, k: Int = 3, buckets: Int = 1 << 20,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    docs.select(col(idCol),
+        graft.functions.HashedNgramBuckets(col(textCol), k, buckets).as("__b"))
+      .where(size(col("__b")) > 0)
+      .select(col(idCol),
+        intDiv(size(col("__b")).cast("long") * 1024L,
+          size(array_distinct(col("__b"))).cast("long")).as("__x"))
+      .selectExpr(idCol,
+        // l2(x) = msb·1024 + (x·1024 >> msb) − 1024; the shift amount is
+        // a column, which only the SQL face of shiftright accepts
+        "CAST((length(bin(__x)) - 1) AS BIGINT) * 1024 " +
+          "+ (__x * 1024) div shiftleft(CAST(1 AS BIGINT), length(bin(__x)) - 1) " +
+          "- 11264 AS compress_proxy")  // −1024 (l2 kit) −10240 (the ×1024 fixed-point offset of x): all-distinct ⇒ 0
+  }
+
   /** Corpus vocabulary: token → occurrence count, top-K by count with
     * ties broken by token (deterministic). The token stream shuffles
     * with map-side combine (partial counts per partition before the
@@ -860,6 +891,20 @@ object TextStats {
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
       graft.functions.MinGramHash(col(textCol), gram).as("fingerprint"))
+
+  /** [[fingerprint]] under the CROSS-ENGINE base-31 code-point chain mod
+    * 2³¹−1 instead of xxhash64 — the [[winnow]] relationship exactly:
+    * same rolling char-gram min shape, but every gram hash replays in
+    * DuckDB SQL (`list_reduce` over `string_split(text, '')` slices), so
+    * the family is oracle-gated end to end (llm_fingerprint_poly) while
+    * the xxhash64 face stays the production default (avalanche mixing).
+    * Empty texts carry no gram → NULL fingerprint; both engines filter
+    * them rather than inventing a sentinel. */
+  def fingerprintPoly(docs: DataFrame, gram: Int = 5,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.where(length(col(textCol)) > 0)
+      .select(col(idCol),
+        graft.functions.PolyMinGramHash(col(textCol), gram).as("fingerprint"))
 
   /** Winnowing fingerprints (Schleimer et al. 2003 — MOSS): one row per
     * (doc, selected fingerprint). Where [[fingerprint]] is one global

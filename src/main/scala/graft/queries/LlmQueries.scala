@@ -960,6 +960,62 @@ object LlmQueries {
       TextStats.compressionRatio(Tables.documents(spark, sf)).orderBy("doc_id")
     },
 
+    // The integer face that oracle-gates the compressibility family:
+    // fixed-point log2 (1/1024-bit units, the bin() kit) of the 3-gram
+    // duplication factor over the llm_winnow hash chain mod 2^20. The
+    // whole pipeline — token hashes, gram chain, bucket mod, duplication
+    // ratio, l2 — replays in DuckDB; TextStatsSpec ties its RANKING to
+    // deflate's on a planted redundancy ladder. docCap bounds the
+    // per-character list arithmetic on the DuckDB side. The fixture
+    // corpus is clean prose (3-grams ~all distinct → the proxy would
+    // point-mass at 10240, the l2 leg vacuous), so boilerplate
+    // repetition is planted IN-QUERY on both sides, reps scaled by
+    // doc_id so the duplication factor SPREADS (the r8 percentile rule).
+    Q("llm_compression_q",
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || repeat(' boiler plate row', CAST(doc_id % 8 AS INT) * 6)
+         |      AS text
+         |  FROM documents WHERE doc_id < $docCap),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tk
+         |  FROM planted),
+         |th AS (
+         |  SELECT doc_id, list_transform(tk, t ->
+         |      list_reduce(list_transform(string_split(t, ''),
+         |          c -> CAST(unicode(c) AS BIGINT)),
+         |        (a, b) -> (a * 31 + b) % 2147483647)) AS hs
+         |  FROM toks WHERE len(tk) > 0),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, greatest(len(hs) - 3 + 1, 1) + 1)) AS pos, hs
+         |  FROM th),
+         |grams AS (
+         |  SELECT doc_id,
+         |    list_reduce(hs[pos:least(pos + 2, len(hs))],
+         |      (a, b) -> (a * 1000003 + b) % 2147483647) % 1048576 AS b
+         |  FROM g),
+         |gd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ng,
+         |    CAST(count(DISTINCT b) AS BIGINT) AS nd
+         |  FROM grams GROUP BY doc_id),
+         |x AS (SELECT doc_id, (ng * 1024) // nd AS x FROM gd)
+         |SELECT doc_id,
+         |  CAST(length(bin(x)) - 1 AS BIGINT) * 1024
+         |    + (x * 1024) // (1::BIGINT << (length(bin(x)) - 1))
+         |    - 11264 AS compress_proxy
+         |FROM x ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        TextStats.compressibilityProxy(
+            Tables.documents(spark, sf).where(col("doc_id") < docCap)
+              .select(col("doc_id"),
+                concat(col("text"),
+                  repeat(lit(" boiler plate row"),
+                    pmod(col("doc_id"), lit(8)).cast("int") * 6)).as("text")))
+          .orderBy("doc_id")
+    },
+
     // Corpus vocabulary top-50: explode + map-side-combined count +
     // TakeOrderedAndProject (bounded per-partition top-k, no global
     // sort); ties broken by token so the cut is deterministic.
@@ -2186,6 +2242,33 @@ object LlmQueries {
     // plus the winnowing laws (append-monotonicity, partition-invariance).
     Q.noOracle("llm_fingerprint") { (spark, sf) =>
       TextStats.fingerprint(Tables.documents(spark, sf)).orderBy("doc_id")
+    },
+
+    // The cross-engine sibling that oracle-gates the fingerprint family:
+    // same rolling 5-char-gram min, hash = base-31 code-point chain mod
+    // 2^31-1 — DuckDB replays every gram via list_reduce over character
+    // slices (first element seeds the accumulator, matching the kernel).
+    // Short texts (< gram chars) hash once whole via the greatest/least
+    // clamps; empty texts are filtered on BOTH sides (no gram exists).
+    Q("llm_fingerprint_poly",
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''),
+        |      c -> CAST(unicode(c) AS BIGINT)) AS cs
+        |  FROM documents WHERE length(text) > 0),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, greatest(len(cs) - 5 + 1, 1) + 1)) AS pos, cs
+        |  FROM ch),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(cs[pos:least(pos + 4, len(cs))],
+        |      (a, b) -> (a * 31 + b) % 2147483647) AS gh
+        |  FROM g)
+        |SELECT doc_id, min(gh) AS fingerprint FROM h
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        TextStats.fingerprintPoly(Tables.documents(spark, sf)).orderBy("doc_id")
     },
 
     // Winnowing fingerprint SET (MOSS): k=3 token grams, window w=4,

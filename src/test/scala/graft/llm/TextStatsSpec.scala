@@ -273,6 +273,76 @@ class TextStatsSpec extends SparkSpec {
     repart shouldBe kernel
   }
 
+  test("compressibilityProxy ranks a redundancy ladder exactly as deflate does") {
+    // The integer face (llm_compression_q gates its arithmetic against
+    // DuckDB); here the FAMILY tie: on a planted redundancy ladder —
+    // same length, increasing gram duplication — the proxy's ranking
+    // must be the inverse of deflate's compression_ratio ranking
+    // (more duplication ⇒ higher proxy, lower deflate ratio).
+    val rungs = Seq(
+      // 48 tokens each: 0% / 50% / 75% / ~100% repeated phrase mass
+      (0L, (0 until 48).map(i => s"u$i").mkString(" ")),
+      (1L, ((0 until 24).map(i => s"v$i") ++
+        Seq.fill(8)(Seq("rep", "eat", "ed")).flatten).mkString(" ")),
+      (2L, ((0 until 12).map(i => s"w$i") ++
+        Seq.fill(12)(Seq("rep", "eat", "ed")).flatten).mkString(" ")),
+      (3L, Seq.fill(16)(Seq("rep", "eat", "ed")).flatten.mkString(" ")))
+      .toDF("doc_id", "text")
+    val proxy = TextStats.compressibilityProxy(rungs)
+      .as[(Long, Long)].collect().toMap
+    val deflate = TextStats.compressionRatio(rungs)
+      .as[(Long, Double)].collect().toMap
+    val byProxy = proxy.toSeq.sortBy(_._2).map(_._1)
+    val byDeflate = deflate.toSeq.sortBy(-_._2).map(_._1)
+    byProxy shouldBe byDeflate           // identical ranking, inverted axes
+    byProxy shouldBe Seq(0L, 1L, 2L, 3L) // and it is the planted ladder
+    // all-distinct rung sits at the l2(1)=0 floor; each rung strictly up
+    proxy(0L) shouldBe 0L
+    proxy.toSeq.sortBy(_._1).map(_._2).sliding(2)
+      .foreach { case Seq(a, b) => assert(a < b) }
+  }
+
+  test("fingerprintPoly bit-matches an independent reference; shares the family's laws") {
+    // The cross-engine sibling (llm_fingerprint_poly gates it against
+    // DuckDB) — here the DuckDB-free leg: the codegen kernel against an
+    // independent driver-side Scala reference (sliding window over code
+    // points, same base-31 chain), plus the family laws and the edges
+    // the fixture corpus can't hit (unicode, shorter-than-gram, empty).
+    val gram = 5
+    val M = 2147483647L
+    def ref(text: String): Option[Long] = {
+      val cps = text.codePoints().toArray.map(_.toLong)
+      if (cps.isEmpty) None
+      else Some(cps.sliding(gram, 1).take(math.max(cps.length - gram + 1, 1))
+        .map(g => g.tail.foldLeft(g.head)((a, b) => (a * 31L + b) % M)).min)
+    }
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "abc"),                // shorter than gram: one whole-text hash
+      (2L, "ü"),                  // single non-ASCII code point
+      (3L, "naïve café — résumé"),
+      (4L, "😀 emoji leads"), // surrogate pair (astral plane)
+      (5L, "aaaaaaaa"))           // degenerate repeats
+    val out = TextStats.fingerprintPoly(rows.toDF("doc_id", "text"), gram)
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, t) => Some(out(id)) shouldBe ref(t) }
+    // empty text carries no gram: filtered, not a sentinel
+    TextStats.fingerprintPoly(Seq((9L, "")).toDF("doc_id", "text"), gram)
+      .count() shouldBe 0L
+    // family law: appending only ADDS grams → min is monotone non-increasing
+    val corpus = spark.range(200).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(1), lit(20)),
+        i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(300)))), " ").as("text"))
+    val base = TextStats.fingerprintPoly(corpus, gram).as[(Long, Long)].collect().toMap
+    val appended = TextStats.fingerprintPoly(
+        corpus.select(col("doc_id"), concat(col("text"), lit(" zz tail")).as("text")),
+        gram)
+      .as[(Long, Long)].collect().toMap
+    base.foreach { case (id, fp) => assert(appended(id) <= fp) }
+    // every hash stays inside the Mersenne field (the cross-engine bound)
+    base.values.foreach(v => assert(v >= 0L && v < M))
+  }
+
   test("fingerprint is deterministic and shifts under content change") {
     val docs = Seq((0L, "abcdefghij"), (1L, "abcdefghij"), (2L, "abcdefghiX"))
       .toDF("doc_id", "text")
