@@ -653,6 +653,35 @@ object ScaleProbe {
           .load(dir)
           .agg(sum(length(col("text"))), count(lit(1))).head()
       }),
+      // planning-time shard pruning at layout scale: a FIXED 64-shard
+      // slice read from a GROWING multi-file layout (98 shards at 1×,
+      // ~980 at 10×; 4 V2 append jobs → 4 files per shard, the
+      // one-InputPartition-per-FILE planner shape). The layout builds
+      // ONCE per scale in the warm pass (idempotent file-count guard),
+      // so the timed passes measure read+plan only. Pruned dirs are
+      // never listed at planning time, so the ratio must read ~flat
+      // (≈1.0) while jsonl_connector's full read scales with the
+      // corpus; the fixed slice is 64·4096 rows — clears the sub-2s
+      // overhead floor (the ScaleProbe floor rule) so the flatness is
+      // measured, not vacuous
+      ("jsonl_pruned_read", () => {
+        val dir = s"/tmp/graft_probe_jsonl_pr_$n"
+        val s0 = new java.io.File(s"$dir/shard_id=0")
+        val built = s0.isDirectory && s0.listFiles().count(f =>
+          f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_")) >= 4
+        if (!built) {
+          val layout = graft.llm.Packing.shuffleShards(synthDocs(n * 20),
+            rowsPerShard = 1024L)
+          layout.write.format("graft-jsonl").mode("overwrite").save(dir)
+          (1 to 3).foreach(_ =>
+            layout.write.format("graft-jsonl").mode("append").save(dir))
+        }
+        spark.read.format("graft-jsonl")
+          .schema("doc_id LONG, text STRING, pos_in_shard LONG, shard_id LONG")
+          .load(dir)
+          .where(col("shard_id") < 64)
+          .agg(sum(length(col("text"))), count(lit(1))).head()
+      }),
       // selection composite end to end (DSIR → budget → unimax →
       // layout → manifest) under the tier's worst case: skewed lang
       // strata (en = 50% of rows vs four 12.5% langs — the unimax
