@@ -1,0 +1,124 @@
+package graft.serve
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.SparkSession
+
+/** Minimal query-serving surface — the engine analog of the reference's
+  * `seamless/akka-http` module (trembita exposed pipeline outputs over
+  * HTTP; SURVEY §2.1 S9). The sandbox ships no HTTP stack, so the
+  * transport is a newline-delimited JSON protocol over a plain TCP
+  * socket — the part that matters (a long-lived session serving the
+  * DECLARED query registry to out-of-process consumers, with bounded
+  * result collection) is real; swapping the framing for HTTP or
+  * Spark Connect is a transport change, not an engine change.
+  *
+  * Protocol (one request per connection):
+  *   → `{"query":"<name>","sfDir":"<dir>","limit":N}`  (one line;
+  *     sfDir/limit optional — defaults from the server)
+  *   ← `{"columns":[...]}`                               (header line)
+  *   ← one JSON object per ROW (Spark's canonical `toJSON` encoding)
+  *   ← `{"done":<rowCount>}`                             (trailer line)
+  *   or a single `{"error":"..."}` line.
+  *
+  * Scale contract: serving is a CONTROL-PLANE face — results collect to
+  * the driver, so `limit` is clamped to [[MaxRows]] (ask for the first
+  * page, not the corpus; bulk output goes through the sinks). The query
+  * itself still executes distributed; only the clamped head crosses the
+  * socket. One worker thread per connection, daemon, so a hung client
+  * never wedges the session.
+  */
+object Serve {
+
+  /** Hard cap on rows collected per request — the driver-heap guard. */
+  val MaxRows = 10000
+
+  final class Handle(server: ServerSocket, thread: Thread) extends AutoCloseable {
+    def port: Int = server.getLocalPort
+    override def close(): Unit = server.close()
+  }
+
+  /** Start serving on `port` (0 = ephemeral; read it back from the
+    * handle). Binds loopback only — this is a local control surface,
+    * not an exposed service. */
+  def start(spark: SparkSession, defaultSfDir: String, port: Int = 0): Handle = {
+    val server = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
+    val acceptor = new Thread(() => {
+      try {
+        while (!server.isClosed) {
+          val sock = server.accept()
+          val worker = new Thread(() => handle(spark, defaultSfDir, sock))
+          worker.setDaemon(true)
+          worker.start()
+        }
+      } catch { case _: java.io.IOException => () } // closed
+    }, "graft-serve-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    new Handle(server, acceptor)
+  }
+
+  private def handle(spark: SparkSession, defaultSfDir: String, sock: Socket): Unit = {
+    val mapper = new ObjectMapper()
+    val in = new BufferedReader(
+      new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+    val out = new BufferedWriter(
+      new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
+    def writeLine(s: String): Unit = { out.write(s); out.write("\n") }
+    try {
+      val line = in.readLine()
+      if (line == null) return
+      val req = mapper.readTree(line)
+      val name = Option(req.get("query")).map(_.asText()).getOrElse("")
+      val sfDir = Option(req.get("sfDir")).map(_.asText()).getOrElse(defaultSfDir)
+      val limit = Option(req.get("limit")).map(_.asInt()).getOrElse(100)
+        .max(1).min(MaxRows)
+      graft.SparkEntry.queries.get(name) match {
+        case None =>
+          writeLine(mapper.writeValueAsString(
+            mapper.createObjectNode().put("error", s"unknown query: $name")))
+        case Some(fn) =>
+          val df = fn(spark, sfDir).limit(limit)
+          val header = mapper.createObjectNode()
+          val cols = header.putArray("columns")
+          df.columns.foreach(cols.add)
+          writeLine(mapper.writeValueAsString(header))
+          // toJSON keeps the encoding canonical (timestamps, decimals,
+          // arrays) and collects AT MOST `limit` rows by construction
+          val rows = df.toJSON.collect()
+          rows.foreach(writeLine)
+          writeLine(mapper.writeValueAsString(
+            mapper.createObjectNode().put("done", rows.length)))
+      }
+      out.flush()
+    } catch {
+      case e: Throwable =>
+        try {
+          writeLine(mapper.writeValueAsString(mapper.createObjectNode()
+            .put("error", Option(e.getMessage).getOrElse(e.getClass.getName))))
+          out.flush()
+        } catch { case _: Throwable => () }
+    } finally sock.close()
+  }
+
+  /** `runMain graft.serve.Serve <sfDir> [port]` — serve until killed. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val port = args.lift(1).map(_.toInt).getOrElse(7077)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftExtensions.registerRules(spark)
+    val h = start(spark, sfDir, port)
+    println(s"graft-serve listening on ${h.port} (sfDir=$sfDir)")
+    Thread.currentThread().join()
+  }
+}
