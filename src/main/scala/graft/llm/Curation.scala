@@ -26,8 +26,14 @@ object Curation {
              vecIdCol: String = "vec_id"): DataFrame = {
     val keepers = Dedup.exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
     val kept = docs.join(keepers, idCol)
-    val scored = kept.join(TextStats.quality(kept, idCol = idCol, textCol = textCol)
-        .select(col(idCol), col("quality"), col("n_tokens")), idCol)
+    // score INLINE (assemble's discipline): quality and the token count
+    // are narrow functions of the row — the stats-frame join formulation
+    // re-derived the dedup stage on its second input (a full extra scan
+    // + corpus SortMergeJoin; r11 scan audit: 4 scans, now 2). Same
+    // integer arithmetic as TextStats.quality, so the oracle is unmoved.
+    val scored = kept
+      .withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("quality", TextStats.qualityCol(col(textCol)))
     scored
       .where(col("lang") === lang && col("quality") >= minQuality)
       .join(embeddings.select(col(vecIdCol).as(idCol)), idCol)
@@ -285,9 +291,15 @@ object Curation {
     val fresh = Dedup.incrementalExact(batch, corpus,
         idCol = idCol, textCol = textCol)
       .select(col("keep_id").as(idCol), col("dup_count"))
+    // `kept` feeds TWO consumers (the contamination probe and the final
+    // join) — uncut, each re-derived the dedup election and the
+    // corpus-side anti join (r11 scan audit: llm_ingest read its table
+    // 10×). Batch-sized by contract → one lazy localCheckpoint; release
+    // via ColumnBridge.releaseCheckpoint in long-lived sessions.
     val kept = batch.join(fresh, Seq(idCol))
       .withColumn("quality_bp", TextStats.qualityBp(col(textCol)))
       .where(col("quality_bp") >= minQualityBp)
+      .localCheckpoint(false)
     val contam = Dedup.contamination(kept, benchmark, k, idCol, textCol)
       .select(col(idCol), graft.functions.VectorFunctions.intDiv(
         col("matched") * 20000L + col("total"), col("total") * 2L)

@@ -640,10 +640,18 @@ object Dedup {
     * the verification kernel shared by the approximate paths. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 2,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // The verifiedPairs multi-consumer discipline (r11): `pairs` feeds
+    // three consumers (both id-union halves + the attach join) and the
+    // pruned `sets` two — both are candidate-pair-sized by contract, so
+    // each gets one lazy localCheckpoint; uncut, every consumer
+    // re-derived its full lineage per action (llm_dedup_ngram read its
+    // table 7×). Release via ColumnBridge.releaseCheckpoint in
+    // long-lived sessions.
+    val cand = pairs.localCheckpoint(false)
     // prune shingle-set materialization to docs referenced by the pairs
     // (no distinct — the left_semi probe side dedups inherently)
-    val pairIds = pairs.select(col("a").as(idCol))
-      .union(pairs.select(col("b").as(idCol)))
+    val pairIds = cand.select(col("a").as(idCol))
+      .union(cand.select(col("b").as(idCol)))
     // narrow per-doc shingle sets (array_distinct over the kernel array) —
     // no explode, no collect_set shuffle; null-text docs drop like the
     // exploded formulation dropped them
@@ -652,7 +660,8 @@ object Dedup {
         array_distinct(graft.functions.WordShingles(col(textCol), k)).as("set"))
       .where(col("set").isNotNull)
       .join(pairIds, Seq(idCol), "left_semi")
-    pairs
+      .localCheckpoint(false)
+    cand
       .join(sets.select(col(idCol).as("a"), col("set").as("sa")), "a")
       .join(sets.select(col(idCol).as("b"), col("set").as("sb")), "b")
       // one rounding discipline with minHashNearDups' verify stage

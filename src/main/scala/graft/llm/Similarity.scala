@@ -416,13 +416,19 @@ object Similarity {
   def buildPqIndex(corpus: DataFrame, coarse: Seq[Seq[Double]],
                    codebooks: Seq[Seq[Seq[Double]]],
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    val cells = corpus.select(col(idCol),
-      element_at(graft.functions.PqEncode(col(vecCol), Seq(coarse)), 1)
-        .cast("long").as("cell"))
-    pqEncode(corpus, codebooks, idCol, vecCol).join(cells, Seq(idCol))
-      .select(col(idCol), col("cell"), col("subspace"), col("code"))
-  }
+                   vecCol: String = "embedding"): DataFrame =
+    // cell and codes are BOTH narrow functions of the vector — one
+    // projection computes them together (the r10 cut joined two separate
+    // corpus-wide projections on id: an extra full scan AND a
+    // corpus-wide shuffle join, for nothing)
+    corpus.select(col(idCol),
+        element_at(graft.functions.PqEncode(col(vecCol), Seq(coarse)), 1)
+          .cast("long").as("cell"),
+        posexplode(graft.functions.PqEncode(col(vecCol), codebooks))
+          .as(Seq("subspace", "code")))
+      .select(col(idCol), col("cell"),
+        col("subspace").cast("long").as("subspace"),
+        col("code").cast("long").as("code"))
 
   /** SEARCH over a built/loaded IVF-PQ index — [[ivfPqTopK]] minus the
     * construction: query routing (nprobe nearest coarse centroids under

@@ -27,23 +27,43 @@ object ScanBudgets {
   /** Max `Scan parquet` operators per distinct table in one query plan. */
   val default: Int = 2
 
-  /** Ratcheted exceptions, measured 2026-08-14 (round 11 gate landing). */
+  /** Ratcheted exceptions, re-measured 2026-08-14 after the round-11
+    * cuts (llm_ingest 10→1, llm_dedup_ngram 7→0, llm_curate 4→2,
+    * llm_ivf_pq 4→3, llm_dedup_near/_poly 14→0, llm_semdedup 8→0,
+    * llm_ann_lsh 4→1 — via candidate-sized lazy checkpoints or fused
+    * narrow projections; removed entries now ride the default).
+    *
+    * Every remaining entry is a DELIBERATE shape, by class:
+    * - narrow corpus re-scans chosen over corpus-sized checkpoints (the
+    *   incrementalNear discipline — a 100 TB corpus is re-read
+    *   column-pruned, never checkpointed): assemble (reweight's
+    *   feasibility scan + the one-plan AQE contract), dedup_budget,
+    *   reweight, reweight_tokens, dedup_substring + dup_mass (window
+    *   election / token rebuild / id base), dedup_paragraph,
+    *   quality_dedup, split_leakage.
+    * - small-side re-scans (benchmark/delta-sized frame derived twice,
+    *   each a pushed-filter scan; the CORPUS side is single-scan):
+    *   contamination, contamination_report, contamination_sweep,
+    *   domain_boilerplate.
+    * - in-query planting scaffolding (probe frames carved from ONE
+    *   fixture table that are distinct tables in production):
+    *   corpus_diff.
+    * - demo face of a checkpoint-cut _q sibling: dedup_embed.
+    * - persisted-index construction + two pushed-filter query-side
+    *   scans: ivf_pq, pq_persist. */
   val perQuery: Map[String, Int] = Map(
     "llm_assemble"             -> 6,
     "llm_contamination"        -> 3,
     "llm_contamination_report" -> 4,
     "llm_contamination_sweep"  -> 3,
     "llm_corpus_diff"          -> 3,
-    "llm_curate"               -> 4,
     "llm_dedup_budget"         -> 3,
     "llm_dedup_embed"          -> 3,
-    "llm_dedup_ngram"          -> 7,
     "llm_dedup_paragraph"      -> 3,
     "llm_dedup_substring"      -> 3,
     "llm_domain_boilerplate"   -> 4,
     "llm_dup_mass"             -> 4,
-    "llm_ingest"               -> 10,
-    "llm_ivf_pq"               -> 4,
+    "llm_ivf_pq"               -> 3,
     "llm_pq_persist"           -> 3,
     "llm_quality_dedup"        -> 3,
     "llm_reweight"             -> 3,
