@@ -72,4 +72,27 @@ object ScanBudgets {
   )
 
   def budget(query: String): Int = perQuery.getOrElse(query, default)
+
+  /** EXECUTED-scan budgets for the checkpoint-cut queries — the gate the
+    * formatted-plan count above cannot provide: a lazy `localCheckpoint`
+    * truncates the displayed plan at `Scan ExistingRDD`, so a cut query
+    * reports 0 plan scans no matter how many times its UPSTREAM stages
+    * re-read parquet when the checkpoints materialize. For these queries
+    * ScanBudgetSpec executes the frame at sf0.001 under a SparkListener
+    * and counts DISTINCT FileScanRDD instances across every job the
+    * action triggers (checkpoint-materialization jobs included) — the
+    * number of physical scans one action actually pays, which is what
+    * the r8–r10 multi-consumer regressions inflated. Budgets are the
+    * measured count at gate landing; same lower-don't-raise ratchet
+    * contract as [[perQuery]]. */
+  val executedPerQuery: Map[String, Int] = Map(
+    "llm_dedup_near"      -> 2, // signature/banding pass + pruned text pass
+    "llm_dedup_near_poly" -> 2,
+    "llm_semdedup"        -> 7, // k-means init draw + 5 Lloyd iterations + assignment ckpt (iterative by design; sample-train at scale)
+    "llm_ann_lsh"         -> 3, // fit dim-probe + index ckpt + queries
+    "llm_ingest"          -> 6, // planted batch 2× (election+join) + corpus + bench
+    "llm_dedup_ngram"     -> 2, // pairs ckpt + sets ckpt share the pushed scan
+    "llm_select_full"     -> 3, // DSIR's documented three-scan shape; budget ckpt reuses them
+    "llm_curate_full"     -> 3  // gated ckpt + pair-stage cand/sets materializations
+  )
 }

@@ -64,6 +64,9 @@ object Serve {
 
   private def handle(spark: SparkSession, defaultSfDir: String, sock: Socket): Unit = {
     val mapper = new ObjectMapper()
+    // a client that connects and never sends a line must not park this
+    // worker (and its socket) forever
+    sock.setSoTimeout(30000)
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new BufferedWriter(
@@ -75,21 +78,27 @@ object Serve {
       val req = mapper.readTree(line)
       val name = Option(req.get("query")).map(_.asText()).getOrElse("")
       val sfDir = Option(req.get("sfDir")).map(_.asText()).getOrElse(defaultSfDir)
-      val limit = Option(req.get("limit")).map(_.asInt()).getOrElse(100)
-        .max(1).min(MaxRows)
+      // asLong, not asInt: Jackson's asInt is a narrowing cast, so a
+      // 2^32-ish limit would wrap to 0 and "clamp" to one row
+      val limit = Option(req.get("limit")).map(_.asLong()).getOrElse(100L)
+        .max(1L).min(MaxRows.toLong).toInt
       graft.SparkEntry.queries.get(name) match {
         case None =>
           writeLine(mapper.writeValueAsString(
             mapper.createObjectNode().put("error", s"unknown query: $name")))
         case Some(fn) =>
           val df = fn(spark, sfDir).limit(limit)
+          // collect BEFORE the header goes out: an execution failure must
+          // surface as the protocol's single error line, never as an
+          // error object in row position after a header (a conformant
+          // client could not tell it from a data row). The collect is
+          // bounded by the limit clamp; toJSON keeps the encoding
+          // canonical (timestamps, decimals, arrays).
+          val rows = df.toJSON.collect()
           val header = mapper.createObjectNode()
           val cols = header.putArray("columns")
           df.columns.foreach(cols.add)
           writeLine(mapper.writeValueAsString(header))
-          // toJSON keeps the encoding canonical (timestamps, decimals,
-          // arrays) and collects AT MOST `limit` rows by construction
-          val rows = df.toJSON.collect()
           rows.foreach(writeLine)
           writeLine(mapper.writeValueAsString(
             mapper.createObjectNode().put("done", rows.length)))

@@ -361,13 +361,26 @@ class ShardJsonlBatchWrite(path: String, writeSchema: StructType,
     val rootPath = new Path(path)
     val fs = rootPath.getFileSystem(sConf.conf)
     // publish: rename every committed attempt's hidden temps to their
-    // final names — only now do the files become visible to readers
+    // final names — only now do the files become visible to readers.
+    // A rename failing PARTWAY must not leave a half-published layout
+    // next to the intact prior one: roll the already-renamed files back
+    // to their hidden temps (best-effort — a rollback rename that also
+    // fails is logged and left for the writeId-scoped sweep of a later
+    // overwrite), then rethrow so abort() cleans the temps.
     val commits = messages.collect { case c: ShardJsonlCommit => c }
+    val renamed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     commits.foreach { c =>
       c.files.foreach { case (tmp, fin) =>
-        if (!fs.rename(new Path(tmp), new Path(fin)))
+        if (!fs.rename(new Path(tmp), new Path(fin))) {
+          renamed.reverseIterator.foreach { case (t, f) =>
+            if (!fs.rename(new Path(f), new Path(t)))
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"graft-jsonl: rollback rename failed, orphan published file: $f")
+          }
           throw new java.io.IOException(
             s"graft-jsonl: commit rename failed: $tmp -> $fin")
+        }
+        renamed += ((tmp, fin))
       }
     }
     // truncate: retire the prior layout only now that the new one is

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -239,41 +241,67 @@ object StreamOps {
     * replay after a crash that wrote but didn't commit the offset), so a
     * plain append would double-count the replayed batch's partials in
     * [[graft.llm.Audit.mergeManifests]] (which folds by shard, not batch
-    * id). The sink therefore partitions by `batch_id` and overwrites in
-    * DYNAMIC partition-overwrite mode: a replayed batch replaces its own
-    * `batch_id=N` partition and touches nothing else, making the write
-    * idempotent per batch id — appends become true exactly-once under
-    * replay. (`batch_id` reads back as a partition column; its inferred
-    * integer width may differ from the written long — mergeManifests
-    * never reads it.) */
+    * id). The sink therefore partitions by `(run_id, batch_id)` and
+    * overwrites in DYNAMIC partition-overwrite mode: a replayed batch
+    * replaces its own partition and touches nothing else, making the
+    * write idempotent per batch id. `run_id` is derived from the
+    * CHECKPOINT path — the stream's identity — so it is STABLE across
+    * restarts of the same stream (a post-restart replay still lands on
+    * its original partition) while two writers sharing one manifestPath
+    * under different checkpoints can never overwrite each other's
+    * batch-N partials. (Partition columns read back with inferred types;
+    * mergeManifests never reads either.) Upgrade note: a manifestPath
+    * holding pre-r11 FLAT partials (batch_id as a data column) cannot be
+    * mixed with the partitioned layout — point new streams at a fresh
+    * directory. */
   def manifestStream(laidOut: DataFrame, manifestPath: String,
                      checkpoint: String, shardCol: String = "shard_id",
                      posCol: String = "pos_in_shard", textCol: String = "text",
                      tokenCount: Option[Column] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val runId = runIdOf(checkpoint)
     laidOut.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        writeManifestPartial(batch.toDF(), batchId, manifestPath,
+        writeManifestPartial(batch.toDF(), batchId, runId, manifestPath,
           shardCol, posCol, textCol, tokenCount)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
+
+  /** Stable stream identity: the sanitized checkpoint path. Two streams
+    * with different checkpoints get different run ids (no cross-writer
+    * overwrite); one stream restarted from its checkpoint keeps its id
+    * (replay stays idempotent across restarts). */
+  private[graft] def runIdOf(checkpoint: String): String = {
+    val base = new java.io.File(checkpoint).getAbsolutePath
+    val h = java.lang.Long.toHexString(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        base.getBytes(StandardCharsets.UTF_8),
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        base.length, 42) & 0xffffffffL)
+    // keep a readable suffix next to the collision-resistant hash
+    val tail = base.replaceAll("[^a-zA-Z0-9]", "_").takeRight(24)
+    s"${h}_$tail"
+  }
 
   /** The per-batch manifest write [[manifestStream]] runs — idempotent
-    * per `batchId` (dynamic partition overwrite of `batch_id=<id>`), so
-    * an at-least-once replay of the same batch leaves one copy.
+    * per `(runId, batchId)` (dynamic partition overwrite), so an
+    * at-least-once replay of the same batch leaves one copy.
     * Package-visible so the replay contract is spec-testable without
     * forcing a mid-stream crash. */
   private[graft] def writeManifestPartial(batch: DataFrame, batchId: Long,
-                                          manifestPath: String, shardCol: String,
-                                          posCol: String, textCol: String,
+                                          runId: String, manifestPath: String,
+                                          shardCol: String, posCol: String,
+                                          textCol: String,
                                           tokenCount: Option[Column]): Unit = {
     graft.llm.Audit
       .shardManifest(batch, shardCol, posCol, textCol, tokenCount)
+      .withColumn("run_id", lit(runId))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
+      .partitionBy("run_id", "batch_id")
       .parquet(manifestPath)
   }
 

@@ -37,6 +37,12 @@ object ColumnBridge {
       case _ => ()
     }
 
+  /** Drain the async listener bus (`private[spark]`) — test harnesses
+    * counting scan RDDs via a SparkListener must flush pending events
+    * before reading their counters. */
+  def waitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** `internalCreateDataFrame` is `private[sql]`: build a DataFrame straight
     * from `RDD[InternalRow]` with no Row round-trip — used by the positional
     * ops to re-enter Catalyst after an RDD `zipWithIndex`. Rows MUST be

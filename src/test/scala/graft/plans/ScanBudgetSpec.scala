@@ -63,6 +63,47 @@ class ScanBudgetSpec extends SparkSpec {
 
   test("budget exceptions only name declared queries (no stale ratchets)") {
     val declared = graft.SparkEntry.queries.keySet
-    ScanBudgets.perQuery.keySet.diff(declared) shouldBe empty
+    (ScanBudgets.perQuery.keySet ++ ScanBudgets.executedPerQuery.keySet)
+      .diff(declared) shouldBe empty
+  }
+
+  /** Counts DISTINCT FileScanRDD instances across every job — each
+    * materialized scan operator creates one, so a stage re-derived N
+    * times contributes N ids even when the displayed plan shows only a
+    * `Scan ExistingRDD` cut. */
+  private class ScanRddListener extends org.apache.spark.scheduler.SparkListener {
+    private val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      j.stageInfos.foreach(_.rddInfos.foreach(r =>
+        if (r.name == "FileScanRDD") ids.add(r.id)))
+    def count: Int = ids.size
+    def reset(): Unit = ids.clear()
+  }
+
+  test("checkpoint-cut queries stay within their EXECUTED scan budgets") {
+    // the formatted-plan gate above is blind past a lazy localCheckpoint
+    // (plan truncates at Scan ExistingRDD) — here the cut queries are
+    // EXECUTED at sf0.001 and every physical scan the action triggers is
+    // counted, checkpoint-materialization jobs included (the r8–r10
+    // multi-consumer class inflated exactly this number)
+    val counter = new ScanRddListener
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val over = ScanBudgets.executedPerQuery.toSeq.sortBy(_._1).flatMap {
+        case (name, budget) =>
+          counter.reset()
+          // reset BEFORE building: some builders run eager jobs (bloom
+          // sizing, k-means, CC rounds) that are part of the query's cost
+          graft.SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          org.apache.spark.sql.graftbridge.ColumnBridge.waitListenerBus(spark)
+          val n = counter.count
+          info(s"$name: $n executed scans (budget $budget)")
+          if (n > budget) List(s"$name: $n executed scans > budget $budget")
+          else Nil
+      }
+      withClue(over.mkString("\n")) { over shouldBe empty }
+    } finally spark.sparkContext.removeSparkListener(counter)
   }
 }

@@ -313,13 +313,19 @@ class StreamOpsSpec extends SparkSpec {
       rows.toSeq.toDF("doc_id", "shard_id", "pos_in_shard", "text")
     val base = java.nio.file.Files.createTempDirectory("graft_mreplay").toString
     val path = s"$base/manifests"
-    def write(rows: Array[(Long, Long, Long, String)], id: Long): Unit =
-      StreamOps.writeManifestPartial(frame(rows), id, path,
+    val run = StreamOps.runIdOf(s"$base/ckpt")
+    def write(rows: Array[(Long, Long, Long, String)], id: Long,
+              runId: String = run): Unit =
+      StreamOps.writeManifestPartial(frame(rows), id, runId, path,
         "shard_id", "pos_in_shard", "text", None)
     write(b0, 0L); write(b1, 1L); write(b1, 1L) // batch 1 replayed
     val partials = spark.read.parquet(path)
-    partials.groupBy("batch_id", "shard_id").count()
+    partials.groupBy("run_id", "batch_id", "shard_id").count()
       .agg(max("count")).as[Long].head() shouldBe 1L
+    // run_id is the checkpoint's identity: stable across a restart of the
+    // same stream, distinct for a second writer on another checkpoint
+    StreamOps.runIdOf(s"$base/ckpt") shouldBe run
+    StreamOps.runIdOf(s"$base/other_ckpt") should not be run
     def canon(df: DataFrame): Seq[String] = df
       .select("shard_id", "n_docs", "n_tokens", "first_pos", "last_pos",
         "checksum", "contiguous")
@@ -327,6 +333,15 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     canon(graft.llm.Audit.mergeManifests(partials)) shouldBe
       canon(graft.llm.Audit.shardManifest(layout))
+    // a second writer (different checkpoint → different run_id) writing
+    // its own batch 1 must not clobber the first writer's batch-1
+    // partials — the cross-writer overwrite the run_id partition exists
+    // to prevent
+    val before = spark.read.parquet(path)
+      .where(col("run_id") === run).count()
+    write(b0, 1L, StreamOps.runIdOf(s"$base/other_ckpt"))
+    spark.read.parquet(path)
+      .where(col("run_id") === run).count() shouldBe before
   }
 
   test("ingestStream fails fast on an un-collectable benchmark") {
