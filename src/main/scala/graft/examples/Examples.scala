@@ -432,6 +432,9 @@ object Examples {
     // connector into per-batch partial manifests, fold them — the fold
     // is exact, so the streamed manifest equals the batch one
     val mdir = "/tmp/graft_examples_manifest"
+    // fresh dir: the r11 sink partitions by (run_id, batch_id) and a
+    // leftover flat layout from an older run cannot mix with it
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mdir))
     val stream28 = spark.readStream.format("graft-jsonl")
       .schema("doc_id LONG, source STRING, text STRING, pos_in_shard LONG, shard_id LONG")
       .load(jdir)
@@ -449,6 +452,41 @@ object Examples {
     println(s"[28] streamed manifest: ${folded.getLong(0)} shards, " +
       s"checksum Σ ${folded.getDecimal(1)} — batch agrees: " +
       s"${folded.getDecimal(1) == direct.getDecimal(1)}")
+
+    // 29. the cross-engine (poly) family: every xxhash64-based operator
+    // has a polynomial-arithmetic sibling that replays bit-for-bit in
+    // ANSI SQL — same implementation skeleton, swapped hash family — so
+    // an external system (or the DuckDB oracle) can re-verify any run.
+    // Near-dup pairs, the content fingerprint, and the compressibility
+    // proxy, side by side with their production defaults:
+    val polyPairs = graft.llm.Dedup.polyMinHashNearDups(docs, k = 2,
+      bands = 8, rowsPerBand = 2, threshold = 0.5).count()
+    val xxPairs = graft.llm.Dedup.minHashNearDups(docs, k = 2,
+      bands = 8, rowsPerBand = 2, threshold = 0.5).count()
+    val fpPoly = graft.llm.TextStats.fingerprintPoly(docs)
+      .agg(min("fingerprint"), max("fingerprint")).head()
+    val proxySpread = graft.llm.TextStats.compressibilityProxy(docs)
+      .agg(min("compress_proxy"), max("compress_proxy")).head()
+    println(s"[29] near-dup pairs: poly $polyPairs vs xxhash64 $xxPairs; " +
+      s"poly fingerprint range [${fpPoly.getLong(0)}, ${fpPoly.getLong(1)}]; " +
+      s"compressibility 1024·log2(dup) in [${proxySpread.getLong(0)}, " +
+      s"${proxySpread.getLong(1)}]")
+
+    // 30. the serving surface: the declared query registry answered over
+    // a loopback socket — request a page of any query by name, get the
+    // canonical JSON rows back (the control-plane face; bulk output goes
+    // through the sinks)
+    val srv = graft.serve.Serve.start(spark, "/root/testdata/sf0.001")
+    val sock = new java.net.Socket("127.0.0.1", srv.port)
+    val sout = new java.io.PrintWriter(sock.getOutputStream, true)
+    val sin = new java.io.BufferedReader(
+      new java.io.InputStreamReader(sock.getInputStream))
+    sout.println("""{"query":"agg_multikey","limit":3}""")
+    val served = Iterator.continually(sin.readLine())
+      .takeWhile(_ != null).toSeq
+    sock.close(); srv.close()
+    println(s"[30] served ${served.length - 2} rows of agg_multikey over " +
+      s"the socket; header ${served.head.take(60)}")
 
     spark.stop()
   }
