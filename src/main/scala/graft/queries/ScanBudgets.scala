@@ -93,6 +93,14 @@ object ScanBudgets {
     "llm_ingest"          -> 6, // planted batch 2× (election+join) + corpus + bench
     "llm_dedup_ngram"     -> 2, // pairs ckpt + sets ckpt share the pushed scan
     "llm_select_full"     -> 3, // DSIR's documented three-scan shape; budget ckpt reuses them
-    "llm_curate_full"     -> 3  // gated ckpt + pair-stage cand/sets materializations
+    "llm_curate_full"     -> 3, // gated ckpt + pair-stage cand/sets materializations
+    "llm_curate_full_poly" -> 3,
+    "llm_semdedup_q"      -> 2, // quantization ckpt + verify attach
+    "llm_ann_lsh_q"       -> 2,
+    "llm_dedup_embed_q"   -> 2,
+    "llm_dedup_incremental"           -> 3, // election ckpt + bloom-pruned corpus + anti base
+    "llm_dedup_incremental_near"      -> 4, // batch ckpt + corpus sig + cand ckpt + pruned text
+    "llm_dedup_incremental_near_poly" -> 4,
+    "llm_split_safe"      -> 7  // pair stage + CC per-round checkpoint bases
   )
 }
