@@ -230,6 +230,13 @@ object ScaleProbe {
       // to a measured 14× at 10×; that regime is the documented misuse.)
       ("semdedup", () => graft.llm.Dedup.semDedup(synthEmb(n),
         threshold = 0.7, numClusters = 32, maxCluster = 256).count()),
+      // the corpus-scale training mode: k-means iterations run on a
+      // FIXED 2048-vector lowest-hash sample (train cost flat in n);
+      // assignment + the capped pair stage still see every vector, so
+      // the ratio isolates what sampling buys vs the shape above
+      ("semdedup_sampled", () => graft.llm.Dedup.semDedup(synthEmb(n),
+        threshold = 0.7, numClusters = 32, maxCluster = 256,
+        trainSample = Some(2048)).count()),
       // true sequence packing: per-stratum prefix-sum window + block
       // explode + one groupBy that REUSES the window's partitioning (the
       // plan has no extra exchange) — should track the window shape

@@ -202,7 +202,8 @@ object Curation {
                mixture: Map[String, Double], blockTokens: Long,
                idCol: String = "doc_id", textCol: String = "text",
                stratumCol: String = "lang",
-               tokens: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+               tokens: Option[org.apache.spark.sql.Column] = None,
+               materializeKept: Boolean = false): DataFrame = {
     require(splits.exists(_._1 == keepSplit),
       s"keepSplit '$keepSplit' is not one of the split bands ${splits.map(_._1)}")
     val keepers = Dedup.exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
@@ -214,8 +215,18 @@ object Curation {
     // this operator's own .explain audit)
     val gated = deduped
       .where(TextStats.qualityCol(col(textCol)) >= minQuality)
-    val kept = Sampling.split(gated, splits, idCol)
+    val keptPlan = Sampling.split(gated, splits, idCol)
       .where(col("split") === keepSplit)
+    // reweight's feasibility scan + its keep filter both consume `kept`,
+    // so the dedup shuffle and both gates derive TWICE per action — the
+    // default keeps the documented one-plan/no-materialization contract
+    // (a 100 TB corpus is re-read, never checkpointed implicitly);
+    // materializeKept = true is the curateFull(materializeGated)
+    // tradeoff made explicit: one lazy localCheckpoint of the kept-split
+    // survivors (lineage dropped; results identical, spec-pinned) for
+    // callers who'd rather pay storage than the second derivation.
+    val kept =
+      if (materializeKept) keptPlan.localCheckpoint(false) else keptPlan
     val balanced = Sampling.reweight(kept, mixture, idCol, stratumCol)
     Packing.packSequences(
       balanced.select(col(idCol), col(stratumCol), col(textCol)),

@@ -1111,10 +1111,15 @@ object Dedup {
     * at the cap. */
   def semDedup(emb: DataFrame, threshold: Double, numClusters: Int,
                iters: Int = 5, seed: Long = 42L, maxCluster: Int = 4096,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               trainSample: Option[Int] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"cosine threshold must be in (0, 1], got $threshold")
-    val centroids = Similarity.trainCodebook(emb, numClusters, iters, seed, idCol, vecCol)
+    // trainSample = the corpus-scale mode: k-means iterations run on the
+    // deterministic lowest-hash sample (train cost flat in corpus size);
+    // assignment and the within-cluster prune still see every vector
+    val centroids = Similarity.trainCodebook(emb, numClusters, iters, seed,
+      idCol, vecCol, trainSample)
     // The norm-annotated assignment frame feeds FOUR consumers (the
     // pair generator, both sides of the verify join, and the final
     // anti-join base) — uncut, each re-derived the corpus from parquet

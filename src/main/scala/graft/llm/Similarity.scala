@@ -181,12 +181,32 @@ object Similarity {
     * used (at that codebook size seed collisions wash out).
     */
   def trainCodebook(corpus: DataFrame, k: Int, iters: Int = 5, seed: Long = 42L,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    sampleSize: Option[Int] = None): DataFrame = {
     require(k > 0 && k <= MaxCentroids, s"k must be in 1..$MaxCentroids")
     require(iters >= 0, "iters must be non-negative")
+    require(sampleSize.forall(_ >= k),
+      s"sampleSize must hold at least k=$k vectors")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(col(idCol), col(vecCol))
+    // sampleSize = the 100 TB training mode the scaladoc has always
+    // prescribed, made first-class: every Lloyd iteration scans the
+    // TRAIN SET, so unsampled training pays `iters` full corpus reads
+    // (measured: llm_semdedup's 7 executed scans are 1 init + 5
+    // iterations + the assignment). With sampleSize the train set is
+    // the deterministic lowest-hash prefix (same draw lattice as the
+    // init, so the init candidates are IDENTICAL to unsampled training
+    // whenever sampleSize ≥ the oversample), checkpointed once —
+    // train cost becomes O(sample · iters) regardless of corpus size,
+    // and only the final assignment touches the full corpus.
+    val base = corpus.select(col(idCol), col(vecCol))
+    val vecs = sampleSize match {
+      case Some(n) => base
+        .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+        .limit(n)
+        .localCheckpoint(false)
+      case None => base
+    }
     // deterministic pseudo-random candidate draw: lowest hash-ordered rows
     val oversample = if (k <= 4096) 10L * k else k.toLong
     val candRows = vecs
@@ -244,6 +264,10 @@ object Similarity {
       }
       matrix = next
     }
+    // the sample checkpoint is fully consumed (centroids live on the
+    // driver now) — release its blocks instead of waiting for GC
+    if (sampleSize.isDefined)
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(vecs)
     matrix.toSeq.zipWithIndex
       .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
       .toDF("cid", "embedding")

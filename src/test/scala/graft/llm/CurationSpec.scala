@@ -184,6 +184,14 @@ class CurationSpec extends SparkSpec {
     a.map(_._3).mkString(" ").sliding("alpha0 ".length).count(_ == "alpha0 ") should be <= 1
     // every non-final block per stratum is exactly full
     a.groupBy(_._1).values.foreach(bs => bs.init.foreach(_._4 shouldBe 16L))
+
+    // materializeKept = true (cut the kept-split boundary instead of
+    // deriving it twice through reweight) must change NOTHING but the
+    // plan: results identical row for row
+    val cut = Curation.assemble(docs, minQuality = 0.2, splits, "train",
+        mix, blockTokens = 16L, materializeKept = true)
+      .orderBy("lang", "block_id")
+    cut.as[(String, Long, String, Long)].collect() shouldBe a
   }
 
   // ----- leakageSafeSplit ---------------------------------------------

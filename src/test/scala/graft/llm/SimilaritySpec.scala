@@ -149,6 +149,40 @@ class SimilaritySpec extends SparkSpec {
     train(2) shouldBe train(9)
   }
 
+  test("sampled training: sample >= corpus is bit-identical to full training") {
+    // the sample is the lowest-hash prefix on the SAME draw lattice as
+    // the init, so a sample covering the whole corpus must change
+    // nothing — the identity that pins the sampled path to the full one
+    val embT = clusteredEmbTrain
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("cid").collect().map(_.toString).toSeq
+    canon(Similarity.trainCodebook(embT, k = 5, iters = 3,
+      sampleSize = Some(100000))) shouldBe
+      canon(Similarity.trainCodebook(embT, k = 5, iters = 3))
+  }
+
+  test("sampled training on a strict subset: valid, deterministic, cohesive") {
+    val embT = clusteredEmbTrain // 100 vectors, 10 planted clusters
+    def train() = Similarity.trainCodebook(embT, k = 10, iters = 4,
+      sampleSize = Some(60))
+    val a = train().orderBy("cid").collect().map(_.toString).toSeq
+    a should have length 10
+    a shouldBe train().orderBy("cid").collect().map(_.toString).toSeq
+    // assignment over the FULL corpus still recovers a sane clustering:
+    // every planted cluster's members land together
+    val cells = Similarity.assign(embT,
+        train().select(col("cid").as("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
+    (0 until 10).foreach { c =>
+      (0 until 10).map(i => cells(c * 10L + i)).toSet.size shouldBe 1
+    }
+    // and semDedup composes with it (train on the sample, prune all)
+    val survivors = graft.llm.Dedup.semDedup(embT, threshold = 0.995,
+      numClusters = 10, trainSample = Some(60)).count()
+    survivors should be <= 100L
+    survivors should be > 0L
+  }
+
   // 2 subspaces × 2 centroids × 2 dims: sub 0 separates on x, sub 1 on y
   private val pqCb: Seq[Seq[Seq[Double]]] = Seq(
     Seq(Seq(0.0, 0.0), Seq(10.0, 10.0)),
