@@ -24,6 +24,8 @@ import org.apache.spark.sql.SparkSession
   *   ← one JSON object per ROW (Spark's canonical `toJSON` encoding)
   *   ← `{"done":<rowCount>}`                             (trailer line)
   *   or a single `{"error":"..."}` line.
+  *   Discovery: `{"list":true}` → one `{"queries":[...names...]}` line
+  *   (the reference's HTTP module listed its routes; this is that).
   *
   * Scale contract: serving is a CONTROL-PLANE face — results collect to
   * the driver, so `limit` is clamped to [[MaxRows]] (ask for the first
@@ -76,6 +78,14 @@ object Serve {
       val line = in.readLine()
       if (line == null) return
       val req = mapper.readTree(line)
+      if (Option(req.get("list")).exists(_.asBoolean(false))) {
+        val listing = mapper.createObjectNode()
+        val arr = listing.putArray("queries")
+        graft.SparkEntry.queries.keys.toSeq.sorted.foreach(arr.add)
+        writeLine(mapper.writeValueAsString(listing))
+        out.flush()
+        return
+      }
       val name = Option(req.get("query")).map(_.asText()).getOrElse("")
       val sfDir = Option(req.get("sfDir")).map(_.asText()).getOrElse(defaultSfDir)
       // asLong, not asInt: Jackson's asInt is a narrowing cast, so a

@@ -49,6 +49,15 @@ class ServeSpec extends SparkSpec {
     } finally h.close()
   }
 
+  test("list discovers the full declared registry") {
+    val h = Serve.start(spark, "/root/testdata/sf0.001")
+    try {
+      val line = roundTrip(h.port, """{"list":true}""").head
+      graft.SparkEntry.queries.keys.foreach(q =>
+        line should include(s""""$q""""))
+    } finally h.close()
+  }
+
   test("unknown query and garbage input answer with one error line") {
     val h = Serve.start(spark, "/root/testdata/sf0.001")
     try {
