@@ -112,6 +112,57 @@ class KernelLawsSpec extends SparkSpec {
     })
   }
 
+  // arbitrary unicode text: ascii mixed with combining/astral code points
+  // (the cross-engine kernels iterate CODE POINTS — surrogate pairs are
+  // the case a char-indexed bug would get wrong)
+  private val uniGen: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    cs <- Gen.listOfN(n, Gen.oneOf("a", "b", " ", "é", "ü", "中", "😀", "𝕏"))
+  } yield cs.mkString
+
+  test("PolyMinGramHash ≡ code-point sliding-window reference on arbitrary unicode") {
+    val M = 2147483647L
+    def ref(text: String, gram: Int): Option[Long] = {
+      val cps = text.codePoints().toArray.map(_.toLong)
+      if (cps.isEmpty) None
+      else Some(cps.sliding(gram, 1).take(math.max(cps.length - gram + 1, 1))
+        .map(g => g.tail.foldLeft(g.head)((a, b) => (a * 31L + b) % M)).min)
+    }
+    check(Prop.forAll(Gen.listOfN(8, uniGen), Gen.choose(1, 6)) { (texts, gram) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val kernel = rows.toDF("doc_id", "text")
+        .select(col("doc_id"), PolyMinGramHash(col("text"), gram).as("f"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      rows.forall { case (id, t) => kernel(id) == ref(t, gram) }
+    })
+  }
+
+  test("compressibilityProxy ≡ integer reference (token/gram chains, buckets, l2) on arbitrary text") {
+    val M = 2147483647L
+    val buckets = 1 << 20
+    def ref(text: String): Option[Long] = {
+      val toks = text.split(" ", -1).filter(_.nonEmpty)
+      if (toks.isEmpty) return None
+      val th = toks.map(t => t.codePoints().toArray.map(_.toLong)
+        .reduceLeft((a, b) => (a * 31L + b) % M))
+      val m = math.max(th.length - 3, 0) + 1
+      val gh = (0 until m).map { p =>
+        th.slice(p, math.min(p + 3, th.length))
+          .reduceLeft((a, b) => (a * 1000003L + b) % M) % buckets
+      }
+      val x = gh.length.toLong * 1024L / gh.distinct.length
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      Some(msb * 1024L + ((x << 10) >> msb) - 1024L - 10240L)
+    }
+    check(Prop.forAll(docsGen) { rows =>
+      val out = graft.llm.TextStats.compressibilityProxy(
+          rows.toDF("doc_id", "text"))
+        .as[(Long, Long)].collect().toMap
+      rows.forall { case (id, t) => out.get(id) == ref(t) }
+    })
+  }
+
   test("SignProjection ≡ per-plane when(dot≥0) on arbitrary vectors") {
     val vecGen: Gen[List[(Long, Array[Float])]] = for {
       n <- Gen.choose(1, 10)
