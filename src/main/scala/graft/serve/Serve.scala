@@ -18,8 +18,12 @@ import org.apache.spark.sql.SparkSession
   * Spark Connect is a transport change, not an engine change.
   *
   * Protocol (one request per connection):
-  *   → `{"query":"<name>","sfDir":"<dir>","limit":N}`  (one line;
-  *     sfDir/limit optional — defaults from the server)
+  *   → `{"query":"<name>","sfDir":"<dir>","limit":N,"offset":K}`
+  *     (one line; sfDir/limit/offset optional — defaults from the
+  *     server / 100 / 0). `offset` pages past the clamp: every declared
+  *     query ends in an ORDER BY over unique keys (the registry
+  *     contract), so `offset`+`limit` is a stable window — a client
+  *     reads the whole result in `MaxRows` pages without a bulk sink.
   *   ← `{"columns":[...]}`                               (header line)
   *   ← one JSON object per ROW (Spark's canonical `toJSON` encoding)
   *   ← `{"done":<rowCount>}`                             (trailer line)
@@ -38,6 +42,18 @@ object Serve {
 
   /** Hard cap on rows collected per request — the driver-heap guard. */
   val MaxRows = 10000
+
+  /** Once the response starts streaming, a client that sends a request
+    * and never READS could park the worker in a blocking write (the
+    * socket send buffer fills; `setSoTimeout` only bounds reads). A
+    * daemon watchdog closes the socket if the write phase exceeds this
+    * deadline, releasing the worker and its collected rows. */
+  val WriteDeadlineMs = 60000L
+
+  private lazy val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-serve-watchdog"); t.setDaemon(true); t
+    }
 
   final class Handle(server: ServerSocket, thread: Thread) extends AutoCloseable {
     def port: Int = server.getLocalPort
@@ -92,12 +108,18 @@ object Serve {
       // 2^32-ish limit would wrap to 0 and "clamp" to one row
       val limit = Option(req.get("limit")).map(_.asLong()).getOrElse(100L)
         .max(1L).min(MaxRows.toLong).toInt
+      val offset = Option(req.get("offset")).map(_.asLong()).getOrElse(0L)
+        .max(0L).min(Int.MaxValue.toLong - MaxRows).toInt
       graft.SparkEntry.queries.get(name) match {
         case None =>
           writeLine(mapper.writeValueAsString(
             mapper.createObjectNode().put("error", s"unknown query: $name")))
         case Some(fn) =>
-          val df = fn(spark, sfDir).limit(limit)
+          val base = fn(spark, sfDir)
+          // offset pages over the declared ORDER BY (unique keys, so the
+          // window is deterministic); offset-then-limit = rows
+          // [offset, offset+limit), same plan shape as SQL LIMIT/OFFSET
+          val df = (if (offset > 0) base.offset(offset) else base).limit(limit)
           // collect BEFORE the header goes out: an execution failure must
           // surface as the protocol's single error line, never as an
           // error object in row position after a header (a conformant
@@ -105,13 +127,22 @@ object Serve {
           // bounded by the limit clamp; toJSON keeps the encoding
           // canonical (timestamps, decimals, arrays).
           val rows = df.toJSON.collect()
-          val header = mapper.createObjectNode()
-          val cols = header.putArray("columns")
-          df.columns.foreach(cols.add)
-          writeLine(mapper.writeValueAsString(header))
-          rows.foreach(writeLine)
-          writeLine(mapper.writeValueAsString(
-            mapper.createObjectNode().put("done", rows.length)))
+          // write phase under the watchdog: a never-reading client fills
+          // the send buffer and blocks us — the deadline close frees the
+          // worker (the client sees a reset, which is the honest signal)
+          val kill = watchdog.schedule(
+            new Runnable { def run(): Unit = try sock.close() catch { case _: Throwable => () } },
+            WriteDeadlineMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+          try {
+            val header = mapper.createObjectNode()
+            val cols = header.putArray("columns")
+            df.columns.foreach(cols.add)
+            writeLine(mapper.writeValueAsString(header))
+            rows.foreach(writeLine)
+            writeLine(mapper.writeValueAsString(
+              mapper.createObjectNode().put("done", rows.length)))
+            out.flush()
+          } finally kill.cancel(false)
       }
       out.flush()
     } catch {
@@ -127,7 +158,9 @@ object Serve {
   /** `runMain graft.serve.Serve <sfDir> [port]` — serve until killed. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val port = args.lift(1).map(_.toInt).getOrElse(7077)
+    // 7177, not 7077: 7077 is Spark standalone master's default port —
+    // colocating graft-serve with a master must not collide
+    val port = args.lift(1).map(_.toInt).getOrElse(7177)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)

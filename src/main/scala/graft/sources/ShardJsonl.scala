@@ -340,6 +340,11 @@ class ShardJsonlBatchWrite(path: String, writeSchema: StructType,
   // (the r10 cut deleted them up front, destroying the old layout
   // before any task had written a byte)
   private var priorFiles: Seq[Path] = Nil
+  // ... and ALL prior shard_id= dirs, files or not: an already-empty
+  // prior dir contributes no priorFiles, so without this it would dodge
+  // the empty-dir cleanup and survive the overwrite as a stale
+  // zero-row shard
+  private var priorDirs: Seq[Path] = Nil
 
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
@@ -348,10 +353,12 @@ class ShardJsonlBatchWrite(path: String, writeSchema: StructType,
     if (truncate) {
       val rootPath = new Path(path)
       val fs = rootPath.getFileSystem(sConf.conf)
-      if (fs.exists(rootPath))
-        priorFiles = fs.listStatus(rootPath).toSeq
+      if (fs.exists(rootPath)) {
+        priorDirs = fs.listStatus(rootPath).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard_id="))
-          .flatMap(d => fs.listStatus(d.getPath).toSeq.map(_.getPath))
+          .map(_.getPath)
+        priorFiles = priorDirs.flatMap(d => fs.listStatus(d).toSeq.map(_.getPath))
+      }
     }
     new ShardJsonlWriterFactory(path, writeSchema, writeId, sConf)
   }
@@ -395,7 +402,7 @@ class ShardJsonlBatchWrite(path: String, writeSchema: StructType,
     // writeId scoping makes the sweep safe against concurrent writers.
     val touchedDirs =
       (commits.flatMap(_.files.map { case (_, fin) => new Path(fin).getParent }) ++
-        priorFiles.map(_.getParent)).distinct
+        priorDirs).distinct
     touchedDirs.foreach { d =>
       if (fs.exists(d)) {
         fs.listStatus(d).foreach { s =>

@@ -275,11 +275,14 @@ object StreamOps {
     * (replay stays idempotent across restarts). */
   private[graft] def runIdOf(checkpoint: String): String = {
     val base = new java.io.File(checkpoint).getAbsolutePath
+    // hash ALL the UTF-8 bytes: base.length is the UTF-16 char count,
+    // which under-counts for non-ASCII paths and would hash a prefix
+    val baseBytes = base.getBytes(StandardCharsets.UTF_8)
     val h = java.lang.Long.toHexString(
       org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        base.getBytes(StandardCharsets.UTF_8),
+        baseBytes,
         org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        base.length, 42) & 0xffffffffL)
+        baseBytes.length, 42) & 0xffffffffL)
     // keep a readable suffix next to the collision-resistant hash
     val tail = base.replaceAll("[^a-zA-Z0-9]", "_").takeRight(24)
     s"${h}_$tail"

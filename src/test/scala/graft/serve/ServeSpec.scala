@@ -58,6 +58,49 @@ class ServeSpec extends SparkSpec {
     } finally h.close()
   }
 
+  test("offset pages tile the full result past the clamp, in declared order") {
+    val h = Serve.start(spark, "/root/testdata/sf0.001")
+    try {
+      // src_range is 100 rows with a declared ORDER BY id — four
+      // offset/limit windows must reassemble it exactly, no overlap, no
+      // gap (the read-past-the-clamp contract, scaled down)
+      val pages = Seq(0, 30, 60, 90).map { off =>
+        val lines = roundTrip(h.port,
+          s"""{"query":"src_range","limit":30,"offset":$off}""")
+        lines.slice(1, lines.length - 1)
+      }
+      pages.map(_.length) shouldBe Seq(30, 30, 30, 10)
+      val whole = roundTrip(h.port, """{"query":"src_range","limit":100}""")
+      pages.flatten shouldBe whole.slice(1, whole.length - 1)
+      // an offset past the end is an empty page, not an error
+      val past = roundTrip(h.port,
+        """{"query":"src_range","limit":30,"offset":5000}""")
+      past.last shouldBe """{"done":0}"""
+    } finally h.close()
+  }
+
+  test("two clients in flight concurrently each get a complete response") {
+    val h = Serve.start(spark, "/root/testdata/sf0.001")
+    try {
+      // open A, send its request, and only AFTER a full round trip on a
+      // second connection read A's response: one worker per connection
+      // means B completes while A's response is still unread
+      val a = new Socket("127.0.0.1", h.port)
+      try {
+        val aOut = new BufferedWriter(
+          new OutputStreamWriter(a.getOutputStream, StandardCharsets.UTF_8))
+        aOut.write("""{"query":"src_inline"}"""); aOut.write("\n"); aOut.flush()
+        val b = roundTrip(h.port, """{"query":"src_range","limit":5}""")
+        b.last shouldBe """{"done":5}"""
+        val aIn = new BufferedReader(
+          new InputStreamReader(a.getInputStream, StandardCharsets.UTF_8))
+        val aLines = Iterator.continually(aIn.readLine()).takeWhile(_ != null).toSeq
+        aLines.head shouldBe """{"columns":["id","name"]}"""
+        aLines.last shouldBe """{"done":3}"""
+      } finally a.close()
+    } finally h.close()
+  }
+
   test("unknown query and garbage input answer with one error line") {
     val h = Serve.start(spark, "/root/testdata/sf0.001")
     try {

@@ -162,6 +162,15 @@ class ShardJsonlSpec extends SparkSpec {
     back.count() shouldBe half.count()
     back.select("shard_id").distinct().as[Long].collect().sorted shouldBe
       Array(0L, 1L)
+    // an ALREADY-EMPTY prior shard dir (no files to record) must also be
+    // retired by the next overwrite — pre-r12 it dodged the cleanup pass
+    // and survived as a stale zero-row shard
+    val emptyDir = new java.io.File(dir, "shard_id=9")
+    emptyDir.mkdirs()
+    half.write.format("graft-jsonl").mode("overwrite").save(dir)
+    emptyDir.exists() shouldBe false
+    new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("shard_id=")) shouldBe 2
   }
 
   test("overwrite is failure-atomic: a failed job leaves the prior layout intact") {

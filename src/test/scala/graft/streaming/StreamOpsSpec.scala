@@ -326,6 +326,12 @@ class StreamOpsSpec extends SparkSpec {
     // same stream, distinct for a second writer on another checkpoint
     StreamOps.runIdOf(s"$base/ckpt") shouldBe run
     StreamOps.runIdOf(s"$base/other_ckpt") should not be run
+    // non-ASCII paths: the hash must cover ALL UTF-8 bytes, not just the
+    // first charCount bytes. These two paths differ only in the final
+    // 2-byte Greek char, whose bytes lie entirely past the char count —
+    // the pre-r12 prefix hash collided here (and the sanitized readable
+    // tails are identical, so the hash is the only separator)
+    StreamOps.runIdOf(s"$base/αβ") should not be StreamOps.runIdOf(s"$base/αγ")
     def canon(df: DataFrame): Seq[String] = df
       .select("shard_id", "n_docs", "n_tokens", "first_pos", "last_pos",
         "checksum", "contiguous")
