@@ -1862,10 +1862,16 @@ object LlmQueries {
     // SemDeDup: cosine k-means clusters → within-cluster greedy min-id
     // prune. Seeded k-means has no DuckDB analog → rows-only; greedy
     // semantics, determinism and recall-vs-exact pinned in DedupSpec.
+    // trainSample: the declared face runs the corpus-scale default —
+    // k-means iterations train on a fixed lowest-hash sample (one scan
+    // to materialize it), and only the final assignment touches the
+    // full corpus. 256 ≥ the 10·k oversample, so the init candidates
+    // are identical to unsampled training; executed corpus scans drop
+    // 7 → 2 (ScanBudgets.executedPerQuery, ratcheted same-commit).
     Q.noOracle("llm_semdedup") { (spark, sf) =>
       Dedup.semDedup(
           Tables.embeddings(spark, sf).where(col("vec_id") < vecCap),
-          threshold = 0.3, numClusters = 16)
+          threshold = 0.3, numClusters = 16, trainSample = Some(256))
         .select("vec_id", "cid")
         .orderBy("vec_id")
     },

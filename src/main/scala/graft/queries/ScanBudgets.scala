@@ -88,7 +88,7 @@ object ScanBudgets {
   val executedPerQuery: Map[String, Int] = Map(
     "llm_dedup_near"      -> 2, // signature/banding pass + pruned text pass
     "llm_dedup_near_poly" -> 2,
-    "llm_semdedup"        -> 7, // k-means init draw + 5 Lloyd iterations + assignment ckpt (iterative by design; sample-train at scale)
+    "llm_semdedup"        -> 2, // r12: sampled-train default — sample ckpt + assignment ckpt (was 7 = init + 5 full-corpus Lloyd iterations)
     "llm_ann_lsh"         -> 3, // fit dim-probe + index ckpt + queries
     "llm_ingest"          -> 6, // planted batch 2× (election+join) + corpus + bench
     "llm_dedup_ngram"     -> 2, // pairs ckpt + sets ckpt share the pushed scan
