@@ -383,9 +383,22 @@ object Sampling {
           .agg(org.apache.spark.sql.functions.sum(mass).as("__n")),
         Seq(stratumCol), "left")
       .select(col(stratumCol), col("__pbp"), coalesce(col("__n"), lit(0L)).as("__n"))
-    val feasible = counts
-      .agg(min(intDiv(col("__n") * 10000L, col("__pbp"))).as("__t"))
-    val rates = counts.where(col("__n") > 0).crossJoin(broadcast(feasible))
+    // feasibility T = min over the target strata, taken as a WINDOW over
+    // the counts frame rather than a separate agg: the old
+    // `counts.agg(min) crossJoin counts` consumed counts TWICE, and since
+    // counts' lineage is the full input, the corpus derived twice on the
+    // rates side alone (3 derivations per action incl. the keep filter —
+    // 6 scans on llm_assemble's dedup chain). The global window runs
+    // single-partition over ≤|target| rows — the tiny-frame WindowExec
+    // pattern (unimax), not a corpus sort. T is computed over ALL target
+    // rows (zero-mass strata drive T to 0) BEFORE the __n > 0 filter,
+    // exactly as the agg formulation did.
+    val allStrata = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val rates = counts
+      .withColumn("__t", min(intDiv(col("__n") * 10000L, col("__pbp")))
+        .over(allStrata))
+      .where(col("__n") > 0)
       .select(col(stratumCol),
         least(lit(10000L),
           intDiv(col("__pbp").cast("decimal(38,0)") * col("__t"), col("__n"))

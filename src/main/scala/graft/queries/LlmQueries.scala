@@ -3360,13 +3360,19 @@ object LlmQueries {
         |  array_to_string(ftoks, ' ') AS block_text,
         |  CAST(len(ftoks) AS BIGINT) AS n_tokens
         |FROM blocks ORDER BY lang, block_id""".stripMargin) { (spark, sf) =>
+      // materializeKept: the declared face runs the corpus-scale mode —
+      // one explicit lazy checkpoint of the kept-split survivors feeds
+      // reweight's feasibility scan AND the pack stage, so the dedup
+      // self-join derives once per action (executed corpus scans 6 → 2,
+      // ScanBudgets.executedPerQuery; the library default stays uncut).
       Curation.assemble(
           Tables.documents(spark, sf).select("doc_id", "lang", "text"),
           minQuality = 0.3,
           splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
           keepSplit = "train",
           mixture = Map("en" -> 0.5, "de" -> 0.2, "zh" -> 0.3),
-          blockTokens = 128L)
+          blockTokens = 128L,
+          materializeKept = true)
         .orderBy("lang", "block_id")
     },
 

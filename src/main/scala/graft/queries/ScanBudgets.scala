@@ -36,11 +36,13 @@ object ScanBudgets {
     * Every remaining entry is a DELIBERATE shape, by class:
     * - narrow corpus re-scans chosen over corpus-sized checkpoints (the
     *   incrementalNear discipline — a 100 TB corpus is re-read
-    *   column-pruned, never checkpointed): assemble (reweight's
-    *   feasibility scan + the one-plan AQE contract), dedup_budget,
-    *   reweight, reweight_tokens, dedup_substring + dup_mass (window
+    *   column-pruned, never checkpointed): dedup_budget,
+    *   dedup_substring + dup_mass (window
     *   election / token rebuild / id base), dedup_paragraph,
-    *   quality_dedup, split_leakage.
+    *   quality_dedup, split_leakage. (r12: reweight/reweight_tokens
+    *   dropped 3→2 = default — reweightBy's feasibility min is now a
+    *   tiny-frame window, so counts is consumed once; assemble moved to
+    *   the executed gate — its declared face checkpoints the kept split.)
     * - small-side re-scans (benchmark/delta-sized frame derived twice,
     *   each a pushed-filter scan; the CORPUS side is single-scan):
     *   contamination, contamination_report, contamination_sweep,
@@ -52,7 +54,6 @@ object ScanBudgets {
     * - persisted-index construction + two pushed-filter query-side
     *   scans: ivf_pq, pq_persist. */
   val perQuery: Map[String, Int] = Map(
-    "llm_assemble"             -> 6,
     "llm_contamination"        -> 3,
     "llm_contamination_report" -> 4,
     "llm_contamination_sweep"  -> 3,
@@ -66,8 +67,6 @@ object ScanBudgets {
     "llm_ivf_pq"               -> 3,
     "llm_pq_persist"           -> 3,
     "llm_quality_dedup"        -> 3,
-    "llm_reweight"             -> 3,
-    "llm_reweight_tokens"      -> 3,
     "llm_split_leakage"        -> 3
   )
 
@@ -86,6 +85,7 @@ object ScanBudgets {
     * measured count at gate landing; same lower-don't-raise ratchet
     * contract as [[perQuery]]. */
   val executedPerQuery: Map[String, Int] = Map(
+    "llm_assemble"        -> 2, // r12: kept-split ckpt (dedup self-join derives once) — was 6 plan scans: counts double-consume (fixed by reweightBy's window-min) × the uncut chain
     "llm_dedup_near"      -> 2, // signature/banding pass + pruned text pass
     "llm_dedup_near_poly" -> 2,
     "llm_semdedup"        -> 2, // r12: sampled-train default — sample ckpt + assignment ckpt (was 7 = init + 5 full-corpus Lloyd iterations)
