@@ -3045,13 +3045,72 @@ object LlmQueries {
 
     // BPE merge TRAINING (the learn side of llm_bpe_count's apply side):
     // word-frequency table → numMerges rounds of most-frequent-pair
-    // merge, driver-side over the bounded vocab. No oracle by design —
-    // each round's argmax depends on the previous round's re-segmented
-    // vocabulary, a stateful iteration with no tractable SQL analog;
-    // the behavioral gate is TextStatsSpec's canonical Sennrich
-    // sequence (hand-computed 4-merge fixture), the non-overlap rule,
-    // the minPairCount stop, partition invariance and the vocab cap.
-    Q.noOracle("llm_bpe_train") { (spark, sf) =>
+    // merge, driver-side over the bounded vocab. Oracle-gated since r12:
+    // the stateful iteration replays as a recursive CTE whose entire
+    // state (every word's segmentation) rides in ONE row — a list of
+    // sep-wrapped strings ("␟s␟y␟m␟"), where the non-overlapping
+    // left-to-right merge is exactly `replace('␟l␟r␟' → '␟lr␟')`
+    // (replace consumes the shared delimiter and resumes AFTER the
+    // replacement, so a just-merged symbol never re-merges in the same
+    // round — the Sennrich rule — and l+r can never textually equal l).
+    // The per-round argmax with the scala tiebreak sortBy(-c, l, r) is
+    // list_max over the distinct pair keys then list_min over the tied
+    // keys: pairs encode as 'l' || chr(30) || 'r', and with chr(30)
+    // below every non-whitespace char, string-min = (l, r) tuple-min.
+    // Char split parity (scala UTF-16 chars vs DuckDB codepoints) holds
+    // because the fixture vocabulary is pure ASCII (probed tri-scale).
+    // Driver-side iteration count = 16 ⇒ the CTE recurses 16 rounds.
+    Q("llm_bpe_train",
+      """WITH RECURSIVE
+        |wf AS (
+        |  SELECT w, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS w
+        |    FROM documents) t
+        |  WHERE len(w) > 0 GROUP BY w),
+        |init AS (
+        |  SELECT list(struct_pack(
+        |    s := chr(31) || array_to_string(string_split(w, ''), chr(31)) || chr(31),
+        |    c := c)) AS seqs
+        |  FROM wf),
+        |steps AS (
+        |  SELECT 0 AS step, seqs, NULL::VARCHAR AS l, NULL::VARCHAR AS r,
+        |    NULL::BIGINT AS cnt
+        |  FROM init
+        |  UNION ALL
+        |  SELECT step + 1,
+        |    list_transform(seqs, w -> struct_pack(
+        |      s := replace(w.s,
+        |        chr(31) || string_split(bestk, chr(30))[1] || chr(31) ||
+        |          string_split(bestk, chr(30))[2] || chr(31),
+        |        chr(31) || string_split(bestk, chr(30))[1] ||
+        |          string_split(bestk, chr(30))[2] || chr(31)),
+        |      c := w.c)),
+        |    string_split(bestk, chr(30))[1], string_split(bestk, chr(30))[2], bestc
+        |  FROM (
+        |    SELECT step, seqs, bestc,
+        |      list_min(list_filter(dks, d ->
+        |        list_sum(list_transform(pairs,
+        |          p -> CASE WHEN p.k = d THEN p.c ELSE 0 END)) = bestc)) AS bestk
+        |    FROM (
+        |      SELECT step, seqs, pairs, dks,
+        |        list_max(list_transform(dks, d ->
+        |          list_sum(list_transform(pairs,
+        |            p -> CASE WHEN p.k = d THEN p.c ELSE 0 END)))) AS bestc
+        |      FROM (
+        |        SELECT step, seqs, pairs,
+        |          list_distinct(list_transform(pairs, p -> p.k)) AS dks
+        |        FROM (
+        |          SELECT step, seqs,
+        |            flatten(list_transform(seqs, w ->
+        |              list_transform([string_split(trim(w.s, chr(31)), chr(31))], sym ->
+        |                list_transform(range(1, len(sym)), i ->
+        |                  struct_pack(k := sym[i] || chr(30) || sym[i+1],
+        |                    c := w.c)))[1])) AS pairs
+        |          FROM steps WHERE step < 16) q1) q2) q3) q4
+        |  WHERE bestk IS NOT NULL AND bestc >= 2)
+        |SELECT CAST(step - 1 AS BIGINT) AS rank, l AS "left", r AS "right",
+        |  cnt AS pair_count
+        |FROM steps WHERE step >= 1 ORDER BY rank""".stripMargin) { (spark, sf) =>
       TextStats.bpeTrain(Tables.documents(spark, sf), numMerges = 16)
         .orderBy("rank")
     },
