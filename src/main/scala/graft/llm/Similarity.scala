@@ -182,7 +182,8 @@ object Similarity {
     */
   def trainCodebook(corpus: DataFrame, k: Int, iters: Int = 5, seed: Long = 42L,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    sampleSize: Option[Int] = None): DataFrame = {
+                    sampleSize: Option[Int] = None,
+                    drawKey: Option[Column] = None): DataFrame = {
     require(k > 0 && k <= MaxCentroids, s"k must be in 1..$MaxCentroids")
     require(iters >= 0, "iters must be non-negative")
     require(sampleSize.forall(_ >= k),
@@ -200,9 +201,15 @@ object Similarity {
     // train cost becomes O(sample · iters) regardless of corpus size,
     // and only the final assignment touches the full corpus.
     val base = corpus.select(col(idCol), col(vecCol))
+    // drawKey: the pseudo-random draw ordering. xxhash64 is the
+    // production default; the cross-engine face passes an affine lattice
+    // over the id (the _poly relationship) so a SQL oracle can replay
+    // the draw — everything downstream (farthest-first, fixed-point
+    // Lloyd) is already engine-neutral arithmetic.
+    val draw = drawKey.getOrElse(xxhash64(col(idCol), lit(seed)))
     val vecs = sampleSize match {
       case Some(n) => base
-        .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+        .orderBy(draw, col(idCol))
         .limit(n)
         .localCheckpoint(false)
       case None => base
@@ -210,7 +217,7 @@ object Similarity {
     // deterministic pseudo-random candidate draw: lowest hash-ordered rows
     val oversample = if (k <= 4096) 10L * k else k.toLong
     val candRows = vecs
-      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .orderBy(draw, col(idCol))
       .limit(oversample.toInt).select(col(vecCol)).collect()
     require(candRows.nonEmpty, "corpus must be non-empty")
     val cand = candRows.map(_.getSeq[Number](0).map(_.doubleValue()).toArray)

@@ -1910,15 +1910,181 @@ object LlmQueries {
 
     // In-library IVF codebook training (cosine Lloyd's with deterministic
     // k-means||-style farthest-first init and fixed-point centroid sums).
-    // Why no oracle, ever: the training loop is iterative over seeded-hash
-    // draws with engine-specific arithmetic — DuckDB has no analog to
-    // replay it; rows-only here, while SimilaritySpec pins exact cluster
-    // recovery, cohesion improvement, and bit-identical results under
-    // repartitioning.
+    // Rows-only on THIS face because the candidate draw is xxhash64
+    // (engine-specific); everything downstream is engine-neutral
+    // arithmetic, and llm_ivf_train_poly below pins the whole trainer
+    // with a full DuckDB replay by swapping only the draw to an affine
+    // lattice (the _poly relationship). SimilaritySpec additionally pins
+    // exact cluster recovery, cohesion improvement, and bit-identical
+    // results under repartitioning.
     Q.noOracle("llm_ivf_train") { (spark, sf) =>
       val emb = Tables.embeddings(spark, sf).where(col("vec_id") < 2500)
       val cb = Similarity.trainCodebook(emb, k = 16, iters = 3)
       // report the codebook as partition-invariant accounting rows
+      Similarity.assign(emb, cb.select(col("cid").as("vec_id"), col("embedding")))
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+        .join(cb.select(col("cid"),
+          round(Similarity.norm(col("embedding")), 4).as("c_norm")), "cid")
+        .orderBy("cid")
+    },
+
+    // llm_ivf_train's oracle-gated sibling: identical trainer, identical
+    // reporting — only the candidate draw swaps xxhash64 for the affine
+    // lattice (vec_id·6007 + 1009) mod 9973, so DuckDB can replay the
+    // ENTIRE training loop: the 160-candidate lowest-hash draw, the
+    // farthest-first sweep (state-in-one-row recursive CTE: chosen list +
+    // per-candidate running max-cos, strict-< argmin = ties-to-first),
+    // three unrolled Lloyd rounds (assignment = list_position of
+    // list_max over left-to-right list_reduce dots — the TopDotKernel
+    // loop order and lowest-cid tiebreak — and fixed-point centroid sums:
+    // trunc(x·2^20) BIGINT, order-free, divided back in the scala
+    // operation order (s/2^20)/n), the float32 rounding trainCodebook
+    // applies to its output matrix, and the final assignment + norm
+    // accounting. Every float op mirrors the kernel's accumulation order
+    // (list_reduce, never list_sum), so the match is bit-exact, not
+    // approximate.
+    Q("llm_ivf_train_poly",
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2500),
+        |candl AS (
+        |  SELECT list(v ORDER BY h, vec_id) AS cands FROM (
+        |    SELECT v, (vec_id * 6007 + 1009) % 9973 AS h, vec_id
+        |    FROM e ORDER BY h, vec_id LIMIT 160) t),
+        |unitl AS (
+        |  SELECT cands, list_transform(cands, v ->
+        |    list_transform([greatest(sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)), 5e-324)],
+        |      nn -> list_transform(v, x -> x / nn))[1]) AS units,
+        |    len(cands) AS nc
+        |  FROM candl),
+        |ff AS (
+        |  SELECT 1 AS it, [1] AS chosen,
+        |    (SELECT list_transform(range(1, nc + 1), i -> CAST(-2.0 AS DOUBLE)) FROM unitl) AS maxcos
+        |  UNION ALL
+        |  SELECT it + 1, list_append(chosen, best), newmax
+        |  FROM (
+        |    SELECT it, chosen, newmax,
+        |      list_filter(range(1, nc + 1), i -> NOT list_contains(chosen, i)
+        |        AND newmax[i] = bestcos)[1] AS best
+        |    FROM (
+        |      SELECT it, chosen, newmax, nc,
+        |        list_min(list_transform(
+        |          list_filter(range(1, nc + 1), i -> NOT list_contains(chosen, i)),
+        |          i -> newmax[i])) AS bestcos
+        |      FROM (
+        |        SELECT ff.it, ff.chosen, u.nc,
+        |          list_transform(range(1, u.nc + 1), i ->
+        |            CASE WHEN list_contains(ff.chosen, i) THEN ff.maxcos[i]
+        |                 ELSE greatest(ff.maxcos[i],
+        |                   list_reduce(list_transform(range(1, 65),
+        |                     j -> u.units[ff.chosen[len(ff.chosen)]][j] * u.units[i][j]),
+        |                     (a, b) -> a + b))
+        |            END) AS newmax
+        |        FROM ff, unitl u WHERE ff.it < 16) q1) q2) q3),
+        |m0 AS (
+        |  SELECT list_transform(ff.chosen, i -> u.cands[i]) AS mat
+        |  FROM ff, unitl u WHERE ff.it = 16),
+        |cb1 AS (
+        |  SELECT mat, list_transform(mat, c ->
+        |    list_transform([greatest(sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)), 5e-324)],
+        |      nn -> list_transform(c, x -> x / nn))[1]) AS cb
+        |  FROM m0),
+        |a1 AS (
+        |  SELECT e.vec_id, e.v,
+        |    list_position(dots, list_max(dots)) AS cid
+        |  FROM (
+        |    SELECT e.vec_id, e.v,
+        |      list_transform(cb.cb, c -> list_reduce(list_transform(range(1, 65), j -> e.v[j] * c[j]), (a, b) -> a + b)) AS dots
+        |    FROM e, cb1 cb) e),
+        |s1 AS (
+        |  SELECT cid, list(val ORDER BY dim) AS cvec
+        |  FROM (
+        |    SELECT cid, dim,
+        |      (CAST(sum(CAST(trunc(x * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0) / count(*) AS val
+        |    FROM (SELECT cid, d.dim, v[d.dim] AS x
+        |          FROM a1, (SELECT unnest(range(1, 65)) AS dim) d) t
+        |    GROUP BY cid, dim) g
+        |  GROUP BY cid),
+        |m1 AS (
+        |  SELECT list_transform(range(1, 17), c ->
+        |    coalesce(mm[c][1], mat[c])) AS mat
+        |  FROM (SELECT map_from_entries(list(struct_pack(k := cid, v := cvec))) AS mm FROM s1),
+        |       m0),
+        |cb2 AS (
+        |  SELECT mat, list_transform(mat, c ->
+        |    list_transform([greatest(sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)), 5e-324)],
+        |      nn -> list_transform(c, x -> x / nn))[1]) AS cb
+        |  FROM m1),
+        |a2 AS (
+        |  SELECT e.vec_id, e.v,
+        |    list_position(dots, list_max(dots)) AS cid
+        |  FROM (
+        |    SELECT e.vec_id, e.v,
+        |      list_transform(cb.cb, c -> list_reduce(list_transform(range(1, 65), j -> e.v[j] * c[j]), (a, b) -> a + b)) AS dots
+        |    FROM e, cb2 cb) e),
+        |s2 AS (
+        |  SELECT cid, list(val ORDER BY dim) AS cvec
+        |  FROM (
+        |    SELECT cid, dim,
+        |      (CAST(sum(CAST(trunc(x * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0) / count(*) AS val
+        |    FROM (SELECT cid, d.dim, v[d.dim] AS x
+        |          FROM a2, (SELECT unnest(range(1, 65)) AS dim) d) t
+        |    GROUP BY cid, dim) g
+        |  GROUP BY cid),
+        |m2 AS (
+        |  SELECT list_transform(range(1, 17), c ->
+        |    coalesce(mm[c][1], mat[c])) AS mat
+        |  FROM (SELECT map_from_entries(list(struct_pack(k := cid, v := cvec))) AS mm FROM s2),
+        |       m1),
+        |cb3 AS (
+        |  SELECT mat, list_transform(mat, c ->
+        |    list_transform([greatest(sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)), 5e-324)],
+        |      nn -> list_transform(c, x -> x / nn))[1]) AS cb
+        |  FROM m2),
+        |a3 AS (
+        |  SELECT e.vec_id, e.v,
+        |    list_position(dots, list_max(dots)) AS cid
+        |  FROM (
+        |    SELECT e.vec_id, e.v,
+        |      list_transform(cb.cb, c -> list_reduce(list_transform(range(1, 65), j -> e.v[j] * c[j]), (a, b) -> a + b)) AS dots
+        |    FROM e, cb3 cb) e),
+        |s3 AS (
+        |  SELECT cid, list(val ORDER BY dim) AS cvec
+        |  FROM (
+        |    SELECT cid, dim,
+        |      (CAST(sum(CAST(trunc(x * 1048576.0) AS BIGINT)) AS DOUBLE) / 1048576.0) / count(*) AS val
+        |    FROM (SELECT cid, d.dim, v[d.dim] AS x
+        |          FROM a3, (SELECT unnest(range(1, 65)) AS dim) d) t
+        |    GROUP BY cid, dim) g
+        |  GROUP BY cid),
+        |m3 AS (
+        |  SELECT list_transform(range(1, 17), c ->
+        |    coalesce(mm[c][1], mat[c])) AS mat
+        |  FROM (SELECT map_from_entries(list(struct_pack(k := cid, v := cvec))) AS mm FROM s3),
+        |       m2),
+        |m3f AS (
+        |  SELECT list_transform(mat, c ->
+        |    list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE))) AS mat
+        |  FROM m3),
+        |fin AS (
+        |  SELECT mat, list_transform(mat, c ->
+        |    list_transform([greatest(sqrt(list_reduce(list_transform(c, x -> x * x), (a, b) -> a + b)), 5e-324)],
+        |      nn -> list_transform(c, x -> x / nn))[1]) AS cb
+        |  FROM m3f),
+        |af AS (
+        |  SELECT e.vec_id,
+        |    list_position(dots, list_max(dots)) AS cid
+        |  FROM (
+        |    SELECT e.vec_id,
+        |      list_transform(cb.cb, c -> list_reduce(list_transform(range(1, 65), j -> e.v[j] * c[j]), (a, b) -> a + b)) AS dots
+        |    FROM e, fin cb) e)
+        |SELECT CAST(a.cid - 1 AS BIGINT) AS cid, count(*)::BIGINT AS n,
+        |  round(sqrt(list_reduce(list_transform(f.mat[a.cid], x -> x * x), (a, b) -> a + b)), 4) AS c_norm
+        |FROM af a, fin f
+        |GROUP BY a.cid, f.mat[a.cid]
+        |ORDER BY cid""".stripMargin) { (spark, sf) =>
+      val emb = Tables.embeddings(spark, sf).where(col("vec_id") < 2500)
+      val cb = Similarity.trainCodebook(emb, k = 16, iters = 3,
+        drawKey = Some((col("vec_id") * 6007 + 1009) % 9973))
       Similarity.assign(emb, cb.select(col("cid").as("vec_id"), col("embedding")))
         .groupBy("cid").agg(count(lit(1)).as("n"))
         .join(cb.select(col("cid"),

@@ -149,6 +149,24 @@ class SimilaritySpec extends SparkSpec {
     train(2) shouldBe train(9)
   }
 
+  test("drawKey swaps only the candidate draw: deterministic, partition-invariant") {
+    // the cross-engine hook behind llm_ivf_train_poly — an affine
+    // lattice draw must give a valid, bit-stable codebook whose identity
+    // does not depend on partitioning (the draw is a total order)
+    val embT = clusteredEmbTrain
+    val poly = (col("vec_id") * 6007 + 1009) % 9973
+    def train(parts: Int) =
+      Similarity.trainCodebook(embT.repartition(parts), k = 5, iters = 3,
+          drawKey = Some(poly))
+        .orderBy("cid").collect().map(_.toString).toSeq
+    val a = train(2)
+    a should have length 5
+    a shouldBe train(9)
+    // and it is a genuinely different draw than the xxhash64 default
+    a should not be Similarity.trainCodebook(embT, k = 5, iters = 3)
+      .orderBy("cid").collect().map(_.toString).toSeq
+  }
+
   test("sampled training: sample >= corpus is bit-identical to full training") {
     // the sample is the lowest-hash prefix on the SAME draw lattice as
     // the init, so a sample covering the whole corpus must change
