@@ -709,6 +709,37 @@ object ScaleProbe {
             budgetTokens = n * 10L, budgetBp = 14000L, maxEpochs = 2,
             rowsPerShard = 256L))
           .agg(sum("n_tokens"), count(lit(1))).head()
+      }),
+      // the serve surface's control-plane contract: request latency at a
+      // FIXED page (limit 100) must stay flat as the corpus grows —
+      // only the clamped head crosses the socket, and a well-formed
+      // registry query (pushed id filter → row-group pruning) reads a
+      // corpus-independent slice. n*20 so the 1× corpus write (warmup
+      // pass only — the timed pass finds it on disk) clears the probe
+      // floor without making the timed read corpus-bound.
+      ("serve_page", () => {
+        val dir = s"$out/serve_docs_${n * 20}"
+        if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists())
+          synthDocs(n * 20).write.mode("overwrite")
+            .parquet(s"$dir/documents.parquet")
+        val registry = Map[String, (SparkSession, String) => DataFrame](
+          "probe_docs" -> ((s, d) => s.read.parquet(s"$d/documents.parquet")
+            .where(col("doc_id") < 100).orderBy("doc_id")))
+        val h = graft.serve.Serve.start(spark, dir, registry = registry)
+        try {
+          val sock = new java.net.Socket("127.0.0.1", h.port)
+          try {
+            val outW = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+              sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+            val inR = new java.io.BufferedReader(new java.io.InputStreamReader(
+              sock.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+            outW.write("""{"query":"probe_docs","limit":100}"""); outW.write("\n")
+            outW.flush()
+            val lines = Iterator.continually(inR.readLine())
+              .takeWhile(_ != null).toSeq
+            require(lines.last.contains("\"done\":100"), s"bad serve reply: ${lines.last}")
+          } finally sock.close()
+        } finally h.close()
       }))
     val llmBase = 5000L
 

@@ -62,14 +62,17 @@ object Serve {
 
   /** Start serving on `port` (0 = ephemeral; read it back from the
     * handle). Binds loopback only — this is a local control surface,
-    * not an exposed service. */
-  def start(spark: SparkSession, defaultSfDir: String, port: Int = 0): Handle = {
+    * not an exposed service. `registry` defaults to the engine's
+    * declared queries; pass a custom map to serve your own. */
+  def start(spark: SparkSession, defaultSfDir: String, port: Int = 0,
+            registry: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+              graft.SparkEntry.queries): Handle = {
     val server = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
     val acceptor = new Thread(() => {
       try {
         while (!server.isClosed) {
           val sock = server.accept()
-          val worker = new Thread(() => handle(spark, defaultSfDir, sock))
+          val worker = new Thread(() => handle(spark, defaultSfDir, registry, sock))
           worker.setDaemon(true)
           worker.start()
         }
@@ -80,7 +83,9 @@ object Serve {
     new Handle(server, acceptor)
   }
 
-  private def handle(spark: SparkSession, defaultSfDir: String, sock: Socket): Unit = {
+  private def handle(spark: SparkSession, defaultSfDir: String,
+                     registry: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+                     sock: Socket): Unit = {
     val mapper = new ObjectMapper()
     // a client that connects and never sends a line must not park this
     // worker (and its socket) forever
@@ -97,7 +102,7 @@ object Serve {
       if (Option(req.get("list")).exists(_.asBoolean(false))) {
         val listing = mapper.createObjectNode()
         val arr = listing.putArray("queries")
-        graft.SparkEntry.queries.keys.toSeq.sorted.foreach(arr.add)
+        registry.keys.toSeq.sorted.foreach(arr.add)
         writeLine(mapper.writeValueAsString(listing))
         out.flush()
         return
@@ -110,7 +115,7 @@ object Serve {
         .max(1L).min(MaxRows.toLong).toInt
       val offset = Option(req.get("offset")).map(_.asLong()).getOrElse(0L)
         .max(0L).min(Int.MaxValue.toLong - MaxRows).toInt
-      graft.SparkEntry.queries.get(name) match {
+      registry.get(name) match {
         case None =>
           writeLine(mapper.writeValueAsString(
             mapper.createObjectNode().put("error", s"unknown query: $name")))
