@@ -21,4 +21,29 @@ object Q {
     Q(name, fn, Some(oracle))
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
+
+  /** The PERMANENT demo-face policy (round-11 verdict item 6, decided
+    * round 12): every oracle-less declared query is the PRODUCTION-hash
+    * face (xxhash64 / engine-float arithmetic — deliberately not
+    * SQL-replayable) of an oracle-gated sibling that pins the identical
+    * implementation under a cross-engine hash family or quantization.
+    * The faces STAY in the registry — they are what a user actually
+    * runs, the driver's rows-check still executes them tri-scale, and
+    * their specs pin semantics — but they are not correctness gaps:
+    * the map below IS the ledger row, enforced by SparkEntrySpec (a
+    * new no-oracle query must either get an oracle or register its
+    * gated sibling here). */
+  val demoFaces: Map[String, String] = Map(
+    "llm_ann_ivf"                -> "llm_ivf_pq",
+    "llm_ann_lsh"                -> "llm_ann_lsh_q",
+    "llm_compression"            -> "llm_compression_q",
+    "llm_curate_full"            -> "llm_curate_full_poly",
+    "llm_dedup_embed"            -> "llm_dedup_embed_q",
+    "llm_dedup_incremental_near" -> "llm_dedup_incremental_near_poly",
+    "llm_dedup_near"             -> "llm_dedup_near_poly",
+    "llm_dedup_simhash"          -> "llm_dedup_simhash_poly",
+    "llm_fingerprint"            -> "llm_fingerprint_poly",
+    "llm_ivf_train"              -> "llm_ivf_train_poly",
+    "llm_semdedup"               -> "llm_semdedup_q"
+  )
 }

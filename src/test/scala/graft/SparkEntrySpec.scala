@@ -13,6 +13,20 @@ class SparkEntrySpec extends SparkSpec {
     qs.foreach(n => n should fullyMatch regex "[a-z0-9_]+")
   }
 
+  test("every no-oracle query is a registered demo face of an oracle-gated sibling") {
+    // the permanent policy (r11 verdict item 6): rows-only entries are
+    // production-hash faces; each must name its gated sibling in
+    // Q.demoFaces, and that sibling must exist AND carry an oracle.
+    // A new noOracle query fails here until it is gated or registered.
+    val noOracle = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    noOracle shouldBe graft.queries.Q.demoFaces.keySet
+    graft.queries.Q.demoFaces.foreach { case (face, sibling) =>
+      withClue(s"$face -> $sibling") {
+        SparkEntry.oracleSql.keySet should contain(sibling)
+      }
+    }
+  }
+
   test("declared queries run and are non-empty on sf0.001") {
     // the driver's weaker check for oracle-less queries is rows > 0; catch
     // regressions here before the driver does
