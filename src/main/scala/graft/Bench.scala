@@ -96,12 +96,20 @@ object Bench {
     val errs = strArr(errors.toSeq)
     val warns = strArr(warnings.toSeq)
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"warnings":$warns,"sf":"$sfDir"}""")
+    // per-pass suite totals: the record carries its OWN variance (the
+    // r11 ledger lesson — single-capture noise dominates round-over-round
+    // deltas; a reader of BENCH_r{N} should see the spread without
+    // rerunning). `value` stays the min-of-2 composition; `runs` is what
+    // each full pass cost wall-to-wall.
+    def passTotal(p: Map[String, Option[Double]]): Double =
+      p.values.flatten.sum
+    val runs = f"[${passTotal(passA)}%.3f,${passTotal(passB)}%.3f]"
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"warnings":$warns,"sf":"$sfDir"}""")
     // errors/warnings ride in the PARSED (tail) line too: a query failing
     // both passes is excluded from the total, and without these fields the
     // record would read as a performance win — "never silently timed as a
     // success" must hold for the line the driver actually keeps
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"errors":$errs,"warnings":$warns,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"runs":$runs,"errors":$errs,"warnings":$warns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
