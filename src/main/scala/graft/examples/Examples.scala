@@ -97,7 +97,10 @@ object Examples {
 
     // 9. train an IVF codebook in-library, then probe with it — the full
     // ANN loop with no offline step (deterministic: same data+seed ⇒ same
-    // codebook under any partitioning)
+    // codebook under any partitioning). At corpus scale pass
+    // sampleSize=Some(n) so Lloyd iterations train on a fixed lowest-hash
+    // sample instead of re-scanning the corpus per round; drawKey swaps
+    // the draw ordering (the cross-engine hook llm_ivf_train_poly uses).
     val codebook = graft.llm.Similarity.trainCodebook(emb, k = 8, iters = 3)
     val ann = graft.llm.Similarity.ivfTopK(
       emb.where(col("vec_id") < 3), emb,
@@ -484,9 +487,20 @@ object Examples {
     sout.println("""{"query":"agg_multikey","limit":3}""")
     val served = Iterator.continually(sin.readLine())
       .takeWhile(_ != null).toSeq
-    sock.close(); srv.close()
+    sock.close()
+    // paging past the clamp: offset windows over the declared ORDER BY
+    // tile the full result — page 2 of src_range picks up at row 5
+    val sock2 = new java.net.Socket("127.0.0.1", srv.port)
+    val sout2 = new java.io.PrintWriter(sock2.getOutputStream, true)
+    val sin2 = new java.io.BufferedReader(
+      new java.io.InputStreamReader(sock2.getInputStream))
+    sout2.println("""{"query":"src_range","limit":5,"offset":5}""")
+    val page2 = Iterator.continually(sin2.readLine())
+      .takeWhile(_ != null).toSeq
+    sock2.close(); srv.close()
     println(s"[30] served ${served.length - 2} rows of agg_multikey over " +
-      s"the socket; header ${served.head.take(60)}")
+      s"the socket; header ${served.head.take(60)}; " +
+      s"offset page starts ${page2(1)}")
 
     spark.stop()
   }
