@@ -208,6 +208,81 @@ object LlmQueries {
        |          FROM __done GROUP BY doc_id)""".stripMargin
   }
 
+  /** The full DuckDB replay of [[TextStats.bpeTrain]] — see
+    * llm_bpe_train's comment for the derivation (state-in-one-row
+    * recursive CTE; symbol-wise list_reduce greedy merge; chr(30)-keyed
+    * argmax tiebreak). `docsRel` is any relation exposing a `text`
+    * column; `rounds` must equal the Spark side's numMerges. Shared by
+    * llm_bpe_train (real corpus) and llm_bpe_train_redup (planted
+    * reduplicated-word corpus that forces the contiguous-merge path). */
+  private def bpeTrainOracle(docsRel: String, rounds: Int): String =
+    s"""WITH RECURSIVE
+       |wf AS (
+       |  SELECT w, count(*)::BIGINT AS c FROM (
+       |    SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS w
+       |    FROM $docsRel) t
+       |  WHERE len(w) > 0 GROUP BY w),
+       |init AS (
+       |  SELECT list(struct_pack(
+       |    s := chr(31) || array_to_string(string_split(w, ''), chr(31)) || chr(31),
+       |    c := c)) AS seqs
+       |  FROM wf),
+       |steps AS (
+       |  SELECT 0 AS step, seqs, NULL::VARCHAR AS l, NULL::VARCHAR AS r,
+       |    NULL::BIGINT AS cnt
+       |  FROM init
+       |  UNION ALL
+       |  SELECT step + 1,
+       |    list_transform(seqs, w -> struct_pack(
+       |      s := list_reduce(
+       |        list_prepend(chr(31), string_split(trim(w.s, chr(31)), chr(31))),
+       |        (acc, x) -> CASE
+       |          WHEN x = string_split(bestk, chr(30))[2]
+       |            AND ends_with(acc, chr(31) || string_split(bestk, chr(30))[1] || chr(31))
+       |          THEN left(acc, len(acc) - len(string_split(bestk, chr(30))[1]) - 1)
+       |            || replace(bestk, chr(30), '') || chr(31)
+       |          ELSE acc || x || chr(31) END),
+       |      c := w.c)),
+       |    string_split(bestk, chr(30))[1], string_split(bestk, chr(30))[2], bestc
+       |  FROM (
+       |    SELECT step, seqs, bestc,
+       |      list_min(list_filter(dks, d ->
+       |        list_sum(list_transform(pairs,
+       |          p -> CASE WHEN p.k = d THEN p.c ELSE 0 END)) = bestc)) AS bestk
+       |    FROM (
+       |      SELECT step, seqs, pairs, dks,
+       |        list_max(list_transform(dks, d ->
+       |          list_sum(list_transform(pairs,
+       |            p -> CASE WHEN p.k = d THEN p.c ELSE 0 END)))) AS bestc
+       |      FROM (
+       |        SELECT step, seqs, pairs,
+       |          list_distinct(list_transform(pairs, p -> p.k)) AS dks
+       |        FROM (
+       |          SELECT step, seqs,
+       |            flatten(list_transform(seqs, w ->
+       |              list_transform([string_split(trim(w.s, chr(31)), chr(31))], sym ->
+       |                list_transform(range(1, len(sym)), i ->
+       |                  struct_pack(k := sym[i] || chr(30) || sym[i+1],
+       |                    c := w.c)))[1])) AS pairs
+       |          FROM steps WHERE step < $rounds) q1) q2) q3) q4
+       |  WHERE bestk IS NOT NULL AND bestc >= 2)
+       |SELECT CAST(step - 1 AS BIGINT) AS rank, l AS "left", r AS "right",
+       |  cnt AS pair_count
+       |FROM steps WHERE step >= 1 ORDER BY rank""".stripMargin
+
+  /** The llm_bpe_train_redup planted corpus: (word, repetitions) — one
+    * doc per word, text = the word repeated n times. Engineered so that
+    * winning pairs occur as contiguous l·r·l·r runs inside words
+    * ('abab', 'aaaa', 'aaaaaa', 'abababab'), the exact class where the
+    * r12 string-replace oracle diverged from bpeTrain's greedy i+=2
+    * scan ('aaaaaa' also separates fold from replace-until-fixpoint).
+    * Verified: merges 2/3/4/7 of the 8 rounds are reduplication merges
+    * ((ab,ab), (aa,aa), (aaaa,aa), (abab,ab)). */
+  private val bpeRedupPlant: Seq[(String, Int)] = Seq(
+    ("abab", 50), ("aaaa", 40), ("aaaaaa", 30), ("ababab", 20),
+    ("abcabc", 15), ("banana", 10), ("aab", 5), ("zq", 3),
+    ("abababab", 7))
+
   // Shared by llm_contamination and llm_contamination_bloom (identical
   // output contract; the bloom path is prefilter-then-exact-verify).
   private val contaminationSql: String =
@@ -3214,11 +3289,21 @@ object LlmQueries {
     // merge, driver-side over the bounded vocab. Oracle-gated since r12:
     // the stateful iteration replays as a recursive CTE whose entire
     // state (every word's segmentation) rides in ONE row — a list of
-    // sep-wrapped strings ("␟s␟y␟m␟"), where the non-overlapping
-    // left-to-right merge is exactly `replace('␟l␟r␟' → '␟lr␟')`
-    // (replace consumes the shared delimiter and resumes AFTER the
-    // replacement, so a just-merged symbol never re-merges in the same
-    // round — the Sennrich rule — and l+r can never textually equal l).
+    // sep-wrapped strings ("␟s␟y␟m␟"). The per-word merge is a
+    // SYMBOL-WISE list_reduce fold reproducing bpeTrain's greedy i+=2
+    // scan exactly (r13, closing the r12 ADVICE defect): the r12
+    // `replace('␟l␟r␟' → '␟lr␟')` consumed the shared delimiter and so
+    // SKIPPED the second of two contiguous disjoint sites ('abab' →
+    // [ab,a,b] instead of [ab,ab]); replace-until-fixpoint is wrong the
+    // other way ('aaaaaa' → [aa,a,aa,a] vs [aa,aa,aa]). The fold's
+    // state is the rebuilt sep-wrapped prefix: append x, except when x=r
+    // and the prefix ends with '␟l␟' — then rewrite that tail to '␟lr␟'.
+    // That IS the greedy scan because a just-merged symbol can never
+    // match as l again (l||r = l would need r empty), and the delimiter
+    // guard means suffix symbols like 'xl' never false-match '␟l␟'.
+    // Divergence + fix both verified empirically; llm_bpe_train_redup
+    // below plants the pathological corpus so the gate exercises this
+    // path at every scale, not just if the fixture happens to.
     // The per-round argmax with the scala tiebreak sortBy(-c, l, r) is
     // list_max over the distinct pair keys then list_min over the tied
     // keys: pairs encode as 'l' || chr(30) || 'r', and with chr(30)
@@ -3226,59 +3311,30 @@ object LlmQueries {
     // Char split parity (scala UTF-16 chars vs DuckDB codepoints) holds
     // because the fixture vocabulary is pure ASCII (probed tri-scale).
     // Driver-side iteration count = 16 ⇒ the CTE recurses 16 rounds.
-    Q("llm_bpe_train",
-      """WITH RECURSIVE
-        |wf AS (
-        |  SELECT w, count(*)::BIGINT AS c FROM (
-        |    SELECT unnest(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS w
-        |    FROM documents) t
-        |  WHERE len(w) > 0 GROUP BY w),
-        |init AS (
-        |  SELECT list(struct_pack(
-        |    s := chr(31) || array_to_string(string_split(w, ''), chr(31)) || chr(31),
-        |    c := c)) AS seqs
-        |  FROM wf),
-        |steps AS (
-        |  SELECT 0 AS step, seqs, NULL::VARCHAR AS l, NULL::VARCHAR AS r,
-        |    NULL::BIGINT AS cnt
-        |  FROM init
-        |  UNION ALL
-        |  SELECT step + 1,
-        |    list_transform(seqs, w -> struct_pack(
-        |      s := replace(w.s,
-        |        chr(31) || string_split(bestk, chr(30))[1] || chr(31) ||
-        |          string_split(bestk, chr(30))[2] || chr(31),
-        |        chr(31) || string_split(bestk, chr(30))[1] ||
-        |          string_split(bestk, chr(30))[2] || chr(31)),
-        |      c := w.c)),
-        |    string_split(bestk, chr(30))[1], string_split(bestk, chr(30))[2], bestc
-        |  FROM (
-        |    SELECT step, seqs, bestc,
-        |      list_min(list_filter(dks, d ->
-        |        list_sum(list_transform(pairs,
-        |          p -> CASE WHEN p.k = d THEN p.c ELSE 0 END)) = bestc)) AS bestk
-        |    FROM (
-        |      SELECT step, seqs, pairs, dks,
-        |        list_max(list_transform(dks, d ->
-        |          list_sum(list_transform(pairs,
-        |            p -> CASE WHEN p.k = d THEN p.c ELSE 0 END)))) AS bestc
-        |      FROM (
-        |        SELECT step, seqs, pairs,
-        |          list_distinct(list_transform(pairs, p -> p.k)) AS dks
-        |        FROM (
-        |          SELECT step, seqs,
-        |            flatten(list_transform(seqs, w ->
-        |              list_transform([string_split(trim(w.s, chr(31)), chr(31))], sym ->
-        |                list_transform(range(1, len(sym)), i ->
-        |                  struct_pack(k := sym[i] || chr(30) || sym[i+1],
-        |                    c := w.c)))[1])) AS pairs
-        |          FROM steps WHERE step < 16) q1) q2) q3) q4
-        |  WHERE bestk IS NOT NULL AND bestc >= 2)
-        |SELECT CAST(step - 1 AS BIGINT) AS rank, l AS "left", r AS "right",
-        |  cnt AS pair_count
-        |FROM steps WHERE step >= 1 ORDER BY rank""".stripMargin) { (spark, sf) =>
+    Q("llm_bpe_train", bpeTrainOracle("documents", 16)) { (spark, sf) =>
       TextStats.bpeTrain(Tables.documents(spark, sf), numMerges = 16)
         .orderBy("rank")
+    },
+
+    // The pathological-corpus gate for the merge rule itself (r13): the
+    // real fixture happens not to exercise contiguous l·r·l·r repeats,
+    // so llm_bpe_train alone would stay green under a merge-step bug
+    // (the r12 ADVICE defect). This query trains on `bpeRedupPlant` —
+    // planted IN-QUERY on both sides per the repo's oracle-planting
+    // rule — where reduplication merges WIN rounds 2/3/4/7, so any
+    // future drift between the Spark greedy scan and the oracle fold
+    // hash-fails immediately at every scale.
+    Q("llm_bpe_train_redup",
+      bpeTrainOracle(
+        "(SELECT array_to_string([w for _ in range(n)], ' ') AS text " +
+          "FROM (VALUES " +
+          bpeRedupPlant.map { case (w, n) => s"('$w', $n)" }.mkString(", ") +
+          ") AS plant(w, n))",
+        8)) { (spark, _) =>
+      import spark.implicits._
+      val docs = bpeRedupPlant.toDF("w", "n")
+        .select(array_join(array_repeat(col("w"), col("n")), " ").as("text"))
+      TextStats.bpeTrain(docs, numMerges = 8).orderBy("rank")
     },
 
     // Deterministic subword (BPE-faithful) token counting: greedy

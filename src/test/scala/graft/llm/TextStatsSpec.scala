@@ -545,6 +545,26 @@ class TextStatsSpec extends SparkSpec {
     out shouldBe Array(("a", "a", 4L), ("aa", "a", 2L))
   }
 
+  test("bpeTrain greedy scan takes BOTH sites of contiguous disjoint repeats") {
+    // The r12 ADVICE class: 'abab' must become [ab, ab] (i+=2 scan), not
+    // [ab, a, b] (delimiter-sharing string replace) and not the
+    // fixpoint over-merge ('aaaaaa' → [aa, aa, aa], never [aa, a, aa, a]).
+    // This pins the llm_bpe_train_redup expectation: merges 2/3/4/7 are
+    // reduplication merges, bit-matched by the DuckDB fold oracle.
+    val plant = Seq(("abab", 50), ("aaaa", 40), ("aaaaaa", 30),
+      ("ababab", 20), ("abcabc", 15), ("banana", 10), ("aab", 5),
+      ("zq", 3), ("abababab", 7))
+    val docs = plant.toDF("w", "n")
+      .select(array_join(array_repeat(col("w"), col("n")), " ").as("text"))
+    val out = TextStats.bpeTrain(docs, numMerges = 8)
+      .orderBy("rank").select("rank", "left", "right", "pair_count")
+      .as[(Long, String, String, Long)].collect()
+    out shouldBe Array(
+      (0L, "a", "a", 275L), (1L, "a", "b", 218L), (2L, "ab", "ab", 111L),
+      (3L, "aa", "aa", 100L), (4L, "aaaa", "aa", 30L), (5L, "ab", "c", 30L),
+      (6L, "a", "n", 20L), (7L, "abab", "ab", 20L))
+  }
+
   test("bpeTrain is invariant under input partitioning and caps the vocab") {
     val docs = spark.range(120).select(col("id").as("doc_id"),
       concat(lit("w"), pmod(col("id"), lit(9)), lit("x y"),
