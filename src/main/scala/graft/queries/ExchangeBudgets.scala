@@ -1,0 +1,85 @@
+package graft.queries
+
+/** Per-query EXECUTED shuffle budgets — the round-12 verdict's "next
+  * cost class after scans". Every `groupBy`/`join`/`distinct`/
+  * `repartition`/global sort is a shuffle exchange; at 100 TB each one
+  * is a full-corpus network pass, and the r8–r11 history shows exactly
+  * this class regressing by accident (`.distinct()` on a probe side
+  * feeding a semi-join, stages re-derived per consumer). Scans are
+  * gated; this gates shuffles.
+  *
+  * Semantics: running a declared query to completion at sf0.001 (one
+  * noop-sink action, builder jobs included — same protocol as the
+  * executed scan gate) may materialize at most `budget(name)` DISTINCT
+  * shuffle RDDs (`ShuffledRowRDD` for SQL exchanges, `ShuffledRDD` for
+  * RDD-level ops), counted across all jobs of the action by
+  * `graft.plans.ExchangeBudgetSpec`. A reused exchange counts once —
+  * the count is shuffles COMPUTED, not shuffle operators planned.
+  *
+  * The numbers are RATCHETS pinned to the measured actuals at gate
+  * landing (2026-08-14, AQE on, sf0.001): lower (or delete) an entry in
+  * the same commit as the fix that earns it; never raise. The default
+  * covers the bulk of the registry — a scan + one aggregation/join +
+  * the declared ORDER BY.
+  *
+  * AQE note: counts are what ACTUALLY executed under
+  * spark.sql.adaptive.enabled=true — a broadcast-converted join or an
+  * eliminated empty-side shuffle does not count, so the gate also locks
+  * in AQE wins.
+  */
+object ExchangeBudgets {
+  /** Max distinct executed shuffle RDDs per declared query at sf0.001. */
+  val default: Int = 3
+
+  /** Measured actuals at gate landing, by class:
+    * - connected-components iteration (each label-propagation round is
+    *   a self-join + agg over the edge frame — shuffles scale with
+    *   rounds, the task-5 optimization target): split_safe,
+    *   dedup_cluster, quality_dedup / curate_full[_poly] (compose the
+    *   near-dup CC closure), select_full (leakage-safe split's CC).
+    * - k-means training rounds (one agg shuffle per Lloyd round +
+    *   init): ivf_train[_poly], semdedup[_q].
+    * - multi-stage composites where each stage legitimately re-keys
+    *   (stats → strata → allocation → layout): assemble, unimax,
+    *   curriculum, dsir, mix_audit, ingest, tfidf (df → idf → join →
+    *   norm), manifest, dup_mass, quality_tiers, adaptive_gate.
+    * - snapshot+delta double pipelines: dedup_incremental[_near,
+    *   _near_poly], contamination_bloom/_report, domain_boilerplate,
+    *   pq_persist, ivf_pq (index build + query side).
+    * - RDD-level zip (zipWithIndex repartitions both sides): op_zip.
+    * - DSv2 write + read-back round trip: src_shard_jsonl. */
+  val perQuery: Map[String, Int] = Map(
+    "llm_adaptive_gate"               -> 4,
+    "llm_assemble"                    -> 6,
+    "llm_contamination_bloom"         -> 5,
+    "llm_contamination_report"        -> 4,
+    "llm_curate_full"                 -> 28,
+    "llm_curate_full_poly"            -> 28,
+    "llm_curriculum"                  -> 5,
+    "llm_dedup_cluster"               -> 20,
+    "llm_dedup_incremental"           -> 4,
+    "llm_dedup_incremental_near"      -> 8,
+    "llm_dedup_incremental_near_poly" -> 8,
+    "llm_domain_boilerplate"          -> 5,
+    "llm_dsir"                        -> 5,
+    "llm_dup_mass"                    -> 4,
+    "llm_ingest"                      -> 8,
+    "llm_ivf_pq"                      -> 4,
+    "llm_ivf_train"                   -> 5,
+    "llm_ivf_train_poly"              -> 5,
+    "llm_manifest"                    -> 4,
+    "llm_mix_audit"                   -> 8,
+    "llm_pq_persist"                  -> 4,
+    "llm_quality_dedup"               -> 27,
+    "llm_quality_tiers"               -> 4,
+    "llm_select_full"                 -> 14,
+    "llm_semdedup"                    -> 5,
+    "llm_semdedup_q"                  -> 5,
+    "llm_split_safe"                  -> 25,
+    "llm_tfidf"                       -> 6,
+    "llm_unimax"                      -> 6,
+    "op_zip"                          -> 5,
+    "src_shard_jsonl"                 -> 4)
+
+  def budget(name: String): Int = perQuery.getOrElse(name, default)
+}

@@ -67,27 +67,15 @@ class ScanBudgetSpec extends SparkSpec {
       .diff(declared) shouldBe empty
   }
 
-  /** Counts DISTINCT FileScanRDD instances across every job — each
-    * materialized scan operator creates one, so a stage re-derived N
-    * times contributes N ids even when the displayed plan shows only a
-    * `Scan ExistingRDD` cut. */
-  private class ScanRddListener extends org.apache.spark.scheduler.SparkListener {
-    private val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-    override def onJobStart(
-        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-      j.stageInfos.foreach(_.rddInfos.foreach(r =>
-        if (r.name == "FileScanRDD") ids.add(r.id)))
-    def count: Int = ids.size
-    def reset(): Unit = ids.clear()
-  }
-
   test("checkpoint-cut queries stay within their EXECUTED scan budgets") {
     // the formatted-plan gate above is blind past a lazy localCheckpoint
     // (plan truncates at Scan ExistingRDD) — here the cut queries are
     // EXECUTED at sf0.001 and every physical scan the action triggers is
     // counted, checkpoint-materialization jobs included (the r8–r10
     // multi-consumer class inflated exactly this number)
-    val counter = new ScanRddListener
+    // distinct FileScanRDD instances across every job — see
+    // [[DistinctRddListener]] (shared with ExchangeBudgetSpec)
+    val counter = new DistinctRddListener(Set("FileScanRDD"))
     spark.sparkContext.addSparkListener(counter)
     try {
       val over = ScanBudgets.executedPerQuery.toSeq.sortBy(_._1).flatMap {
