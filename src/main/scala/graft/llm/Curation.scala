@@ -299,7 +299,15 @@ object Curation {
       require(!batch.columns.contains(c),
         s"ingestDelta writes '$c'; the batch already has it — rename it first")
     }
-    val fresh = Dedup.incrementalExact(batch, corpus,
+    // `batch` feeds TWO consumers (the dedup election inside
+    // incrementalExact and the keep join below) — uncut, each re-derived
+    // the caller's batch lineage (for llm_ingest a 2-scan union: 6
+    // executed scans total, the r12 verdict's highest non-iterative
+    // count). Batch-sized BY CONTRACT (it is the ingest delta, never
+    // the corpus) → one lazy localCheckpoint, the same cut discipline
+    // as `kept`; executed scans drop to batch + corpus + benchmark.
+    val b = batch.localCheckpoint(false)
+    val fresh = Dedup.incrementalExact(b, corpus,
         idCol = idCol, textCol = textCol)
       .select(col("keep_id").as(idCol), col("dup_count"))
     // `kept` feeds TWO consumers (the contamination probe and the final
@@ -307,7 +315,7 @@ object Curation {
     // corpus-side anti join (r11 scan audit: llm_ingest read its table
     // 10×). Batch-sized by contract → one lazy localCheckpoint; release
     // via ColumnBridge.releaseCheckpoint in long-lived sessions.
-    val kept = batch.join(fresh, Seq(idCol))
+    val kept = b.join(fresh, Seq(idCol))
       .withColumn("quality_bp", TextStats.qualityBp(col(textCol)))
       .where(col("quality_bp") >= minQualityBp)
       .localCheckpoint(false)

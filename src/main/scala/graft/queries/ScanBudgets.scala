@@ -90,7 +90,7 @@ object ScanBudgets {
     "llm_dedup_near_poly" -> 2,
     "llm_semdedup"        -> 2, // r12: sampled-train default — sample ckpt + assignment ckpt (was 7 = init + 5 full-corpus Lloyd iterations)
     "llm_ann_lsh"         -> 3, // fit dim-probe + index ckpt + queries
-    "llm_ingest"          -> 6, // planted batch 2× (election+join) + corpus + bench
+    "llm_ingest"          -> 4, // r13: batch ckpt (election+join derive once) + corpus + bench — was 6 (batch 2-scan union derived twice)
     "llm_dedup_ngram"     -> 2, // pairs ckpt + sets ckpt share the pushed scan
     "llm_select_full"     -> 3, // DSIR's documented three-scan shape; budget ckpt reuses them
     "llm_curate_full"     -> 3, // gated ckpt + pair-stage cand/sets materializations
