@@ -174,6 +174,19 @@ object ScaleProbe {
           .select(lit(0L).as("a"), (col("id") + 1).as("b"))
         graft.llm.Components.dupClusters(nodes, edges).count()
       }),
+      // convergence, not seconds: the closure's ROUND COUNT on the same
+      // chain-of-6 lattice must be IDENTICAL at 1× and factor× (rounds
+      // are O(log diameter) and the diameter is scale-free) — reported
+      // through the obs columns, the r12 verdict's "round count, not
+      // just time" receipt for the iterative operator family
+      ("cc_rounds", () => {
+        val edges = spark.range(n - 1).where(pmod(col("id"), lit(6)) < 5)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        val (comp, rounds) =
+          graft.llm.Components.pairComponentsWithRounds(edges)
+        observe(rounds.toLong)
+        comp.count()
+      }),
       // token-budget shard packing: one window shuffle keyed by the 8
       // synthetic strata — the prefix sum serializes per stratum, which is
       // exactly the documented sizing rule being probed
@@ -767,18 +780,76 @@ object ScaleProbe {
           .map { case ((n, f1), (_, fN)) => (n, f1, fN) })
         .filter { case (n, _, _) => only.isEmpty || only.contains(n) }
     all.foreach { case (_, f1, fN) => warmSafe(f1); warmSafe(fN) }
-    def pass(): Seq[(Double, Double)] =
-      all.map { case (_, f1, fN) => (timeSafe(f1), timeSafe(fN)) }
+    // each measurement also captures the shape's executed shuffle-write
+    // and spill bytes (r12 verdict item 6: time ratios catch blow-ups
+    // but not memory-regime changes — a shape that starts spilling at
+    // 10× is a scale bug even if the clock still looks linear) plus the
+    // optional observable a shape reports via `observe` (CC round
+    // counts — an iterative operator's scale story is its convergence,
+    // not just its seconds)
+    val metrics = new ProbeMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    def measure(f: () => Any): Probe = {
+      observed = -1L
+      metrics.reset(spark)
+      val t = timeSafe(f)
+      val (sh, sp) = metrics.snapshot(spark)
+      Probe(t, sh / 1e6, sp / 1e6, observed)
+    }
+    def pass(): Seq[(Probe, Probe)] =
+      all.map { case (_, f1, fN) => (measure(f1), measure(fN)) }
     val (pa, pb) = (pass(), pass())
-    def minPos(a: Double, b: Double): Double =
-      if (a < 0) b else if (b < 0) a else math.min(a, b)
+    // per side keep the faster run's WHOLE record — mixing the min time
+    // with the other run's bytes would fabricate a measurement
+    def minPos(a: Probe, b: Probe): Probe =
+      if (a.sec < 0) b else if (b.sec < 0) a else if (a.sec <= b.sec) a else b
     val results = all.zip(pa.zip(pb)).map { case ((n, _, _), ((a1, aN), (b1, bN))) =>
-      val t1 = minPos(a1, b1)
-      val tN = minPos(aN, bN)
-      val ratio = if (t1 > 0 && tN >= 0) tN / t1 else -1.0
-      f"""{"shape":"$n","base_sec":$t1%.2f,"x${factor}_sec":$tN%.2f,"ratio":$ratio%.1f}"""
+      val p1 = minPos(a1, b1)
+      val pN = minPos(aN, bN)
+      val ratio = if (p1.sec > 0 && pN.sec >= 0) pN.sec / p1.sec else -1.0
+      val obs = if (p1.obs >= 0 || pN.obs >= 0)
+        s""","obs_base":${p1.obs},"obs_x$factor":${pN.obs}""" else ""
+      f"""{"shape":"$n","base_sec":${p1.sec}%.2f,"x${factor}_sec":${pN.sec}%.2f,"ratio":$ratio%.1f,""" +
+        f""""shuffle_mb_base":${p1.shuffleMb}%.1f,"shuffle_mb_x$factor":${pN.shuffleMb}%.1f,""" +
+        f""""spill_mb_base":${p1.spillMb}%.1f,"spill_mb_x$factor":${pN.spillMb}%.1f""" + obs + "}"
     }
     println(results.mkString("[", ",", "]"))
     spark.stop()
+  }
+
+  /** One timed invocation's record: seconds, executed shuffle-write MB,
+    * spilled MB (memory + disk), and the shape-reported observable
+    * (−1 = none). */
+  private final case class Probe(sec: Double, shuffleMb: Double,
+                                 spillMb: Double, obs: Long)
+
+  /** Shape-reported observable for the CURRENT invocation (e.g. the CC
+    * round count); reset by the harness before each measurement. */
+  @volatile private var observed: Long = -1L
+  private def observe(n: Long): Unit = observed = n
+
+  /** Sums executed task metrics between resets — shuffle bytes written
+    * and bytes spilled — so every probe row carries the memory-regime
+    * columns alongside the clock. */
+  private final class ProbeMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val shuffle = new java.util.concurrent.atomic.LongAdder
+    private val spill = new java.util.concurrent.atomic.LongAdder
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffle.add(m.shuffleWriteMetrics.bytesWritten)
+        spill.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def reset(spark: SparkSession): Unit = {
+      org.apache.spark.sql.graftbridge.ColumnBridge.waitListenerBus(spark)
+      shuffle.reset(); spill.reset()
+    }
+    def snapshot(spark: SparkSession): (Long, Long) = {
+      org.apache.spark.sql.graftbridge.ColumnBridge.waitListenerBus(spark)
+      (shuffle.sum(), spill.sum())
+    }
   }
 }

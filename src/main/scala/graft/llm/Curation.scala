@@ -53,7 +53,7 @@ object Curation {
     * → per-document accounting. Returns surviving
     * (doc_id, lang, source, n_tokens, quality) rows.
     *
-    * NOT fully lazy: the clustering stage ([[Components.dupClusters]]) is
+    * NOT fully lazy: the clustering stage ([[Components.pairComponents]]) is
     * iterative, so calling this method runs its O(log diameter) rounds of
     * Spark jobs immediately; the returned frame is lazy from the anti
     * join onward.
@@ -103,27 +103,24 @@ object Curation {
     // the old pairwise rule ("drop the higher id of each pair") leaked
     // duplicates — pairs (2,4) and (3,4) drop only 4, keeping 2 and 3
     // although they are transitive near-dups. Cluster the pair graph
-    // ([[Components.dupClusters]]) and keep each cluster's min-id
+    // ([[Components.pairComponents]]) and keep each cluster's min-id
     // representative instead. The iteration runs over PAIR PARTICIPANTS
     // only — the dup graph, a small fraction of a 100 TB corpus — never
     // over all docs; singletons skip the loop entirely and survive via
-    // the anti join. The distinct here is CC input hygiene (duplicate
-    // node rows would duplicate every round's state and the output),
-    // not a probe-side distinct — the anti join's probe is `losers`,
-    // which feeds it without one.
+    // the anti join. r13: losers are exactly the non-min participants —
+    // the closure derives its node set inside its own first-round
+    // shuffle, and inputIsCut tells it the eager pair checkpoint below
+    // is the edge cut already (no second copy).
     val pairs = pairStage(gated, nearDupThreshold, idCol, textCol, polyHash)
-    val participants = pairs.select(col("a").as(idCol))
-      .union(pairs.select(col("b").as(idCol)))
-      .distinct()
     val losers =
-      try Components.dupClusters(participants, pairs, idCol = idCol)
-        .where(!col("is_rep")).select(col(idCol))
+      try Components.pairComponents(pairs, idCol = idCol, inputIsCut = true)
+        .where(col(idCol) =!= col("component")).select(col(idCol))
       catch {
         case t: Throwable => // failed clustering must not pin the pair blocks
           org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(pairs)
           throw t
       }
-    // dupClusters ran its rounds eagerly just now; `losers` reads only the
+    // the closure ran its rounds eagerly just now; `losers` reads only the
     // final labels checkpoint, so the pair blocks are already dead — free
     // them before the (lazy) anti join + cap run
     org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(pairs)
@@ -134,25 +131,22 @@ object Curation {
       .select(col(idCol), col("lang"), col("source"), col("n_tokens"), col("quality"))
   }
 
-  /** The near-dup pair stage of [[curateFull]], cut with a lazy
-    * localCheckpoint: the pair list feeds BOTH clustering inputs — the
-    * node set ([[Components.connectedComponents]]'s labels checkpoint)
-    * and the edge view (its `sym` checkpoint) — which materialize as
-    * separate RDD lineages, so without the cut the minhash stage
+  /** The near-dup pair stage of [[curateFull]], cut with an EAGER
+    * localCheckpoint. Since r13 the cut IS the closure's edge
+    * checkpoint ([[Components.pairComponents]] with `inputIsCut` —
+    * the symmetric view, the participant shuffle and every round read
+    * these blocks through a narrow projection), so the minhash stage
     * (shingling, 16 hash lanes, the banding shuffle, Jaccard
-    * verification — the most expensive stage of the whole pipeline) is
-    * derived once PER CONSUMER. Checkpointing the pairs makes both
-    * consumers share one RDD: the shuffle stages run once, the verified
-    * pairs are computed once and read back as blocks.
-    *
-    * EAGER, unlike the `materializeGated` checkpoint one screen up: the
-    * gated frame's consumers run serially (this action first, the anti
-    * join later), so a lazy cut is race-free there — but both clustering
-    * inputs materialize under the SAME first-round count job, whose two
-    * concurrent subtrees race to compute the pair partitions before the
-    * cache lands (measured: lazy 2.23 s vs eager 1.82 s at sf0.1).
-    * Package-private so CurationSpec can assert the plan IS a checkpoint
-    * boundary. */
+    * verification — the most expensive stage of the whole pipeline)
+    * executes exactly once no matter how many consumers the closure
+    * fans it into. Eager rather than lazy for two measured reasons:
+    * the closure's first-round count job has concurrent subtrees that
+    * would race to compute the pair partitions before a lazy cache
+    * lands (lazy 2.23 s vs eager 1.82 s at sf0.1, r11), and the
+    * eager materialization lets the near-dup stage's internal
+    * candidate cuts be released immediately below instead of riding
+    * until the first count. Package-private so CurationSpec can assert
+    * the plan IS a checkpoint boundary. */
   private[llm] def pairStage(gated: DataFrame, nearDupThreshold: Double,
                              idCol: String, textCol: String,
                              polyHash: Boolean = false): DataFrame = {
@@ -386,11 +380,10 @@ object Curation {
       require(!docs.columns.contains(c),
         s"leakageSafeSplit reserves '$c' internally; rename the input column")
     }
-    val participants = pairs.select(col(aCol).as(idCol))
-      .union(pairs.select(col(bCol).as(idCol)))
-      .distinct() // node set for the iteration, not a probe side
-    val comp = Components
-      .connectedComponents(participants, pairs, idCol, aCol, bCol)
+    // r13: the closure derives its own participant set from its edge
+    // checkpoint — a separate union+distinct here would re-execute the
+    // pair lineage a third time for the node frame alone
+    val comp = Components.pairComponents(pairs, aCol, bCol, idCol)
       .select(col(idCol).as("__cid"), col("component"))
     val keyed = docs
       .join(comp, docs(idCol) === col("__cid"), "left")
@@ -465,11 +458,9 @@ object Curation {
                    aCol: String = "a", bCol: String = "b"): DataFrame = {
     require(!docs.columns.exists(_.startsWith("__")),
       "qualityDedup reserves '__'-prefixed names internally; rename the input columns")
-    val participants = pairs.select(col(aCol).as(idCol))
-      .union(pairs.select(col(bCol).as(idCol)))
-      .distinct() // node set for the iteration, not a probe side
-    val comp = Components
-      .connectedComponents(participants, pairs, idCol, aCol, bCol)
+    // r13: participant derivation now lives inside the closure (edge
+    // checkpoint + fused first round) — see leakageSafeSplit
+    val comp = Components.pairComponents(pairs, aCol, bCol, idCol)
       .select(col(idCol).as("__pid"), col("component").as("__comp"))
     val scored = comp.join(
       docs.select(col(idCol).as("__pid"), scoreCol.as("__score")), Seq("__pid"))

@@ -53,10 +53,10 @@ object ExchangeBudgets {
     "llm_assemble"                    -> 6,
     "llm_contamination_bloom"         -> 5,
     "llm_contamination_report"        -> 4,
-    "llm_curate_full"                 -> 28,
-    "llm_curate_full_poly"            -> 28,
+    "llm_curate_full"                 -> 22,
+    "llm_curate_full_poly"            -> 22,
     "llm_curriculum"                  -> 5,
-    "llm_dedup_cluster"               -> 20,
+    "llm_dedup_cluster"               -> 18,
     "llm_dedup_incremental"           -> 4,
     "llm_dedup_incremental_near"      -> 8,
     "llm_dedup_incremental_near_poly" -> 8,
@@ -70,12 +70,12 @@ object ExchangeBudgets {
     "llm_manifest"                    -> 4,
     "llm_mix_audit"                   -> 8,
     "llm_pq_persist"                  -> 4,
-    "llm_quality_dedup"               -> 27,
+    "llm_quality_dedup"               -> 20,
     "llm_quality_tiers"               -> 4,
     "llm_select_full"                 -> 14,
     "llm_semdedup"                    -> 5,
     "llm_semdedup_q"                  -> 5,
-    "llm_split_safe"                  -> 25,
+    "llm_split_safe"                  -> 18,
     "llm_tfidf"                       -> 6,
     "llm_unimax"                      -> 6,
     "op_zip"                          -> 5,

@@ -101,6 +101,6 @@ object ScanBudgets {
     "llm_dedup_incremental"           -> 3, // election ckpt + bloom-pruned corpus + anti base
     "llm_dedup_incremental_near"      -> 4, // batch ckpt + corpus sig + cand ckpt + pruned text
     "llm_dedup_incremental_near_poly" -> 4,
-    "llm_split_safe"      -> 7  // pair stage + CC per-round checkpoint bases
+    "llm_split_safe"      -> 3  // r13: closure's edge ckpt derives pairs ONCE + docs join + split (was 7: sym + participants each re-ran the pair lineage)
   )
 }

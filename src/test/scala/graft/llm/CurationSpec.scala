@@ -73,14 +73,14 @@ class CurationSpec extends SparkSpec {
     out shouldBe Set(0L, 2L)
   }
 
-  test("the near-dup pair stage is one checkpoint boundary both clustering inputs share") {
-    // the pair list feeds BOTH the clustering node set (the CC labels
-    // checkpoint) and its edge view (the sym checkpoint); those
-    // materialize as separate RDD lineages, so unless the pair stage IS
-    // a checkpoint — a single LogicalRDD both consumers read — the
-    // minhash pipeline (shingling, hash lanes, banding shuffle, Jaccard
-    // verify: the most expensive stage of curateFull) derives once PER
-    // CONSUMER
+  test("the near-dup pair stage is one checkpoint boundary the closure reads") {
+    // the pair checkpoint IS the closure's edge cut (pairComponents
+    // inputIsCut): the symmetric view, the participant shuffle and
+    // every propagation round read these blocks — unless the pair
+    // stage is a checkpoint (a single LogicalRDD), the minhash
+    // pipeline (shingling, hash lanes, banding shuffle, Jaccard
+    // verify: the most expensive stage of curateFull) would derive
+    // once per closure consumer
     val pairs = Curation.pairStage(docs, 0.5, "doc_id", "text")
     val plan = pairs.queryExecution.analyzed
     plan.collectLeaves().length shouldBe 1
