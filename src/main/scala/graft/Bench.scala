@@ -90,7 +90,10 @@ object Bench {
       }
       name -> t
     }.toMap
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // sorted map: cross-round diffs of the artifact must align line-by-
+    // line; a hash-ordered map reshuffles on every added query
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errs = strArr(errors.toSeq)
@@ -99,17 +102,36 @@ object Bench {
     // per-pass suite totals: the record carries its OWN variance (the
     // r11 ledger lesson — single-capture noise dominates round-over-round
     // deltas; a reader of BENCH_r{N} should see the spread without
-    // rerunning). `value` stays the min-of-2 composition; `runs` is what
-    // each full pass cost wall-to-wall.
+    // rerunning). `value` stays the min-of-2 composition; the totals are
+    // composed over the queries timed in BOTH passes ONLY (r12 ADVICE:
+    // a query that errored in one pass would otherwise silently shrink
+    // that pass's total and the spread would compare unequal query
+    // sets), with `runs_n` recording that composition size.
+    val inBoth = suite.map(_._1).filter(n => passA(n).isDefined && passB(n).isDefined)
     def passTotal(p: Map[String, Option[Double]]): Double =
-      p.values.flatten.sum
+      inBoth.flatMap(p(_)).sum
     val runs = f"[${passTotal(passA)}%.3f,${passTotal(passB)}%.3f]"
-    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"warnings":$warns,"sf":"$sfDir"}""")
+    val runsN = inBoth.size
+    val fullLine = s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"runs_n":$runsN,"errors":$errs,"warnings":$warns,"sf":"$sfDir"}"""
+    println(fullLine)
     // errors/warnings ride in the PARSED (tail) line too: a query failing
     // both passes is excluded from the total, and without these fields the
     // record would read as a performance win — "never silently timed as a
     // success" must hold for the line the driver actually keeps
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"runs":$runs,"errors":$errs,"warnings":$warns,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"runs":$runs,"runs_n":$runsN,"errors":$errs,"warnings":$warns,"sf":"$sfDir"}""")
+    // the driver's BENCH_r{N}.json truncates the per-query tail at 2,000
+    // chars, so only ~80 of the timings survive into the official
+    // artifact (the r12 audit's regression table was partial exactly
+    // because of this) — persist the FULL line to a file the repo can
+    // commit per round (env override for ad-hoc captures); best-effort,
+    // a read-only cwd must not fail the bench
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "bench/latest_queries.json"))
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
