@@ -46,9 +46,23 @@ object Serve {
   /** Once the response starts streaming, a client that sends a request
     * and never READS could park the worker in a blocking write (the
     * socket send buffer fills; `setSoTimeout` only bounds reads). A
-    * daemon watchdog closes the socket if the write phase exceeds this
-    * deadline, releasing the worker and its collected rows. */
+    * daemon watchdog closes the socket when the write phase goes this
+    * long WITHOUT PROGRESS, releasing the worker and its collected
+    * rows. Progress resets the deadline: rows stream in
+    * [[WriteChunkRows]] batches and each successful flush re-arms the
+    * timer (r13, closing the r12 ADVICE note) — so a legitimately
+    * slow-but-reading client draining a 10k-row page is never reset as
+    * long as it keeps consuming, while a stalled one is cut within one
+    * deadline of its last drained chunk. The reset is a hard socket
+    * close (the client sees a connection reset mid-stream, before the
+    * `done` trailer — the honest signal that the response is
+    * incomplete). */
   val WriteDeadlineMs = 60000L
+
+  /** Rows per flush between watchdog re-arms — small enough that a
+    * reading client's progress is observed well inside the deadline,
+    * large enough that the timer churn is noise. */
+  val WriteChunkRows = 256
 
   private lazy val watchdog =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
@@ -66,13 +80,15 @@ object Serve {
     * declared queries; pass a custom map to serve your own. */
   def start(spark: SparkSession, defaultSfDir: String, port: Int = 0,
             registry: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-              graft.SparkEntry.queries): Handle = {
+              graft.SparkEntry.queries,
+            writeDeadlineMs: Long = WriteDeadlineMs): Handle = {
     val server = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
     val acceptor = new Thread(() => {
       try {
         while (!server.isClosed) {
           val sock = server.accept()
-          val worker = new Thread(() => handle(spark, defaultSfDir, registry, sock))
+          val worker = new Thread(() =>
+            handle(spark, defaultSfDir, registry, sock, writeDeadlineMs))
           worker.setDaemon(true)
           worker.start()
         }
@@ -85,7 +101,8 @@ object Serve {
 
   private def handle(spark: SparkSession, defaultSfDir: String,
                      registry: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-                     sock: Socket): Unit = {
+                     sock: Socket,
+                     writeDeadlineMs: Long = WriteDeadlineMs): Unit = {
     val mapper = new ObjectMapper()
     // a client that connects and never sends a line must not park this
     // worker (and its socket) forever
@@ -134,20 +151,40 @@ object Serve {
           val rows = df.toJSON.collect()
           // write phase under the watchdog: a never-reading client fills
           // the send buffer and blocks us — the deadline close frees the
-          // worker (the client sees a reset, which is the honest signal)
-          val kill = watchdog.schedule(
-            new Runnable { def run(): Unit = try sock.close() catch { case _: Throwable => () } },
-            WriteDeadlineMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+          // worker (the client sees a reset, which is the honest signal).
+          // The deadline bounds time WITHOUT progress, not the whole
+          // response: every flushed chunk re-arms it, so a slow reader
+          // finishes and only a stalled one is cut (see WriteDeadlineMs)
+          val closer = new Runnable {
+            def run(): Unit = try sock.close() catch { case _: Throwable => () }
+          }
+          val kill =
+            new java.util.concurrent.atomic.AtomicReference[
+                java.util.concurrent.ScheduledFuture[_]](
+              watchdog.schedule(closer, writeDeadlineMs,
+                java.util.concurrent.TimeUnit.MILLISECONDS))
+          def rearm(): Unit = {
+            val next = watchdog.schedule(closer, writeDeadlineMs,
+              java.util.concurrent.TimeUnit.MILLISECONDS)
+            kill.getAndSet(next).cancel(false)
+          }
           try {
             val header = mapper.createObjectNode()
             val cols = header.putArray("columns")
             df.columns.foreach(cols.add)
             writeLine(mapper.writeValueAsString(header))
-            rows.foreach(writeLine)
+            rows.grouped(WriteChunkRows).foreach { chunk =>
+              chunk.foreach(writeLine)
+              // flush returning means the kernel accepted the bytes —
+              // a stalled client's full send buffer blocks HERE, and
+              // the armed deadline cuts it; anything else is progress
+              out.flush()
+              rearm()
+            }
             writeLine(mapper.writeValueAsString(
               mapper.createObjectNode().put("done", rows.length)))
             out.flush()
-          } finally kill.cancel(false)
+          } finally kill.get().cancel(false)
       }
       out.flush()
     } catch {

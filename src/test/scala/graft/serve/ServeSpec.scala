@@ -109,4 +109,72 @@ class ServeSpec extends SparkSpec {
       roundTrip(h.port, "not json at all").head should include("error")
     } finally h.close()
   }
+
+  // a ~10 MB page — far past any socket buffer pair, so the server's
+  // write phase genuinely blocks on a non-consuming client
+  private val bigPage: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame] = Map(
+    "big" -> ((s, _) => s.range(10000).select(
+      org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.lpad(
+        org.apache.spark.sql.functions.col("id").cast("string"), 1000, "x")
+        .as("pad")).orderBy("id")))
+
+  test("watchdog: a slow-but-reading client outlasting the deadline still gets the page") {
+    // the r12 ADVICE case: the deadline bounds time WITHOUT progress,
+    // not the whole response — this client drains the 10k-row page over
+    // ~4 x the 700 ms deadline, sleeping between bursts, and must see
+    // the done trailer because every drained chunk re-arms the timer
+    val h = Serve.start(spark, "/root/testdata/sf0.001",
+      registry = bigPage, writeDeadlineMs = 700L)
+    try {
+      val sock = new Socket("127.0.0.1", h.port)
+      try {
+        sock.setReceiveBufferSize(32 * 1024)
+        val out = new BufferedWriter(
+          new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
+        val in = new BufferedReader(
+          new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+        out.write("""{"query":"big","limit":10000}"""); out.write("\n"); out.flush()
+        val t0 = System.nanoTime()
+        var n = 0
+        var last: String = null
+        var line = in.readLine()
+        while (line != null) {
+          last = line; n += 1
+          if (n % 500 == 0) Thread.sleep(150) // slow consumer, steady progress
+          line = in.readLine()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        withClue(s"read $n lines in $secs s, last=$last") {
+          secs should be > 1.4 // genuinely outlasted the 0.7 s deadline
+          last shouldBe """{"done":10000}"""
+        }
+      } finally sock.close()
+    } finally h.close()
+  }
+
+  test("watchdog: a stalled client is reset within one deadline of its last progress") {
+    val h = Serve.start(spark, "/root/testdata/sf0.001",
+      registry = bigPage, writeDeadlineMs = 300L)
+    try {
+      val sock = new Socket("127.0.0.1", h.port)
+      try {
+        sock.setReceiveBufferSize(32 * 1024)
+        val out = new BufferedWriter(
+          new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
+        val in = new BufferedReader(
+          new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+        out.write("""{"query":"big","limit":10000}"""); out.write("\n"); out.flush()
+        Thread.sleep(2000) // read NOTHING — the server must cut us loose
+        // drain whatever was buffered: the stream must END (EOF or reset)
+        // before the done trailer ever arrives
+        val sawDone =
+          try Iterator.continually(in.readLine()).takeWhile(_ != null)
+            .exists(_.contains("\"done\""))
+          catch { case _: java.io.IOException => false } // reset mid-drain
+        sawDone shouldBe false
+      } finally sock.close()
+    } finally h.close()
+  }
 }
