@@ -34,7 +34,7 @@ object ExchangeBudgets {
   /** Measured actuals at gate landing, by class:
     * - connected-components iteration (each label-propagation round is
     *   a self-join + agg over the edge frame — shuffles scale with
-    *   rounds, the task-5 optimization target): split_safe,
+    *   rounds; the r13 closure rework cut this whole class): split_safe,
     *   dedup_cluster, quality_dedup / curate_full[_poly] (compose the
     *   near-dup CC closure), select_full (leakage-safe split's CC).
     * - k-means training rounds (one agg shuffle per Lloyd round +
