@@ -35,8 +35,12 @@ object ExchangeBudgets {
     * - connected-components iteration (each label-propagation round is
     *   a self-join + agg over the edge frame — shuffles scale with
     *   rounds; the r13 closure rework cut this whole class): split_safe,
-    *   dedup_cluster, quality_dedup / curate_full[_poly] (compose the
-    *   near-dup CC closure), select_full (leakage-safe split's CC).
+    *   dedup_cluster, quality_dedup, curate_full[_poly] (compose the
+    *   near-dup CC closure).
+    * - select_full: no CC — its 14 are the DSIR histogram stages, the
+    *   per-source budget window, unimax's strata/water-fill stages and
+    *   the shuffleShards global sort + offset index, each a distinct
+    *   key. The documented composite shape.
     * - k-means training rounds (one agg shuffle per Lloyd round +
     *   init): ivf_train[_poly], semdedup[_q].
     * - multi-stage composites where each stage legitimately re-keys

@@ -72,18 +72,25 @@ object ScanBudgets {
 
   def budget(query: String): Int = perQuery.getOrElse(query, default)
 
-  /** EXECUTED-scan budgets for the checkpoint-cut queries — the gate the
-    * formatted-plan count above cannot provide: a lazy `localCheckpoint`
-    * truncates the displayed plan at `Scan ExistingRDD`, so a cut query
-    * reports 0 plan scans no matter how many times its UPSTREAM stages
-    * re-read parquet when the checkpoints materialize. For these queries
-    * ScanBudgetSpec executes the frame at sf0.001 under a SparkListener
-    * and counts DISTINCT FileScanRDD instances across every job the
-    * action triggers (checkpoint-materialization jobs included) — the
-    * number of physical scans one action actually pays, which is what
-    * the r8–r10 multi-consumer regressions inflated. Budgets are the
-    * measured count at gate landing; same lower-don't-raise ratchet
-    * contract as [[perQuery]]. */
+  /** EXECUTED-scan budgets — the gate the formatted-plan count above
+    * cannot provide: a lazy `localCheckpoint` truncates the displayed
+    * plan at `Scan ExistingRDD` (a cut query reports 0 plan scans no
+    * matter how many times its UPSTREAM stages re-read parquet when the
+    * checkpoints materialize), and eager BUILDER jobs — a k-means
+    * trainer's collects, a bloom sizing pass — never appear in the
+    * declared frame's plan at all. Since r13 the gate is TOTAL:
+    * `ExchangeBudgetSpec` executes EVERY declared query at sf0.001
+    * under a SparkListener and counts DISTINCT FileScanRDD instances
+    * across every job the action triggers (checkpoint-materialization
+    * and builder jobs included) — the number of physical scans one
+    * action actually pays, which is what the r8–r10 multi-consumer
+    * regressions inflated. NOTE the executed count is a TOTAL across
+    * tables (a lineitem⋈orders join = 2), unlike the per-table plan
+    * budget above — hence its own default. Budgets are the measured
+    * count at gate landing; same lower-don't-raise ratchet contract as
+    * [[perQuery]]. */
+  val executedDefault: Int = 3
+
   val executedPerQuery: Map[String, Int] = Map(
     "llm_assemble"        -> 2, // r12: kept-split ckpt (dedup self-join derives once) — was 6 plan scans: counts double-consume (fixed by reweightBy's window-min) × the uncut chain
     "llm_dedup_near"      -> 2, // signature/banding pass + pruned text pass
@@ -101,6 +108,19 @@ object ScanBudgets {
     "llm_dedup_incremental"           -> 3, // election ckpt + bloom-pruned corpus + anti base
     "llm_dedup_incremental_near"      -> 4, // batch ckpt + corpus sig + cand ckpt + pruned text
     "llm_dedup_incremental_near_poly" -> 4,
-    "llm_split_safe"      -> 3  // r13: closure's edge ckpt derives pairs ONCE + docs join + split (was 7: sym + participants each re-ran the pair lineage)
+    "llm_split_safe"      -> 3, // r13: closure's edge ckpt derives pairs ONCE + docs join + split (was 7: sym + participants each re-ran the pair lineage)
+    // r13 total-coverage pins (first measurement of the non-cut tier;
+    // each is the documented shape, not a regression):
+    "llm_ivf_train"       -> 5, // unsampled trainer: init draw + farthest-first + 3 Lloyd rounds each scan embeddings (sampled mode is the scale path)
+    "llm_ivf_train_poly"  -> 5,
+    "llm_pq_persist"      -> 5, // codebook train + index write + read-back + query side
+    "llm_quality_dedup"   -> 5, // planted 2-scan pair self-join (cut once) + participant scores + corpus + anti probe
+    "llm_dedup_cluster"   -> 4, // two planted edge self-joins (4 scans) materialize the edge ckpt once
+    "llm_contamination_report" -> 4, // bench-side frame derived per report column (delta-sized; plan budget 4 documents it)
+    "llm_domain_boilerplate"   -> 4, // per-domain footer probe re-reads the small side (plan budget 4)
+    "llm_dup_mass"        -> 4  // token rebuild + id-base window over the planted-runs side (plan budget 4)
   )
+
+  def executedBudget(query: String): Int =
+    executedPerQuery.getOrElse(query, executedDefault)
 }

@@ -11,11 +11,20 @@ package graft.plans
   */
 final class DistinctRddListener(names: Set[String])
     extends org.apache.spark.scheduler.SparkListener {
-  private val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val ids = new java.util.concurrent.ConcurrentHashMap[String,
+    java.util.Set[Int]]()
   override def onJobStart(
       j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-    j.stageInfos.foreach(_.rddInfos.foreach(r =>
-      if (names.contains(r.name)) ids.add(r.id)))
-  def count: Int = ids.size
+    j.stageInfos.foreach(_.rddInfos.foreach { r =>
+      if (names.contains(r.name))
+        ids.computeIfAbsent(r.name,
+          _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Int]())
+          .add(r.id)
+    })
+  /** Distinct ids across ALL tracked names. */
+  def count: Int = countOf(names.toSeq: _*)
+  /** Distinct ids across the given names only. */
+  def countOf(which: String*): Int =
+    which.map(n => Option(ids.get(n)).map(_.size).getOrElse(0)).sum
   def reset(): Unit = ids.clear()
 }

@@ -3,14 +3,25 @@ package graft.plans
 import graft.SparkSpec
 import graft.queries.ExchangeBudgets
 
-/** The standing executed-shuffle regression gate (round-12 verdict item
-  * 2). EVERY declared query runs to a noop sink at sf0.001 with a
-  * listener counting the distinct shuffle RDDs the action materializes
-  * (builder jobs included — reset happens BEFORE the frame is built, so
-  * k-means/bloom/CC builder shuffles are part of a query's cost, same
-  * protocol as the executed half of [[ScanBudgetSpec]]). Counts must
-  * stay within [[ExchangeBudgets]] — ratchets pinned to measured
-  * actuals, lower-only.
+import graft.queries.ScanBudgets
+
+/** The standing EXECUTED-cost regression gates (round-12 verdict item
+  * 2, extended round 13). EVERY declared query runs to a noop sink at
+  * sf0.001 ONCE, under a listener counting both cost classes the
+  * action materializes:
+  *
+  *   - distinct shuffle RDDs (`ShuffledRowRDD`/`ShuffledRDD`) vs
+  *     [[ExchangeBudgets]];
+  *   - distinct `FileScanRDD`s vs [[ScanBudgets.executedBudget]] —
+  *     TOTAL gate coverage since r13: the plan-side scan gate is blind
+  *     past checkpoint cuts AND to eager builder jobs (a k-means
+  *     trainer's collect scans never appear in the declared frame's
+  *     plan), so the executed count is asserted for all queries, not
+  *     just the checkpoint-cut ones.
+  *
+  * Builder jobs are included — reset happens BEFORE the frame is
+  * built, so trainer/bloom/CC builder work is part of a query's cost.
+  * All numbers are ratchets pinned to measured actuals, lower-only.
   */
 class ExchangeBudgetSpec extends SparkSpec {
 
@@ -18,8 +29,9 @@ class ExchangeBudgetSpec extends SparkSpec {
 
   assume(new java.io.File(sfDir).isDirectory, s"fixture dir $sfDir missing")
 
-  test("every declared query stays within its executed-shuffle budget") {
-    val counter = new DistinctRddListener(Set("ShuffledRowRDD", "ShuffledRDD"))
+  test("every declared query stays within its executed shuffle AND scan budgets") {
+    val counter = new DistinctRddListener(
+      Set("ShuffledRowRDD", "ShuffledRDD", "FileScanRDD"))
     spark.sparkContext.addSparkListener(counter)
     try {
       val over = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -27,10 +39,13 @@ class ExchangeBudgetSpec extends SparkSpec {
           counter.reset()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           org.apache.spark.sql.graftbridge.ColumnBridge.waitListenerBus(spark)
-          val n = counter.count
-          val b = ExchangeBudgets.budget(name)
-          info(s"$name: $n executed shuffles (budget $b)")
-          if (n > b) List(s"$name: $n executed shuffles > budget $b") else Nil
+          val nSh = counter.countOf("ShuffledRowRDD", "ShuffledRDD")
+          val bSh = ExchangeBudgets.budget(name)
+          val nSc = counter.countOf("FileScanRDD")
+          val bSc = ScanBudgets.executedBudget(name)
+          info(s"$name: $nSh executed shuffles (budget $bSh), $nSc executed scans (budget $bSc)")
+          (if (nSh > bSh) List(s"$name: $nSh executed shuffles > budget $bSh") else Nil) ++
+            (if (nSc > bSc) List(s"$name: $nSc executed scans > budget $bSc") else Nil)
       }
       withClue(over.mkString("\n")) { over shouldBe empty }
     } finally spark.sparkContext.removeSparkListener(counter)

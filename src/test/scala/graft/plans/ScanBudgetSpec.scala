@@ -67,31 +67,8 @@ class ScanBudgetSpec extends SparkSpec {
       .diff(declared) shouldBe empty
   }
 
-  test("checkpoint-cut queries stay within their EXECUTED scan budgets") {
-    // the formatted-plan gate above is blind past a lazy localCheckpoint
-    // (plan truncates at Scan ExistingRDD) — here the cut queries are
-    // EXECUTED at sf0.001 and every physical scan the action triggers is
-    // counted, checkpoint-materialization jobs included (the r8–r10
-    // multi-consumer class inflated exactly this number)
-    // distinct FileScanRDD instances across every job — see
-    // [[DistinctRddListener]] (shared with ExchangeBudgetSpec)
-    val counter = new DistinctRddListener(Set("FileScanRDD"))
-    spark.sparkContext.addSparkListener(counter)
-    try {
-      val over = ScanBudgets.executedPerQuery.toSeq.sortBy(_._1).flatMap {
-        case (name, budget) =>
-          counter.reset()
-          // reset BEFORE building: some builders run eager jobs (bloom
-          // sizing, k-means, CC rounds) that are part of the query's cost
-          graft.SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          org.apache.spark.sql.graftbridge.ColumnBridge.waitListenerBus(spark)
-          val n = counter.count
-          info(s"$name: $n executed scans (budget $budget)")
-          if (n > budget) List(s"$name: $n executed scans > budget $budget")
-          else Nil
-      }
-      withClue(over.mkString("\n")) { over shouldBe empty }
-    } finally spark.sparkContext.removeSparkListener(counter)
-  }
+  // The EXECUTED-scan assertions (total across all queries since r13,
+  // checkpoint-cut and builder-driven ones included) live in
+  // ExchangeBudgetSpec — one noop-sink execution sweep serves both the
+  // shuffle and the executed-scan gate.
 }
