@@ -68,8 +68,9 @@ object Components {
     * pipelines want — losers are exactly `id =!= component` — and it
     * never touches a corpus-sized frame. The returned frame is a
     * materialized checkpoint: reading it re-reads nothing upstream (the
-    * caller may release its own pair checkpoint immediately). */
-  /** `inputIsCut = true` declares `pairs` is ALREADY a materialized
+    * caller may release its own pair checkpoint immediately).
+    *
+    * `inputIsCut = true` declares `pairs` is ALREADY a materialized
     * checkpoint (e.g. [[Curation.curateFull]]'s eager pair stage): the
     * closure then reads it through a narrow projection instead of
     * copying it into a second edge checkpoint — and leaves releasing
