@@ -359,6 +359,39 @@ object TextKernelObjs {
     while (!d.finished()) total += d.deflate(buf)
     (total * 20000L + raw.length) / (2L * raw.length)
   }
+
+  /** Shannon entropy of the CHARACTER distribution in fixed point
+    * (1/1024-bit units) — exact integer arithmetic, replayable in ANSI
+    * SQL via the `length(bin(x))` kit: with character counts c_i over
+    * n = Σc_i characters,
+    *   H_fp = (n·l2(n) − Σ c_i·l2(c_i)) div n,
+    * l2(x) = msb·1024 + (x·1024 >> msb) − 1024 (the [[graft.llm
+    * .TextStats]] dsirWeights definition — one l2 everywhere). Counting
+    * is over CODEPOINTS — the same unit as Spark's `length()` and
+    * DuckDB's `string_split(text, '')`, so the three agree beyond the
+    * BMP too. Sort-then-run-count: no per-row hash map, one int-array
+    * copy, deterministic (long sums are order-free anyway). Empty
+    * text → 0 by convention. */
+  def charEntropyFp(text: UTF8String): Long = {
+    val a = text.toString.codePoints().toArray
+    val n = a.length.toLong
+    if (n == 0L) return 0L
+    java.util.Arrays.sort(a)
+    def l2(x: Long): Long = {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      msb * 1024L + ((x << 10) >> msb) - 1024L
+    }
+    var acc = 0L
+    var i = 0
+    while (i < a.length) {
+      var j = i
+      while (j < a.length && a(j) == a(i)) j += 1
+      val c = (j - i).toLong
+      acc += c * l2(c)
+      i = j
+    }
+    (n * l2(n) - acc) / n
+  }
 }
 
 /** Word k-shingles of a string column as ONE narrow kernel — replaces a
@@ -735,4 +768,37 @@ case class CompressionRatioBp(child: Expression) extends UnaryExpression {
 object CompressionRatioBp {
   def apply(text: Column): Column =
     ColumnBridge.column(CompressionRatioBp(ColumnBridge.expression(text)))
+}
+
+/** Fixed-point character-entropy kernel ([[TextKernelObjs.charEntropyFp]])
+  * — the gibberish/noise face of the quality family: natural prose sits
+  * around 4.1–4.4 bits/char (4200–4500 fp), single-character spam at 0,
+  * base64/random blobs near 6 (≈6100 fp). One narrow codegen'd
+  * projection; cross-engine exact, so oracle-gated (llm_entropy) where
+  * [[CompressionRatioBp]]'s deflate bytes never can be. */
+case class CharEntropyFp(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_char_entropy_fp"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelObjs.charEntropyFp(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernelObjs.charEntropyFp($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropyFp {
+  def apply(text: Column): Column =
+    ColumnBridge.column(CharEntropyFp(ColumnBridge.expression(text)))
 }

@@ -323,6 +323,23 @@ object TextStats {
           "- 11264 AS compress_proxy")  // −1024 (l2 kit) −10240 (the ×1024 fixed-point offset of x): all-distinct ⇒ 0
   }
 
+  /** Character-entropy quality signal — the gibberish/noise face the
+    * length/stopword ratios miss: single-character spam scores 0,
+    * natural prose ~4200–4500, base64/random blobs ~6100 (all in
+    * 1/1024-bit fixed point — [[graft.functions.TextKernelObjs
+    * .charEntropyFp]], exact integer arithmetic, DuckDB-replayable, so
+    * unlike [[compressionRatio]] this face is oracle-gated end to end:
+    * llm_entropy). Gate LOW entropy to drop repeated-character noise,
+    * HIGH to drop encoded blobs. One narrow codegen'd projection —
+    * no shuffle, no join; empty docs are dropped (no distribution to
+    * measure, both engines). */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.where(length(col(textCol)) > 0)
+      .select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        graft.functions.CharEntropyFp(col(textCol)).as("entropy_fp"))
+
   /** Corpus vocabulary: token → occurrence count, top-K by count with
     * ties broken by token (deterministic). The token stream shuffles
     * with map-side combine (partial counts per partition before the

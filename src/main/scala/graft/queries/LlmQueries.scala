@@ -1035,6 +1035,43 @@ object LlmQueries {
       TextStats.compressionRatio(Tables.documents(spark, sf)).orderBy("doc_id")
     },
 
+    // Character-entropy quality scoring (r13): the gibberish/noise face
+    // the length/stopword ratios miss — single-character spam scores 0,
+    // natural prose ~4200-4500 fp, encoded blobs ~6100 fp. Exact
+    // integer arithmetic (the l2 bin() kit over the per-doc character
+    // histogram), hash-gated per row across the whole corpus; two rows
+    // planted in-query pin the edge paths at every scale (a one-class
+    // histogram -> 0, an all-distinct one -> exactly bits*1024).
+    // Codepoint counting matches string_split(text,'') / length() on
+    // both engines.
+    Q("llm_entropy", {
+      def l2(x: String): String =
+        s"((length(bin($x)) - 1) * 1024 + (($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1))) - 1024)"
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT -1, 'aaaaaaaaaa'
+         |  UNION ALL SELECT -2, 'abcdefgh'),
+         |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+         |       FROM docs WHERE len(text) > 0),
+         |hist AS (SELECT doc_id, c, count(*)::BIGINT AS k
+         |         FROM ch GROUP BY doc_id, c),
+         |tot AS (SELECT doc_id, sum(k)::BIGINT AS n FROM hist GROUP BY doc_id)
+         |SELECT h.doc_id, t.n AS n_chars,
+         |  CAST((t.n * ${l2("t.n")} - sum(h.k * ${l2("h.k")})) // t.n
+         |    AS BIGINT) AS entropy_fp
+         |FROM hist h JOIN tot t USING (doc_id)
+         |GROUP BY h.doc_id, t.n
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, sf) =>
+      import spark.implicits._
+      val planted = Seq((-1L, "aaaaaaaaaa"), (-2L, "abcdefgh"))
+        .toDF("doc_id", "text")
+      TextStats.charEntropy(
+          Tables.documents(spark, sf).select("doc_id", "text")
+            .unionAll(planted))
+        .orderBy("doc_id")
+    },
+
     // The integer face that oracle-gates the compressibility family:
     // fixed-point log2 (1/1024-bit units, the bin() kit) of the 3-gram
     // duplication factor over the llm_winnow hash chain mod 2^20. The

@@ -45,6 +45,48 @@ class TextStatsSpec extends SparkSpec {
     r.getLong(3) shouldBe 9   // chars
   }
 
+  test("charEntropy: exact fixed-point values, edges, and the kernel law") {
+    val docs = Seq(
+      (0L, "aaaa"),            // one class → 0 bits
+      (1L, "abcd"),            // 4 distinct → exactly 2·1024
+      (2L, "aabb"),            // two classes of 2 → exactly 1·1024
+      (3L, "aab"),             // H = log2(3) − 2/3 ≈ 0.918 bits
+      (4L, ""),                // empty → dropped, no distribution to measure
+      (5L, "abcdefgh"))        // 8 distinct → exactly 3·1024
+      .toDF("doc_id", "text")
+    val out = TextStats.charEntropy(docs)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    out.map(_._1) shouldBe Array(0L, 1L, 2L, 3L, 5L) // 4L dropped
+    out.map(_._3) shouldBe Array(0L, 2048L,  1024L,
+      // n=3: (3·l2(3) − (2·l2(2) + 1·l2(1))) div 3; l2(3) = 1536
+      (3L * 1536L - 2L * 1024L) / 3L,
+      3072L)
+    // the kernel IS the naive histogram definition, on arbitrary input
+    def naive(s: String): Long = {
+      val cps = s.codePoints().toArray
+      val n = cps.length.toLong
+      if (n == 0) 0L
+      else {
+        def l2(x: Long): Long = {
+          val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+          msb * 1024L + ((x << 10) >> msb) - 1024L
+        }
+        val acc = cps.groupBy(identity).values
+          .map(g => g.length.toLong * l2(g.length.toLong)).sum
+        (n * l2(n) - acc) / n
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val samples = (1 to 50).map(_ =>
+      (1 to rnd.nextInt(300) + 1).map(_ => (rnd.nextInt(90) + 32).toChar).mkString) ++
+      Seq("päö π∆ मिश्रित 😀😀 text")  // non-ASCII incl. a non-BMP codepoint
+    val got = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val kernel = TextStats.charEntropy(got).orderBy("doc_id")
+      .select("entropy_fp").as[Long].collect()
+    kernel shouldBe samples.map(naive).toArray
+  }
+
   test("compressionRatio: repetitive text compresses below varied text, laws hold") {
     val rep = ("spam " * 200).trim                  // highly templated
     val varied = (0 until 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
