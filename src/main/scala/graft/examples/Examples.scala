@@ -502,6 +502,24 @@ object Examples {
       s"the socket; header ${served.head.take(60)}; " +
       s"offset page starts ${page2(1)}")
 
+    // 31. character-entropy quality gate + the pair-graph closure
+    // primitive (both r13): entropy in 1/1024-bit fixed point separates
+    // one-character spam (0) from prose (~4200) from random blobs
+    // (~6100); pairComponents is the dedup pipelines' closure face —
+    // losers are exactly id =!= component, no corpus-sized node frame
+    val noisy = docs.select("doc_id", "text").unionByName(spark.range(2).select(
+      (col("id") + 90000).as("doc_id"),
+      when(col("id") === 0, lit("a" * 400))
+        .otherwise(lit((33 to 126).map(_.toChar).mkString * 5)).as("text")))
+    val ent = graft.llm.TextStats.charEntropy(noisy)
+    val entSpread = ent.agg(min("entropy_fp"), max("entropy_fp")).head()
+    val comp = graft.llm.Components.pairComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"))
+    val losers31 = comp.where(col("doc_id") =!= col("component")).count()
+    println(s"[31] entropy_fp spread [${entSpread.getLong(0)}, " +
+      s"${entSpread.getLong(1)}] over prose+spam+blob; closure drops " +
+      s"$losers31 of ${comp.count()} pair participants")
+
     spark.stop()
   }
 }
