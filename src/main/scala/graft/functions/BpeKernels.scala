@@ -115,6 +115,57 @@ final class BpeTrie(vocab: Seq[String]) extends Serializable {
     total
   }
 
+  /** OPTIMAL (minimum-piece) segmentation count of one word — the
+    * Viterbi face of [[countWord]]'s greedy longest-match: forward DP
+    * over codepoint boundaries, relaxing every trie match starting at
+    * each reachable position plus the single-codepoint fallback.
+    * Greedy can over-segment (vocab {ab, bcd, a}, word "abcd": greedy
+    * ab·c·d = 3, optimal a·bcd = 2); the DP never does, so
+    * viterbiCountWord ≤ countWord always (spec-pinned law). O(word
+    * length × longest token) like the greedy walk, one int array per
+    * word. */
+  def viterbiCountWord(word: String): Long = {
+    val n = word.length
+    if (n == 0) return 0L
+    val INF = Int.MaxValue / 2
+    val cost = Array.fill(n + 1)(INF)
+    cost(0) = 0
+    var i = 0
+    while (i < n) {
+      if (cost(i) < INF) { // skip mid-codepoint (unreachable) positions
+        val step = Character.charCount(word.codePointAt(i))
+        if (cost(i) + 1 < cost(i + step)) cost(i + step) = cost(i) + 1
+        var node = root
+        var j = i
+        var walking = true
+        while (walking && j < n) {
+          val cp = word.codePointAt(j)
+          val nxt = node.child(cp)
+          if (nxt == null) walking = false
+          else {
+            j += Character.charCount(cp)
+            if (nxt.terminal && cost(i) + 1 < cost(j)) cost(j) = cost(i) + 1
+            node = nxt
+          }
+        }
+      }
+      i += 1
+    }
+    cost(n).toLong // always reachable through the fallback chain
+  }
+
+  def viterbiCount(words: ArrayData): Long = {
+    var total = 0L
+    var i = 0
+    val m = words.numElements()
+    while (i < m) {
+      if (!words.isNullAt(i))
+        total += viterbiCountWord(words.getUTF8String(i).toString)
+      i += 1
+    }
+    total
+  }
+
   def tokens(words: ArrayData): ArrayData = {
     val out = new scala.collection.mutable.ArrayBuffer[AnyRef]
     var i = 0
@@ -162,6 +213,47 @@ case class BpeTokenCount(child: Expression, vocab: Seq[String])
 object BpeTokenCount {
   def apply(words: Column, vocab: Seq[String]): Column =
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(words), vocab))
+}
+
+/** Minimum-piece (Viterbi) subword count of a word array — the optimal
+  * segmentation [[BpeTokenCount]]'s greedy walk approximates. The gap
+  * between the two IS the tokenizer-inference quality signal: greedy
+  * over-segmentation inflates every downstream token budget, and the
+  * unigram-LM tokenizer family (SentencePiece) ships Viterbi inference
+  * for exactly this reason. Same trie, same codepoint parity, so the DP
+  * replays in DuckDB (llm_bpe_viterbi). */
+case class ViterbiTokenCount(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val trie = new BpeTrie(vocab)
+
+  override def prettyName: String = "graft_viterbi_token_count"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${t.sql}")
+  }
+
+  def count(arr: ArrayData): Long = trie.viterbiCount(arr)
+
+  override def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("viterbiTokenCount", this,
+      classOf[ViterbiTokenCount].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.count($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ViterbiTokenCount {
+  def apply(words: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(ViterbiTokenCount(ColumnBridge.expression(words), vocab))
 }
 
 /** The greedy subword tokens themselves, flattened across the word array

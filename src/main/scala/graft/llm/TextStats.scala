@@ -148,6 +148,14 @@ object TextStats {
   def bpeTokenCount(textCol: Column, vocab: Seq[String]): Column =
     graft.functions.BpeTokenCount(split(textCol, WsRun), vocab)
 
+  /** Minimum-piece (Viterbi) subword count under the same vocab — the
+    * optimal segmentation [[bpeTokenCount]]'s greedy longest-match
+    * approximates (never exceeds it; the gap measures greedy
+    * over-segmentation, which inflates every downstream token budget).
+    * See [[graft.functions.ViterbiTokenCount]]. */
+  def viterbiTokenCount(textCol: Column, vocab: Seq[String]): Column =
+    graft.functions.ViterbiTokenCount(split(textCol, WsRun), vocab)
+
   /** The greedy subword tokens themselves (flattened, in order) — what
     * [[Packing.packSequences]] / [[Chunking.chunk]] slice when packing
     * BPE-faithful blocks. */

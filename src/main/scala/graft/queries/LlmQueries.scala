@@ -188,11 +188,11 @@ object LlmQueries {
   // recursion step per emitted token (the correlated max-length lookup
   // IS the longest-match rule), summed per document. Shared by
   // llm_bpe_count and llm_pack_shards_bpe.
-  private val bpeCountCtes: String = {
+  private def bpeCountCtesFor(docsRel: String): String = {
     val vlist = bpeVocab.map(v => s"('$v')").mkString(", ")
     s"""vocab(tok) AS (VALUES $vlist),
        |__ws AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS toks
-       |         FROM documents),
+       |         FROM $docsRel),
        |__words AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS widx, toks FROM __ws),
        |__w2 AS (SELECT doc_id, widx, toks[widx] AS w FROM __words),
        |__step AS (
@@ -207,6 +207,38 @@ object LlmQueries {
        |__bpe AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS bpe_tokens
        |          FROM __done GROUP BY doc_id)""".stripMargin
   }
+
+  private val bpeCountCtes: String = bpeCountCtesFor("documents")
+
+  /** The Viterbi (minimum-piece) DP as recursive SQL, appended after
+    * [[bpeCountCtesFor]]'s CTE chain (shares vocab/__w2): per word the
+    * recursion walks positions 1..len(w) carrying the whole DP cost
+    * ARRAY in one list column — costs[i] = minimal pieces for the
+    * length-(i−1) prefix; each step appends `min over pieces ending
+    * here of costs[start]+1`, with the single-character fallback as the
+    * always-present candidate (the same correlated-vocab-subquery
+    * pattern the greedy __step uses). */
+  private val bpeViterbiCtes: String =
+    s"""__vs AS (
+       |  SELECT doc_id, widx, w, [CAST(0 AS BIGINT)] AS costs,
+       |    CAST(1 AS BIGINT) AS pos
+       |  FROM __w2
+       |  UNION ALL
+       |  SELECT doc_id, widx, w,
+       |    costs || [least(
+       |      costs[CAST(pos AS INT)] + 1,
+       |      coalesce((SELECT min(costs[CAST(pos - length(v.tok) + 1 AS INT)]) + 1
+       |                FROM vocab v
+       |                WHERE length(v.tok) <= pos
+       |                  AND substr(w, CAST(pos - length(v.tok) + 1 AS INT),
+       |                             length(v.tok)) = v.tok),
+       |        9223372036854775807))],
+       |    pos + 1
+       |  FROM __vs WHERE pos <= length(w)),
+       |__vdone AS (SELECT doc_id, widx, costs[CAST(length(w) + 1 AS INT)] AS c
+       |            FROM __vs WHERE pos = length(w) + 1),
+       |__vit AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS viterbi_tokens
+       |          FROM __vdone GROUP BY doc_id)""".stripMargin
 
   /** The full DuckDB replay of [[TextStats.bpeTrain]] — see
     * llm_bpe_train's comment for the derivation (state-in-one-row
@@ -3390,6 +3422,27 @@ object LlmQueries {
       Tables.documents(spark, sf).select(col("doc_id"),
           size(split(col("text"), TextStats.WsRun)).cast("long").as("ws_tokens"),
           TextStats.bpeTokenCount(col("text"), bpeVocab).as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Optimal vs greedy segmentation (r13): the Viterbi DP computes the
+    // MINIMUM-piece segmentation under the same planted vocab (the
+    // SentencePiece-inference face of the subword family); the gap to
+    // greedy longest-match is the over-segmentation every downstream
+    // token budget silently inflates by. Both counts in one result so
+    // the oracle hash pins the pair; docCap bounds the per-character
+    // DP recursion on the DuckDB side (the pairwise-op discipline).
+    Q("llm_bpe_viterbi",
+      s"""WITH RECURSIVE
+         |${bpeCountCtesFor(s"(SELECT * FROM documents WHERE doc_id < $docCap)")},
+         |$bpeViterbiCtes
+         |SELECT b.doc_id, b.bpe_tokens, v.viterbi_tokens
+         |FROM __bpe b JOIN __vit v USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (spark, sf) =>
+      Tables.documents(spark, sf).where(col("doc_id") < docCap)
+        .select(col("doc_id"),
+          TextStats.bpeTokenCount(col("text"), bpeVocab).as("bpe_tokens"),
+          TextStats.viterbiTokenCount(col("text"), bpeVocab).as("viterbi_tokens"))
         .orderBy("doc_id")
     },
 

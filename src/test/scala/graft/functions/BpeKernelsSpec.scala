@@ -91,6 +91,36 @@ class BpeKernelsSpec extends SparkSpec {
     })
   }
 
+  test("ViterbiTokenCount beats the greedy trap and never exceeds greedy") {
+    // vocab {ab, bcd, a}: greedy on "abcd" takes ab then falls back char
+    // by char (3 pieces); the DP finds a·bcd (2)
+    val trapVocab = Seq("ab", "bcd", "a")
+    val df = Seq((0L, "abcd"), (1L, "ab"), (2L, ""), (3L, "zzz ab abcd"))
+      .toDF("id", "text")
+    val out = df.orderBy("id").select(
+        TextStats.bpeTokenCount(col("text"), trapVocab).as("g"),
+        TextStats.viterbiTokenCount(col("text"), trapVocab).as("v"))
+      .as[(Long, Long)].collect()
+    out(0) shouldBe ((3L, 2L)) // the trap
+    out(1) shouldBe ((1L, 1L))
+    out(2) shouldBe ((0L, 0L)) // empty text
+    out(3) shouldBe ((3L + 1L + 3L, 3L + 1L + 2L)) // zzz fallback ×3 both
+    // law: optimal ≤ greedy on arbitrary words over the shared vocab,
+    // and ≥ ceil(coverage lower bound) is implied by both being exact
+    // segmentations — pin v ≤ g and v ≥ 1 for non-empty words
+    val wordGen = Gen.listOf(Gen.oneOf(
+      Gen.oneOf(vocab), Gen.alphaLowerStr.map(_.take(6)))).map(_.mkString(""))
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    check(Prop.forAllNoShrink(Gen.listOfN(8, textGen)) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text").orderBy("id")
+        .select(TextStats.bpeTokenCount(col("text"), vocab),
+          TextStats.viterbiTokenCount(col("text"), vocab))
+        .as[(Long, Long)].collect()
+      rows.forall { case (g, v) => v <= g && v >= 0 }
+    })
+  }
+
   test("BpeTokens count agrees with BpeTokenCount (one walk, two outputs)") {
     val texts = Seq("scan customer query zz", "", "the quick brown fox")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
