@@ -392,6 +392,43 @@ object Curation {
     Sampling.split(keyed, fractions, idCol = "__g").drop("__g")
   }
 
+  /** Entity-disjoint TEMPORAL split — the time-axis face of
+    * [[leakageSafeSplit]]: evaluation data must be AFTER the cutoff
+    * AND from entities with no pre-cutoff presence, or per-entity
+    * information (style, preferences, history) leaks from train into
+    * eval exactly like a near-dup doc pair leaks across hash bands.
+    * Every event gets a `band`:
+    *   - `train`          — ts < cutoff;
+    *   - `eval`           — ts ≥ cutoff and the entity's FIRST event is
+    *                        ≥ cutoff (a genuinely fresh entity);
+    *   - `dropped_leaky`  — ts ≥ cutoff but the entity already appears
+    *                        in train; kept visible (not silently
+    *                        filtered) so release audits can count the
+    *                        leakage mass they excluded.
+    * Timestamps compare at SECOND granularity (`date_trunc`) on both
+    * engines — the events fixture's ns/µs parity discipline.
+    *
+    * Scale shape: one map-side-combined min per entity + one shuffle
+    * join on the entity key the events already carry — the entity
+    * frame is |entities|-sized and stays distributed (no broadcast
+    * assumption: user dimensions at corpus scale are huge). */
+  def temporalEntitySplit(events: DataFrame, cutoff: String,
+                          entityCol: String = "user_id",
+                          tsCol: String = "ts"): DataFrame = {
+    require(!events.columns.contains("band") && !events.columns.contains("__first"),
+      "temporalEntitySplit writes 'band'/'__first'; rename the input column")
+    val cut = lit(cutoff).cast("timestamp")
+    val t = date_trunc("second", col(tsCol))
+    val firstSeen = events.groupBy(entityCol)
+      .agg(min(date_trunc("second", col(tsCol))).as("__first"))
+    events.join(firstSeen, entityCol)
+      .withColumn("band",
+        when(t < cut, lit("train"))
+          .when(col("__first") < cut, lit("dropped_leaky"))
+          .otherwise(lit("eval")))
+      .drop("__first")
+  }
+
   /** Quality-aware dedup winner election: within each transitive
     * duplicate cluster keep the member with the HIGHEST `scoreCol`
     * (ties to the smallest id), drop the rest. [[Dedup.exact]] and

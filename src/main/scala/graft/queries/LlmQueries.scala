@@ -2764,6 +2764,33 @@ object LlmQueries {
           .orderBy("doc_id")
     },
 
+    // Entity-disjoint TEMPORAL split (r13) — the time-axis leakage
+    // face: eval must be post-cutoff AND entity-fresh, or per-entity
+    // history leaks across the boundary; straddling entities' post-
+    // cutoff events land in an explicit dropped_leaky band (audit-
+    // visible, never silently filtered). Cutoff 06:00 day one was
+    // PROBED tri-scale: all three bands non-empty at every sf (the
+    // fixture's time span is fixed at ~30 days; scale adds density).
+    // date_trunc('second') both sides — the events ns/µs discipline.
+    Q("llm_split_temporal",
+      """WITH u AS (
+        |  SELECT user_id, min(date_trunc('second', ts)) AS mt
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN date_trunc('second', e.ts) < TIMESTAMP '2024-01-01 06:00:00'
+        |         THEN 'train'
+        |       WHEN u.mt < TIMESTAMP '2024-01-01 06:00:00'
+        |         THEN 'dropped_leaky'
+        |       ELSE 'eval' END AS band
+        |FROM events e JOIN u USING (user_id)
+        |ORDER BY event_id""".stripMargin) { (spark, sf) =>
+      graft.llm.Curation.temporalEntitySplit(
+          Tables.events(spark, sf).select("event_id", "user_id", "ts"),
+          cutoff = "2024-01-01 06:00:00")
+        .select("event_id", "user_id", "band")
+        .orderBy("event_id")
+    },
+
     // Deterministic train/val/test split: contiguous residue bands over
     // the PRIME-modulus split lattice (10007/4871 — coprime to the
     // mixture/reweight lattice so recipe→split composes), total

@@ -231,6 +231,30 @@ class CurationSpec extends SparkSpec {
     safe shouldBe plain
   }
 
+  test("temporalEntitySplit: fresh entities eval, straddlers drop leaky, pre-cutoff trains") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (0L, 1L, t("2024-01-01 01:00:00")), // u1 pre-cutoff        → train
+      (1L, 1L, t("2024-01-01 09:00:00")), // u1 post, but straddles → dropped_leaky
+      (2L, 2L, t("2024-01-01 08:00:00")), // u2 only post-cutoff  → eval
+      (3L, 2L, t("2024-01-01 10:00:00")), // u2 again             → eval
+      (4L, 3L, t("2024-01-01 02:00:00")), // u3 only pre-cutoff   → train
+      (5L, 4L, t("2024-01-01 06:00:00"))) // exactly AT cutoff: ts !< cut, first !< cut → eval
+      .toDF("event_id", "user_id", "ts")
+    val out = Curation.temporalEntitySplit(events, "2024-01-01 06:00:00")
+      .select("event_id", "band").as[(Long, String)].collect().toMap
+    out shouldBe Map(0L -> "train", 1L -> "dropped_leaky", 2L -> "eval",
+      3L -> "eval", 4L -> "train", 5L -> "eval")
+    // partition invariance + no silent row loss
+    val shuffled = Curation.temporalEntitySplit(
+        events.repartition(5), "2024-01-01 06:00:00")
+      .select("event_id", "band").as[(Long, String)].collect().toMap
+    shuffled shouldBe out
+    an[IllegalArgumentException] should be thrownBy
+      Curation.temporalEntitySplit(
+        events.withColumn("band", lit("x")), "2024-01-01 06:00:00")
+  }
+
   test("leakageSafeSplit mixes paired and unpaired docs correctly in one corpus") {
     val docs = Seq(1L, 2L, 10L, 11L, 12L, 20L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (10L, 11L), (11L, 12L)).toDF("a", "b")
