@@ -520,6 +520,25 @@ object Examples {
       s"${entSpread.getLong(1)}] over prose+spam+blob; closure drops " +
       s"$losers31 of ${comp.count()} pair participants")
 
+    // 32. optimal-vs-greedy tokenization and the temporal leakage split:
+    // the Viterbi DP quantifies greedy over-segmentation (tokens you pay
+    // but never needed), and temporalEntitySplit bands events so eval is
+    // post-cutoff AND entity-fresh, with straddlers' leakage mass
+    // visible instead of silently filtered
+    val vocab32 = Seq("ab", "bcd", "a", "the", "sc", "an")
+    val seg = Seq((0L, "abcd the scan")).toDF("id", "text").select(
+        graft.llm.TextStats.bpeTokenCount(col("text"), vocab32).as("greedy"),
+        graft.llm.TextStats.viterbiTokenCount(col("text"), vocab32).as("optimal"))
+      .head()
+    // events read through Tables.events ONLY — the fixture's ts encoding
+    // varies by generation (ns vs µs NTZ) and the adaptive reader owns that
+    val ev32 = graft.model.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts")
+    val bands = graft.llm.Curation.temporalEntitySplit(ev32, "2024-01-01 06:00:00")
+      .groupBy("band").count().as[(String, Long)].collect().toMap
+    println(s"[32] greedy ${seg.getLong(0)} vs optimal ${seg.getLong(1)} tokens; " +
+      s"temporal bands $bands")
+
     spark.stop()
   }
 }
