@@ -53,6 +53,10 @@ object ExchangeBudgets {
     * - RDD-level zip (zipWithIndex repartitions both sides): op_zip.
     * - DSv2 write + read-back round trip: src_shard_jsonl. */
   val perQuery: Map[String, Int] = Map(
+    // two independent aggregation pipelines by design: partial-sketch
+    // groupBy + union agg on one side, exact distinct (2-phase) on the
+    // other — the contract being gated IS that both paths exist
+    "agg_hll_merge"                   -> 4,
     "llm_adaptive_gate"               -> 4,
     "llm_assemble"                    -> 6,
     "llm_contamination_bloom"         -> 5,

@@ -463,6 +463,35 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // The MERGEABLE-sketch contract (r13) — the 100 TB pattern behind
+    // every approx distinct-count dashboard: per-group (think per-day /
+    // per-shard) DataSketches HLL partials built once at ingest, then
+    // UNIONED at query time — the union of partials must estimate the
+    // GLOBAL cardinality, not just each group's, or pre-aggregation is
+    // unsound. Oracle pins the exact count, the partial count, and the
+    // error contract (DataSketches HLL at lgK=14 is ~0.8 % RSE; 2 %
+    // asserted). Sketch BYTES are engine-internal, so like agg_approx
+    // the oracle gates the CONTRACT, not the binary.
+    Q("agg_hll_merge",
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |  CAST((SELECT count(DISTINCT o_orderpriority) FROM orders) AS BIGINT)
+        |    AS n_parts,
+        |  TRUE AS merged_within_bound
+        |FROM orders""".stripMargin) { (spark, sf) =>
+      val orders = Tables.orders(spark, sf)
+      val merged = orders
+        .groupBy("o_orderpriority")
+        .agg(expr("hll_sketch_agg(o_custkey, 14)").as("__sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))").as("__est"),
+          count(lit(1)).as("n_parts"))
+      val exact = orders.agg(
+        countDistinct(col("o_custkey")).as("n_exact"))
+      exact.crossJoin(broadcast(merged))
+        .withColumn("merged_within_bound",
+          abs(col("__est") - col("n_exact")) * 100 <= col("n_exact") * 2)
+        .select("n_exact", "n_parts", "merged_within_bound")
+    },
+
     // ----- §2.6 window functions ---------------------------------------
     Q("win_rank",
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk

@@ -50,7 +50,7 @@ class OracleContractSpec extends SparkSpec {
   /** Queries whose result is a single row by construction — a global
     * ORDER BY would sort one row. Membership is verified row-count-wise
     * below, so an entry that starts returning multiple rows fails. */
-  private val singleRow = Set("agg_global", "src_scan_parquet")
+  private val singleRow = Set("agg_global", "src_scan_parquet", "agg_hll_merge")
 
   @scala.annotation.tailrec
   private def stripTop(p: LogicalPlan): LogicalPlan = p match {
