@@ -35,10 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * vocabularies (a 50k-entry trie is ~MBs, broadcast once with the
   * plan), not just planted test vocabs.
   */
-final class BpeTrie(vocab: Seq[String]) extends Serializable {
+final class BpeTrie(weighted: Seq[(String, Long)]) extends Serializable {
 
   private final class Node extends Serializable {
     var terminal: Boolean = false
+    var weight: Long = 0L // unigram piece score; 0 for unweighted vocabs
     var kids: java.util.HashMap[Integer, Node] = null
     def child(cp: Int): Node = if (kids == null) null else kids.get(cp)
     def ensure(cp: Int): Node = {
@@ -50,7 +51,7 @@ final class BpeTrie(vocab: Seq[String]) extends Serializable {
   }
 
   private val root = new Node
-  vocab.foreach { t =>
+  weighted.foreach { case (t, w) =>
     require(t.nonEmpty, "vocab tokens must be non-empty")
     var n = root
     var i = 0
@@ -60,6 +61,7 @@ final class BpeTrie(vocab: Seq[String]) extends Serializable {
       i += Character.charCount(cp)
     }
     n.terminal = true
+    n.weight = math.max(n.weight, w) // duplicate listings keep the max
   }
 
   /** UTF-16 length of the longest vocab match at `start`, or the single
@@ -176,6 +178,74 @@ final class BpeTrie(vocab: Seq[String]) extends Serializable {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** WEIGHTED Viterbi segmentation of one word — unigram-LM inference:
+    * maximize the summed piece score, ties to the FEWEST pieces (then
+    * the solution value is unique; the unweighted [[viterbiCountWord]]
+    * is this with all-zero weights). Single-codepoint fallback pieces
+    * score 0 and are always available, so every word segments. Returns
+    * (pieces, score). */
+  def unigramWord(word: String): (Long, Long) = {
+    val n = word.length
+    if (n == 0) return (0L, 0L)
+    val NEG = Long.MinValue / 4
+    val sc = Array.fill(n + 1)(NEG)
+    val pc = new Array[Long](n + 1)
+    sc(0) = 0L
+    var i = 0
+    while (i < n) {
+      if (sc(i) > NEG) {
+        def relax(j: Int, w: Long): Unit = {
+          val s2 = sc(i) + w
+          val p2 = pc(i) + 1
+          if (s2 > sc(j) || (s2 == sc(j) && p2 < pc(j))) { sc(j) = s2; pc(j) = p2 }
+        }
+        relax(i + Character.charCount(word.codePointAt(i)), 0L)
+        var node = root
+        var j = i
+        var walking = true
+        while (walking && j < n) {
+          val cp = word.codePointAt(j)
+          val nxt = node.child(cp)
+          if (nxt == null) walking = false
+          else {
+            j += Character.charCount(cp)
+            if (nxt.terminal) relax(j, nxt.weight)
+            node = nxt
+          }
+        }
+      }
+      i += 1
+    }
+    (pc(n), sc(n))
+  }
+
+  /** Σ over the word array of [[unigramWord]]: (total pieces, total
+    * score) as an InternalRow — summing per-word optima is the document
+    * optimum because words segment independently. */
+  def unigramSegment(words: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    var pieces = 0L
+    var score = 0L
+    var i = 0
+    val m = words.numElements()
+    while (i < m) {
+      if (!words.isNullAt(i)) {
+        val (p, s) = unigramWord(words.getUTF8String(i).toString)
+        pieces += p
+        score += s
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](pieces, score))
+  }
+}
+
+object BpeTrie {
+  /** All-zero-weight trie (the greedy / min-piece kernels' vocab shape;
+    * a constructor overload would erase identically to the weighted
+    * one). */
+  def unweighted(vocab: Seq[String]): BpeTrie = new BpeTrie(vocab.map(_ -> 0L))
 }
 
 /** Total greedy-subword-token count of a word array — the budget metric
@@ -184,7 +254,7 @@ final class BpeTrie(vocab: Seq[String]) extends Serializable {
 case class BpeTokenCount(child: Expression, vocab: Seq[String])
     extends UnaryExpression {
 
-  @transient private lazy val trie = new BpeTrie(vocab)
+  @transient private lazy val trie = BpeTrie.unweighted(vocab)
 
   override def prettyName: String = "graft_bpe_token_count"
   override def dataType: DataType = LongType
@@ -225,7 +295,7 @@ object BpeTokenCount {
 case class ViterbiTokenCount(child: Expression, vocab: Seq[String])
     extends UnaryExpression {
 
-  @transient private lazy val trie = new BpeTrie(vocab)
+  @transient private lazy val trie = BpeTrie.unweighted(vocab)
 
   override def prettyName: String = "graft_viterbi_token_count"
   override def dataType: DataType = LongType
@@ -256,13 +326,58 @@ object ViterbiTokenCount {
     ColumnBridge.column(ViterbiTokenCount(ColumnBridge.expression(words), vocab))
 }
 
+/** Unigram-LM segmentation of a word array under a WEIGHTED vocab —
+  * SentencePiece-style inference: maximize the summed piece score, ties
+  * to the fewest pieces. Returns a struct (pieces, score); callers
+  * project the fields to plain columns (struct cells never leave an
+  * oracle-gated query). Scores are data (fixed-point log-frequencies
+  * from training counts in llm_bpe_unigram), so the whole
+  * train → score → decode pipeline stays integer-exact and
+  * DuckDB-replayable. */
+case class UnigramSegment(child: Expression, weighted: Seq[(String, Long)])
+    extends UnaryExpression {
+
+  @transient private lazy val trie = new BpeTrie(weighted)
+
+  override def prettyName: String = "graft_unigram_segment"
+  override def dataType: DataType = StructType(Seq(
+    StructField("pieces", LongType, nullable = false),
+    StructField("score", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${t.sql}")
+  }
+
+  def seg(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow =
+    trie.unigramSegment(arr)
+
+  override def nullSafeEval(input: Any): Any =
+    seg(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("unigramSegment", this,
+      classOf[UnigramSegment].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.seg($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnigramSegment {
+  def apply(words: Column, weighted: Seq[(String, Long)]): Column =
+    ColumnBridge.column(UnigramSegment(ColumnBridge.expression(words), weighted))
+}
+
 /** The greedy subword tokens themselves, flattened across the word array
   * in order — what [[graft.llm.Packing.packSequences]] slices when it
   * packs BPE-faithful blocks. */
 case class BpeTokens(child: Expression, vocab: Seq[String])
     extends UnaryExpression {
 
-  @transient private lazy val trie = new BpeTrie(vocab)
+  @transient private lazy val trie = BpeTrie.unweighted(vocab)
 
   override def prettyName: String = "graft_bpe_tokens"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

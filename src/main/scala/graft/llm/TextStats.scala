@@ -156,6 +156,32 @@ object TextStats {
   def viterbiTokenCount(textCol: Column, vocab: Seq[String]): Column =
     graft.functions.ViterbiTokenCount(split(textCol, WsRun), vocab)
 
+  /** Unigram-LM (weighted-Viterbi) segmentation: maximize summed piece
+    * scores, ties to the fewest pieces — SentencePiece-style inference
+    * with the scores as DATA. Returns a struct (pieces, score); project
+    * the fields out. [[unigramWeights]] derives the canonical score
+    * table from a [[bpeTrain]] merge table. */
+  def unigramSegment(textCol: Column, weighted: Seq[(String, Long)]): Column =
+    graft.functions.UnigramSegment(split(textCol, WsRun), weighted)
+
+  /** Piece scores from a [[bpeTrain]] merge table: piece = left‖right,
+    * score = l2(pair_count + 1) in 1/1024-bit units (the dsirWeights
+    * fixed-point log2 — frequent merges score high, exactly the
+    * unigram-LM log-frequency shape). Two merges CAN produce the same
+    * string ((a,bc) and (ab,c) both yield "abc"); the max count wins,
+    * deterministically. Driver-bounded: the merge table is ≤ numMerges
+    * rows by construction. */
+  def unigramWeights(merges: DataFrame): Seq[(String, Long)] = {
+    def l2(x: Long): Long = {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      msb * 1024L + ((x << 10) >> msb) - 1024L
+    }
+    merges.select("left", "right", "pair_count").collect()
+      .groupBy(r => r.getString(0) + r.getString(1))
+      .map { case (p, rs) => p -> l2(rs.map(_.getLong(2)).max + 1L) }
+      .toSeq.sortBy(_._1)
+  }
+
   /** The greedy subword tokens themselves (flattened, in order) — what
     * [[Packing.packSequences]] / [[Chunking.chunk]] slice when packing
     * BPE-faithful blocks. */

@@ -247,9 +247,22 @@ object LlmQueries {
     * column; `rounds` must equal the Spark side's numMerges. Shared by
     * llm_bpe_train (real corpus) and llm_bpe_train_redup (planted
     * reduplicated-word corpus that forces the contiguous-merge path). */
+  // NOTE: pre-stripped CTE fragments must be CONCATENATED, never
+  // interpolated into another stripMargin template — a continuation
+  // line beginning with `||` would lose a pipe to the outer strip
+  // (bit us in r13: three oracles broke at once).
   private def bpeTrainOracle(docsRel: String, rounds: Int): String =
-    s"""WITH RECURSIVE
-       |wf AS (
+    "WITH RECURSIVE\n" + bpeTrainCtes(docsRel, rounds) + "\n" +
+      """SELECT CAST(step - 1 AS BIGINT) AS rank, l AS "left", r AS "right",
+        |  cnt AS pair_count
+        |FROM steps WHERE step >= 1 ORDER BY rank""".stripMargin
+
+  /** Just the CTE chain of [[bpeTrainOracle]] (wf/init/steps) so
+    * composites can consume the trained merge table (`steps` rows with
+    * step ≥ 1) inside a larger WITH RECURSIVE — llm_bpe_unigram scores
+    * its pieces from it. */
+  private def bpeTrainCtes(docsRel: String, rounds: Int): String =
+    s"""wf AS (
        |  SELECT w, count(*)::BIGINT AS c FROM (
        |    SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS w
        |    FROM $docsRel) t
@@ -297,10 +310,7 @@ object LlmQueries {
        |                  struct_pack(k := sym[i] || chr(30) || sym[i+1],
        |                    c := w.c)))[1])) AS pairs
        |          FROM steps WHERE step < $rounds) q1) q2) q3) q4
-       |  WHERE bestk IS NOT NULL AND bestc >= 2)
-       |SELECT CAST(step - 1 AS BIGINT) AS rank, l AS "left", r AS "right",
-       |  cnt AS pair_count
-       |FROM steps WHERE step >= 1 ORDER BY rank""".stripMargin
+       |  WHERE bestk IS NOT NULL AND bestc >= 2)""".stripMargin
 
   /** The llm_bpe_train_redup planted corpus: (word, repetitions) — one
     * doc per word, text = the word repeated n times. Engineered so that
@@ -3449,6 +3459,68 @@ object LlmQueries {
       Tables.documents(spark, sf).select(col("doc_id"),
           size(split(col("text"), TextStats.WsRun)).cast("long").as("ws_tokens"),
           TextStats.bpeTokenCount(col("text"), bpeVocab).as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // The END-TO-END tokenizer pipeline (r13): train merges on the FULL
+    // corpus (llm_bpe_train's replay), score each learned piece
+    // unigram-LM style — l2(pair_count + 1), frequent merges score high
+    // — and Viterbi-decode documents under those scores (maximize
+    // summed score, ties to fewest pieces). One oracle gates all three
+    // stages composed: a drift anywhere (a merge, a weight, a DP
+    // transition) shifts some document's (pieces, score_fp). The DP
+    // state rides as ONE encoded list per word — enc = score·2²⁰ +
+    // (2²⁰−1−pieces), monotone in the (score, −pieces) order and linear
+    // under piece-append, so `greatest` over candidates IS the Viterbi
+    // argmax (words are < 2²⁰ chars by construction). docCap bounds the
+    // decode recursion; training reads every document, same as
+    // llm_bpe_train.
+    Q("llm_bpe_unigram", {
+      def l2(x: String): String =
+        s"((length(bin($x)) - 1) * 1024 + (($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1))) - 1024)"
+      "WITH RECURSIVE\n" + bpeTrainCtes("documents", 16) + ",\n" +
+      s"""wv AS (SELECT l || r AS tok, ${l2("max(cnt) + 1")} AS wt
+         |       FROM steps WHERE step >= 1 GROUP BY l || r),
+         |__dws AS (SELECT doc_id,
+         |    regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS toks
+         |  FROM documents WHERE doc_id < $docCap),
+         |__dwords AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS widx, toks
+         |             FROM __dws),
+         |__dw2 AS (SELECT doc_id, widx, toks[widx] AS word FROM __dwords),
+         |__us AS (
+         |  SELECT doc_id, widx, word, [CAST(1048575 AS BIGINT)] AS encs,
+         |    CAST(1 AS BIGINT) AS pos
+         |  FROM __dw2
+         |  UNION ALL
+         |  SELECT doc_id, widx, word,
+         |    encs || [greatest(
+         |      encs[CAST(pos AS INT)] - 1,
+         |      coalesce((SELECT max(encs[CAST(pos - length(v.tok) + 1 AS INT)]
+         |                           + v.wt * 1048576 - 1)
+         |                FROM wv v WHERE length(v.tok) <= pos
+         |                  AND substr(word, CAST(pos - length(v.tok) + 1 AS INT),
+         |                             length(v.tok)) = v.tok),
+         |        CAST(-4611686018427387904 AS BIGINT)))],
+         |    pos + 1
+         |  FROM __us WHERE pos <= length(word)),
+         |__ud AS (SELECT doc_id, widx, encs[CAST(length(word) + 1 AS INT)] AS enc
+         |         FROM __us WHERE pos = length(word) + 1),
+         |__uagg AS (SELECT doc_id,
+         |    CAST(sum(1048575 - (enc % 1048576)) AS BIGINT) AS pieces,
+         |    CAST(sum(enc // 1048576) AS BIGINT) AS score_fp
+         |  FROM __ud GROUP BY doc_id)
+         |SELECT doc_id, pieces, score_fp FROM __uagg
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, sf) =>
+      val docs = Tables.documents(spark, sf)
+      val weighted = TextStats.unigramWeights(
+        TextStats.bpeTrain(docs, numMerges = 16))
+      docs.where(col("doc_id") < docCap)
+        .select(col("doc_id"),
+          TextStats.unigramSegment(col("text"), weighted).as("__u"))
+        .select(col("doc_id"),
+          col("__u.pieces").as("pieces"),
+          col("__u.score").as("score_fp"))
         .orderBy("doc_id")
     },
 

@@ -121,6 +121,35 @@ class BpeKernelsSpec extends SparkSpec {
     })
   }
 
+  test("UnigramSegment maximizes score, breaks ties to fewest pieces, degenerates to min-piece") {
+    // higher total score wins even with MORE pieces
+    val w1 = Seq("abcd" -> 10L, "ab" -> 100L, "cd" -> 100L)
+    val r1 = Seq((0L, "abcd")).toDF("id", "text")
+      .select(TextStats.unigramSegment(col("text"), w1).as("u"))
+      .select("u.pieces", "u.score").as[(Long, Long)].head()
+    r1 shouldBe ((2L, 200L))
+    // equal score → fewest pieces
+    val w2 = Seq("ab" -> 5L, "a" -> 5L, "b" -> 0L)
+    val r2 = Seq((0L, "ab")).toDF("id", "text")
+      .select(TextStats.unigramSegment(col("text"), w2).as("u"))
+      .select("u.pieces", "u.score").as[(Long, Long)].head()
+    r2 shouldBe ((1L, 5L))
+    // all-zero weights: pieces == the min-piece Viterbi count, score 0
+    val wordGen = Gen.listOf(Gen.oneOf(
+      Gen.oneOf(vocab), Gen.alphaLowerStr.map(_.take(6)))).map(_.mkString(""))
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    val zeroW = vocab.map(_ -> 0L)
+    check(Prop.forAllNoShrink(Gen.listOfN(8, textGen)) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text").orderBy("id")
+        .select(TextStats.viterbiTokenCount(col("text"), vocab).as("v"),
+          TextStats.unigramSegment(col("text"), zeroW).as("u"))
+        .select(col("v"), col("u.pieces"), col("u.score"))
+        .as[(Long, Long, Long)].collect()
+      rows.forall { case (v, p, s) => p == v && s == 0L }
+    })
+  }
+
   test("BpeTokens count agrees with BpeTokenCount (one walk, two outputs)") {
     val texts = Seq("scan customer query zz", "", "the quick brown fox")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
