@@ -611,4 +611,99 @@ object Similarity {
         k = k)
       .select(col(qIdCol), col(idCol), col("cos2_bp"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, arXiv:1811.01136 —
+    * the CCMatrix/LASER candidate-pair criterion): align a source-language
+    * and a target-language embedding set by MUTUAL-BEST margin, where the
+    * margin of a pair is its similarity relative to the mean similarity of
+    * each side's k nearest neighbors — absolute-cosine thresholds can't
+    * separate "parallel" from "merely on-topic" in dense regions, the
+    * ratio can.
+    *
+    * Cross-engine-exact construction (the quantized-family discipline):
+    * vectors quantize to the `scale` grid, pairs score with the one
+    * integer cos²·10⁴ formula ([[Dedup.cos2Score]] — anti-parallel pairs
+    * excluded by its `dot > 0` guard), and the margin is integral:
+    * `margin_fp = cos2_bp · 2k · marginScale div (Σtop-k(src) +
+    * Σtop-k(tgt))` — `marginScale = 1000` reads as a milli-ratio
+    * (1200 ⇒ the pair scores 1.2× its neighborhoods' k-NN mean). A
+    * scored pair's own side-sums are ≥ its cos2_bp, so the denominator is
+    * never zero and `margin_fp ≤ 2k·marginScale`. The per-side argmax is
+    * the encoded-scalar pattern (`enc = margin_fp·2⁴⁰ + (2⁴⁰−1−id)`,
+    * monotone in (margin, −id) — ids must be in [0, 2⁴⁰)), so both
+    * engines take the identical max; mutual-best then needs only an
+    * equi-join of the two argmax frames.
+    *
+    * Plan shape at scale: `candidates = None` scores ALL |src|×|tgt|
+    * pairs — the correctness baseline, quadratic by declaration (the
+    * [[bruteTopK]] cost model). The production path passes an LSH/IVF
+    * candidate frame (`(srcIdCol, tgtIdCol)` — e.g.
+    * [[quantizedLshTopK]]'s bucket equi-join), which also makes the k-NN
+    * sums approximate exactly the way the paper's FAISS retrieval is.
+    * The scored frame feeds three consumers (both k-NN sums + the margin
+    * join) and the margin frame two (both argmax sides) — each is cut
+    * once (lazy checkpoint, the multi-consumer rule); k-NN sums use the
+    * bounded-heap collector folded WITHOUT re-exploding (k values per key
+    * per map task, one shuffle each, no window sort).
+    *
+    * Returns one row per mutual-best pair with `margin_fp ≥ minMarginFp`:
+    * `(srcIdCol, tgtIdCol, margin_fp)`.
+    */
+  def marginMine(src: DataFrame, tgt: DataFrame, k: Int = 4,
+                 minMarginFp: Long = 0L, marginScale: Long = 1000L,
+                 scale: Int = 64,
+                 srcIdCol: String = "a", tgtIdCol: String = "b",
+                 vecCol: String = "embedding",
+                 candidates: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(marginScale > 0, s"marginScale must be positive, got $marginScale")
+    val enc = 1L << 40
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val vqA = Dedup.quantized(src, srcIdCol, vecCol, scale)
+      .select(col(srcIdCol).as("a"), col("__vq")).localCheckpoint(false)
+    val vqB = Dedup.quantized(tgt, tgtIdCol, vecCol, scale)
+      .select(col(tgtIdCol).as("b"), col("__vq")).localCheckpoint(false)
+    val pairs = candidates
+      .map(_.select(col(srcIdCol).as("a"), col(tgtIdCol).as("b")))
+      .getOrElse(vqA.select("a").crossJoin(vqB.select("b")))
+    val scored = Dedup.cos2Score(pairs,
+        vqA.select(col("a"), col("__vq").as("__va")),
+        vqB.select(col("b"), col("__vq").as("__vb")))
+      .select(col("a"), col("b"), col("cos2_bp"))
+      .localCheckpoint(false)
+    // Σ of the k best cos2_bp per side: bounded-heap collect of the
+    // (inverted-score, id, score) struct, then an in-array fold — no
+    // explode, no second aggregation over the exploded rows.
+    def knnSum(key: String, other: String): DataFrame =
+      scored.select(col(key),
+          struct((lit(10000L) - col("cos2_bp")).as("__inv"),
+            col(other).as("__o"), col("cos2_bp").as("__c")).as("__s"))
+        .groupBy(key)
+        .agg(org.apache.spark.sql.graftbridge.ColumnBridge
+          .collectTopK(org.apache.spark.sql.graftbridge.ColumnBridge
+            .expression(col("__s")), k, reverse = true).as("__topk"))
+        .select(col(key), aggregate(col("__topk"), lit(0L),
+          (acc, x) => acc + x.getField("__c")).as(s"__sum_$key"))
+    val margins = scored
+      .join(knnSum("a", "b"), "a")
+      .join(knnSum("b", "a"), "b")
+      .select(col("a"), col("b"), intDiv(
+          col("cos2_bp") * lit(2L * k * marginScale),
+          col("__sum_a") + col("__sum_b")).as("margin_fp"))
+      .localCheckpoint(false)
+    def best(key: String, other: String): DataFrame =
+      margins.groupBy(key)
+        .agg(max(col("margin_fp") * enc + (lit(enc - 1) - col(other)))
+          .as(s"__e_$key"))
+    val bestA = best("a", "b")
+      .select(col("a"), (lit(enc - 1) - pmod(col("__e_a"), lit(enc))).as("b"),
+        shiftright(col("__e_a"), 40).as("margin_fp"))
+    val bestB = best("b", "a")
+      .select(col("b").as("__b2"),
+        (lit(enc - 1) - pmod(col("__e_b"), lit(enc))).as("__a2"))
+    bestA.join(bestB,
+        bestA("b") === bestB("__b2") && bestA("a") === bestB("__a2"))
+      .where(col("margin_fp") >= minMarginFp)
+      .select(col("a").as(srcIdCol), col("b").as(tgtIdCol), col("margin_fp"))
+  }
 }

@@ -292,6 +292,36 @@ object TextStats {
         .cast("long").as("re_tokens"),
       length(col(textCol)).cast("long").as("n_chars"))
 
+  /** Per-language tokenizer-fertility audit over a fixed subword vocab —
+    * the multilingual "tokenizer fairness" measurement (Ács 2019 class):
+    * fertility = subword tokens per 10⁴ characters (`fert_char_fp`) and
+    * per 10³ whitespace words (`fert_word_fp`), by `langCol`. A vocab
+    * trained on one script inflates every other script's fertility (an
+    * ASCII-subword vocab forces CJK text to single-character fallback,
+    * ~2-4× the token budget per character) — exactly the imbalance to
+    * surface BEFORE a training run prices languages by it. Ratios are
+    * integral division over per-language sums (cross-engine exact; a
+    * zero-char language yields NULL rather than a fake 0).
+    *
+    * Plan shape: one narrow corpus scan (lang + three per-row token
+    * kernels), one |langs|-key aggregate, no joins. */
+  def tokenizerFertility(docs: DataFrame, vocab: Seq[String],
+                         langCol: String = "lang",
+                         textCol: String = "text"): DataFrame = {
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    docs.select(col(langCol),
+        length(col(textCol)).cast("long").as("__chars"),
+        size(split(col(textCol), WsRun)).cast("long").as("__ws"),
+        bpeTokenCount(col(textCol), vocab).as("__bpe"))
+      .groupBy(langCol)
+      .agg(count(lit(1)).as("docs"), sum("__chars").as("chars"),
+        sum("__ws").as("ws_tokens"), sum("__bpe").as("bpe_tokens"))
+      .select(col(langCol), col("docs"), col("chars"), col("ws_tokens"),
+        col("bpe_tokens"),
+        intDiv(col("bpe_tokens") * 10000L, col("chars")).as("fert_char_fp"),
+        intDiv(col("bpe_tokens") * 1000L, col("ws_tokens")).as("fert_word_fp"))
+  }
+
   /** Default PII patterns for [[redact]] — written in the regex subset
     * Java and RE2 interpret identically (char classes, bounded repeats,
     * \b, \d), so the oracle can replay them in DuckDB byte-for-byte. */

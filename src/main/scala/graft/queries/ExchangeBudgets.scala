@@ -59,6 +59,11 @@ object ExchangeBudgets {
     "agg_hll_merge"                   -> 4,
     "llm_adaptive_gate"               -> 4,
     "llm_assemble"                    -> 6,
+    // margin mining re-keys by construction: k-NN sums per SIDE (2
+    // groupBys), margin join against both sums (2 joins), per-side
+    // argmax (2 groupBys), the mutual equi-join, the declared sort,
+    // plus the scored-frame build joins — measured 10 at landing
+    "llm_bitext_margin"               -> 10,
     "llm_contamination_bloom"         -> 5,
     "llm_contamination_report"        -> 4,
     "llm_curate_full"                 -> 22,

@@ -2050,6 +2050,74 @@ object LlmQueries {
           .orderBy("qid", "rnk")
     },
 
+    // Margin-based bitext mining (Artetxe & Schwenk, arXiv:1811.01136):
+    // align de-lang vectors to en-lang vectors by MUTUAL-BEST margin —
+    // pair similarity relative to each side's k-NN mean, the
+    // CCMatrix/LASER criterion. Integer end to end (the quantized
+    // family's cos²·10⁴ metric, integral margin with marginScale=1000,
+    // the enc=mfp·2⁴⁰+(2⁴⁰−1−id) argmax encoding), so the full mining
+    // pipeline replays in SQL. Threshold 1200 (pair ≥1.2× its
+    // neighborhoods' k-NN mean) probed tri-scale per the CLAUDE.md rule:
+    // keeps 54/66, 57/66, 154/230 mutual pairs at sf0.001/0.01/0.1 —
+    // discriminating at every scale, no vacuous gate. The all-pairs
+    // candidate stage IS the declared correctness baseline (quadratic by
+    // construction, like llm_sim_topk); marginMine's `candidates` hook is
+    // the LSH-bucketed scale path.
+    Q("llm_bitext_margin",
+      """WITH v AS (
+        |  SELECT vec_id, lang,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS vq
+        |  FROM embeddings JOIN documents ON doc_id = vec_id
+        |  WHERE embedding IS NOT NULL),
+        |src AS (SELECT vec_id AS a, vq FROM v WHERE lang = 'de'),
+        |tgt AS (SELECT vec_id AS b, vq FROM v WHERE lang = 'en'),
+        |p2 AS (
+        |  SELECT a, b,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> s.vq[i]*t.vq[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> s.vq[i]*s.vq[i])) AS BIGINT) AS na,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> t.vq[i]*t.vq[i])) AS BIGINT) AS nb
+        |  FROM src s CROSS JOIN tgt t),
+        |sc AS (
+        |  SELECT a, b, CAST((dot*dot*20000 + na*nb) // (na*nb*2) AS BIGINT) AS c
+        |  FROM p2 WHERE dot > 0 AND na > 0 AND nb > 0),
+        |ka AS (
+        |  SELECT a, CAST(sum(c) AS BIGINT) AS sa FROM (
+        |    SELECT a, c, row_number() OVER (PARTITION BY a ORDER BY c DESC, b) AS rn FROM sc)
+        |  WHERE rn <= 4 GROUP BY a),
+        |kb AS (
+        |  SELECT b, CAST(sum(c) AS BIGINT) AS sb FROM (
+        |    SELECT b, c, row_number() OVER (PARTITION BY b ORDER BY c DESC, a) AS rn FROM sc)
+        |  WHERE rn <= 4 GROUP BY b),
+        |m AS (
+        |  SELECT sc.a, sc.b, CAST((sc.c * 8000) // (ka.sa + kb.sb) AS BIGINT) AS mfp
+        |  FROM sc JOIN ka USING (a) JOIN kb USING (b)),
+        |besta AS (SELECT a, CAST(max(mfp * 1099511627776 + (1099511627775 - b)) AS BIGINT) AS e
+        |          FROM m GROUP BY a),
+        |bestb AS (SELECT b, CAST(max(mfp * 1099511627776 + (1099511627775 - a)) AS BIGINT) AS e
+        |          FROM m GROUP BY b),
+        |mutual AS (
+        |  SELECT ba.a, 1099511627775 - (ba.e % 1099511627776) AS b,
+        |    ba.e // 1099511627776 AS mfp
+        |  FROM besta ba JOIN bestb bb ON bb.b = 1099511627775 - (ba.e % 1099511627776)
+        |    AND 1099511627775 - (bb.e % 1099511627776) = ba.a)
+        |SELECT a, b, mfp AS margin_fp FROM mutual WHERE mfp >= 1200
+        |ORDER BY a""".stripMargin) { (spark, sf) =>
+      val v = Tables.embeddings(spark, sf)
+        .join(Tables.documents(spark, sf), col("doc_id") === col("vec_id"))
+        .where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("lang"), col("embedding"))
+        // src/tgt both slice this frame — one cut, 2 executed scans total
+        .localCheckpoint(false)
+      Similarity.marginMine(
+          v.where(col("lang") === "de")
+            .select(col("vec_id").as("a"), col("embedding")),
+          v.where(col("lang") === "en")
+            .select(col("vec_id").as("b"), col("embedding")),
+          k = 4, minMarginFp = 1200L)
+        .orderBy("a")
+    },
+
     Q.noOracle("llm_ann_ivf") { (spark, sf) =>
       val emb = Tables.embeddings(spark, sf)
       // fixed ≤100-entry codebook at every sf: the IVF contract is a small
@@ -3460,6 +3528,37 @@ object LlmQueries {
           size(split(col("text"), TextStats.WsRun)).cast("long").as("ws_tokens"),
           TextStats.bpeTokenCount(col("text"), bpeVocab).as("bpe_tokens"))
         .orderBy("doc_id")
+    },
+
+    // Per-language tokenizer-fertility audit (Ács 2019 class): subword
+    // tokens per 10⁴ chars / per 10³ words by lang under the planted
+    // vocab — the report that surfaces which scripts a vocabulary
+    // shortchanges BEFORE a training run prices languages by it. The
+    // fixture corpus is ASCII in every lang (probed: per-lang fertility
+    // lands near-uniform ~2500/4550 fp), so the CJK single-char-fallback
+    // premium is pinned by TextStatsSpec's mixed-script fixture; THIS
+    // gate pins the rollup arithmetic tri-scale. Oracle composes the
+    // llm_bpe_count recursion with a lang join + per-lang
+    // integral-ratio rollup; fragments CONCATENATED, never re-stripped
+    // (the r13 stripMargin rule).
+    Q("llm_tok_fertility",
+      "WITH RECURSIVE\n" + bpeCountCtes + ",\n" +
+        """d AS (SELECT doc_id, lang, length(text) AS chars,
+          |  len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS ws
+          |  FROM documents),
+          |j AS (SELECT d.lang, d.chars, d.ws, b.bpe_tokens
+          |      FROM d JOIN __bpe b USING (doc_id)),
+          |g AS (SELECT lang, count(*) AS docs,
+          |        CAST(sum(chars) AS BIGINT) AS chars,
+          |        CAST(sum(ws) AS BIGINT) AS ws_tokens,
+          |        CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens
+          |      FROM j GROUP BY lang)
+          |SELECT lang, docs, chars, ws_tokens, bpe_tokens,
+          |  CAST((bpe_tokens * 10000) // chars AS BIGINT) AS fert_char_fp,
+          |  CAST((bpe_tokens * 1000) // ws_tokens AS BIGINT) AS fert_word_fp
+          |FROM g ORDER BY lang""".stripMargin) { (spark, sf) =>
+      TextStats.tokenizerFertility(Tables.documents(spark, sf), bpeVocab)
+        .orderBy("lang")
     },
 
     // The END-TO-END tokenizer pipeline (r13): train merges on the FULL

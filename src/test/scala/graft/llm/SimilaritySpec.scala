@@ -410,4 +410,62 @@ class SimilaritySpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       graft.functions.PqEncode(lit("x"), Seq.empty)
   }
+
+  // --- marginMine (margin-based bitext mining) ---
+
+  /** Deterministic pseudo-random-ish unit-cube vectors, plus one planted
+    * near-parallel pair (src 0 ↔ tgt 100) the miner must recover. */
+  private def bitextFixture = {
+    def v(seed: Long) =
+      (0 until 8).map(i => ((seed * 31 + i * 17) % 19).toDouble / 19.0)
+    val src = (0L to 5L).map(s => (s, v(s * 7 + 1))).toDF("a", "embedding")
+      .select(col("a"), col("embedding").cast("array<double>").as("embedding"))
+    val tgt = ((100L, v(1L)) +: (101L to 105L).map(t => (t, v(t * 13 + 3))))
+      .toDF("b", "embedding")
+      .select(col("b"), col("embedding").cast("array<double>").as("embedding"))
+    (src, tgt)
+  }
+
+  test("marginMine recovers the planted parallel pair with margin > 1000") {
+    val (src, tgt) = bitextFixture
+    val out = Similarity.marginMine(src, tgt, k = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, m) => (a, (b, m)) }.toMap
+    out(0L)._1 shouldBe 100L // src 0 and tgt 100 share the identical vector
+    out(0L)._2 should be > 1000L
+  }
+
+  test("marginMine output is a one-to-one matching (mutual best both ways)") {
+    val (src, tgt) = bitextFixture
+    val out = Similarity.marginMine(src, tgt, k = 2)
+      .as[(Long, Long, Long)].collect()
+    out.map(_._1).distinct.length shouldBe out.length
+    out.map(_._2).distinct.length shouldBe out.length
+    all(out.map(_._3)) should be <= 2L * 2 * 1000
+  }
+
+  test("marginMine minMarginFp filters and candidates restrict the pair space") {
+    val (src, tgt) = bitextFixture
+    val everything = Similarity.marginMine(src, tgt, k = 2)
+      .as[(Long, Long, Long)].collect()
+    val strict = Similarity.marginMine(src, tgt, k = 2,
+        minMarginFp = everything.map(_._3).max)
+      .as[(Long, Long, Long)].collect()
+    strict.toSet shouldBe everything.filter(_._3 == everything.map(_._3).max).toSet
+    // candidate frame without src 0's true match: the planted pair can't mine
+    val cand = src.select("a").crossJoin(tgt.select("b"))
+      .where(!(col("a") === 0L && col("b") === 100L))
+    val restricted = Similarity.marginMine(src, tgt, k = 2,
+        candidates = Some(cand))
+      .as[(Long, Long, Long)].collect()
+    restricted.map(r => (r._1, r._2)) should not contain ((0L, 100L))
+  }
+
+  test("marginMine is invariant under repartitioning") {
+    val (src, tgt) = bitextFixture
+    val once = Similarity.marginMine(src, tgt, k = 2).collect().toSet
+    val again = Similarity.marginMine(
+      src.repartition(7), tgt.repartition(5), k = 2).collect().toSet
+    again shouldBe once
+  }
 }

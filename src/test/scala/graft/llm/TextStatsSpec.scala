@@ -619,4 +619,39 @@ class TextStatsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       TextStats.bpeTrain(docs, numMerges = 1, maxVocab = 2)
   }
+
+  test("tokenizerFertility: scripts outside the vocab pay more tokens per char") {
+    val vocab = Seq("tok", "en", "iz")
+    val docs = Seq(
+      ("en", "token token en"),      // vocab-covered: few tokens per char
+      ("en", "tokenize en"),
+      ("zh", "你好 世界"),            // no vocab hit: single-char fallback
+      ("zh", "你好世界 你好"))
+      .toDF("lang", "text")
+    val out = TextStats.tokenizerFertility(docs, vocab)
+      .select("lang", "docs", "fert_char_fp", "fert_word_fp")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    out("en")._2 shouldBe 2L
+    out("zh")._2 shouldBe 2L
+    // zh has zero vocab coverage → 1 token per non-space char (10000 fp
+    // minus only the whitespace share); en amortizes multi-char pieces
+    out("zh")._3 should be > out("en")._3
+    // per-word fertility for zh = non-space chars per word ×1000 exactly
+    out("zh")._4 shouldBe 2500L // 10 single-char tokens over 4 words
+  }
+
+  test("tokenizerFertility sums are consistent and partition-invariant") {
+    val vocab = Seq("ab", "cd")
+    val docs = Seq(("en", "abcd ab"), ("de", "cdcd x"), ("en", "zz"))
+      .toDF("lang", "text")
+    val perDoc = docs.select(
+        TextStats.bpeTokenCount(col("text"), vocab).as("n"))
+      .as[Long].collect().sum
+    val out = TextStats.tokenizerFertility(docs, vocab)
+    out.agg(sum("bpe_tokens")).as[Long].head() shouldBe perDoc
+    val again = TextStats.tokenizerFertility(docs.repartition(5), vocab)
+      .collect().toSet
+    again shouldBe out.collect().toSet
+  }
 }
