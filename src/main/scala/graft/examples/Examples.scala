@@ -539,6 +539,30 @@ object Examples {
     println(s"[32] greedy ${seg.getLong(0)} vs optimal ${seg.getLong(1)} tokens; " +
       s"temporal bands $bands")
 
+    // 33. the multilingual-corpus trio (late r13): margin-based bitext
+    // mining (mutual-best pairs at >=1.2x their neighborhoods' k-NN
+    // mean), per-lang tokenizer fertility (which scripts a vocab
+    // shortchanges), and CCNet per-lang perplexity terciles (the
+    // keep-head-and-middle policy's input)
+    val vecs = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .join(docs.select("doc_id", "lang"), col("doc_id") === col("vec_id"))
+      .localCheckpoint(false)
+    val mined = graft.llm.Similarity.marginMine(
+      vecs.where(col("lang") === "de").select(col("vec_id").as("a"), col("embedding")),
+      vecs.where(col("lang") === "en").select(col("vec_id").as("b"), col("embedding")),
+      k = 4, minMarginFp = 1200L)
+    val fert = graft.llm.TextStats.tokenizerFertility(
+        docs, Seq("the", "sc", "an", "er", "in"))
+      .agg(min("fert_char_fp"), max("fert_char_fp")).head()
+    val ccnet = graft.llm.TextStats.pplBuckets(docs,
+        graft.llm.TextStats.LmModel(
+          Seq("the" -> -900L, "a" -> -937L), Seq(("the", "a", -250L)),
+          backoffPenalty = -450L, oovPenalty = -3200L))
+      .groupBy("bucket").count().as[(String, Long)].collect().toMap
+    println(s"[33] mined ${mined.count()} mutual-best bitext pairs; " +
+      s"fertility spread [${fert.getLong(0)}, ${fert.getLong(1)}]; " +
+      s"ccnet buckets $ccnet")
+
     spark.stop()
   }
 }

@@ -962,6 +962,73 @@ object TextStats {
       (sc >= nTrans * minPerTransition).as("keep"))
   }
 
+  /** CCNet-style per-LANGUAGE perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359): score every document against the reference LM
+    * ([[lmScore]]'s kernel), normalize to a per-transition integer
+    * perplexity proxy (`ppl_ct = −lm_score·10³ div n_trans` — scores are
+    * negative centi-log-probs, so HIGHER ppl_ct = less model-like), and
+    * cut each LANGUAGE's distribution into head/middle/tail terciles —
+    * per-lang cuts are the point (CCNet's insight: one global cut just
+    * ranks languages by their LM coverage; within-language terciles rank
+    * documents). Documents with <2 words have no transitions and are
+    * excluded — the length gate owns short-document policy ([[lmScore]]).
+    *
+    * Cuts are exact discrete order statistics over the QUANTIZED
+    * perplexity (`ppl_ct div quantum` — the [[dsir]] quantum discipline:
+    * the histogram domain is bounded by score-range/quantum, not corpus
+    * size): cut_i = smallest quantized value v with
+    * `|lang docs ≤ v| ≥ ceil(i·n_lang/3)`; a document's bucket compares
+    * its quantized value against its language's cuts, so tie mass at a
+    * cut lands in the lower (better) bucket together.
+    *
+    * Plan shape at 100 TB: narrow kernel score projection (scanned
+    * twice, the [[qualityTiers]] discipline — re-deriving a narrow
+    * projection beats checkpointing a corpus-sized frame), histogram
+    * groupBy onto (lang, quantized) keys, CDF window PARTITIONED BY
+    * LANG over the histogram (per-lang value-domain-sized, never
+    * corpus-sized, never partition-less), cuts reduced to one
+    * |langs|-row broadcast frame, narrow bucket projection back over
+    * the corpus. Shuffles are histogram-sized; the corpus never
+    * shuffles. */
+  def pplBuckets(docs: DataFrame, model: LmModel, quantum: Long = 1024L,
+                 langCol: String = "lang", idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(quantum >= 1L, s"quantum must be >= 1, got $quantum")
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val t = split(col(textCol), WsRun)
+    val nTrans = size(t).cast("long") - 1L
+    val sc = graft.functions.NgramLmScore(t, model.unigrams, model.bigrams,
+      model.backoffPenalty, model.oovPenalty)
+    def scored = docs
+      .select(col(idCol), col(langCol), sc.as("__lm"), nTrans.as("__n"))
+      .where(col("__n") >= 1L)
+      .select(col(idCol), col(langCol),
+        intDiv(col("__lm") * -1000L, col("__n")).as("ppl_ct"))
+      .withColumn("__pq", intDiv(col("ppl_ct"), lit(quantum)))
+    val hist = scored.groupBy(col(langCol), col("__pq"))
+      .agg(count(lit(1)).as("__c"))
+    // the CDF feeds two consumers (per-lang totals + the cut election) —
+    // cut the tiny histogram-sized frame once (the multi-consumer rule)
+    val cdf = hist.withColumn("__cum",
+        sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(langCol).orderBy("__pq")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .localCheckpoint(false)
+    val totals = cdf.groupBy(langCol).agg(max(col("__cum")).as("__total"))
+    val cuts = cdf.join(broadcast(totals), langCol)
+      .groupBy(langCol)
+      .agg(
+        min(when(col("__cum") >= intDiv(col("__total") + 2L, lit(3L)),
+          col("__pq"))).as("__c1"),
+        min(when(col("__cum") >= intDiv(col("__total") * 2L + 2L, lit(3L)),
+          col("__pq"))).as("__c2"))
+    scored.join(broadcast(cuts), langCol)
+      .select(col(idCol), col(langCol), col("ppl_ct"),
+        when(col("__pq") <= col("__c1"), "head")
+          .when(col("__pq") <= col("__c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Document fingerprint: min over 5-char-gram xxhash64 rolling hashes —
     * a winnowing-style content signature, stable under trailing edits.
     * One narrow kernel pass per doc ([[graft.functions.MinGramHash]] —

@@ -64,6 +64,11 @@ object ExchangeBudgets {
     // argmax (2 groupBys), the mutual equi-join, the declared sort,
     // plus the scored-frame build joins — measured 10 at landing
     "llm_bitext_margin"               -> 10,
+    // per-lang tercile machinery: histogram groupBy, per-lang CDF window
+    // partition, per-lang totals + cut election over the (checkpoint-cut)
+    // histogram frame, declared sort — every exchange histogram- or
+    // |langs|-sized except the first; measured 5 at landing
+    "llm_ccnet_buckets"               -> 5,
     "llm_contamination_bloom"         -> 5,
     "llm_contamination_report"        -> 4,
     "llm_curate_full"                 -> 22,

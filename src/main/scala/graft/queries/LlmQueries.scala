@@ -3804,6 +3804,63 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet per-LANGUAGE perplexity terciles (Wenzek et al. 2020): the
+    // head/middle/tail bucketing the CCNet pipeline keys its
+    // keep-head-and-middle policy on. Per-lang cuts are the semantics
+    // (a global cut ranks LANGUAGES by LM coverage, not documents);
+    // quantum=1024 bounds the histogram domain (the dsir discipline).
+    // Probed tri-scale before planting: ppl_ct is 71-190 distinct
+    // values per lang at sf0.001 (near-continuous — no point-mass
+    // vacuity), so every lang splits ~n/3 per bucket up to quantum-tie
+    // mass. Scoring replays llm_lm_score's join CTEs; the kernel/SQL
+    // scoring parity is already pinned there.
+    Q("llm_ccnet_buckets", {
+      val uv = lmUnigrams.map { case (w, s) => s"('$w', $s)" }.mkString(", ")
+      val bv = lmBigrams.map { case (a, b, s) => s"('$a', '$b', $s)" }.mkString(", ")
+      s"""WITH uni(w, s) AS (VALUES $uv),
+         |big(w1, w2, s) AS (VALUES $bv),
+         |t AS (
+         |  SELECT doc_id, lang,
+         |    regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS toks
+         |  FROM documents),
+         |t2 AS (SELECT doc_id, lang, toks, len(toks) AS nt FROM t WHERE len(toks) >= 2),
+         |tr AS (SELECT doc_id, lang, unnest(range(2, nt + 1)) AS i, toks FROM t2),
+         |p AS (SELECT doc_id, lang, toks[i-1] AS w1, toks[i] AS w2 FROM tr),
+         |sc AS (
+         |  SELECT p.doc_id, p.lang, coalesce(b.s, u.s + (-450), -3200) AS s
+         |  FROM p LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+         |         LEFT JOIN uni u ON u.w = p.w2),
+         |agg AS (
+         |  SELECT doc_id, lang, CAST(sum(s) AS BIGINT) AS lm,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM sc GROUP BY doc_id, lang),
+         |ppl AS (
+         |  SELECT doc_id, lang, CAST((lm * -1000) // n AS BIGINT) AS ppl_ct,
+         |         CAST(((lm * -1000) // n) // 1024 AS BIGINT) AS pq
+         |  FROM agg),
+         |hist AS (SELECT lang, pq, count(*) AS c FROM ppl GROUP BY lang, pq),
+         |cdf AS (
+         |  SELECT lang, pq, sum(c) OVER (PARTITION BY lang ORDER BY pq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM hist),
+         |tot AS (SELECT lang, max(cum) AS total FROM cdf GROUP BY lang),
+         |cuts AS (
+         |  SELECT cdf.lang,
+         |    CAST(min(CASE WHEN cum >= (total + 2) // 3 THEN pq END) AS BIGINT) AS c1,
+         |    CAST(min(CASE WHEN cum >= (total * 2 + 2) // 3 THEN pq END) AS BIGINT) AS c2
+         |  FROM cdf JOIN tot ON cdf.lang = tot.lang GROUP BY cdf.lang)
+         |SELECT ppl.doc_id, ppl.lang, ppl.ppl_ct,
+         |  CASE WHEN pq <= c1 THEN 'head' WHEN pq <= c2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM ppl JOIN cuts ON ppl.lang = cuts.lang
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, sf) =>
+      TextStats.pplBuckets(Tables.documents(spark, sf),
+          TextStats.LmModel(lmUnigrams, lmBigrams,
+            backoffPenalty = -450L, oovPenalty = -3200L))
+        .orderBy("doc_id")
+    },
+
     // DSIR importance resampling (Xie et al. 2023): hashed-bigram
     // distributions (64 buckets, the winnowing hash chain mod 64), raw
     // vs target = lang='en', add-one-smoothed fixed-point log2 ratio

@@ -641,6 +641,61 @@ class TextStatsSpec extends SparkSpec {
     out("zh")._4 shouldBe 2500L // 10 single-char tokens over 4 words
   }
 
+  private val pplModel = TextStats.LmModel(
+    unigrams = Seq("a" -> -100L, "b" -> -200L),
+    bigrams = Seq(("a", "a", -50L)),
+    backoffPenalty = -10L, oovPenalty = -1000L)
+
+  test("pplBuckets cuts each language into exact discrete terciles") {
+    // hand-computed ppl_ct: a·a transitions score -50, backoff paths
+    // -110/-210, OOV -1000 → six distinct per-transition perplexities
+    val docs = Seq(
+      (1L, "xx", "a a a"), // ppl 50000  -> head
+      (2L, "xx", "a b"),   // ppl 210000 -> tail
+      (3L, "xx", "b a"),   // ppl 110000 -> head (c1 = rank-2 value)
+      (4L, "xx", "a a b"), // ppl 130000 -> middle
+      (5L, "xx", "b a b"), // ppl 160000 -> middle (c2 = rank-4 value)
+      (6L, "xx", "a z"),   // ppl 1000000 -> tail
+      (7L, "xx", "a"))     // <2 words: excluded
+      .toDF("doc_id", "lang", "text")
+    val out = TextStats.pplBuckets(docs, pplModel, quantum = 1L)
+      .select("doc_id", "ppl_ct", "bucket")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L)
+    out(1L) shouldBe (1L, 50000L, "head")
+    out(3L) shouldBe (3L, 110000L, "head")
+    out(4L) shouldBe (4L, 130000L, "middle")
+    out(5L) shouldBe (5L, 160000L, "middle")
+    out(2L) shouldBe (2L, 210000L, "tail")
+    out(6L) shouldBe (6L, 1000000L, "tail")
+  }
+
+  test("pplBuckets cuts are per-language; a point-mass language is all head") {
+    val docs = Seq(
+      (1L, "aa", "a a a"), (2L, "aa", "b a"), (3L, "aa", "a b"),
+      (4L, "bb", "a a"), (5L, "bb", "a a"), (6L, "bb", "a a"))
+      .toDF("doc_id", "lang", "text")
+    val out = TextStats.pplBuckets(docs, pplModel, quantum = 1L)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    out(1L) shouldBe "head"
+    out(2L) shouldBe "middle"
+    out(3L) shouldBe "tail"
+    // lang bb is a single ppl value: the tercile cuts coincide and the
+    // whole tie mass lands in the lower (better) bucket together
+    Seq(4L, 5L, 6L).map(out) shouldBe Seq("head", "head", "head")
+  }
+
+  test("pplBuckets is invariant under input partitioning") {
+    val docs = Seq(
+      (1L, "aa", "a a a"), (2L, "aa", "b a"), (3L, "aa", "a b"),
+      (4L, "aa", "a z"), (5L, "aa", "b a b"), (6L, "aa", "a a b"))
+      .toDF("doc_id", "lang", "text")
+    val once = TextStats.pplBuckets(docs, pplModel).collect().toSet
+    val again = TextStats.pplBuckets(docs.repartition(5), pplModel)
+      .collect().toSet
+    again shouldBe once
+  }
+
   test("tokenizerFertility sums are consistent and partition-invariant") {
     val vocab = Seq("ab", "cd")
     val docs = Seq(("en", "abcd ab"), ("de", "cdcd x"), ("en", "zz"))
