@@ -723,6 +723,36 @@ object ScaleProbe {
             rowsPerShard = 256L))
           .agg(sum("n_tokens"), count(lit(1))).head()
       }),
+      // margin-based bitext mining, brute vs LSH-candidate path: the
+      // query side is FIXED (128 vectors) while the target corpus
+      // grows, so the brute all-pairs stage is linear-in-n BY
+      // DECLARATION and the LSH path scores bucket-mates only — the
+      // pair of ratios is the scale story of marginMine's `candidates`
+      // hook (the declared query's all-pairs face is the correctness
+      // baseline; this is the production path)
+      ("bitext_margin_brute", () => {
+        val emb = synthEmb(n)
+        graft.llm.Similarity.marginMine(
+          emb.where(col("vec_id") < 128).withColumnRenamed("vec_id", "qid"),
+          emb.withColumnRenamed("vec_id", "cid"),
+          k = 4, srcIdCol = "qid", tgtIdCol = "cid").count()
+      }),
+      ("bitext_margin_lsh", () => {
+        val emb = synthEmb(n)
+        val src = emb.where(col("vec_id") < 128)
+          .withColumnRenamed("vec_id", "qid")
+        // bits sized to the corpus (the autoBits rule): 2^10 signatures
+        // per table keeps buckets ~n/1024 — the probe-scale analog of
+        // embed_neardup's clamp(log2 n) sizing; the default bits=2 is a
+        // DEMO setting whose 4 buckets/table would out-candidate brute
+        val cand = graft.llm.Similarity.quantizedLshTopK(
+            src, emb, k = 32, bits = 10, dims = 32)
+          .select(col("qid"), col("vec_id").as("cid"))
+        graft.llm.Similarity.marginMine(src,
+          emb.withColumnRenamed("vec_id", "cid"), k = 4,
+          srcIdCol = "qid", tgtIdCol = "cid",
+          candidates = Some(cand)).count()
+      }),
       // the serve surface's control-plane contract: request latency at a
       // FIXED page (limit 100) must stay flat as the corpus grows —
       // only the clamped head crosses the socket, and a well-formed
