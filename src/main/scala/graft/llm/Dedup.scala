@@ -263,6 +263,59 @@ object Dedup {
     verifiedPairs(docs, candidates, k, threshold, idCol, textCol)
   }
 
+  /** Character-level EDIT-DISTANCE verify over poly-banded candidates —
+    * the fuzzy-dedup verify family Jaccard cannot express: shingle-set
+    * overlap is insensitive to WHERE an edit lands (a one-token append
+    * and a scattered 10-token rewrite can share a Jaccard) while
+    * normalized Levenshtein counts the actual character operations, the
+    * criterion CCNet/RefinedWeb-style "verbatim-with-small-edits"
+    * dedup gates on. Same candidate topology as
+    * [[polyMinHashNearDups]] (shared [[bandSignaturesPoly]] +
+    * [[bucketPairs]], so the two verify families cannot drift on the
+    * candidate stage), then ONE `levenshtein` per candidate pair —
+    * never per corpus pair; the banding contract keeps the verify stage
+    * candidate-sized, which is what makes an O(|a|·|b|) per-pair DP
+    * affordable at 100 TB. Emits EVERY candidate pair with its
+    * distance, `rel_bp` = round-half-up bp of dist/max(len), and the
+    * `dup` verdict at `maxRelBp` — both branches of the threshold stay
+    * visible to downstream election/audit. Cross-engine exact: both
+    * engines' `levenshtein` is the unit-cost DP, and the
+    * normalization is the integer [[TextStats.bp]]. */
+  def polyEditNearDups(docs: DataFrame, k: Int = 2, bands: Int = 8,
+                       rowsPerBand: Int = 2, maxRelBp: Long = 2000L,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxBucket: Int = 256): DataFrame = {
+    val bandSig = bandSignaturesPoly(docs, k, bands, rowsPerBand, idCol, textCol)
+    val candidates = bucketPairs(bandSig, Seq("band", "sig"), idCol,
+      maxBucket = maxBucket)
+    editVerify(docs, candidates, maxRelBp, idCol, textCol)
+  }
+
+  /** The verify half of [[polyEditNearDups]], reusable over ANY
+    * candidate frame `(a, b)` — the xxhash64 banding, an embedding
+    * blocker, or an external pair list compose identically. Checkpoint
+    * discipline as [[verifiedPairs]]: candidates and the pruned text
+    * attach are both candidate-pair-sized cuts, so the corpus is read
+    * once for banding and once column-pruned for the text attach. */
+  private[llm] def editVerify(docs: DataFrame, candidates: DataFrame,
+                              maxRelBp: Long, idCol: String,
+                              textCol: String): DataFrame = {
+    val cand = candidates.localCheckpoint(false)
+    val candIds = cand.select(col("a").as(idCol))
+      .union(cand.select(col("b").as(idCol)))
+    val texts = docs.select(col(idCol), col(textCol))
+      .join(candIds, Seq(idCol), "left_semi")
+      .localCheckpoint(false)
+    cand
+      .join(texts.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
+      .join(texts.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
+      .withColumn("edits", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("rel_bp", TextStats.bp(col("edits"),
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long")))
+      .select(col("a"), col("b"), col("edits"), col("rel_bp"),
+        (col("rel_bp") <= maxRelBp).as("dup"))
+  }
+
   /** The exact-Jaccard verify stage every near-dup candidate generator
     * funnels through: narrow array_distinct shingle sets, semi-join-
     * pruned to docs that appear in a candidate pair (a tiny fraction of

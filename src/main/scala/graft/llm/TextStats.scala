@@ -139,6 +139,75 @@ object TextStats {
       asRatio(compositeBp(drBp, srBp)).as("quality"))
   }
 
+  /** The Gopher document-quality rule battery (Rae et al. 2021,
+    * Appendix A) as NAMED per-rule verdicts — the full structural
+    * filter [[quality]]'s composite score approximates with ratios:
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * (`#` plus `...` occurrences), bullet-line and ellipsis-line
+    * fractions, alphabetic-word fraction, and a minimum stopword count,
+    * plus the conjunction `keep`. Emitting every rule separately is the
+    * point: at curation time the per-rule failure MIX is the datasheet
+    * (which rule dominates per source decides what to fix upstream),
+    * where a fused boolean only says how much was dropped.
+    *
+    * One narrow projection per document — no join, no shuffle, nothing
+    * wide; every ratio is the integer round-half-up [[bp]], so the
+    * whole battery replays exactly in ANSI SQL. Thresholds are bp
+    * values (10000 = 1.0; mean length 30000 = 3.0 chars/word). Lines
+    * split on `\n`; words on [[WsRun]]; a bullet line starts with
+    * `"- "` or `"* "`; an ellipsis line ends with `"..."`; `...`
+    * occurrences count non-overlapping left-to-right (both engines'
+    * `replace` discipline). The three membership filters run as
+    * interpreted HOF lambdas over ≤ a few hundred tokens per row —
+    * measured well under kernel-worthy; the stopword count is the
+    * [[graft.functions.CountTokensIn]] codegen kernel. */
+  def gopherRules(docs: DataFrame,
+                  minWords: Long = 20, maxWords: Long = 90,
+                  minMeanBp: Long = 30000, maxMeanBp: Long = 100000,
+                  maxSymbolBp: Long = 1000, maxBulletBp: Long = 9000,
+                  maxEllipsisBp: Long = 3000, minAlphaBp: Long = 8000,
+                  minStopHits: Long = 2,
+                  stopwords: Seq[String] = DefaultStopwords,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = split(col(textCol), WsRun)
+    val ln = split(col(textCol), "\n")
+    val noWs = regexp_replace(col(textCol), WsRun, "")
+    val nHash = length(col(textCol)) - length(replace(col(textCol), lit("#")))
+    val nEll = graft.functions.VectorFunctions.intDiv(
+      length(col(textCol)) - length(replace(col(textCol), lit("..."))), lit(3))
+    val counted = docs.select(
+      col(idCol),
+      size(t).cast("long").as("__nt"),
+      size(ln).cast("long").as("__nl"),
+      length(noWs).cast("long").as("__nch"),
+      (nHash + nEll).cast("long").as("__nsym"),
+      size(filter(t, x => x.rlike("[A-Za-z]"))).cast("long").as("__na"),
+      graft.functions.CountTokensIn(t, stopwords).as("__ns"),
+      size(filter(ln, l => l.startsWith("- ") || l.startsWith("* ")))
+        .cast("long").as("__nb"),
+      size(filter(ln, l => l.endsWith("..."))).cast("long").as("__ne"))
+    val meanBp = bp(col("__nch"), col("__nt"))
+    val symBp = bp(col("__nsym"), col("__nt"))
+    val bulletBp = bp(col("__nb"), col("__nl"))
+    val ellBp = bp(col("__ne"), col("__nl"))
+    val alphaBp = bp(col("__na"), col("__nt"))
+    val rules = counted.select(
+      col(idCol),
+      col("__nt").as("n_words"),
+      col("__nl").as("n_lines"),
+      col("__nt").between(minWords, maxWords).as("words_ok"),
+      meanBp.between(minMeanBp, maxMeanBp).as("mean_len_ok"),
+      (symBp <= maxSymbolBp).as("symbol_ok"),
+      (bulletBp <= maxBulletBp).as("bullet_ok"),
+      (ellBp <= maxEllipsisBp).as("ellipsis_ok"),
+      (alphaBp >= minAlphaBp).as("alpha_ok"),
+      (col("__ns") >= minStopHits).as("stop_ok"))
+    rules.withColumn("keep",
+      col("words_ok") && col("mean_len_ok") && col("symbol_ok") &&
+        col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") &&
+        col("stop_ok"))
+  }
+
   /** Greedy-subword (BPE-faithful) token count of `textCol` under a
     * fixed vocabulary: the [[WsRun]] split feeds
     * [[graft.functions.BpeTokenCount]] — one narrow kernel projection.

@@ -76,6 +76,21 @@ object LlmQueries {
   }
   private val vecCap = 500L
 
+  // Planted structural-defect classes for llm_gopher_rules (the
+  // oracle-planting discipline: the fixture corpus is clean single-line
+  // text, so each Gopher rule's fail branch is planted identically on
+  // both sides). Single definitions — the SQL literals are derived from
+  // these strings, never re-typed.
+  private val gopherBullets: String =
+    Seq.fill(8)("- the fast alpha beta gamma").mkString("\n")
+  private val gopherEllipsis: String =
+    Seq.fill(8)("the fast alpha beta gamma...").mkString("\n")
+  private val gopherSymbols: String = " " + Seq.fill(12)("#").mkString(" ")
+  private val gopherDigits: String =
+    (1 to 21).map(i => f"$i%02d").mkString(" ")
+  private val gopherLongWords: String =
+    "the fast " + Seq.fill(23)("abcdefghijklmnop").mkString(" ")
+
   // Planted subword vocabulary for the BPE-budget queries (the llm_redact
   // discipline: the tokenizer model is DATA, planted identically on both
   // sides). Entries overlap ('scan' vs 'sc'+'an') so greedy longest-match
@@ -673,6 +688,60 @@ object LlmQueries {
       Dedup.polyMinHashNearDups(
           Tables.documents(spark, sf).where(col("doc_id") < docCap),
           k = 2, bands = 8, rowsPerBand = 2, threshold = 0.3)
+        .orderBy("a", "b")
+    },
+
+    // Edit-distance-verified fuzzy dedup (r13): the OTHER verify family
+    // — normalized Levenshtein over the same poly-banded candidates,
+    // the "verbatim with small edits" criterion shingle-Jaccard can't
+    // express (a one-token append and a scattered rewrite can share a
+    // Jaccard; they never share an edit distance). Clones planted
+    // in-query (%13 docs re-enter at +500000 with one appended token)
+    // pin the dup branch at every scale — the 3-char append lands
+    // ≤566 bp while the candidate mass sits near 6900 bp (probed
+    // tri-scale; threshold 600 keeps every clone pair plus the natural
+    // near-identicals: 69/1121 → 65/1082 → 203/17128 dup). Every
+    // candidate pair is emitted with its verdict so both branches are
+    // in the gated output.
+    // levenshtein is the unit-cost DP in BOTH engines — the verify is
+    // exact cross-engine, no quantization needed.
+    Q("llm_dedup_edit",
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < $docCap
+         |  UNION ALL
+         |  SELECT doc_id + 500000, text || ' zq' FROM documents
+         |  WHERE doc_id < $docCap AND doc_id % 13 = 0),
+         |toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tkf
+         |  FROM base),
+         |${PolySql.laneSigCtes()},
+         |capped AS (
+         |  SELECT doc_id, band, sig,
+         |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id AND a.rn <= 256 AND b.rn <= 256),
+         |p AS (
+         |  SELECT c.a, c.b,
+         |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edits,
+         |    CAST(greatest(length(ta.text), length(tb.text)) AS BIGINT) AS m
+         |  FROM cand c
+         |  JOIN base ta ON ta.doc_id = c.a
+         |  JOIN base tb ON tb.doc_id = c.b)
+         |SELECT a, b, edits,
+         |  CAST((edits * 20000 + m) // (2 * m) AS BIGINT) AS rel_bp,
+         |  ((edits * 20000 + m) // (2 * m)) <= 600 AS dup
+         |FROM p ORDER BY a, b""".stripMargin) { (spark, sf) =>
+      val base = Tables.documents(spark, sf)
+        .where(col("doc_id") < docCap).select("doc_id", "text")
+      val clones = base.where(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" zq")).as("text"))
+      Dedup.polyEditNearDups(base.unionAll(clones), k = 2, bands = 8,
+          rowsPerBand = 2, maxRelBp = 600L)
         .orderBy("a", "b")
     },
 
@@ -2529,6 +2598,85 @@ object LlmQueries {
         |FROM b ORDER BY doc_id""".stripMargin) {
       (spark, sf) =>
         TextStats.quality(Tables.documents(spark, sf)).orderBy("doc_id")
+    },
+
+    // Gopher rule battery (Rae 2021 Appendix A): the named structural
+    // rules as independent verdicts + the keep conjunction — the
+    // per-rule failure MIX is the curation datasheet llm_quality's
+    // fused score can't provide. The fixture is clean single-line
+    // text, so every structural defect class is planted in-query on
+    // both sides (%13 residues 3–7: all-bullet lines, all-ellipsis
+    // lines, '#' spam, digit-only words, 16-char gibberish words);
+    // naturals provide the words_ok and stop_ok fail branches. Probed
+    // tri-scale: every rule fails 39–796 docs and keep ≈ 48 % at all
+    // three scales. All ratios integer bp; one narrow projection, no
+    // shuffle before the declared ORDER BY.
+    Q("llm_gopher_rules", {
+      def nlJoin(s: String): String =
+        "'" + s.split("\n").mkString("' || chr(10) || '") + "'"
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 13
+         |      WHEN 3 THEN ${nlJoin(gopherBullets)}
+         |      WHEN 4 THEN ${nlJoin(gopherEllipsis)}
+         |      WHEN 5 THEN text || '$gopherSymbols'
+         |      WHEN 6 THEN '$gopherDigits'
+         |      WHEN 7 THEN '$gopherLongWords'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS tk,
+         |    string_split(text, chr(10)) AS ln,
+         |    CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'))
+         |      AS BIGINT) AS nch,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS nhash,
+         |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+         |      AS BIGINT) AS nell
+         |  FROM planted),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS nt, CAST(len(ln) AS BIGINT) AS nl,
+         |    nch, nhash + nell AS nsym,
+         |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+         |      AS BIGINT) AS na,
+         |    CAST(len(list_filter(tk,
+         |      t -> list_contains(['the', 'a', 'fast', 'slow'], t))) AS BIGINT) AS ns,
+         |    CAST(len(list_filter(ln,
+         |      l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS nb,
+         |    CAST(len(list_filter(ln, l -> ends_with(l, '...'))) AS BIGINT) AS ne
+         |  FROM c),
+         |r AS (
+         |  SELECT doc_id, nt, nl,
+         |    (nch * 20000 + nt) // (2 * nt) AS mean_bp,
+         |    (nsym * 20000 + nt) // (2 * nt) AS sym_bp,
+         |    (nb * 20000 + nl) // (2 * nl) AS bullet_bp,
+         |    (ne * 20000 + nl) // (2 * nl) AS ell_bp,
+         |    (na * 20000 + nt) // (2 * nt) AS alpha_bp,
+         |    ns
+         |  FROM f)
+         |SELECT doc_id, nt AS n_words, nl AS n_lines,
+         |  nt BETWEEN 20 AND 90 AS words_ok,
+         |  mean_bp BETWEEN 30000 AND 100000 AS mean_len_ok,
+         |  sym_bp <= 1000 AS symbol_ok,
+         |  bullet_bp <= 9000 AS bullet_ok,
+         |  ell_bp <= 3000 AS ellipsis_ok,
+         |  alpha_bp >= 8000 AS alpha_ok,
+         |  ns >= 2 AS stop_ok,
+         |  (nt BETWEEN 20 AND 90) AND (mean_bp BETWEEN 30000 AND 100000)
+         |    AND sym_bp <= 1000 AND bullet_bp <= 9000 AND ell_bp <= 3000
+         |    AND alpha_bp >= 8000 AND ns >= 2 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    }) { (spark, sf) =>
+      val m = pmod(col("doc_id"), lit(13))
+      val planted = Tables.documents(spark, sf).select(col("doc_id"),
+        when(m === 3, lit(gopherBullets))
+          .when(m === 4, lit(gopherEllipsis))
+          .when(m === 5, concat(col("text"), lit(gopherSymbols)))
+          .when(m === 6, lit(gopherDigits))
+          .when(m === 7, lit(gopherLongWords))
+          .otherwise(col("text")).as("text"))
+      TextStats.gopherRules(planted).orderBy("doc_id")
     },
 
     // Model-based quality scoring (fastText-classifier stage): offline-

@@ -69,6 +69,48 @@ class DedupSpec extends SparkSpec {
     (poly.keySet intersect xx.keySet).foreach { p => poly(p) shouldBe xx(p) }
   }
 
+  test("polyEditNearDups: appended-token clone verifies as dup, rewrite does not") {
+    // 0/1 identical (edits 0), 2 is one token changed ('join'→'batch' is
+    // a 5-char edit window on a ~50-char doc → above a tight threshold),
+    // 4 is 0 plus one appended token (3-char edit). Threshold 700 bp:
+    // the clone and the identical pair verify, the rewrite is emitted
+    // with dup=false — both branches in one output, pairs never dropped.
+    val clone = Seq((4L, docs.where(col("doc_id") === 0)
+      .select("text").as[String].head() + " zq")).toDF("doc_id", "text")
+    val out = Dedup.polyEditNearDups(docs.unionAll(clone), k = 2, bands = 8,
+        rowsPerBand = 2, maxRelBp = 700L)
+      .select("a", "b", "edits", "dup").as[(Long, Long, Long, Boolean)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    out((0L, 1L)) shouldBe ((0L, true))
+    out((0L, 4L)) shouldBe ((3L, true))   // ' zq' append
+    out((1L, 4L)) shouldBe ((3L, true))
+    out.keySet should contain((0L, 2L))   // banded candidate…
+    out((0L, 2L))._2 shouldBe false       // …but fails the edit verify
+    out.keySet.flatMap(p => Set(p._1, p._2)) should not contain 3L
+  }
+
+  test("editVerify rel_bp is round-half-up bp of edits over the longer text") {
+    val d = Seq((1L, "abcd"), (2L, "abzd"), (3L, "abcdxy")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val out = Dedup.editVerify(d, cand, maxRelBp = 2500L,
+        idCol = "doc_id", textCol = "text")
+      .select("a", "b", "edits", "rel_bp", "dup")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // levenshtein(abcd, abzd)=1, m=4 → (1·20000+4)//8 = 2500 (round-half-up
+    // of 2500.0); levenshtein(abcd, abcdxy)=2, m=6 → (2·20000+6)//12 = 3333
+    out((1L, 2L)) shouldBe ((1L, 2500L, true))
+    out((1L, 3L)) shouldBe ((2L, 3333L, false))
+  }
+
+  test("polyEditNearDups is deterministic under input repartitioning") {
+    val a = Dedup.polyEditNearDups(docs, maxRelBp = 700L)
+      .orderBy("a", "b").collect().toSeq
+    val b = Dedup.polyEditNearDups(docs.repartition(7), maxRelBp = 700L)
+      .orderBy("a", "b").collect().toSeq
+    a shouldBe b
+  }
+
   test("simhash of identical docs is identical; near-dup within small hamming") {
     val sh = Dedup.simHash(docs).as[(Long, Long)].collect().toMap
     sh(0L) shouldBe sh(1L)

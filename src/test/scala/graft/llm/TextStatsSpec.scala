@@ -709,4 +709,72 @@ class TextStatsSpec extends SparkSpec {
       .collect().toSet
     again shouldBe out.collect().toSet
   }
+
+  test("gopherRules: each planted defect fails exactly its own rule") {
+    // Clean doc passes everything; each defect doc is built to fail ONE
+    // rule (plus keep) and pass the rest — the per-rule failure mix is
+    // the operator's point, so the isolation is what's asserted.
+    val clean = (1 to 25).map(i => s"the fast word$i").mkString(" ")
+    val docs = Seq(
+      (0L, clean),
+      // 8 bullet lines, 6 tokens each: words 48 ✓, alpha 40/48 ✓,
+      // stop hits 16 ✓, mean (22 chars / 6 toks) ✓ — only bullet_ok ✗
+      (1L, Seq.fill(8)("- the fast alpha beta gamma").mkString("\n")),
+      // digit-only 2-char words: alpha 0 ✗ and mean 2.0 ✗ and stops 0 ✗
+      (2L, (1 to 21).map(i => f"$i%02d").mkString(" ")),
+      // 16-char gibberish words with 2 stopwords: only mean_len_ok ✗
+      (3L, "the fast " + Seq.fill(23)("abcdefghijklmnop").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextStats.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, c: String) = out(id).getAs[Boolean](c)
+    val ruleCols = Seq("words_ok", "mean_len_ok", "symbol_ok", "bullet_ok",
+      "ellipsis_ok", "alpha_ok", "stop_ok")
+    ruleCols.foreach(c => withClue(c) { b(0L, c) shouldBe true })
+    b(0L, "keep") shouldBe true
+    ruleCols.foreach(c => withClue(c) {
+      b(1L, c) shouldBe (c != "bullet_ok") })
+    b(1L, "keep") shouldBe false
+    b(2L, "alpha_ok") shouldBe false
+    b(2L, "mean_len_ok") shouldBe false
+    b(2L, "stop_ok") shouldBe false
+    b(2L, "words_ok") shouldBe true
+    b(3L, "mean_len_ok") shouldBe false
+    (ruleCols.toSet - "mean_len_ok").foreach(c => withClue(c) {
+      b(3L, c) shouldBe true })
+  }
+
+  test("gopherRules symbol rule counts '#' and non-overlapping '...' runs") {
+    // 10 words + 2 hashes + 1 ellipsis = 3 symbols / 12 tokens = 2500 bp
+    // ('....' is ONE non-overlapping '...' occurrence, both engines'
+    // left-to-right replace discipline); 1 word + 0 symbols passes.
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 end.... # #"),
+      (1L, "plain the a words here all fine really good stuff"))
+      .toDF("doc_id", "text")
+    val out = TextStats.gopherRules(docs, minWords = 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("symbol_ok")).toMap
+    out(0L) shouldBe false
+    out(1L) shouldBe true
+  }
+
+  test("gopherRules ellipsis rule is a per-LINE fraction, not an occurrence count") {
+    // 1 of 4 lines ends with '...' → 2500 bp ≤ 3000 passes even though
+    // a '...' occurs; 2 of 4 → 5000 bp fails.
+    val pass = (0L, "the fast one...\nplain the line\nanother a line\nlast fast line")
+    val fail = (1L, "the fast one...\nsecond a line...\nanother the line\nlast fast line")
+    val out = TextStats.gopherRules(Seq(pass, fail).toDF("doc_id", "text"),
+        minWords = 1, maxSymbolBp = 10000).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("ellipsis_ok")).toMap
+    out(0L) shouldBe true
+    out(1L) shouldBe false
+  }
+
+  test("gopherRules is one narrow projection — no shuffle, no join") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val plan = TextStats.gopherRules(docs)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
 }
