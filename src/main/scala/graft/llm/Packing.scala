@@ -394,4 +394,65 @@ object Packing {
     }
     wide.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
+
+  /** T5/UL2-style span-corruption PLANNING: the deterministic mask
+    * layout a denoising-objective data loader precomputes per document —
+    * how many tokens to mask (`noiseBp` of the token count, round-half-
+    * up), how many spans (`n_mask / meanSpan`, round-half-up, ≥ 1), the
+    * exact span placement, and the resulting encoder/decoder lengths
+    * (input = unmasked tokens + one sentinel per span; target = masked
+    * tokens + sentinels + EOS — the T5 length accounting that sizes the
+    * packed batch BEFORE tokenization).
+    *
+    * Placement is blocked-jitter: span i owns token block
+    * [i·stride, (i+1)·stride) (stride = n div n_spans) and starts at a
+    * pseudo-random offset inside its block, derived from the affine
+    * chain ((id mod p)·1000003 + 31·i + 7) mod p over p = 2³¹−1 — the
+    * cross-engine hash family of the poly-minhash tier, so the whole
+    * layout (not just the counts) replays in ANSI SQL. Blocks make
+    * overlap impossible by construction — no sequential rejection scan,
+    * no per-doc loop; spans land within ±stride of the uniform layout,
+    * which is the controlled-spacing regime span corruption wants
+    * anyway (independent uniform starts would need overlap resolution —
+    * inherently sequential, and over-clusters masks besides).
+    *
+    * `spans` is the canonical `"start:len;start:len"` string (token
+    * offsets, 0-based) — a STRING, not an array, per the oracle output
+    * contract. One narrow projection; the per-row HOF over n_spans ≤
+    * n·noiseBp/(10⁴·meanSpan) elements is interpreted but tiny. */
+  def spanCorruption(docs: DataFrame, noiseBp: Long = 1500,
+                     meanSpan: Long = 3, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    // ≤ 5000: above half-masking, ceil(n_mask/n_spans) can exceed the
+    // block stride and the last span would run past the document — and
+    // masking a majority of tokens isn't span corruption anyway.
+    require(noiseBp > 0 && noiseBp <= 5000,
+      s"noiseBp must be in (0, 5000], got $noiseBp")
+    require(meanSpan >= 1, s"meanSpan must be >= 1, got $meanSpan")
+    val p = 2147483647L
+    val n = size(split(col(textCol), TextStats.WsRun)).cast("long")
+    val counted = docs.select(col(idCol), n.as("__n"))
+      .withColumn("__nm",
+        greatest(lit(1L), intDiv(col("__n") * (2L * noiseBp) + 10000L, lit(20000L))))
+      .withColumn("__ns",
+        greatest(lit(1L), intDiv(col("__nm") * 2L + meanSpan, lit(2L * meanSpan))))
+      .withColumn("__stride", intDiv(col("__n"), col("__ns")))
+      .withColumn("__base", intDiv(col("__nm"), col("__ns")))
+      .withColumn("__rem", pmod(col("__nm"), col("__ns")))
+    val spans = transform(sequence(lit(0L), col("__ns") - 1L), i => {
+      val len = col("__base") + when(i < col("__rem"), 1L).otherwise(0L)
+      val room = greatest(col("__stride") - len, lit(1L))
+      val h = pmod(pmod(col(idCol).cast("long"), lit(p)) * 1000003L + i * 31L + 7L, lit(p))
+      concat_ws(":", (i * col("__stride") + pmod(h, room)).cast("string"),
+        len.cast("string"))
+    })
+    counted.select(
+      col(idCol),
+      col("__n").as("n_tokens"),
+      col("__nm").as("n_mask"),
+      col("__ns").as("n_spans"),
+      (col("__n") - col("__nm") + col("__ns")).as("input_len"),
+      (col("__nm") + col("__ns") + 1L).as("target_len"),
+      array_join(spans, ";").as("spans"))
+  }
 }

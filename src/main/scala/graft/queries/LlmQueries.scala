@@ -2738,6 +2738,41 @@ object LlmQueries {
           .orderBy("block_tokens")
     },
 
+    // T5 span-corruption planning (r13): deterministic mask layout —
+    // counts, encoder/decoder length accounting, AND the exact span
+    // placement (blocked-jitter over the poly affine chain, so the
+    // whole layout replays in SQL; spans serialize to a canonical
+    // "start:len;…" STRING per the oracle output contract). 15 % noise,
+    // mean span 3 — the T5 defaults.
+    Q("llm_span_corrupt",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n, greatest(1, (n * 3000 + 10000) // 20000) AS nm
+        |  FROM c),
+        |s AS (SELECT doc_id, n, nm, greatest(1, (nm * 2 + 3) // 6) AS ns FROM m),
+        |d AS (
+        |  SELECT doc_id, n, nm, ns,
+        |    n // ns AS stride, nm // ns AS base, nm % ns AS rem
+        |  FROM s)
+        |SELECT doc_id, n AS n_tokens, nm AS n_mask, ns AS n_spans,
+        |  n - nm + ns AS input_len, nm + ns + 1 AS target_len,
+        |  array_to_string(list_transform(range(0, ns), i ->
+        |    CAST(i * stride
+        |        + (((doc_id % 2147483647) * 1000003 + i * 31 + 7) % 2147483647)
+        |          % greatest(stride - (base + CASE WHEN i < rem THEN 1 ELSE 0 END), 1)
+        |      AS VARCHAR)
+        |    || ':' ||
+        |    CAST(base + CASE WHEN i < rem THEN 1 ELSE 0 END AS VARCHAR)), ';')
+        |    AS spans
+        |FROM d ORDER BY doc_id""".stripMargin) {
+      (spark, sf) =>
+        graft.llm.Packing.spanCorruption(Tables.documents(spark, sf))
+          .orderBy("doc_id")
+    },
+
     Q("llm_classifier_sweep",
       """WITH c AS (
         |  SELECT doc_id,

@@ -384,4 +384,56 @@ class PackingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Packing.paddingSweep(docs, Seq(8L, 8L))
   }
+
+  test("spanCorruption matches the hand-walked layout (counts, lengths, placement)") {
+    // n=10: mask round(1.5)=2, spans round(2/3)=1, stride 10, jitter
+    // room 8, h=(1·1000003+7) mod p =1000010 → off 2 → span "2:2".
+    // n=40 (id 2): mask 6, spans 2, stride 20, len 3, room 17;
+    // h0=2000013 → off 14; h1=2000044 → off 11 → "14:3;31:3".
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.spanCorruption(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getLong(1) shouldBe 10L           // n_tokens
+    out(1L).getLong(2) shouldBe 2L            // n_mask
+    out(1L).getLong(3) shouldBe 1L            // n_spans
+    out(1L).getLong(4) shouldBe 9L            // input_len = 10-2+1
+    out(1L).getLong(5) shouldBe 4L            // target_len = 2+1+1
+    out(1L).getString(6) shouldBe "2:2"
+    out(2L).getLong(2) shouldBe 6L
+    out(2L).getLong(3) shouldBe 2L
+    out(2L).getString(6) shouldBe "14:3;31:3"
+  }
+
+  test("spanCorruption spans are in-range, non-overlapping, and sum to n_mask") {
+    val docs = (1L to 60L).map(i =>
+        (i, (1 to (10 + (i % 45)).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Packing.spanCorruption(docs, noiseBp = 2500, meanSpan = 2).collect()
+      .foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        val spans = r.getAs[String]("spans").split(";").toSeq
+          .map { s => val Array(a, b) = s.split(":"); (a.toLong, b.toLong) }
+        spans.map(_._2).sum shouldBe r.getAs[Long]("n_mask")
+        spans.foreach { case (s, l) => s should be >= 0L; (s + l) should be <= n }
+        spans.sliding(2).foreach {
+          case Seq((s1, l1), (s2, _)) => (s1 + l1) should be <= s2
+          case _ =>
+        }
+      }
+  }
+
+  test("spanCorruption is deterministic under repartitioning and guards its params") {
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    Packing.spanCorruption(docs.repartition(5)).collect() shouldBe
+      Packing.spanCorruption(docs).collect()
+    an[IllegalArgumentException] should be thrownBy
+      Packing.spanCorruption(docs, noiseBp = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.spanCorruption(docs, noiseBp = 6000)
+    an[IllegalArgumentException] should be thrownBy
+      Packing.spanCorruption(docs, meanSpan = 0)
+  }
 }
