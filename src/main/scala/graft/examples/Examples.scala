@@ -563,6 +563,27 @@ object Examples {
       s"fertility spread [${fert.getLong(0)}, ${fert.getLong(1)}]; " +
       s"ccnet buckets $ccnet")
 
+    // 34. structural curation + denoising prep (late r13): the Gopher
+    // rule battery reports WHICH rule fails (the per-rule mix is the
+    // datasheet), edit-distance verify catches verbatim-with-small-edits
+    // dups that shingle-Jaccard blurs, and spanCorruption lays out the
+    // T5 denoising masks deterministically before tokenization
+    val gopher = graft.llm.TextStats.gopherRules(docs)
+    val failMix = gopher.agg(
+        sum(when(!col("bullet_ok"), 1L).otherwise(0L)),
+        sum(when(!col("stop_ok"), 1L).otherwise(0L)),
+        sum(when(col("keep"), 1L).otherwise(0L))).head()
+    val editPairs = graft.llm.Dedup.polyEditNearDups(
+        docs.select("doc_id", "text"), maxRelBp = 600L)
+      .where(col("dup")).count()
+    val masks = graft.llm.Packing.spanCorruption(docs)
+      .agg(sum("n_spans"), sum("input_len"), sum("target_len")).head()
+    println(s"[34] gopher fail-mix bullet=${failMix.getLong(0)} " +
+      s"stop=${failMix.getLong(1)} keep=${failMix.getLong(2)}; " +
+      s"$editPairs edit-verified dup pairs; " +
+      s"${masks.getLong(0)} corruption spans → enc ${masks.getLong(1)} / " +
+      s"dec ${masks.getLong(2)} tokens")
+
     spark.stop()
   }
 }
