@@ -85,6 +85,20 @@ object ScaleProbe {
     def llmShapes(n: Long): Seq[(String, () => Any)] = Seq(
       ("minhash_neardup", () => graft.llm.Dedup.minHashNearDups(
         synthDocs(n), k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5).count()),
+      // edit-distance verify rides the SAME poly banding: the
+      // O(|a|·|b|) Levenshtein DP runs once per CANDIDATE pair (the
+      // planted n/10 clones + rare random band collisions), so cost
+      // tracks the banding output, never corpus² — read against
+      // minhash_neardup, the ratio pair isolates the verify-family
+      // swap (set-Jaccard → per-pair DP) at equal candidate topology
+      ("edit_neardup", () => {
+        val base = synthDocs(n)
+        val clones = base.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + n).as("doc_id"),
+            concat(col("text"), lit(" zq")).as("text"))
+        graft.llm.Dedup.polyEditNearDups(base.unionAll(clones),
+          maxRelBp = 600L).count()
+      }),
       // default bitsPerTable = auto: clamp(ceil(log2(n)), 4, 24) — this
       // probes the auto-sizing rule itself (13 bits at 5k, 16 at 50k), the
       // regime where a FIXED width goes superlinear at scale

@@ -168,7 +168,8 @@ object TextStats {
                   maxEllipsisBp: Long = 3000, minAlphaBp: Long = 8000,
                   minStopHits: Long = 2,
                   stopwords: Seq[String] = DefaultStopwords,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  carryCols: Seq[String] = Nil): DataFrame = {
     val t = split(col(textCol), WsRun)
     val ln = split(col(textCol), "\n")
     val noWs = regexp_replace(col(textCol), WsRun, "")
@@ -176,7 +177,7 @@ object TextStats {
     val nEll = graft.functions.VectorFunctions.intDiv(
       length(col(textCol)) - length(replace(col(textCol), lit("..."))), lit(3))
     val counted = docs.select(
-      col(idCol),
+      (col(idCol) +: carryCols.map(col)) ++ Seq(
       size(t).cast("long").as("__nt"),
       size(ln).cast("long").as("__nl"),
       length(noWs).cast("long").as("__nch"),
@@ -185,14 +186,14 @@ object TextStats {
       graft.functions.CountTokensIn(t, stopwords).as("__ns"),
       size(filter(ln, l => l.startsWith("- ") || l.startsWith("* ")))
         .cast("long").as("__nb"),
-      size(filter(ln, l => l.endsWith("..."))).cast("long").as("__ne"))
+      size(filter(ln, l => l.endsWith("..."))).cast("long").as("__ne")): _*)
     val meanBp = bp(col("__nch"), col("__nt"))
     val symBp = bp(col("__nsym"), col("__nt"))
     val bulletBp = bp(col("__nb"), col("__nl"))
     val ellBp = bp(col("__ne"), col("__nl"))
     val alphaBp = bp(col("__na"), col("__nt"))
     val rules = counted.select(
-      col(idCol),
+      (col(idCol) +: carryCols.map(col)) ++ Seq(
       col("__nt").as("n_words"),
       col("__nl").as("n_lines"),
       col("__nt").between(minWords, maxWords).as("words_ok"),
@@ -201,11 +202,36 @@ object TextStats {
       (bulletBp <= maxBulletBp).as("bullet_ok"),
       (ellBp <= maxEllipsisBp).as("ellipsis_ok"),
       (alphaBp >= minAlphaBp).as("alpha_ok"),
-      (col("__ns") >= minStopHits).as("stop_ok"))
+      (col("__ns") >= minStopHits).as("stop_ok")): _*)
     rules.withColumn("keep",
       col("words_ok") && col("mean_len_ok") && col("symbol_ok") &&
         col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") &&
         col("stop_ok"))
+  }
+
+  /** The per-group Gopher DATASHEET over [[gopherRules]]: failure count
+    * of every rule plus kept docs/tokens by `groupCol` — "which rule
+    * dominates where" is what decides the upstream fix (a source
+    * drowning in bullet failures needs a markup stripper, not a better
+    * classifier). Default thresholds; for custom ones run
+    * [[gopherRules]] with `carryCols = Seq(groupCol)` and aggregate —
+    * this rollup is ONE groupBy on that frame. One scan, one |groups|-sized
+    * aggregate (partial map-side), nothing corpus-wide shuffled. */
+  def gopherMix(docs: DataFrame, groupCol: String = "source",
+                stopwords: Seq[String] = DefaultStopwords,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val r = gopherRules(docs, stopwords = stopwords, idCol = idCol,
+      textCol = textCol, carryCols = Seq(groupCol))
+    def f(c: String, as: String) =
+      sum(when(!col(c), 1L).otherwise(0L)).as(as)
+    r.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      f("words_ok", "f_words"), f("mean_len_ok", "f_mean_len"),
+      f("symbol_ok", "f_symbol"), f("bullet_ok", "f_bullet"),
+      f("ellipsis_ok", "f_ellipsis"), f("alpha_ok", "f_alpha"),
+      f("stop_ok", "f_stop"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      sum(when(col("keep"), col("n_words")).otherwise(0L)).as("kept_tokens"))
   }
 
   /** Greedy-subword (BPE-faithful) token count of `textCol` under a

@@ -91,6 +91,87 @@ object LlmQueries {
   private val gopherLongWords: String =
     "the fast " + Seq.fill(23)("abcdefghijklmnop").mkString(" ")
 
+  private object GopherSql {
+    private def nlJoin(s: String): String =
+      "'" + s.split("\n").mkString("' || chr(10) || '") + "'"
+
+    /** planted → c → f → r: the planted defect classes and the
+      * per-document integer feature/ratio chain shared VERBATIM by
+      * llm_gopher_rules (per-doc verdicts) and llm_gopher_mix (the
+      * per-source rollup) — one definition, two gated faces. `carry`
+      * threads extra columns (e.g. source) through every CTE. */
+    def ctes(carry: Seq[String] = Nil): String = {
+      val cy = carry.map(_ + ", ").mkString
+      s"""planted AS (
+         |  SELECT ${cy}doc_id,
+         |    CASE doc_id % 13
+         |      WHEN 3 THEN ${nlJoin(gopherBullets)}
+         |      WHEN 4 THEN ${nlJoin(gopherEllipsis)}
+         |      WHEN 5 THEN text || '$gopherSymbols'
+         |      WHEN 6 THEN '$gopherDigits'
+         |      WHEN 7 THEN '$gopherLongWords'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |c AS (
+         |  SELECT ${cy}doc_id,
+         |    regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS tk,
+         |    string_split(text, chr(10)) AS ln,
+         |    CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'))
+         |      AS BIGINT) AS nch,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS nhash,
+         |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+         |      AS BIGINT) AS nell
+         |  FROM planted),
+         |f AS (
+         |  SELECT ${cy}doc_id,
+         |    CAST(len(tk) AS BIGINT) AS nt, CAST(len(ln) AS BIGINT) AS nl,
+         |    nch, nhash + nell AS nsym,
+         |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+         |      AS BIGINT) AS na,
+         |    CAST(len(list_filter(tk,
+         |      t -> list_contains(['the', 'a', 'fast', 'slow'], t))) AS BIGINT) AS ns,
+         |    CAST(len(list_filter(ln,
+         |      l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS nb,
+         |    CAST(len(list_filter(ln, l -> ends_with(l, '...'))) AS BIGINT) AS ne
+         |  FROM c),
+         |r AS (
+         |  SELECT ${cy}doc_id, nt, nl,
+         |    (nch * 20000 + nt) // (2 * nt) AS mean_bp,
+         |    (nsym * 20000 + nt) // (2 * nt) AS sym_bp,
+         |    (nb * 20000 + nl) // (2 * nl) AS bullet_bp,
+         |    (ne * 20000 + nl) // (2 * nl) AS ell_bp,
+         |    (na * 20000 + nt) // (2 * nt) AS alpha_bp,
+         |    ns
+         |  FROM f)""".stripMargin
+    }
+
+    /** The per-rule predicates over `r`'s columns — spelled once. */
+    val wordsOk = "nt BETWEEN 20 AND 90"
+    val meanOk = "mean_bp BETWEEN 30000 AND 100000"
+    val symOk = "sym_bp <= 1000"
+    val bulletOk = "bullet_bp <= 9000"
+    val ellOk = "ell_bp <= 3000"
+    val alphaOk = "alpha_bp >= 8000"
+    val stopOk = "ns >= 2"
+    val keepCond: String =
+      s"($wordsOk) AND ($meanOk) AND $symOk AND $bulletOk AND $ellOk" +
+        s" AND $alphaOk AND $stopOk"
+  }
+
+  /** The Spark-side planted defect classes — same %13 residue map as
+    * [[GopherSql.ctes]], shared by both gopher faces. */
+  private def gopherPlanted(docs: org.apache.spark.sql.DataFrame,
+                            extraCols: Seq[String]) = {
+    val m = pmod(col("doc_id"), lit(13))
+    docs.select((Seq(col("doc_id")) ++ extraCols.map(col)) :+
+      when(m === 3, lit(gopherBullets))
+        .when(m === 4, lit(gopherEllipsis))
+        .when(m === 5, concat(col("text"), lit(gopherSymbols)))
+        .when(m === 6, lit(gopherDigits))
+        .when(m === 7, lit(gopherLongWords))
+        .otherwise(col("text")).as("text"): _*)
+  }
+
   // Planted subword vocabulary for the BPE-budget queries (the llm_redact
   // discipline: the tokenizer model is DATA, planted identically on both
   // sides). Entries overlap ('scan' vs 'sc'+'an') so greedy longest-match
@@ -2611,72 +2692,54 @@ object LlmQueries {
     // tri-scale: every rule fails 39–796 docs and keep ≈ 48 % at all
     // three scales. All ratios integer bp; one narrow projection, no
     // shuffle before the declared ORDER BY.
-    Q("llm_gopher_rules", {
-      def nlJoin(s: String): String =
-        "'" + s.split("\n").mkString("' || chr(10) || '") + "'"
-      s"""WITH planted AS (
-         |  SELECT doc_id,
-         |    CASE doc_id % 13
-         |      WHEN 3 THEN ${nlJoin(gopherBullets)}
-         |      WHEN 4 THEN ${nlJoin(gopherEllipsis)}
-         |      WHEN 5 THEN text || '$gopherSymbols'
-         |      WHEN 6 THEN '$gopherDigits'
-         |      WHEN 7 THEN '$gopherLongWords'
-         |      ELSE text END AS text
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id,
-         |    regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') AS tk,
-         |    string_split(text, chr(10)) AS ln,
-         |    CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'))
-         |      AS BIGINT) AS nch,
-         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS nhash,
-         |    CAST((length(text) - length(replace(text, '...', ''))) // 3
-         |      AS BIGINT) AS nell
-         |  FROM planted),
-         |f AS (
-         |  SELECT doc_id,
-         |    CAST(len(tk) AS BIGINT) AS nt, CAST(len(ln) AS BIGINT) AS nl,
-         |    nch, nhash + nell AS nsym,
-         |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
-         |      AS BIGINT) AS na,
-         |    CAST(len(list_filter(tk,
-         |      t -> list_contains(['the', 'a', 'fast', 'slow'], t))) AS BIGINT) AS ns,
-         |    CAST(len(list_filter(ln,
-         |      l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS nb,
-         |    CAST(len(list_filter(ln, l -> ends_with(l, '...'))) AS BIGINT) AS ne
-         |  FROM c),
-         |r AS (
-         |  SELECT doc_id, nt, nl,
-         |    (nch * 20000 + nt) // (2 * nt) AS mean_bp,
-         |    (nsym * 20000 + nt) // (2 * nt) AS sym_bp,
-         |    (nb * 20000 + nl) // (2 * nl) AS bullet_bp,
-         |    (ne * 20000 + nl) // (2 * nl) AS ell_bp,
-         |    (na * 20000 + nt) // (2 * nt) AS alpha_bp,
-         |    ns
-         |  FROM f)
+    Q("llm_gopher_rules",
+      s"""WITH ${GopherSql.ctes()}
          |SELECT doc_id, nt AS n_words, nl AS n_lines,
-         |  nt BETWEEN 20 AND 90 AS words_ok,
-         |  mean_bp BETWEEN 30000 AND 100000 AS mean_len_ok,
-         |  sym_bp <= 1000 AS symbol_ok,
-         |  bullet_bp <= 9000 AS bullet_ok,
-         |  ell_bp <= 3000 AS ellipsis_ok,
-         |  alpha_bp >= 8000 AS alpha_ok,
-         |  ns >= 2 AS stop_ok,
-         |  (nt BETWEEN 20 AND 90) AND (mean_bp BETWEEN 30000 AND 100000)
-         |    AND sym_bp <= 1000 AND bullet_bp <= 9000 AND ell_bp <= 3000
-         |    AND alpha_bp >= 8000 AND ns >= 2 AS keep
-         |FROM r ORDER BY doc_id""".stripMargin
-    }) { (spark, sf) =>
-      val m = pmod(col("doc_id"), lit(13))
-      val planted = Tables.documents(spark, sf).select(col("doc_id"),
-        when(m === 3, lit(gopherBullets))
-          .when(m === 4, lit(gopherEllipsis))
-          .when(m === 5, concat(col("text"), lit(gopherSymbols)))
-          .when(m === 6, lit(gopherDigits))
-          .when(m === 7, lit(gopherLongWords))
-          .otherwise(col("text")).as("text"))
-      TextStats.gopherRules(planted).orderBy("doc_id")
+         |  ${GopherSql.wordsOk} AS words_ok,
+         |  ${GopherSql.meanOk} AS mean_len_ok,
+         |  ${GopherSql.symOk} AS symbol_ok,
+         |  ${GopherSql.bulletOk} AS bullet_ok,
+         |  ${GopherSql.ellOk} AS ellipsis_ok,
+         |  ${GopherSql.alphaOk} AS alpha_ok,
+         |  ${GopherSql.stopOk} AS stop_ok,
+         |  ${GopherSql.keepCond} AS keep
+         |FROM r ORDER BY doc_id""".stripMargin) { (spark, sf) =>
+      TextStats.gopherRules(gopherPlanted(Tables.documents(spark, sf), Nil))
+        .orderBy("doc_id")
+    },
+
+    // Per-source Gopher datasheet: the failure count of EVERY rule plus
+    // kept docs/tokens by source — the "which rule dominates where"
+    // rollup that decides what to fix UPSTREAM (a source drowning in
+    // bullet failures needs a markup stripper, not a better classifier).
+    // Same planted classes and integer feature chain as
+    // llm_gopher_rules (one GopherSql definition, two gated faces);
+    // one scan, one |sources| aggregate.
+    Q("llm_gopher_mix",
+      s"""WITH ${GopherSql.ctes(carry = Seq("source"))}
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN NOT (${GopherSql.wordsOk}) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS f_words,
+         |  CAST(sum(CASE WHEN NOT (${GopherSql.meanOk}) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS f_mean_len,
+         |  CAST(sum(CASE WHEN NOT (${GopherSql.symOk}) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS f_symbol,
+         |  CAST(sum(CASE WHEN NOT (${GopherSql.bulletOk}) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS f_bullet,
+         |  CAST(sum(CASE WHEN NOT (${GopherSql.ellOk}) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS f_ellipsis,
+         |  CAST(sum(CASE WHEN NOT (${GopherSql.alphaOk}) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS f_alpha,
+         |  CAST(sum(CASE WHEN NOT (${GopherSql.stopOk}) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS f_stop,
+         |  CAST(sum(CASE WHEN ${GopherSql.keepCond} THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN ${GopherSql.keepCond} THEN nt ELSE 0 END)
+         |    AS BIGINT) AS kept_tokens
+         |FROM r GROUP BY source ORDER BY source""".stripMargin) { (spark, sf) =>
+      TextStats.gopherMix(
+          gopherPlanted(Tables.documents(spark, sf), Seq("source")))
+        .orderBy("source")
     },
 
     // Model-based quality scoring (fastText-classifier stage): offline-

@@ -770,6 +770,34 @@ class TextStatsSpec extends SparkSpec {
     out(1L) shouldBe false
   }
 
+  test("gopherMix rolls per-rule failures and kept tokens up by source") {
+    val clean = (1 to 25).map(i => s"the fast word$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s1", clean),                                    // keeps: 75 words
+      (2L, "s1", (1 to 21).map(i => f"$i%02d").mkString(" ")), // alpha+mean+stop ✗
+      (3L, "s2", Seq.fill(8)("- the fast alpha beta gamma").mkString("\n")))
+      .toDF("doc_id", "source", "text")
+    val out = TextStats.gopherMix(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    out("s1").getAs[Long]("n_docs") shouldBe 2L
+    out("s1").getAs[Long]("f_alpha") shouldBe 1L
+    out("s1").getAs[Long]("f_mean_len") shouldBe 1L
+    out("s1").getAs[Long]("f_stop") shouldBe 1L
+    out("s1").getAs[Long]("f_bullet") shouldBe 0L
+    out("s1").getAs[Long]("n_keep") shouldBe 1L
+    out("s1").getAs[Long]("kept_tokens") shouldBe 75L
+    out("s2").getAs[Long]("f_bullet") shouldBe 1L
+    out("s2").getAs[Long]("n_keep") shouldBe 0L
+    out("s2").getAs[Long]("kept_tokens") shouldBe 0L
+  }
+
+  test("gopherRules carryCols threads extra columns through the projection") {
+    val docs = Seq((1L, "s1", "the a b")).toDF("doc_id", "source", "text")
+    val out = TextStats.gopherRules(docs, carryCols = Seq("source"))
+    out.columns should contain("source")
+    out.select("source").as[String].head() shouldBe "s1"
+  }
+
   test("gopherRules is one narrow projection — no shuffle, no join") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     val plan = TextStats.gopherRules(docs)
