@@ -372,6 +372,74 @@ object TextKernelObjs {
     * BMP too. Sort-then-run-count: no per-row hash map, one int-array
     * copy, deterministic (long sums are order-free anyway). Empty
     * text → 0 by convention. */
+  /** Gopher repetition gram statistics in ONE pass over the token
+    * array: `[top_mass, dup_cover]` where
+    *  - `top_mass` = occurrences of the most frequent `topN`-gram ×
+    *    the gram's code-point length (tokens joined by single spaces;
+    *    ties → the binary-smallest gram string, which on UTF-8 is
+    *    exactly DuckDB's default collation, so `row_number() OVER
+    *    (ORDER BY c DESC, g)` replays the choice), and
+    *  - `dup_cover` = number of token POSITIONS covered by at least
+    *    one `dupN`-gram occurring ≥ 2 times in the document (the
+    *    coverage semantics of the substring-dedup tier, scored instead
+    *    of rewritten).
+    * Fewer tokens than the gram size → zero grams → 0. The two maps
+    * are per-row and gram-count-sized; no explode, no shuffle. */
+  def repGramStats(tokens: ArrayData, topN: Int, dupN: Int): ArrayData = {
+    val n = tokens.numElements()
+    def gram(start: Int, k: Int): UTF8String = {
+      var g = tokens.getUTF8String(start)
+      var j = start + 1
+      while (j < start + k) {
+        g = UTF8String.concat(g, space, tokens.getUTF8String(j)); j += 1
+      }
+      g
+    }
+    var topMass = 0L
+    if (n >= topN) {
+      val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+      var i = 0
+      while (i <= n - topN) {
+        val c = counts.computeIfAbsent(gram(i, topN), _ => Array(0))
+        c(0) += 1
+        i += 1
+      }
+      var best: UTF8String = null
+      var bestC = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        if (c > bestC || (c == bestC && (best == null || e.getKey.compareTo(best) < 0))) {
+          best = e.getKey; bestC = c
+        }
+      }
+      if (best != null) topMass = bestC.toLong * best.numChars()
+    }
+    var cover = 0L
+    if (n >= dupN) {
+      val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+      var i = 0
+      while (i <= n - dupN) {
+        val c = counts.computeIfAbsent(gram(i, dupN), _ => Array(0))
+        c(0) += 1
+        i += 1
+      }
+      val covered = new Array[Boolean](n)
+      i = 0
+      while (i <= n - dupN) {
+        if (counts.get(gram(i, dupN))(0) >= 2) {
+          var j = i
+          while (j < i + dupN) { covered(j) = true; j += 1 }
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < n) { if (covered(j)) cover += 1L; j += 1 }
+    }
+    new GenericArrayData(Array(topMass, cover))
+  }
+
   def charEntropyFp(text: UTF8String): Long = {
     val a = text.toString.codePoints().toArray
     val n = a.length.toLong
@@ -801,4 +869,43 @@ case class CharEntropyFp(child: Expression) extends UnaryExpression {
 object CharEntropyFp {
   def apply(text: Column): Column =
     ColumnBridge.column(CharEntropyFp(ColumnBridge.expression(text)))
+}
+
+/** [[TextKernelObjs.repGramStats]] as a narrow codegen kernel: the
+  * Gopher repetition battery's gram pass — `[top_mass, dup_cover]` per
+  * document, per-row maps, no explode (the HOF formulation of the top-
+  * gram argmax is O(grams²) in interpreted lambdas; the explode one is
+  * a corpus-wide shuffle per gram size). Cross-engine exact — both
+  * outputs are integer counts over the single-space gram strings, so
+  * the whole battery is oracle-gated. */
+case class RepGramStats(child: Expression, topN: Int, dupN: Int)
+    extends UnaryExpression {
+
+  require(topN > 0, s"topN must be positive, got $topN")
+  require(dupN > 0, s"dupN must be positive, got $dupN")
+
+  override def prettyName: String = "graft_rep_gram_stats"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelObjs.repGramStats(input.asInstanceOf[ArrayData], topN, dupN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernelObjs.repGramStats($s, $topN, $dupN);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepGramStats {
+  def apply(tokens: Column, topN: Int, dupN: Int): Column =
+    ColumnBridge.column(
+      RepGramStats(ColumnBridge.expression(tokens), topN, dupN))
 }

@@ -234,6 +234,63 @@ object TextStats {
       sum(when(col("keep"), col("n_words")).otherwise(0L)).as("kept_tokens"))
   }
 
+  /** The Gopher REPETITION battery (Rae 2021 App. A — the natural-text
+    * side [[repetition]]'s single duplicate-bigram ratio approximates):
+    * duplicate-LINE fraction and duplicate-line CHARACTER fraction
+    * (occurrences after the first of each distinct line), top-`topN`-
+    * gram character mass over the document length, and the fraction of
+    * token positions covered by `dupN`-grams occurring ≥ 2 times — each
+    * as an integer-bp ratio with its named verdict plus the `keep`
+    * conjunction. Repetition is the one quality defect a vocabulary
+    * filter can't see: templated spam is made of perfectly normal
+    * words.
+    *
+    * Line stats are narrow array ops (integer HOF sums — order-exact);
+    * gram stats are ONE [[graft.functions.RepGramStats]] codegen kernel
+    * pass (per-row maps; the explode formulation is a corpus-wide
+    * shuffle per gram size, the HOF argmax O(grams²) interpreted). One
+    * narrow projection, no shuffle; every ratio replays in SQL. */
+  def repetitionRules(docs: DataFrame,
+                      maxDupLineBp: Long = 3000, maxDupLineCharBp: Long = 2000,
+                      maxTopGramBp: Long = 2000, maxDupGramBp: Long = 1500,
+                      topN: Int = 2, dupN: Int = 5,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = split(col(textCol), WsRun)
+    val ln = split(col(textCol), "\n")
+    def lineSum(c: Column): Column =
+      aggregate(c, lit(0L), (acc, x) => acc + length(x))
+    val counted = docs.select(
+      col(idCol),
+      size(t).cast("long").as("__nt"),
+      size(ln).cast("long").as("__nl"),
+      length(col(textCol)).cast("long").as("__nc"),
+      (size(ln) - size(array_distinct(ln))).cast("long").as("__dl"),
+      lineSum(ln).as("__tlc"),
+      lineSum(array_distinct(ln)).as("__dlc"),
+      graft.functions.RepGramStats(t, topN, dupN).as("__gs"))
+    val dupLineBp = bp(col("__dl"), col("__nl"))
+    val dupLineCharBp = when(col("__tlc") > 0,
+      bp(col("__tlc") - col("__dlc"), col("__tlc"))).otherwise(lit(0L))
+    val topBp = when(col("__nc") > 0,
+      bp(element_at(col("__gs"), 1), col("__nc"))).otherwise(lit(0L))
+    val dupBp = bp(element_at(col("__gs"), 2), col("__nt"))
+    counted.select(
+      col(idCol),
+      col("__nt").as("n_words"),
+      col("__nl").as("n_lines"),
+      dupLineBp.as("dup_line_bp"),
+      dupLineCharBp.as("dup_line_char_bp"),
+      topBp.as("top_gram_bp"),
+      dupBp.as("dup_gram_bp"),
+      (dupLineBp <= maxDupLineBp).as("line_ok"),
+      (dupLineCharBp <= maxDupLineCharBp).as("line_char_ok"),
+      (topBp <= maxTopGramBp).as("top_gram_ok"),
+      (dupBp <= maxDupGramBp).as("dup_gram_ok"))
+      .withColumn("keep",
+        col("line_ok") && col("line_char_ok") && col("top_gram_ok") &&
+          col("dup_gram_ok"))
+  }
+
   /** Greedy-subword (BPE-faithful) token count of `textCol` under a
     * fixed vocabulary: the [[WsRun]] split feeds
     * [[graft.functions.BpeTokenCount]] — one narrow kernel projection.

@@ -91,6 +91,18 @@ object LlmQueries {
   private val gopherLongWords: String =
     "the fast " + Seq.fill(23)("abcdefghijklmnop").mkString(" ")
 
+  // Planted repetition-defect classes for llm_rep_rules (%19 residues
+  // 1–3): duplicated lines, a dominant bigram, a repeated 5-gram block.
+  // Classes 1–2 legitimately fail several rules at once (duplicate
+  // lines DO duplicate bigrams and 5-grams); class 3 isolates the
+  // dup-gram rule (its bigrams tie at count 2, below the top-gram cut).
+  private val repDupLines: String =
+    (Seq.fill(3)("the fast line one") :+ "unique a line two").mkString("\n")
+  private val repBigramSpam: String =
+    Seq.fill(6)("buy now").mkString(" ") + " the a fast slow end here"
+  private val repDupGram: String =
+    "c1 c2 c3 c4 c5 the a c1 c2 c3 c4 c5 fast slow end here now www qqq zzz rrr"
+
   private object GopherSql {
     private def nlJoin(s: String): String =
       "'" + s.split("\n").mkString("' || chr(10) || '") + "'"
@@ -1215,6 +1227,94 @@ object LlmQueries {
         |FROM g ORDER BY doc_id""".stripMargin) {
       (spark, sf) =>
         TextStats.repetition(Tables.documents(spark, sf)).orderBy("doc_id")
+    },
+
+    // The full Gopher repetition battery (r13): dup-line fraction,
+    // dup-line CHAR fraction, top-bigram char mass, dup-5-gram position
+    // coverage — the repetition defects the single bigram ratio above
+    // approximates. Gram stats via the RepGramStats codegen kernel
+    // (per-row maps, no explode); the oracle replays them with the
+    // unnest→count→window formulation, including the kernel's
+    // binary-smallest tie-break (ORDER BY c DESC, g). Defect classes
+    // planted in-query on %19 residues; probed tri-scale: every rule
+    // fails 27–791 docs, keep ≈ 83 %, with a natural top-gram fail
+    // branch (p99 of the natural mass sits just over the 2000 bp cut).
+    Q("llm_rep_rules", {
+      def nlJoin(s: String): String =
+        "'" + s.split("\n").mkString("' || chr(10) || '") + "'"
+      s"""WITH planted AS (
+         |  SELECT doc_id, CASE doc_id % 19
+         |    WHEN 1 THEN ${nlJoin(repDupLines)}
+         |    WHEN 2 THEN '$repBigramSpam'
+         |    WHEN 3 THEN '$repDupGram'
+         |    ELSE text END AS text
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+') tk,
+         |    string_split(text, chr(10)) ln, CAST(length(text) AS BIGINT) nc
+         |  FROM planted),
+         |lstat AS (
+         |  SELECT doc_id, CAST(len(ln) AS BIGINT) nl,
+         |    CAST(len(ln) - len(list_distinct(ln)) AS BIGINT) dl,
+         |    CAST(coalesce(list_sum(list_transform(ln, l -> length(l))), 0)
+         |      AS BIGINT) tlc,
+         |    CAST(coalesce(list_sum(list_transform(list_distinct(ln),
+         |      l -> length(l))), 0) AS BIGINT) dlc
+         |  FROM t),
+         |g2 AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk)-1,0)+1),
+         |    i -> array_to_string(tk[i:i+1], ' '))) g
+         |  FROM t WHERE len(tk) >= 2),
+         |gc AS (SELECT doc_id, g, count(*) c FROM g2 GROUP BY 1, 2),
+         |top AS (
+         |  SELECT doc_id, c * length(g) AS mass,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) rn
+         |  FROM gc),
+         |h AS (
+         |  SELECT doc_id, unnest(range(1, greatest(len(tk)-4,0)+1)) s, tk
+         |  FROM t WHERE len(tk) >= 5),
+         |g5 AS (SELECT doc_id, s, array_to_string(tk[s:s+4], ' ') g FROM h),
+         |gcnt AS (SELECT doc_id, g, count(*) c2 FROM g5 GROUP BY 1, 2),
+         |cov AS (
+         |  SELECT g5.doc_id, unnest(range(g5.s, g5.s+5)) p
+         |  FROM g5 JOIN gcnt ON gcnt.doc_id = g5.doc_id AND gcnt.g = g5.g
+         |  WHERE gcnt.c2 >= 2),
+         |covd AS (
+         |  SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) cover
+         |  FROM cov GROUP BY 1),
+         |m AS (
+         |  SELECT t.doc_id, CAST(len(tk) AS BIGINT) nt, nc, nl, dl, tlc, dlc,
+         |    CAST(coalesce(tp.mass, 0) AS BIGINT) mass,
+         |    coalesce(covd.cover, 0) cover
+         |  FROM t JOIN lstat USING (doc_id)
+         |  LEFT JOIN (SELECT doc_id, mass FROM top WHERE rn = 1) tp USING (doc_id)
+         |  LEFT JOIN covd USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id, nt, nl,
+         |    (dl * 20000 + nl) // (2 * nl) AS dup_line_bp,
+         |    CASE WHEN tlc > 0 THEN ((tlc - dlc) * 20000 + tlc) // (2 * tlc)
+         |      ELSE 0 END AS dup_line_char_bp,
+         |    CASE WHEN nc > 0 THEN (mass * 20000 + nc) // (2 * nc)
+         |      ELSE 0 END AS top_gram_bp,
+         |    (cover * 20000 + nt) // (2 * nt) AS dup_gram_bp
+         |  FROM m)
+         |SELECT doc_id, nt AS n_words, nl AS n_lines,
+         |  dup_line_bp, dup_line_char_bp, top_gram_bp, dup_gram_bp,
+         |  dup_line_bp <= 3000 AS line_ok,
+         |  dup_line_char_bp <= 2000 AS line_char_ok,
+         |  top_gram_bp <= 2000 AS top_gram_ok,
+         |  dup_gram_bp <= 1500 AS dup_gram_ok,
+         |  dup_line_bp <= 3000 AND dup_line_char_bp <= 2000
+         |    AND top_gram_bp <= 2000 AND dup_gram_bp <= 1500 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    }) { (spark, sf) =>
+      val m = pmod(col("doc_id"), lit(19))
+      val planted = Tables.documents(spark, sf).select(col("doc_id"),
+        when(m === 1, lit(repDupLines))
+          .when(m === 2, lit(repBigramSpam))
+          .when(m === 3, lit(repDupGram))
+          .otherwise(col("text")).as("text"))
+      TextStats.repetitionRules(planted).orderBy("doc_id")
     },
 
     // Compression-ratio quality signal: deflate output length is

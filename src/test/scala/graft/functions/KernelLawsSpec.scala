@@ -185,4 +185,36 @@ class KernelLawsSpec extends SparkSpec {
       kernel == naive
     })
   }
+
+  test("RepGramStats ≡ plain-Scala gram reference on arbitrary text") {
+    def ref(tk: Seq[String], topN: Int, dupN: Int): Seq[Long] = {
+      val n = tk.length
+      val mass = if (n >= topN) {
+        val grams = (0 to n - topN).map(i => tk.slice(i, i + topN).mkString(" "))
+        val counts = grams.groupBy(identity).map { case (g, o) => g -> o.size }
+        val maxC = counts.values.max
+        // ASCII test alphabet: String ordering = UTF8 byte order
+        maxC.toLong * counts.filter(_._2 == maxC).keys.min.length
+      } else 0L
+      val cover = if (n >= dupN) {
+        val grams = (0 to n - dupN).map(i => tk.slice(i, i + dupN).mkString(" "))
+        val counts = grams.groupBy(identity).map { case (g, o) => g -> o.size }
+        val covered = Array.fill(n)(false)
+        for (i <- 0 to n - dupN if counts(grams(i)) >= 2; j <- i until i + dupN)
+          covered(j) = true
+        covered.count(identity).toLong
+      } else 0L
+      Seq(mass, cover)
+    }
+    check(Prop.forAll(docsGen, Gen.choose(1, 3), Gen.choose(2, 4)) {
+      (rows, topN, dupN) =>
+        val df = rows.toDF("doc_id", "text")
+        val kernel = df.select(col("doc_id"),
+            RepGramStats(split(col("text"), " "), topN, dupN).as("gs"))
+          .as[(Long, Seq[Long])].collect().toMap
+        rows.forall { case (id, text) =>
+          kernel(id) == ref(text.split(" ", -1).toSeq, topN, dupN)
+        }
+    })
+  }
 }

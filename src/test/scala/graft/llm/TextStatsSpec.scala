@@ -798,6 +798,46 @@ class TextStatsSpec extends SparkSpec {
     out.select("source").as[String].head() shouldBe "s1"
   }
 
+  test("repetitionRules: hand-walked dup-line / top-gram / dup-gram verdicts") {
+    val dupLines = (Seq.fill(3)("the fast line one") :+ "unique a line two")
+      .mkString("\n")
+    val spam = Seq.fill(6)("buy now").mkString(" ") + " the a fast slow end here"
+    val dupGram =
+      "c1 c2 c3 c4 c5 the a c1 c2 c3 c4 c5 fast slow end here now www qqq zzz rrr"
+    val docs = Seq(
+      (0L, "plain the a words here all fine really good stuff"),
+      (1L, dupLines), (2L, spam), (3L, dupGram)).toDF("doc_id", "text")
+    val out = TextStats.repetitionRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, c: String) = out(id).getAs[Boolean](c)
+    Seq("line_ok", "line_char_ok", "top_gram_ok", "dup_gram_ok", "keep")
+      .foreach(c => withClue(c) { b(0L, c) shouldBe true })
+    // 2 of 4 lines are copies → 5000 bp on both line rules
+    out(1L).getAs[Long]("dup_line_bp") shouldBe 5000L
+    out(1L).getAs[Long]("dup_line_char_bp") shouldBe 5000L
+    b(1L, "line_ok") shouldBe false
+    b(1L, "line_char_ok") shouldBe false
+    // 'buy now' ×6, len 7 → mass 42 over 72 chars = 5833 bp
+    out(2L).getAs[Long]("top_gram_bp") shouldBe 5833L
+    b(2L, "top_gram_ok") shouldBe false
+    // repeated 5-gram covers 10 of 21 positions = 4762 bp; its bigrams
+    // tie at count 2 (mass 10/74 chars = 1351 bp) so ONLY dup_gram fails
+    out(3L).getAs[Long]("dup_gram_bp") shouldBe 4762L
+    out(3L).getAs[Long]("top_gram_bp") shouldBe 1351L
+    b(3L, "dup_gram_ok") shouldBe false
+    Seq("line_ok", "line_char_ok", "top_gram_ok")
+      .foreach(c => withClue(c) { b(3L, c) shouldBe true })
+    b(3L, "keep") shouldBe false
+  }
+
+  test("repetitionRules is one narrow kernel projection — no shuffle, no join") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = TextStats.repetitionRules(docs)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
   test("gopherRules is one narrow projection — no shuffle, no join") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     val plan = TextStats.gopherRules(docs)
