@@ -1435,6 +1435,64 @@ object LlmQueries {
     // round-half-up basis points — integer-exact cross-engine, so the
     // full explode → tf → df-join → per-doc top-k pipeline is
     // oracle-gated (ln-idf would hinge on floating log ulps at ties).
+    // BM25 ranking (r13): lexical retrieval over the corpus under a
+    // fixed query-term set, exact integer arithmetic end to end — k1/b
+    // cross-multiplied away, Robertson idf in the l2 fixed point with
+    // the Lucene-style floor at 0 (the fixture vocabulary is dense:
+    // every natural word but 'dup' sits in ~77 % of docs, so unclamped
+    // idf would go negative — the clamp is live code on both sides).
+    // Query terms zq1/zq2 are PLANTED on %37 residues (controlled
+    // df ≈ 8 % and a tf=2 class); 'dup' rides its natural 5 % df. Two
+    // narrow passes + a one-row broadcast + TakeOrdered — no explode,
+    // no corpus shuffle.
+    Q("llm_bm25", {
+      def l2(x: String): String =
+        s"((length(bin($x)) - 1) * 1024 + (($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1))) - 1024)"
+      def idf(df: String): String =
+        s"greatest(0, ${l2(s"2*n - 2*$df + 1")} - ${l2(s"2*$df + 1")})"
+      def ts(tf: String, df: String): String =
+        s"CASE WHEN $tf > 0 THEN (${idf(df)} * $tf * 44 * t) // (20 * $tf * t + 6 * t + 18 * dl * n) ELSE 0 END"
+      s"""WITH planted AS (
+         |  SELECT doc_id, CASE doc_id % 37
+         |    WHEN 1 THEN text || ' zq1'
+         |    WHEN 2 THEN text || ' zq1 zq2'
+         |    WHEN 3 THEN text || ' zq2 zq2 zq1'
+         |    ELSE text END AS text FROM documents),
+         |c AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) dl,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'zq1'))
+         |      AS BIGINT) tf0,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'zq2'))
+         |      AS BIGINT) tf1,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'dup'))
+         |      AS BIGINT) tf2
+         |  FROM planted),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) n, CAST(sum(dl) AS BIGINT) t,
+         |    CAST(sum((tf0 > 0)::INT) AS BIGINT) df0,
+         |    CAST(sum((tf1 > 0)::INT) AS BIGINT) df1,
+         |    CAST(sum((tf2 > 0)::INT) AS BIGINT) df2
+         |  FROM c),
+         |r AS (SELECT doc_id, dl, tf0, tf1, tf2, n, t, df0, df1, df2 FROM c, s),
+         |sc AS (
+         |  SELECT doc_id, dl AS doc_tokens,
+         |    tf0 AS tf_zq1, tf1 AS tf_zq2, tf2 AS tf_dup,
+         |    ${ts("tf0", "df0")} + ${ts("tf1", "df1")} + ${ts("tf2", "df2")}
+         |      AS score_fp
+         |  FROM r)
+         |SELECT doc_id, doc_tokens, tf_zq1, tf_zq2, tf_dup, score_fp
+         |FROM sc WHERE score_fp > 0
+         |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
+    }) { (spark, sf) =>
+      val m = pmod(col("doc_id"), lit(37))
+      val planted = Tables.documents(spark, sf).select(col("doc_id"),
+        when(m === 1, concat(col("text"), lit(" zq1")))
+          .when(m === 2, concat(col("text"), lit(" zq1 zq2")))
+          .when(m === 3, concat(col("text"), lit(" zq2 zq2 zq1")))
+          .otherwise(col("text")).as("text"))
+      TextStats.bm25(planted, Seq("zq1", "zq2", "dup"), limit = 20)
+    },
+
     Q("llm_tfidf",
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |tf AS (

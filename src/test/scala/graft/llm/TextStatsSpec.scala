@@ -798,6 +798,31 @@ class TextStatsSpec extends SparkSpec {
     out.select("source").as[String].head() shouldBe "s1"
   }
 
+  test("bm25 matches the hand-walked integer arithmetic and ranks tf up, length down") {
+    // N=5, T=14, df(q)=2 → idf = l2(7) − l2(5) = 2816 − 2304 = 512.
+    // doc1 (tf 1, dl 3): 512·1·44·14 // (20·14 + 6·14 + 18·3·5) = 497
+    // doc2 (tf 2, dl 3): 512·2·44·14 // (560 + 84 + 270) = 690 — ranks first
+    val docs = Seq((1L, "q w w"), (2L, "q q w"), (3L, "x y z"),
+      (4L, "a b"), (5L, "c d e")).toDF("doc_id", "text")
+    val out = TextStats.bm25(docs, Seq("q")).collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(2L, 1L)
+    out.map(r => r.getLong(0) -> r.getAs[Long]("score_fp")).toMap shouldBe
+      Map(2L -> 690L, 1L -> 497L)
+    out.head.getAs[Long]("tf_q") shouldBe 2L
+  }
+
+  test("bm25 clamps common-term idf at zero and rejects duplicate terms") {
+    // 'c' sits in 3 of 4 docs → negative Robertson idf → clamped → no
+    // score, empty result (the Lucene-style floor, live on both sides)
+    val docs = Seq((1L, "c x"), (2L, "c y"), (3L, "c z"), (4L, "w"))
+      .toDF("doc_id", "text")
+    TextStats.bm25(docs, Seq("c")).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      TextStats.bm25(docs, Seq("c", "c"))
+    an[IllegalArgumentException] should be thrownBy
+      TextStats.bm25(docs, Seq.empty)
+  }
+
   test("repetitionRules: hand-walked dup-line / top-gram / dup-gram verdicts") {
     val dupLines = (Seq.fill(3)("the fast line one") :+ "unique a line two")
       .mkString("\n")
