@@ -584,6 +584,19 @@ object Examples {
       s"${masks.getLong(0)} corruption spans → enc ${masks.getLong(1)} / " +
       s"dec ${masks.getLong(2)} tokens")
 
+    // 35. lexical retrieval + repetition battery (late r13): BM25 in
+    // exact integer arithmetic (idf floored Lucene-style — on this
+    // corpus only 'dup' is rare enough to score), and the Gopher
+    // repetition rules whose gram stats run as ONE codegen kernel pass
+    val hits = graft.llm.TextStats.bm25(docs, Seq("dup", "merge"), limit = 5)
+      .select("doc_id", "score_fp").as[(Long, Long)].collect()
+    val rep = graft.llm.TextStats.repetitionRules(docs)
+      .agg(sum(when(!col("keep"), 1L).otherwise(0L)),
+        max("top_gram_bp")).head()
+    println(s"[35] bm25 top hit doc ${hits.head._1} at ${hits.head._2} fp " +
+      s"(${hits.length} scored); repetition drops ${rep.getLong(0)} docs, " +
+      s"max top-gram mass ${rep.getLong(1)} bp")
+
     spark.stop()
   }
 }
