@@ -492,6 +492,57 @@ object Dedup {
     * vs integer bp — exactly the cross-engine divergence SURVEY §2.9-bis
     * rule 2 exists to prevent, here INTRA-engine). Thresholds compare
     * against the rounded value. */
+  /** CONTAINMENT-verified near-dup pairs over poly-banded candidates —
+    * the asymmetric criterion symmetric Jaccard dilutes: a short
+    * document quoted whole inside a long one shares most of ITS
+    * shingles but few of the composite's, so J = |A∩B|/|A∪B| sinks
+    * with the length ratio while containment |A∩B|/min(|A|,|B|) stays
+    * at 1 — the quote-inclusion / sub-document-duplication face
+    * (Broder's containment, the criterion behind "remove documents
+    * wholly contained in others"). Emits every candidate pair with
+    * BOTH measures (round-half-up 4dp, shared rounding with
+    * [[jaccardOf]]) and the verdict at `minContainment` — threshold
+    * branches stay visible, and a pair can be `contained` while far
+    * below any Jaccard cut, which is the point. Same candidate
+    * topology and checkpoint discipline as [[polyMinHashNearDups]]
+    * (shared [[bandSignaturesPoly]]/[[bucketPairs]]); the shingle
+    * attach is candidate-pruned exactly as [[verifiedPairs]]. */
+  def polyMinHashContainDups(docs: DataFrame, k: Int = 2, bands: Int = 8,
+                             rowsPerBand: Int = 2,
+                             minContainment: Double = 0.8,
+                             idCol: String = "doc_id", textCol: String = "text",
+                             maxBucket: Int = 256): DataFrame = {
+    import graft.functions.WordShingles
+    val bandSig = bandSignaturesPoly(docs, k, bands, rowsPerBand, idCol, textCol)
+    val cand = bucketPairs(bandSig, Seq("band", "sig"), idCol,
+      maxBucket = maxBucket).localCheckpoint(false)
+    val candIds = cand.select(col("a").as(idCol))
+      .union(cand.select(col("b").as(idCol)))
+    // candIds and the pruned sets are candidate-pair-sized by the
+    // banding contract — broadcast them EXPLICITLY: when `docs` carries
+    // a LogicalRDD leg (a checkpointed planted frame, an ingested
+    // batch), the planner loses the size estimate and quietly falls
+    // back to sort-merge on every verify join (measured: 3 → 10
+    // executed shuffles on llm_dedup_contain before the hints)
+    val sets = docs
+      .select(col(idCol), array_distinct(WordShingles(col(textCol), k)).as("set"))
+      .join(broadcast(candIds), Seq(idCol), "left_semi")
+      .localCheckpoint(false)
+    val minBp = math.round(minContainment * 10000).toLong
+    val i = size(array_intersect(col("sa"), col("sb"))).cast("long")
+    val u = size(array_union(col("sa"), col("sb"))).cast("long")
+    val m = least(size(col("sa")), size(col("sb"))).cast("long")
+    val containBp = graft.functions.VectorFunctions.intDiv(i * 20000 + m, m * 2)
+    cand
+      .join(broadcast(sets.select(col(idCol).as("a"), col("set").as("sa"))), "a")
+      .join(broadcast(sets.select(col(idCol).as("b"), col("set").as("sb"))), "b")
+      .select(col("a"), col("b"),
+        (graft.functions.VectorFunctions.intDiv(i * 20000 + u, u * 2)
+          .cast("double") / 10000.0).as("jaccard"),
+        (containBp.cast("double") / 10000.0).as("containment"),
+        (containBp >= minBp).as("contained"))
+  }
+
   private def jaccardOf(sa: Column, sb: Column): Column = {
     val i = size(array_intersect(sa, sb)).cast("long")
     val u = size(array_union(sa, sb)).cast("long")

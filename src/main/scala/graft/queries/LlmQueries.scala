@@ -784,6 +784,64 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
+    // Containment-verified dedup (r13): Broder's asymmetric
+    // |A∩B|/min(|A|,|B|) over the same poly-banded candidates — the
+    // quote-inclusion criterion symmetric Jaccard dilutes with the
+    // length ratio. Composites planted in-query (each %23 doc re-enters
+    // at +600000 concatenated with its successor) band with their
+    // parts and verify at containment EXACTLY 1.0 (part shingles ⊆
+    // composite); probed tri-scale: 65→179 contained of 1086→17106
+    // candidates, including 1→13 contained-but-Jaccard<0.3 pairs —
+    // the pairs only this criterion finds. Both measures emitted on
+    // every candidate pair.
+    Q("llm_dedup_contain",
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < $docCap),
+         |planted AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT a.doc_id + 600000, a.text || ' ' || b.text
+         |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 23 = 0),
+         |toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tkf
+         |  FROM planted),
+         |${PolySql.laneSigCtes()},
+         |capped AS (
+         |  SELECT doc_id, band, sig,
+         |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id AND a.rn <= 256 AND b.rn <= 256),
+         |${PolySql.shingleCte()},
+         |p AS (
+         |  SELECT c.a, c.b, ${PolySql.jaccard} AS jaccard,
+         |    ((20000 * CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT)
+         |        + CAST(least(len(sa.s), len(sb.s)) AS BIGINT))
+         |      // (2 * CAST(least(len(sa.s), len(sb.s)) AS BIGINT))) AS cbp
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
+         |SELECT a, b, jaccard, cbp / 10000.0 AS containment,
+         |  cbp >= 8000 AS contained
+         |FROM p ORDER BY a, b""".stripMargin) { (spark, sf) =>
+      val base = Tables.documents(spark, sf)
+        .where(col("doc_id") < docCap).select("doc_id", "text")
+      val aSide = base.where(pmod(col("doc_id"), lit(23)) === 0)
+        .select(col("doc_id").as("aid"), col("text").as("ta"))
+      val bSide = base.select(col("doc_id").as("bid"), col("text").as("tb"))
+      // the composite side is planting scaffolding AND tiny (~4 % of
+      // docCap): one lazy cut stops the self-join from re-deriving base
+      // inside BOTH the banding pass and the shingle attach
+      val comp = broadcast(aSide).join(bSide, col("bid") === col("aid") + 1)
+        .select((col("aid") + 600000L).as("doc_id"),
+          concat(col("ta"), lit(" "), col("tb")).as("text"))
+        .localCheckpoint(false)
+      Dedup.polyMinHashContainDups(base.unionAll(comp), k = 2, bands = 8,
+          rowsPerBand = 2, minContainment = 0.8)
+        .orderBy("a", "b")
+    },
+
     // Edit-distance-verified fuzzy dedup (r13): the OTHER verify family
     // — normalized Levenshtein over the same poly-banded candidates,
     // the "verbatim with small edits" criterion shingle-Jaccard can't

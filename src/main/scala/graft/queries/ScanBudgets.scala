@@ -119,7 +119,8 @@ object ScanBudgets {
     "llm_contamination_report" -> 4, // bench-side frame derived per report column (delta-sized; plan budget 4 documents it)
     "llm_domain_boilerplate"   -> 4, // per-domain footer probe re-reads the small side (plan budget 4)
     "llm_dup_mass"        -> 4, // token rebuild + id-base window over the planted-runs side (plan budget 4)
-    "llm_dedup_edit"      -> 4  // planting scaffolding (clone union carves documents twice per pass); production is ONE table = the near-dup 2-scan shape
+    "llm_dedup_edit"      -> 4, // planting scaffolding (clone union carves documents twice per pass); production is ONE table = the near-dup 2-scan shape
+    "llm_dedup_contain"   -> 4  // planting scaffolding (successor self-join builds composites: 2 scans, cut once) + the near-dup 2-scan shape
   )
 
   def executedBudget(query: String): Int =

@@ -111,6 +111,29 @@ class DedupSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("polyMinHashContainDups: quote inclusion hits containment 1.0 while jaccard dilutes") {
+    // doc 1 embeds ALL of doc 0 plus filler: every shingle of 0 is in
+    // 1, so containment = 1.0 exactly while jaccard sinks with the
+    // filler; doc 3 stays out of every bucket
+    val short = "the fast key order sort table scan merge join group"
+    val filler = "f1 f2 f3 f4 f5 f6"
+    val docs2 = Seq(
+      (0L, short),
+      (1L, short + " " + filler),
+      (2L, short),                                  // identical to 0
+      (3L, "completely different words about nothing at all here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.polyMinHashContainDups(docs2, minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    out((0L, 2L)) shouldBe ((1.0, 1.0, true))
+    val (jac, cont, contained) = out((0L, 1L))
+    cont shouldBe 1.0
+    contained shouldBe true
+    jac should be < 0.7   // 10 shared shingles of 16 united = 0.625
+    out.keySet.flatMap(p => Set(p._1, p._2)) should not contain 3L
+  }
+
   test("simhash of identical docs is identical; near-dup within small hamming") {
     val sh = Dedup.simHash(docs).as[(Long, Long)].collect().toMap
     sh(0L) shouldBe sh(1L)
