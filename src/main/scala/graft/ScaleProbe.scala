@@ -737,6 +737,17 @@ object ScaleProbe {
             rowsPerShard = 256L))
           .agg(sum("n_tokens"), count(lit(1))).head()
       }),
+      // BM25 under a fixed 3-term query: per-doc tf columns are narrow
+      // kernel probes, the corpus stats collapse to ONE broadcast row,
+      // and the ranking is TakeOrdered — time should track the scan
+      // and shuffle bytes stay flat (nothing corpus-wide ever re-keys)
+      ("bm25_rank", () => {
+        val docs = synthDocs(n).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            concat(col("text"), lit(" zq1"))).otherwise(col("text")).as("text"))
+        graft.llm.TextStats.bm25(docs, Seq("zq1", "w3", "w17"), limit = 20)
+          .count()
+      }),
       // margin-based bitext mining, brute vs LSH-candidate path: the
       // query side is FIXED (128 vectors) while the target corpus
       // grows, so the brute all-pairs stage is linear-in-n BY
