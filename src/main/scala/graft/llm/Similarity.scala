@@ -706,4 +706,32 @@ object Similarity {
       .where(col("margin_fp") >= minMarginFp)
       .select(col("a").as(srcIdCol), col("b").as(tgtIdCol), col("margin_fp"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two bounded ranked
+    * lists — the standard hybrid-retrieval combiner for a lexical
+    * (BM25) and a dense (embedding) list: rank positions, not scores,
+    * are fused, so the two scoring scales never need calibration.
+    * `rrf_fp = Σ_present 10⁶ div (kRrf + rank)` in exact integer
+    * fixed point (rank 1-based). Inputs are `(idCol, rank)` frames each
+    * bounded by its producer's top-k limit, so EVERYTHING here — the
+    * full-outer join (which Spark cannot broadcast — both lists being
+    * limit-sized is what keeps its sort-merge trivial at any corpus
+    * scale) and the final ordering — is list-sized, never
+    * corpus-sized. Absent ids carry rank 0 / no contribution. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, kRrf: Long = 60L,
+              limit: Int = 20, idCol: String = "id"): DataFrame = {
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val l = lex.select(col(idCol), col("rank").cast("long").as("__rl"))
+    val d = dense.select(col(idCol), col("rank").cast("long").as("__rd"))
+    l.join(d, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        coalesce(col("__rl"), lit(0L)).as("rank_lex"),
+        coalesce(col("__rd"), lit(0L)).as("rank_dense"),
+        (coalesce(intDiv(lit(1000000L), col("__rl") + kRrf), lit(0L)) +
+          coalesce(intDiv(lit(1000000L), col("__rd") + kRrf), lit(0L)))
+          .as("rrf_fp"))
+      .orderBy(col("rrf_fp").desc, col(idCol))
+      .limit(limit)
+  }
 }

@@ -1551,6 +1551,131 @@ object LlmQueries {
       TextStats.bm25(planted, Seq("zq1", "zq2", "dup"), limit = 20)
     },
 
+    // Hybrid retrieval (r13): reciprocal-rank fusion of the BM25
+    // lexical list with a dense quantized-cosine list — rank positions
+    // fuse, so the two scoring scales never need calibration. The
+    // dense query vector is vec 77's own embedding (built IN-QUERY via
+    // a 1-row broadcast, no driver collect): 77 is %37 class 3, so it
+    // sits in the lexical top-20 at every scale (probed ranks 3/10/13)
+    // AND tops the dense list — the fused winner demonstrably draws on
+    // BOTH lists tri-scale. Every post-corpus frame is limit-sized;
+    // the two partition-less rank windows run over ≤ 20 rows
+    // (WindowBudgets entry).
+    Q("llm_hybrid_rank", {
+      def l2(x: String): String =
+        s"((length(bin($x)) - 1) * 1024 + (($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1))) - 1024)"
+      def idf(df: String): String =
+        s"greatest(0, ${l2(s"2*n - 2*$df + 1")} - ${l2(s"2*$df + 1")})"
+      def ts(tf: String, df: String): String =
+        s"CASE WHEN $tf > 0 THEN (${idf(df)} * $tf * 44 * t) // (20 * $tf * t + 6 * t + 18 * dl * n) ELSE 0 END"
+      s"""WITH planted AS (
+         |  SELECT doc_id, CASE doc_id % 37
+         |    WHEN 1 THEN text || ' zq1'
+         |    WHEN 2 THEN text || ' zq1 zq2'
+         |    WHEN 3 THEN text || ' zq2 zq2 zq1'
+         |    ELSE text END AS text FROM documents),
+         |c AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) dl,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'zq1'))
+         |      AS BIGINT) tf0,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'zq2'))
+         |      AS BIGINT) tf1,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'dup'))
+         |      AS BIGINT) tf2
+         |  FROM planted),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) n, CAST(sum(dl) AS BIGINT) t,
+         |    CAST(sum((tf0 > 0)::INT) AS BIGINT) df0,
+         |    CAST(sum((tf1 > 0)::INT) AS BIGINT) df1,
+         |    CAST(sum((tf2 > 0)::INT) AS BIGINT) df2
+         |  FROM c),
+         |r AS (SELECT doc_id, dl, tf0, tf1, tf2, n, t, df0, df1, df2 FROM c, s),
+         |lexsc AS (
+         |  SELECT doc_id,
+         |    ${ts("tf0", "df0")} + ${ts("tf1", "df1")} + ${ts("tf2", "df2")}
+         |      AS score_fp
+         |  FROM r),
+         |lex20 AS (
+         |  SELECT doc_id, score_fp FROM lexsc WHERE score_fp > 0
+         |  ORDER BY score_fp DESC, doc_id LIMIT 20),
+         |lex AS (
+         |  SELECT doc_id AS id,
+         |    row_number() OVER (ORDER BY score_fp DESC, doc_id) AS rank_l
+         |  FROM lex20),
+         |raw AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 400),
+         |cq AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) vq
+         |  FROM raw),
+         |qq AS (SELECT vq FROM cq WHERE vec_id = 77),
+         |sc AS (
+         |  SELECT c2.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> c2.vq[i] * q.vq[i]))
+         |      AS BIGINT) dot,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> c2.vq[i] * c2.vq[i]))
+         |      AS BIGINT) na,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> q.vq[i] * q.vq[i]))
+         |      AS BIGINT) nb
+         |  FROM cq c2, qq q),
+         |p3 AS (
+         |  SELECT vec_id, (dot*dot*20000 + na*nb) // (na*nb*2) cos2_bp
+         |  FROM sc WHERE dot > 0 AND na > 0 AND nb > 0),
+         |d20 AS (
+         |  SELECT vec_id, cos2_bp FROM p3
+         |  ORDER BY cos2_bp DESC, vec_id LIMIT 20),
+         |den AS (
+         |  SELECT vec_id AS id,
+         |    row_number() OVER (ORDER BY cos2_bp DESC, vec_id) AS rank_d
+         |  FROM d20),
+         |fused AS (
+         |  SELECT coalesce(lex.id, den.id) id,
+         |    CAST(coalesce(rank_l, 0) AS BIGINT) rank_lex,
+         |    CAST(coalesce(rank_d, 0) AS BIGINT) rank_dense,
+         |    CAST(coalesce(1000000 // (rank_l + 60), 0)
+         |       + coalesce(1000000 // (rank_d + 60), 0) AS BIGINT) rrf_fp
+         |  FROM lex FULL OUTER JOIN den ON lex.id = den.id)
+         |SELECT id, rank_lex, rank_dense, rrf_fp
+         |FROM fused ORDER BY rrf_fp DESC, id LIMIT 20""".stripMargin
+    }) { (spark, sf) =>
+      import org.apache.spark.sql.expressions.Window
+      val intDiv = graft.functions.VectorFunctions.intDiv _
+      val m = pmod(col("doc_id"), lit(37))
+      val planted = Tables.documents(spark, sf).select(col("doc_id"),
+        when(m === 1, concat(col("text"), lit(" zq1")))
+          .when(m === 2, concat(col("text"), lit(" zq1 zq2")))
+          .when(m === 3, concat(col("text"), lit(" zq2 zq2 zq1")))
+          .otherwise(col("text")).as("text"))
+      val lex = TextStats.bm25(planted, Seq("zq1", "zq2", "dup"), limit = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_fp").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank"))
+      val raw = Tables.embeddings(spark, sf)
+        .where(col("embedding").isNotNull && col("vec_id") < 400)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * 64 + lit(0.5)).cast("long")).as("vq"))
+      val qv = raw.where(col("vec_id") === 77).select(col("vq").as("qv"))
+      val isum = (c: org.apache.spark.sql.Column) =>
+        aggregate(c, lit(0L), (s, x) => s + x)
+      val dense = raw.crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          isum(zip_with(col("vq"), col("qv"), (a, b) => a * b)).as("dot"),
+          isum(transform(col("vq"), a => a * a)).as("na"),
+          isum(transform(col("qv"), a => a * a)).as("nb"))
+        .where(col("dot") > 0 && col("na") > 0 && col("nb") > 0)
+        .select(col("vec_id"), intDiv(
+          col("dot") * col("dot") * 20000L + col("na") * col("nb"),
+          col("na") * col("nb") * 2L).as("cos2_bp"))
+        .orderBy(col("cos2_bp").desc, col("vec_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cos2_bp").desc, col("vec_id"))))
+        .select(col("vec_id").as("id"), col("rank"))
+      graft.llm.Similarity.rrfFuse(lex, dense, kRrf = 60L, limit = 20)
+        .orderBy(col("rrf_fp").desc, col("id"))
+    },
+
     Q("llm_tfidf",
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |tf AS (

@@ -120,7 +120,8 @@ object ScanBudgets {
     "llm_domain_boilerplate"   -> 4, // per-domain footer probe re-reads the small side (plan budget 4)
     "llm_dup_mass"        -> 4, // token rebuild + id-base window over the planted-runs side (plan budget 4)
     "llm_dedup_edit"      -> 4, // planting scaffolding (clone union carves documents twice per pass); production is ONE table = the near-dup 2-scan shape
-    "llm_dedup_contain"   -> 4  // planting scaffolding (successor self-join builds composites: 2 scans, cut once) + the near-dup 2-scan shape
+    "llm_dedup_contain"   -> 4, // planting scaffolding (successor self-join builds composites: 2 scans, cut once) + the near-dup 2-scan shape
+    "llm_hybrid_rank"     -> 4  // two-TABLE composite: bm25's stats+score passes over documents + the dense side's query-vector lookup + score pass over embeddings (executed budget counts totals across tables)
   )
 
   def executedBudget(query: String): Int =

@@ -48,7 +48,9 @@ object WindowBudgets {
     "llm_reweight_tokens" -> (1 ->
       "reweightBy feasibility min over the per-stratum counts frame, <= |target| rows (Sampling.scala:388-400)"),
     "llm_assemble" -> (1 ->
-      "assemble composes reweightBy — same feasibility-min window over the counts frame (Sampling.scala:388-400)"))
+      "assemble composes reweightBy — same feasibility-min window over the counts frame (Sampling.scala:388-400)"),
+    "llm_hybrid_rank" -> (2 ->
+      "lexical and dense rank windows each run over a post-TakeOrdered frame of <= 20 rows (the producers' limits); the corpus-sized stages are windowless"))
 
   def budget(name: String): Int =
     perQuery.get(name).map(_._1).getOrElse(default)

@@ -468,4 +468,19 @@ class SimilaritySpec extends SparkSpec {
       src.repartition(7), tgt.repartition(5), k = 2).collect().toSet
     again shouldBe once
   }
+
+  test("rrfFuse: both-list ids sum their terms, single-list ids carry one, absent rank is 0") {
+    val lex = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
+    val den = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
+    val rows = Similarity.rrfFuse(lex, den).collect()
+    val out = rows.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 10⁶//61 = 16393, 10⁶//62 = 16129
+    out(20L) shouldBe ((2L, 1L, 32522L))   // in both lists → sums, wins
+    out(10L) shouldBe ((1L, 0L, 16393L))
+    out(30L) shouldBe ((0L, 2L, 16129L))
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(20L, 10L, 30L)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.rrfFuse(lex, den, kRrf = 0)
+  }
 }
