@@ -681,6 +681,190 @@ object TextStats {
         col("df").cast("long").as("df"), col("score_bp"), col("rank"))
   }
 
+  /** Collocation (phrase) mining with the word2phrase score (Mikolov
+    * et al. 2013, §4): for each adjacent token pair,
+    *
+    *   score_fp = (c(ab) − δ) · N · 10⁴  div  (c(a) · c(b))
+    *
+    * — pointwise-mutual-information scaled so independence reads
+    * ≈ 10⁴; δ discounts hapax-driven pairs; pairs below `minCount`
+    * never score (the filter runs BEFORE the discount, so the
+    * subtraction can't go negative). The pass set is the phrase table
+    * a tokenizer-prep pipeline joins into multi-word units.
+    *
+    * Shape for 100 TB: ONE corpus scan explodes each token with its
+    * successor (last token pairs with NULL, so the same stream yields
+    * both bigram and unigram mass); the (w, next) count frame is
+    * vocab²-BOUNDED and localCheckpoint-cut (multi-consumer tiny
+    * frame — unigram totals, the corpus-token scalar, and the scored
+    * join all read it; without the cut each consumer re-derives the
+    * corpus scan). Everything downstream of the cut joins
+    * vocab-sized frames — broadcast EXPLICITLY (a LogicalRDD leg has
+    * no size estimates; the planner can't see they're tiny). Only the
+    * first exchange is corpus-sized. Overflow: (c−δ)·N·10⁴ needs
+    * c·N·10⁴ < 2⁶³ — safe past 10⁹ pair occurrences at 10⁹ corpus
+    * tokens; a deployment crossing it moves the product to
+    * DECIMAL(38,0) (same arithmetic, wider lane — the bm25 note).
+    * Deterministic: integer scores, ORDER BY score DESC, w1, w2. */
+  def phrases(docs: DataFrame, delta: Long = 5L, minCount: Long = 10L,
+              minScoreFp: Long = 20000L, textCol: String = "text"): DataFrame = {
+    require(delta >= 0 && minCount > delta,
+      s"need minCount > delta >= 0, got minCount=$minCount delta=$delta")
+    val t = toks(col(textCol))
+    val paired = docs.select(explode(zip_with(
+      t, concat(slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        array(lit(null).cast("string"))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+    val cnt = paired
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    // uni feeds THREE consumers (both join sides + the total) — cut it
+    // too, or each broadcast build re-runs its aggregate (6 → 4
+    // executed shuffles, ExchangeBudgets)
+    val uni = cnt.groupBy(col("w1").as("w")).agg(sum(col("c")).as("cu"))
+      .localCheckpoint(false)
+    val tot = uni.agg(sum(col("cu")).as("n"))
+    cnt.where(col("w2").isNotNull && col("c") >= minCount)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("__ca"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("__cb"))), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c").as("pair_count"),
+        graft.functions.VectorFunctions.intDiv(
+          (col("c") - delta) * col("n") * 10000L,
+          col("__ca") * col("__cb")).as("score_fp"))
+      .where(col("score_fp") >= minScoreFp)
+      .orderBy(col("score_fp").desc, col("w1"), col("w2"))
+  }
+
+  /** Distinct-n diversity audit (the distinct-1/2/3 metric of Li et
+    * al. 2016, read over a corpus instead of generations): per group
+    * and n-gram order, total grams, DISTINCT grams, and their ratio in
+    * basis points — the cheap lexical-diversity datasheet column that
+    * flags a template-stamped or over-deduplicated source (low
+    * distinct-2/3) next to a healthy one. One corpus scan builds every
+    * order's gram stream at once (per-row arrays of (n, gram) structs,
+    * concatenated then exploded — orders widen the projection, never
+    * add scans); the first exchange keys (group, n, gram) — exact
+    * distinct counting is inherently one corpus-sized shuffle, the
+    * second aggregate is |groups|·|ns| rows. Deterministic integers;
+    * ORDER BY group, n. A group with fewer than n tokens in every doc
+    * simply has no order-n row (both engines). */
+  def distinctNgrams(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
+                     groupCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct.size == ns.size,
+      s"ns must be distinct positive orders, got $ns")
+    val t = toks(col(textCol))
+    val gramArrays = ns.map { n =>
+      // sequence(1, m) DESCENDS when m < 1 — guard short docs to an
+      // empty array instead (the [1,0] trap)
+      val starts = when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+      transform(starts, i =>
+        struct(lit(n).as("n"), array_join(slice(t, i, lit(n)), " ").as("gram")))
+    }
+    docs.select(col(groupCol), explode(concat(gramArrays: _*)).as("g"))
+      .groupBy(col(groupCol), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(sum(col("occ")).cast("long").as("total_grams"),
+        count(lit(1)).as("distinct_grams"))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        col("total_grams"), col("distinct_grams"),
+        graft.functions.VectorFunctions.intDiv(
+          col("distinct_grams") * 10000L, col("total_grams"))
+          .as("distinct_bp"))
+      .orderBy(col(groupCol), col("n"))
+  }
+
+  /** Stupid-backoff n-gram LM scoring (Brants et al. 2007): counts are
+    * TRAINED from `train` (the held-in corpus half) and each position
+    * of `score` with a full trigram context is scored at the deepest
+    * level its context was seen at —
+    *
+    *   lvl 3: c(w₋₂w₋₁w) / c(w₋₂w₋₁)     (trigram seen)
+    *   lvl 2: c(w₋₁w) / c(w₋₁)           (backoff to bigram)
+    *   lvl 1: (c(w)+1) / (N+1)           (add-one backstop — exact
+    *           even for a token the training half never saw)
+    *
+    * The 0.4 backoff multiplier is NOT folded into the score: the
+    * ratio sum stays exact in the l2 fixed point (Σ l2(num) − l2(den),
+    * 1/1024-bit units, always ≤ 0) and the per-level position counts
+    * travel as their own columns — a reader applies any α
+    * downstream, and the (n_bo1, n_bo2) pair IS the fluency signal
+    * (held-out text backs off; template text doesn't). This is the
+    * corpus-TRAINED companion to [[lmScore]]'s planted-model face.
+    *
+    * Shape for 100 TB: ONE pass over `train` explodes each token with
+    * its two predecessors (null-padded, so the finest (p2,p1,w) count
+    * frame yields the bigram/unigram/total tables by re-aggregation —
+    * vocab³-BOUNDED, localCheckpoint-cut: four consumers would
+    * otherwise each re-derive the train scan); one pass over `score`
+    * explodes trigram positions; every count lookup is an EXPLICIT
+    * broadcast left join (LogicalRDD legs carry no size estimates),
+    * and the only corpus-sized exchanges are the two scans' first
+    * aggregations. Deterministic integers; ORDER BY id. */
+  def backoffScore(train: DataFrame, score: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val t = toks(col(textCol))
+    val pos = train.select(explode(transform(sequence(lit(1), size(t)),
+      i => struct(
+        when(i >= 3, element_at(t, i - 2)).as("p2"),
+        when(i >= 2, element_at(t, i - 1)).as("p1"),
+        element_at(t, i).as("w")))).as("s"))
+    val cnt = pos
+      .groupBy(col("s.p2").as("p2"), col("s.p1").as("p1"), col("s.w").as("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val c3 = cnt.where(col("p2").isNotNull)
+      .select(col("p2"), col("p1"), col("w"), col("c").as("__tri"))
+    // c2 and c1 each feed two join sides (and c1 the total) — cut the
+    // tiny aggregates too, or every broadcast build re-runs them
+    // (9 → 6 executed shuffles, ExchangeBudgets)
+    val c2 = cnt.where(col("p1").isNotNull)
+      .groupBy(col("p1"), col("w")).agg(sum(col("c")).cast("long").as("__big"))
+      .localCheckpoint(false)
+    val c1 = cnt.groupBy(col("w")).agg(sum(col("c")).cast("long").as("__uni"))
+      .localCheckpoint(false)
+    val tot = c1.agg(sum(col("__uni")).cast("long").as("__n"))
+    val sp = score.select(col(idCol), explode(
+      when(size(t) >= 3, transform(sequence(lit(3), size(t)), i => struct(
+        element_at(t, i - 2).as("p2"),
+        element_at(t, i - 1).as("p1"),
+        element_at(t, i).as("w"))))
+        .otherwise(array().cast("array<struct<p2:string,p1:string,w:string>>")))
+      .as("s"))
+      .select(col(idCol), col("s.p2").as("p2"), col("s.p1").as("p1"),
+        col("s.w").as("w"))
+    val joined = sp
+      .join(broadcast(c3), Seq("p2", "p1", "w"), "left")
+      .join(broadcast(c2.select(col("p1").as("p2"), col("w").as("p1"),
+        col("__big").as("__ctx3"))), Seq("p2", "p1"), "left")
+      .join(broadcast(c2), Seq("p1", "w"), "left")
+      .join(broadcast(c1.select(col("w").as("p1"), col("__uni").as("__ctx2"))),
+        Seq("p1"), "left")
+      .join(broadcast(c1), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+    val lvl = when(col("__tri").isNotNull, 3)
+      .when(col("__big").isNotNull, 2).otherwise(1)
+    val contrib = when(col("__tri").isNotNull,
+        l2Col(col("__tri")) - l2Col(col("__ctx3")))
+      .when(col("__big").isNotNull,
+        l2Col(col("__big")) - l2Col(col("__ctx2")))
+      .otherwise(l2Col(coalesce(col("__uni"), lit(0L)) + 1L) -
+        l2Col(col("__n") + 1L))
+    joined
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(lvl === 3, 1L).otherwise(0L)).cast("long").as("n_tri"),
+        sum(when(lvl === 2, 1L).otherwise(0L)).cast("long").as("n_bo1"),
+        sum(when(lvl === 1, 1L).otherwise(0L)).cast("long").as("n_bo2"),
+        sum(contrib).cast("long").as("logp_fp"))
+      .orderBy(col(idCol))
+  }
+
   /** Host of a URL, normalized: scheme and port/path/query dropped,
     * leading `www.` stripped, lowercased. Regexes in the Java∩RE2
     * dialect so a DuckDB oracle replays them byte-for-byte; a non-URL

@@ -87,6 +87,13 @@ object ExchangeBudgets {
     "llm_ivf_train_poly"              -> 5,
     "llm_manifest"                    -> 4,
     "llm_mix_audit"                   -> 8,
+    // phrases: pair-count groupBy (the one corpus-sized exchange) +
+    // the checkpointed vocab-sized unigram agg + 1-row total + final
+    // sort; backoff adds the second (score-slice) scan's doc agg and
+    // a third tiny count table (c3 filters, c2/c1 aggregate once each
+    // behind their cuts)
+    "llm_phrases"                     -> 4,
+    "llm_backoff_score"               -> 6,
     "llm_pq_persist"                  -> 4,
     "llm_quality_dedup"               -> 20,
     "llm_quality_tiers"               -> 4,

@@ -1676,6 +1676,147 @@ object LlmQueries {
         .orderBy(col("rrf_fp").desc, col("id"))
     },
 
+    // Collocation mining (r13): word2phrase PMI-style phrase table.
+    // The fixture corpus is a 31-word random salad — every natural
+    // bigram scores ≈ 10⁴ (independence) and fails the 20000 cut, so
+    // the collocations are planted in-query on both sides: %7 classes
+    // append 'new york'/'new jersey'/'san francisco' plus a scrambled
+    // 'york san new jersey' class that gives the planted unigrams mass
+    // OUTSIDE their pair (the δ discount and the cross-pair fail
+    // branch both live — probed tri-scale: 6/7/9 pass rows, boundary
+    // pairs like (dup,new) flip with scale while natural bigrams
+    // always fail).
+    Q("llm_phrases",
+      """WITH planted AS (
+        |  SELECT doc_id, CASE doc_id % 7
+        |    WHEN 1 THEN text || ' new york new york'
+        |    WHEN 2 THEN text || ' new jersey'
+        |    WHEN 3 THEN text || ' san francisco'
+        |    WHEN 4 THEN text || ' york san new jersey'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') t FROM planted),
+        |pairs AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |    i -> struct_pack(w1 := t[i],
+        |      w2 := CASE WHEN i < len(t) THEN t[i + 1] ELSE NULL END))) p
+        |  FROM toks),
+        |cnt AS (SELECT p.w1 w1, p.w2 w2, count(*)::BIGINT c
+        |        FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT w1 w, CAST(sum(c) AS BIGINT) cu FROM cnt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) n FROM uni)
+        |SELECT c.w1, c.w2, c.c AS pair_count,
+        |  ((c.c - 5) * n * 10000) // (ua.cu * ub.cu) AS score_fp
+        |FROM cnt c
+        |JOIN uni ua ON c.w1 = ua.w
+        |JOIN uni ub ON c.w2 = ub.w
+        |CROSS JOIN tot
+        |WHERE c.w2 IS NOT NULL AND c.c >= 10
+        |  AND ((c.c - 5) * n * 10000) // (ua.cu * ub.cu) >= 20000
+        |ORDER BY score_fp DESC, c.w1, c.w2""".stripMargin) { (spark, sf) =>
+      val m = pmod(col("doc_id"), lit(7))
+      val planted = Tables.documents(spark, sf).select(col("doc_id"),
+        when(m === 1, concat(col("text"), lit(" new york new york")))
+          .when(m === 2, concat(col("text"), lit(" new jersey")))
+          .when(m === 3, concat(col("text"), lit(" san francisco")))
+          .when(m === 4, concat(col("text"), lit(" york san new jersey")))
+          .otherwise(col("text")).as("text"))
+      TextStats.phrases(planted)
+    },
+
+    // Distinct-n diversity audit (r13): per-source distinct-1/2/3
+    // ratios — the lexical-diversity datasheet column. No threshold,
+    // no planting needed: a REPORT is non-vacuous when its values
+    // spread, and they do (probed: distinct-2 bp 4721 at sf0.001 vs
+    // 700 at sf0.1 — the fixed 31-word vocabulary saturates, exactly
+    // what the metric is for).
+    Q("llm_distinct_n",
+      """WITH toks AS (SELECT source, string_split(text, ' ') t FROM documents),
+        |g AS (
+        |  SELECT source, n, unnest(list_transform(range(1, len(t) - n + 2),
+        |    i -> array_to_string(t[i:i+n-1], ' '))) gram
+        |  FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) n) ns
+        |  WHERE len(t) >= n),
+        |c AS (SELECT source, n, gram, count(*) occ FROM g GROUP BY 1, 2, 3)
+        |SELECT source, CAST(n AS BIGINT) n,
+        |  CAST(sum(occ) AS BIGINT) total_grams,
+        |  CAST(count(*) AS BIGINT) distinct_grams,
+        |  CAST((CAST(count(*) AS BIGINT) * 10000)
+        |    // CAST(sum(occ) AS BIGINT) AS BIGINT) distinct_bp
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, sf) =>
+      TextStats.distinctNgrams(Tables.documents(spark, sf))
+    },
+
+    // Stupid-backoff LM (r13): counts trained on the EVEN corpus half,
+    // the odd half < 1000 scored held-out — so the backoff branches
+    // fire NATURALLY (probed levels 3/2/1: 5549/7472/7 at sf0.001,
+    // 25378/240/0 at sf0.1). The planted ' zq9' tail on %5 scored docs
+    // keeps the unigram backstop live at every scale (zq9 is unseen in
+    // training, exercising the add-one OOV path exactly).
+    Q("llm_backoff_score", {
+      def l2(x: String): String =
+        s"((length(bin($x)) - 1) * 1024 + (($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1))) - 1024)"
+      s"""WITH train AS (
+         |  SELECT string_split(text, ' ') t FROM documents WHERE doc_id % 2 = 0),
+         |pos AS (
+         |  SELECT unnest(list_transform(range(1, len(t) + 1), i -> struct_pack(
+         |    p2 := CASE WHEN i >= 3 THEN t[i-2] ELSE NULL END,
+         |    p1 := CASE WHEN i >= 2 THEN t[i-1] ELSE NULL END,
+         |    w := t[i]))) s
+         |  FROM train),
+         |cnt AS (SELECT s.p2 p2, s.p1 p1, s.w w, count(*)::BIGINT c
+         |        FROM pos GROUP BY 1, 2, 3),
+         |c3 AS (SELECT p2, p1, w, c FROM cnt WHERE p2 IS NOT NULL),
+         |c2 AS (SELECT p1, w, CAST(sum(c) AS BIGINT) c FROM cnt
+         |       WHERE p1 IS NOT NULL GROUP BY 1, 2),
+         |c1 AS (SELECT w, CAST(sum(c) AS BIGINT) c FROM cnt GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) n FROM c1),
+         |sl AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' zq9'
+         |    ELSE text END AS text
+         |  FROM documents WHERE doc_id % 2 = 1 AND doc_id < 1000),
+         |sl2 AS (SELECT doc_id, string_split(text, ' ') t FROM sl),
+         |sp AS (
+         |  SELECT doc_id, unnest(list_transform(range(3, len(t) + 1),
+         |    i -> struct_pack(p2 := t[i-2], p1 := t[i-1], w := t[i]))) s
+         |  FROM sl2 WHERE len(t) >= 3),
+         |spf AS (SELECT doc_id, s.p2 p2, s.p1 p1, s.w w FROM sp),
+         |j AS (
+         |  SELECT spf.doc_id,
+         |    c3.c tri, bc.c bct, c2.c big, uc.c uct, u.c uni, tot.n n
+         |  FROM spf
+         |  LEFT JOIN c3 ON spf.p2 = c3.p2 AND spf.p1 = c3.p1 AND spf.w = c3.w
+         |  LEFT JOIN c2 bc ON spf.p2 = bc.p1 AND spf.p1 = bc.w
+         |  LEFT JOIN c2 ON spf.p1 = c2.p1 AND spf.w = c2.w
+         |  LEFT JOIN c1 uc ON spf.p1 = uc.w
+         |  LEFT JOIN c1 u ON spf.w = u.w
+         |  CROSS JOIN tot),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN tri IS NOT NULL THEN 3
+         |         WHEN big IS NOT NULL THEN 2 ELSE 1 END lvl,
+         |    CASE WHEN tri IS NOT NULL THEN ${l2("tri")} - ${l2("bct")}
+         |         WHEN big IS NOT NULL THEN ${l2("big")} - ${l2("uct")}
+         |         ELSE ${l2("coalesce(uni, 0) + 1")} - ${l2("n + 1")} END contrib
+         |  FROM j)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) n_pos,
+         |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) n_tri,
+         |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) n_bo1,
+         |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) n_bo2,
+         |  CAST(sum(contrib) AS BIGINT) logp_fp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (spark, sf) =>
+      val docs = Tables.documents(spark, sf)
+      val train = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val slice = docs
+        .where(pmod(col("doc_id"), lit(2)) === 1 && col("doc_id") < 1000)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" zq9")))
+            .otherwise(col("text")).as("text"))
+      TextStats.backoffScore(train, slice)
+    },
+
     Q("llm_tfidf",
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |tf AS (

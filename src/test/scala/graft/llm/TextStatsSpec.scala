@@ -870,4 +870,79 @@ class TextStatsSpec extends SparkSpec {
     plan should not include "Exchange"
     plan should not include "Join"
   }
+
+  test("phrases: word2phrase score exact, minCount filters before the discount") {
+    // corpus (strays in their OWN docs so they add unigram mass without
+    // new bigrams): 'x y' ×12 in one doc, 3 stray x, 2 stray y, 'p q'
+    // ×9 (< minCount), 5 filler f.
+    // N = 24 + 3 + 2 + 18 + 5 = 52; c(x)=15, c(y)=14
+    // (x,y): c=12 → (12−5)·52·10⁴ div (15·14) = 3640000 div 210 = 17333
+    // (y,x): c=11 (the reduplication seam) → 3120000 div 210 = 14857
+    val docs = Seq(
+      (1L, Seq.fill(12)("x y").mkString(" ")),
+      (2L, "x x x"), (3L, "y y"),
+      (4L, Seq.fill(9)("p q").mkString(" ")),
+      (5L, "f f f f f")).toDF("doc_id", "text")
+    val out = TextStats.phrases(docs, delta = 5L, minCount = 10L,
+      minScoreFp = 1L).collect()
+    val m = out.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3)))).toMap
+    m should have size 2
+    m(("x", "y")) shouldBe ((12L, 17333L))
+    m(("y", "x")) shouldBe ((11L, 14857L))
+    // (p,q) count 9 < minCount → absent even though its score would pass
+    m.keySet should not contain (("p", "q"))
+    // threshold prunes: only the top pair survives 16000
+    val cut = TextStats.phrases(docs, delta = 5L, minCount = 10L,
+      minScoreFp = 16000L).collect()
+    cut.map(r => (r.getString(0), r.getString(1))).toSeq shouldBe
+      Seq(("x", "y"))
+    // partitioning-invariant
+    val again = TextStats.phrases(docs.repartition(7), delta = 5L,
+      minCount = 10L, minScoreFp = 1L).collect()
+    again.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq shouldBe
+      out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+  }
+
+  test("distinctNgrams: exact totals/distincts per order, short docs skip high orders") {
+    // srcA: 'a b a b a' (5 toks) + 'a' (1 tok — yields NO bigrams);
+    //   1-grams: 6 total {a×4, b×2} → 2 distinct
+    //   2-grams: 4 total {ab×2, ba×2} → 2 distinct
+    //   3-grams: 3 total {aba×2, bab} → 2 distinct
+    // srcB: 'c' — 1-gram only; orders 2,3 have no rows for srcB.
+    val docs = Seq(("srcA", "a b a b a"), ("srcA", "a"), ("srcB", "c"))
+      .toDF("source", "text")
+    val out = TextStats.distinctNgrams(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out should have size 4
+    out(("srcA", 1L)) shouldBe ((6L, 2L, 3333L))
+    out(("srcA", 2L)) shouldBe ((4L, 2L, 5000L))
+    out(("srcA", 3L)) shouldBe ((3L, 2L, 6666L))
+    out(("srcB", 1L)) shouldBe ((1L, 1L, 10000L))
+    out.keySet should not contain (("srcB", 2L))
+  }
+
+  test("backoffScore: level election and l2 contributions exact") {
+    // train 'a b c a b c': c3 = {abc:2, bca:1, cab:1},
+    // c2 = {ab:2, bc:2, ca:1}, c1 = {a:2, b:2, c:2}, N = 6
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c z"),   // (a,b,c) tri 2/ctx 2 → 0; (b,c,z) OOV z →
+                         //   l2(1) − l2(7) = −2816
+      (2L, "b c a b"),   // (b,c,a) 1/2 → −1024; (c,a,b) 1/1 → 0
+      (3L, "c c a b"),   // (c,c,a) unseen tri, bigram ca 1 / c1(c) 2
+                         //   → −1024 at lvl 2; (c,a,b) tri → 0
+      (4L, "ab")         // < 3 tokens → no scored positions, no row
+    ).toDF("doc_id", "text")
+    val out = TextStats.backoffScore(train, score).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    out should have size 3
+    out(1L) shouldBe ((2L, 1L, 0L, 1L, -2816L))
+    out(2L) shouldBe ((2L, 2L, 0L, 0L, -1024L))
+    out(3L) shouldBe ((2L, 1L, 1L, 0L, -1024L))
+  }
 }
