@@ -455,4 +455,56 @@ object Packing {
       (col("__nm") + col("__ns") + 1L).as("target_len"),
       array_join(spans, ";").as("spans"))
   }
+
+  /** SFT chat-template assembly: per conversation, the turn rows
+    * (`convCol`, `turnCol`, `roleCol`, `contentCol`) become ONE
+    * training example — segments `<|role|>content` concatenated in
+    * turn order — plus the LOSS-MASK spans: for every `maskRole`
+    * (assistant) turn, the character range of its CONTENT (the tag is
+    * never trained on) as a canonical `start:len;…` string, with
+    * `masked_chars` the total supervised mass. A conversation whose
+    * maskRole turns were all filtered upstream still assembles, with
+    * an empty span list — the example carries no loss but keeps its
+    * context role.
+    *
+    * Shape for 100 TB: offsets come from ONE running-sum window
+    * partitioned by conversation, and the assembly is ONE groupBy on
+    * the same key — the window's hash partitioning is reused, so the
+    * corpus shuffles ONCE (conversations are the natural unit; no
+    * conversation-sized skew exists that a turn cap upstream doesn't
+    * bound). In-group order rides sorted collect_list (SURVEY
+    * §2.9-bis), never shuffle arrival order. Deterministic: integer
+    * offsets, ORDER BY conversation. */
+  def chatPack(turns: DataFrame, convCol: String = "conv_id",
+               turnCol: String = "turn", roleCol: String = "role",
+               contentCol: String = "content",
+               maskRole: String = "assistant"): DataFrame = {
+    val seg = concat(lit("<|"), col(roleCol), lit("|>"), col(contentCol))
+    val tagLen = (length(col(roleCol)) + 4L).cast("long")
+    val w = Window.partitionBy(col(convCol)).orderBy(col(turnCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOfs = turns.select(col(convCol), col(turnCol), col(roleCol),
+      seg.as("__s"), tagLen.as("__taglen"),
+      length(col(contentCol)).cast("long").as("__clen"))
+      .withColumn("__ofs",
+        coalesce(sum(length(col("__s"))).over(w), lit(0L)).cast("long"))
+    val isMask = col(roleCol) === maskRole
+    withOfs.groupBy(col(convCol))
+      .agg(count(lit(1)).as("n_turns"),
+        sort_array(collect_list(struct(col(turnCol).as("t"),
+          col("__s").as("s")))).as("__segs"),
+        sort_array(collect_list(when(isMask, struct(col(turnCol).as("t"),
+          concat_ws(":", (col("__ofs") + col("__taglen")).cast("string"),
+            col("__clen").cast("string")).as("sp"))))).as("__spans"),
+        sum(when(isMask, col("__clen")).otherwise(0L)).cast("long")
+          .as("masked_chars"))
+      .select(col(convCol), col("n_turns"),
+        array_join(transform(col("__segs"), x => x.getField("s")), "")
+          .as("assembled"),
+        array_join(transform(col("__spans"), x => x.getField("sp")), ";")
+          .as("mask_spans"),
+        col("masked_chars"))
+      .withColumn("total_chars", length(col("assembled")).cast("long"))
+      .orderBy(col(convCol))
+  }
 }

@@ -1817,6 +1817,63 @@ object LlmQueries {
       TextStats.backoffScore(train, slice)
     },
 
+    // SFT chat assembly (r13): documents planted into 5-turn
+    // conversations (system/user/assistant/user/assistant), a ≥300-char
+    // gate dropping ~half the turns so conversations arrive RAGGED —
+    // probed tri-scale: 97 convs / 79 with an assistant turn at
+    // sf0.001, so the empty-mask branch is live everywhere. The gated
+    // output includes the assembled text itself AND the span string,
+    // so any drift in offsets, ordering, or tag shape hash-mismatches.
+    Q("llm_chat_pack",
+      """WITH turns AS (
+        |  SELECT doc_id // 5 conv_id, doc_id % 5 turn,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'system'
+        |         WHEN doc_id % 5 IN (2, 4) THEN 'assistant'
+        |         ELSE 'user' END trole,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+        |      AS content
+        |  FROM documents WHERE length(text) >= 300),
+        |seg AS (
+        |  SELECT conv_id, turn, trole,
+        |    '<|' || trole || '|>' || content AS s,
+        |    CAST(length(trole) + 4 AS BIGINT) taglen,
+        |    CAST(length(content) AS BIGINT) clen
+        |  FROM turns),
+        |o AS (
+        |  SELECT conv_id, turn, trole, s, taglen, clen,
+        |    CAST(coalesce(sum(length(s)) OVER (PARTITION BY conv_id
+        |      ORDER BY turn ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) ofs
+        |  FROM seg),
+        |asm AS (
+        |  SELECT conv_id, CAST(count(*) AS BIGINT) n_turns,
+        |    string_agg(s, '' ORDER BY turn) assembled
+        |  FROM o GROUP BY conv_id),
+        |spans AS (
+        |  SELECT conv_id,
+        |    string_agg(CAST(ofs + taglen AS VARCHAR) || ':' ||
+        |      CAST(clen AS VARCHAR), ';' ORDER BY turn) mask_spans,
+        |    CAST(sum(clen) AS BIGINT) masked_chars
+        |  FROM o WHERE trole = 'assistant' GROUP BY conv_id)
+        |SELECT asm.conv_id, n_turns, assembled,
+        |  coalesce(mask_spans, '') mask_spans,
+        |  CAST(coalesce(masked_chars, 0) AS BIGINT) masked_chars,
+        |  CAST(length(assembled) AS BIGINT) total_chars
+        |FROM asm LEFT JOIN spans USING (conv_id)
+        |ORDER BY asm.conv_id""".stripMargin) { (spark, sf) =>
+      val intDiv = graft.functions.VectorFunctions.intDiv _
+      val m = pmod(col("doc_id"), lit(5))
+      val turns = Tables.documents(spark, sf)
+        .where(length(col("text")) >= 300)
+        .select(intDiv(col("doc_id"), lit(5L)).as("conv_id"),
+          m.cast("long").as("turn"),
+          when(m === 0, "system").when(m === 2 || m === 4, "assistant")
+            .otherwise("user").as("role"),
+          array_join(slice(split(col("text"), " "), 1, 12), " ")
+            .as("content"))
+      Packing.chatPack(turns)
+    },
+
     Q("llm_tfidf",
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |tf AS (

@@ -436,4 +436,32 @@ class PackingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Packing.spanCorruption(docs, meanSpan = 0)
   }
+
+  test("chatPack: offsets, mask spans and ragged conversations exact") {
+    // rows deliberately scrambled — assembly order must come from the
+    // turn column, not arrival order
+    val turns = Seq(
+      (1L, 2L, "assistant", "ok"),
+      (2L, 0L, "user", "solo"),
+      (1L, 0L, "system", "hi"),
+      (3L, 1L, "assistant", "yz"),
+      (1L, 1L, "user", "ab c"),
+      (3L, 0L, "assistant", "x")
+    ).toDF("conv_id", "turn", "role", "content")
+    val out = Packing.chatPack(turns).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))).toMap
+    out should have size 3
+    // conv 1: segs 12 + 12 + 15 chars; assistant content at 24+13
+    out(1L) shouldBe ((3L, "<|system|>hi<|user|>ab c<|assistant|>ok",
+      "37:2", 2L, 39L))
+    // conv 2: no assistant turn → empty span string, zero mass
+    out(2L) shouldBe ((1L, "<|user|>solo", "", 0L, 12L))
+    // conv 3: two assistant turns → two spans in turn order
+    out(3L) shouldBe ((2L, "<|assistant|>x<|assistant|>yz",
+      "13:1;27:2", 3L, 29L))
+    // partitioning-invariant
+    Packing.chatPack(turns.repartition(5)).collect().map(_.toSeq) shouldBe
+      Packing.chatPack(turns).collect().map(_.toSeq)
+  }
 }
