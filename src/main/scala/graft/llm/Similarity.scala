@@ -707,6 +707,70 @@ object Similarity {
       .select(col("a").as(srcIdCol), col("b").as(tgtIdCol), col("margin_fp"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998) with λ = ½ cross-multiplied away: greedily pick
+    * `argmax_d (simq(d) − max_{s∈S} sim(d,s))` — ties break to the
+    * higher query similarity, then the lower id (the pool's sort
+    * order). `sim` is the same signed quantized-cosine² the ANN tier
+    * uses (`(dot²·2·10⁴ + nₐn_b) div (2·nₐn_b)`, 0 when dot ≤ 0 —
+    * anti-correlation is not redundancy). This is retrieval-time
+    * dedup: a result list full of near-identical hits keeps ONE of
+    * each and back-fills with diverse members.
+    *
+    * The pool MUST be producer-bounded (a top-k limit upstream):
+    * selection is inherently sequential, so the pool is collected and
+    * the O(n²) sim matrix + greedy scan run driver-side — the
+    * codebook discipline, enforced by a hard `require` at 4096 rows.
+    * At 100 TB nothing changes: the corpus-sized work is the
+    * producer's scored scan; re-ranking 20 rows is free. Expects
+    * columns (idCol, simCol, vq: array<long>, na: long) as built by
+    * the quantized scorer. Returns (rank, id, simq_bp,
+    * redundancy_bp) with redundancy measured at selection time. */
+  def mmrRerank(pool: DataFrame, k: Int, idCol: String = "vec_id",
+                simCol: String = "simq_bp"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val rows = pool.select(col(idCol).cast("long"), col(simCol).cast("long"),
+      col("vq"), col("na").cast("long")).collect()
+    require(rows.length <= 4096,
+      s"mmrRerank pool must be producer-bounded (<= 4096 rows), got ${rows.length}")
+    val sorted = rows.map { r =>
+      (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray, r.getLong(3))
+    }.sortBy { case (id, sq, _, _) => (-sq, id) }
+    val n = sorted.length
+    val pm = Array.tabulate(n, n) { (i, j) =>
+      val (_, _, vi, nai) = sorted(i)
+      val (_, _, vj, naj) = sorted(j)
+      var dot = 0L
+      var t = 0
+      while (t < vi.length && t < vj.length) { dot += vi(t) * vj(t); t += 1 }
+      if (dot > 0) (dot * dot * 20000L + nai * naj) / (nai * naj * 2L) else 0L
+    }
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    while (sel.length < math.min(k, n)) {
+      val chosen = sel.map(_._1)
+      var bestIdx = -1
+      var bestMmr = Long.MinValue
+      var bestRed = 0L
+      var i = 0
+      while (i < n) {
+        if (!chosen.contains(i)) {
+          val red =
+            if (chosen.isEmpty) 0L else chosen.map(s => pm(i)(s)).max
+          val mmr = sorted(i)._2 - red
+          if (mmr > bestMmr) { bestIdx = i; bestMmr = mmr; bestRed = red }
+        }
+        i += 1
+      }
+      sel += ((bestIdx, bestRed))
+    }
+    sel.zipWithIndex.map { case ((i, red), r) =>
+      ((r + 1).toLong, sorted(i)._1, sorted(i)._2, red)
+    }.toSeq.toDF("rank", idCol, simCol, "redundancy_bp")
+      .orderBy(col("rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two bounded ranked
     * lists — the standard hybrid-retrieval combiner for a lexical
     * (BM25) and a dense (embedding) list: rank positions, not scores,

@@ -1874,6 +1874,109 @@ object LlmQueries {
       Packing.chatPack(turns)
     },
 
+    // MMR diversity re-rank (r13): retrieval-time dedup over the dense
+    // top-20. The plant makes every odd vector a TWIN of its even
+    // neighbor, so the plain similarity list is wall-to-wall duplicate
+    // pairs (probed: [40,41,178,179,…]) while MMR returns 10 DISTINCT
+    // contents ([40,178,358,…]) at every scale — selection ≠ producer
+    // order tri-scale, and the redundancy column spreads (0/243/5/11).
+    // The oracle replays the greedy loop as a state-in-one-row
+    // recursive CTE (the ivf_train_poly machinery): sel list + argmax
+    // with first-index tie-break = the engine's (higher simq, lower
+    // id) rule.
+    Q("llm_mmr",
+      """WITH RECURSIVE
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ev FROM embeddings
+        |        WHERE embedding IS NOT NULL),
+        |plant AS (
+        |  SELECT a.vec_id, b.ev FROM emb a
+        |  JOIN emb b ON b.vec_id = a.vec_id - (a.vec_id % 2)
+        |  WHERE a.vec_id < 400),
+        |raw AS (SELECT vec_id, list_transform(ev,
+        |    x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) vq FROM plant),
+        |qq AS (SELECT list_transform(ev,
+        |    x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) vq FROM emb WHERE vec_id = 77),
+        |sc AS (
+        |  SELECT r.vec_id, r.vq,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> r.vq[i] * q.vq[i])) AS BIGINT) dot,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> r.vq[i] * r.vq[i])) AS BIGINT) na,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> q.vq[i] * q.vq[i])) AS BIGINT) nb
+        |  FROM raw r, qq q),
+        |pool AS (
+        |  SELECT vec_id, vq, na, (dot*dot*20000 + na*nb) // (na*nb*2) simq
+        |  FROM sc WHERE dot > 0 AND na > 0 AND nb > 0
+        |  ORDER BY simq DESC, vec_id LIMIT 20),
+        |st AS (
+        |  SELECT list(vec_id ORDER BY simq DESC, vec_id) ids,
+        |    list(simq ORDER BY simq DESC, vec_id) sq,
+        |    list(vq ORDER BY simq DESC, vec_id) vs,
+        |    list(na ORDER BY simq DESC, vec_id) ns,
+        |    len(list(vec_id)) nc
+        |  FROM pool),
+        |pm AS (
+        |  SELECT ids, sq, nc,
+        |    list_transform(range(1, nc + 1), i ->
+        |      list_transform(range(1, nc + 1), j ->
+        |        CASE WHEN list_sum(list_transform(range(1, 65), t -> vs[i][t] * vs[j][t])) > 0
+        |        THEN (CAST(list_sum(list_transform(range(1, 65), t -> vs[i][t] * vs[j][t])) AS BIGINT)
+        |              * CAST(list_sum(list_transform(range(1, 65), t -> vs[i][t] * vs[j][t])) AS BIGINT)
+        |              * 20000 + ns[i] * ns[j]) // (ns[i] * ns[j] * 2)
+        |        ELSE 0 END)) m
+        |  FROM st),
+        |ff AS (
+        |  SELECT 0 AS it, CAST([] AS BIGINT[]) sel
+        |  UNION ALL
+        |  SELECT it + 1, list_append(sel, pick)
+        |  FROM (
+        |    SELECT it, sel,
+        |      list_filter(range(1, nc + 1), i -> NOT list_contains(sel, i)
+        |        AND mmr[i] = best)[1] AS pick
+        |    FROM (
+        |      SELECT it, sel, nc, mmr,
+        |        list_max(list_transform(
+        |          list_filter(range(1, nc + 1), i -> NOT list_contains(sel, i)),
+        |          i -> mmr[i])) best
+        |      FROM (
+        |        SELECT ff.it, ff.sel, p.nc,
+        |          list_transform(range(1, p.nc + 1), i ->
+        |            p.sq[i] - coalesce(list_max(list_transform(ff.sel,
+        |              s -> p.m[i][CAST(s AS INT)])), 0)) mmr
+        |        FROM ff, pm p WHERE ff.it < 10) q1) q2) q3),
+        |fin AS (SELECT sel FROM ff WHERE it = 10)
+        |SELECT r AS rank, p.ids[CAST(f.sel[CAST(r AS INT)] AS INT)] vec_id,
+        |  p.sq[CAST(f.sel[CAST(r AS INT)] AS INT)] simq_bp,
+        |  coalesce(list_max(list_transform(f.sel[1:CAST(r - 1 AS INT)],
+        |    s -> p.m[CAST(f.sel[CAST(r AS INT)] AS INT)][CAST(s AS INT)])), 0) redundancy_bp
+        |FROM fin f, pm p, (SELECT unnest(range(1, 11)) AS r) rr
+        |ORDER BY rank""".stripMargin) { (spark, sf) =>
+      val intDiv = graft.functions.VectorFunctions.intDiv _
+      val isum = (c: org.apache.spark.sql.Column) =>
+        aggregate(c, lit(0L), (s, x) => s + x)
+      val quant = (c: org.apache.spark.sql.Column) =>
+        transform(c.cast("array<double>"),
+          x => floor(x * 64 + lit(0.5)).cast("long"))
+      val emb = Tables.embeddings(spark, sf).where(col("embedding").isNotNull)
+      val a = emb.where(col("vec_id") < 400)
+        .select(col("vec_id"),
+          (col("vec_id") - pmod(col("vec_id"), lit(2))).as("__src"))
+      val b = emb.select(col("vec_id").as("__src"),
+        quant(col("embedding")).as("vq"))
+      val planted = b.join(broadcast(a), "__src").select(col("vec_id"), col("vq"))
+      val qv = emb.where(col("vec_id") === 77)
+        .select(quant(col("embedding")).as("qv"))
+      val pool = planted.crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("vq"),
+          isum(zip_with(col("vq"), col("qv"), (x, y) => x * y)).as("dot"),
+          isum(transform(col("vq"), x => x * x)).as("na"),
+          isum(transform(col("qv"), x => x * x)).as("nb"))
+        .where(col("dot") > 0 && col("na") > 0 && col("nb") > 0)
+        .select(col("vec_id"), col("vq"), col("na"),
+          intDiv(col("dot") * col("dot") * 20000L + col("na") * col("nb"),
+            col("na") * col("nb") * 2L).as("simq_bp"))
+        .orderBy(col("simq_bp").desc, col("vec_id")).limit(20)
+      Similarity.mmrRerank(pool, k = 10)
+    },
+
     Q("llm_tfidf",
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |tf AS (

@@ -469,6 +469,26 @@ class SimilaritySpec extends SparkSpec {
     again shouldBe once
   }
 
+  test("mmrRerank: twins demote, ties break to higher simq then lower id") {
+    // ids 10/11 identical vectors (pair sim 10000), id 20 orthogonal
+    val pool = Seq(
+      (10L, 9000L, Seq(2L, 0L), 4L),
+      (11L, 9000L, Seq(2L, 0L), 4L),
+      (20L, 5000L, Seq(0L, 3L), 9L)
+    ).toDF("vec_id", "simq_bp", "vq", "na")
+    val out = Similarity.mmrRerank(pool, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // first pick: simq tie 10 vs 11 → lower id; second: the twin's
+    // mmr is 9000−10000 < 5000−0 so the orthogonal 20 wins; the twin
+    // lands last carrying its full redundancy
+    out.toSeq shouldBe Seq((1L, 10L, 9000L, 0L), (2L, 20L, 5000L, 0L),
+      (3L, 11L, 9000L, 10000L))
+    // k beyond the pool clamps
+    Similarity.mmrRerank(pool, k = 9).collect().length shouldBe 3
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.mmrRerank(pool, k = 0)
+  }
+
   test("rrfFuse: both-list ids sum their terms, single-list ids carry one, absent rank is 0") {
     val lex = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
     val den = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
