@@ -581,4 +581,34 @@ object Curation {
         rowsPerShard, idCol = "__rid")
       .drop("__rid")
   }
+
+  /** Preference-pair assembly (the reward-model / DPO data-prep step):
+    * per candidate group, CHOSEN = the highest-scoring member and
+    * REJECTED = the lowest, both with ties to the LOWER id, emitted
+    * only when the margin is strictly positive (an all-tied group has
+    * no preference signal and is dropped). Scoring is the caller's —
+    * pass any integer quality column — so the operator composes with
+    * the classifier/quality/LM tiers. ONE map-side-combinable groupBy:
+    * argmax and argmin travel as lexicographic struct extremes
+    * (`max(struct(score, −id))` / `min(struct(score, id))` — the
+    * min-by determinism rule without a window), so the corpus shuffles
+    * once and no per-group sort exists. Output ORDER BY group. */
+  def prefPairs(scored: DataFrame, groupCol: String = "prompt_id",
+                idCol: String = "doc_id",
+                scoreCol: String = "score_bp"): DataFrame =
+    scored
+      .groupBy(col(groupCol))
+      .agg(
+        max(struct(col(scoreCol).cast("long").as("s"),
+          (-col(idCol)).cast("long").as("ni"))).as("__c"),
+        min(struct(col(scoreCol).cast("long").as("s"),
+          col(idCol).cast("long").as("i"))).as("__r"))
+      .where(col("__c.s") > col("__r.s"))
+      .select(col(groupCol),
+        (-col("__c.ni")).as("chosen_id"),
+        col("__r.i").as("rejected_id"),
+        col("__c.s").as("chosen_score"),
+        col("__r.s").as("rejected_score"),
+        (col("__c.s") - col("__r.s")).as("margin"))
+      .orderBy(col(groupCol))
 }

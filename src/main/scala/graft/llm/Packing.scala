@@ -456,6 +456,49 @@ object Packing {
       array_join(spans, ";").as("spans"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * document-level PSM): for a deterministic `fimRate`-bp slice of
+    * docs, two lattice-drawn token cuts a ≤ b split the doc into
+    * (prefix, middle, suffix) and the training text becomes
+    * `<PRE>prefix<SUF>suffix<MID>middle` — the model learns to infill
+    * from bidirectional context; the rest pass through unchanged
+    * (`mode = plain`). Cut points ride the shared coprime hash lattice
+    * (two independent affine draws mod n+1, sorted), so the transform
+    * is retry-stable and partition-free; empty prefix/middle/suffix
+    * all occur naturally (a=0, a=b, b=n) and reassembly is lossless
+    * for single-space-tokenized text. ONE narrow projection — no
+    * shuffle, no join; the declared ORDER BY is the only exchange.
+    * Token counts travel as columns so a loss-mask builder downstream
+    * needs no re-tokenization. */
+  def fim(docs: DataFrame, fimRate: Int = 5000, idCol: String = "doc_id",
+          textCol: String = "text"): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 10000,
+      s"fimRate must be in [0, 10000] bp, got $fimRate")
+    val t = split(col(textCol), " ")
+    val n = size(t).cast("long")
+    // small-prime affine draw (the house lattice discipline: multiplier
+    // small enough that id·9301 stays in int64 past 10¹⁴ ids — a Knuth
+    // 2654435761 multiplier would overflow, and DuckDB ERRORS on
+    // BIGINT overflow rather than wrapping)
+    val sel = pmod(col(idCol) * 9301L + 49297L, lit(10000L)) < fimRate
+    val h1 = pmod(col(idCol) * 6007L + 1009L, n + 1L)
+    val h2 = pmod(col(idCol) * 9973L + 7L, n + 1L)
+    val a = least(h1, h2).cast("int")
+    val b = greatest(h1, h2).cast("int")
+    val joinTok = (c: Column) => array_join(c, " ")
+    val prefix = joinTok(slice(t, lit(1), a))
+    val middle = joinTok(slice(t, a + 1, b - a))
+    val suffix = joinTok(slice(t, b + 1, n.cast("int") - b))
+    docs.select(col(idCol),
+      when(sel, "fim").otherwise("plain").as("fim_mode"),
+      when(sel, a.cast("long")).otherwise(0L).as("n_prefix"),
+      when(sel, (b - a).cast("long")).otherwise(n).as("n_middle"),
+      when(sel, (n - b).cast("long")).otherwise(0L).as("n_suffix"),
+      when(sel, concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix,
+        lit("<MID>"), middle)).otherwise(col(textCol)).as("out_text"))
+      .orderBy(col(idCol))
+  }
+
   /** SFT chat-template assembly: per conversation, the turn rows
     * (`convCol`, `turnCol`, `roleCol`, `contentCol`) become ONE
     * training example — segments `<|role|>content` concatenated in

@@ -1977,6 +1977,82 @@ object LlmQueries {
       Similarity.mmrRerank(pool, k = 10)
     },
 
+    // Fill-in-the-middle (r13): PSM document transform at 50% rate —
+    // prefix/middle/suffix token counts and the exact reassembled
+    // string are both gated, so a cut-point or ordering drift
+    // hash-mismatches. The lattice split points make the empty-prefix
+    // (a=0), empty-middle (a=b) and empty-suffix (b=n) branches all
+    // live naturally.
+    Q("llm_fim",
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') t, text
+        |            FROM documents),
+        |c AS (
+        |  SELECT doc_id, t, text, CAST(len(t) AS BIGINT) n,
+        |    (doc_id * 9301 + 49297) % 10000 selh,
+        |    (doc_id * 6007 + 1009) % (CAST(len(t) AS BIGINT) + 1) h1,
+        |    (doc_id * 9973 + 7) % (CAST(len(t) AS BIGINT) + 1) h2
+        |  FROM t0),
+        |d AS (
+        |  SELECT doc_id, t, text, n, selh < 5000 sel,
+        |    least(h1, h2) a, greatest(h1, h2) b
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN sel THEN 'fim' ELSE 'plain' END fim_mode,
+        |  CAST(CASE WHEN sel THEN a ELSE 0 END AS BIGINT) n_prefix,
+        |  CAST(CASE WHEN sel THEN b - a ELSE n END AS BIGINT) n_middle,
+        |  CAST(CASE WHEN sel THEN n - b ELSE 0 END AS BIGINT) n_suffix,
+        |  -- array_to_string([]) is NULL in DuckDB (Spark's array_join
+        |  -- gives '') — coalesce each segment or empty prefix/middle/
+        |  -- suffix poisons the whole concat
+        |  CASE WHEN sel THEN '<PRE>' ||
+        |      coalesce(array_to_string(t[1:CAST(a AS INT)], ' '), '') ||
+        |    '<SUF>' ||
+        |      coalesce(array_to_string(t[CAST(b + 1 AS INT):CAST(n AS INT)], ' '), '') ||
+        |    '<MID>' ||
+        |      coalesce(array_to_string(t[CAST(a + 1 AS INT):CAST(b AS INT)], ' '), '')
+        |    ELSE text END out_text
+        |FROM d ORDER BY doc_id""".stripMargin) { (spark, sf) =>
+      Packing.fim(Tables.documents(spark, sf))
+    },
+
+    // Preference pairs (r13): DPO/reward-model data prep — 8-candidate
+    // prompt groups scored by type-token ratio, chosen = argmax /
+    // rejected = argmin with ties to lower id, strict-margin filter.
+    // Group 1's score is planted CONSTANT so the all-tied drop branch
+    // is provably live tri-scale (prompt_id 1 absent from the output).
+    Q("llm_pref_pairs",
+      """WITH s AS (
+        |  SELECT doc_id, doc_id // 8 prompt_id,
+        |    CASE WHEN doc_id // 8 = 1 THEN 777
+        |      ELSE CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |        * 10000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      END score_bp
+        |  FROM documents),
+        |w AS (
+        |  SELECT prompt_id, doc_id, score_bp,
+        |    max(score_bp) OVER (PARTITION BY prompt_id) mx,
+        |    min(score_bp) OVER (PARTITION BY prompt_id) mn
+        |  FROM s)
+        |SELECT prompt_id,
+        |  CAST(min(CASE WHEN score_bp = mx THEN doc_id END) AS BIGINT) chosen_id,
+        |  CAST(min(CASE WHEN score_bp = mn THEN doc_id END) AS BIGINT) rejected_id,
+        |  CAST(max(score_bp) AS BIGINT) chosen_score,
+        |  CAST(min(score_bp) AS BIGINT) rejected_score,
+        |  CAST(max(score_bp) - min(score_bp) AS BIGINT) margin
+        |FROM w GROUP BY prompt_id
+        |HAVING max(score_bp) > min(score_bp)
+        |ORDER BY prompt_id""".stripMargin) { (spark, sf) =>
+      val intDiv = graft.functions.VectorFunctions.intDiv _
+      val t = split(col("text"), " ")
+      val ttr = intDiv(size(array_distinct(t)).cast("long") * 10000L,
+        size(t).cast("long"))
+      val pid = intDiv(col("doc_id"), lit(8L))
+      val scored = Tables.documents(spark, sf).select(col("doc_id"),
+        pid.as("prompt_id"),
+        when(pid === 1, 777L).otherwise(ttr).as("score_bp"))
+      Curation.prefPairs(scored)
+    },
+
     Q("llm_tfidf",
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |tf AS (

@@ -462,4 +462,21 @@ class CurationSpec extends SparkSpec {
     b shouldBe a
     a.length should be < 300 // the fixture must actually drop losers
   }
+
+  test("prefPairs: argmax/argmin ties to lower id, tied and singleton groups drop") {
+    val scored = Seq(
+      (0L, 1L, 50L), (0L, 2L, 80L), (0L, 3L, 80L), (0L, 4L, 10L),
+      (1L, 5L, 42L), (1L, 6L, 42L),            // all tied → dropped
+      (2L, 7L, 9L),                            // singleton → dropped
+      (3L, 8L, 5L), (3L, 9L, 5L), (3L, 10L, 20L)
+    ).toDF("prompt_id", "doc_id", "score_bp")
+    val out = Curation.prefPairs(scored).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    out.keySet shouldBe Set(0L, 3L)
+    out(0L) shouldBe ((2L, 4L, 80L, 10L, 70L))  // chosen tie 2|3 → 2
+    out(3L) shouldBe ((10L, 8L, 20L, 5L, 15L))  // rejected tie 8|9 → 8
+    Curation.prefPairs(scored.repartition(5)).collect().map(_.toSeq) shouldBe
+      Curation.prefPairs(scored).collect().map(_.toSeq)
+  }
 }

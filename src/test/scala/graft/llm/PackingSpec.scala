@@ -464,4 +464,27 @@ class PackingSpec extends SparkSpec {
     Packing.chatPack(turns.repartition(5)).collect().map(_.toSeq) shouldBe
       Packing.chatPack(turns).collect().map(_.toSeq)
   }
+
+  test("fim: PSM reassembly and the three empty-segment branches exact") {
+    // selection hash (id·9301+49297) % 10000 < 5000: ids 7/8/9 → fim,
+    // id 1 (8598) → plain; cut hashes land a=b=2 for id 7 (empty
+    // middle), a=0 for id 8 (empty prefix), a=b=1 of n=2 for id 9
+    val docs = Seq(
+      (1L, "z1 z2 z3"),
+      (7L, "w1 w2 w3 w4 w5"),
+      (8L, "x1 x2 x3 x4"),
+      (9L, "y1 y2")).toDF("doc_id", "text")
+    val out = Packing.fim(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    out(1L) shouldBe (("plain", 0L, 3L, 0L, "z1 z2 z3"))
+    out(7L) shouldBe (("fim", 2L, 0L, 3L, "<PRE>w1 w2<SUF>w3 w4 w5<MID>"))
+    out(8L) shouldBe (("fim", 0L, 1L, 3L, "<PRE><SUF>x2 x3 x4<MID>x1"))
+    out(9L) shouldBe (("fim", 1L, 0L, 1L, "<PRE>y1<SUF>y2<MID>"))
+    // rate 0 → everything passes through
+    Packing.fim(docs, fimRate = 0).collect()
+      .map(_.getString(1)).toSet shouldBe Set("plain")
+    an[IllegalArgumentException] should be thrownBy
+      Packing.fim(docs, fimRate = 10001)
+  }
 }
