@@ -808,6 +808,37 @@ object ScaleProbe {
             require(lines.last.contains("\"done\":100"), s"bad serve reply: ${lines.last}")
           } finally sock.close()
         } finally h.close()
+      }),
+      // corpus-statistics tier (r13 s3): phrase mining's exchanges past
+      // the one corpus scan are vocab²-bounded (the synth vocab is 500
+      // words → ≤ 250k pair keys at ANY n), so the ratio reads the scan,
+      // not the join tree; n*4 clears the checkpoint fixed cost
+      ("phrase_mine", () => graft.llm.TextStats.phrases(
+        synthDocs(n * 4), delta = 5L, minCount = 10L, minScoreFp = 1L)
+        .count()),
+      // backoff LM: train on half, score half — both sides grow with n,
+      // the count tables stay vocab³-bounded; the blocking agg head()
+      // forces every join (the .count() prune trap)
+      ("backoff_lm", () => {
+        val d = synthDocs(n * 4)
+        graft.llm.TextStats.backoffScore(
+            d.where(pmod(col("doc_id"), lit(2)) === 0),
+            d.where(pmod(col("doc_id"), lit(2)) === 1))
+          .agg(sum("logp_fp"), sum("n_bo1")).head()
+      }),
+      // chat assembly: ONE conv-keyed exchange (window + groupBy share
+      // the partitioning) — the ratio is the linear re-shuffle of the
+      // corpus, nothing quadratic hides in the span arithmetic
+      ("chat_pack", () => {
+        val turns = synthDocs(n * 4).select(
+          graft.functions.VectorFunctions.intDiv(col("doc_id"), lit(5L))
+            .as("conv_id"),
+          pmod(col("doc_id"), lit(5)).cast("long").as("turn"),
+          when(pmod(col("doc_id"), lit(5)) === 2, "assistant")
+            .otherwise("user").as("role"),
+          substring(col("text"), 1, 60).as("content"))
+        graft.llm.Packing.chatPack(turns)
+          .agg(sum("masked_chars"), sum("total_chars")).head()
       }))
     val llmBase = 5000L
 

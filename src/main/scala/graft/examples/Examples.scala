@@ -597,6 +597,61 @@ object Examples {
       s"(${hits.length} scored); repetition drops ${rep.getLong(0)} docs, " +
       s"max top-gram mass ${rep.getLong(1)} bp")
 
+    // 36. corpus statistics tier (r13 session 3): word2phrase
+    // collocations (the fixture's natural bigrams all sit at the
+    // independence score ≈ 10⁴, so none passes), distinct-n diversity
+    // per source, and a stupid-backoff LM trained on half the corpus
+    // scoring the other half held-out — the (n_bo1, n_bo2) backoff
+    // counts ARE the fluency signal
+    val phr = graft.llm.TextStats.phrases(docs, minScoreFp = 20000L).count()
+    val divn = graft.llm.TextStats.distinctNgrams(docs)
+      .where(col("n") === 2).agg(min("distinct_bp"), max("distinct_bp")).head()
+    val bo = graft.llm.TextStats.backoffScore(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+      .agg(sum("n_tri"), sum("n_bo1"), sum("n_bo2")).head()
+    println(s"[36] $phr phrases pass 2×-independence; distinct-2 bp " +
+      s"[${divn.getLong(0)}, ${divn.getLong(1)}]; backoff levels " +
+      s"${bo.getLong(0)}/${bo.getLong(1)}/${bo.getLong(2)}")
+
+    // 37. training-example transforms (r13 session 3): SFT chat
+    // assembly with loss-mask spans, fill-in-the-middle at 50%, and
+    // DPO preference pairs from any integer score — here the
+    // classifier-free TTR proxy
+    val turns = docs.select(
+      (col("doc_id") / 4).cast("long").as("conv_id"),
+      pmod(col("doc_id"), lit(4)).cast("long").as("turn"),
+      when(pmod(col("doc_id"), lit(4)) === 2, "assistant")
+        .otherwise("user").as("role"),
+      substring(col("text"), 1, 40).as("content"))
+    val chat = graft.llm.Packing.chatPack(turns)
+      .agg(sum("masked_chars"), count(lit(1))).head()
+    val fim = graft.llm.Packing.fim(docs)
+      .groupBy("fim_mode").count().as[(String, Long)].collect().toMap
+    val ttr = graft.functions.VectorFunctions.intDiv(
+      size(array_distinct(split(col("text"), " "))).cast("long") * 10000L,
+      size(split(col("text"), " ")).cast("long"))
+    val prefs = graft.llm.Curation.prefPairs(docs.select(col("doc_id"),
+      (col("doc_id") / 8).cast("long").as("prompt_id"), ttr.as("score_bp")))
+    val pm = prefs.agg(count(lit(1)), max("margin")).head()
+    println(s"[37] chat: ${chat.getLong(1)} convs / ${chat.getLong(0)} " +
+      s"supervised chars; fim split $fim; ${pm.getLong(0)} preference " +
+      s"pairs, max margin ${pm.getLong(1)} bp")
+
+    // 38. retrieval composition (r13 session 3): BM25 ∪ dense by
+    // reciprocal-rank fusion (rank positions fuse — no score
+    // calibration), then MMR re-ranks a twin-planted pool and keeps
+    // one of each duplicate
+    val lexL = graft.llm.TextStats.bm25(docs, Seq("dup", "merge"), limit = 10)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("score_fp").desc, col("doc_id"))))
+      .select(col("doc_id").as("id"), col("rank"))
+    val denL = lexL.select(col("id"), (lit(11) - col("rank")).as("rank"))
+    val fused = graft.llm.Similarity.rrfFuse(lexL, denL, limit = 5).collect()
+    println(s"[38] rrf fused top id ${fused.head.getLong(0)} at " +
+      s"${fused.head.getLong(3)} fp (reversed-list fusion favors the " +
+      s"middle ranks — ${fused.length} returned)")
+
     spark.stop()
   }
 }
