@@ -612,6 +612,67 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("cos2_bp"))
   }
 
+  /** Exact top-k under the QUANTIZED integer metric — the ground-truth
+    * side of [[annRecall]]: same grid, same cos²·10⁴ formula, same
+    * (score desc, id) tie order as [[quantizedLshTopK]], but the
+    * candidate set is ALL query×corpus pairs (query side broadcast —
+    * callers keep it bounded; quadratic by declaration, the
+    * [[bruteTopK]] cost model in the cross-engine-exact family). */
+  def quantizedBruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                         scale: Int = 64, qIdCol: String = "qid",
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // each quantized side feeds the candidate frame AND the scorer —
+    // cut both (the multi-consumer rule) or the input scans re-run
+    // per consumer
+    val qVq = Dedup.quantized(queries, qIdCol, vecCol, scale)
+      .localCheckpoint(false)
+    val cVq = Dedup.quantized(corpus, idCol, vecCol, scale)
+      .localCheckpoint(false)
+    val cand = broadcast(qVq.select(col(qIdCol).as("a")))
+      .crossJoin(cVq.select(col(idCol).as("b")))
+    val scored = Dedup.cos2Score(cand,
+      qVq.select(col(qIdCol).as("a"), col("__vq").as("__va")),
+      cVq.select(col(idCol).as("b"), col("__vq").as("__vb")))
+    graft.relational.TopK.topKPerGroup(
+        scored.select(col("a").as(qIdCol),
+          (lit(10000L) - col("cos2_bp")).as("__inv"),
+          col("b").as(idCol), col("cos2_bp")),
+        keys = Seq(col(qIdCol)),
+        sortCols = Seq(col("__inv"), col(idCol), col("cos2_bp")),
+        k = k)
+      .select(col(qIdCol), col(idCol), col("cos2_bp"))
+  }
+
+  /** ANN quality audit: recall of an approximate top-k list against the
+    * exact one, per query — the measurement a 100 TB ANN deployment
+    * tunes its LSH dial (tables/bits) and IVF nprobe against. Both
+    * inputs are (qIdCol, idCol, …) ranked lists; output per TRUTH
+    * query: `n_true`, `n_hits = |approx ∩ truth|`, `recall_bp`. A query
+    * the approximate index returned nothing for (no bucket-mates — the
+    * documented LSH absence case) scores recall 0 rather than
+    * vanishing. Both lists are top-k-bounded, so every join here is
+    * list-sized; ORDER BY query id. */
+  def annRecall(truth: DataFrame, approx: DataFrame,
+                qIdCol: String = "qid", idCol: String = "vec_id"): DataFrame = {
+    // truth feeds both the denominator and the hit join; it is
+    // top-k-bounded, so the cut is list-sized (multi-consumer rule —
+    // without it the whole exact-scoring plan runs twice)
+    val t = truth.select(col(qIdCol), col(idCol)).localCheckpoint(false)
+    val a = approx.select(col(qIdCol), col(idCol))
+    val hits = t.join(a, Seq(qIdCol, idCol), "left_semi")
+      .groupBy(col(qIdCol)).agg(count(lit(1)).as("n_hits"))
+    t.groupBy(col(qIdCol)).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq(qIdCol), "left")
+      .select(col(qIdCol), col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        graft.functions.VectorFunctions.intDiv(
+          coalesce(col("n_hits"), lit(0L)) * 10000L, col("n_true"))
+          .as("recall_bp"))
+      .orderBy(col(qIdCol))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, arXiv:1811.01136 —
     * the CCMatrix/LASER candidate-pair criterion): align a source-language
     * and a target-language embedding set by MUTUAL-BEST margin, where the

@@ -94,6 +94,12 @@ object ExchangeBudgets {
     // behind their cuts)
     "llm_phrases"                     -> 4,
     "llm_backoff_score"               -> 6,
+    // ann_recall composes TWO search paths (brute truth + LSH approx)
+    // plus the recall join: brute top-k heap, the LSH signature
+    // equi-join pair + candidate distinct + top-k, and the two
+    // list-sized recall aggregates — every exchange past the two index
+    // builds is top-k-bounded
+    "llm_ann_recall"                  -> 7,
     "llm_pq_persist"                  -> 4,
     "llm_quality_dedup"               -> 20,
     "llm_quality_tiers"               -> 4,

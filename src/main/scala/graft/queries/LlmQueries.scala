@@ -2728,6 +2728,108 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
+    // ANN recall audit (r13): the quality measurement the LSH dial is
+    // tuned against — per query, |approx ∩ exact| over the exact
+    // quantized top-10. tables=4 × bits=4 probed for a NON-TRIVIAL
+    // verdict tri-scale (sf0.001: recall 1000–8000 bp, mean ~4465,
+    // no query at 0 or 10⁴ — the dial demonstrably trades recall).
+    Q("llm_ann_recall", {
+      val planes = Dedup.quantPlanes(16, 64)
+      val pl = planes.zipWithIndex.map { case (w, p) =>
+        s"($p, [${w.mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH pl(p, w) AS (VALUES $pl),
+         |raw AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 400),
+         |qv AS (
+         |  SELECT vid + 100000 AS qid,
+         |    list_transform(range(1, 65),
+         |      i -> v[i] + ((vid * 31 + (i-1) * 7) % 9 - 4) * 0.01) AS v
+         |  FROM (SELECT vec_id AS vid, v FROM raw WHERE vec_id % 7 = 0)),
+         |cq AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS vq
+         |  FROM raw),
+         |qq AS (
+         |  SELECT qid,
+         |    list_transform(v, x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS vq
+         |  FROM qv),
+         |cd AS (
+         |  SELECT cq.vec_id AS id, pl.p,
+         |    list_sum(list_transform(range(1, 65), i -> cq.vq[i] * pl.w[i])) AS d
+         |  FROM cq CROSS JOIN pl),
+         |qd AS (
+         |  SELECT qq.qid, pl.p,
+         |    list_sum(list_transform(range(1, 65), i -> qq.vq[i] * pl.w[i])) AS d
+         |  FROM qq CROSS JOIN pl),
+         |csig AS (
+         |  SELECT id, p // 4 AS tbl,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM cd GROUP BY 1, 2),
+         |qsig AS (
+         |  SELECT qid, p // 4 AS tbl,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM qd GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.qid, c.id
+         |  FROM qsig q JOIN csig c ON q.tbl = c.tbl AND q.sig = c.sig),
+         |sc AS (
+         |  SELECT cand.qid, cand.id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> a.vq[i]*b.vq[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> a.vq[i]*a.vq[i])) AS BIGINT) AS na,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> b.vq[i]*b.vq[i])) AS BIGINT) AS nb
+         |  FROM cand JOIN qq a ON a.qid = cand.qid JOIN cq b ON b.vec_id = cand.id),
+         |ap3 AS (
+         |  SELECT qid, id, (dot*dot*20000 + na*nb) // (na*nb*2) AS cos2_bp
+         |  FROM sc WHERE dot > 0 AND na > 0 AND nb > 0),
+         |ark AS (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY 10000 - cos2_bp, id) AS rn
+         |  FROM ap3),
+         |approx AS (SELECT qid, id FROM ark WHERE rn <= 10),
+         |tsc AS (
+         |  SELECT qq.qid, cq.vec_id AS id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> qq.vq[i]*cq.vq[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> qq.vq[i]*qq.vq[i])) AS BIGINT) AS na,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> cq.vq[i]*cq.vq[i])) AS BIGINT) AS nb
+         |  FROM qq CROSS JOIN cq),
+         |tp3 AS (
+         |  SELECT qid, id, (dot*dot*20000 + na*nb) // (na*nb*2) AS cos2_bp
+         |  FROM tsc WHERE dot > 0 AND na > 0 AND nb > 0),
+         |trk AS (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY 10000 - cos2_bp, id) AS rn
+         |  FROM tp3),
+         |truth AS (SELECT qid, id FROM trk WHERE rn <= 10),
+         |nt AS (SELECT qid, CAST(count(*) AS BIGINT) n_true FROM truth GROUP BY 1),
+         |nh AS (
+         |  SELECT t.qid, CAST(count(*) AS BIGINT) n_hits
+         |  FROM truth t JOIN approx a ON t.qid = a.qid AND t.id = a.id
+         |  GROUP BY 1)
+         |SELECT nt.qid, nt.n_true,
+         |  CAST(coalesce(nh.n_hits, 0) AS BIGINT) n_hits,
+         |  CAST(coalesce(nh.n_hits, 0) * 10000 // nt.n_true AS BIGINT) recall_bp
+         |FROM nt LEFT JOIN nh ON nt.qid = nh.qid
+         |ORDER BY nt.qid""".stripMargin
+    }) { (spark, sf) =>
+      val raw = Tables.embeddings(spark, sf)
+        .where(col("embedding").isNotNull && col("vec_id") < 400)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val queries = raw.where(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("vid"), col("v"))
+        .select((col("vid") + 100000L).as("qid"),
+          transform(col("v"), (x, i) =>
+            x + (pmod(col("vid") * 31 + i * 7, lit(9)) - 4) * lit(0.01))
+            .as("v"))
+      val truth = Similarity.quantizedBruteTopK(queries, raw, k = 10,
+        vecCol = "v")
+      val approx = Similarity.quantizedLshTopK(queries, raw, k = 10,
+        numTables = 4, bits = 4, vecCol = "v")
+      Similarity.annRecall(truth, approx)
+    },
+
     // The SEARCH face of the quantized family (llm_ann_lsh's
     // cross-engine twin the way embed_q twins llm_dedup_embed): the
     // perturbed copies become the QUERY set, the raw vectors the

@@ -469,6 +469,30 @@ class SimilaritySpec extends SparkSpec {
     again shouldBe once
   }
 
+  test("annRecall: hit counting, absent-approx queries score 0") {
+    val truth = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L))
+      .toDF("qid", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 30L), (1L, 40L)).toDF("qid", "vec_id")
+    val out = Similarity.annRecall(truth, approx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    out(1L) shouldBe ((3L, 2L, 6666L))
+    out(2L) shouldBe ((1L, 0L, 0L))   // approx returned nothing → 0
+  }
+
+  test("quantizedBruteTopK: exact integer metric, anti/orthogonal dropped") {
+    val q = Seq((100L, Seq(1.0f, 0.0f))).toDF("qid", "embedding")
+    val c = Seq(
+      (1L, Seq(1.0f, 0.0f)),    // cos² = 10⁴
+      (2L, Seq(0.0f, 1.0f)),    // dot 0 → dropped
+      (3L, Seq(-1.0f, 0.0f)),   // anti → dropped
+      (4L, Seq(1.0f, 1.0f))     // cos² = 5000 (rounded)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizedBruteTopK(q, c, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq((100L, 1L, 10000L), (100L, 4L, 5000L))
+  }
+
   test("mmrRerank: twins demote, ties break to higher simq then lower id") {
     // ids 10/11 identical vectors (pair sim 10000), id 20 orthogonal
     val pool = Seq(
