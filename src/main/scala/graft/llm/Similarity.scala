@@ -645,6 +645,35 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("cos2_bp"))
   }
 
+  /** Deterministic ±1 random projection (Achlioptas 2003 /
+    * Johnson–Lindenstrauss) of the quantized embedding onto `outDims`
+    * integer components: `y_j = Σ_i s_ij · vq_i` with the sign matrix
+    * drawn from the house lattice (`(i·6007 + j·9151 + 13) mod 9973
+    * < 4987` → +1), so the projection is seed-free, retry-stable and
+    * replayable in ANSI SQL. `E[|y_a − y_b|²] = outDims · |a − b|²` —
+    * the distance-preservation contract `llm_rand_proj` audits.
+    * Each component is ONE [[graft.functions.DotProduct]] kernel call
+    * against a plan-literal sign row (the codebook discipline —
+    * codegen'd, no interpreted per-row loop); double accumulation is
+    * EXACT here (|terms| < 2⁵³ by construction) and the result is
+    * cast back to long. Adds `projCol` (array<long>, outDims wide)
+    * next to the quantized `__vq`. */
+  def randomProject(df: DataFrame, outDims: Int = 16, dims: Int = 64,
+                    scale: Int = 64, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    projCol: String = "proj"): DataFrame = {
+    require(outDims >= 1 && outDims <= dims,
+      s"need 1 <= outDims <= dims, got outDims=$outDims dims=$dims")
+    val vq = Dedup.quantized(df, idCol, vecCol, scale)
+    val vqd = transform(col("__vq"), x => x.cast("double"))
+    val comps = (1 to outDims).map { j =>
+      val row = (1 to dims).map(i =>
+        if ((i * 6007L + j * 9151L + 13L) % 9973L < 4987L) 1.0 else -1.0)
+      dot(vqd, typedLit(row)).cast("long")
+    }
+    vq.withColumn(projCol, array(comps: _*))
+  }
+
   /** ANN quality audit: recall of an approximate top-k list against the
     * exact one, per query — the measurement a 100 TB ANN deployment
     * tunes its LSH dial (tables/bits) and IVF nprobe against. Both

@@ -2728,6 +2728,62 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
+    // JL random projection (r13): 64 → 16 dims under the deterministic
+    // ±1 lattice matrix, audited by per-pair distance distortion —
+    // probed tri-scale: mean ≈ 10⁴ exactly (the JL expectation
+    // E[d²_proj] = outDims·d²_full), per-pair spread 416–62858 bp (16
+    // dims is the honesty of the bound, not a bug).
+    Q("llm_rand_proj",
+      """WITH raw AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) vq
+        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 400),
+        |proj AS (
+        |  SELECT vec_id, vq, list_transform(range(1, 17), j ->
+        |    CAST(list_sum(list_transform(range(1, 65), i ->
+        |      CASE WHEN (i*6007 + j*9151 + 13) % 9973 < 4987
+        |           THEN vq[i] ELSE -vq[i] END)) AS BIGINT)) y
+        |  FROM raw),
+        |pairs AS (
+        |  SELECT a.vec_id a, b.vec_id b, a.vq va, b.vq vb, a.y ya, b.y yb
+        |  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1),
+        |d2 AS (
+        |  SELECT a, b,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> (va[i]-vb[i])*(va[i]-vb[i]))) AS BIGINT) d2_full,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      j -> (ya[j]-yb[j])*(ya[j]-yb[j]))) AS BIGINT) d2_proj
+        |  FROM pairs)
+        |SELECT a, b, d2_full, d2_proj,
+        |  (d2_proj * 10000) // (16 * d2_full) AS distortion_bp
+        |FROM d2 WHERE d2_full > 0 ORDER BY a""".stripMargin) { (spark, sf) =>
+      val intDiv = graft.functions.VectorFunctions.intDiv _
+      val dot = graft.functions.VectorFunctions.dot _
+      val raw = Tables.embeddings(spark, sf)
+        .where(col("embedding").isNotNull && col("vec_id") < 400)
+      // the projected frame feeds both sides of the consecutive-pair
+      // self-join — cut it once (multi-consumer rule)
+      val pr = Similarity.randomProject(raw).localCheckpoint(false)
+      val a = pr.select(col("vec_id").as("a"),
+        transform(col("__vq"), x => x.cast("double")).as("va"),
+        transform(col("proj"), x => x.cast("double")).as("ya"))
+      val b = pr.select((col("vec_id") - 1L).as("a"),
+        transform(col("__vq"), x => x.cast("double")).as("vb"),
+        transform(col("proj"), x => x.cast("double")).as("yb"))
+      val d2f = (dot(col("va"), col("va")) - dot(col("va"), col("vb")) * 2.0 +
+        dot(col("vb"), col("vb"))).cast("long")
+      val d2p = (dot(col("ya"), col("ya")) - dot(col("ya"), col("yb")) * 2.0 +
+        dot(col("yb"), col("yb"))).cast("long")
+      a.join(b, "a")
+        .select(col("a"), (col("a") + 1L).as("b"),
+          d2f.as("d2_full"), d2p.as("d2_proj"))
+        .where(col("d2_full") > 0)
+        .select(col("a"), col("b"), col("d2_full"), col("d2_proj"),
+          intDiv(col("d2_proj") * 10000L, col("d2_full") * 16L)
+            .as("distortion_bp"))
+        .orderBy(col("a"))
+    },
+
     // ANN recall audit (r13): the quality measurement the LSH dial is
     // tuned against — per query, |approx ∩ exact| over the exact
     // quantized top-10. tables=4 × bits=4 probed for a NON-TRIVIAL

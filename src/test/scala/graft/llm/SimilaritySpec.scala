@@ -469,6 +469,26 @@ class SimilaritySpec extends SparkSpec {
     again shouldBe once
   }
 
+  test("randomProject: lattice signs exact, components are kernel dots") {
+    // dims=2, outDims=1: sign(i=1,j=1) = −1 (15171 % 9973 = 5198),
+    // sign(i=2,j=1) = +1 (21178 % 9973 = 1232) → y = −vq1 + vq2
+    val df = Seq((1L, Seq(1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, outDims = 1, dims = 2).collect()
+    out.head.getSeq[Long](out.head.fieldIndex("proj")) shouldBe Seq(-32L)
+    // width and determinism at the real shape
+    val full = Seq((1L, Seq.tabulate(64)(i => i / 64.0f)),
+      (2L, Seq.tabulate(64)(i => 1.0f - i / 64.0f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.randomProject(full).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("proj"))).toMap
+    p(1L).length shouldBe 16
+    Similarity.randomProject(full.repartition(3)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("proj")))
+      .toMap shouldBe p
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.randomProject(full, outDims = 65)
+  }
+
   test("annRecall: hit counting, absent-approx queries score 0") {
     val truth = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L))
       .toDF("qid", "vec_id")
