@@ -307,4 +307,66 @@ object Audit {
         graft.functions.VectorFunctions.intDiv(
           sum(col("__nt")) * 200L + cnt, cnt * 2L).as("mean_tokens_centi"))
   }
+
+  /** Host-graph PageRank in exact integer arithmetic — the
+    * crawl-quality weighting web-corpus curation pipelines (CCNet /
+    * RefinedWeb host ranking) feed into source weights: `iters`
+    * damped power-method rounds over a WEIGHTED host link graph,
+    * total mass 10¹², per-round
+    * `r'(dst) = (100−damp)·10¹² div (100·n) +
+    * Σ_in ((damp·r(src)) div (100·outdeg(src))) · w` — every division
+    * truncating, so any ANSI engine replays it bit-for-bit. Dangling
+    * hosts (no out-edges) leak their mass — the simplified classic
+    * variant, documented rather than patched.
+    *
+    * Shape for 100 TB: the CORPUS pass is the caller's edge
+    * aggregation (one shuffle onto |hosts|²-bounded weighted edges);
+    * everything here runs on host-sized frames — edge table, host
+    * set and out-degrees are checkpoint-cut once (multi-consumer:
+    * every round re-reads all three), rank lookups broadcast, and
+    * `n` is a driver count of the HOST set (codebook discipline —
+    * hosts are bounded; a corpus-sized frame here is a caller bug
+    * that fails fast in the require). */
+  def hostRank(edges: DataFrame, iters: Int = 3, dampPct: Int = 85,
+               maxHosts: Int = 1 << 20, srcCol: String = "src",
+               dstCol: String = "dst", weightCol: String = "c"): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters must be in [1,16], got $iters")
+    require(dampPct >= 1 && dampPct <= 99,
+      s"dampPct must be in [1,99], got $dampPct")
+    val w = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"), col(weightCol).cast("long").as("c"))
+      .localCheckpoint(false)
+    val hosts = w.select(col("src").as("h"))
+      .union(w.select(col("dst").as("h"))).distinct()
+      .localCheckpoint(false)
+    val od = w.groupBy(col("src")).agg(sum(col("c")).cast("long").as("odeg"))
+      .localCheckpoint(false)
+    val n = hosts.count()
+    require(n > 0 && n <= maxHosts,
+      s"hostRank expects a bounded host set (1..$maxHosts), got $n")
+    val T = 1000000000000L
+    val base = (T * (100L - dampPct)) / (100L * n)
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    var r = hosts.select(col("h"), lit(T / n).as("r"))
+    (1 to iters).foreach { _ =>
+      val contrib = w
+        .join(broadcast(r.select(col("h").as("src"), col("r"))), "src")
+        .join(broadcast(od), "src")
+        .groupBy(col("dst"))
+        .agg(sum(intDiv(lit(dampPct.toLong) * col("r"),
+          lit(100L) * col("odeg")) * col("c")).cast("long").as("__in"))
+      // broadcast the host-sized contribution frame EXPLICITLY: hosts
+      // is a LogicalRDD (no size estimates), so the planner would
+      // sort-merge this join and pay two extra exchanges per round
+      r = hosts
+        .join(broadcast(contrib.select(col("dst").as("h"), col("__in"))),
+          Seq("h"), "left")
+        .select(col("h"), (lit(base) + coalesce(col("__in"), lit(0L))).as("r"))
+    }
+    r.join(broadcast(od.select(col("src").as("h"), col("odeg"))), Seq("h"), "left")
+      .select(col("h").as("host"),
+        coalesce(col("odeg"), lit(0L)).as("out_edges"),
+        col("r").as("rank_fp"))
+      .orderBy(col("host"))
+  }
 }

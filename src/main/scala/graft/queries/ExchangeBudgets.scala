@@ -100,6 +100,11 @@ object ExchangeBudgets {
     // list-sized recall aggregates — every exchange past the two index
     // builds is top-k-bounded
     "llm_ann_recall"                  -> 7,
+    // host_rank: ONE corpus-sized exchange (the edge aggregation);
+    // everything after — host-set distinct, out-degrees, one
+    // contribution groupBy per power round (3), final sort — runs on
+    // |hosts|-sized frames with rank lookups broadcast
+    "llm_host_rank"                   -> 8,
     "llm_pq_persist"                  -> 4,
     "llm_quality_dedup"               -> 20,
     "llm_quality_tiers"               -> 4,

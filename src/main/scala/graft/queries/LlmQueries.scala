@@ -2728,6 +2728,58 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
+    // Host-graph PageRank (r13): the CCNet/RefinedWeb-style crawl
+    // quality weight, in exact integer arithmetic. Planted host graph
+    // (src = id%20, %4-class links rerouted to host 0 → a hub) gives a
+    // 54× rank spread; ranks are SCALE-INVARIANT across sf (weights
+    // scale uniformly — PageRank's defining property, probed) while
+    // out_edges scale 10×, so the oracle pins both the iteration
+    // arithmetic and the edge aggregation.
+    Q("llm_host_rank",
+      """WITH e0 AS (
+        |  SELECT doc_id % 20 src,
+        |    CASE WHEN doc_id % 4 = 0 THEN 0 ELSE (doc_id * 7 + 3) % 20 END dst
+        |  FROM documents),
+        |w AS (SELECT src, dst, count(*)::BIGINT c FROM e0 GROUP BY 1, 2),
+        |hosts AS (SELECT DISTINCT h FROM
+        |  (SELECT src h FROM w UNION SELECT dst FROM w) t),
+        |n AS (SELECT count(*)::BIGINT n FROM hosts),
+        |od AS (SELECT src, CAST(sum(c) AS BIGINT) odeg FROM w GROUP BY 1),
+        |r0 AS (SELECT h, (1000000000000 // n.n) r FROM hosts, n),
+        |r1 AS (
+        |  SELECT hosts.h,
+        |    (SELECT 1000000000000 * 15 // (100 * n.n) FROM n) +
+        |    coalesce((SELECT CAST(sum(((85 * r0.r) // (100 * od.odeg)) * w.c) AS BIGINT)
+        |      FROM w JOIN r0 ON r0.h = w.src JOIN od ON od.src = w.src
+        |      WHERE w.dst = hosts.h), 0) r
+        |  FROM hosts),
+        |r2 AS (
+        |  SELECT hosts.h,
+        |    (SELECT 1000000000000 * 15 // (100 * n.n) FROM n) +
+        |    coalesce((SELECT CAST(sum(((85 * r1.r) // (100 * od.odeg)) * w.c) AS BIGINT)
+        |      FROM w JOIN r1 ON r1.h = w.src JOIN od ON od.src = w.src
+        |      WHERE w.dst = hosts.h), 0) r
+        |  FROM hosts),
+        |r3 AS (
+        |  SELECT hosts.h,
+        |    (SELECT 1000000000000 * 15 // (100 * n.n) FROM n) +
+        |    coalesce((SELECT CAST(sum(((85 * r2.r) // (100 * od.odeg)) * w.c) AS BIGINT)
+        |      FROM w JOIN r2 ON r2.h = w.src JOIN od ON od.src = w.src
+        |      WHERE w.dst = hosts.h), 0) r
+        |  FROM hosts)
+        |SELECT r3.h host, CAST(coalesce(od.odeg, 0) AS BIGINT) out_edges,
+        |  r3.r rank_fp
+        |FROM r3 LEFT JOIN od ON od.src = r3.h ORDER BY r3.h""".stripMargin) {
+      (spark, sf) =>
+        val m4 = pmod(col("doc_id"), lit(4))
+        val edges = Tables.documents(spark, sf)
+          .select(pmod(col("doc_id"), lit(20)).as("src"),
+            when(m4 === 0, 0L)
+              .otherwise(pmod(col("doc_id") * 7L + 3L, lit(20L))).as("dst"))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+        Audit.hostRank(edges)
+    },
+
     // JL random projection (r13): 64 → 16 dims under the deterministic
     // ±1 lattice matrix, audited by per-pair distance distortion —
     // probed tri-scale: mean ≈ 10⁴ exactly (the JL expectation

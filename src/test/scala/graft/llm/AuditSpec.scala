@@ -345,4 +345,26 @@ class AuditSpec extends SparkSpec {
       .as[(Long, Boolean)].collect()
     merged shouldBe Array((0L, false), (1L, false), (2L, false), (3L, true))
   }
+
+  test("hostRank: integer power rounds exact, dangling host leaks mass") {
+    // 1→2, 3→2; host 2 dangles. n=3, r0 = 333333333333,
+    // base = 50000000000.
+    // iter1: share(1)=share(3)=85·r0//100=283333333333 → h2 =
+    //   base + 2·283333333333 = 616666666666; h1 = h3 = base.
+    // iter2+: shares from base = 42500000000 → h2 = 135000000000
+    //   (h2's own mass LEAKS — the documented dangling variant).
+    val edges = Seq((1L, 2L, 1L), (3L, 2L, 1L)).toDF("src", "dst", "c")
+    val out = Audit.hostRank(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq((1L, 1L, 50000000000L),
+      (2L, 0L, 135000000000L), (3L, 1L, 50000000000L))
+    // one round stops at the first power step
+    Audit.hostRank(edges, iters = 1).collect()
+      .map(r => r.getLong(2)).toSeq shouldBe
+      Seq(50000000000L, 616666666666L, 50000000000L)
+    an[IllegalArgumentException] should be thrownBy
+      Audit.hostRank(edges, iters = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Audit.hostRank(edges, maxHosts = 2)
+  }
 }
