@@ -441,6 +441,62 @@ object Sampling {
     * Scale shape: one narrow codegen'd filter over (id, score) — no
     * shuffle, no state; when `scoreBp` is a stored column the predicate
     * pushes into the scan. */
+  /** One DoReMi-style domain-reweighting step (Xie et al. 2023's
+    * Group-DRO update, the engine-side arithmetic): given a per-row
+    * domain, a mass column (the base-weight numerator — token counts)
+    * and a loss-proxy column, emit per domain the base weight, the
+    * clamped excess loss over the corpus mean, and the multiplicative-
+    * weights update `w'_d ∝ w_d · (10⁴ + excess_d div etaDiv)` followed
+    * by uniform smoothing `w''_d = ((10⁴−s)·w'_d + s·(10⁴ div n)) div
+    * 10⁴` — the LINEARIZED Hedge factor (1 + η·excess), so every step
+    * is exact int64 and any ANSI engine replays it bit-for-bit (a true
+    * exp update would leave the cross-engine-exact class). The proxy
+    * losses are the caller's: real DoReMi feeds proxy-model excess
+    * losses; the engine owns the accounting and the update.
+    *
+    * Shape for 100 TB: ONE corpus-sized exchange (the domain
+    * aggregate); the |domains|-row result is checkpoint-cut (it feeds
+    * the totals aggregate AND the update join — uncut, each consumer
+    * re-runs the corpus pass), totals ride 1-row broadcast cross
+    * joins, and domains are codebook-bounded (driver-count `require`,
+    * same discipline as hostRank/MMR). Weights in [0,10⁴] with f ≤
+    * 10⁴ + 10⁸ div etaDiv keep every product under 2⁶³. */
+  def doremiStep(df: DataFrame, domain: Column, mass: Column,
+                 lossNum: Column, etaDiv: Long = 100L,
+                 smoothBp: Long = 1000L, maxDomains: Int = 4096): DataFrame = {
+    require(etaDiv >= 1L, s"etaDiv must be >= 1, got $etaDiv")
+    require(smoothBp >= 0L && smoothBp <= 10000L,
+      s"smoothBp must be in [0,10000], got $smoothBp")
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val d = df
+      .groupBy(domain.as("domain"))
+      .agg(count(lit(1)).as("docs"),
+        sum(mass.cast("long")).cast("long").as("__m"),
+        sum(lossNum.cast("long")).cast("long").as("__ln"))
+      .localCheckpoint(false)
+    val n = d.count()
+    require(n > 0 && n <= maxDomains,
+      s"doremiStep expects a bounded domain set (1..$maxDomains), got $n")
+    val g = d.agg(sum(col("docs")).cast("long").as("__td"),
+      sum(col("__m")).cast("long").as("__tm"),
+      sum(col("__ln")).cast("long").as("__tl"))
+    val s = d.crossJoin(broadcast(g))
+      .withColumn("w_base_bp", intDiv(col("__m") * 10000L, col("__tm")))
+      .withColumn("loss_fp", intDiv(col("__ln") * 10000L, col("docs")))
+      .withColumn("excess_fp", greatest(lit(0L),
+        col("loss_fp") - intDiv(col("__tl") * 10000L, col("__td"))))
+      .withColumn("__un",
+        col("w_base_bp") * (lit(10000L) + intDiv(col("excess_fp"), lit(etaDiv))))
+    val t = s.agg(sum(col("__un")).cast("long").as("__tun"))
+    s.crossJoin(broadcast(t))
+      .withColumn("w_new_bp", intDiv(col("__un") * 10000L, col("__tun")))
+      .select(col("domain"), col("docs"), col("__m").as("mass"),
+        col("w_base_bp"), col("loss_fp"), col("excess_fp"), col("w_new_bp"),
+        intDiv(lit(10000L - smoothBp) * col("w_new_bp") +
+          lit(smoothBp * (10000L / n)), lit(10000L)).as("w_smooth_bp"))
+      .orderBy(col("domain"))
+  }
+
   def scoreWeighted(df: DataFrame, scoreBp: Column, temperature: Int = 1,
                     idCol: String = "doc_id"): DataFrame = {
     require(temperature >= 1 && temperature <= 3,

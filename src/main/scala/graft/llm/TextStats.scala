@@ -551,6 +551,46 @@ object TextStats {
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
     "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<ID>")
 
+  /** Named faces of [[piiPatterns]] for the stats datasheet. */
+  val piiStatPatterns: Seq[(String, String)] = piiPatterns.map {
+    case (re, tag) => tag.stripPrefix("<").stripSuffix(">").toLowerCase -> re
+  }
+
+  /** Per-source PII-density datasheet — the release-audit face of
+    * [[redact]]: for each group, docs/chars, the non-overlapping match
+    * count of every named pattern, how many docs carry ANY hit, and
+    * total hits per 10⁶ chars (truncating fixed point). The counting
+    * regexes are the same Java∩RE2 subset as [[piiPatterns]], so a SQL
+    * oracle replays them byte-for-byte; run it BEFORE [[redact]] to
+    * record what shipped out, after to prove the scrub converged (all
+    * zeros).
+    *
+    * Shape for 100 TB: one narrow codegen'd projection (lengths +
+    * `regexp_count` per pattern) feeding one map-side-combinable
+    * |sources|-sized aggregate — no window, no second pass. */
+  def piiStats(docs: DataFrame, patterns: Seq[(String, String)] = piiStatPatterns,
+               groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(patterns.nonEmpty, "piiStats needs at least one pattern")
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val perRow = docs.select(
+      col(groupCol) +: length(col(textCol)).cast("long").as("__chars") +:
+        patterns.map { case (nm, re) =>
+          regexp_count(col(textCol), lit(re)).cast("long").as(s"__$nm")
+        }: _*)
+    val rowTotal = patterns.map(p => col(s"__${p._1}")).reduce(_ + _)
+    val aggs =
+      Seq(count(lit(1)).as("docs"),
+        sum(col("__chars")).cast("long").as("chars")) ++
+      patterns.map { case (nm, _) =>
+        sum(col(s"__$nm")).cast("long").as(s"n_$nm") } ++
+      Seq(sum(when(rowTotal > 0L, 1L).otherwise(0L)).cast("long")
+        .as("pii_docs"))
+    val g = perRow.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val hitSum = patterns.map(p => col(s"n_${p._1}")).reduce(_ + _)
+    g.withColumn("pii_per_mchar_fp", intDiv(hitSum * 1000000L, col("chars")))
+      .orderBy(col(groupCol))
+  }
+
   /** PII scrubbing: apply the (pattern → replacement) list in order via
     * `regexp_replace` — a pure narrow codegen'd projection, the transform
     * every pretraining corpus runs before anything else. Patterns apply

@@ -105,6 +105,9 @@ object ExchangeBudgets {
     // contribution groupBy per power round (3), final sort — runs on
     // |hosts|-sized frames with rank lookups broadcast
     "llm_host_rank"                   -> 8,
+    // doremi: ONE corpus exchange (the domain aggregate, paid at the
+    // cut); count + two tiny-frame totals + the 5-row final sort
+    "llm_doremi"                      -> 6,
     "llm_pq_persist"                  -> 4,
     "llm_quality_dedup"               -> 20,
     "llm_quality_tiers"               -> 4,

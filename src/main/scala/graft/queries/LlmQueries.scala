@@ -2780,6 +2780,45 @@ object LlmQueries {
         Audit.hostRank(edges)
     },
 
+    // DoReMi domain-reweighting step (r13): the Group-DRO
+    // multiplicative-weights update in its linearized (1 + η·excess)
+    // integer-exact form, domains = lang (skewed en ≈ 2.8× — the base
+    // weights spread), loss proxy = chars/doc in 1/10⁴ fixed point.
+    // Probed tri-scale: the excess clamp keeps BOTH branches live at
+    // every sf (en/zh at 0 excess at sf0.001; zh at sf0.1) and the
+    // update visibly moves mass (fr 1763 → 2063 bp at sf0.001).
+    Q("llm_doremi",
+      """WITH d AS (
+        |  SELECT lang AS domain, count(*)::BIGINT docs,
+        |    CAST(sum(length(text) - length(replace(text,' ','')) + 1) AS BIGINT) mass,
+        |    CAST(sum(length(text)) AS BIGINT) lossn
+        |  FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(sum(docs) AS BIGINT) tdocs,
+        |  CAST(sum(mass) AS BIGINT) tmass, CAST(sum(lossn) AS BIGINT) tloss,
+        |  count(*)::BIGINT n FROM d),
+        |s AS (
+        |  SELECT d.domain, d.docs, d.mass,
+        |    10000 * d.mass // g.tmass AS w_base_bp,
+        |    10000 * d.lossn // d.docs AS loss_fp,
+        |    greatest(0, 10000 * d.lossn // d.docs
+        |      - 10000 * g.tloss // g.tdocs) AS excess_fp,
+        |    g.n
+        |  FROM d, g),
+        |u AS (SELECT s.*, s.w_base_bp * (10000 + s.excess_fp // 100) AS un
+        |  FROM s),
+        |t AS (SELECT CAST(sum(un) AS BIGINT) tun FROM u)
+        |SELECT u.domain, u.docs, u.mass, u.w_base_bp, u.loss_fp, u.excess_fp,
+        |  10000 * u.un // t.tun AS w_new_bp,
+        |  (9000 * (10000 * u.un // t.tun) + 1000 * (10000 // u.n)) // 10000
+        |    AS w_smooth_bp
+        |FROM u, t ORDER BY u.domain""".stripMargin) { (spark, sf) =>
+      val docs = Tables.documents(spark, sf)
+      Sampling.doremiStep(docs, col("lang"),
+        mass = length(col("text"))
+          - length(translate(col("text"), " ", "")) + lit(1L),
+        lossNum = length(col("text")))
+    },
+
     // JL random projection (r13): 64 → 16 dims under the deterministic
     // ±1 lattice matrix, audited by per-pair distance distortion —
     // probed tri-scale: mean ≈ 10⁴ exactly (the JL expectation

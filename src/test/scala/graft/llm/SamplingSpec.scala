@@ -444,6 +444,27 @@ class SamplingSpec extends SparkSpec {
     out.agg(max("epoch")).as[Long].head() should be <= 1L
   }
 
+  test("doremiStep: linearized MW update exact, clamp and smoothing live") {
+    // a: 2 docs, mass 6, loss_fp 100000 (below global 200000 → excess
+    // clamps to 0); b: 1 doc, mass 4, loss_fp 400000 → excess 200000,
+    // f = 12000. un: a 6000·10⁴, b 4000·12000 → tun 1.08e8;
+    // w_new a 5555 / b 4444; smooth(1000, n=2): a 5499 / b 4499.
+    val rows = Seq(("a", 3L, 10L), ("a", 3L, 10L), ("b", 4L, 40L))
+      .toDF("d", "m", "l")
+    val out = Sampling.doremiStep(rows, col("d"), col("m"), col("l"))
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    out.toSeq shouldBe Seq(("a", 6000L, 0L, 5555L, 5499L),
+      ("b", 4000L, 200000L, 4444L, 4499L))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.doremiStep(rows, col("d"), col("m"), col("l"), etaDiv = 0L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.doremiStep(rows, col("d"), col("m"), col("l"),
+        smoothBp = 10001L)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.doremiStep(rows, col("d"), col("m"), col("l"), maxDomains = 1)
+  }
+
   test("scoreWeighted rejects temperatures outside the integer-exact range") {
     val docs = spark.range(10).select(col("id").as("doc_id"))
       .withColumn("s", lit(5000))
