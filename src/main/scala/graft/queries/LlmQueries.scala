@@ -886,12 +886,23 @@ object LlmQueries {
          |  CAST((edits * 20000 + m) // (2 * m) AS BIGINT) AS rel_bp,
          |  ((edits * 20000 + m) // (2 * m)) <= 600 AS dup
          |FROM p ORDER BY a, b""".stripMargin) { (spark, sf) =>
-      val base = Tables.documents(spark, sf)
-        .where(col("doc_id") < docCap).select("doc_id", "text")
-      val clones = base.where(pmod(col("doc_id"), lit(13)) === 0)
-        .select((col("doc_id") + 500000L).as("doc_id"),
-          concat(col("text"), lit(" zq")).as("text"))
-      Dedup.polyEditNearDups(base.unionAll(clones), k = 2, bands = 8,
+      // planting as ONE scan (r14, the 4→2 executed-scan cut): instead
+      // of a clone-union — which makes every pass over the planted
+      // corpus re-read documents TWICE — each %13 row explodes into
+      // itself plus its clone inside the projection, so the two verify
+      // passes cost exactly the near-dup 2-scan shape and the frame
+      // keeps its parquet size estimates (no LogicalRDD leg)
+      val planted = Tables.documents(spark, sf)
+        .where(col("doc_id") < docCap)
+        .select(explode(when(pmod(col("doc_id"), lit(13)) === 0, array(
+            struct(col("doc_id").as("doc_id"), col("text").as("text")),
+            struct((col("doc_id") + 500000L).as("doc_id"),
+              concat(col("text"), lit(" zq")).as("text"))))
+          .otherwise(array(
+            struct(col("doc_id").as("doc_id"), col("text").as("text")))))
+          .as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+      Dedup.polyEditNearDups(planted, k = 2, bands = 8,
           rowsPerBand = 2, maxRelBp = 600L)
         .orderBy("a", "b")
     },

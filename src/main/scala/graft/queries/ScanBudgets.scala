@@ -119,7 +119,7 @@ object ScanBudgets {
     "llm_contamination_report" -> 4, // bench-side frame derived per report column (delta-sized; plan budget 4 documents it)
     "llm_domain_boilerplate"   -> 4, // per-domain footer probe re-reads the small side (plan budget 4)
     "llm_dup_mass"        -> 4, // token rebuild + id-base window over the planted-runs side (plan budget 4)
-    "llm_dedup_edit"      -> 4, // planting scaffolding (clone union carves documents twice per pass); production is ONE table = the near-dup 2-scan shape
+    "llm_dedup_edit"      -> 2, // r14: clone planting fused into the scan projection (explode) — was 4 (clone union carved documents twice per pass); now exactly the near-dup 2-scan shape
     "llm_dedup_contain"   -> 4, // planting scaffolding (successor self-join builds composites: 2 scans, cut once) + the near-dup 2-scan shape
     "llm_hybrid_rank"     -> 4, // two-TABLE composite: bm25's stats+score passes over documents + the dense side's query-vector lookup + score pass over embeddings (executed budget counts totals across tables)
     "llm_ann_recall"      -> 4  // two independent search paths over one table: brute truth + LSH approx each quantize (query, corpus) once behind their cuts — 2 scans per path; at 100 TB the stored signature/code index replaces the corpus side

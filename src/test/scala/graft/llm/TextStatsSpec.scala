@@ -945,4 +945,51 @@ class TextStatsSpec extends SparkSpec {
     out(2L) shouldBe ((2L, 2L, 0L, 0L, -1024L))
     out(3L) shouldBe ((2L, 1L, 1L, 0L, -1024L))
   }
+
+  test("backoffScore: size gate swaps broadcast for shuffle-hash, bit-identical") {
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b c z"), (2L, "b c a b"), (3L, "c c a b"))
+      .toDF("doc_id", "text")
+    val viaBroadcast = TextStats.backoffScore(train, score).collect()
+    val gated = TextStats.backoffScore(train, score, maxBroadcastRows = 0L)
+    gated.collect() shouldBe viaBroadcast
+    val plan = gated.queryExecution.executedPlan.toString
+    plan should include("ShuffledHashJoin")
+    // the 1-row total stays a broadcast NESTED-LOOP join; no count
+    // table may broadcast-HASH-join once the gate trips
+    plan should not include "BroadcastHashJoin"
+  }
+
+  test("backoffScore: minCount prunes only the trigram level") {
+    // same corpus as the level-election test: c3 = {abc:2, bca:1,
+    // cab:1} — minCount=2 keeps only abc, so bca/cab positions score
+    // one level shallower while bigram/unigram denominators stay exact
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b c z"), (2L, "b c a b"), (3L, "c c a b"))
+      .toDF("doc_id", "text")
+    val out = TextStats.backoffScore(train, score, minCount = 2L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    out should have size 3
+    // doc 1: (a,b,c) tri abc survives → 0; (b,c,z) OOV backstop −2816
+    out(1L) shouldBe ((2L, 1L, 0L, 1L, -2816L))
+    // doc 2: bca and cab both pruned → bigram ca 1/2 (−1024) + ab 2/2 (0)
+    out(2L) shouldBe ((2L, 0L, 2L, 0L, -1024L))
+    // doc 3: cca never seen, cab pruned → two level-2 positions
+    out(3L) shouldBe ((2L, 0L, 2L, 0L, -1024L))
+  }
+
+  test("phrases: size gate swaps broadcast for shuffle-hash, bit-identical") {
+    val docs = (0 until 12).map(i => (i.toLong,
+      "new york " + (if (i % 2 == 0) "city hall" else "state fair")))
+      .toDF("doc_id", "text")
+    val viaBroadcast = TextStats.phrases(docs, delta = 1L, minCount = 2L,
+      minScoreFp = 1L).collect()
+    val gated = TextStats.phrases(docs, delta = 1L, minCount = 2L,
+      minScoreFp = 1L, maxBroadcastRows = 0L)
+    gated.collect() shouldBe viaBroadcast
+    val plan = gated.queryExecution.executedPlan.toString
+    plan should include("ShuffledHashJoin")
+    plan should not include "BroadcastHashJoin"
+  }
 }
