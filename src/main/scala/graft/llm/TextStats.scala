@@ -802,6 +802,26 @@ object TextStats {
   def distinctNgrams(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
                      groupCol: String = "source",
                      textCol: String = "text"): DataFrame = {
+    gramStream(docs, ns, groupCol, textCol)
+      .groupBy(col(groupCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(sum(col("occ")).cast("long").as("total_grams"),
+        count(lit(1)).as("distinct_grams"))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        col("total_grams"), col("distinct_grams"),
+        graft.functions.VectorFunctions.intDiv(
+          col("distinct_grams") * 10000L, col("total_grams"))
+          .as("distinct_bp"))
+      .orderBy(col(groupCol), col("n"))
+  }
+
+  /** The shared gram-stream projection under [[distinctNgrams]] and
+    * [[distinctNgramsApprox]]: one corpus scan emits every order's
+    * (group, n, gram) rows at once — orders widen the projection,
+    * never add scans. */
+  private def gramStream(docs: DataFrame, ns: Seq[Int], groupCol: String,
+                         textCol: String): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct.size == ns.size,
       s"ns must be distinct positive orders, got $ns")
     val t = toks(col(textCol))
@@ -814,16 +834,37 @@ object TextStats {
         struct(lit(n).as("n"), array_join(slice(t, i, lit(n)), " ").as("gram")))
     }
     docs.select(col(groupCol), explode(concat(gramArrays: _*)).as("g"))
-      .groupBy(col(groupCol), col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("occ"))
+      .select(col(groupCol), col("g.n").as("n"), col("g.gram").as("gram"))
+  }
+
+  /** The SKETCHED face of [[distinctNgrams]] — the 100 TB datasheet
+    * shape. The exact face is inherently one corpus-sized
+    * (group, n, gram) exchange (exact distinct counting cannot be
+    * pre-aggregated); this face replaces it with a DataSketches HLL
+    * per (group, order): partial sketches build map-side in constant
+    * memory (lgK=14 ≈ 16 KB a sketch, ~0.8 % RSE) and the shuffle
+    * carries |groups|·|ns| sketch partials instead of every distinct
+    * gram — the same mergeable-sketch contract [[agg_hll_merge]] pins,
+    * applied to the suite's single most expensive exact query (r13
+    * bench: llm_distinct_n 4.5 s, the one shape a 100 TB datasheet job
+    * cannot afford). `total_grams` stays exact (counts pre-aggregate
+    * for free). Estimates are engine-internal, so the oracle-gated
+    * query face joins this against the exact report and gates the
+    * |est − exact| ≤ 2 % contract instead of the values (the
+    * agg_approx discipline). Deterministic modulo the sketch's fixed
+    * hash — same input, same estimate; ORDER BY group, n. */
+  def distinctNgramsApprox(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
+                           groupCol: String = "source",
+                           textCol: String = "text",
+                           lgK: Int = 14): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK out of DataSketches range: $lgK")
+    gramStream(docs, ns, groupCol, textCol)
       .groupBy(col(groupCol), col("n"))
-      .agg(sum(col("occ")).cast("long").as("total_grams"),
-        count(lit(1)).as("distinct_grams"))
+      .agg(count(lit(1)).cast("long").as("total_grams"),
+        expr(s"hll_sketch_estimate(hll_sketch_agg(gram, $lgK))")
+          .as("distinct_est"))
       .select(col(groupCol), col("n").cast("long").as("n"),
-        col("total_grams"), col("distinct_grams"),
-        graft.functions.VectorFunctions.intDiv(
-          col("distinct_grams") * 10000L, col("total_grams"))
-          .as("distinct_bp"))
+        col("total_grams"), col("distinct_est"))
       .orderBy(col(groupCol), col("n"))
   }
 

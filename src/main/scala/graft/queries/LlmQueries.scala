@@ -1758,6 +1758,41 @@ object LlmQueries {
       TextStats.distinctNgrams(Tables.documents(spark, sf))
     },
 
+    // The sketched sibling (r14, verdict ask): llm_distinct_n is the
+    // suite's most expensive query BECAUSE exact distinct counting is
+    // one corpus-sized (source, n, gram) exchange — the shape a 100 TB
+    // datasheet job cannot afford. distinctNgramsApprox replaces it
+    // with mergeable HLL partials (shuffle = |sources|·3 sketches).
+    // Estimates are engine-internal (DuckDB's approx_count_distinct is
+    // a different sketch), so the gate is the agg_approx contract: the
+    // oracle replays the EXACT counts and asserts the 2 % bound
+    // boolean literally TRUE — a broken sketch pipeline (or a bound
+    // sloppier than ~2.5σ at lgK=14) hash-mismatches.
+    Q("llm_distinct_n_approx",
+      """WITH toks AS (SELECT source, string_split(text, ' ') t FROM documents),
+        |g AS (
+        |  SELECT source, n, unnest(list_transform(range(1, len(t) - n + 2),
+        |    i -> array_to_string(t[i:i+n-1], ' '))) gram
+        |  FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) n) ns
+        |  WHERE len(t) >= n),
+        |c AS (SELECT source, n, gram, count(*) occ FROM g GROUP BY 1, 2, 3)
+        |SELECT source, CAST(n AS BIGINT) n,
+        |  CAST(sum(occ) AS BIGINT) total_grams,
+        |  CAST(count(*) AS BIGINT) distinct_exact,
+        |  TRUE AS within_bound
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, sf) =>
+      val docs = Tables.documents(spark, sf)
+      val approx = TextStats.distinctNgramsApprox(docs)
+        .select(col("source"), col("n"), col("distinct_est"))
+      TextStats.distinctNgrams(docs)
+        .join(broadcast(approx), Seq("source", "n"))
+        .select(col("source"), col("n"), col("total_grams"),
+          col("distinct_grams").as("distinct_exact"),
+          (abs(col("distinct_est") - col("distinct_grams")) * 100 <=
+            col("distinct_grams") * 2).as("within_bound"))
+        .orderBy("source", "n")
+    },
+
     // Stupid-backoff LM (r13): counts trained on the EVEN corpus half,
     // the odd half < 1000 scored held-out — so the backoff branches
     // fire NATURALLY (probed levels 3/2/1: 5549/7472/7 at sf0.001,

@@ -925,6 +925,34 @@ class TextStatsSpec extends SparkSpec {
     out.keySet should not contain (("srcB", 2L))
   }
 
+  test("distinctNgramsApprox: exact at small cardinality, ONE sketch-partial exchange") {
+    // HLL is exact below its sparse-mode ceiling, so on a tiny corpus
+    // the estimate must EQUAL the exact distinct count — any drift
+    // here is a pipeline bug, not sketch error
+    val docs = Seq(("srcA", "a b a b a"), ("srcA", "a"), ("srcB", "c"))
+      .toDF("source", "text")
+    val out = TextStats.distinctNgramsApprox(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    out should have size 4
+    out(("srcA", 1L)) shouldBe ((6L, 2L))
+    out(("srcA", 2L)) shouldBe ((4L, 2L))
+    out(("srcA", 3L)) shouldBe ((3L, 2L))
+    out(("srcB", 1L)) shouldBe ((1L, 1L))
+    // the scale contract: NO corpus-sized (group, n, gram) exchange —
+    // the only exchanges are the |groups|·|ns| sketch-partial shuffle
+    // and the declared sort (range partitioning); spark.range input so
+    // ConvertToLocalRelation can't fold the aggregation away
+    val big = spark.range(200).select(
+      concat(lit("s"), pmod(col("id"), lit(3))).as("source"),
+      concat(lit("w"), pmod(col("id"), lit(7)), lit(" w"),
+        pmod(col("id"), lit(5)), lit(" w"), pmod(col("id"), lit(11)))
+        .as("text"))
+    val plan = TextStats.distinctNgramsApprox(big)
+      .queryExecution.executedPlan.toString
+    "(?i)exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("backoffScore: level election and l2 contributions exact") {
     // train 'a b c a b c': c3 = {abc:2, bca:1, cab:1},
     // c2 = {ab:2, bc:2, ca:1}, c1 = {a:2, b:2, c:2}, N = 6
