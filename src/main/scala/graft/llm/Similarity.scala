@@ -612,6 +612,36 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("cos2_bp"))
   }
 
+  /** Raw LSH bucket-mate candidates between two vector sets — the
+    * candidate stage of [[quantizedLshTopK]] factored out as a PAIR
+    * GENERATOR, for operators that take a `candidates` hook
+    * ([[marginMine]]'s production path) rather than a ranked list.
+    * Same integer planes ([[Dedup.quantPlanes]]), same sign-projection
+    * signatures, same distinct bucket equi-join — so the DuckDB replay
+    * is exactly llm_ann_lsh_q's `cand` CTE. The DISTINCT is load-
+    * bearing here (unlike the semi/anti probe rule): a pair sharing
+    * several tables would otherwise score repeatedly and corrupt any
+    * downstream k-NN sum. Each side is quantized once for ONE consumer
+    * (the signature pass), so no cut: with the scorer's own quantize
+    * pass this composes to the standard two-read shape (signatures +
+    * candidate-pruned attach). Returns `(srcIdCol, tgtIdCol)`. */
+  def lshCandidates(src: DataFrame, tgt: DataFrame,
+                    numTables: Int = 8, bits: Int = 2, dims: Int = 64,
+                    scale: Int = 64,
+                    srcIdCol: String = "a", tgtIdCol: String = "b",
+                    vecCol: String = "embedding"): DataFrame = {
+    val planes = Dedup.quantPlanes(numTables * bits, dims).map(_.map(_.toDouble))
+    def sigs(vq: DataFrame, id: String): DataFrame =
+      vq.select(col(id),
+        posexplode(graft.functions.SignProjection(col("__vq"), planes,
+          numTables, bits)).as(Seq("tbl", "sig")))
+    sigs(Dedup.quantized(src, srcIdCol, vecCol, scale), srcIdCol)
+      .join(sigs(Dedup.quantized(tgt, tgtIdCol, vecCol, scale), tgtIdCol),
+        Seq("tbl", "sig"))
+      .select(col(srcIdCol), col(tgtIdCol))
+      .distinct()
+  }
+
   /** Exact top-k under the QUANTIZED integer metric — the ground-truth
     * side of [[annRecall]]: same grid, same cos²·10⁴ formula, same
     * (score desc, id) tie order as [[quantizedLshTopK]], but the

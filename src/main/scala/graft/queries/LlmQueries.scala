@@ -3281,6 +3281,98 @@ object LlmQueries {
         .orderBy("a")
     },
 
+    // The PRODUCTION path of bitext mining, oracle-gated (r14, verdict
+    // ask #3): same mutual-best margin mine, but scored pairs come from
+    // Similarity.lshCandidates — the sign-LSH bucket equi-join — so the
+    // k-NN sums are approximate exactly the way the paper's FAISS
+    // retrieval is. The brute face above stays the declared correctness
+    // baseline; this face is what runs at 100 TB (probe: LSH 1.2× vs
+    // brute 3.6× at 10×). DuckDB replays the bucketing verbatim (the
+    // llm_ann_lsh_q cand CTE) then the margin pipeline over it.
+    // Threshold probed tri-scale: mutual pairs 63/64/232, of which
+    // ≥1200 keeps 60/62/184 — both branches live at every scale.
+    Q("llm_bitext_margin_lsh", {
+      val planes = Dedup.quantPlanes(16, 64)
+      val pl = planes.zipWithIndex.map { case (w, p) =>
+        s"($p, [${w.mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH pl(p, w) AS (VALUES $pl),
+         |v AS (
+         |  SELECT vec_id, lang,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS vq
+         |  FROM embeddings JOIN documents ON doc_id = vec_id
+         |  WHERE embedding IS NOT NULL),
+         |src AS (SELECT vec_id AS a, vq FROM v WHERE lang = 'de'),
+         |tgt AS (SELECT vec_id AS b, vq FROM v WHERE lang = 'en'),
+         |sd AS (
+         |  SELECT a, pl.p,
+         |    list_sum(list_transform(range(1, 65), i -> src.vq[i]*pl.w[i])) AS d
+         |  FROM src CROSS JOIN pl),
+         |td AS (
+         |  SELECT b, pl.p,
+         |    list_sum(list_transform(range(1, 65), i -> tgt.vq[i]*pl.w[i])) AS d
+         |  FROM tgt CROSS JOIN pl),
+         |ssig AS (
+         |  SELECT a, p // 4 AS tbl,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM sd GROUP BY 1, 2),
+         |tsig AS (
+         |  SELECT b, p // 4 AS tbl,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM td GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT s.a, t.b
+         |  FROM ssig s JOIN tsig t ON s.tbl = t.tbl AND s.sig = t.sig),
+         |p2 AS (
+         |  SELECT cand.a, cand.b,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> s.vq[i]*t.vq[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> s.vq[i]*s.vq[i])) AS BIGINT) AS na,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> t.vq[i]*t.vq[i])) AS BIGINT) AS nb
+         |  FROM cand JOIN src s ON s.a = cand.a JOIN tgt t ON t.b = cand.b),
+         |sc AS (
+         |  SELECT a, b, CAST((dot*dot*20000 + na*nb) // (na*nb*2) AS BIGINT) AS c
+         |  FROM p2 WHERE dot > 0 AND na > 0 AND nb > 0),
+         |ka AS (
+         |  SELECT a, CAST(sum(c) AS BIGINT) AS sa FROM (
+         |    SELECT a, c, row_number() OVER (PARTITION BY a ORDER BY c DESC, b) AS rn FROM sc)
+         |  WHERE rn <= 4 GROUP BY a),
+         |kb AS (
+         |  SELECT b, CAST(sum(c) AS BIGINT) AS sb FROM (
+         |    SELECT b, c, row_number() OVER (PARTITION BY b ORDER BY c DESC, a) AS rn FROM sc)
+         |  WHERE rn <= 4 GROUP BY b),
+         |m AS (
+         |  SELECT sc.a, sc.b, CAST((sc.c * 8000) // (ka.sa + kb.sb) AS BIGINT) AS mfp
+         |  FROM sc JOIN ka USING (a) JOIN kb USING (b)),
+         |besta AS (SELECT a, CAST(max(mfp * 1099511627776 + (1099511627775 - b)) AS BIGINT) AS e
+         |          FROM m GROUP BY a),
+         |bestb AS (SELECT b, CAST(max(mfp * 1099511627776 + (1099511627775 - a)) AS BIGINT) AS e
+         |          FROM m GROUP BY b),
+         |mutual AS (
+         |  SELECT ba.a, 1099511627775 - (ba.e % 1099511627776) AS b,
+         |    ba.e // 1099511627776 AS mfp
+         |  FROM besta ba JOIN bestb bb ON bb.b = 1099511627775 - (ba.e % 1099511627776)
+         |    AND 1099511627775 - (bb.e % 1099511627776) = ba.a)
+         |SELECT a, b, mfp AS margin_fp FROM mutual WHERE mfp >= 1200
+         |ORDER BY a""".stripMargin
+    }) { (spark, sf) =>
+      val v = Tables.embeddings(spark, sf)
+        .join(Tables.documents(spark, sf), col("doc_id") === col("vec_id"))
+        .where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("lang"), col("embedding"))
+        // four slices read this frame (each side's signature pass +
+        // the scorer's quantize pass) — one cut
+        .localCheckpoint(false)
+      val src = v.where(col("lang") === "de")
+        .select(col("vec_id").as("a"), col("embedding"))
+      val tgt = v.where(col("lang") === "en")
+        .select(col("vec_id").as("b"), col("embedding"))
+      Similarity.marginMine(src, tgt, k = 4, minMarginFp = 1200L,
+          candidates = Some(Similarity.lshCandidates(src, tgt,
+            numTables = 4, bits = 4)))
+        .orderBy("a")
+    },
+
     Q.noOracle("llm_ann_ivf") { (spark, sf) =>
       val emb = Tables.embeddings(spark, sf)
       // fixed ≤100-entry codebook at every sf: the IVF contract is a small

@@ -461,6 +461,23 @@ class SimilaritySpec extends SparkSpec {
     restricted.map(r => (r._1, r._2)) should not contain ((0L, 100L))
   }
 
+  test("lshCandidates: identical vectors always co-bucket, pairs distinct, subset of cross space") {
+    val (src, tgt) = bitextFixture
+    // a tgt clone of src 0 shares every table's signature — the pair
+    // MUST surface regardless of plane draw
+    val clone = src.where(col("a") === 0L)
+      .select((col("a") + 900L).as("b"), col("embedding"))
+    val cand = Similarity.lshCandidates(src, tgt.unionAll(clone),
+      numTables = 4, bits = 4, dims = 8)
+      .as[(Long, Long)].collect()
+    cand should contain ((0L, 900L))
+    // distinct by contract (a multi-table pair must score once downstream)
+    cand.toSeq.distinct should have size cand.length.toLong
+    val srcIds = src.select("a").as[Long].collect().toSet
+    all(cand.map(_._1)) should (be >= 0L)
+    cand.map(_._1).toSet.subsetOf(srcIds) shouldBe true
+  }
+
   test("marginMine is invariant under repartitioning") {
     val (src, tgt) = bitextFixture
     val once = Similarity.marginMine(src, tgt, k = 2).collect().toSet
