@@ -474,9 +474,22 @@ object Sampling {
         sum(mass.cast("long")).cast("long").as("__m"),
         sum(lossNum.cast("long")).cast("long").as("__ln"))
       .localCheckpoint(false)
-    val n = d.count()
+    // one head over the cut frame yields BOTH driver-side guards: the
+    // domain bound and the int64 contract the scaladoc promises —
+    // factor ≤ 10⁴ + 10⁸ div etaDiv requires per-domain mean loss_fp
+    // ≤ 10⁸ (per-doc lossNum average ≤ 10⁴); previously documented but
+    // unenforced, so a caller feeding large loss numerators silently
+    // overflowed the w_base_bp·factor·10⁴ lane instead of failing fast
+    val hd = d.agg(count(lit(1)).cast("long").as("n"),
+      max(intDiv(col("__ln") * 10000L, col("docs"))).as("maxLoss")).head()
+    val n = hd.getLong(0)
     require(n > 0 && n <= maxDomains,
       s"doremiStep expects a bounded domain set (1..$maxDomains), got $n")
+    val maxLossFp = hd.getLong(1)
+    require(maxLossFp <= 100000000L,
+      s"doremiStep int64 contract: per-domain mean loss (fixed-point) must be" +
+        s" <= 10^8 — i.e. per-doc lossNum averages <= 10^4 — got $maxLossFp;" +
+        s" rescale the loss proxy upstream")
     val g = d.agg(sum(col("docs")).cast("long").as("__td"),
       sum(col("__m")).cast("long").as("__tm"),
       sum(col("__ln")).cast("long").as("__tl"))

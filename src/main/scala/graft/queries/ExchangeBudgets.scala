@@ -118,7 +118,7 @@ object ExchangeBudgets {
     "llm_host_rank"                   -> 8,
     // doremi: ONE corpus exchange (the domain aggregate, paid at the
     // cut); count + two tiny-frame totals + the 5-row final sort
-    "llm_doremi"                      -> 6,
+    "llm_doremi"                      -> 5, // r14: n+maxLoss guards share one agg head (was 6)
     "llm_pq_persist"                  -> 4,
     "llm_quality_dedup"               -> 20,
     "llm_quality_tiers"               -> 4,

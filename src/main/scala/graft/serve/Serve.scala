@@ -155,19 +155,36 @@ object Serve {
           // The deadline bounds time WITHOUT progress, not the whole
           // response: every flushed chunk re-arms it, so a slow reader
           // finishes and only a stalled one is cut (see WriteDeadlineMs)
-          val closer = new Runnable {
-            def run(): Unit = try sock.close() catch { case _: Throwable => () }
-          }
+          // progress is a TIMESTAMP, not a reschedule: the earlier
+          // design re-armed a fresh timer per flush, and a deadline
+          // firing in the gap between flush() returning and the re-arm
+          // closed a healthy stream (cancel(false) on an already-fired
+          // task is a no-op). The closer now re-checks idle time at
+          // fire time and only closes when the deadline truly elapsed
+          // without a completed flush; otherwise it sleeps the
+          // remainder. recordProgress is a lock-free set — nothing is
+          // scheduled on the hot path.
+          val deadlineNanos = writeDeadlineMs * 1000000L
+          val lastProgress =
+            new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+          val finished = new java.util.concurrent.atomic.AtomicBoolean(false)
           val kill =
             new java.util.concurrent.atomic.AtomicReference[
-                java.util.concurrent.ScheduledFuture[_]](
-              watchdog.schedule(closer, writeDeadlineMs,
+              java.util.concurrent.ScheduledFuture[_]]()
+          val closer: Runnable = new Runnable {
+            def run(): Unit = {
+              if (finished.get()) return
+              val idle = System.nanoTime() - lastProgress.get()
+              if (idle >= deadlineNanos) {
+                try sock.close() catch { case _: Throwable => () }
+              } else kill.set(watchdog.schedule(this,
+                math.max(1L, (deadlineNanos - idle) / 1000000L),
                 java.util.concurrent.TimeUnit.MILLISECONDS))
-          def rearm(): Unit = {
-            val next = watchdog.schedule(closer, writeDeadlineMs,
-              java.util.concurrent.TimeUnit.MILLISECONDS)
-            kill.getAndSet(next).cancel(false)
+            }
           }
+          kill.set(watchdog.schedule(closer, writeDeadlineMs,
+            java.util.concurrent.TimeUnit.MILLISECONDS))
+          def recordProgress(): Unit = lastProgress.set(System.nanoTime())
           try {
             val header = mapper.createObjectNode()
             val cols = header.putArray("columns")
@@ -179,12 +196,15 @@ object Serve {
               // a stalled client's full send buffer blocks HERE, and
               // the armed deadline cuts it; anything else is progress
               out.flush()
-              rearm()
+              recordProgress()
             }
             writeLine(mapper.writeValueAsString(
               mapper.createObjectNode().put("done", rows.length)))
             out.flush()
-          } finally kill.get().cancel(false)
+          } finally {
+            finished.set(true)
+            Option(kill.get()).foreach(_.cancel(false))
+          }
       }
       out.flush()
     } catch {

@@ -463,6 +463,12 @@ class SamplingSpec extends SparkSpec {
         smoothBp = 10001L)
     an[IllegalArgumentException] should be thrownBy
       Sampling.doremiStep(rows, col("d"), col("m"), col("l"), maxDomains = 1)
+    // the int64 contract is ENFORCED, not just documented: a per-doc
+    // lossNum average over 10⁴ (here 10001 → mean loss_fp 100010000)
+    // must fail fast instead of silently overflowing the update lane
+    val hot = Seq(("a", 3L, 10001L)).toDF("d", "m", "l")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.doremiStep(hot, col("d"), col("m"), col("l"))
   }
 
   test("scoreWeighted rejects temperatures outside the integer-exact range") {
