@@ -77,8 +77,23 @@ object Bench {
     def timeSafe(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
       try Some(timeOnce(fn)) catch { case _: Throwable => None }
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    // inter-query GC knob (r14, the carried-suite-drift investigation —
+    // kept as the A/B instrument, DEFAULT OFF): the hypothesis was that
+    // orphaned localCheckpoint blocks (released only when a GC collects
+    // the RDD weak-ref, via ContextCleaner) accumulate across the
+    // growing suite and tax later queries uniformly. MEASURED AND
+    // REJECTED at sf0.1 × 196 queries in one ambient window: nudge
+    // every 16 queries 116.4 s, nudge off 104.8 s, pre-knob binary
+    // 98.9 s — the forced full GCs cost more than the dead blocks they
+    // free (they also collapse JIT-warm heap aging), and the run-to-run
+    // spread (±15 %) swamps both. The r12→r13 uniform drift is ambient
+    // variance, not suite-size garbage (see BASELINE.md).
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "0").toInt
     def pass(): Map[String, Option[Double]] =
-      suite.map { case (name, fn) => name -> timeSafe(fn) }.toMap
+      suite.zipWithIndex.map { case ((name, fn), i) =>
+        if (gcEvery > 0 && i % gcEvery == 0) System.gc()
+        name -> timeSafe(fn)
+      }.toMap
     val passA = pass()
     val passB = pass()
     val results = suite.map { case (name, _) =>
