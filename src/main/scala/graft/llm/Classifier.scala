@@ -92,4 +92,41 @@ object Classifier {
     wide.select(explode(array(rows: _*)).as("__r"))
       .select(col("__r.threshold"), col("__r.kept_docs"), col("__r.kept_tokens"))
   }
+
+  /** Reliability-diagram calibration audit (r14) — the check a pipeline
+    * runs before TRUSTING a classifier gate's scores as probabilities
+    * (Guo et al. 2017's ECE, the binned form): bucket documents by
+    * predicted probability (basis points, clamped to [0, 9999]) into
+    * `bins` equal-width bins; per bin emit the count, the round-half-up
+    * mean predicted bp, the observed positive rate bp against a label
+    * column, the absolute gap, and the ECE numerator lane `n · gap`
+    * (callers divide by Σn downstream — the per-bin lane keeps every
+    * row integer-exact and mergeable). A well-calibrated gate shows
+    * gap ≈ 0 in every populated bin; a confident-but-wrong one shows
+    * the characteristic high-bin bulge. An empty bin yields no row
+    * (both engines).
+    *
+    * Scale shape: ONE groupBy over ≤ `bins` keys — partial aggregation
+    * combines map-side, the exchange carries |bins| partials, the sort
+    * is |bins| rows. Composes with [[score]] in the same scan
+    * projection; no join, no window, no second pass. */
+  def calibration(df: DataFrame, predBp: Column, label: Column,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val p = greatest(lit(0L), least(lit(9999L), predBp.cast("long")))
+    val y = when(label.cast("boolean"), 1L).otherwise(0L)
+    df.select(intDiv(p * bins, lit(10000L)).as("bin"),
+        p.as("__p"), y.as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__p")).as("__sp"),
+        sum(col("__y")).as("__sy"))
+      .select(col("bin"), col("n"),
+        intDiv(col("__sp") * 2L + col("n"), col("n") * 2L).as("mean_pred_bp"),
+        intDiv(col("__sy") * 20000L + col("n"), col("n") * 2L).as("obs_bp"))
+      .withColumn("gap_bp", abs(col("mean_pred_bp") - col("obs_bp")))
+      .withColumn("ece_num", col("n") * col("gap_bp"))
+      .orderBy(col("bin"))
+  }
 }

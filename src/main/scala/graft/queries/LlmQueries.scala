@@ -3971,6 +3971,59 @@ object LlmQueries {
           .orderBy("threshold")
     },
 
+    // Calibration audit (r14): reliability bins + per-bin ECE lanes
+    // over the SAME planted classifier as llm_classifier. Predicted
+    // probability = affine clamp of the linear score into [0,9999]
+    // (probed: scores −11339..30560, (s+12000)//5 spreads bins 0–9);
+    // the planted LABEL is lattice-sampled AT the predicted rate
+    // (residue < pbp — the scoreWeighted trick), so the fixture is a
+    // near-calibrated model with small nonzero per-bin gaps at every
+    // scale (probed obs tracks pred within ~±600 bp tri-scale) — a
+    // constant label would make the diagram vacuous.
+    Q("llm_calibration",
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'fast', 'slow'], t))) AS BIGINT) AS ns,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+        |    CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    -60000 + 3 * nt + ((20000 * (len - nt + 1) + nt) // (2 * nt))
+        |      - 4 * ((20000 * ns + nt) // (2 * nt))
+        |      + 5 * ((20000 * nd + nt) // (2 * nt)) AS score
+        |  FROM c),
+        |p AS (
+        |  SELECT doc_id,
+        |    greatest(0, least(9999, (score + 12000) // 5)) AS pbp
+        |  FROM s),
+        |b AS (
+        |  SELECT (pbp * 10) // 10000 AS bin, pbp,
+        |    CASE WHEN (doc_id * 9301 + 49297) % 10000 < pbp THEN 1 ELSE 0 END AS y
+        |  FROM p),
+        |g AS (
+        |  SELECT CAST(bin AS BIGINT) bin, count(*) n,
+        |    CAST((2 * sum(pbp) + count(*)) // (2 * count(*)) AS BIGINT) mean_pred_bp,
+        |    CAST((20000 * sum(y) + count(*)) // (2 * count(*)) AS BIGINT) obs_bp
+        |  FROM b GROUP BY 1)
+        |SELECT bin, n, mean_pred_bp, obs_bp,
+        |  abs(mean_pred_bp - obs_bp) AS gap_bp,
+        |  n * abs(mean_pred_bp - obs_bp) AS ece_num
+        |FROM g ORDER BY bin""".stripMargin) { (spark, sf) =>
+      val intDiv = graft.functions.VectorFunctions.intDiv _
+      val scored = graft.llm.Classifier.score(Tables.documents(spark, sf),
+        graft.llm.Classifier.Weights(wTokens = 3, wMeanLen = 1,
+          wStopword = -4, wDistinct = 5, bias = -60000),
+        threshold = 2800)
+      val base = scored.select(col("doc_id"),
+        greatest(lit(0L), least(lit(9999L),
+          intDiv(col("score") + 12000L, lit(5L)))).as("pbp"))
+      graft.llm.Classifier.calibration(base, col("pbp"),
+        pmod(col("doc_id") * 9301L + 49297L, lit(10000L)) < col("pbp"))
+    },
+
     Q("llm_tokens",
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS ws_tokens,

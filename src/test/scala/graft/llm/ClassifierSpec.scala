@@ -76,4 +76,30 @@ class ClassifierSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Classifier.sweep(docs, w, Seq(1L, 1L))
   }
+
+  test("calibration: hand-walked bins, clamp, gap and ECE lanes") {
+    // preds: 500 (bin 0), 1500 (bin 1), 1500 (bin 1), 12000→clamp 9999
+    // (bin 9), -50→clamp 0 (bin 0); labels T/F/T/T/F.
+    // bin 0: n=2 preds {500,0} mean 250, pos 1 → obs 5000, gap 4750
+    // bin 1: n=2 preds {1500,1500} mean 1500, pos 1 → obs 5000, gap 3500
+    // bin 9: n=1 pred 9999, pos 1 → obs 10000, gap 1
+    val rows = Seq((500L, true), (1500L, false), (1500L, true),
+      (12000L, true), (-50L, false)).toDF("p", "y")
+    val out = Classifier.calibration(rows, col("p"), col("y")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    out should have size 3
+    out(0L) shouldBe ((2L, 250L, 5000L, 4750L, 9500L))
+    out(1L) shouldBe ((2L, 1500L, 5000L, 3500L, 7000L))
+    out(9L) shouldBe ((1L, 9999L, 10000L, 1L, 1L))
+    // ONE aggregation, no join, no window — the |bins|-key shape
+    val plan = Classifier.calibration(
+      spark.range(100).select(col("id") * 100L, col("id") % 2 === 0)
+        .toDF("p", "y"), col("p"), col("y"))
+      .queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should not include "Window"
+    an[IllegalArgumentException] should be thrownBy
+      Classifier.calibration(rows, col("p"), col("y"), bins = 1)
+  }
 }
