@@ -642,6 +642,83 @@ object Similarity {
       .distinct()
   }
 
+  /** Hard-negative mining for contrastive/retrieval training (r14) —
+    * the DPR/ANCE data-prep step: for each query, the top-k
+    * HIGHEST-scoring corpus vectors that are NOT its labeled positive,
+    * with each negative's margin below the positive's score. Small
+    * margins are the training signal (the "hard" in hard negative); a
+    * NEGATIVE margin flags a candidate scoring above the labeled
+    * positive — the false-negative/mislabel audit a mining run surfaces
+    * for review rather than silently training on.
+    *
+    * Candidates are sign-LSH bucket-mates (the [[lshCandidates]]
+    * construction, inlined here so the signature pass and BOTH scoring
+    * passes share one quantized cut per side — the 100 TB path;
+    * all-pairs mining is exactly the shape banding exists to avoid),
+    * the labeled `(qIdCol, idCol)` positives are
+    * anti-joined out BEFORE scoring (a positive must never pay a score
+    * only to be dropped), scoring is the one integer cos²·10⁴ formula,
+    * and per-query ranking is the bounded-heap collector
+    * ([[graft.relational.TopK.topKPerGroupRanked]] — k rows per key per
+    * map task cross the shuffle, no window sort). The positive's own
+    * score rides a second candidate-sized scoring pass over the same
+    * quantized cuts. All joins key on ids; the anti join is
+    * hash-partitioned and linear (positives are query-sized — NOT
+    * broadcast: production mines negatives for every training query at
+    * once). Emits `(qIdCol, idCol, rank, neg_bp, pos_bp, margin_bp)`;
+    * a query whose positive pair is dropped by the `dot > 0` guard, or
+    * with no non-positive bucket-mates, emits no rows (both engines). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    positives: DataFrame, k: Int = 3,
+                    numTables: Int = 8, bits: Int = 2, dims: Int = 64,
+                    scale: Int = 64,
+                    qIdCol: String = "qid", idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val planes = Dedup.quantPlanes(numTables * bits, dims).map(_.map(_.toDouble))
+    def sigs(vq: DataFrame, id: String): DataFrame =
+      vq.select(col(id),
+        posexplode(graft.functions.SignProjection(col("__vq"), planes,
+          numTables, bits)).as(Seq("tbl", "sig")))
+    // each quantized side feeds signatures + two scoring passes — cut
+    // both (the multi-consumer rule); positives feeds the anti join AND
+    // the positive-score pass, and is (qid, id) pairs — 16 bytes a row,
+    // the Components iteration-state class, never document-sized — so
+    // it gets the same one cut (measured: uncut, each consumer re-ran
+    // the caller's positive-derivation lineage — 4 executed scans on
+    // llm_hard_negatives instead of 3)
+    val qVq = Dedup.quantized(queries, qIdCol, vecCol, scale)
+      .localCheckpoint(false)
+    val cVq = Dedup.quantized(corpus, idCol, vecCol, scale)
+      .localCheckpoint(false)
+    val posCut = positives.select(col(qIdCol).as("a"), col(idCol).as("b"))
+      .localCheckpoint(false)
+    val cand = sigs(qVq, qIdCol)
+      .join(sigs(cVq, idCol), Seq("tbl", "sig"))
+      .select(col(qIdCol).as("a"), col(idCol).as("b"))
+      .distinct()
+      .join(posCut, Seq("a", "b"), "left_anti")
+    val negs = graft.relational.TopK.topKPerGroupRanked(
+      Dedup.cos2Score(cand,
+          qVq.select(col(qIdCol).as("a"), col("__vq").as("__va")),
+          cVq.select(col(idCol).as("b"), col("__vq").as("__vb")))
+        .select(col("a").as(qIdCol),
+          (lit(10000L) - col("cos2_bp")).as("__inv"),
+          col("b").as(idCol), col("cos2_bp").as("neg_bp")),
+      keys = Seq(col(qIdCol)),
+      sortCols = Seq(col("__inv"), col(idCol), col("neg_bp")),
+      k = k, rankCol = "rank")
+    val posScore = Dedup.cos2Score(posCut,
+        qVq.select(col(qIdCol).as("a"), col("__vq").as("__va")),
+        cVq.select(col(idCol).as("b"), col("__vq").as("__vb")))
+      .select(col("a").as(qIdCol), col("cos2_bp").as("pos_bp"))
+    negs.join(posScore, qIdCol)
+      .select(col(qIdCol), col(idCol), col("rank").cast("long").as("rank"),
+        col("neg_bp"), col("pos_bp"),
+        (col("pos_bp") - col("neg_bp")).as("margin_bp"))
+      .orderBy(col(qIdCol), col("rank"))
+  }
+
   /** Exact top-k under the QUANTIZED integer metric — the ground-truth
     * side of [[annRecall]]: same grid, same cos²·10⁴ formula, same
     * (score desc, id) tie order as [[quantizedLshTopK]], but the

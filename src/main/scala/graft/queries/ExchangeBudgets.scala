@@ -111,6 +111,12 @@ object ExchangeBudgets {
     // list-sized recall aggregates — every exchange past the two index
     // builds is top-k-bounded
     "llm_ann_recall"                  -> 7,
+    // hard-negative mining: the signature bucket equi-join, its
+    // load-bearing candidate DISTINCT, the bounded-heap top-k
+    // aggregate, and the declared (qid, rank) sort — the anti join and
+    // both scoring attaches ride the cuts without re-keying; every
+    // exchange past the bucket join is candidate- or top-k-sized
+    "llm_hard_negatives"              -> 4,
     // host_rank: ONE corpus-sized exchange (the edge aggregation);
     // everything after — host-set distinct, out-degrees, one
     // contribution groupBy per power round (3), final sort — runs on

@@ -3023,6 +3023,118 @@ object LlmQueries {
       Similarity.annRecall(truth, approx)
     },
 
+    // Hard-negative mining (r14): the DPR/ANCE contrastive-training
+    // data-prep step — per query, the top-3 highest-scoring NON-positive
+    // bucket-mates with their margin below the labeled positive. The
+    // raw fixture's negatives are all easy (margins probed 7600–9400
+    // bp), so %14 corpus vectors plant a 0.03-perturbed DISTRACTOR
+    // (+200000) that buckets with the query and squeezes the margin —
+    // probed spread 1237–9366 bp tri-scale, the distribution a miner
+    // actually triages. Distractors enter via explode fusion (the
+    // llm_dedup_edit one-scan trick). Oracle replays bucketing, the
+    // positive anti-join, ranking and both scoring passes.
+    Q("llm_hard_negatives", {
+      val planes = Dedup.quantPlanes(16, 64)
+      val pl = planes.zipWithIndex.map { case (w, p) =>
+        s"($p, [${w.mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH pl(p, w) AS (VALUES $pl),
+         |raw0 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 400),
+         |hard AS (
+         |  SELECT vec_id + 200000 AS vec_id,
+         |    list_transform(range(1, 65),
+         |      i -> v[i] + ((vec_id * 37 + (i-1) * 11) % 9 - 4) * 0.03) AS v
+         |  FROM raw0 WHERE vec_id % 14 = 0),
+         |raw AS (SELECT * FROM raw0 UNION ALL SELECT * FROM hard),
+         |qv AS (
+         |  SELECT vid + 100000 AS qid,
+         |    list_transform(range(1, 65),
+         |      i -> v[i] + ((vid * 31 + (i-1) * 7) % 9 - 4) * 0.01) AS v
+         |  FROM (SELECT vec_id AS vid, v FROM raw0 WHERE vec_id % 7 = 0)),
+         |cq AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS vq
+         |  FROM raw),
+         |qq AS (
+         |  SELECT qid,
+         |    list_transform(v, x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS vq
+         |  FROM qv),
+         |cd AS (
+         |  SELECT cq.vec_id AS id, pl.p,
+         |    list_sum(list_transform(range(1, 65), i -> cq.vq[i] * pl.w[i])) AS d
+         |  FROM cq CROSS JOIN pl),
+         |qd AS (
+         |  SELECT qq.qid, pl.p,
+         |    list_sum(list_transform(range(1, 65), i -> qq.vq[i] * pl.w[i])) AS d
+         |  FROM qq CROSS JOIN pl),
+         |csig AS (
+         |  SELECT id, p // 4 AS tbl,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM cd GROUP BY 1, 2),
+         |qsig AS (
+         |  SELECT qid, p // 4 AS tbl,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM qd GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.qid, c.id
+         |  FROM qsig q JOIN csig c ON q.tbl = c.tbl AND q.sig = c.sig
+         |  WHERE c.id <> q.qid - 100000),
+         |sc AS (
+         |  SELECT cand.qid, cand.id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> a.vq[i]*b.vq[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> a.vq[i]*a.vq[i])) AS BIGINT) AS na,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> b.vq[i]*b.vq[i])) AS BIGINT) AS nb
+         |  FROM cand JOIN qq a ON a.qid = cand.qid JOIN cq b ON b.vec_id = cand.id),
+         |neg AS (
+         |  SELECT qid, id, (dot*dot*20000 + na*nb) // (na*nb*2) AS nbp
+         |  FROM sc WHERE dot > 0 AND na > 0 AND nb > 0),
+         |rk AS (
+         |  SELECT qid, id, nbp, row_number() OVER (PARTITION BY qid
+         |      ORDER BY 10000 - nbp, id) AS rn
+         |  FROM neg),
+         |ps AS (
+         |  SELECT a.qid,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> a.vq[i]*b.vq[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> a.vq[i]*a.vq[i])) AS BIGINT) AS na,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> b.vq[i]*b.vq[i])) AS BIGINT) AS nb
+         |  FROM qq a JOIN cq b ON b.vec_id = a.qid - 100000),
+         |pos AS (
+         |  SELECT qid, (dot*dot*20000 + na*nb) // (na*nb*2) AS pbp
+         |  FROM ps WHERE dot > 0 AND na > 0 AND nb > 0)
+         |SELECT r.qid, r.id AS vec_id, CAST(r.rn AS BIGINT) AS rank,
+         |  r.nbp AS neg_bp, pos.pbp AS pos_bp, pos.pbp - r.nbp AS margin_bp
+         |FROM rk r JOIN pos USING (qid) WHERE r.rn <= 3
+         |ORDER BY qid, rank""".stripMargin
+    }) { (spark, sf) =>
+      val raw0 = Tables.embeddings(spark, sf)
+        .where(col("embedding").isNotNull && col("vec_id") < 400)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val corpus = raw0.select(explode(
+          when(pmod(col("vec_id"), lit(14)) === 0, array(
+            struct(col("vec_id").as("vec_id"), col("v").as("v")),
+            struct((col("vec_id") + 200000L).as("vec_id"),
+              transform(col("v"), (x, i) =>
+                x + (pmod(col("vec_id") * 37 + i * 11, lit(9)) - 4) * lit(0.03))
+                .as("v"))))
+          .otherwise(array(
+            struct(col("vec_id").as("vec_id"), col("v").as("v")))))
+          .as("r"))
+        .select(col("r.vec_id").as("vec_id"), col("r.v").as("embedding"))
+      val qSide = raw0.where(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("vid"), col("v"))
+      val queries = qSide.select((col("vid") + 100000L).as("qid"),
+        transform(col("v"), (x, i) =>
+          x + (pmod(col("vid") * 31 + i * 7, lit(9)) - 4) * lit(0.01))
+          .as("embedding"))
+      val positives = qSide.select((col("vid") + 100000L).as("qid"),
+        col("vid").as("vec_id"))
+      Similarity.hardNegatives(queries, corpus, positives, k = 3,
+        numTables = 4, bits = 4)
+    },
+
     // The SEARCH face of the quantized family (llm_ann_lsh's
     // cross-engine twin the way embed_q twins llm_dedup_embed): the
     // perturbed copies become the QUERY set, the raw vectors the

@@ -478,6 +478,32 @@ class SimilaritySpec extends SparkSpec {
     cand.map(_._1).toSet.subsetOf(srcIds) shouldBe true
   }
 
+  test("hardNegatives: positive excluded, planted near-dup tops the list with a small margin") {
+    def v(seed: Long) =
+      (0 until 8).map(i => ((seed * 31 + i * 17) % 19).toDouble / 19.0)
+    val base = v(1L)
+    val near = base.updated(0, base(0) + 0.02) // the planted hard negative
+    val corpus = Seq((1L, base), (2L, near), (3L, v(9L)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = Seq((1000L, base)).toDF("qid", "embedding")
+      .select(col("qid"), col("embedding").cast("array<double>").as("embedding"))
+    val positives = Seq((1000L, 1L)).toDF("qid", "vec_id")
+    val out = Similarity.hardNegatives(queries, corpus, positives, k = 3,
+        numTables = 4, bits = 2, dims = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // the labeled positive never appears as a negative
+    out.map(r => (r._1, r._2)) should not contain ((1000L, 1L))
+    // the near-dup is the hardest (rank-1) negative; identical query ↔
+    // positive scores 10000 and the margin is small but positive
+    val top = out.find(_._3 == 1L).get
+    top._2 shouldBe 2L
+    top._5 shouldBe 10000L          // pos_bp: identical vectors
+    top._6 should (be >= 0L and be <= 500L)
+    // margins are pos − neg for every row
+    out.foreach(r => r._6 shouldBe r._5 - r._4)
+  }
+
   test("marginMine is invariant under repartitioning") {
     val (src, tgt) = bitextFixture
     val once = Similarity.marginMine(src, tgt, k = 2).collect().toSet
