@@ -492,6 +492,54 @@ object RelationalQueries {
         .select("n_exact", "n_parts", "merged_within_bound")
     },
 
+    // Per-column dataset profiler (r14) — the datasheet header: one
+    // scan, one global aggregation, one row per column (counts, nulls,
+    // string min/max, HLL cardinality). Distinct estimates are
+    // engine-internal, so the gate is the agg_approx contract (exact
+    // replay + 5 % bound boolean); everything else is value-exact.
+    // The exact-distinct side the boolean needs is its own wide
+    // aggregate (Spark expands multi-distinct — the per-column
+    // exchange the profiler itself refuses to pay at 100 TB).
+    Q("op_profile",
+      """WITH p AS (
+        |  SELECT 'doc_id' AS col_name, count(*) n_rows,
+        |    count(*) - count(doc_id) n_nulls,
+        |    CAST(min(doc_id) AS VARCHAR) min_val,
+        |    CAST(max(doc_id) AS VARCHAR) max_val,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) d FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*), count(*) - count(lang),
+        |    CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR),
+        |    CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+        |    CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*), count(*) - count(source),
+        |    CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR),
+        |    CAST(count(DISTINCT source) AS BIGINT) FROM documents)
+        |SELECT col_name, n_rows, n_nulls, min_val, max_val,
+        |  d AS distinct_exact, TRUE AS within_bound
+        |FROM p ORDER BY col_name""".stripMargin) { (spark, sf) =>
+      val docs = Tables.documents(spark, sf)
+      val cols = Seq("doc_id", "lang", "n_chars", "source").sorted
+      val exactAggs = cols.map(c => countDistinct(col(c)).as(s"__x_$c"))
+      val exactWide = docs.agg(exactAggs.head, exactAggs.tail: _*)
+      val exactRows = cols.map(c => struct(lit(c).as("col_name"),
+        col(s"__x_$c").as("distinct_exact")))
+      val exact = exactWide
+        .select(explode(array(exactRows: _*)).as("__r"))
+        .select(col("__r.col_name"), col("__r.distinct_exact"))
+      graft.relational.Profile.profile(docs, cols)
+        .join(broadcast(exact), "col_name")
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("min_val"), col("max_val"), col("distinct_exact"),
+          (abs(col("distinct_est") - col("distinct_exact")) * 20 <=
+            col("distinct_exact")).as("within_bound"))
+        .orderBy("col_name")
+    },
+
     // ----- §2.6 window functions ---------------------------------------
     Q("win_rank",
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
