@@ -303,6 +303,54 @@ object TextStats {
       call_function("shiftright", x * 1024L, msb) - 1024L)
   }
 
+  /** Population-stability-index drift monitor (r14) — the standing
+    * check a long-running ingestion pipeline runs per batch: has the
+    * quality-score (or any bounded-bp statistic's) DISTRIBUTION moved
+    * against the baseline slice? PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i);
+    * the classic triage bands (<0.1 stable, 0.1–0.25 drifting, >0.25
+    * shifted) apply to Σ psi_fp / (10⁴·1024·ln2⁻¹) — downstream reads
+    * the integer lanes and picks its own alarm threshold.
+    *
+    * Fixed-point, cross-engine exact: shares are round-half-up basis
+    * points clamped to ≥ 1 (the standard add-eps for an empty bin —
+    * ln(0) never evaluates, a bin absent from one side still
+    * contributes), the log is the l2 kit (1/1024-bit units), and the
+    * per-bin lane `(base_bp − cur_bp)·(l2(base_bp) − l2(cur_bp))` is
+    * ≥ 0 because both factors share a sign — so Σ over bins is
+    * monotone in drift, exactly PSI's shape up to the ln2 scale.
+    *
+    * ONE scan over the combined frame (baseline and current ride a
+    * flag column, not two inputs — a two-frame API would scan twice);
+    * the binned frame is |bins| rows, checkpoint-cut (it feeds the
+    * totals aggregate AND the share projection), totals ride a 1-row
+    * broadcast. Contract: both slices non-empty (an empty side's
+    * total would divide by zero — the caller owns slice selection).
+    * Emits (bin, n_base, n_cur, base_bp, cur_bp, psi_fp), ORDER BY
+    * bin; a bin with no rows on EITHER side emits nothing. */
+  def psiDrift(df: DataFrame, isBase: Column, scoreBp: Column,
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val p = greatest(lit(0L), least(lit(9999L), scoreBp.cast("long")))
+    val binned = df.select(intDiv(p * bins, lit(10000L)).as("bin"),
+        when(isBase.cast("boolean"), 1L).otherwise(0L).as("__b"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__b")).cast("long").as("n_base"),
+        sum(lit(1L) - col("__b")).cast("long").as("n_cur"))
+      .localCheckpoint(false)
+    val tot = binned.agg(sum(col("n_base")).cast("long").as("__tb"),
+      sum(col("n_cur")).cast("long").as("__tc"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        greatest(lit(1L), intDiv(col("n_base") * 20000L + col("__tb"),
+          col("__tb") * 2L)).as("base_bp"),
+        greatest(lit(1L), intDiv(col("n_cur") * 20000L + col("__tc"),
+          col("__tc") * 2L)).as("cur_bp"))
+      .withColumn("psi_fp", (col("base_bp") - col("cur_bp")) *
+        (l2Col(col("base_bp")) - l2Col(col("cur_bp"))))
+      .orderBy(col("bin"))
+  }
+
   /** BM25 ranking under a FIXED query-term set, in exact integer
     * arithmetic — the lexical-retrieval face [[tfidf]]'s per-doc
     * salient-term report doesn't give. Per term, with k1 = 6/5 and

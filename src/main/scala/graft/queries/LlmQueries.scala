@@ -4136,6 +4136,68 @@ object LlmQueries {
         pmod(col("doc_id") * 9301L + 49297L, lit(10000L)) < col("pbp"))
     },
 
+    // PSI drift monitor (r14): baseline = even half, current = odd half
+    // with a PLANTED +900 bp score shift on its %3 docs — without the
+    // plant, the halves share one distribution and every psi lane reads
+    // ~0 (the vacuity trap). Probed tri-scale: per-bin psi_fp 800–
+    // 794560, totals 4.1M/633k/618k. Same classifier-score pbp map as
+    // llm_calibration; the l2 fixed point replays via the bin() kit.
+    Q("llm_psi_drift", {
+      def l2(x: String): String =
+        s"((length(bin($x)) - 1) * 1024 + (($x) * 1024 // (1::BIGINT << (length(bin($x)) - 1))) - 1024)"
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> list_contains(['the', 'a', 'fast', 'slow'], t))) AS BIGINT) AS ns,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+         |    CAST(length(text) AS BIGINT) AS len
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    -60000 + 3 * nt + ((20000 * (len - nt + 1) + nt) // (2 * nt))
+         |      - 4 * ((20000 * ns + nt) // (2 * nt))
+         |      + 5 * ((20000 * nd + nt) // (2 * nt)) AS score
+         |  FROM c),
+         |p AS (
+         |  SELECT doc_id, doc_id % 2 = 0 AS is_base,
+         |    greatest(0, least(9999, (score + 12000) // 5 +
+         |      CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 0 THEN 900 ELSE 0 END)) AS pbp
+         |  FROM s),
+         |b AS (
+         |  SELECT (pbp * 10) // 10000 AS bin,
+         |    CASE WHEN is_base THEN 1 ELSE 0 END AS nb
+         |  FROM p),
+         |g AS (
+         |  SELECT CAST(bin AS BIGINT) bin, CAST(sum(nb) AS BIGINT) n_base,
+         |    CAST(sum(1 - nb) AS BIGINT) n_cur
+         |  FROM b GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(sum(n_base) AS BIGINT) tb, CAST(sum(n_cur) AS BIGINT) tc
+         |  FROM g),
+         |sh AS (
+         |  SELECT bin, n_base, n_cur,
+         |    greatest(1, (n_base * 20000 + tb) // (tb * 2)) base_bp,
+         |    greatest(1, (n_cur * 20000 + tc) // (tc * 2)) cur_bp
+         |  FROM g CROSS JOIN t)
+         |SELECT bin, n_base, n_cur, base_bp, cur_bp,
+         |  (base_bp - cur_bp) * (${l2("base_bp")} - ${l2("cur_bp")}) AS psi_fp
+         |FROM sh ORDER BY bin""".stripMargin
+    }) { (spark, sf) =>
+      val intDiv = graft.functions.VectorFunctions.intDiv _
+      val scored = graft.llm.Classifier.score(Tables.documents(spark, sf),
+        graft.llm.Classifier.Weights(wTokens = 3, wMeanLen = 1,
+          wStopword = -4, wDistinct = 5, bias = -60000),
+        threshold = 2800)
+      val shifted = intDiv(col("score") + 12000L, lit(5L)) +
+        when(pmod(col("doc_id"), lit(2)) === 1 &&
+          pmod(col("doc_id"), lit(3)) === 0, 900L).otherwise(0L)
+      TextStats.psiDrift(
+        scored.select(col("doc_id"), col("score")),
+        pmod(col("doc_id"), lit(2)) === 0,
+        shifted)
+    },
+
     Q("llm_tokens",
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS ws_tokens,

@@ -1007,6 +1007,31 @@ class TextStatsSpec extends SparkSpec {
     out(3L) shouldBe ((2L, 0L, 2L, 0L, -1024L))
   }
 
+  test("psiDrift: hand-walked lanes, eps clamp, identical halves read zero") {
+    // base: scores {500, 1500, 1500} → bins {0,1,1}; cur: {1500, 9999}
+    // → bins {1, 9}. Lanes (l2 kit: l2(3333)=11906, l2(6667)=12930,
+    // l2(5000)=12514, l2(1)=0):
+    // bin 0: base 3333 bp / cur eps-clamp 1 → 3332·11906 = 39670792
+    // bin 1: base 6667 / cur 5000 → 1667·416 = 693472
+    // bin 9: base clamp 1 / cur 5000 → (−4999)·(−12514) = 62557486
+    val rows = Seq((true, 500L), (true, 1500L), (true, 1500L),
+      (false, 1500L), (false, 9999L)).toDF("b", "s")
+    val out = TextStats.psiDrift(rows, col("b"), col("s")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    out should have size 3
+    out(0L) shouldBe ((1L, 0L, 3333L, 1L, 39670792L))
+    out(1L) shouldBe ((2L, 1L, 6667L, 5000L, 693472L))
+    out(9L) shouldBe ((0L, 1L, 1L, 5000L, 62557486L))
+    // identical distributions → every psi lane is exactly zero
+    val same = Seq((true, 800L), (false, 800L), (true, 4500L),
+      (false, 4500L)).toDF("b", "s")
+    TextStats.psiDrift(same, col("b"), col("s")).collect()
+      .foreach(r => r.getLong(5) shouldBe 0L)
+    an[IllegalArgumentException] should be thrownBy
+      TextStats.psiDrift(rows, col("b"), col("s"), bins = 1)
+  }
+
   test("phrases: size gate swaps broadcast for shuffle-hash, bit-identical") {
     val docs = (0 until 12).map(i => (i.toLong,
       "new york " + (if (i % 2 == 0) "city hall" else "state fair")))
