@@ -726,6 +726,42 @@ object TextStats {
       .orderBy(col("n").desc, col("token"))
       .limit(topK)
 
+  /** Vocabulary-coverage audit (r14) — the OOV-rate datasheet column a
+    * tokenizer team reads per language before and after retraining: of
+    * the held-out slice's whitespace tokens, what fraction falls
+    * outside a reference vocabulary ([[vocab]]'s top-K, a tokenizer's
+    * word list, last month's vocab for drift)? A language whose OOV
+    * rate runs hot against the shared vocab is under-served by it —
+    * the UniMax/fertility complement at the vocabulary level.
+    *
+    * ONE corpus pass: explode tokens, flag membership with a left join
+    * against the vocab (SIZE-GATED via [[Joins]] — a top-K vocab
+    * broadcasts, a caller passing a raw Heaps-unbounded term table
+    * degrades to a shuffle-hash join on the token key), then one
+    * |groups|-key aggregate. The vocab frame is checkpoint-cut once:
+    * it feeds the gate's count AND the join build, and its own lineage
+    * is typically a corpus-sized TakeOrdered that must not run twice.
+    * Emits (groupCol, total_tokens, oov_tokens, oov_bp) with the
+    * round-half-up bp; ORDER BY group. */
+  def oovRate(docs: DataFrame, vocab: DataFrame, groupCol: String = "lang",
+              textCol: String = "text",
+              maxBroadcastRows: Long = Joins.DefaultMaxBroadcastRows): DataFrame = {
+    val v = vocab.select(col("token")).localCheckpoint(false)
+    val small = Joins.fitsBroadcast(v, maxBroadcastRows)
+    docs.select(col(groupCol), explode(toks(col(textCol))).as("token"))
+      .join(Joins.hinted(small, v.withColumn("__in", lit(1L))),
+        Seq("token"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).cast("long")
+          .as("oov_tokens"))
+      .select(col(groupCol), col("total_tokens"), col("oov_tokens"),
+        graft.functions.VectorFunctions.intDiv(
+          col("oov_tokens") * 20000L + col("total_tokens"),
+          col("total_tokens") * 2L).as("oov_bp"))
+      .orderBy(col(groupCol))
+  }
+
   /** Per-document top-K salient terms by TF-IDF, with a RATIONAL idf
     * (`N/df`) in round-half-up basis points: `score_bp =
     * round(10⁴ · tf · N / df)` — integer arithmetic end-to-end, so the

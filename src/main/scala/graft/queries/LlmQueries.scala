@@ -4198,6 +4198,34 @@ object LlmQueries {
         shifted)
     },
 
+    // OOV-rate audit (r14): reference vocab = top-20 tokens of the even
+    // half (TextStats.vocab's exact tie order: count desc, token asc),
+    // coverage measured per lang on the odd half. Probed tri-scale:
+    // oov_bp 3270–3463 spreading by lang and scale — the per-language
+    // under-service signal the shared-vocab decision needs.
+    Q("llm_oov_rate",
+      """WITH train AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM train),
+        |voc AS (SELECT token FROM (
+        |  SELECT token, count(*) n FROM tok GROUP BY 1
+        |  ORDER BY n DESC, token LIMIT 20)),
+        |held AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*) total_tokens,
+        |  CAST(sum(CASE WHEN voc.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS oov_tokens,
+        |  CAST((20000 * sum(CASE WHEN voc.token IS NULL THEN 1 ELSE 0 END)
+        |    + count(*)) // (2 * count(*)) AS BIGINT) AS oov_bp
+        |FROM held LEFT JOIN voc USING (token)
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, sf) =>
+      val docs = Tables.documents(spark, sf)
+      TextStats.oovRate(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        TextStats.vocab(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          topK = 20))
+    },
+
     Q("llm_tokens",
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS ws_tokens,

@@ -1007,6 +1007,20 @@ class TextStatsSpec extends SparkSpec {
     out(3L) shouldBe ((2L, 0L, 2L, 0L, -1024L))
   }
 
+  test("oovRate: membership flags exact, gate swaps to shuffle-hash bit-identically") {
+    val held = Seq(("en", "a b zz"), ("en", "a qq"), ("de", "b b"))
+      .toDF("lang", "text")
+    val voc = Seq("a", "b").toDF("token")
+    // en: 5 tokens, oov {zz, qq} = 2 → 4000 bp; de: 2 tokens, 0 oov
+    val out = TextStats.oovRate(held, voc)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(("de", 2L, 0L, 0L), ("en", 5L, 2L, 4000L))
+    val gated = TextStats.oovRate(held, voc, maxBroadcastRows = 0L)
+    gated.as[(String, Long, Long, Long)].collect().toSeq shouldBe out
+    gated.queryExecution.executedPlan.toString should
+      include("ShuffledHashJoin")
+  }
+
   test("psiDrift: hand-walked lanes, eps clamp, identical halves read zero") {
     // base: scores {500, 1500, 1500} → bins {0,1,1}; cur: {1500, 9999}
     // → bins {1, 9}. Lanes (l2 kit: l2(3333)=11906, l2(6667)=12930,
