@@ -365,6 +365,68 @@ object Dedup {
     (out, Seq(cand, sets))
   }
 
+  /** Near-dup THRESHOLD sweep (r14) — the "what cutoff drops how much"
+    * calibration a dedup deployment runs BEFORE committing a Jaccard
+    * threshold (the [[graft.llm.Classifier.sweep]] discipline applied
+    * to dedup): one banding + verify pass over the corpus, then per
+    * candidate threshold the surviving pair count and the distinct
+    * would-drop docs (the b-side of each a<b pair — the keep-lowest-id
+    * pairwise estimate; exact cluster-closure drops are
+    * [[dupClusters]]' job, this is the dial-tuning upper bound).
+    *
+    * Cost is ONE [[bandSignaturesPoly]]+[[bucketPairs]]+shingle-verify
+    * pass regardless of how many thresholds — versus running the dedup
+    * once per candidate. The per-threshold distinct-drop counts are a
+    * multi-distinct aggregate (Spark plans an Expand ×|thresholds|),
+    * but it runs over the CANDIDATE-PAIR frame, which the banding
+    * contract keeps a tiny fraction of the corpus — never over corpus
+    * rows. Poly hash family, so the whole sweep replays in SQL.
+    * Emits (threshold_bp, n_pairs, n_docs_dropped), ascending. */
+  def thresholdSweep(docs: DataFrame, thresholdsBp: Seq[Long], k: Int = 2,
+                     bands: Int = 8, rowsPerBand: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxBucket: Int = 256): DataFrame = {
+    require(thresholdsBp.nonEmpty, "thresholdSweep needs >= 1 threshold")
+    require(thresholdsBp.distinct.size == thresholdsBp.size,
+      "duplicate thresholds — each output row must be one candidate")
+    require(thresholdsBp.forall(t => t >= 0 && t <= 10000),
+      s"thresholds are basis points in [0,10000], got $thresholdsBp")
+    import graft.functions.WordShingles
+    val intDiv = graft.functions.VectorFunctions.intDiv _
+    val bandSig = bandSignaturesPoly(docs, k, bands, rowsPerBand, idCol, textCol)
+    // same checkpoint + explicit-broadcast discipline as verifiedPairs
+    val cand = bucketPairs(bandSig, Seq("band", "sig"), idCol,
+      maxBucket = maxBucket).localCheckpoint(false)
+    val candIds = cand.select(col("a").as(idCol))
+      .union(cand.select(col("b").as(idCol)))
+    val sets = docs
+      .select(col(idCol), array_distinct(WordShingles(col(textCol), k)).as("set"))
+      .join(broadcast(candIds), Seq(idCol), "left_semi")
+      .localCheckpoint(false)
+    val i = size(array_intersect(col("sa"), col("sb"))).cast("long")
+    val u = size(array_union(col("sa"), col("sb"))).cast("long")
+    val pairs = cand
+      .join(broadcast(sets.select(col(idCol).as("a"), col("set").as("sa"))), "a")
+      .join(broadcast(sets.select(col(idCol).as("b"), col("set").as("sb"))), "b")
+      .select(col("b").as("__drop"),
+        intDiv(i * 20000L + u, u * 2L).as("__jbp"))
+    val sorted = thresholdsBp.sorted
+    val aggs = sorted.flatMap { t =>
+      Seq(sum(when(col("__jbp") >= t, 1L).otherwise(0L)).as(s"__p_$t"),
+        countDistinct(when(col("__jbp") >= t, col("__drop"))).as(s"__d_$t"))
+    }
+    val wide = pairs.agg(aggs.head, aggs.tail: _*)
+    val rows = sorted.map { t =>
+      struct(lit(t).as("threshold_bp"),
+        coalesce(col(s"__p_$t"), lit(0L)).as("n_pairs"),
+        coalesce(col(s"__d_$t"), lit(0L)).cast("long").as("n_docs_dropped"))
+    }
+    wide.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.threshold_bp"), col("__r.n_pairs"),
+        col("__r.n_docs_dropped"))
+      .orderBy(col("threshold_bp"))
+  }
+
   /** The (id, band, sig) LSH index rows shared by [[minHashNearDups]]
     * and [[incrementalNear]]: per-doc minhash lanes in one narrow
     * [[graft.functions.MinHashLanes]] kernel pass (null text drops, as

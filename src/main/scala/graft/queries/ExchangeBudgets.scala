@@ -86,6 +86,9 @@ object ExchangeBudgets {
     "llm_curate_full_poly"            -> 22,
     "llm_curriculum"                  -> 5,
     "llm_dedup_cluster"               -> 18,
+    // sweep: banding groupBy + bucket-pair distinct + the multi-distinct
+    // Expand aggregate over the CANDIDATE frame + the |thresholds| sort
+    "llm_dedup_sweep"                 -> 4,
     "llm_dedup_incremental"           -> 4,
     "llm_dedup_incremental_near"      -> 8,
     "llm_dedup_incremental_near_poly" -> 8,

@@ -842,6 +842,78 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
+    // Near-dup threshold SWEEP (r14): pair counts + distinct would-drop
+    // docs at four candidate Jaccard cutoffs from ONE banding+verify
+    // pass — the dial-tuning run before committing a threshold. The
+    // fixture's natural candidates are all near-exact (every cutoff
+    // read identically — the vacuity trap), so three prefix-clone
+    // grades are planted: quarter (+junk, jbp ≈ 2400), half (≈ 3300),
+    // three-quarter (≈ 7300). Probed tri-scale: pairs 84/81/56/30 →
+    // 260/230/134/46 — every threshold row differs at every scale.
+    Q("llm_dedup_sweep", {
+      val jbp = "((20000 * CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) + CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT)) // (2 * CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT)))"
+      s"""WITH base0 AS (SELECT doc_id, text FROM documents WHERE doc_id < $docCap),
+         |tk0 AS (SELECT doc_id, string_split(text, ' ') tk FROM base0),
+         |base AS (
+         |  SELECT doc_id, text FROM base0
+         |  UNION ALL
+         |  SELECT doc_id + 700000,
+         |    coalesce(array_to_string(tk[1:len(tk)//4], ' '), '') || ' qq1 qq2'
+         |  FROM tk0 WHERE doc_id % 23 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 800000,
+         |    coalesce(array_to_string(tk[1:len(tk)//2], ' '), '') || ' qq3'
+         |  FROM tk0 WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 900000,
+         |    coalesce(array_to_string(tk[1:(3*len(tk))//4], ' '), '')
+         |  FROM tk0 WHERE doc_id % 29 = 0),
+         |toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tkf
+         |  FROM base),
+         |${PolySql.laneSigCtes()},
+         |capped AS (
+         |  SELECT doc_id, band, sig,
+         |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id AND a.rn <= 256 AND b.rn <= 256),
+         |${PolySql.shingleCte()},
+         |p AS (
+         |  SELECT c.a, c.b, $jbp AS jbp
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b)
+         |SELECT CAST(t.t AS BIGINT) threshold_bp,
+         |  CAST(sum(CASE WHEN jbp >= t.t THEN 1 ELSE 0 END) AS BIGINT) n_pairs,
+         |  CAST(count(DISTINCT CASE WHEN jbp >= t.t THEN b END) AS BIGINT)
+         |    n_docs_dropped
+         |FROM p CROSS JOIN (VALUES (2000), (3000), (5000), (8000)) t(t)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (spark, sf) =>
+      val intDiv = graft.functions.VectorFunctions.intDiv _
+      val t = split(col("text"), " ")
+      def prefix(num: Int, den: Int) = array_join(
+        slice(t, lit(1), intDiv(size(t).cast("long") * num, lit(den.toLong))
+          .cast("int")), " ")
+      val emptyArr =
+        array().cast("array<struct<doc_id:bigint,text:string>>")
+      def grade(m: Int, offset: Long, body: org.apache.spark.sql.Column) =
+        when(pmod(col("doc_id"), lit(m)) === 0, array(struct(
+          (col("doc_id") + offset).as("doc_id"), body.as("text"))))
+          .otherwise(emptyArr)
+      val planted = Tables.documents(spark, sf)
+        .where(col("doc_id") < docCap).select(col("doc_id"), col("text"))
+        .select(explode(concat(
+          array(struct(col("doc_id").as("doc_id"), col("text").as("text"))),
+          grade(23, 700000L, concat(prefix(1, 4), lit(" qq1 qq2"))),
+          grade(17, 800000L, concat(prefix(1, 2), lit(" qq3"))),
+          grade(29, 900000L, prefix(3, 4)))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+      Dedup.thresholdSweep(planted, Seq(2000L, 3000L, 5000L, 8000L))
+    },
+
     // Edit-distance-verified fuzzy dedup (r13): the OTHER verify family
     // — normalized Levenshtein over the same poly-banded candidates,
     // the "verbatim with small edits" criterion shingle-Jaccard can't

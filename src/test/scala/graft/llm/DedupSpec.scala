@@ -69,6 +69,31 @@ class DedupSpec extends SparkSpec {
     (poly.keySet intersect xx.keySet).foreach { p => poly(p) shouldBe xx(p) }
   }
 
+  test("thresholdSweep: monotone counts, parity with the single-threshold operator") {
+    val out = Dedup.thresholdSweep(docs, Seq(9000L, 5000L, 1L),
+        k = 2, bands = 8, rowsPerBand = 2)
+      .as[(Long, Long, Long)].collect()
+    out.map(_._1).toSeq shouldBe Seq(1L, 5000L, 9000L)   // ascending
+    // pair and drop counts are monotone non-increasing in the threshold
+    out.map(_._2).toSeq shouldBe out.map(_._2).sortBy(-_).toSeq
+    out.map(_._3).toSeq shouldBe out.map(_._3).sortBy(-_).toSeq
+    // each sweep row equals the single-threshold operator run at that
+    // cutoff — the sweep measuring a different pipeline than the dedup
+    // applies is the bug this exists to catch
+    out.foreach { case (t, nPairs, nDrop) =>
+      val single = Dedup.polyMinHashNearDups(docs, k = 2, bands = 8,
+        rowsPerBand = 2, threshold = t.toDouble / 10000.0)
+      single.count() shouldBe nPairs
+      single.select("b").distinct().count() shouldBe nDrop
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.thresholdSweep(docs, Seq.empty)
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.thresholdSweep(docs, Seq(1L, 1L))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.thresholdSweep(docs, Seq(10001L))
+  }
+
   test("polyEditNearDups: appended-token clone verifies as dup, rewrite does not") {
     // 0/1 identical (edits 0), 2 is one token changed ('join'→'batch' is
     // a 5-char edit window on a ~50-char doc → above a tight threshold),
