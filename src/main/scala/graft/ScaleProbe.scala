@@ -902,6 +902,22 @@ object ScaleProbe {
       ("rand_proj", () => graft.llm.Similarity.randomProject(
         synthEmb(n * 4, dims = 64), outDims = 16, dims = 64)
         .agg(sum(element_at(col("proj"), 1))).head()),
+      // OOV audit: vocab TakeOrdered over the corpus + the gated
+      // membership join + |groups| agg — tracks the two scans
+      ("oov_rate", () => graft.llm.TextStats.oovRate(
+        synthDocs(n * 4).select(
+          concat(lit("l"), pmod(col("doc_id"), lit(5))).as("lang"),
+          col("text")),
+        graft.llm.TextStats.vocab(synthDocs(n * 4), topK = 100))
+        .agg(sum("oov_tokens"), sum("total_tokens")).head()),
+      // dedup dial sweep: the minhash_neardup banding+verify pass plus
+      // the multi-distinct Expand — read against minhash_neardup, the
+      // delta isolates the sweep aggregate (candidate-sized by the
+      // banding contract)
+      ("dedup_sweep", () => graft.llm.Dedup.thresholdSweep(
+        synthDocs(n), Seq(2000L, 5000L, 8000L), k = 2, bands = 8,
+        rowsPerBand = 2)
+        .agg(sum("n_pairs"), sum("n_docs_dropped")).head()),
       // MMR re-rank: the PRODUCER scales (corpus scoring + top-20
       // heap); the greedy itself is driver-side over ≤ 20 rows — flat
       // by construction

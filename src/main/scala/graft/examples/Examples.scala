@@ -652,6 +652,40 @@ object Examples {
       s"${fused.head.getLong(3)} fp (reversed-list fusion favors the " +
       s"middle ranks — ${fused.length} returned)")
 
+    // 39. datasheet monitors (r14): per-column profile, classifier
+    // calibration bins, PSI drift between corpus halves, and the
+    // per-lang OOV rate against a top-20 vocab — the standing panel a
+    // long-running ingestion pipeline re-runs per batch
+    val prof = graft.relational.Profile.profile(docs,
+      Seq("doc_id", "lang")).collect()
+    val calPred = greatest(lit(0L), least(lit(9999L),
+      col("n_chars").cast("long") * 10L))
+    val cal = graft.llm.Classifier.calibration(
+      docs.select(col("doc_id"), calPred.as("p"),
+        (pmod(col("doc_id") * 9301L + 49297L, lit(10000L)) < calPred).as("y")),
+      col("p"), col("y")).collect()
+    val psi = graft.llm.TextStats.psiDrift(docs,
+        pmod(col("doc_id"), lit(2)) === 0,
+        col("n_chars").cast("long") * 10L +
+          when(pmod(col("doc_id"), lit(3)) === 0, 700L).otherwise(0L))
+      .agg(sum("psi_fp")).head().getLong(0)
+    val oov = graft.llm.TextStats.oovRate(
+      docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      graft.llm.TextStats.vocab(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), topK = 20))
+      .agg(max("oov_bp")).head().getLong(0)
+    println(s"[39] profile ${prof.length} columns (doc_id distinct_est " +
+      s"${prof.head.getLong(5)}); ${cal.length} calibration bins; " +
+      s"planted psi ${psi} fp; worst-lang oov ${oov} bp")
+
+    // 40. dedup dial tuning + training-data mining (r14): one
+    // banding pass prices four Jaccard cutoffs; hard negatives mine
+    // the closest non-positive bucket-mates per query
+    val dialSweep = graft.llm.Dedup.thresholdSweep(docs,
+      Seq(3000L, 5000L, 8000L)).as[(Long, Long, Long)].collect()
+    println(s"[40] dedup sweep " +
+      dialSweep.map(r => s"${r._1}bp→${r._2} pairs").mkString(", "))
+
     spark.stop()
   }
 }
