@@ -726,6 +726,52 @@ object TextStats {
       .orderBy(col("n").desc, col("token"))
       .limit(topK)
 
+  /** N-gram novelty audit (r14) — the memorization-risk measurement of
+    * Lee et al. 2022 (§5, "novel n-grams") read over a held-out slice:
+    * per document, how many of its order-`n` grams NEVER appear in the
+    * training slice? A held-out doc scoring near zero novelty is
+    * (trigram-wise) reconstructible from training data — the
+    * completion-memorization signal; a corpus whose held-out median
+    * drops round over round is saturating its gram space (measured
+    * here: the fixture's median novelty falls 6000 → 0 bp from
+    * sf0.001 to sf0.1 — the audit working as intended).
+    *
+    * Shape: train grams distinct once (corpus-sized exchange BY
+    * DECLARATION — exact membership is the point; the probabilistic
+    * scale sibling is a bloom filter, the [[llm.Audit]]
+    * contamination-bloom pattern), checkpoint-cut (feeds the size
+    * gate + the join build); the held-out side explodes positions and
+    * flags membership through a SIZE-GATED join ([[Joins]] — a
+    * Heaps-law gram table above the gate degrades to shuffle-hash on
+    * the gram key instead of OOMing a broadcast). Emits
+    * (idCol, n_grams, n_novel, novelty_bp); a doc shorter than `n`
+    * tokens has no grams and no row (both engines). ORDER BY id. */
+  def novelty(train: DataFrame, score: DataFrame, n: Int = 3,
+              idCol: String = "doc_id", textCol: String = "text",
+              maxBroadcastRows: Long = Joins.DefaultMaxBroadcastRows): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1,8], got $n")
+    val t = toks(col(textCol))
+    // the [1,0] sequence guard, as distinctNgrams
+    val starts = when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val gram = explode(transform(starts,
+      i => array_join(slice(t, i, lit(n)), " ")))
+    val tg = train.select(gram.as("g")).distinct().localCheckpoint(false)
+    val small = Joins.fitsBroadcast(tg, maxBroadcastRows)
+    score.select(col(idCol), gram.as("g"))
+      .join(Joins.hinted(small, tg.withColumn("__in", lit(1L))),
+        Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        graft.functions.VectorFunctions.intDiv(
+          col("n_novel") * 20000L + col("n_grams"),
+          col("n_grams") * 2L).as("novelty_bp"))
+      .orderBy(col(idCol))
+  }
+
   /** Vocabulary-coverage audit (r14) — the OOV-rate datasheet column a
     * tokenizer team reads per language before and after retraining: of
     * the held-out slice's whitespace tokens, what fraction falls

@@ -4270,6 +4270,37 @@ object LlmQueries {
         shifted)
     },
 
+    // N-gram novelty audit (r14): per held-out doc, trigrams unseen in
+    // the training half (Lee 2022's memorization-risk read). No
+    // planting needed — the metric's own saturation IS the signal
+    // (probed medians: 6000 bp at sf0.001 → 0 at sf0.1 as the train
+    // half saturates the fixture's gram space; spread 0–9091 at every
+    // scale, never degenerate).
+    Q("llm_novelty",
+      """WITH train AS (
+        |  SELECT string_split(text, ' ') t FROM documents WHERE doc_id % 2 = 0),
+        |tg AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+2], ' ') g
+        |  FROM train, unnest(range(1, len(t) - 1)) r(i) WHERE len(t) >= 3),
+        |held AS (
+        |  SELECT doc_id, string_split(text, ' ') t
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |hg AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') g
+        |  FROM held, unnest(range(1, len(t) - 1)) r(i) WHERE len(t) >= 3)
+        |SELECT hg.doc_id, count(*) n_grams,
+        |  CAST(sum(CASE WHEN tg.g IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST((20000 * sum(CASE WHEN tg.g IS NULL THEN 1 ELSE 0 END)
+        |    + count(*)) // (2 * count(*)) AS BIGINT) AS novelty_bp
+        |FROM hg LEFT JOIN tg USING (g)
+        |GROUP BY hg.doc_id ORDER BY hg.doc_id""".stripMargin) { (spark, sf) =>
+      val docs = Tables.documents(spark, sf)
+      TextStats.novelty(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1))
+    },
+
     // OOV-rate audit (r14): reference vocab = top-20 tokens of the even
     // half (TextStats.vocab's exact tie order: count desc, token asc),
     // coverage measured per lang on the odd half. Probed tri-scale:

@@ -1007,6 +1007,21 @@ class TextStatsSpec extends SparkSpec {
     out(3L) shouldBe ((2L, 0L, 2L, 0L, -1024L))
   }
 
+  test("novelty: per-doc novel-gram counts exact, short docs emit no row, gate parity") {
+    val train = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    // train trigrams: {a b c, b c d}
+    val held = Seq(
+      (1L, "a b c x"),   // {a b c}✓, {b c x}✗ → 1/2 novel = 5000
+      (3L, "x y z"),     // {x y z}✗ → 10000
+      (5L, "a b"))       // < 3 tokens → no row
+      .toDF("doc_id", "text")
+    val out = TextStats.novelty(train, held)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq((1L, 2L, 1L, 5000L), (3L, 1L, 1L, 10000L))
+    TextStats.novelty(train, held, maxBroadcastRows = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSeq shouldBe out
+  }
+
   test("oovRate: membership flags exact, gate swaps to shuffle-hash bit-identically") {
     val held = Seq(("en", "a b zz"), ("en", "a qq"), ("de", "b b"))
       .toDF("lang", "text")
