@@ -540,6 +540,39 @@ object RelationalQueries {
         .orderBy("col_name")
     },
 
+    // Ordered-funnel conversion (r14): greedy-earliest
+    // view→click→purchase fold per user with a 24 h max step gap —
+    // probed tri-scale for a non-degenerate depth distribution
+    // (9/3/3 → 964/319/217 users at steps 1/2/3; an unbounded gap
+    // completes everyone, a 1 h gap strands everyone at step 1).
+    // One user-keyed exchange; the fold replays in DuckDB as a
+    // list_reduce over the same (ts, event_id)-sorted structs.
+    Q("op_funnel",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) tsu, event_type tp, event_id
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id,
+        |    list(struct_pack(k := 0, ts := tsu, tp := tp)
+        |      ORDER BY tsu, event_id) evs
+        |  FROM e GROUP BY 1),
+        |f AS (
+        |  SELECT user_id,
+        |    list_reduce(
+        |      list_prepend(struct_pack(k := 0, ts := 0::BIGINT, tp := ''), evs),
+        |      (s, x) -> CASE
+        |        WHEN s.k < 3 AND x.tp = (['view', 'click', 'purchase'])[s.k + 1]
+        |          AND (s.k = 0 OR x.ts - s.ts <= 86400000000)
+        |        THEN struct_pack(k := s.k + 1, ts := x.ts, tp := '')
+        |        ELSE struct_pack(k := s.k, ts := s.ts, tp := '') END) st
+        |  FROM l)
+        |SELECT user_id, CAST(st.k AS BIGINT) steps_completed,
+        |  CASE WHEN st.k = 3 THEN st.ts END AS completed_ts_us
+        |FROM f ORDER BY user_id""".stripMargin) { (spark, sf) =>
+      graft.relational.Funnel.funnel(Tables.events(spark, sf),
+        Seq("view", "click", "purchase"), maxGapUs = 86400000000L)
+    },
+
     // ----- §2.6 window functions ---------------------------------------
     Q("win_rank",
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
