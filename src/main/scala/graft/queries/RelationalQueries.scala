@@ -492,6 +492,49 @@ object RelationalQueries {
         .select("n_exact", "n_parts", "merged_within_bound")
     },
 
+    // The Count-Min side of the mergeable-sketch tier (r14, next to
+    // agg_hll_merge): per-group CMS partials built in ONE aggregation
+    // pass (executor-mergeable binary format), merged driver-side
+    // (bounded by the group-count require — Spark ships no cms_union
+    // SQL aggregate), then point-queried for the corpus's top
+    // heavy-hitter keys. The gate is the contract, not the bytes:
+    // est ≥ exact is CMS's DETERMINISTIC one-sided guarantee (a
+    // sketch that ever under-counts is broken), and the overestimate
+    // stays within 2·eps·N (eps 0.001 → slack is ~0.2 % of the corpus,
+    // vast at these depths). Exact heavy-hitter election replays in
+    // SQL: count desc, key asc, LIMIT 3.
+    Q("agg_cms_merge",
+      """WITH t AS (
+        |  SELECT o_custkey, count(*) n FROM orders GROUP BY 1),
+        |top3 AS (
+        |  SELECT o_custkey, n FROM t ORDER BY n DESC, o_custkey LIMIT 3)
+        |SELECT o_custkey, CAST(n AS BIGINT) n_exact,
+        |  TRUE AS est_ge_exact, TRUE AS within_bound
+        |FROM top3 ORDER BY o_custkey""".stripMargin) { (spark, sf) =>
+      import spark.implicits._
+      val orders = Tables.orders(spark, sf)
+      val parts = orders.groupBy("o_orderpriority")
+        .agg(expr("count_min_sketch(o_custkey, 0.001d, 0.99d, 42)").as("sk"))
+        .collect()
+      require(parts.length <= 64,
+        s"cms merge expects a bounded partial set, got ${parts.length}")
+      val merged = parts
+        .map(r => org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(r.getAs[Array[Byte]]("sk")))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      val cands = orders.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("o_custkey"))
+        .limit(3)
+        .as[(Long, Long)].collect()
+      val slack = math.max(1L, (2 * 0.001 * merged.totalCount()).toLong)
+      cands.toSeq.map { case (k, n) =>
+        val est = merged.estimateCount(k)
+        (k, n, est >= n, est <= n + slack)
+      }.toDF("o_custkey", "n_exact", "est_ge_exact", "within_bound")
+        .orderBy("o_custkey")
+    },
+
     // Per-column dataset profiler (r14) — the datasheet header: one
     // scan, one global aggregation, one row per column (counts, nulls,
     // string min/max, HLL cardinality). Distinct estimates are

@@ -26,4 +26,27 @@ class ApproxSpec extends SparkSpec {
       .as[(Double, Double)].head()
     math.abs(approx - exact) / exact should be < 0.01
   }
+
+  test("count-min partials merge to global estimates, never under-count") {
+    // grouped partials merged must estimate GLOBAL frequencies, or
+    // pre-aggregated sketches are unsound (the agg_hll_merge contract,
+    // CMS flavor); est >= exact is the deterministic one-sided bound
+    val parts = df.groupBy(pmod(col("k"), lit(5)))
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("sk"))
+      .collect()
+    parts should have size 5
+    val merged = parts
+      .map(r => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(r.getAs[Array[Byte]]("sk")))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    merged.totalCount() shouldBe 20000L
+    val exact = df.groupBy("k").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    val slack = (2 * 0.001 * 20000).toLong
+    exact.foreach { case (k, n) =>
+      val est = merged.estimateCount(k.toLong)
+      est should be >= n
+      est should be <= n + slack
+    }
+  }
 }
