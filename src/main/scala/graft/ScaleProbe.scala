@@ -902,6 +902,46 @@ object ScaleProbe {
       ("rand_proj", () => graft.llm.Similarity.randomProject(
         synthEmb(n * 4, dims = 64), outDims = 16, dims = 64)
         .agg(sum(element_at(col("proj"), 1))).head()),
+      // event-funnel fold: ONE user-keyed exchange + per-user aggregate
+      // fold (no per-step join — a k-step funnel as k as-of joins would
+      // be k corpus shuffles); users grow with n, ~24 events each
+      ("funnel_fold", () => {
+        // n*96: at n*24 the 1× base was 0.45 s and the ratio read 0.9
+        // while measuring fixed job costs (the overhead-floor rule)
+        val users = math.max(8L, n)
+        val ev = spark.range(n * 96).select(
+          pmod(col("id"), lit(users)).as("user_id"),
+          timestamp_micros(col("id") * 1000000L).as("ts"),
+          element_at(typedLit(Seq("view", "click", "purchase", "error")),
+            (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int"))
+            .as("event_type"),
+          col("id").as("event_id"))
+        graft.relational.Funnel.funnel(ev,
+            Seq("view", "click", "purchase"), maxGapUs = 3600000000L)
+          .agg(sum("steps_completed")).head()
+      }),
+      // sessionize: the one-exchange window pair + rollup on the same
+      // distribution — should track funnel_fold's user-keyed shuffle
+      ("sessionize", () => {
+        val users = math.max(8L, n)
+        val ev = spark.range(n * 96).select(
+          pmod(col("id"), lit(users)).as("user_id"),
+          timestamp_micros(col("id") * 1000000L).as("ts"),
+          col("id").as("event_id"))
+        graft.relational.Sessionize.sessionize(ev, gapUs = 1800000000L)
+          .agg(sum("n_events"), count(lit(1))).head()
+      }),
+      // novelty: train gram-set distinct (corpus-sized BY DECLARATION)
+      // + the size-gated membership join — the gate flips to
+      // shuffle-hash once random-text grams clear 2^20 (the backoff_lm
+      // regime family)
+      ("novelty", () => {
+        val d = synthDocs(n * 4)
+        graft.llm.TextStats.novelty(
+            d.where(pmod(col("doc_id"), lit(2)) === 0),
+            d.where(pmod(col("doc_id"), lit(2)) === 1))
+          .agg(sum("n_novel"), sum("n_grams")).head()
+      }),
       // OOV audit: vocab TakeOrdered over the corpus + the gated
       // membership join + |groups| agg — tracks the two scans
       ("oov_rate", () => graft.llm.TextStats.oovRate(

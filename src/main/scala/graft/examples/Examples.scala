@@ -686,6 +686,22 @@ object Examples {
     println(s"[40] dedup sweep " +
       dialSweep.map(r => s"${r._1}bp→${r._2} pairs").mkString(", "))
 
+    // 41. event analytics (r14): funnel depth + gap sessions over the
+    // events table, and the held-out n-gram novelty read on documents
+    val evs = Tables.events(spark, sf)
+    val fun = graft.relational.Funnel.funnel(evs,
+        Seq("view", "click", "purchase"), maxGapUs = 86400000000L)
+      .groupBy("steps_completed").count()
+      .as[(Long, Long)].collect().toMap
+    val sess = graft.relational.Sessionize.sessionize(evs,
+      gapUs = 86400000000L).count()
+    val nov = graft.llm.TextStats.novelty(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1))
+      .agg(avg("novelty_bp")).head().getDouble(0).round
+    println(s"[41] funnel depths $fun; $sess sessions; " +
+      s"mean held-out novelty $nov bp")
+
     spark.stop()
   }
 }
