@@ -998,6 +998,37 @@ object TextStats {
       .orderBy(col(groupCol), col("n"))
   }
 
+  /** The AUDIT composition of [[distinctNgrams]] × [[distinctNgramsApprox]]
+    * — exact counts AND the HLL estimate from ONE corpus exchange, for
+    * the gate that must compare them anyway. The trick is HLL's
+    * DUPLICATE-INSENSITIVITY: inserting each distinct gram once (the
+    * rows the exact path's first aggregation already produced) builds
+    * the bit-identical sketch the one-pass sketch face builds from the
+    * raw stream (spec-pinned), so the estimate column here IS the
+    * production face's estimate — while the naive composition (run
+    * both operators, join) paid a second corpus scan + hash pass
+    * (measured: the r14 gate query dropped ~2× with this fold). The
+    * sketch-only [[distinctNgramsApprox]] remains the 100 TB
+    * production shape — THIS face inherently pays the exact
+    * corpus-sized gram exchange. */
+  def distinctNgramsAudit(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
+                          groupCol: String = "source",
+                          textCol: String = "text",
+                          lgK: Int = 14): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK out of DataSketches range: $lgK")
+    gramStream(docs, ns, groupCol, textCol)
+      .groupBy(col(groupCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(sum(col("occ")).cast("long").as("total_grams"),
+        count(lit(1)).as("distinct_exact"),
+        expr(s"hll_sketch_estimate(hll_sketch_agg(gram, $lgK))")
+          .as("distinct_est"))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        col("total_grams"), col("distinct_exact"), col("distinct_est"))
+      .orderBy(col(groupCol), col("n"))
+  }
+
   /** Stupid-backoff n-gram LM scoring (Brants et al. 2007): counts are
     * TRAINED from `train` (the held-in corpus half) and each position
     * of `score` with a full trigram context is scored at the deepest

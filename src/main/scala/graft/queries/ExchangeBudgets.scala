@@ -70,11 +70,6 @@ object ExchangeBudgets {
     // sharing several tables must score once) — every added exchange
     // is signature- or candidate-sized, never |src|×|tgt|
     "llm_bitext_margin_lsh"           -> 11,
-    // two declared aggregation paths over one corpus scan pair: the
-    // exact face's gram exchange + per-group rollup + sort, the sketch
-    // face's single partial-merge exchange; the contract join is
-    // broadcast (15 rows)
-    "llm_distinct_n_approx"           -> 4,
     // per-lang tercile machinery: histogram groupBy, per-lang CDF window
     // partition, per-lang totals + cut election over the (checkpoint-cut)
     // histogram frame, declared sort — every exchange histogram- or

@@ -1853,15 +1853,16 @@ object LlmQueries {
         |  CAST(count(*) AS BIGINT) distinct_exact,
         |  TRUE AS within_bound
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, sf) =>
-      val docs = Tables.documents(spark, sf)
-      val approx = TextStats.distinctNgramsApprox(docs)
-        .select(col("source"), col("n"), col("distinct_est"))
-      TextStats.distinctNgrams(docs)
-        .join(broadcast(approx), Seq("source", "n"))
+      // distinctNgramsAudit folds exact + estimate into ONE corpus
+      // exchange (HLL is duplicate-insensitive, so sketching the exact
+      // path's deduped gram rows gives the production face's
+      // bit-identical estimate) — the naive two-operator join paid a
+      // second corpus scan + hash pass
+      TextStats.distinctNgramsAudit(Tables.documents(spark, sf))
         .select(col("source"), col("n"), col("total_grams"),
-          col("distinct_grams").as("distinct_exact"),
-          (abs(col("distinct_est") - col("distinct_grams")) * 100 <=
-            col("distinct_grams") * 2).as("within_bound"))
+          col("distinct_exact"),
+          (abs(col("distinct_est") - col("distinct_exact")) * 100 <=
+            col("distinct_exact") * 2).as("within_bound"))
         .orderBy("source", "n")
     },
 

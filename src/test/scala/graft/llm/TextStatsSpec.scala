@@ -951,6 +951,20 @@ class TextStatsSpec extends SparkSpec {
     val plan = TextStats.distinctNgramsApprox(big)
       .queryExecution.executedPlan.toString
     "(?i)exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    // the audit face's estimate IS the sketch face's estimate — HLL is
+    // duplicate-insensitive, so sketching the deduped gram rows builds
+    // the bit-identical sketch (the one-exchange fold's load-bearing
+    // property)
+    val est = TextStats.distinctNgramsApprox(big).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val audit = TextStats.distinctNgramsAudit(big).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    audit.keySet shouldBe est.keySet
+    audit.foreach { case (k, (exact, e)) =>
+      e shouldBe est(k)
+      exact should be > 0L
+    }
   }
 
   test("backoffScore: level election and l2 contributions exact") {
