@@ -616,6 +616,29 @@ object RelationalQueries {
         Seq("view", "click", "purchase"), maxGapUs = 86400000000L)
     },
 
+    // Cohort retention (r14): weekly retention matrix. The raw fixture
+    // puts every user's first event on ~day 1 (ONE cohort — a vacuous
+    // matrix), so staggered onboarding is planted IN-QUERY on both
+    // sides: each user's events before day 1 + user_id % 20 are
+    // dropped, spreading first-activity across 21 cohort days (probed
+    // tri-scale: 56/69/69 cells, counts 1–83).
+    Q("op_retention",
+      """WITH e0 AS (SELECT user_id, CAST(ts AS DATE) d FROM events),
+        |e AS (SELECT user_id, d FROM e0 WHERE day(d) >= 1 + user_id % 20),
+        |c AS (SELECT user_id, min(d) cohort FROM e GROUP BY 1),
+        |r AS (
+        |  SELECT DISTINCT c.cohort, (e.d - c.cohort) // 7 wk, e.user_id
+        |  FROM e JOIN c USING (user_id))
+        |SELECT cohort AS cohort_day, CAST(wk AS BIGINT) bucket_offset,
+        |  count(*) n_users
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, sf) =>
+      val ev = Tables.events(spark, sf)
+        .select(col("user_id"), col("ts"))
+        .where(dayofmonth(to_date(col("ts"))) >=
+          lit(1) + pmod(col("user_id"), lit(20)))
+      graft.relational.Retention.retention(ev, bucketDays = 7)
+    },
+
     // Batch sessionization (r14): 24 h gap-based sessions — the batch
     // twin of stream_session (which holds only state-store session
     // state; this replays history). Probed tri-scale: 111/1214/11966
