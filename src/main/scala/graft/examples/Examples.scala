@@ -699,7 +699,10 @@ object Examples {
         docs.where(pmod(col("doc_id"), lit(2)) === 0),
         docs.where(pmod(col("doc_id"), lit(2)) === 1))
       .agg(avg("novelty_bp")).head().getDouble(0).round
+    val ret = graft.relational.Retention.retention(evs, bucketDays = 7)
+      .agg(count(lit(1)), sum("n_users")).head()
     println(s"[41] funnel depths $fun; $sess sessions; " +
+      s"retention ${ret.getLong(0)} cells / ${ret.getLong(1)} user-weeks; " +
       s"mean held-out novelty $nov bp")
 
     spark.stop()
