@@ -492,6 +492,49 @@ object RelationalQueries {
         .select("n_exact", "n_parts", "merged_within_bound")
     },
 
+    // Pivot (r14): long → wide with an EXPLICIT pivot-value list — at
+    // scale the column set must be declared, never discovered from the
+    // data (a data-dependent pivot is a collect of the key domain).
+    // Spark plans one partial-aggregate pass (pivot_first), no join.
+    Q("agg_pivot",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) order_year,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, sf) =>
+      Tables.orders(spark, sf)
+        .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "5-LOW"))
+        .count()
+        .select(col("order_year"),
+          coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("high"),
+          coalesce(col("5-LOW"), lit(0L)).as("low"))
+        .orderBy("order_year")
+    },
+
+    // Unpivot/melt (r14): wide → long via Dataset.unpivot — the
+    // narrow-transform twin of agg_pivot (ids kept, value columns
+    // become (var, val) rows; a metrics-wide table melts to the tall
+    // form every generic aggregator consumes). Pure projection +
+    // Expand — no shuffle beyond the declared sort.
+    Q("op_melt",
+      """SELECT c_custkey, k AS metric, CAST(v AS DECIMAL(18,2)) AS val
+        |FROM (
+        |  SELECT c_custkey, 'acctbal' AS k, c_acctbal AS v FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DECIMAL(18,2))
+        |  FROM customer)
+        |ORDER BY c_custkey, metric""".stripMargin) { (spark, sf) =>
+      Tables.customer(spark, sf)
+        .select(col("c_custkey"),
+          col("c_acctbal").cast("decimal(18,2)").as("acctbal"),
+          col("c_nationkey").cast("decimal(18,2)").as("nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal"), col("nationkey")), "metric", "val")
+        .orderBy("c_custkey", "metric")
+    },
+
     // The Count-Min side of the mergeable-sketch tier (r14, next to
     // agg_hll_merge): per-group CMS partials built in ONE aggregation
     // pass (executor-mergeable binary format), merged driver-side
