@@ -398,6 +398,24 @@ object RelationalQueries {
           .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    // GROUPING SETS (r14) — the general form rollup/cube specialize:
+    // an explicit lattice of aggregation levels in ONE pass (here the
+    // two marginals + the grand total, skipping the full cross table a
+    // CUBE would also pay for).
+    Q("agg_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"),
+            asc_nulls_first("l_linestatus"))
+    },
+
     Q("agg_count_distinct",
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) {
