@@ -942,6 +942,23 @@ object ScaleProbe {
             d.where(pmod(col("doc_id"), lit(2)) === 1))
           .agg(sum("n_novel"), sum("n_grams")).head()
       }),
+      // hard-negative mining: fixed 128-query side over a growing
+      // corpus — signature equi-join + candidate distinct + bounded
+      // heap; should track ann_recall's LSH half without the brute
+      // truth pass
+      ("hard_negatives", () => {
+        val corpus = synthEmb(n * 4)
+        val queries = synthEmb(128)
+          .select((col("vec_id") + 1000000L).as("qid"),
+            transform(col("embedding"), (x, i) =>
+              (x + (pmod(col("vec_id") * 31 + i * 7, lit(9)) - 4)
+                .cast("float") * lit(0.01f)).cast("float")).as("embedding"))
+        val positives = spark.range(128)
+          .select((col("id") + 1000000L).as("qid"), col("id").as("vec_id"))
+        graft.llm.Similarity.hardNegatives(queries, corpus, positives,
+            k = 3, numTables = 4, bits = 4, dims = 32)
+          .agg(sum("margin_bp"), count(lit(1))).head()
+      }),
       // OOV audit: vocab TakeOrdered over the corpus + the gated
       // membership join + |groups| agg — tracks the two scans
       ("oov_rate", () => graft.llm.TextStats.oovRate(
