@@ -535,9 +535,13 @@ object RelationalQueries {
     // narrow-transform twin of agg_pivot (ids kept, value columns
     // become (var, val) rows; a metrics-wide table melts to the tall
     // form every generic aggregator consumes). Pure projection +
-    // Expand — no shuffle beyond the declared sort.
+    // Expand — no shuffle beyond the declared sort. The melted value
+    // leaves as VARCHAR on both sides (r15): ANY parquet decimal
+    // output materializes as object-dtype decimal.Decimal in the
+    // driver comparator — the r14 red row — so the DECIMAL(18,2)
+    // money lane is kept internal and serialized at the boundary.
     Q("op_melt",
-      """SELECT c_custkey, k AS metric, CAST(v AS DECIMAL(18,2)) AS val
+      """SELECT c_custkey, k AS metric, CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR) AS val
         |FROM (
         |  SELECT c_custkey, 'acctbal' AS k, c_acctbal AS v FROM customer
         |  UNION ALL
@@ -550,6 +554,7 @@ object RelationalQueries {
           col("c_nationkey").cast("decimal(18,2)").as("nationkey"))
         .unpivot(Array(col("c_custkey")),
           Array(col("acctbal"), col("nationkey")), "metric", "val")
+        .withColumn("val", col("val").cast("string"))
         .orderBy("c_custkey", "metric")
     },
 
