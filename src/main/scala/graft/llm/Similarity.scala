@@ -662,7 +662,9 @@ object Similarity {
     * ([[graft.relational.TopK.topKPerGroupRanked]] — k rows per key per
     * map task cross the shuffle, no window sort). The positive's own
     * score rides a second candidate-sized scoring pass over the same
-    * quantized cuts. All joins key on ids; the anti join is
+    * quantized cuts, aggregated to ONE row per query — when the labels
+    * carry several positives for a qid, `pos_bp`/`margin_bp` are
+    * measured against the best-scoring one (max), never fanned out. All joins key on ids; the anti join is
     * hash-partitioned and linear (positives are query-sized — NOT
     * broadcast: production mines negatives for every training query at
     * once). Emits `(qIdCol, idCol, rank, neg_bp, pos_bp, margin_bp)`;
@@ -708,10 +710,16 @@ object Similarity {
       keys = Seq(col(qIdCol)),
       sortCols = Seq(col("__inv"), col(idCol), col("neg_bp")),
       k = k, rankCol = "rank")
+    // one pos_bp row per query even when the labels carry SEVERAL
+    // positives per qid (multi-positive retrieval sets are normal):
+    // the margin is measured against the BEST labeled positive —
+    // an un-aggregated join would fan every negative out per positive
+    // with ambiguous pos_bp. The groupBy is query-sized.
     val posScore = Dedup.cos2Score(posCut,
         qVq.select(col(qIdCol).as("a"), col("__vq").as("__va")),
         cVq.select(col(idCol).as("b"), col("__vq").as("__vb")))
-      .select(col("a").as(qIdCol), col("cos2_bp").as("pos_bp"))
+      .groupBy(col("a").as(qIdCol))
+      .agg(max(col("cos2_bp")).as("pos_bp"))
     negs.join(posScore, qIdCol)
       .select(col(qIdCol), col(idCol), col("rank").cast("long").as("rank"),
         col("neg_bp"), col("pos_bp"),

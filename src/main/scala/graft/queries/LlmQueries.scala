@@ -3116,10 +3116,10 @@ object LlmQueries {
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 400),
          |hard AS (
-         |  SELECT vec_id + 200000 AS vec_id,
+         |  SELECT vid + 200000 AS vec_id,
          |    list_transform(range(1, 65),
-         |      i -> v[i] + ((vec_id * 37 + (i-1) * 11) % 9 - 4) * 0.03) AS v
-         |  FROM raw0 WHERE vec_id % 14 = 0),
+         |      i -> v[i] + ((vid * 37 + (i-1) * 11) % 9 - 4) * 0.03) AS v
+         |  FROM (SELECT vec_id AS vid, v FROM raw0 WHERE vec_id % 14 = 0)),
          |raw AS (SELECT * FROM raw0 UNION ALL SELECT * FROM hard),
          |qv AS (
          |  SELECT vid + 100000 AS qid,

@@ -40,11 +40,23 @@ object Funnel {
     require(steps.distinct.size == steps.size,
       s"duplicate steps not supported (greedy state is a single index): $steps")
     require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
+    // the tie column must stay total-order-deterministic: a blind
+    // cast("long") turns a non-numeric id into NULL and silently
+    // collapses the documented tie order into struct-null ordering —
+    // numeric ids cast exactly, string ids hash (xxhash64 is
+    // deterministic), anything else is a caller error
+    val tie = events.schema(tieCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        col(tieCol).cast("long")
+      case org.apache.spark.sql.types.StringType => xxhash64(col(tieCol))
+      case other => throw new IllegalArgumentException(
+        s"tie column '$tieCol' must be numeric or string, got ${other.simpleString}")
+    }
     val n = steps.length
     val stepArr = typedLit(steps)
     val ordered = events.select(col(userCol),
         struct(unix_micros(col(tsCol)).as("ts"),
-          col(tieCol).cast("long").as("tie"),
+          tie.as("tie"),
           col(typeCol).as("tp")).as("e"))
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(col("e"))).as("evs"))

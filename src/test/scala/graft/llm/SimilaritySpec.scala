@@ -504,6 +504,32 @@ class SimilaritySpec extends SparkSpec {
     out.foreach(r => r._6 shouldBe r._5 - r._4)
   }
 
+  test("hardNegatives: several positives per query — best pos_bp, no fanout") {
+    def v(seed: Long) =
+      (0 until 8).map(i => ((seed * 31 + i * 17) % 19).toDouble / 19.0)
+    val base = v(1L)
+    val near = base.updated(0, base(0) + 0.02)
+    val weakPos = base.updated(1, base(1) + 0.05) // second labeled positive
+    val corpus = Seq((1L, base), (2L, near), (3L, v(9L)), (4L, weakPos))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = Seq((1000L, base)).toDF("qid", "embedding")
+      .select(col("qid"), col("embedding").cast("array<double>").as("embedding"))
+    val positives = Seq((1000L, 1L), (1000L, 4L)).toDF("qid", "vec_id")
+    val out = Similarity.hardNegatives(queries, corpus, positives, k = 3,
+        numTables = 4, bits = 2, dims = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // no labeled positive leaks in as a negative
+    out.map(r => (r._1, r._2)).toSet.intersect(
+      Set((1000L, 1L), (1000L, 4L))) shouldBe empty
+    // exactly one row per (qid, rank): the second positive must NOT fan
+    // the negatives out with an ambiguous pos_bp
+    out.groupBy(r => (r._1, r._3)).values.foreach(_.length shouldBe 1)
+    // pos_bp is the BEST labeled positive's score (exact match → 10000)
+    out.foreach(_._5 shouldBe 10000L)
+    out.foreach(r => r._6 shouldBe r._5 - r._4)
+  }
+
   test("marginMine is invariant under repartitioning") {
     val (src, tgt) = bitextFixture
     val once = Similarity.marginMine(src, tgt, k = 2).collect().toSet

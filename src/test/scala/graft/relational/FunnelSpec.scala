@@ -62,4 +62,23 @@ class FunnelSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Funnel.funnel(events, Seq("view"), 0L)
   }
+
+  test("funnel: string event ids hash to a deterministic tie, non-castable rejected") {
+    // same stream as the greedy test but with string ids — a blind
+    // cast("long") would have NULLed every tie
+    val events = Seq(
+      (1L, 10L, "view", "ev-a"), (1L, 20L, "click", "ev-b"),
+      (2L, 10L, "view", "ev-c"))
+      .toDF("user_id", "tsu", "event_type", "event_id")
+      .select(col("user_id"), timestamp_micros(col("tsu")).as("ts"),
+        col("event_type"), col("event_id"))
+    val out = Funnel.funnel(events, Seq("view", "click"), 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 2L
+    out(2L) shouldBe 1L
+    // a tie column that can't order deterministically is a caller error
+    val badTie = events.withColumn("event_id", array(col("user_id")))
+    an[IllegalArgumentException] should be thrownBy
+      Funnel.funnel(badTie, Seq("view", "click"), 1000L)
+  }
 }
