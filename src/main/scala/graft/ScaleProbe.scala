@@ -1000,6 +1000,69 @@ object ScaleProbe {
               col("na") * col("nb") * 2L).as("simq_bp"))
           .orderBy(col("simq_bp").desc, col("vec_id")).limit(20)
         graft.llm.Similarity.mmrRerank(pool, k = 10).count()
+      }),
+      // cohort retention: one user-keyed aggregate (cohort + day set),
+      // then the |cohorts|·|buckets| rollup — tracks funnel_fold's
+      // exchange with a calendar-bounded array instead of a fold
+      ("retention", () => {
+        // n*768 events over n*2 users across a 60-day span: ~6 events
+        // per user-day — the (user, day) distinct must REDUCE before
+        // anything shuffles (a d≈1 fixture made the distinct pure
+        // overhead and measured nothing); at n*96 the 1x base was
+        // 0.38 s — the overhead floor
+        val users = math.max(8L, n * 2)
+        val ev = spark.range(n * 768).select(
+          pmod(col("id"), lit(users)).as("user_id"),
+          timestamp_micros(((pmod(col("id"), lit(users)) % 30) * 86400L +
+            pmod(xxhash64(col("id")), lit(60L * 86400L))) * 1000000L)
+            .as("ts"))
+        graft.relational.Retention.retention(ev, bucketDays = 7)
+          .agg(sum("n_users")).head()
+      }),
+      // per-column profiler: ONE scan + ONE global wide aggregate (all
+      // partials algebraic/HLL) — the ratio should read the scan
+      // the sink consumes EVERY stat column: sum(n_rows) alone lets
+      // Catalyst prune min/max/HLL out of the wide aggregate and the
+      // row reads generation-flat while measuring nothing (the
+      // count()-prunes rule, aggregate form)
+      ("profile", () => graft.relational.Profile.profile(
+        synthDocs(n * 64), Seq("doc_id", "text"))
+        .agg(sum("n_rows"), sum("n_nulls"), sum("distinct_est"),
+          sum(length(col("min_val"))), sum(length(col("max_val"))))
+        .head()),
+      // PSI drift: one |bins|-key aggregate + a 1-row total broadcast —
+      // flat shuffle by construction (bins fixed at 10)
+      ("psi_drift", () => graft.llm.TextStats.psiDrift(
+        // n*3200: at n*400 the 1x base was 0.37 s (overhead floor)
+        spark.range(n * 3200).toDF("id"),
+        isBase = pmod(col("id"), lit(2)) === 0,
+        scoreBp = pmod(xxhash64(col("id"), lit(1)), lit(10000)))
+        .agg(sum("psi_fp")).head()),
+      // calibration/ECE: the same |bins|-key single-aggregate family —
+      // labels sampled AT the predicted rate so gaps stay nonzero
+      ("calibration", () => graft.llm.Classifier.calibration(
+        // n*3200: at n*400 the 1x base was 0.22 s (overhead floor)
+        spark.range(n * 3200).toDF("id"),
+        predBp = pmod(xxhash64(col("id"), lit(1)), lit(10000)),
+        label = pmod(xxhash64(col("id"), lit(2)), lit(10000)) <
+          pmod(xxhash64(col("id"), lit(1)), lit(10000)))
+        .agg(sum("ece_num"), sum("n")).head()),
+      // CMS build+merge: the distributed cost is the per-group sketch
+      // aggregate; the driver merge is 8 partials by construction
+      ("cms_merge", () => {
+        // n*3200: at n*400 the 1x base was 0.19 s (overhead floor)
+        val parts = spark.range(n * 3200).select(
+          pmod(col("id"), lit(8)).as("g"),
+          pmod(xxhash64(col("id")), lit(1000)).as("k"))
+          .groupBy("g")
+          .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("sk"))
+          .collect()
+        require(parts.length <= 64,
+          s"cms merge expects a bounded partial set, got ${parts.length}")
+        val merged = parts.map(r => org.apache.spark.util.sketch
+          .CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+          .reduce { (a, b) => a.mergeInPlace(b); a }
+        merged.estimateCount(7L)
       }))
     val llmBase = 5000L
 

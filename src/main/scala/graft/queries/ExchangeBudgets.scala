@@ -132,6 +132,10 @@ object ExchangeBudgets {
     "llm_split_safe"                  -> 18,
     "llm_tfidf"                       -> 6,
     "llm_unimax"                      -> 6,
+    // r15 retention redesign: collect_set's ObjectHashAggregate
+    // sort-fallback traded for one extra user-days-sized exchange —
+    // (user,day) distinct, window user-hash, cells agg, declared sort
+    "op_retention"                    -> 4,
     "op_zip"                          -> 5,
     "src_shard_jsonl"                 -> 4)
 

@@ -9,18 +9,31 @@ import org.apache.spark.sql.functions._
   * `bucketDays` window, how many of them were active again — the
   * retention matrix every growth dashboard renders.
   *
-  * Shape for 100 TB: ONE user-keyed exchange does all the per-user
-  * work (`min(day)` = the cohort AND the distinct active-day set ride
-  * the same aggregate — a join-back formulation would shuffle the raw
-  * events a second time); the day set is calendar-bounded (≤ the
-  * corpus's day span, NEVER event-count-sized — `collect_set` of
-  * dates), offsets dedup per user inside the array (a user active
-  * twice in one bucket counts once, so the final `count(*)` over
-  * exploded (user, bucket) rows IS a distinct-user count with no
-  * second distinct aggregate), and the rollup exchange carries
-  * |cohorts|·|buckets| cells. Emits `(cohort_day, bucket_offset, n_users)` —
-  * the offset in `bucketDays` units (`bucket_offset`, not `offset`:
-  * reserved in ANSI engines, the bare-alias trap) from the cohort day; ORDER BY cohort,
+  * Shape for 100 TB (redesigned r15 — the ScaleProbe caught the first
+  * cut spilling 2.4 GB at 10×): the original one-exchange
+  * `collect_set` formulation plans as ObjectHashAggregate, which
+  * falls back to SORT-BASED aggregation past the per-partition
+  * key threshold — so at scale the whole raw event stream was being
+  * externally sorted. The current shape keeps every operator inside
+  * whole-stage-codegen HashAggregate/Window instead:
+  *
+  *   1. distinct `(user, day)` — the one RAW-EVENT exchange, with
+  *      map-side partial dedup (daily duplicates never cross the wire;
+  *      this is where 100 TB becomes user-days);
+  *   2. cohort = `min(day) OVER (PARTITION BY user)` — one user-keyed
+  *      exchange + sort of the already-deduped user-days, no join-back
+  *      and no second scan of the input;
+  *   3. bucket projection + `(user, cohort, bucket)` dedup — the keys
+  *      EXTEND the window's user hash (ClusteredDistribution subset
+  *      rule), so this aggregate rides the existing partitioning with
+  *      NO exchange, and makes each surviving row one distinct user
+  *      per bucket;
+  *   4. the |cohorts|·|buckets| cell count — a map-side-combined
+  *      aggregate over per-user-bucket rows.
+  *
+  * Emits `(cohort_day, bucket_offset, n_users)` — the offset in
+  * `bucketDays` units (`bucket_offset`, not `offset`: reserved in ANSI
+  * engines, the bare-alias trap) from the cohort day; ORDER BY cohort,
   * offset. */
 object Retention {
 
@@ -29,16 +42,17 @@ object Retention {
                 tsCol: String = "ts"): DataFrame = {
     require(bucketDays >= 1, s"bucketDays must be >= 1, got $bucketDays")
     val intDiv = graft.functions.VectorFunctions.intDiv _
-    val perUser = events
+    val userDays = events
       .select(col(userCol), to_date(col(tsCol)).as("__d"))
-      .groupBy(col(userCol))
-      .agg(min(col("__d")).as("cohort_day"),
-        collect_set(col("__d")).as("__days"))
-    perUser
-      .select(col("cohort_day"), explode(array_distinct(
-        transform(col("__days"), d =>
-          intDiv(datediff(d, col("cohort_day")).cast("long"),
-            lit(bucketDays.toLong))))).as("bucket_offset"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(userCol))
+    userDays
+      .select(col(userCol), min(col("__d")).over(w).as("cohort_day"),
+        col("__d"))
+      .select(col(userCol), col("cohort_day"),
+        intDiv(datediff(col("__d"), col("cohort_day")).cast("long"),
+          lit(bucketDays.toLong)).as("bucket_offset"))
+      .dropDuplicates(userCol, "cohort_day", "bucket_offset")
       .groupBy(col("cohort_day"), col("bucket_offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("bucket_offset"))

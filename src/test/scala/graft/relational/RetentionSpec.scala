@@ -28,15 +28,22 @@ class RetentionSpec extends SparkSpec {
       ("2024-01-05", 2L) -> 1L)
   }
 
-  test("retention: one user-keyed exchange does cohort AND day-set work") {
+  test("retention: all-codegen shape — no object agg, no join, bucket dedup rides the user hash") {
     val events = ev((1 to 120).map(i =>
       ((i % 10).toLong, f"2024-01-${i % 28 + 1}%02d")): _*)
-    val plan = Retention.retention(events, bucketDays = 7)
-      .queryExecution.executedPlan.toString
+    val df = Retention.retention(events, bucketDays = 7)
+    val plan = df.queryExecution.executedPlan.toString
+    // the r15 redesign: collect_set's ObjectHashAggregate fell back to
+    // sort-based aggregation at scale (2.4 GB probe spill at 10×) —
+    // every aggregate here must stay a codegen HashAggregate
+    plan should not include "ObjectHashAggregate"
     plan should not include "Join"
-    plan should not include "Window"
-    // partitioning-invariant (collect_set order must not leak)
-    val once = Retention.retention(events).collect()
+    // exactly 3 hash exchanges pre-sort: raw→(user,day) distinct, the
+    // window's user hash (which the (user,cohort,bucket) dedup RIDES —
+    // a 4th would mean the subset rule broke), and the final cells agg
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 3
+    // partitioning-invariant
+    val once = df.collect()
     Retention.retention(events.repartition(7)).collect() shouldBe once
     an[IllegalArgumentException] should be thrownBy
       Retention.retention(events, bucketDays = 0)
