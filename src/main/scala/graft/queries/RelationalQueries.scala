@@ -601,6 +601,77 @@ object RelationalQueries {
         .orderBy("o_custkey")
     },
 
+    // The QUANTILE member of the mergeable-sketch tier (r15, closing
+    // the HLL/CMS/percentile triangle): per-group Greenwald–Khanna
+    // partials (graft.functions.QuantileSketch — approx_percentile's
+    // own structure, but emitted as bytes) built in ONE aggregation
+    // pass, driver-merged (bounded by the group-count require), then
+    // rank-queried. The gate is GK's DETERMINISTIC guarantee: the
+    // value returned for q has exact rank within ±eps·N — checked by
+    // replaying the value's exact rank window [lo+1, hi] against
+    // [(q−eps)·N, (q+eps)·N] in integer cross-multiplication (merge
+    // order may move the VALUE, never the bound). Exact
+    // percentile_disc values ride along for the cross-engine hash.
+    Q("agg_quantile_merge",
+      """SELECT CAST(2500 AS BIGINT) AS q_bp,
+        |  quantile_disc(o_totalprice, 0.25) AS exact_disc,
+        |  (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
+        |    AS n_parts,
+        |  TRUE AS within_rank_eps
+        |FROM orders
+        |UNION ALL
+        |SELECT 5000, quantile_disc(o_totalprice, 0.5),
+        |  (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders),
+        |  TRUE FROM orders
+        |UNION ALL
+        |SELECT 9000, quantile_disc(o_totalprice, 0.9),
+        |  (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders),
+        |  TRUE FROM orders
+        |ORDER BY q_bp""".stripMargin) { (spark, sf) =>
+      import spark.implicits._
+      val orders = Tables.orders(spark, sf)
+      val eps = 0.01
+      val parts = orders.groupBy("o_orderpriority")
+        .agg(graft.functions.QuantileSketch
+          .agg(col("o_totalprice").cast("double"), eps).as("sk"))
+        .collect()
+      require(parts.length <= 64,
+        s"quantile merge expects a bounded partial set, got ${parts.length}")
+      val merged = parts
+        .map(r => graft.functions.QuantileSketch
+          .fromBytes(r.getAs[Array[Byte]]("sk")))
+        .reduce(graft.functions.QuantileSketch.merge)
+      val qsBp = Seq(2500L, 5000L, 9000L)
+      val ests = qsBp.map(q => graft.functions.QuantileSketch
+        .query(merged, q / 10000.0)
+        .getOrElse(sys.error(s"empty sketch at q=$q")))
+      // one exact pass: N, each estimate's rank window, and the exact
+      // percentile_disc values for the hashed output
+      val rankAggs: Seq[org.apache.spark.sql.Column] =
+        Seq(count(lit(1)).cast("long").as("n")) ++
+          qsBp.indices.flatMap { i =>
+            Seq(sum(when(col("o_totalprice") < ests(i), 1L).otherwise(0L))
+                .cast("long").as(s"lo$i"),
+              sum(when(col("o_totalprice") <= ests(i), 1L).otherwise(0L))
+                .cast("long").as(s"hi$i"))
+          } ++
+          qsBp.zipWithIndex.map { case (q, i) =>
+            expr(s"percentile_disc(0.${"%04d".format(q)}) WITHIN GROUP " +
+              "(ORDER BY o_totalprice)").as(s"d$i")
+          }
+      val r = orders.agg(rankAggs.head, rankAggs.tail: _*).head()
+      val n = r.getAs[Long]("n")
+      val epsBp = (eps * 10000).toLong
+      qsBp.zipWithIndex.map { case (q, i) =>
+        val lo = r.getAs[Long](s"lo$i")
+        val hi = r.getAs[Long](s"hi$i")
+        val within = (lo + 1) * 10000L <= (q + epsBp) * n &&
+          hi * 10000L >= (q - epsBp) * n
+        (q, r.getAs[Double](s"d$i"), parts.length.toLong, within)
+      }.toDF("q_bp", "exact_disc", "n_parts", "within_rank_eps")
+        .orderBy("q_bp")
+    },
+
     // Per-column dataset profiler (r14) — the datasheet header: one
     // scan, one global aggregation, one row per column (counts, nulls,
     // string min/max, HLL cardinality). Distinct estimates are
