@@ -65,6 +65,39 @@ object StreamQueries {
     // per-user projection is deterministic (count + exact-cents sum), so it
     // carries a full oracle: max(n)/max(total) over the single batch
     // emission ≡ per-user count/sum.
+    // Streaming funnel on the batch surface (r15): transformWithState
+    // executes in batch mode too (each user's whole history is one
+    // group, so the keyed state machine IS the batch greedy-earliest
+    // fold — FunnelStreamSpec pins stream-trigger convergence), which
+    // lets the v2-state operator carry op_funnel's own oracle.
+    Q("stream_funnel",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) tsu, event_type tp, event_id
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id,
+        |    list(struct_pack(k := 0, ts := tsu, tp := tp)
+        |      ORDER BY tsu, event_id) evs
+        |  FROM e GROUP BY 1),
+        |f AS (
+        |  SELECT user_id,
+        |    list_reduce(
+        |      list_prepend(struct_pack(k := 0, ts := 0::BIGINT, tp := ''), evs),
+        |      (s, x) -> CASE
+        |        WHEN s.k < 3 AND x.tp = (['view', 'click', 'purchase'])[s.k + 1]
+        |          AND (s.k = 0 OR x.ts - s.ts <= 86400000000)
+        |        THEN struct_pack(k := s.k + 1, ts := x.ts, tp := '')
+        |        ELSE struct_pack(k := s.k, ts := s.ts, tp := '') END) st
+        |  FROM l)
+        |SELECT user_id, CAST(st.k AS BIGINT) steps_completed,
+        |  CASE WHEN st.k = 3 THEN st.ts END AS completed_ts_us
+        |FROM f ORDER BY user_id""".stripMargin) { (spark, sf) =>
+      StreamOps.funnelStream(Tables.eventsDs(spark, sf),
+          Seq("view", "click", "purchase"), maxGapUs = 86400000000L)
+        .toDF()
+        .orderBy("user_id")
+    },
+
     Q("stream_state",
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

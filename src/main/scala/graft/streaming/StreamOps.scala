@@ -368,6 +368,95 @@ object StreamOps {
       }
   }
 
+  final case class FunnelEv(user_id: Long, ts_us: Long, tie: Long, tp: String)
+  final case class FunnelProgress(user_id: Long, steps_completed: Long,
+                                  completed_ts_us: Option[Long])
+
+  /** Streaming funnel — the live twin of [[graft.relational.Funnel]]:
+    * the same greedy-earliest per-user fold, run as a keyed state
+    * machine via `transformWithState` (the arbitrary-state v2 API —
+    * two Longs of `ValueState` per user: current step index + last
+    * matched timestamp, NEVER the event list). Each trigger advances
+    * every touched user's state over its new events (sorted
+    * (ts, event_id) within the trigger — micro-batch iteration order is
+    * not guaranteed) and emits the user's updated depth row.
+    *
+    * Ordering caveat, the [[budgetAdmission]] class: greedy-earliest is
+    * an in-order fold, so an event arriving in a LATER trigger with an
+    * EARLIER timestamp than one already folded cannot retro-advance the
+    * state — across-trigger correctness requires per-user
+    * monotonically-ordered arrival (true of per-key ordered sources;
+    * replay the batch operator at compaction when it isn't). Within one
+    * trigger — and therefore in BATCH execution, where each user's
+    * whole history is one group — the fold is EXACTLY
+    * [[graft.relational.Funnel.funnel]], which is what lets the
+    * declared query face carry op_funnel's oracle (spec-pinned).
+    *
+    * State at 100 TB: |users| × 2 longs under the RocksDB provider —
+    * streaming queries must set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider (transformWithState requires it; batch execution does
+    * not). No TTL by default: a funnel dashboard's users stay
+    * addressable; pass the store a TTL'd variant at deployment if
+    * abandonment expiry is wanted. */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+                   maxGapUs: Long): Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"duplicate steps not supported (greedy state is a single index): $steps")
+    require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
+    import events.sparkSession.implicits._
+    // batch execution loads a real (ephemeral) state store and needs
+    // the coordinator endpoint streaming queries create lazily
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .ensureStateStoreCoordinator(events.sparkSession)
+    events
+      .map(e => FunnelEv(e.user_id,
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(e.ts),
+        e.event_id, e.event_type))
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor(steps.toIndexedSeq, maxGapUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The keyed state machine behind [[funnelStream]] — top-level (not a
+    * closure) because `StatefulProcessor` instances are serialized to
+    * tasks. State layout matches the batch fold's accumulator struct
+    * `(k, ts)` field for field. */
+  private[graft] final class FunnelProcessor(steps: IndexedSeq[String],
+                                             maxGapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, FunnelEv, FunnelProgress] {
+
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Int, Long)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Int, Long)]("funnel_state",
+        org.apache.spark.sql.Encoders.product[(Int, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[FunnelEv],
+                                 tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[FunnelProgress] = {
+      var (k, last) = Option(st.get()).getOrElse((0, 0L))
+      val n = steps.length
+      rows.toSeq.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
+        if (k < n && e.tp == steps(k) &&
+            (k == 0 || e.ts_us - last <= maxGapUs)) {
+          k += 1
+          last = e.ts_us
+        }
+      }
+      st.update((k, last))
+      Iterator.single(FunnelProgress(user, k.toLong,
+        if (k == n) Some(last) else None))
+    }
+  }
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   /** T5b custom keyed state: running per-user count/sum via

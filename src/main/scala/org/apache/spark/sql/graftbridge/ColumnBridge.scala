@@ -37,6 +37,17 @@ object ColumnBridge {
       case _ => ()
     }
 
+  /** BATCH execution of `transformWithState` loads a real state store,
+    * which needs the driver's StateStoreCoordinator RPC endpoint — an
+    * endpoint streaming queries create lazily via the query manager.
+    * Touch the same lazy ref (`private[sql]`) so a batch run works
+    * without a streaming query having started first. Idempotent. */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .streams.stateStoreCoordinator
+    ()
+  }
+
   /** Drain the async listener bus (`private[spark]`) — test harnesses
     * counting scan RDDs via a SparkListener must flush pending events
     * before reading their counters. */
