@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.agg.{Aggs, Ql}
 import graft.model.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -774,6 +775,122 @@ object RelationalQueries {
         .where(dayofmonth(to_date(col("ts"))) >=
           lit(1) + pmod(col("user_id"), lit(20)))
       graft.relational.Retention.retention(ev, bucketDays = 7)
+    },
+
+    // CDC upsert (r15) — the engine's MERGE INTO face: a planted
+    // changelog (updates on %21 keys, deletes on %15, inserts under
+    // +10^8, a %105 key gets update-then-delete so the version order
+    // decides) applied to the %3 base snapshot. Latest-per-key is a
+    // partitioned window, never max(struct) — the ObjectHashAggregate
+    // sort-fallback class the r15 retention redesign removed; the base
+    // join reuses the window's key hash. Changes ride ONE scan via
+    // explode fusion (the one-scan planting rule).
+    Q("op_upsert",
+      """WITH o AS (
+        |  SELECT o_orderkey k, o_orderpriority p, o_totalprice t FROM orders),
+        |base AS (SELECT k, p, t FROM o WHERE k % 3 = 0),
+        |chg AS (
+        |  SELECT k, 'X-UPD' AS p, t + 1.0 AS t, 1 AS v, 'U' AS op
+        |  FROM o WHERE k % 21 = 0
+        |  UNION ALL
+        |  SELECT k, '', 0.0, 2, 'D' FROM o WHERE k % 15 = 0
+        |  UNION ALL
+        |  SELECT k + 100000000, '9-NEW', t, 1, 'U' FROM o WHERE k % 33 = 0),
+        |last AS (
+        |  SELECT k, p, t, op,
+        |    row_number() OVER (PARTITION BY k ORDER BY v DESC) rn
+        |  FROM chg),
+        |l1 AS (SELECT k, p, t, op FROM last WHERE rn = 1)
+        |SELECT coalesce(b.k, c.k) AS o_orderkey,
+        |  CASE WHEN c.op = 'U' THEN c.p ELSE b.p END AS o_orderpriority,
+        |  CASE WHEN c.op = 'U' THEN c.t ELSE b.t END AS o_totalprice
+        |FROM base b FULL OUTER JOIN l1 c ON b.k = c.k
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin) { (spark, sf) =>
+      val o = Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val base = o.where(pmod(col("o_orderkey"), lit(3)) === 0)
+      def row(k: Column, p: Column, t: Column, v: Long, op: String) =
+        struct(k.as("o_orderkey"), p.as("o_orderpriority"),
+          t.as("o_totalprice"), lit(v).as("version"), lit(op).as("op"))
+      val changes = o.select(explode(array(
+          when(pmod(col("o_orderkey"), lit(21)) === 0,
+            row(col("o_orderkey"), lit("X-UPD"),
+              col("o_totalprice") + 1.0d, 1L, "U")),
+          when(pmod(col("o_orderkey"), lit(15)) === 0,
+            row(col("o_orderkey"), lit(""), lit(0.0d), 2L, "D")),
+          when(pmod(col("o_orderkey"), lit(33)) === 0,
+            row(col("o_orderkey") + 100000000L, lit("9-NEW"),
+              col("o_totalprice"), 1L, "U"))))
+          .as("c"))
+        .where(col("c").isNotNull)
+        .select(col("c.*"))
+      graft.relational.Cdc.upsert(base, changes, Seq("o_orderkey"))
+    },
+
+    // Temporal snapshot (r15) — upsert's time-travel twin: state AS OF
+    // version 2 from the changelog alone (v1 inserts %7, v2 deletes
+    // %14, v3 re-inserts %28 — invisible at the asked version, so the
+    // predicate pushdown is load-bearing, not decorative).
+    Q("op_snapshot_asof",
+      """WITH o AS (
+        |  SELECT o_orderkey k, o_orderpriority p, o_totalprice t FROM orders),
+        |chg AS (
+        |  SELECT k, 'V1' AS p, t, 1 AS v, 'U' AS op FROM o WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, '', 0.0, 2, 'D' FROM o WHERE k % 14 = 0
+        |  UNION ALL
+        |  SELECT k, 'V3', t + 2.0, 3, 'U' FROM o WHERE k % 28 = 0),
+        |vis AS (SELECT * FROM chg WHERE v <= 2),
+        |last AS (
+        |  SELECT k, p, t, op,
+        |    row_number() OVER (PARTITION BY k ORDER BY v DESC) rn
+        |  FROM vis)
+        |SELECT k AS o_orderkey, p AS o_orderpriority, t AS o_totalprice
+        |FROM last WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin) { (spark, sf) =>
+      val o = Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      def row(p: Column, t: Column, v: Long, op: String) =
+        struct(col("o_orderkey").as("o_orderkey"), p.as("o_orderpriority"),
+          t.as("o_totalprice"), lit(v).as("version"), lit(op).as("op"))
+      val changes = o.select(explode(array(
+          when(pmod(col("o_orderkey"), lit(7)) === 0,
+            row(lit("V1"), col("o_totalprice"), 1L, "U")),
+          when(pmod(col("o_orderkey"), lit(14)) === 0,
+            row(lit(""), lit(0.0d), 2L, "D")),
+          when(pmod(col("o_orderkey"), lit(28)) === 0,
+            row(lit("V3"), col("o_totalprice") + 2.0d, 3L, "U"))))
+          .as("c"))
+        .where(col("c").isNotNull)
+        .select(col("c.*"))
+      graft.relational.Cdc.snapshotAsOf(changes, lit(2L), Seq("o_orderkey"))
+    },
+
+    // W1-family completion (r15): the distribution windows — ntile
+    // buckets, percent_rank, cume_dist on one partitioned order. Rank
+    // ratios are small-integer IEEE divisions (identical across
+    // engines); the (price, key) order key is collision-free so every
+    // rank is deterministic.
+    Q("win_ntile",
+      """SELECT o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (spark, sf) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(spark, sf)
+        .where(pmod(col("o_orderkey"), lit(50)) === 0)
+        .select(col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
     },
 
     // Batch sessionization (r14): 24 h gap-based sessions — the batch

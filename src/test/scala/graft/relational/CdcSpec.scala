@@ -1,0 +1,64 @@
+package graft.relational
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("k", "name", "amt")
+
+  private def changes = Seq(
+    // update key 2 at v1, then delete it at v2 — version order decides
+    (2L, "b2", 21.0, 1L, "U"),
+    (2L, "", 0.0, 2L, "D"),
+    // plain update
+    (3L, "c9", 33.0, 5L, "U"),
+    // out-of-order arrival: the LOWER version must lose
+    (3L, "c1", 31.0, 1L, "U"),
+    // insert
+    (9L, "i", 90.0, 1L, "U"))
+    .toDF("k", "name", "amt", "version", "op")
+
+  test("upsert: update/delete/insert/pass-through, latest version wins") {
+    val out = Cdc.upsert(base, changes, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    out shouldBe Array(
+      (1L, "a", 10.0),   // untouched
+      (3L, "c9", 33.0),  // v5 beats v1
+      (9L, "i", 90.0))   // inserted; key 2 deleted (v2 D beats v1 U)
+  }
+
+  test("snapshotAsOf: time travel through the same changelog") {
+    def at(v: Long) = Cdc.snapshotAsOf(changes, lit(v), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    at(1L) shouldBe Array((2L, "b2", 21.0), (3L, "c1", 31.0), (9L, "i", 90.0))
+    at(2L) shouldBe Array((3L, "c1", 31.0), (9L, "i", 90.0)) // 2 deleted
+    at(5L) shouldBe Array((3L, "c9", 33.0), (9L, "i", 90.0)) // 3 updated
+    at(0L) shouldBe empty
+  }
+
+  test("plan: windowed latest (no object agg), base join reuses the key hash") {
+    val plan = Cdc.upsert(base, changes, Seq("k"))
+      .queryExecution.executedPlan.toString
+    plan should not include "ObjectHashAggregate"
+    // window hash + base-side hash + declared sort range partition —
+    // the change side of the join must RIDE the window's exchange
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 2
+    an[IllegalArgumentException] should be thrownBy
+      Cdc.upsert(base, changes.drop("version"), Seq("k"))
+    an[IllegalArgumentException] should be thrownBy
+      Cdc.upsert(base, changes, Seq.empty)
+  }
+
+  test("snapshotAsOf pushes the version predicate into a parquet changelog scan") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_push").toString
+    changes.write.mode("overwrite").parquet(dir)
+    val fromDisk = spark.read.parquet(dir)
+    val plan = Cdc.snapshotAsOf(fromDisk, lit(2L), Seq("k"))
+      .queryExecution.executedPlan.toString
+    plan should include regex "PushedFilters:.*LessThanOrEqual\\(version,2\\)"
+  }
+}
