@@ -1001,6 +1001,37 @@ object ScaleProbe {
           .orderBy(col("simq_bp").desc, col("vec_id")).limit(20)
         graft.llm.Similarity.mmrRerank(pool, k = 10).count()
       }),
+      // kNN labeling: fixed 128-query side over a growing labeled
+      // corpus — tracks hard_negatives' LSH half plus the label join
+      // (corpus-sized probe side, never broadcast) and the vote agg
+      ("knn_label", () => {
+        val corpus = synthEmb(n * 4).withColumn("label",
+          pmod(xxhash64(col("vec_id")), lit(10)).cast("int"))
+        val queries = synthEmb(128)
+          .select((col("vec_id") + 1000000L).as("qid"),
+            transform(col("embedding"), (x, i) =>
+              (x + (pmod(col("vec_id") * 31 + i * 7, lit(9)) - 4)
+                .cast("float") * lit(0.01f)).cast("float")).as("embedding"))
+        graft.llm.Similarity.knnLabel(queries, corpus, k = 5,
+            numTables = 4, bits = 4, dims = 32)
+          .agg(sum("pred_label"), count(lit(1))).head()
+      }),
+      // CDC upsert: changelog window (latest-per-key) + full-outer
+      // base join riding the window hash — both sides grow with n
+      ("cdc_upsert", () => {
+        // n*128 base / n*32 changes: at n*16/n*4 the 1x base read
+        // 0.30 s flat (overhead floor)
+        val keys = math.max(16L, n * 128)
+        val base = spark.range(keys).select(col("id").as("k"),
+          (col("id") * 3L).as("pv"))
+        val changes = spark.range(n * 32).select(
+          pmod(xxhash64(col("id")), lit(keys)).as("k"),
+          (col("id") * 7L).as("pv"),
+          col("id").as("version"),
+          when(pmod(col("id"), lit(5)) === 0, "D").otherwise("U").as("op"))
+        graft.relational.Cdc.upsert(base, changes, Seq("k"))
+          .agg(count(lit(1)), sum("pv")).head()
+      }),
       // cohort retention: one user-keyed aggregate (cohort + day set),
       // then the |cohorts|·|buckets| rollup — tracks funnel_fold's
       // exchange with a calendar-bounded array instead of a fold

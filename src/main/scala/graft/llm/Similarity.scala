@@ -612,6 +612,49 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("cos2_bp"))
   }
 
+  /** k-NN majority-vote labeling — the semi-supervised labeling /
+    * weak-supervision step (label the unlabeled corpus slice from its
+    * nearest labeled neighbors, kNN-classifier style): per query, the
+    * [[quantizedLshTopK]] top-k labeled neighbors vote; the winning
+    * label is `(votes desc, best-neighbor similarity desc, label asc)`
+    * — similarity breaks vote ties before the label does, so a 2-2
+    * split goes to the CLOSER evidence, and the final label tiebreak
+    * makes the whole election deterministic.
+    *
+    * Shape for 100 TB: candidates/scoring are the LSH construction
+    * (bucket equi-join, bounded heap — never all-pairs); the label
+    * attach is a hash join of the k·|queries| neighbor rows against
+    * the (id, label) projection — corpus-sized, so NOT broadcast (the
+    * Joins size-gate class); the vote is one (qid, label) aggregate
+    * that rides into a qid-partitioned window election. Queries with
+    * no bucket-mates are absent, the [[quantizedLshTopK]] contract.
+    * Emits `(qIdCol, pred_label, n_votes, n_neighbors)`. */
+  def knnLabel(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+               numTables: Int = 8, bits: Int = 2, dims: Int = 64,
+               scale: Int = 64,
+               qIdCol: String = "qid", idCol: String = "vec_id",
+               vecCol: String = "embedding",
+               labelCol: String = "label"): DataFrame = {
+    require(corpus.columns.contains(labelCol),
+      s"corpus needs a '$labelCol' column to vote with")
+    val neigh = quantizedLshTopK(queries, corpus, k, numTables, bits,
+      dims, scale, qIdCol, idCol, vecCol)
+    val labels = corpus.select(col(idCol), col(labelCol).cast("long")
+      .as("__lbl"))
+    val votes = neigh.join(labels, idCol)
+      .groupBy(col(qIdCol), col("__lbl"))
+      .agg(count(lit(1)).as("n_votes"), max(col("cos2_bp")).as("__best"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(qIdCol))
+      .orderBy(col("n_votes").desc, col("__best").desc, col("__lbl"))
+    val total = org.apache.spark.sql.expressions.Window.partitionBy(col(qIdCol))
+    votes
+      .withColumn("n_neighbors", sum(col("n_votes")).over(total))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(qIdCol), col("__lbl").as("pred_label"),
+        col("n_votes"), col("n_neighbors"))
+  }
+
   /** Raw LSH bucket-mate candidates between two vector sets — the
     * candidate stage of [[quantizedLshTopK]] factored out as a PAIR
     * GENERATOR, for operators that take a `candidates` hook

@@ -3288,6 +3288,106 @@ object LlmQueries {
         .orderBy("qid", "vec_id")
     },
 
+    // k-NN majority-vote labeling (r15): the semi-supervised labeling
+    // step — each perturbed query is labeled by its 5 nearest labeled
+    // bucket-mates under the quantized LSH construction (ann_lsh_q's
+    // exact CTE skeleton, k=5, plus the vote). The fixture's labels
+    // are space-uncorrelated, so most elections are 1-vote ties — the
+    // (votes, best-similarity, label) tiebreak chain is what the
+    // oracle actually exercises; a real deployment's labels cluster
+    // and the same election applies. n_neighbors is a HUGEINT sum in
+    // DuckDB → CAST BIGINT (the sum rule).
+    Q("llm_knn_label", {
+      val planes = Dedup.quantPlanes(16, 64)
+      val pl = planes.zipWithIndex.map { case (w, p) =>
+        s"($p, [${w.mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH pl(p, w) AS (VALUES $pl),
+         |raw AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 400),
+         |lbl AS (
+         |  SELECT vec_id, label FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 400),
+         |qv AS (
+         |  SELECT vid + 100000 AS qid,
+         |    list_transform(range(1, 65),
+         |      i -> v[i] + ((vid * 31 + (i-1) * 7) % 9 - 4) * 0.01) AS v
+         |  FROM (SELECT vec_id AS vid, v FROM raw WHERE vec_id % 7 = 0)),
+         |cq AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS vq
+         |  FROM raw),
+         |qq AS (
+         |  SELECT qid,
+         |    list_transform(v, x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS vq
+         |  FROM qv),
+         |cd AS (
+         |  SELECT cq.vec_id AS id, pl.p,
+         |    list_sum(list_transform(range(1, 65), i -> cq.vq[i] * pl.w[i])) AS d
+         |  FROM cq CROSS JOIN pl),
+         |qd AS (
+         |  SELECT qq.qid, pl.p,
+         |    list_sum(list_transform(range(1, 65), i -> qq.vq[i] * pl.w[i])) AS d
+         |  FROM qq CROSS JOIN pl),
+         |csig AS (
+         |  SELECT id, p // 2 AS tbl,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 2)) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM cd GROUP BY 1, 2),
+         |qsig AS (
+         |  SELECT qid, p // 2 AS tbl,
+         |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 2)) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM qd GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.qid, c.id
+         |  FROM qsig q JOIN csig c ON q.tbl = c.tbl AND q.sig = c.sig),
+         |sc AS (
+         |  SELECT cand.qid, cand.id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> a.vq[i]*b.vq[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> a.vq[i]*a.vq[i])) AS BIGINT) AS na,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> b.vq[i]*b.vq[i])) AS BIGINT) AS nb
+         |  FROM cand JOIN qq a ON a.qid = cand.qid JOIN cq b ON b.vec_id = cand.id),
+         |p3 AS (
+         |  SELECT qid, id, (dot*dot*20000 + na*nb) // (na*nb*2) AS cos2_bp
+         |  FROM sc WHERE dot > 0 AND na > 0 AND nb > 0),
+         |rk AS (
+         |  SELECT qid, id, cos2_bp,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY 10000 - cos2_bp, id) AS rn
+         |  FROM p3),
+         |knn AS (
+         |  SELECT r.qid, r.cos2_bp, CAST(e.label AS BIGINT) AS lb
+         |  FROM rk r JOIN lbl e ON e.vec_id = r.id WHERE r.rn <= 5),
+         |votes AS (
+         |  SELECT qid, lb, count(*) AS nv, max(cos2_bp) AS best
+         |  FROM knn GROUP BY 1, 2),
+         |tot AS (SELECT qid, CAST(sum(nv) AS BIGINT) AS nn FROM votes GROUP BY 1),
+         |el AS (
+         |  SELECT qid, lb, nv,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY nv DESC, best DESC, lb) AS rn
+         |  FROM votes)
+         |SELECT e.qid, e.lb AS pred_label, CAST(e.nv AS BIGINT) AS n_votes,
+         |  t.nn AS n_neighbors
+         |FROM el e JOIN tot t USING (qid) WHERE e.rn = 1
+         |ORDER BY qid""".stripMargin
+    }) { (spark, sf) =>
+      val emb = Tables.embeddings(spark, sf)
+        .where(col("embedding").isNotNull && col("vec_id") < 400)
+      val corpus = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        col("label"))
+      val queries = emb.where(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id").as("vid"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .select((col("vid") + 100000L).as("qid"),
+          transform(col("v"), (x, i) =>
+            x + (pmod(col("vid") * 31 + i * 7, lit(9)) - 4) * lit(0.01))
+            .as("v"))
+      Similarity.knnLabel(queries, corpus, k = 5, vecCol = "v")
+        .orderBy("qid")
+    },
+
     // SemDeDup's cluster-then-prune SEMANTICS, oracle-gated: clusters
     // from the planted quarter-step codebook (llm_cluster_balance's
     // integer-exact cell assignment), within-cluster greedy min-id

@@ -530,6 +530,41 @@ class SimilaritySpec extends SparkSpec {
     out.foreach(r => r._6 shouldBe r._5 - r._4)
   }
 
+  test("knnLabel: majority wins; ties break similarity then label; partition-invariant") {
+    def v(seed: Long) =
+      (0 until 8).map(i => ((seed * 31 + i * 17) % 19).toDouble / 19.0)
+    val base = v(1L)
+    val near = base.updated(0, base(0) + 0.02)
+    val far = base.updated(1, base(1) + 0.05)
+    def df(rows: Seq[(Long, Seq[Double], Int)]) =
+      rows.toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"), col("label"))
+    val queries = Seq((1000L, base)).toDF("qid", "embedding")
+      .select(col("qid"), col("embedding").cast("array<double>").as("embedding"))
+    def predict(corpus: Seq[(Long, Seq[Double], Int)], k: Int) =
+      Similarity.knnLabel(queries, df(corpus), k = k,
+          numTables = 4, bits = 2, dims = 8)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    // majority: two label-3 neighbors outvote the single label-5 exact hit
+    predict(Seq((1L, base, 5), (2L, near, 3), (3L, far, 3)), k = 3) shouldBe
+      Seq((1000L, 3L, 2L, 3L))
+    // vote tie → best similarity wins (the exact copy carries label 5)
+    predict(Seq((1L, base, 5), (2L, near, 3)), k = 2) shouldBe
+      Seq((1000L, 5L, 1L, 2L))
+    // full tie (two exact copies) → lowest label
+    predict(Seq((1L, base, 9), (2L, base, 4)), k = 2) shouldBe
+      Seq((1000L, 4L, 1L, 2L))
+    // partition-invariant
+    val big = Seq((1L, base, 5), (2L, near, 3), (3L, far, 3))
+    Similarity.knnLabel(queries, df(big).repartition(5), k = 3,
+        numTables = 4, bits = 2, dims = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq shouldBe
+      Seq((1000L, 3L, 2L, 3L))
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.knnLabel(queries, df(big).drop("label"), k = 3)
+  }
+
   test("marginMine is invariant under repartitioning") {
     val (src, tgt) = bitextFixture
     val once = Similarity.marginMine(src, tgt, k = 2).collect().toSet
