@@ -705,6 +705,40 @@ object Examples {
       s"retention ${ret.getLong(0)} cells / ${ret.getLong(1)} user-weeks; " +
       s"mean held-out novelty $nov bp")
 
+    // 42. round-15 additions — CDC upsert + time travel, the mergeable
+    // quantile sketch, kNN labeling, and the streaming funnel's batch face
+    val ordBase = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .where(pmod(col("o_orderkey"), lit(3)) === 0)
+    val ordChanges = Tables.orders(spark, sf)
+      .where(pmod(col("o_orderkey"), lit(15)) === 0)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        lit(1L).as("version"), lit("D").as("op"))
+    val merged = graft.relational.Cdc.upsert(ordBase, ordChanges,
+      Seq("o_orderkey")).count()
+    val asOf0 = graft.relational.Cdc.snapshotAsOf(
+      ordChanges, lit(0L), Seq("o_orderkey")).count()
+    val skParts = Tables.orders(spark, sf).groupBy("o_orderpriority")
+      .agg(graft.functions.QuantileSketch
+        .agg(col("o_totalprice").cast("double")).as("sk"))
+      .collect()
+    val skMerged = skParts.map(r => graft.functions.QuantileSketch
+        .fromBytes(r.getAs[Array[Byte]]("sk")))
+      .reduce(graft.functions.QuantileSketch.merge)
+    val p50 = graft.functions.QuantileSketch.query(skMerged, 0.5).get.round
+    val embs = Tables.embeddings(spark, sf)
+      .where(col("embedding").isNotNull && col("vec_id") < 400)
+    val knnQ = embs.where(pmod(col("vec_id"), lit(7)) === 0)
+      .select((col("vec_id") + 100000L).as("qid"), col("embedding"))
+    val labeled = Similarity.knnLabel(knnQ, embs, k = 5).count()
+    val sfun = graft.streaming.StreamOps.funnelStream(
+        Tables.eventsDs(spark, sf),
+        Seq("view", "click", "purchase"), maxGapUs = 86400000000L)
+      .where(col("completed_ts_us").isNotNull).count()
+    println(s"[42] upsert snapshot $merged rows (as-of-0 state $asOf0); " +
+      s"merged-sketch p50 $p50; $labeled queries kNN-labeled; " +
+      s"$sfun users complete the streamed funnel")
+
     spark.stop()
   }
 }

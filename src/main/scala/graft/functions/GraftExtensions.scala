@@ -75,6 +75,33 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"graft_min_gram_hash takes 2 arguments, got ${args.length}")
         MinGramHash(args.head, intLit(args(1), "graft_min_gram_hash", "gram"))
+      }),
+    (FunctionIdentifier("graft_quantile_sketch"),
+      info("graft_quantile_sketch",
+        "graft_quantile_sketch(x[, eps]) - mergeable GK quantile summary as bytes (agg)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"graft_quantile_sketch takes 1-2 arguments, got ${args.length}")
+        val eps = if (args.length == 2) args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+          // SQL numeric literals like 0.01 parse as DecimalType
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_quantile_sketch: eps must be a numeric literal, got $other")
+        } else 0.01
+        QuantileSketchAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.DoubleType), eps)
+      }),
+    (FunctionIdentifier("graft_theta_sketch"),
+      info("graft_theta_sketch",
+        "graft_theta_sketch(x[, lgK]) - mergeable theta set sketch as bytes (agg)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"graft_theta_sketch takes 1-2 arguments, got ${args.length}")
+        val lgK = if (args.length == 2)
+          intLit(args(1), "graft_theta_sketch", "lgK") else 12
+        ThetaSketchAgg(args.head, lgK)
       }))
 
   /** Runtime registration on an existing session: the native expressions,

@@ -664,6 +664,65 @@ object LlmQueries {
           .orderBy("source_a", "source_b")
     },
 
+    // Cross-source set algebra via THETA sketches (r15) — the 100 TB
+    // sibling of llm_source_overlap above: where the exact face pair-
+    // expands shared hashes, this builds ONE theta partial per source
+    // (a groupBy pass; kilobyte compacts) and answers intersection AND
+    // difference per pair driver-side — HLL can't intersect, theta can
+    // (the DataSketches KMV family Spark bundles but doesn't expose).
+    // The planted key domain varies per source (modulus 17..23 by
+    // source-name length) so pair overlaps SPREAD instead of
+    // saturating at sf0.1 (the point-mass rule). Below 2^lgK retained
+    // entries theta is exact — require'd, so the oracle pins VALUES;
+    // past it the estimate carries the published RSE (documented, not
+    // gated).
+    Q("llm_source_overlap_theta",
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(doc_id % (17 + length(source) % 7) AS VARCHAR) AS key
+        |  FROM documents),
+        |hs AS (SELECT DISTINCT source, key FROM d),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) n FROM hs GROUP BY 1)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared,
+        |  ca.n - count(*) AS n_only_a,
+        |  cb.n - count(*) AS n_only_b
+        |FROM hs a JOIN hs b ON a.key = b.key AND a.source < b.source
+        |JOIN c ca ON ca.source = a.source
+        |JOIN c cb ON cb.source = b.source
+        |GROUP BY a.source, b.source, ca.n, cb.n
+        |ORDER BY 1, 2""".stripMargin) { (spark, sf) =>
+      import spark.implicits._
+      import graft.functions.ThetaSketch
+      val d = Tables.documents(spark, sf).select(col("source"),
+        pmod(col("doc_id"),
+          lit(17) + pmod(length(col("source")), lit(7)))
+          .cast("string").as("key"))
+      val parts = d.groupBy("source")
+        .agg(ThetaSketch.agg(col("key")).as("sk"))
+        .collect()
+      require(parts.length <= 64,
+        s"theta overlap expects a bounded source set, got ${parts.length}")
+      val sks = parts.map(r =>
+          (r.getString(0), ThetaSketch.fromBytes(r.getAs[Array[Byte]]("sk"))))
+        .sortBy(_._1)
+      require(sks.forall(!_._2.isEstimationMode),
+        "a source exceeded the exact-mode threshold — raise lgK or gate bounds")
+      val rows = (for {
+        i <- sks.indices
+        j <- (i + 1) until sks.length
+      } yield {
+        val (sa, ka) = sks(i)
+        val (sb, kb) = sks(j)
+        (sa, sb,
+          ThetaSketch.estimateLong(ThetaSketch.intersect(ka, kb)),
+          ThetaSketch.estimateLong(ThetaSketch.aNotB(ka, kb)),
+          ThetaSketch.estimateLong(ThetaSketch.aNotB(kb, ka)))
+      }).filter(_._3 > 0)
+      rows.toDF("source_a", "source_b", "n_shared", "n_only_a", "n_only_b")
+        .orderBy("source_a", "source_b")
+    },
+
     // Embedding-integrity audit: the fixture vectors are all clean, so
     // every defect class is PLANTED in-query on both sides — %17
     // residues become null / NaN-poisoned / truncated-to-16 / all-zero
