@@ -1078,6 +1078,39 @@ object ScaleProbe {
         label = pmod(xxhash64(col("id"), lit(2)), lit(10000)) <
           pmod(xxhash64(col("id"), lit(1)), lit(10000)))
         .agg(sum("ece_num"), sum("n")).head()),
+      // GK quantile sketch build+merge: per-group summary aggregate
+      // (bounded buffers), 8 driver-merged partials, one rank query
+      ("quantile_sketch", () => {
+        val parts = spark.range(n * 3200).select(
+          pmod(col("id"), lit(8)).as("g"),
+          (pmod(xxhash64(col("id")), lit(100000)).cast("double") / 10.0)
+            .as("x"))
+          .groupBy("g")
+          .agg(graft.functions.QuantileSketch.agg(col("x")).as("sk"))
+          .collect()
+        require(parts.length <= 64, "bounded partial set")
+        val merged = parts.map(r => graft.functions.QuantileSketch
+          .fromBytes(r.getAs[Array[Byte]]("sk")))
+          .reduce(graft.functions.QuantileSketch.merge)
+        graft.functions.QuantileSketch.query(merged, 0.5).getOrElse(-1.0)
+      }),
+      // theta set sketch: per-source partial build (ONE groupBy pass
+      // over a growing corpus), pairwise intersections driver-side
+      // over kilobyte compacts — the set-algebra cost must stay flat
+      ("theta_overlap", () => {
+        val parts = spark.range(n * 1600).select(
+          concat(lit("s"), pmod(col("id"), lit(8))).as("source"),
+          concat(lit("k"), pmod(xxhash64(col("id")), lit(4000))).as("key"))
+          .groupBy("source")
+          .agg(graft.functions.ThetaSketch.agg(col("key")).as("sk"))
+          .collect()
+        require(parts.length <= 64, "bounded source set")
+        val sks = parts.map(r => graft.functions.ThetaSketch
+          .fromBytes(r.getAs[Array[Byte]]("sk")))
+        (for { i <- sks.indices; j <- (i + 1) until sks.length } yield
+          graft.functions.ThetaSketch.estimateLong(
+            graft.functions.ThetaSketch.intersect(sks(i), sks(j)))).sum
+      }),
       // CMS build+merge: the distributed cost is the per-group sketch
       // aggregate; the driver merge is 8 partials by construction
       ("cms_merge", () => {
