@@ -65,6 +65,46 @@ object StreamQueries {
     // per-user projection is deterministic (count + exact-cents sum), so it
     // carries a full oracle: max(n)/max(total) over the single batch
     // emission ≡ per-user count/sum.
+    // Windowed quantile sketch on the batch surface (r15): per-hour GK
+    // summaries (constant state per window — the streaming-percentile
+    // story), queried driver-side at p50 and gated on the rank window
+    // with a ±1 slack for the 1-row windows the sf0.001 fixture has;
+    // the exact per-window median rides the hash (quantile_disc lane).
+    Q("stream_quantile",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  quantile_disc(value, 0.5) AS exact_p50,
+        |  TRUE AS within_rank_eps
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, sf) =>
+      import spark.implicits._
+      val parts = StreamOps.windowedQuantileSketch(
+        Tables.events(spark, sf), "1 hour").collect()
+      require(parts.length <= 4096,
+        s"windowed sketch collect expects bounded windows, got ${parts.length}")
+      val ests = parts.toSeq.map { r =>
+        (r.getTimestamp(0), graft.functions.QuantileSketch
+          .query(graft.functions.QuantileSketch
+            .fromBytes(r.getAs[Array[Byte]]("sk")), 0.5)
+          .getOrElse(sys.error("empty window sketch")))
+      }.toDF("win_start", "est")
+      val ev = Tables.events(spark, sf)
+        .select(date_trunc("hour", col("ts")).as("win_start"), col("value"))
+      ev.join(broadcast(ests), "win_start")
+        .groupBy("win_start")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("value") < col("est"), 1L).otherwise(0L))
+            .cast("long").as("__lo"),
+          sum(when(col("value") <= col("est"), 1L).otherwise(0L))
+            .cast("long").as("__hi"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+            .as("exact_p50"))
+        .select(col("win_start"), col("n"), col("exact_p50"),
+          (((col("__lo") + 1L) * 10000L <= lit(5100L) * col("n") + 10000L) &&
+            (col("__hi") * 10000L >= lit(4900L) * col("n") - 10000L))
+            .as("within_rank_eps"))
+        .orderBy("win_start")
+    },
+
     // Streaming funnel on the batch surface (r15): transformWithState
     // executes in batch mode too (each user's whole history is one
     // group, so the keyed state machine IS the batch greedy-earliest

@@ -56,6 +56,26 @@ object StreamOps {
   def sessionsWithWatermark(events: DataFrame, gap: String, lateness: String): DataFrame =
     sessions(events.withWatermark("ts", lateness), gap)
 
+  /** Windowed quantile sketch — per-window percentile state that stays
+    * CONSTANT-SIZE however many rows land in the window: the
+    * [[graft.functions.QuantileSketch]] GK summary as the aggregate,
+    * so a streaming dashboard holds kilobytes per open window where a
+    * windowed `percentile_disc` would buffer every row. Runs on batch
+    * and streaming frames alike (TypedImperativeAggregate partials
+    * serialize through the state store); downstream queries the
+    * emitted bytes driver-side ([[graft.functions.QuantileSketch.query]])
+    * under GK's ±eps·N rank guarantee — merge order may move the
+    * VALUE inside the bound, which is why the oracle face gates the
+    * rank window, never the bytes. Emits `(win_start, sk, n)`. */
+  def windowedQuantileSketch(events: DataFrame, width: String = "1 hour",
+                             valueCol: String = "value",
+                             relativeError: Double = 0.01): DataFrame =
+    events.groupBy(window(col("ts"), width).as("win"))
+      .agg(graft.functions.QuantileSketch
+          .agg(col(valueCol), relativeError).as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("sk"), col("n"))
+
   /** Stream-stream inner join: pair left and right rows sharing `keyCol`
     * with `right.ts` inside `[left.ts, left.ts + within]`. BOTH sides are
     * watermarked and the join carries an explicit event-time range — that

@@ -66,6 +66,23 @@ class StreamOpsSpec extends SparkSpec {
     out should contain((ts(60), "view", 4L))
   }
 
+  test("windowed quantile sketch: stream equals batch at the queried rank") {
+    // exact-mode GK summaries retain every value, so query(q) is a
+    // deterministic function of the window's value SET — bytes may
+    // differ by merge order, the queried quantiles cannot
+    def digest(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map { r =>
+        (r.getTimestamp(0), r.getLong(2),
+          graft.functions.QuantileSketch.query(
+            graft.functions.QuantileSketch.fromBytes(
+              r.getAs[Array[Byte]]("sk")), 0.5).get)
+      }.sortBy(_._1.getTime).toSeq
+    val op = (df: DataFrame) => StreamOps.windowedQuantileSketch(df, "1 hour")
+    digest(streamed(op)) shouldBe digest(batch(op))
+    // hour 0 values {10,20,30,5,6}: disc median 10
+    digest(batch(op)).head._3 shouldBe 10.0
+  }
+
   test("sliding window: stream equals batch") {
     val op = (df: DataFrame) => StreamOps.sliding(df, "2 hours", "1 hour")
     sortRows(streamed(op)) shouldBe sortRows(batch(op))
