@@ -723,6 +723,50 @@ object LlmQueries {
         .orderBy("source_a", "source_b")
     },
 
+    // Incremental-arrival novelty via theta difference (r15) — the
+    // crawl-growth accounting every continuous-ingest pipeline tracks:
+    // per day, how many keys were ACTIVE and how many were NEVER SEEN
+    // BEFORE. One groupBy pass builds a per-day theta partial; the
+    // driver chains aNotB(day, union-of-prior) over 30 kilobyte
+    // compacts — where the exact formulation is a growing anti-join
+    // per day (N² in days over the corpus). Exact below 2^lgK
+    // (require'd), so the oracle replays first-seen days exactly.
+    Q("llm_arrival_novelty_theta",
+      """WITH dd AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) d, user_id FROM events),
+        |fs AS (SELECT user_id, min(d) fd FROM dd GROUP BY 1),
+        |seen AS (SELECT d, CAST(count(*) AS BIGINT) n_seen FROM dd GROUP BY 1),
+        |nw AS (SELECT fd, CAST(count(*) AS BIGINT) n_new FROM fs GROUP BY 1)
+        |SELECT s.d AS day, s.n_seen, coalesce(n.n_new, 0) AS n_new
+        |FROM seen s LEFT JOIN nw n ON n.fd = s.d
+        |ORDER BY 1""".stripMargin) { (spark, sf) =>
+      import spark.implicits._
+      import graft.functions.ThetaSketch
+      val parts = Tables.events(spark, sf)
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .groupBy("d")
+        .agg(ThetaSketch.agg(col("user_id")).as("sk"))
+        .collect()
+      require(parts.length <= 4096,
+        s"arrival novelty expects a calendar-bounded day set, got ${parts.length}")
+      val byDay = parts.map(r =>
+          (r.getDate(0), ThetaSketch.fromBytes(r.getAs[Array[Byte]]("sk"))))
+        .sortBy(_._1.getTime)
+      require(byDay.forall(!_._2.isEstimationMode),
+        "a day exceeded the exact-mode threshold — raise lgK or gate bounds")
+      val rows = Seq.newBuilder[(java.sql.Date, Long, Long)]
+      var prior: Option[org.apache.datasketches.theta.CompactSketch] = None
+      byDay.foreach { case (d, sk) =>
+        val nNew = prior match {
+          case None    => ThetaSketch.estimateLong(sk)
+          case Some(p) => ThetaSketch.estimateLong(ThetaSketch.aNotB(sk, p))
+        }
+        rows += ((d, ThetaSketch.estimateLong(sk), nNew))
+        prior = Some(prior.fold(sk)(p => ThetaSketch.union(p, sk)))
+      }
+      rows.result().toDF("day", "n_seen", "n_new").orderBy("day")
+    },
+
     // Embedding-integrity audit: the fixture vectors are all clean, so
     // every defect class is PLANTED in-query on both sides — %17
     // residues become null / NaN-poisoned / truncated-to-16 / all-zero
