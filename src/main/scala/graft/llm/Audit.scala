@@ -308,6 +308,27 @@ object Audit {
           sum(col("__nt")) * 200L + cnt, cnt * 2L).as("mean_tokens_centi"))
   }
 
+  /** Outlink extraction — the CommonCrawl-style link-graph step
+    * between raw HTML and [[hostRank]]: pull every `href="…"` target
+    * out of the document markup, normalize to a lowercase host, and
+    * aggregate `(source, host)` edge weights. One narrow codegen'd
+    * regexp projection + explode + a map-side-combinable groupBy on
+    * the fixed-width edge key — the corpus shuffles once, already
+    * reduced to edges (hosts² -bounded, the frame [[hostRank]]
+    * requires). Relative/malformed hrefs (no `scheme://host`) drop by
+    * construction; fragments/paths are normalized away. Emits
+    * `(src, dst_host, n_links)`. */
+  def outlinks(docs: DataFrame, srcCol: String = "source",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(srcCol).as("src"),
+        explode(regexp_extract_all(col(textCol),
+          lit("href=\"([^\"]+)\""), lit(1))).as("__url"))
+      .select(col("src"), lower(regexp_extract(col("__url"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)).as("dst_host"))
+      .where(col("dst_host") =!= "")
+      .groupBy("src", "dst_host")
+      .agg(count(lit(1)).as("n_links"))
+
   /** Host-graph PageRank in exact integer arithmetic — the
     * crawl-quality weighting web-corpus curation pipelines (CCNet /
     * RefinedWeb host ranking) feed into source weights: `iters`

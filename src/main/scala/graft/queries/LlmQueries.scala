@@ -767,6 +767,55 @@ object LlmQueries {
       rows.result().toDF("day", "n_seen", "n_new").orderBy("day")
     },
 
+    // Outlink/link-graph extraction (r15) — the step between raw HTML
+    // and llm_host_rank's edge table: href targets pulled per doc,
+    // host-normalized (scheme/host case-folded, path/query/fragment
+    // dropped), aggregated to weighted (source, host) edges. The
+    // fixture corpus is clean text, so anchors are planted IN-QUERY on
+    // both sides: %4 docs link h{id%7}.example.com, %8 docs add an
+    // UPPERCASE-scheme second host (normalization is load-bearing),
+    // %16 docs add a relative href that must DROP.
+    Q("llm_outlinks",
+      """WITH p AS (
+        |  SELECT source,
+        |    text
+        |    || CASE WHEN doc_id % 4 = 0
+        |      THEN ' <a href="http://h' || (doc_id % 7) || '.example.com/p1">x</a>'
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 8 = 0
+        |      THEN ' <a href="HTTPS://H' || (doc_id % 5) || '.Example.org/q#f">y</a>'
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 16 = 0
+        |      THEN ' <a href="/relative">r</a>' ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT source AS src,
+        |    unnest(regexp_extract_all(text, 'href="([^"]+)"', 1)) AS url
+        |  FROM p),
+        |h AS (
+        |  SELECT src,
+        |    lower(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS dst_host
+        |  FROM u)
+        |SELECT src, dst_host, count(*) AS n_links
+        |FROM h WHERE dst_host IS NOT NULL AND dst_host <> ''
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, sf) =>
+      val planted = Tables.documents(spark, sf).select(col("source"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" <a href=\"http://h"),
+              pmod(col("doc_id"), lit(7)).cast("string"),
+              lit(".example.com/p1\">x</a>"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(8)) === 0,
+            concat(lit(" <a href=\"HTTPS://H"),
+              pmod(col("doc_id"), lit(5)).cast("string"),
+              lit(".Example.org/q#f\">y</a>"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(16)) === 0,
+            lit(" <a href=\"/relative\">r</a>")).otherwise(lit("")))
+          .as("text"))
+      graft.llm.Audit.outlinks(planted).orderBy("src", "dst_host")
+    },
+
     // Embedding-integrity audit: the fixture vectors are all clean, so
     // every defect class is PLANTED in-query on both sides — %17
     // residues become null / NaN-poisoned / truncated-to-16 / all-zero

@@ -8,6 +8,24 @@ import org.apache.spark.sql.functions._
 class AuditSpec extends SparkSpec {
   import spark.implicits._
 
+  test("outlinks: hosts extracted + case-folded, relative/malformed dropped, edges weighted") {
+    val docs = Seq(
+      (1L, "s1", """see <a href="http://A.Example.com/x">a</a> and
+        |<a href="https://b.example.org/y?q=1#f">b</a> plus
+        |<a href="/relative/only">r</a> and <a href="mailto:x@y">m</a>
+        |again <a href="http://a.example.com/other">a2</a>""".stripMargin),
+      (2L, "s2", "no links here"))
+      .toDF("doc_id", "source", "text")
+    val out = Audit.outlinks(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    out shouldBe Set(
+      ("s1", "a.example.com", 2L),   // case-folded, path ignored, weighted
+      ("s1", "b.example.org", 1L))   // query/fragment stripped
+    // relative and scheme-without-authority (mailto:) hrefs never
+    // produce an edge; a linkless source is absent entirely
+    out.map(_._1) should not contain "s2"
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged by content hash") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val next = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
