@@ -1078,6 +1078,19 @@ object ScaleProbe {
         label = pmod(xxhash64(col("id"), lit(2)), lit(10000)) <
           pmod(xxhash64(col("id"), lit(1)), lit(10000)))
         .agg(sum("ece_num"), sum("n")).head()),
+      // outlink extraction: narrow regexp projection + explode (~2
+      // anchors/doc) + map-side-combined edge groupBy — the shuffle
+      // carries hosts², not anchors
+      ("outlinks", () => {
+        val docs = spark.range(n * 48).select(
+          concat(lit("s"), pmod(col("id"), lit(20))).as("source"),
+          concat(lit("text <a href=\"http://h"), pmod(col("id"), lit(97)),
+            lit(".example.com/p\">x</a> mid <a href=\"https://g"),
+            pmod(xxhash64(col("id")), lit(97)),
+            lit(".example.org/q\">y</a>")).as("text"))
+        graft.llm.Audit.outlinks(docs)
+          .agg(sum("n_links"), count(lit(1))).head()
+      }),
       // GK quantile sketch build+merge: per-group summary aggregate
       // (bounded buffers), 8 driver-merged partials, one rank query
       ("quantile_sketch", () => {
