@@ -1,6 +1,7 @@
 package graft.functions
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.io.{ByteArrayInputStream, ObjectInputStream}
+import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -29,10 +30,16 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * is why the oracle-gated face (`agg_quantile_merge`) gates the rank
   * window, not the bytes (the agg_approx/agg_hll_merge discipline).
   *
-  * Buffers cross the partial/final exchange via Java serialization of
-  * the compressed summary (a bounded `sampled` array — size
-  * O(1/relativeError·log(eps·N)), never data-sized). Null inputs are
-  * skipped; an empty group yields an empty (count 0) sketch.
+  * Buffers cross the partial/final exchange — and land in storage —
+  * as an EXPLICIT versioned little-endian layout (format byte `1`,
+  * relativeError, compressThreshold, count, entry count, then
+  * (value, g, delta) triples of the compressed `sampled` array — size
+  * O(1/relativeError·log(eps·N)), never data-sized). Stored-at-ingest
+  * partials are the component's whole point, so the bytes must outlive
+  * any one Spark build: the layout names only GK-paper quantities, is
+  * pinned by a golden-bytes spec, and `fromBytes` still accepts the
+  * pre-r16 Java-serialization stream (magic 0xACED) for migration.
+  * Null inputs are skipped; an empty group yields a count-0 sketch.
   */
 case class QuantileSketchAgg(
     child: Expression,
@@ -100,16 +107,72 @@ object QuantileSketch {
       QuantileSketchAgg(ColumnBridge.expression(c.cast("double")), relativeError)
         .toAggregateExpression())
 
-  def toBytes(qs: QuantileSummaries): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val oos = new ObjectOutputStream(bos)
-    try oos.writeObject(qs) finally oos.close()
-    bos.toByteArray
+  /** Current explicit format version. Header byte values never collide
+    * with the legacy Java-serialization stream (which begins 0xAC). */
+  val FormatV1: Byte = 1
+
+  /** Explicit v1 layout, little-endian throughout:
+    * {{{
+    *   [0]      format byte = 1
+    *   [1..8]   relativeError : Double
+    *   [9..12]  compressThreshold : Int
+    *   [13..20] count : Long            (total inserted values)
+    *   [21..24] n : Int                 (sampled entries)
+    *   then n × { value: Double, g: Long, delta: Long }   (24 bytes each)
+    * }}}
+    * Every field is a quantity from the Greenwald–Khanna paper plus the
+    * two construction parameters — nothing references a JVM class, so
+    * the bytes survive any Spark upgrade. Caller must pass a COMPRESSED
+    * summary (both call sites do); we compress defensively anyway.
+    */
+  def toBytes(qs0: QuantileSummaries): Array[Byte] = {
+    val qs = if (qs0.compressed) qs0 else qs0.compress()
+    val n = qs.sampled.length
+    val buf = ByteBuffer.allocate(25 + 24 * n).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(FormatV1)
+    buf.putDouble(qs.relativeError)
+    buf.putInt(qs.compressThreshold)
+    buf.putLong(qs.count)
+    buf.putInt(n)
+    var i = 0
+    while (i < n) {
+      val s = qs.sampled(i)
+      buf.putDouble(s.value); buf.putLong(s.g); buf.putLong(s.delta)
+      i += 1
+    }
+    buf.array()
   }
 
   def fromBytes(bytes: Array[Byte]): QuantileSummaries = {
-    val ois = new ObjectInputStream(new ByteArrayInputStream(bytes))
-    try ois.readObject().asInstanceOf[QuantileSummaries] finally ois.close()
+    require(bytes.length >= 2, s"quantile sketch blob too short: ${bytes.length} bytes")
+    bytes(0) match {
+      case FormatV1 => fromBytesV1(bytes)
+      // pre-r16 partials were Java-serialized QuantileSummaries; the
+      // stream magic is 0xAC 0xED — read-only migration path.
+      case m if (m & 0xFF) == 0xAC && (bytes(1) & 0xFF) == 0xED =>
+        val ois = new ObjectInputStream(new ByteArrayInputStream(bytes))
+        try ois.readObject().asInstanceOf[QuantileSummaries] finally ois.close()
+      case m => throw new IllegalArgumentException(
+        s"unknown quantile sketch format byte: $m")
+    }
+  }
+
+  private def fromBytesV1(bytes: Array[Byte]): QuantileSummaries = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.get() // format byte, already checked
+    val relativeError = buf.getDouble
+    val compressThreshold = buf.getInt
+    val count = buf.getLong
+    val n = buf.getInt
+    require(bytes.length == 25 + 24L * n,
+      s"quantile sketch v1 blob length ${bytes.length} != ${25 + 24L * n} for $n entries")
+    val sampled = new Array[QuantileSummaries.Stats](n)
+    var i = 0
+    while (i < n) {
+      sampled(i) = QuantileSummaries.Stats(buf.getDouble, buf.getLong, buf.getLong)
+      i += 1
+    }
+    new QuantileSummaries(compressThreshold, relativeError, sampled, count, true)
   }
 
   /** Union two serialized-or-deserialized partials. */
