@@ -637,10 +637,23 @@ object Similarity {
                labelCol: String = "label"): DataFrame = {
     require(corpus.columns.contains(labelCol),
       s"corpus needs a '$labelCol' column to vote with")
+    // the Funnel tie-column rule applied to its sibling: a blind
+    // cast("long") turns a string label into NULL and the election
+    // votes unanimously for pred_label = null — integral labels cast
+    // exactly, anything else (string, fractional) is a caller error,
+    // surfaced at plan time rather than as silent null votes
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val lbl = corpus.schema(labelCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(labelCol).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"label column '$labelCol' must be integral (vote identity must " +
+          s"be exact), got ${other.simpleString}; dictionary-encode " +
+          "string labels upstream")
+    }
     val neigh = quantizedLshTopK(queries, corpus, k, numTables, bits,
       dims, scale, qIdCol, idCol, vecCol)
-    val labels = corpus.select(col(idCol), col(labelCol).cast("long")
-      .as("__lbl"))
+    val labels = corpus.select(col(idCol), lbl.as("__lbl"))
     val votes = neigh.join(labels, idCol)
       .groupBy(col(qIdCol), col("__lbl"))
       .agg(count(lit(1)).as("n_votes"), max(col("cos2_bp")).as("__best"))

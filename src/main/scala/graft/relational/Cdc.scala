@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** The op column, validated at execution: any code outside {U, D}
+    * (or a NULL) raises instead of half-applying — an 'X' row used to
+    * pass the delete filter but miss the payload swap, leaking the
+    * BASE payload (all-NULL for a new key). A corrupt changelog must
+    * surface, not leak. */
+  private def validatedOp(opCol: String): Column =
+    when(col(opCol).isin("U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"CDC changelog op ('$opCol') must be 'U' or 'D', got: "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
+
   private def latest(changes: DataFrame, keyCols: Seq[String],
                      versionCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -57,8 +68,8 @@ object Cdc {
       .filterNot(changes.columns.contains)
     require(missing.isEmpty, s"changelog is missing columns: $missing")
     val last = latest(
-      changes.select((keyCols ++ payload ++ Seq(versionCol, opCol))
-        .map(col): _*),
+      changes.select((keyCols ++ payload ++ Seq(versionCol)).map(col) :+
+        validatedOp(opCol).as(opCol): _*),
       keyCols, versionCol)
     val chg = last.select(
       keyCols.map(col) ++
@@ -82,6 +93,7 @@ object Cdc {
                    opCol: String = "op"): DataFrame = {
     require(keyCols.nonEmpty, "snapshotAsOf needs at least one key column")
     val visible = changes.where(col(versionCol) <= version)
+      .withColumn(opCol, validatedOp(opCol))
     latest(visible, keyCols, versionCol)
       .where(col(opCol) =!= "D")
       .drop(versionCol, opCol)

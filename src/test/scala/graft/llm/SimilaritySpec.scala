@@ -563,6 +563,17 @@ class SimilaritySpec extends SparkSpec {
       Seq((1000L, 3L, 2L, 3L))
     an[IllegalArgumentException] should be thrownBy
       Similarity.knnLabel(queries, df(big).drop("label"), k = 3)
+    // non-integral labels are a caller error, never silent NULL votes:
+    // a string-labeled corpus used to elect pred_label = null unanimously
+    val strLabeled = df(big).withColumn("label",
+      concat(lit("cls_"), col("label")))
+    val eStr = intercept[IllegalArgumentException] {
+      Similarity.knnLabel(queries, strLabeled, k = 3,
+        numTables = 4, bits = 2, dims = 8) }
+    eStr.getMessage should include ("must be integral")
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.knnLabel(queries,
+        df(big).withColumn("label", col("label").cast("double")), k = 3)
   }
 
   test("marginMine is invariant under repartitioning") {

@@ -53,6 +53,24 @@ class CdcSpec extends SparkSpec {
       Cdc.upsert(base, changes, Seq.empty)
   }
 
+  test("unknown op codes raise instead of half-applying (r15 verdict #4)") {
+    // an 'X' row used to pass the delete filter but miss the payload
+    // swap — a new key leaked an all-NULL base payload
+    val corrupt = changes.union(
+      Seq((7L, "x", 70.0, 1L, "X")).toDF("k", "name", "amt", "version", "op"))
+    val eU = intercept[Exception] { Cdc.upsert(base, corrupt, Seq("k")).collect() }
+    eU.getMessage should include ("must be 'U' or 'D'")
+    val eS = intercept[Exception] {
+      Cdc.snapshotAsOf(corrupt, lit(5L), Seq("k")).collect() }
+    eS.getMessage should include ("must be 'U' or 'D'")
+    // NULL op is equally corrupt
+    val nullOp = changes.union(
+      Seq((8L, "n", 80.0, 1L, null.asInstanceOf[String]))
+        .toDF("k", "name", "amt", "version", "op"))
+    val eN = intercept[Exception] { Cdc.upsert(base, nullOp, Seq("k")).collect() }
+    eN.getMessage should include ("must be 'U' or 'D'")
+  }
+
   test("snapshotAsOf pushes the version predicate into a parquet changelog scan") {
     val dir = java.nio.file.Files.createTempDirectory("cdc_push").toString
     changes.write.mode("overwrite").parquet(dir)
