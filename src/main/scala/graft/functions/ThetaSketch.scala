@@ -27,7 +27,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * than asserting a probabilistic band (above the threshold the
   * estimate carries the published ~1/√(2^lgK) RSE; deployments size
   * lgK to the cardinality they audit). Hashing is the library default
-  * seed — deterministic across runs and engines' replays. */
+  * seed — deterministic across runs and engines' replays.
+  *
+  * Empty keys: DataSketches `update("")`/`update(Array.empty)` is a
+  * SILENT no-op (RejectedNullOrEmpty), which would make exact-mode
+  * counts diverge from `COUNT(DISTINCT)` on corpora containing ''.
+  * Empty inputs therefore map to a fixed sentinel byte pair
+  * `0xC0 0x80` — an overlong encoding no valid UTF-8 string can
+  * produce, so string-keyed counts match COUNT(DISTINCT) exactly; for
+  * BINARY keys a literal two-byte [0xC0,0x80] input would collide with
+  * '' (documented, vanishingly unlikely, and impossible for text). */
 case class ThetaSketchAgg(
     child: Expression,
     lgK: Int,
@@ -47,12 +56,15 @@ case class ThetaSketchAgg(
   override def createAggregationBuffer(): Union = builder.buildUnion()
 
   override def update(buf: Union, input: InternalRow): Union = {
+    // update(String) hashes the UTF-8 bytes, so routing strings through
+    // update(byte[]) is hash-identical — and lets '' take the sentinel
+    // path instead of the library's silent RejectedNullOrEmpty no-op
     child.eval(input) match {
       case null                 => ()
-      case s: UTF8String        => buf.update(s.toString)
+      case s: UTF8String        => buf.update(ThetaSketchAgg.nonEmpty(s.getBytes))
       case l: java.lang.Long    => buf.update(l.longValue())
       case i: java.lang.Integer => buf.update(i.longValue())
-      case b: Array[Byte]       => buf.update(b)
+      case b: Array[Byte]       => buf.update(ThetaSketchAgg.nonEmpty(b))
       case other => throw new IllegalStateException(
         s"theta sketch input must be string/integral/binary, got $other " +
           s"(${child.dataType})")
@@ -81,6 +93,16 @@ case class ThetaSketchAgg(
     copy(inputAggBufferOffset = n)
   override protected def withNewChildInternal(c: Expression): ThetaSketchAgg =
     copy(child = c)
+}
+
+object ThetaSketchAgg {
+  /** Sentinel standing in for the empty key — invalid UTF-8 (overlong
+    * NUL), unreachable from any real string's encoded bytes. */
+  private[functions] val EmptySentinel: Array[Byte] =
+    Array(0xC0.toByte, 0x80.toByte)
+
+  private[functions] def nonEmpty(b: Array[Byte]): Array[Byte] =
+    if (b.isEmpty) EmptySentinel else b
 }
 
 /** Column entry point + the driver-side set-algebra toolkit (the

@@ -755,6 +755,12 @@ object LlmQueries {
       require(byDay.forall(!_._2.isEstimationMode),
         "a day exceeded the exact-mode threshold — raise lgK or gate bounds")
       val rows = Seq.newBuilder[(java.sql.Date, Long, Long)]
+      // the CUMULATIVE union grows past any one day's cardinality —
+      // per-day exactness alone doesn't bound it (r15 advice): chain
+      // it at lgK 20 (exact to 2^20 cumulative users) and require
+      // exactness after EVERY step, so n_new can never silently slip
+      // into estimation while the oracle replays exact first-seen days
+      val cumLgK = 20
       var prior: Option[org.apache.datasketches.theta.CompactSketch] = None
       byDay.foreach { case (d, sk) =>
         val nNew = prior match {
@@ -762,7 +768,10 @@ object LlmQueries {
           case Some(p) => ThetaSketch.estimateLong(ThetaSketch.aNotB(sk, p))
         }
         rows += ((d, ThetaSketch.estimateLong(sk), nNew))
-        prior = Some(prior.fold(sk)(p => ThetaSketch.union(p, sk)))
+        prior = Some(prior.fold(sk)(p => ThetaSketch.union(p, sk, cumLgK)))
+        require(!prior.get.isEstimationMode,
+          s"cumulative union left exact mode at day $d — raise cumLgK " +
+            "above the total user cardinality")
       }
       rows.result().toDF("day", "n_seen", "n_new").orderBy("day")
     },
