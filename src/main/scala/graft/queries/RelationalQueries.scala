@@ -921,6 +921,42 @@ object RelationalQueries {
     },
 
     // ----- §2.6 window functions ---------------------------------------
+    // Value-extraction window functions (r16, verdict ask 8) — the last
+    // uncovered window-catalog family after r15's ntile tier:
+    // first_value over the running frame, last_value / nth_value over
+    // the FULL frame (the default frame would make last_value the
+    // current row — the classic trap, pinned here with explicit ROWS
+    // bounds on both engines). Order is (price, key) so every frame is
+    // total-order deterministic; outputs are keys (BIGINT), never money.
+    Q("win_first_last",
+      """SELECT o_orderkey,
+        |  first_value(o_orderkey) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS cheapest_so_far,
+        |  last_value(o_orderkey) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS priciest_key,
+        |  nth_value(o_orderkey, 3) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS third_key
+        |FROM orders WHERE o_orderkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (spark, sf) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val base = W.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val running = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+      val full = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      Tables.orders(spark, sf)
+        .where(pmod(col("o_orderkey"), lit(50)) === 0)
+        .select(col("o_orderkey"),
+          first(col("o_orderkey")).over(running).as("cheapest_so_far"),
+          last(col("o_orderkey")).over(full).as("priciest_key"),
+          nth_value(col("o_orderkey"), 3).over(full).as("third_key"))
+        .orderBy("o_orderkey")
+    },
+
     Q("win_rank",
       """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk
         |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
