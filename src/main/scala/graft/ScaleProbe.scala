@@ -1091,6 +1091,50 @@ object ScaleProbe {
         graft.llm.Audit.outlinks(docs)
           .agg(sum("n_links"), count(lit(1))).head()
       }),
+      // connected components over an edge list (r16, the outlink graph
+      // tier): chain clusters of depth 8 — the per-round cost is an
+      // edge-keyed shuffle and the ROUND COUNT is fixed by chain depth
+      // (pointer jumping), so 10× more edges must probe FLAT ROUNDS
+      // (the obs column) and a linearly-sized shuffle, never more
+      // rounds. n*96 puts the label frame past the broadcast threshold
+      // on BOTH sides (at n*32 the 1× labels broadcast and the byte
+      // ratio read 17.6× — a regime flip, not a blow-up). Measured
+      // r16: 9.96× shuffle, 0.0 spill both scales, rounds 3=3. Upper
+      // boundary also measured: at n*320/10× (16M edges) the SMJ
+      // external sort spills under the harness's 8-partition heap —
+      // graceful spill with time still linear (11.6×) and rounds flat,
+      // the partition-count sizing knob, not an operator fallback
+      ("components", () => {
+        val edges = spark.range(n * 96)
+          .where(pmod(col("id"), lit(8)) < 7)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        val (labels, rounds) = graft.llm.Components
+          .pairComponentsWithRounds(edges, idCol = "node")
+        observe(rounds.toLong)
+        labels.agg(sum("component"), count(lit(1))).head()
+      }),
+      // streaming-CDC per-batch merge kernel (r16): latest-per-key
+      // window on the changes + full-outer snapshot join riding that
+      // hash — the sink adds only bucket-pruned IO around this. Sink
+      // consumes EVERY output column class (payload, version,
+      // tombstone) so nothing prunes
+      ("cdc_merge_versioned", () => {
+        val snap = graft.relational.Cdc.bootstrap(
+          spark.range(n * 128).select(col("id").as("k"),
+            concat(lit("n"), col("id")).as("name"),
+            (pmod(col("id"), lit(1000))).cast("double").as("amt")), Seq("k"))
+        val chg = spark.range(n * 32).select(
+          (col("id") * 4).as("k"),
+          concat(lit("u"), col("id")).as("name"),
+          lit(1.0).as("amt"),
+          (pmod(xxhash64(col("id")), lit(5)) + 1).as("version"),
+          when(pmod(col("id"), lit(10)) === 0, lit("D"))
+            .otherwise(lit("U")).as("op"))
+        graft.relational.Cdc.mergeVersioned(snap, chg, Seq("k"))
+          .agg(count(lit(1)), sum(length(col("name"))), sum("amt"),
+            sum(col(graft.relational.Cdc.VersionCol)),
+            sum(col(graft.relational.Cdc.DeletedCol).cast("long"))).head()
+      }),
       // GK quantile sketch build+merge: per-group summary aggregate
       // (bounded buffers), 8 driver-merged partials, one rank query
       ("quantile_sketch", () => {

@@ -81,6 +81,12 @@ object ExchangeBudgets {
     "llm_curate_full_poly"            -> 22,
     "llm_curriculum"                  -> 5,
     "llm_dedup_cluster"               -> 18,
+    // r16 outlink-graph components: one corpus-sized edge aggregation
+    // (outlinks' groupBy, paid at the closure's edge cut), then the
+    // CC-iteration class on the 104-node bipartite graph — each
+    // propagation round re-keys the edge frame (neighbour-min agg +
+    // pointer-jump self-join) plus the declared sort
+    "llm_components"                  -> 13,
     // sweep: banding groupBy + bucket-pair distinct + the multi-distinct
     // Expand aggregate over the CANDIDATE frame + the |thresholds| sort
     "llm_dedup_sweep"                 -> 4,
@@ -137,6 +143,12 @@ object ExchangeBudgets {
     // (user,day) distinct, window user-hash, cells agg, declared sort
     "op_retention"                    -> 4,
     "op_zip"                          -> 5,
+    // r16 streaming-CDC face: TWO chained micro-batch merges by design
+    // (the out-of-order replay being gated) — per merge a changelog
+    // latest-per-key window hash + the snapshot-side join exchange
+    // (merge 2's snapshot side rides merge 1's join partitioning),
+    // plus the changes cut and the declared key sort
+    "stream_cdc_upsert"               -> 7,
     "src_shard_jsonl"                 -> 4)
 
   def budget(name: String): Int = perQuery.getOrElse(name, default)

@@ -825,6 +825,73 @@ object LlmQueries {
       graft.llm.Audit.outlinks(planted).orderBy("src", "dst_host")
     },
 
+    // Weakly-connected components over the outlink edge table (r16,
+    // verdict ask 7) — the graph tier between [[Audit.outlinks]] and
+    // host-level canonicalization: sources and the hosts they link form
+    // a bipartite graph; its components are the "same operator" groups
+    // (link-farm / mirror detection) host dedup canonicalizes by. The
+    // planted graph (both engines): every doc links its source's host
+    // s-<source>-<(doc_id%80) DIV 20>.example.net (4 hosts per source —
+    // the index varies WITHIN a source since source ≡ doc_id%20), and
+    // doc_id%7 docs (7 coprime 20, so every source bridges) link a
+    // shared Bridge-<srcnum%4> host with an UPPERCASE scheme/host
+    // (normalization load-bearing) — probed in DuckDB first: 104 nodes,
+    // 4 components of 26, stable tri-scale. Labels are strings; the
+    // min-label election is lexicographic on both engines. The oracle
+    // replays extraction + full transitive closure (recursive CTE);
+    // the engine runs the pointer-jumping propagation — agreement gates
+    // BOTH the graph construction and the closure.
+    Q("llm_components",
+      """WITH RECURSIVE p AS (
+        |  SELECT source, doc_id,
+        |    text
+        |    || ' <a href="http://s-' || source || '-'
+        |      || ((doc_id % 80) // 20) || '.example.net/p">x</a>'
+        |    || CASE WHEN doc_id % 7 = 0
+        |      THEN ' <a href="HTTP://Bridge-'
+        |        || (CAST(substr(source, 4) AS INT) % 4) || '.Example.org/q">b</a>'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT source AS src,
+        |    unnest(regexp_extract_all(text, 'href="([^"]+)"', 1)) AS url
+        |  FROM p),
+        |h AS (
+        |  SELECT src,
+        |    lower(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS dst_host
+        |  FROM u),
+        |e AS (
+        |  SELECT src, dst_host FROM h
+        |  WHERE dst_host IS NOT NULL AND dst_host <> ''
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT 'src:' || src AS a, 'host:' || dst_host AS b FROM e),
+        |sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b, a FROM edges),
+        |parts AS (SELECT DISTINCT s AS id FROM sym),
+        |reach(id, m) AS (
+        |  SELECT id, id FROM parts
+        |  UNION
+        |  SELECT s.d, r.m FROM reach r JOIN sym s ON s.s = r.id)
+        |SELECT id AS node, min(m) AS component
+        |FROM reach GROUP BY id ORDER BY node""".stripMargin) { (spark, sf) =>
+      val planted = Tables.documents(spark, sf).select(col("source"),
+        concat(col("text"),
+          lit(" <a href=\"http://s-"), col("source"), lit("-"),
+          expr("(doc_id % 80) DIV 20").cast("string"),
+          lit(".example.net/p\">x</a>"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" <a href=\"HTTP://Bridge-"),
+              pmod(substring(col("source"), 4, 10).cast("int"), lit(4))
+                .cast("string"),
+              lit(".Example.org/q\">b</a>"))).otherwise(lit("")))
+          .as("text"))
+      val edges = graft.llm.Audit.outlinks(planted)
+        .select(concat(lit("src:"), col("src")).as("a"),
+          concat(lit("host:"), col("dst_host")).as("b"))
+      graft.llm.Components.pairComponents(edges, idCol = "node")
+        .orderBy("node")
+    },
+
     // Embedding-integrity audit: the fixture vectors are all clean, so
     // every defect class is PLANTED in-query on both sides — %17
     // residues become null / NaN-poisoned / truncated-to-16 / all-zero

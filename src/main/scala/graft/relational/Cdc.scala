@@ -84,6 +84,97 @@ object Cdc {
       .orderBy(keyCols.map(col): _*)
   }
 
+  // ---- streaming MERGE (r16): versioned snapshot + per-batch merge ----
+  //
+  // Batch `upsert` ranks versions WITHIN one changelog frame; a
+  // changelog arriving as a STREAM splits across micro-batches, so the
+  // snapshot itself must remember each key's applied version (or a
+  // late-arriving lower version would clobber a newer payload) and must
+  // keep DELETE tombstones (or a late lower-version 'U' would resurrect
+  // a deleted key). The versioned snapshot carries exactly that:
+  // `__cdc_version` (long) and `__cdc_deleted` per key, stripped by
+  // [[publicSnapshot]]. Tombstone GC is a compaction concern — a
+  // tombstone may be dropped once no in-flight change can carry a lower
+  // version — outside this operator's scope and documented here.
+
+  /** Applied-version column of a versioned snapshot. */
+  val VersionCol = "__cdc_version"
+  /** Tombstone flag column of a versioned snapshot. */
+  val DeletedCol = "__cdc_deleted"
+
+  /** Lift `base` (key + payload columns) into a versioned snapshot at
+    * `baseVersion` — the bootstrap every stream starts from (an empty
+    * base bootstraps an empty snapshot). */
+  def bootstrap(base: DataFrame, keyCols: Seq[String],
+                baseVersion: Long = 0L): DataFrame = {
+    require(keyCols.nonEmpty, "bootstrap needs at least one key column")
+    base.withColumn(VersionCol, lit(baseVersion))
+      .withColumn(DeletedCol, lit(false))
+  }
+
+  /** One micro-batch's MERGE: apply `changes` to the versioned
+    * `snapshot`, returning the next versioned snapshot. Winner per key:
+    * the change iff its version is >= the snapshot's applied version
+    * (>= — not > — so an at-least-once REPLAY of the same batch
+    * re-applies identical payloads and the merge is idempotent); a
+    * losing change (late, lower version) leaves the snapshot row —
+    * including a tombstone — untouched. A winning 'D' writes a
+    * tombstone (null payload, version recorded); a 'D' for an unseen
+    * key still writes one, so a later out-of-order lower-version 'U'
+    * for that key loses. Versions cast to long (the total order the
+    * contract already requires).
+    *
+    * Shape: latest-per-key window (one changelog key-hash exchange) +
+    * full-outer join riding that hash on the change side — the
+    * [[upsert]] plan, with the snapshot side pruned to changed buckets
+    * by the streaming sink before it ever reaches this join. */
+  def mergeVersioned(snapshot: DataFrame, changes: DataFrame,
+                     keyCols: Seq[String], versionCol: String = "version",
+                     opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "mergeVersioned needs at least one key column")
+    val internal = Seq(VersionCol, DeletedCol)
+    require(internal.forall(snapshot.columns.contains),
+      s"snapshot is not versioned (missing $internal) — bootstrap() it")
+    val payload = snapshot.columns
+      .filterNot(keyCols.contains).filterNot(internal.contains).toSeq
+    val missing = (keyCols ++ payload ++ Seq(versionCol, opCol))
+      .filterNot(changes.columns.contains)
+    require(missing.isEmpty, s"changelog is missing columns: $missing")
+    val payloadTypes = payload.map(c => c -> snapshot.schema(c).dataType).toMap
+    val last = latest(
+      changes.select(keyCols.map(col) ++
+        payload.map(c => col(c).cast(payloadTypes(c))) ++
+        Seq(col(versionCol).cast("long").as(versionCol)) :+
+        validatedOp(opCol).as(opCol): _*),
+      keyCols, versionCol)
+    val chg = last.select(
+      keyCols.map(c => col(c).as(s"__c_$c")) ++
+        payload.map(c => col(c).as(s"__c_$c")) ++
+        Seq(col(versionCol).as("__c_version"), col(opCol).as("__op")): _*)
+    val joinCond = keyCols.map(c => snapshot(c) <=> chg(s"__c_$c"))
+      .reduce(_ && _)
+    val changeWins = col("__c_version").isNotNull &&
+      (col(VersionCol).isNull || col("__c_version") >= col(VersionCol))
+    snapshot.join(chg, joinCond, "full_outer")
+      .select(
+        keyCols.map(c => coalesce(col(c), col(s"__c_$c")).as(c)) ++
+          payload.map { c =>
+            when(changeWins,
+              when(col("__op") === "D", lit(null).cast(payloadTypes(c)))
+                .otherwise(col(s"__c_$c")))
+              .otherwise(col(c)).as(c)
+          } ++ Seq(
+            when(changeWins, col("__c_version"))
+              .otherwise(col(VersionCol)).as(VersionCol),
+            when(changeWins, col("__op") === "D")
+              .otherwise(col(DeletedCol)).as(DeletedCol)): _*)
+  }
+
+  /** The readable face of a versioned snapshot: live rows, internal
+    * columns stripped. */
+  def publicSnapshot(snapshot: DataFrame): DataFrame =
+    snapshot.where(!col(DeletedCol)).drop(VersionCol, DeletedCol)
+
   /** Reconstruct the live state AS OF `version` (inclusive) from the
     * changelog alone: restrict to `versionCol <= version` (pushed into
     * the scan), take latest-per-key, drop keys whose latest visible

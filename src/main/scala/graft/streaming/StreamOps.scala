@@ -477,6 +477,113 @@ object StreamOps {
     }
   }
 
+  // ---- streaming CDC (r16): a changelog stream maintains a snapshot ----
+
+  /** Bucket partition column of the stored snapshot layout. */
+  val CdcBucketCol = "__cdc_bucket"
+
+  private def cdcBucket(keyCols: Seq[String], nBuckets: Int): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)).cast("int")
+
+  /** Write a versioned snapshot ([[graft.relational.Cdc.bootstrap]]) in
+    * the key-hash-bucketed layout [[cdcStream]] maintains — the initial
+    * load every CDC deployment does before tailing the log. */
+  def writeCdcSnapshot(versioned: DataFrame, snapshotPath: String,
+                       keyCols: Seq[String], nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    versioned.withColumn(CdcBucketCol, cdcBucket(keyCols, nBuckets))
+      .write.mode("overwrite").partitionBy(CdcBucketCol).parquet(snapshotPath)
+  }
+
+  /** The maintained snapshot, versioned face (internal columns intact —
+    * [[graft.relational.Cdc.publicSnapshot]] strips them). */
+  def readCdcSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      snapshotPath: String): DataFrame =
+    spark.read.parquet(snapshotPath).drop(CdcBucketCol)
+
+  /** Maintain a snapshot from a changelog STREAM — `Cdc.upsert`
+    * composed with foreachBatch (the r11 manifestStream sink family):
+    * each micro-batch MERGEs into the bucketed snapshot via
+    * [[graft.relational.Cdc.mergeVersioned]] and dynamic-partition-
+    * overwrites ONLY the buckets its keys touch.
+    *
+    * At-least-once replay: manifest partials are per-batch FACTS, so
+    * that sink gets idempotency from batch-keyed partitions; a snapshot
+    * is CONVERGENT STATE, so this one gets it from the merge itself —
+    * a change wins at version `>=` the applied version, making a
+    * replayed batch (same keys, same versions, same payloads) a fixed
+    * point of the merge (spec-pinned by double-applying a batch).
+    * Cross-batch ordering: the snapshot remembers each key's applied
+    * version and keeps DELETE tombstones, so a late lower-version
+    * change loses even across micro-batch boundaries — semantics a
+    * per-batch `Cdc.upsert` alone cannot provide.
+    *
+    * Scale shape: one changelog key-hash exchange (latest-per-key
+    * window) + the snapshot side read PRUNED to changed buckets
+    * (partition filter on `__cdc_bucket`) — a batch touching k of
+    * `nBuckets` buckets reads and rewrites k/nBuckets of the snapshot,
+    * never all of it. Size `nBuckets` so one bucket ≪ executor memory
+    * at the deployment's snapshot size. The merged buckets are
+    * eager-checkpointed before the write (the engine cannot overwrite a
+    * path its plan is reading; blocks released in the same batch), so
+    * per-batch memory is changed-bucket-bounded. The parquet-dir +
+    * dynamic-overwrite layout stands in for MERGE INTO on a table
+    * format; the merge logic is format-agnostic. */
+  def cdcStream(changes: DataFrame, snapshotPath: String, checkpoint: String,
+                keyCols: Seq[String], versionCol: String = "version",
+                opCol: String = "op", nBuckets: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyCdcBatch(batch.toDF(), snapshotPath, keyCols, versionCol,
+          opCol, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One micro-batch's snapshot MERGE — package-visible so the replay
+    * contract is spec-testable without forcing a mid-stream crash
+    * (the writeManifestPartial discipline). A missing snapshot
+    * bootstraps empty from the batch's own schema (key + payload
+    * types), so a stream can start cold; an explicit initial load goes
+    * through [[writeCdcSnapshot]] first. */
+  private[graft] def applyCdcBatch(batch: DataFrame, snapshotPath: String,
+                                   keyCols: Seq[String], versionCol: String,
+                                   opCol: String, nBuckets: Int): Unit = {
+    import graft.relational.Cdc
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // the layout is ours, so detect it precisely: partition dirs are
+    // `__cdc_bucket=N` (a bare "not underscore" filter would reject
+    // them — they start with one — and silently merge against empty)
+    val exists = fs.exists(hPath) && fs.listStatus(hPath)
+      .exists(_.getPath.getName.startsWith(CdcBucketCol + "="))
+    // the touched buckets: bounded by nBuckets, so the collect is too
+    val changed = batch
+      .select(cdcBucket(keyCols, nBuckets).as("b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existing =
+      if (exists)
+        spark.read.parquet(snapshotPath)
+          .where(col(CdcBucketCol).isin(changed.map(Integer.valueOf): _*))
+          .drop(CdcBucketCol)
+      else
+        Cdc.bootstrap(batch.drop(versionCol, opCol).limit(0), keyCols)
+    val merged = Cdc.mergeVersioned(existing, batch, keyCols, versionCol, opCol)
+      .localCheckpoint(true) // sever the snapshot self-read before overwrite
+    try {
+      merged.withColumn(CdcBucketCol, cdcBucket(keyCols, nBuckets))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(CdcBucketCol)
+        .parquet(snapshotPath)
+    } finally {
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(merged)
+    }
+  }
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   /** T5b custom keyed state: running per-user count/sum via

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.relational.Cdc
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+object CdcStreamSpec {
+  final case class Change(k: Long, name: String, amt: Double,
+                          version: Long, op: String)
+}
+
+/** Streaming CDC (r16): a changelog arriving as a stream maintains the
+  * snapshot `Cdc.upsert` would compute over the whole log — including
+  * version order violated ACROSS micro-batches, which per-batch upsert
+  * alone cannot survive (the snapshot's version memory + tombstones
+  * carry the cross-batch total order). Replay idempotence is the merge
+  * itself (change wins at >=), not batch-keyed partitions — state
+  * converges, facts append. */
+class CdcStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import CdcStreamSpec.Change
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("k", "name", "amt")
+
+  // batches arrive OUT OF VERSION ORDER across the stream: every
+  // batch-2 change is a LATE, LOWER version that must lose to batch 1
+  private val batch1 = Seq(
+    Change(2L, "", 0.0, 2L, "D"),       // delete key 2 at v2
+    Change(3L, "c9", 33.0, 5L, "U"),    // update key 3 at v5
+    Change(7L, "", 0.0, 3L, "D"))       // delete an UNSEEN key (tombstone memory)
+  private val batch2 = Seq(
+    Change(2L, "b2", 21.0, 1L, "U"),    // late U under key 2's tombstone
+    Change(3L, "c1", 31.0, 1L, "U"),    // late U under key 3's v5
+    Change(7L, "ghost", 70.0, 1L, "U"), // late U under the unseen-key tombstone
+    Change(9L, "i", 90.0, 1L, "U"))     // plain insert
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+
+  test("e2e stream: final public snapshot equals batch Cdc.upsert over the whole log") {
+    val snap = tmp("cdc_snap"); val ckpt = tmp("cdc_ckpt")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Change]
+    val q = StreamOps.cdcStream(mem.toDF(), snap, ckpt, Seq("k"), nBuckets = 8)
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      mem.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = rows(Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap)))
+    val batched = rows(Cdc.upsert(base, (batch1 ++ batch2).toDF(), Seq("k")))
+    streamed shouldBe batched
+    streamed shouldBe Seq((1L, "a", 10.0), (3L, "c9", 33.0), (9L, "i", 90.0))
+    // version memory, internal face: key 2 is a v2 tombstone (the late
+    // v1 'U' lost), key 7 a v3 tombstone that never surfaced publicly
+    val internal = StreamOps.readCdcSnapshot(spark, snap)
+      .where(col(Cdc.DeletedCol))
+      .select(col("k"), col(Cdc.VersionCol)).as[(Long, Long)]
+      .collect().sorted
+    internal shouldBe Seq((2L, 2L), (7L, 3L))
+  }
+
+  test("at-least-once replay: re-applying a batch is a fixed point of the merge") {
+    val snap = tmp("cdc_replay")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8)
+    StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8)
+    def full = StreamOps.readCdcSnapshot(spark, snap)
+      .orderBy("k").collect().map(_.toString).toSeq
+    val once = full
+    // the double-feed: a crash after the write but before the offset
+    // commit replays the LAST batch verbatim
+    StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8)
+    full shouldBe once
+  }
+
+  test("only the buckets a batch touches are rewritten (partition pruning + dynamic overwrite)") {
+    val snap = tmp("cdc_buckets")
+    val wide = spark.range(0, 64).select(col("id").as("k"),
+      concat(lit("n"), col("id")).as("name"), lit(1.0).as("amt"))
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(wide, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    def filesByBucket: Map[String, Set[String]] =
+      new java.io.File(snap).listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith(StreamOps.CdcBucketCol + "="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet)
+        .toMap
+    val before = filesByBucket
+    before.size shouldBe 8 // 64 keys spread over 8 buckets
+    StreamOps.applyCdcBatch(
+      Seq(Change(5L, "upd", 2.0, 10L, "U")).toDF(), snap, Seq("k"), "version", "op", 8)
+    val after = filesByBucket
+    val touched = spark.range(1).select(
+      pmod(xxhash64(lit(5L)), lit(8)).cast("int")).head().getInt(0)
+    val changedDirs = after.keySet.filter(d => before(d) != after(d))
+    changedDirs shouldBe Set(s"${StreamOps.CdcBucketCol}=$touched")
+    // and the merge landed
+    Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))
+      .where(col("k") === 5L).select("name").as[String].head() shouldBe "upd"
+  }
+
+  test("cold start: a first batch on a missing snapshot bootstraps from the batch schema") {
+    val snap = tmp("cdc_cold") + "/nested" // does not exist yet
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8)
+    val pub = rows(Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap)))
+    pub shouldBe Seq((3L, "c9", 33.0)) // the two deletes tombstone
+    StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8)
+    rows(Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))) shouldBe
+      Seq((3L, "c9", 33.0), (9L, "i", 90.0))
+  }
+
+  test("mergeVersioned: >= tie goes to the change (replay), < loses (late arrival)") {
+    val snap = Cdc.bootstrap(Seq((1L, "a", 10.0)).toDF("k", "name", "amt"), Seq("k"), 5L)
+    val tie = Seq(Change(1L, "tie", 1.0, 5L, "U")).toDF()
+    Cdc.publicSnapshot(Cdc.mergeVersioned(snap, tie, Seq("k")))
+      .select("name").as[String].head() shouldBe "tie"
+    val late = Seq(Change(1L, "late", 1.0, 4L, "U")).toDF()
+    Cdc.publicSnapshot(Cdc.mergeVersioned(snap, late, Seq("k")))
+      .select("name").as[String].head() shouldBe "a"
+    // unversioned input is a caller error
+    an[IllegalArgumentException] should be thrownBy
+      Cdc.mergeVersioned(Seq((1L, "a", 10.0)).toDF("k", "name", "amt"),
+        tie, Seq("k"))
+  }
+}
