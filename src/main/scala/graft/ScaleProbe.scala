@@ -1113,6 +1113,21 @@ object ScaleProbe {
         observe(rounds.toLong)
         labels.agg(sum("component"), count(lit(1))).head()
       }),
+      // incremental CC relabel (r16): prior labels arrive as the star
+      // contraction (one edge per labeled node — NOT the historical
+      // edge volume), the delta merges adjacent clusters pairwise; the
+      // whole point is that cost scales with |nodes| + |delta|, not
+      // with everything ever closed
+      ("components_incremental", () => {
+        val m = n * 96
+        val prior = spark.range(m).select(col("id").as("node"),
+          (col("id") - pmod(col("id"), lit(8))).as("component"))
+        val delta = spark.range(m / 16).select(
+          (col("id") * 16 + 7).as("a"), (col("id") * 16 + 8).as("b"))
+        graft.llm.Components.incremental(prior, delta,
+            idCol = "node", compCol = "component")
+          .agg(sum("component"), count(lit(1))).head()
+      }),
       // streaming-CDC per-batch merge kernel (r16): latest-per-key
       // window on the changes + full-outer snapshot join riding that
       // hash — the sink adds only bucket-pruned IO around this. Sink

@@ -739,6 +739,46 @@ object Examples {
       s"merged-sketch p50 $p50; $labeled queries kNN-labeled; " +
       s"$sfun users complete the streamed funnel")
 
+    // 43. round-16 additions — a changelog STREAM maintaining a bucketed
+    // snapshot (out-of-order micro-batches, tombstone GC), and the
+    // outlink graph's connected components closed incrementally
+    val snapDir = java.nio.file.Files.createTempDirectory("ex_cdc").toString
+    graft.streaming.StreamOps.writeCdcSnapshot(
+      graft.relational.Cdc.bootstrap(ordBase, Seq("o_orderkey")),
+      snapDir, Seq("o_orderkey"), nBuckets = 8)
+    // batch 1: v2 deletes land first; batch 2: late v1 updates must lose
+    graft.streaming.StreamOps.applyCdcBatch(
+      Tables.orders(spark, sf).where(pmod(col("o_orderkey"), lit(15)) === 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lit(2L).as("version"), lit("D").as("op")),
+      snapDir, Seq("o_orderkey"), "version", "op", 8)
+    graft.streaming.StreamOps.applyCdcBatch(
+      Tables.orders(spark, sf).where(pmod(col("o_orderkey"), lit(15)) === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") + 1).as("o_totalprice"),
+          lit(1L).as("version"), lit("U").as("op")),
+      snapDir, Seq("o_orderkey"), "version", "op", 8)
+    graft.streaming.StreamOps.compactCdcSnapshot(spark, snapDir,
+      horizon = 2L, Seq("o_orderkey"), nBuckets = 8)
+    val live = graft.relational.Cdc.publicSnapshot(
+      graft.streaming.StreamOps.readCdcSnapshot(spark, snapDir)).count()
+    val tombs = graft.streaming.StreamOps.readCdcSnapshot(spark, snapDir)
+      .where(col(graft.relational.Cdc.DeletedCol)).count()
+    val linkDocs = docs.select(col("source"),
+      concat(col("text"), lit(" <a href=\"http://h"),
+        pmod(col("doc_id"), lit(11)).cast("string"),
+        lit(".example.com/\">x</a>")).as("text"))
+    val linkEdges = graft.llm.Audit.outlinks(linkDocs)
+      .select(concat(lit("s:"), col("src")).as("a"),
+        concat(lit("h:"), col("dst_host")).as("b"))
+    val prior = graft.llm.Components.pairComponents(linkEdges, idCol = "node")
+    val grown = graft.llm.Components.incremental(prior,
+        prior.limit(1).select(col("node").as("a"), lit("z:new-host").as("b")),
+        idCol = "node")
+      .select(countDistinct(col("component"))).head().getLong(0)
+    println(s"[43] streamed CDC snapshot: $live live rows, $tombs surviving " +
+      s"tombstones after GC; outlink graph closes to $grown components " +
+      "after the incremental delta")
+
     spark.stop()
   }
 }

@@ -216,4 +216,33 @@ object Components {
                   maxIter: Int = 30): DataFrame =
     connectedComponents(docs.select(idCol), pairs, idCol, aCol, bCol, maxIter)
       .withColumn("is_rep", col(idCol) === col("component"))
+
+  /** Incremental closure (r16) — the growing-graph scale path: a crawl
+    * adds edges daily, and re-closing the FULL edge set per day re-pays
+    * every historical round. A prior labeling is a connectivity-
+    * preserving CONTRACTION of everything already closed: the star
+    * edges `id → component` reconnect each old cluster in diameter 2,
+    * so running the same closure over (star edges ∪ delta edges) equals
+    * the full recompute over (all old edges ∪ delta) — with the old
+    * edge VOLUME replaced by one edge per labeled node, and convergence
+    * in ~2 rounds unless the delta itself is deep (the Kiveris et al.
+    * contraction argument). Labels are min ids, so a merged component's
+    * min over star ids = min over all original members; singleton prior
+    * nodes (id = component, no star edge) and fresh delta endpoints are
+    * both covered by the node attach. Emits `(idCol, component)` over
+    * prior nodes ∪ delta endpoints. */
+  def incremental(priorLabels: DataFrame, deltaEdges: DataFrame,
+                  idCol: String = "doc_id", compCol: String = "component",
+                  aCol: String = "a", bCol: String = "b",
+                  maxIter: Int = 30): DataFrame = {
+    val nodes = priorLabels.select(col(idCol))
+      .union(deltaEdges.select(col(aCol).as(idCol)))
+      .union(deltaEdges.select(col(bCol).as(idCol)))
+      .distinct()
+    val starEdges = priorLabels
+      .where(col(idCol) =!= col(compCol))
+      .select(col(idCol).as(aCol), col(compCol).as(bCol))
+    connectedComponents(nodes, starEdges.union(deltaEdges.select(aCol, bCol)),
+      idCol, aCol, bCol, maxIter)
+  }
 }

@@ -87,6 +87,11 @@ object ExchangeBudgets {
     // propagation round re-keys the edge frame (neighbour-min agg +
     // pointer-jump self-join) plus the declared sort
     "llm_components"                  -> 13,
+    // the incremental face runs TWO closures by design — the prior
+    // star-graph labeling plus the incremental relabel over its
+    // contraction — each paying the CC-iteration class per round;
+    // the corpus is scanned ONCE (edge cut), executed scans = 1
+    "llm_components_incremental"      -> 30,
     // sweep: banding groupBy + bucket-pair distinct + the multi-distinct
     // Expand aggregate over the CANDIDATE frame + the |thresholds| sort
     "llm_dedup_sweep"                 -> 4,

@@ -892,6 +892,72 @@ object LlmQueries {
         .orderBy("node")
     },
 
+    // Incremental closure face (r16): the SAME planted outlink graph,
+    // arrived in two waves — the per-source star edges close first
+    // (yesterday's crawl), then the bridge edges land as the DELTA and
+    // [[Components.incremental]] relabels over the prior labeling's
+    // star contraction instead of re-closing the full edge set. The
+    // final labels must equal the one-shot closure, so the oracle is
+    // llm_components' SQL verbatim — one recursive-CTE truth, two
+    // engine paths gated against it. The edge table is cut once
+    // (hosts²-bounded); prior and delta are filters over the cut.
+    Q("llm_components_incremental",
+      """WITH RECURSIVE p AS (
+        |  SELECT source, doc_id,
+        |    text
+        |    || ' <a href="http://s-' || source || '-'
+        |      || ((doc_id % 80) // 20) || '.example.net/p">x</a>'
+        |    || CASE WHEN doc_id % 7 = 0
+        |      THEN ' <a href="HTTP://Bridge-'
+        |        || (CAST(substr(source, 4) AS INT) % 4) || '.Example.org/q">b</a>'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT source AS src,
+        |    unnest(regexp_extract_all(text, 'href="([^"]+)"', 1)) AS url
+        |  FROM p),
+        |h AS (
+        |  SELECT src,
+        |    lower(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS dst_host
+        |  FROM u),
+        |e AS (
+        |  SELECT src, dst_host FROM h
+        |  WHERE dst_host IS NOT NULL AND dst_host <> ''
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT 'src:' || src AS a, 'host:' || dst_host AS b FROM e),
+        |sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b, a FROM edges),
+        |parts AS (SELECT DISTINCT s AS id FROM sym),
+        |reach(id, m) AS (
+        |  SELECT id, id FROM parts
+        |  UNION
+        |  SELECT s.d, r.m FROM reach r JOIN sym s ON s.s = r.id)
+        |SELECT id AS node, min(m) AS component
+        |FROM reach GROUP BY id ORDER BY node""".stripMargin) { (spark, sf) =>
+      val planted = Tables.documents(spark, sf).select(col("source"),
+        concat(col("text"),
+          lit(" <a href=\"http://s-"), col("source"), lit("-"),
+          expr("(doc_id % 80) DIV 20").cast("string"),
+          lit(".example.net/p\">x</a>"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" <a href=\"HTTP://Bridge-"),
+              pmod(substring(col("source"), 4, 10).cast("int"), lit(4))
+                .cast("string"),
+              lit(".Example.org/q\">b</a>"))).otherwise(lit("")))
+          .as("text"))
+      val edges = graft.llm.Audit.outlinks(planted)
+        .select(concat(lit("src:"), col("src")).as("a"),
+          concat(lit("host:"), col("dst_host")).as("b"))
+        .localCheckpoint(false)
+      val star = edges.where(!col("b").startsWith("host:bridge-"))
+      val delta = edges.where(col("b").startsWith("host:bridge-"))
+      val prior = graft.llm.Components.pairComponents(
+        star, idCol = "node", inputIsCut = true)
+      graft.llm.Components.incremental(prior, delta, idCol = "node",
+          compCol = "component")
+        .orderBy("node")
+    },
+
     // Embedding-integrity audit: the fixture vectors are all clean, so
     // every defect class is PLANTED in-query on both sides — %17
     // residues become null / NaN-poisoned / truncated-to-16 / all-zero

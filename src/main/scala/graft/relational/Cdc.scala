@@ -175,6 +175,24 @@ object Cdc {
   def publicSnapshot(snapshot: DataFrame): DataFrame =
     snapshot.where(!col(DeletedCol)).drop(VersionCol, DeletedCol)
 
+  /** Tombstone GC — the compaction step closing the CDC lifecycle: a
+    * tombstone exists only to out-rank a LATER-arriving LOWER version,
+    * so once the log's writer guarantees no in-flight change below
+    * `horizon` (a watermark on the version domain — commit LSN floor,
+    * retention cutoff), every tombstone with version < `horizon` is
+    * dead weight and drops. Tombstones AT or ABOVE the horizon stay —
+    * a late change they must still out-rank may yet arrive. Live rows
+    * are never touched: their version memory still orders future
+    * changes. Returns the compacted versioned snapshot (same schema) —
+    * a LAZY frame over the input; to rewrite a stored snapshot in
+    * place use `StreamOps.compactCdcSnapshot`, which cuts before
+    * overwriting the files this frame reads. */
+  def compact(snapshot: DataFrame, horizon: Long): DataFrame = {
+    require(Seq(VersionCol, DeletedCol).forall(snapshot.columns.contains),
+      s"snapshot is not versioned — compact() takes bootstrap()/merge output")
+    snapshot.where(!col(DeletedCol) || col(VersionCol) >= horizon)
+  }
+
   /** Reconstruct the live state AS OF `version` (inclusive) from the
     * changelog alone: restrict to `versionCol <= version` (pushed into
     * the scan), take latest-per-key, drop keys whose latest visible

@@ -501,6 +501,23 @@ object StreamOps {
                       snapshotPath: String): DataFrame =
     spark.read.parquet(snapshotPath).drop(CdcBucketCol)
 
+  /** In-place tombstone GC of a maintained snapshot
+    * ([[graft.relational.Cdc.compact]] over the sink's bucket layout):
+    * the surviving rows are eager-checkpointed before the rewrite —
+    * `compact` returns a LAZY frame over the very files the rewrite
+    * replaces, so writing it back directly reads deleted files
+    * mid-job. Full static overwrite, since compaction may empty
+    * buckets that dynamic mode would leave behind. */
+  def compactCdcSnapshot(spark: org.apache.spark.sql.SparkSession,
+                         snapshotPath: String, horizon: Long,
+                         keyCols: Seq[String], nBuckets: Int = 64): Unit = {
+    val cut = graft.relational.Cdc
+      .compact(readCdcSnapshot(spark, snapshotPath), horizon)
+      .localCheckpoint(true)
+    try writeCdcSnapshot(cut, snapshotPath, keyCols, nBuckets)
+    finally org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(cut)
+  }
+
   /** Maintain a snapshot from a changelog STREAM — `Cdc.upsert`
     * composed with foreachBatch (the r11 manifestStream sink family):
     * each micro-batch MERGEs into the bucketed snapshot via

@@ -90,6 +90,32 @@ class ComponentsSpec extends SparkSpec {
     out shouldBe Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z")
   }
 
+  test("incremental over prior labels equals the full recompute (merge, grow, no-op, fresh)") {
+    // prior graph: {1,2,3} (min 1), {5,6} (min 5), {9} singleton
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L)
+    val oldEdges = Seq((2L, 1L), (2L, 3L), (5L, 6L))
+    val prior = Components.connectedComponents(
+      nodes.toDF("doc_id"), oldEdges.toDF("src", "dst"), idCol = "doc_id")
+    // delta: MERGE two prior clusters (3-5), attach a FRESH node (10-9),
+    // a within-cluster no-op edge (1-2), and a fresh pair (20-21)
+    val delta = Seq((3L, 5L), (10L, 9L), (1L, 2L), (20L, 21L)).toDF("a", "b")
+    val inc = Components.incremental(prior, delta, idCol = "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val full = Components.connectedComponents(
+        (nodes ++ Seq(10L, 20L, 21L)).toDF("doc_id"),
+        (oldEdges ++ Seq((3L, 5L), (10L, 9L), (1L, 2L), (20L, 21L)))
+          .toDF("src", "dst"), idCol = "doc_id")
+      .as[(Long, Long)].collect().toMap
+    inc shouldBe full
+    inc shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L,
+      9L -> 9L, 10L -> 9L, 20L -> 20L, 21L -> 20L)
+    // an empty delta is the identity labeling
+    Components.incremental(prior,
+        Seq.empty[(Long, Long)].toDF("a", "b"), idCol = "doc_id")
+      .as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
+  }
+
   test("dupClusters flags the min-id doc of each cluster as representative") {
     val docs = Seq(10L, 11L, 12L, 20L).toDF("doc_id")
     val pairs = Seq((11L, 10L), (11L, 12L)).toDF("a", "b")

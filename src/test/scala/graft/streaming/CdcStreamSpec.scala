@@ -116,6 +116,31 @@ class CdcStreamSpec extends SparkSpec {
       Seq((3L, "c9", 33.0), (9L, "i", 90.0))
   }
 
+  test("compact drops only below-horizon tombstones; above-horizon late changes still lose") {
+    val snap = java.nio.file.Files.createTempDirectory("cdc_gc").toString
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8)
+    // horizon 3: key 2's v2 tombstone is GC-able, key 7's v3 is NOT
+    val compacted = Cdc.compact(StreamOps.readCdcSnapshot(spark, snap), horizon = 3L)
+    compacted.where(col(Cdc.DeletedCol)).select("k").as[Long].collect().toSeq shouldBe Seq(7L)
+    // live rows (1 at v0, 3 at v5) keep their version memory untouched
+    compacted.where(!col(Cdc.DeletedCol))
+      .select(col("k"), col(Cdc.VersionCol)).as[(Long, Long)]
+      .collect().sorted shouldBe Seq((1L, 0L), (3L, 5L))
+    // rewrite in place through the sink helper (compact's frame is lazy
+    // over the files being replaced — the helper cuts first), then keep
+    // merging: a late lower version under the SURVIVING tombstone loses
+    StreamOps.compactCdcSnapshot(spark, snap, horizon = 3L, Seq("k"), nBuckets = 8)
+    StreamOps.applyCdcBatch(
+      Seq(Change(7L, "ghost", 70.0, 1L, "U")).toDF(), snap, Seq("k"), "version", "op", 8)
+    Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))
+      .where(col("k") === 7L).count() shouldBe 0L
+    // while key 2 (tombstone GONE) would resurrect on a sub-horizon
+    // change — exactly why compact requires the writer's horizon
+    an[IllegalArgumentException] should be thrownBy
+      Cdc.compact(base, horizon = 1L)
+  }
+
   test("mergeVersioned: >= tie goes to the change (replay), < loses (late arrival)") {
     val snap = Cdc.bootstrap(Seq((1L, "a", 10.0)).toDF("k", "name", "amt"), Seq("k"), 5L)
     val tie = Seq(Change(1L, "tie", 1.0, 5L, "U")).toDF()
