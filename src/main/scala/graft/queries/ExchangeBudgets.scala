@@ -92,6 +92,10 @@ object ExchangeBudgets {
     // contraction — each paying the CC-iteration class per round;
     // the corpus is scanned ONCE (edge cut), executed scans = 1
     "llm_components_incremental"      -> 30,
+    // canonicalization = the components closure (13) plus the
+    // host-keyed rewrite join + (src, canon) re-aggregation over the
+    // weighted edge cut
+    "llm_host_canon"                  -> 14,
     // sweep: banding groupBy + bucket-pair distinct + the multi-distinct
     // Expand aggregate over the CANDIDATE frame + the |thresholds| sort
     "llm_dedup_sweep"                 -> 4,

@@ -958,6 +958,78 @@ object LlmQueries {
         .orderBy("node")
     },
 
+    // Host canonicalization (r16) — the step the components tier
+    // exists FOR: rewrite every outlink edge onto its host's component
+    // representative (link farms / mirrors collapse onto one canonical
+    // host) and re-aggregate weights — the edge table `hostRank` would
+    // consume after canonicalization. Same planted graph as
+    // llm_components; the component label of a bipartite node is
+    // always a host ('host:' < 'src:' lexicographically, and every
+    // component contains a host), so canon(host) = label minus the
+    // prefix. The weighted edge table is cut ONCE; the closure and the
+    // rewrite both read the cut.
+    Q("llm_host_canon",
+      """WITH RECURSIVE p AS (
+        |  SELECT source, doc_id,
+        |    text
+        |    || ' <a href="http://s-' || source || '-'
+        |      || ((doc_id % 80) // 20) || '.example.net/p">x</a>'
+        |    || CASE WHEN doc_id % 7 = 0
+        |      THEN ' <a href="HTTP://Bridge-'
+        |        || (CAST(substr(source, 4) AS INT) % 4) || '.Example.org/q">b</a>'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT source AS src,
+        |    unnest(regexp_extract_all(text, 'href="([^"]+)"', 1)) AS url
+        |  FROM p),
+        |h AS (
+        |  SELECT src,
+        |    lower(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS dst_host
+        |  FROM u),
+        |e AS (
+        |  SELECT src, dst_host, CAST(count(*) AS BIGINT) AS n_links FROM h
+        |  WHERE dst_host IS NOT NULL AND dst_host <> ''
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT DISTINCT 'src:' || src AS a, 'host:' || dst_host AS b FROM e),
+        |sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b, a FROM edges),
+        |parts AS (SELECT DISTINCT s AS id FROM sym),
+        |reach(id, m) AS (
+        |  SELECT id, id FROM parts
+        |  UNION
+        |  SELECT s.d, r.m FROM reach r JOIN sym s ON s.s = r.id),
+        |comp AS (SELECT id, min(m) AS component FROM reach GROUP BY id)
+        |SELECT e.src, substr(c.component, 6) AS canon_host,
+        |  CAST(sum(e.n_links) AS BIGINT) AS n_links
+        |FROM e JOIN comp c ON c.id = 'host:' || e.dst_host
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, sf) =>
+      val planted = Tables.documents(spark, sf).select(col("source"),
+        concat(col("text"),
+          lit(" <a href=\"http://s-"), col("source"), lit("-"),
+          expr("(doc_id % 80) DIV 20").cast("string"),
+          lit(".example.net/p\">x</a>"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" <a href=\"HTTP://Bridge-"),
+              pmod(substring(col("source"), 4, 10).cast("int"), lit(4))
+                .cast("string"),
+              lit(".Example.org/q\">b</a>"))).otherwise(lit("")))
+          .as("text"))
+      val weighted = graft.llm.Audit.outlinks(planted).localCheckpoint(false)
+      val pairEdges = weighted.select(
+        concat(lit("src:"), col("src")).as("a"),
+        concat(lit("host:"), col("dst_host")).as("b"))
+      val canon = graft.llm.Components
+        .pairComponents(pairEdges, idCol = "node", inputIsCut = true)
+        .where(col("node").startsWith("host:"))
+        .select(expr("substring(node, 6)").as("dst_host"),
+          expr("substring(component, 6)").as("canon_host"))
+      weighted.join(canon, "dst_host")
+        .groupBy("src", "canon_host")
+        .agg(sum(col("n_links")).as("n_links"))
+        .orderBy("src", "canon_host")
+    },
+
     // Embedding-integrity audit: the fixture vectors are all clean, so
     // every defect class is PLANTED in-query on both sides — %17
     // residues become null / NaN-poisoned / truncated-to-16 / all-zero
