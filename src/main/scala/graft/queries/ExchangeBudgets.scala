@@ -154,10 +154,11 @@ object ExchangeBudgets {
     "op_zip"                          -> 5,
     // r16 streaming-CDC face: TWO chained micro-batch merges by design
     // (the out-of-order replay being gated) — per merge a changelog
-    // latest-per-key window hash + the snapshot-side join exchange
-    // (merge 2's snapshot side rides merge 1's join partitioning),
-    // plus the changes cut and the declared key sort
-    "stream_cdc_upsert"               -> 7,
+    // latest-per-key window hash that the USING-join RIDES (the <=>
+    // form hashed on (coalesce,isnull) and paid 7), plus the base
+    // exchange, the full-outer re-key between merges (full-outer
+    // output partitioning is Unknown to the planner), and the sort
+    "stream_cdc_upsert"               -> 5,
     "src_shard_jsonl"                 -> 4)
 
   def budget(name: String): Int = perQuery.getOrElse(name, default)

@@ -1024,7 +1024,10 @@ object LlmQueries {
         .where(col("node").startsWith("host:"))
         .select(expr("substring(node, 6)").as("dst_host"),
           expr("substring(component, 6)").as("canon_host"))
-      weighted.join(canon, "dst_host")
+      // canon is host-sized but reads from the closure's CHECKPOINT —
+      // a LogicalRDD has no size estimates, so the planner would SMJ;
+      // broadcast explicitly (the hostRank rank-lookup precedent)
+      weighted.join(broadcast(canon), "dst_host")
         .groupBy("src", "canon_host")
         .agg(sum(col("n_links")).as("n_links"))
         .orderBy("src", "canon_host")

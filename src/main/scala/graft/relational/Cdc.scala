@@ -147,17 +147,21 @@ object Cdc {
         Seq(col(versionCol).cast("long").as(versionCol)) :+
         validatedOp(opCol).as(opCol): _*),
       keyCols, versionCol)
+    // USING-join on the key NAMES (the upsert pattern), not a null-safe
+    // <=> condition: keys are non-null by contract, and <=> makes the
+    // join hash on (coalesce(k), isnull(k)) — the latest-per-key
+    // window's plain hash(k) then satisfies nothing and each merge pays
+    // an extra exchange per side (Explain-caught r16, 7 → 5 executed).
+    // The USING join also emits the coalesced key columns itself.
     val chg = last.select(
-      keyCols.map(c => col(c).as(s"__c_$c")) ++
+      keyCols.map(col) ++
         payload.map(c => col(c).as(s"__c_$c")) ++
         Seq(col(versionCol).as("__c_version"), col(opCol).as("__op")): _*)
-    val joinCond = keyCols.map(c => snapshot(c) <=> chg(s"__c_$c"))
-      .reduce(_ && _)
     val changeWins = col("__c_version").isNotNull &&
       (col(VersionCol).isNull || col("__c_version") >= col(VersionCol))
-    snapshot.join(chg, joinCond, "full_outer")
+    snapshot.join(chg, keyCols, "full_outer")
       .select(
-        keyCols.map(c => coalesce(col(c), col(s"__c_$c")).as(c)) ++
+        keyCols.map(col) ++
           payload.map { c =>
             when(changeWins,
               when(col("__op") === "D", lit(null).cast(payloadTypes(c)))
