@@ -141,6 +141,36 @@ class CdcStreamSpec extends SparkSpec {
       Cdc.compact(base, horizon = 1L)
   }
 
+  test("plan: the merge's full-outer join rides the latest-per-key window hash") {
+    // the r16 <=> regression class: a null-safe join hashes on
+    // (coalesce, isnull) and re-exchanges BOTH sides above the window —
+    // pin the 2-exchange shape (snapshot side + window) like upsert's
+    val snap = Cdc.bootstrap(base, Seq("k"))
+    val plan = Cdc.mergeVersioned(snap, (batch1 ++ batch2).toDF(), Seq("k"))
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 2
+    plan should not include "ObjectHashAggregate"
+  }
+
+  test("composite keys: two-column merge equals the batch upsert") {
+    val base2 = Seq((1L, "x", 10.0), (1L, "y", 11.0), (2L, "x", 20.0))
+      .toDF("k1", "k2", "amt")
+    val chg = Seq(
+      (1L, "x", 99.0, 2L, "U"),  // update one composite key
+      (1L, "y", 0.0, 1L, "D"),   // delete its sibling
+      (3L, "z", 30.0, 1L, "U"))  // insert
+      .toDF("k1", "k2", "amt", "version", "op")
+    val s0 = Cdc.bootstrap(base2, Seq("k1", "k2"))
+    val streamed = Cdc.publicSnapshot(
+        Cdc.mergeVersioned(s0, chg, Seq("k1", "k2")))
+      .orderBy("k1", "k2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val batched = Cdc.upsert(base2, chg, Seq("k1", "k2"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    streamed shouldBe batched
+    streamed shouldBe Seq((1L, "x", 99.0), (2L, "x", 20.0), (3L, "z", 30.0))
+  }
+
   test("mergeVersioned: >= tie goes to the change (replay), < loses (late arrival)") {
     val snap = Cdc.bootstrap(Seq((1L, "a", 10.0)).toDF("k", "name", "amt"), Seq("k"), 5L)
     val tie = Seq(Change(1L, "tie", 1.0, 5L, "U")).toDF()
