@@ -601,6 +601,75 @@ object StreamOps {
     }
   }
 
+  // ---- streaming connected components (r16): edges arrive, labels live ----
+
+  /** Maintain a component labeling from an EDGE STREAM — the
+    * continuous-crawl face of [[graft.llm.Components.incremental]]:
+    * each micro-batch of new edges relabels over the prior labeling's
+    * star contraction (cost per batch scales with |nodes| + |delta|,
+    * never with everything ever closed) and overwrites the label
+    * snapshot. Replay safety is algebraic, like [[cdcStream]]'s merge:
+    * re-adding already-merged edges is the identity on the labeling,
+    * so an at-least-once replay converges to the same labels.
+    *
+    * The label snapshot is NODE-sized; the operator is for bounded
+    * node domains (host graphs, source registries — the hostRank
+    * codebook discipline), enforced by `maxNodes` fail-fast. Dedup
+    * pair graphs over a raw corpus belong in the batch
+    * [[graft.llm.Components.pairComponents]] path instead. */
+  def componentsStream(edges: DataFrame, labelsPath: String,
+                       checkpoint: String, aCol: String = "a",
+                       bCol: String = "b", idCol: String = "node",
+                       maxNodes: Long = 1L << 20)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyComponentsBatch(batch.toDF(), labelsPath, aCol, bCol, idCol,
+          maxNodes)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One edge batch's relabel — package-visible for the replay spec
+    * (the applyCdcBatch discipline). First batch closes the batch
+    * alone; later batches run the incremental contraction. The new
+    * labeling is eager-checkpointed before the overwrite (its plan
+    * reads the files being replaced) and released after. */
+  private[graft] def applyComponentsBatch(batch: DataFrame,
+                                          labelsPath: String, aCol: String,
+                                          bCol: String, idCol: String,
+                                          maxNodes: Long): Unit = {
+    import graft.llm.Components
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(labelsPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val exists = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
+    val labels =
+      if (!exists)
+        Components.pairComponents(batch, aCol, bCol, idCol)
+      else
+        Components.incremental(spark.read.parquet(labelsPath), batch,
+          idCol, "component", aCol, bCol)
+    val cut = labels.localCheckpoint(true)
+    try {
+      val n = cut.count()
+      require(n <= maxNodes,
+        s"componentsStream labeling grew to $n nodes (> $maxNodes) — " +
+          "bounded node domains only; use the batch closure for corpora")
+      cut.write.mode("overwrite").parquet(labelsPath)
+    } finally {
+      // release BOTH the write cut and the closure's own final labels
+      // checkpoint (inside `labels`' plan) — a long-running stream
+      // would otherwise pin one dead label frame per micro-batch.
+      // `batch` carries no caller-owned checkpoints (foreachBatch
+      // source), so the blanket release is safe (r13 ownership rule)
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(cut)
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(labels)
+    }
+  }
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   /** T5b custom keyed state: running per-user count/sum via
