@@ -141,8 +141,12 @@ object Cdc {
       .filterNot(changes.columns.contains)
     require(missing.isEmpty, s"changelog is missing columns: $missing")
     val payloadTypes = payload.map(c => c -> snapshot.schema(c).dataType).toMap
+    // keys align to the SNAPSHOT's dtypes like payload does: an int-keyed
+    // changelog joined against a long-keyed snapshot would miss every
+    // key (and hash to different buckets in the streaming sink)
+    val keyTypes = keyCols.map(c => c -> snapshot.schema(c).dataType).toMap
     val last = latest(
-      changes.select(keyCols.map(col) ++
+      changes.select(keyCols.map(c => col(c).cast(keyTypes(c))) ++
         payload.map(c => col(c).cast(payloadTypes(c))) ++
         Seq(col(versionCol).cast("long").as(versionCol)) :+
         validatedOp(opCol).as(opCol): _*),

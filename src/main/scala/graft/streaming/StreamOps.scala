@@ -485,14 +485,52 @@ object StreamOps {
   private def cdcBucket(keyCols: Seq[String], nBuckets: Int): Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets)).cast("int")
 
+  // ---- layout meta: a SIBLING file (path + ".meta"), so a static
+  // overwrite of the data dir can never delete it. It pins the bucket
+  // count (a mismatched nBuckets would prune/rewrite the WRONG buckets
+  // and silently duplicate keys) and turns a crashed overwrite into a
+  // loud failure (meta present + data gone = the write died mid-job;
+  // without it the cold-start fallback would silently re-bootstrap
+  // from empty and publish a plausible-looking partial snapshot).
+
+  private def metaPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir + ".meta")
+
+  private def writeDirMeta(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: String, content: String): Unit = {
+    val out = fs.create(metaPath(dir), true)
+    try out.write((content + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readDirMeta(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: String): Option[String] =
+    if (!fs.exists(metaPath(dir))) None
+    else {
+      val in = fs.open(metaPath(dir))
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+
   /** Write a versioned snapshot ([[graft.relational.Cdc.bootstrap]]) in
     * the key-hash-bucketed layout [[cdcStream]] maintains — the initial
     * load every CDC deployment does before tailing the log. */
   def writeCdcSnapshot(versioned: DataFrame, snapshotPath: String,
                        keyCols: Seq[String], nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val fs = new org.apache.hadoop.fs.Path(snapshotPath)
+      .getFileSystem(versioned.sparkSession.sessionState.newHadoopConf())
+    readDirMeta(fs, snapshotPath).foreach { m =>
+      require(m == s"nBuckets=$nBuckets",
+        s"snapshot at $snapshotPath is laid out with $m; rewriting it " +
+          s"with nBuckets=$nBuckets would strand rows in stale buckets — " +
+          "delete the snapshot AND its .meta to relayout")
+    }
     versioned.withColumn(CdcBucketCol, cdcBucket(keyCols, nBuckets))
       .write.mode("overwrite").partitionBy(CdcBucketCol).parquet(snapshotPath)
+    writeDirMeta(fs, snapshotPath, s"nBuckets=$nBuckets")
   }
 
   /** The maintained snapshot, versioned face (internal columns intact —
@@ -575,10 +613,37 @@ object StreamOps {
     // the layout is ours, so detect it precisely: partition dirs are
     // `__cdc_bucket=N` (a bare "not underscore" filter would reject
     // them — they start with one — and silently merge against empty)
-    val exists = fs.exists(hPath) && fs.listStatus(hPath)
+    val hasDirs = fs.exists(hPath) && fs.listStatus(hPath)
       .exists(_.getPath.getName.startsWith(CdcBucketCol + "="))
+    readDirMeta(fs, snapshotPath) match {
+      case Some(m) =>
+        require(m == s"nBuckets=$nBuckets",
+          s"snapshot at $snapshotPath is laid out with $m but this " +
+            s"stream was configured with nBuckets=$nBuckets — pruning " +
+            "would read the wrong buckets and silently duplicate keys")
+        require(hasDirs,
+          s"snapshot meta exists at $snapshotPath but the bucket dirs " +
+            "are gone — a prior overwrite crashed mid-write; rebuild " +
+            "the snapshot from the changelog before resuming the stream")
+      case None => // pre-meta layout or cold start: meta lands AFTER
+        // the first successful write (writing it first would make a
+        // crashed FIRST batch read as lost state)
+    }
+    val exists = hasDirs
+    // align the batch's KEY dtypes to the stored snapshot's before
+    // anything hashes: xxhash64(int) != xxhash64(long), so an
+    // unaligned changelog would compute the wrong buckets AND miss its
+    // own keys in the merge join
+    val aligned =
+      if (!exists) batch
+      else {
+        val snapSchema = spark.read.parquet(snapshotPath).schema
+        keyCols.foldLeft(batch) { (b, k) =>
+          b.withColumn(k, col(k).cast(snapSchema(k).dataType))
+        }
+      }
     // the touched buckets: bounded by nBuckets, so the collect is too
-    val changed = batch
+    val changed = aligned
       .select(cdcBucket(keyCols, nBuckets).as("b")).distinct()
       .collect().map(_.getInt(0)).sorted
     val existing =
@@ -587,8 +652,8 @@ object StreamOps {
           .where(col(CdcBucketCol).isin(changed.map(Integer.valueOf): _*))
           .drop(CdcBucketCol)
       else
-        Cdc.bootstrap(batch.drop(versionCol, opCol).limit(0), keyCols)
-    val merged = Cdc.mergeVersioned(existing, batch, keyCols, versionCol, opCol)
+        Cdc.bootstrap(aligned.drop(versionCol, opCol).limit(0), keyCols)
+    val merged = Cdc.mergeVersioned(existing, aligned, keyCols, versionCol, opCol)
       .localCheckpoint(true) // sever the snapshot self-read before overwrite
     try {
       merged.withColumn(CdcBucketCol, cdcBucket(keyCols, nBuckets))
@@ -596,6 +661,7 @@ object StreamOps {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(CdcBucketCol)
         .parquet(snapshotPath)
+      writeDirMeta(fs, snapshotPath, s"nBuckets=$nBuckets")
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(merged)
     }
@@ -646,6 +712,13 @@ object StreamOps {
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val exists = fs.exists(hPath) &&
       fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
+    // the sibling marker outlives the static overwrite: present with
+    // the data gone = a prior rewrite crashed mid-job — fail loudly
+    // instead of silently re-closing over this batch's edges alone
+    require(readDirMeta(fs, labelsPath).isEmpty || exists,
+      s"labels meta exists at $labelsPath but the parquet is gone — a " +
+        "prior overwrite crashed mid-write; re-close the full edge set " +
+        "before resuming the stream")
     val labels =
       if (!exists)
         Components.pairComponents(batch, aCol, bCol, idCol)
@@ -659,6 +732,7 @@ object StreamOps {
         s"componentsStream labeling grew to $n nodes (> $maxNodes) — " +
           "bounded node domains only; use the batch closure for corpora")
       cut.write.mode("overwrite").parquet(labelsPath)
+      writeDirMeta(fs, labelsPath, "graft-labels")
     } finally {
       // release BOTH the write cut and the closure's own final labels
       // checkpoint (inside `labels`' plan) — a long-running stream

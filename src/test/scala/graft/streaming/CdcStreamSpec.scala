@@ -141,6 +141,32 @@ class CdcStreamSpec extends SparkSpec {
       Cdc.compact(base, horizon = 1L)
   }
 
+  test("layout meta: mismatched nBuckets and crashed overwrites fail loudly; key dtypes align") {
+    val snap = tmp("cdc_meta")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    // a stream configured with a different bucket count must throw, not
+    // silently prune the wrong buckets and duplicate keys
+    val eN = intercept[IllegalArgumentException] {
+      StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 16) }
+    eN.getMessage should include ("nBuckets=8")
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 16)
+    // an INT-keyed changelog merges against the long-keyed snapshot
+    // (aligned before hashing) instead of missing every key
+    val intKeyed = Seq((2, "b9", 29.0, 9L, "U")).toDF("k", "name", "amt", "version", "op")
+    StreamOps.applyCdcBatch(intKeyed, snap, Seq("k"), "version", "op", 8)
+    Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))
+      .where(col("k") === 2L).select("name").as[String].collect().toSeq shouldBe Seq("b9")
+    // crashed overwrite: meta present, bucket dirs gone → loud failure,
+    // never a silent re-bootstrap from empty
+    new java.io.File(snap).listFiles()
+      .filter(_.getName.startsWith(StreamOps.CdcBucketCol + "="))
+      .foreach { d => d.listFiles().foreach(_.delete()); d.delete() }
+    val eC = intercept[IllegalArgumentException] {
+      StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8) }
+    eC.getMessage should include ("crashed mid-write")
+  }
+
   test("plan: the merge's full-outer join rides the latest-per-key window hash") {
     // the r16 <=> regression class: a null-safe join hashes on
     // (coalesce, isnull) and re-exchanges BOTH sides above the window —

@@ -56,6 +56,16 @@ class ComponentsStreamSpec extends SparkSpec {
     labelsAt(labels) shouldBe once
   }
 
+  test("crashed label overwrite fails loudly instead of re-closing from this batch alone") {
+    val labels = tmp("cc_crash")
+    StreamOps.applyComponentsBatch(wave1.toDF(), labels, "a", "b", "node", 1L << 20)
+    // simulate the crash: data gone, sibling marker survives
+    new java.io.File(labels).listFiles().foreach(_.delete())
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.applyComponentsBatch(wave2.toDF(), labels, "a", "b", "node", 1L << 20) }
+    e.getMessage should include ("crashed mid-write")
+  }
+
   test("maxNodes fails fast instead of growing an unbounded label snapshot") {
     val labels = tmp("cc_cap")
     val big = spark.range(100).select(col("id").as("a"), (col("id") + 1).as("b"))
