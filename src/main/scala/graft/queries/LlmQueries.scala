@@ -830,64 +830,20 @@ object LlmQueries {
     // host-level canonicalization: sources and the hosts they link form
     // a bipartite graph; its components are the "same operator" groups
     // (link-farm / mirror detection) host dedup canonicalizes by. The
-    // planted graph (both engines): every doc links its source's host
-    // s-<source>-<(doc_id%80) DIV 20>.example.net (4 hosts per source —
-    // the index varies WITHIN a source since source ≡ doc_id%20), and
-    // doc_id%7 docs (7 coprime 20, so every source bridges) link a
-    // shared Bridge-<srcnum%4> host with an UPPERCASE scheme/host
-    // (normalization load-bearing) — probed in DuckDB first: 104 nodes,
-    // 4 components of 26, stable tri-scale. Labels are strings; the
-    // min-label election is lexicographic on both engines. The oracle
+    // planted graph lives ONCE in [[GraphFixture]] (every doc links its
+    // source's host, doc_id%7 docs bridge by srcnum%4 with an UPPERCASE
+    // scheme so normalization stays load-bearing — DuckDB-probed: 104
+    // nodes, 4 components of 26, stable tri-scale); labels are strings,
+    // the min-label election lexicographic on both engines. The oracle
     // replays extraction + full transitive closure (recursive CTE);
     // the engine runs the pointer-jumping propagation — agreement gates
     // BOTH the graph construction and the closure.
     Q("llm_components",
-      """WITH RECURSIVE p AS (
-        |  SELECT source, doc_id,
-        |    text
-        |    || ' <a href="http://s-' || source || '-'
-        |      || ((doc_id % 80) // 20) || '.example.net/p">x</a>'
-        |    || CASE WHEN doc_id % 7 = 0
-        |      THEN ' <a href="HTTP://Bridge-'
-        |        || (CAST(substr(source, 4) AS INT) % 4) || '.Example.org/q">b</a>'
-        |      ELSE '' END AS text
-        |  FROM documents),
-        |u AS (
-        |  SELECT source AS src,
-        |    unnest(regexp_extract_all(text, 'href="([^"]+)"', 1)) AS url
-        |  FROM p),
-        |h AS (
-        |  SELECT src,
-        |    lower(regexp_extract(url,
-        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS dst_host
-        |  FROM u),
-        |e AS (
-        |  SELECT src, dst_host FROM h
-        |  WHERE dst_host IS NOT NULL AND dst_host <> ''
-        |  GROUP BY 1, 2),
-        |edges AS (SELECT 'src:' || src AS a, 'host:' || dst_host AS b FROM e),
-        |sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b, a FROM edges),
-        |parts AS (SELECT DISTINCT s AS id FROM sym),
-        |reach(id, m) AS (
-        |  SELECT id, id FROM parts
-        |  UNION
-        |  SELECT s.d, r.m FROM reach r JOIN sym s ON s.s = r.id)
-        |SELECT id AS node, min(m) AS component
-        |FROM reach GROUP BY id ORDER BY node""".stripMargin) { (spark, sf) =>
-      val planted = Tables.documents(spark, sf).select(col("source"),
-        concat(col("text"),
-          lit(" <a href=\"http://s-"), col("source"), lit("-"),
-          expr("(doc_id % 80) DIV 20").cast("string"),
-          lit(".example.net/p\">x</a>"),
-          when(pmod(col("doc_id"), lit(7)) === 0,
-            concat(lit(" <a href=\"HTTP://Bridge-"),
-              pmod(substring(col("source"), 4, 10).cast("int"), lit(4))
-                .cast("string"),
-              lit(".Example.org/q\">b</a>"))).otherwise(lit("")))
-          .as("text"))
-      val edges = graft.llm.Audit.outlinks(planted)
-        .select(concat(lit("src:"), col("src")).as("a"),
-          concat(lit("host:"), col("dst_host")).as("b"))
+      GraphFixture.closureCtes + "\n" +
+        """SELECT id AS node, component
+          |FROM comp ORDER BY node""".stripMargin) { (spark, sf) =>
+      val edges = GraphFixture.bipartiteEdges(
+        GraphFixture.weightedEdges(spark, sf))
       graft.llm.Components.pairComponents(edges, idCol = "node")
         .orderBy("node")
     },
@@ -902,52 +858,11 @@ object LlmQueries {
     // engine paths gated against it. The edge table is cut once
     // (hosts²-bounded); prior and delta are filters over the cut.
     Q("llm_components_incremental",
-      """WITH RECURSIVE p AS (
-        |  SELECT source, doc_id,
-        |    text
-        |    || ' <a href="http://s-' || source || '-'
-        |      || ((doc_id % 80) // 20) || '.example.net/p">x</a>'
-        |    || CASE WHEN doc_id % 7 = 0
-        |      THEN ' <a href="HTTP://Bridge-'
-        |        || (CAST(substr(source, 4) AS INT) % 4) || '.Example.org/q">b</a>'
-        |      ELSE '' END AS text
-        |  FROM documents),
-        |u AS (
-        |  SELECT source AS src,
-        |    unnest(regexp_extract_all(text, 'href="([^"]+)"', 1)) AS url
-        |  FROM p),
-        |h AS (
-        |  SELECT src,
-        |    lower(regexp_extract(url,
-        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS dst_host
-        |  FROM u),
-        |e AS (
-        |  SELECT src, dst_host FROM h
-        |  WHERE dst_host IS NOT NULL AND dst_host <> ''
-        |  GROUP BY 1, 2),
-        |edges AS (SELECT 'src:' || src AS a, 'host:' || dst_host AS b FROM e),
-        |sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b, a FROM edges),
-        |parts AS (SELECT DISTINCT s AS id FROM sym),
-        |reach(id, m) AS (
-        |  SELECT id, id FROM parts
-        |  UNION
-        |  SELECT s.d, r.m FROM reach r JOIN sym s ON s.s = r.id)
-        |SELECT id AS node, min(m) AS component
-        |FROM reach GROUP BY id ORDER BY node""".stripMargin) { (spark, sf) =>
-      val planted = Tables.documents(spark, sf).select(col("source"),
-        concat(col("text"),
-          lit(" <a href=\"http://s-"), col("source"), lit("-"),
-          expr("(doc_id % 80) DIV 20").cast("string"),
-          lit(".example.net/p\">x</a>"),
-          when(pmod(col("doc_id"), lit(7)) === 0,
-            concat(lit(" <a href=\"HTTP://Bridge-"),
-              pmod(substring(col("source"), 4, 10).cast("int"), lit(4))
-                .cast("string"),
-              lit(".Example.org/q\">b</a>"))).otherwise(lit("")))
-          .as("text"))
-      val edges = graft.llm.Audit.outlinks(planted)
-        .select(concat(lit("src:"), col("src")).as("a"),
-          concat(lit("host:"), col("dst_host")).as("b"))
+      GraphFixture.closureCtes + "\n" +
+        """SELECT id AS node, component
+          |FROM comp ORDER BY node""".stripMargin) { (spark, sf) =>
+      val edges = GraphFixture.bipartiteEdges(
+          GraphFixture.weightedEdges(spark, sf))
         .localCheckpoint(false)
       val star = edges.where(!col("b").startsWith("host:bridge-"))
       val delta = edges.where(col("b").startsWith("host:bridge-"))
@@ -969,56 +884,14 @@ object LlmQueries {
     // prefix. The weighted edge table is cut ONCE; the closure and the
     // rewrite both read the cut.
     Q("llm_host_canon",
-      """WITH RECURSIVE p AS (
-        |  SELECT source, doc_id,
-        |    text
-        |    || ' <a href="http://s-' || source || '-'
-        |      || ((doc_id % 80) // 20) || '.example.net/p">x</a>'
-        |    || CASE WHEN doc_id % 7 = 0
-        |      THEN ' <a href="HTTP://Bridge-'
-        |        || (CAST(substr(source, 4) AS INT) % 4) || '.Example.org/q">b</a>'
-        |      ELSE '' END AS text
-        |  FROM documents),
-        |u AS (
-        |  SELECT source AS src,
-        |    unnest(regexp_extract_all(text, 'href="([^"]+)"', 1)) AS url
-        |  FROM p),
-        |h AS (
-        |  SELECT src,
-        |    lower(regexp_extract(url,
-        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS dst_host
-        |  FROM u),
-        |e AS (
-        |  SELECT src, dst_host, CAST(count(*) AS BIGINT) AS n_links FROM h
-        |  WHERE dst_host IS NOT NULL AND dst_host <> ''
-        |  GROUP BY 1, 2),
-        |edges AS (SELECT DISTINCT 'src:' || src AS a, 'host:' || dst_host AS b FROM e),
-        |sym AS (SELECT a AS s, b AS d FROM edges UNION SELECT b, a FROM edges),
-        |parts AS (SELECT DISTINCT s AS id FROM sym),
-        |reach(id, m) AS (
-        |  SELECT id, id FROM parts
-        |  UNION
-        |  SELECT s.d, r.m FROM reach r JOIN sym s ON s.s = r.id),
-        |comp AS (SELECT id, min(m) AS component FROM reach GROUP BY id)
-        |SELECT e.src, substr(c.component, 6) AS canon_host,
-        |  CAST(sum(e.n_links) AS BIGINT) AS n_links
-        |FROM e JOIN comp c ON c.id = 'host:' || e.dst_host
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, sf) =>
-      val planted = Tables.documents(spark, sf).select(col("source"),
-        concat(col("text"),
-          lit(" <a href=\"http://s-"), col("source"), lit("-"),
-          expr("(doc_id % 80) DIV 20").cast("string"),
-          lit(".example.net/p\">x</a>"),
-          when(pmod(col("doc_id"), lit(7)) === 0,
-            concat(lit(" <a href=\"HTTP://Bridge-"),
-              pmod(substring(col("source"), 4, 10).cast("int"), lit(4))
-                .cast("string"),
-              lit(".Example.org/q\">b</a>"))).otherwise(lit("")))
-          .as("text"))
-      val weighted = graft.llm.Audit.outlinks(planted).localCheckpoint(false)
-      val pairEdges = weighted.select(
-        concat(lit("src:"), col("src")).as("a"),
-        concat(lit("host:"), col("dst_host")).as("b"))
+      GraphFixture.closureCtes + "\n" +
+        """SELECT e.src, substr(c.component, 6) AS canon_host,
+          |  CAST(sum(e.n_links) AS BIGINT) AS n_links
+          |FROM e JOIN comp c ON c.id = 'host:' || e.dst_host
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, sf) =>
+      val weighted = GraphFixture.weightedEdges(spark, sf)
+        .localCheckpoint(false)
+      val pairEdges = GraphFixture.bipartiteEdges(weighted)
       val canon = graft.llm.Components
         .pairComponents(pairEdges, idCol = "node", inputIsCut = true)
         .where(col("node").startsWith("host:"))

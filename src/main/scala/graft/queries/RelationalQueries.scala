@@ -786,46 +786,10 @@ object RelationalQueries {
     // join reuses the window's key hash. Changes ride ONE scan via
     // explode fusion (the one-scan planting rule).
     Q("op_upsert",
-      """WITH o AS (
-        |  SELECT o_orderkey k, o_orderpriority p, o_totalprice t FROM orders),
-        |base AS (SELECT k, p, t FROM o WHERE k % 3 = 0),
-        |chg AS (
-        |  SELECT k, 'X-UPD' AS p, t + 1.0 AS t, 1 AS v, 'U' AS op
-        |  FROM o WHERE k % 21 = 0
-        |  UNION ALL
-        |  SELECT k, '', 0.0, 2, 'D' FROM o WHERE k % 15 = 0
-        |  UNION ALL
-        |  SELECT k + 100000000, '9-NEW', t, 1, 'U' FROM o WHERE k % 33 = 0),
-        |last AS (
-        |  SELECT k, p, t, op,
-        |    row_number() OVER (PARTITION BY k ORDER BY v DESC) rn
-        |  FROM chg),
-        |l1 AS (SELECT k, p, t, op FROM last WHERE rn = 1)
-        |SELECT coalesce(b.k, c.k) AS o_orderkey,
-        |  CASE WHEN c.op = 'U' THEN c.p ELSE b.p END AS o_orderpriority,
-        |  CASE WHEN c.op = 'U' THEN c.t ELSE b.t END AS o_totalprice
-        |FROM base b FULL OUTER JOIN l1 c ON b.k = c.k
-        |WHERE c.op IS NULL OR c.op <> 'D'
-        |ORDER BY o_orderkey""".stripMargin) { (spark, sf) =>
-      val o = Tables.orders(spark, sf)
-        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      val base = o.where(pmod(col("o_orderkey"), lit(3)) === 0)
-      def row(k: Column, p: Column, t: Column, v: Long, op: String) =
-        struct(k.as("o_orderkey"), p.as("o_orderpriority"),
-          t.as("o_totalprice"), lit(v).as("version"), lit(op).as("op"))
-      val changes = o.select(explode(array(
-          when(pmod(col("o_orderkey"), lit(21)) === 0,
-            row(col("o_orderkey"), lit("X-UPD"),
-              col("o_totalprice") + 1.0d, 1L, "U")),
-          when(pmod(col("o_orderkey"), lit(15)) === 0,
-            row(col("o_orderkey"), lit(""), lit(0.0d), 2L, "D")),
-          when(pmod(col("o_orderkey"), lit(33)) === 0,
-            row(col("o_orderkey") + 100000000L, lit("9-NEW"),
-              col("o_totalprice"), 1L, "U"))))
-          .as("c"))
-        .where(col("c").isNotNull)
-        .select(col("c.*"))
-      graft.relational.Cdc.upsert(base, changes, Seq("o_orderkey"))
+      CdcFixture.changelogCtes + "\n" + CdcFixture.mergedSelect) {
+      (spark, sf) =>
+        val (base, changes) = CdcFixture.baseAndChanges(spark, sf)
+        graft.relational.Cdc.upsert(base, changes, Seq("o_orderkey"))
     },
 
     // Temporal snapshot (r15) — upsert's time-travel twin: state AS OF
