@@ -95,7 +95,12 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("graft_theta_sketch"),
       info("graft_theta_sketch",
-        "graft_theta_sketch(x[, lgK]) - mergeable theta set sketch as bytes (agg)"),
+        "graft_theta_sketch(x[, lgK]) - mergeable theta set sketch as bytes (agg). " +
+          "Exact below 2^lgK retained entries. Empty string/binary keys " +
+          "count as distinct via an invalid-UTF-8 sentinel (0xC0 0x80): " +
+          "string-keyed exact counts match COUNT(DISTINCT) exactly; a " +
+          "literal two-byte BINARY key [0xC0,0x80] collides with the " +
+          "empty key (impossible for valid UTF-8 text)."),
       (args: Seq[Expression]) => {
         require(args.length == 1 || args.length == 2,
           s"graft_theta_sketch takes 1-2 arguments, got ${args.length}")

@@ -143,14 +143,47 @@ object QuantileSketch {
     buf.array()
   }
 
+  /** Legacy-stream class whitelist: the exact object graph a
+    * Java-serialized [[QuantileSummaries]] reaches — the summary, its
+    * Stats entries, the Scala collection/runtime plumbing those
+    * serialize through, and arrays thereof. Gadget chains live in
+    * java.util/JDK/third-party classes, all outside this set. */
+  private def requireLegacyClassAllowed(name0: String): Unit = {
+    val name = name0.dropWhile(_ == '[') match { // unwrap array dims
+      case n if n.startsWith("L") && n.endsWith(";") =>
+        n.substring(1, n.length - 1)
+      case n => n // primitive array code ("D", "J", …) or plain class
+    }
+    val ok = name.length <= 1 || // primitive array element
+      name.startsWith("org.apache.spark.sql.catalyst.util.QuantileSummaries") ||
+      name.startsWith("scala.collection.") ||
+      name.startsWith("scala.runtime.") ||
+      name == "scala.math.Ordering" || name.startsWith("scala.math.Ordering$")
+    if (!ok) throw new java.io.InvalidClassException(name0,
+      "class not allowed in a legacy quantile-sketch stream " +
+        "(deserialization is whitelisted to QuantileSummaries/Stats " +
+        "and Scala collection plumbing)")
+  }
+
   def fromBytes(bytes: Array[Byte]): QuantileSummaries = {
     require(bytes.length >= 2, s"quantile sketch blob too short: ${bytes.length} bytes")
     bytes(0) match {
       case FormatV1 => fromBytesV1(bytes)
       // pre-r16 partials were Java-serialized QuantileSummaries; the
-      // stream magic is 0xAC 0xED — read-only migration path.
+      // stream magic is 0xAC 0xED — read-only migration path. The
+      // stream is deserialized under a resolveClass WHITELIST: stored
+      // partials can come from an external store, and an unrestricted
+      // ObjectInputStream is a deserialization gadget surface — only
+      // the summary's own classes (and the Scala collection plumbing
+      // inside them) may load; anything else throws before any
+      // readObject side effect runs.
       case m if (m & 0xFF) == 0xAC && (bytes(1) & 0xFF) == 0xED =>
-        val ois = new ObjectInputStream(new ByteArrayInputStream(bytes))
+        val ois = new ObjectInputStream(new ByteArrayInputStream(bytes)) {
+          override def resolveClass(desc: java.io.ObjectStreamClass): Class[_] = {
+            requireLegacyClassAllowed(desc.getName)
+            super.resolveClass(desc)
+          }
+        }
         try ois.readObject().asInstanceOf[QuantileSummaries] finally ois.close()
       case m => throw new IllegalArgumentException(
         s"unknown quantile sketch format byte: $m")

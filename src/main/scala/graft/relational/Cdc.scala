@@ -37,6 +37,25 @@ object Cdc {
     * pass the delete filter but miss the payload swap, leaking the
     * BASE payload (all-NULL for a new key). A corrupt changelog must
     * surface, not leak. */
+  /** Reject changelog columns the snapshot doesn't know (r17): payload
+    * is derived from the BASE/SNAPSHOT side, so an extra or renamed
+    * changelog column — upstream schema evolution, a typo'd rename —
+    * would be silently dropped, losing data with no signal (the same
+    * silent-behavior class the op-code and knnLabel guards kill).
+    * Additive evolution is explicit: evolve the snapshot first
+    * (null-backfill the new column), then the changelog may carry it. */
+  private def requireNoUnexpected(changes: DataFrame, expected: Seq[String],
+                                  what: String): Unit = {
+    val unexpected = changes.columns.filterNot(expected.contains).toSeq
+    require(unexpected.isEmpty,
+      s"changelog carries columns the $what does not: " +
+        s"${unexpected.mkString(", ")} — these would be silently " +
+        "dropped (payload is derived from the snapshot's schema). " +
+        "Select exactly the expected columns, or evolve the snapshot " +
+        "schema first (null-backfill the new column) so the merge " +
+        "carries it.")
+  }
+
   private def validatedOp(opCol: String): Column =
     when(col(opCol).isin("U", "D"), col(opCol))
       .otherwise(raise_error(concat(
@@ -67,6 +86,8 @@ object Cdc {
     val missing = (keyCols ++ payload ++ Seq(versionCol, opCol))
       .filterNot(changes.columns.contains)
     require(missing.isEmpty, s"changelog is missing columns: $missing")
+    requireNoUnexpected(changes,
+      keyCols ++ payload ++ Seq(versionCol, opCol), "base")
     val last = latest(
       changes.select((keyCols ++ payload ++ Seq(versionCol)).map(col) :+
         validatedOp(opCol).as(opCol): _*),
@@ -124,6 +145,17 @@ object Cdc {
     * for that key loses. Versions cast to long (the total order the
     * contract already requires).
     *
+    * Replay idempotence REQUIRES per-key version uniqueness (the
+    * `(key, version)` contract above): `>=` makes a replayed batch a
+    * fixed point only because an equal-version change carries the SAME
+    * payload. Two DISTINCT changes to one key at one version are
+    * order-dependent across micro-batches — last-applied wins, and an
+    * at-least-once replay of the older batch flips the payload back.
+    * The log's writer owns the invariant (commit LSNs are unique per
+    * key by construction); this operator does not scan for duplicates
+    * — a per-batch uniqueness assertion would cost an extra exchange
+    * per micro-batch to detect an upstream bug.
+    *
     * Shape: latest-per-key window (one changelog key-hash exchange) +
     * full-outer join riding that hash on the change side — the
     * [[upsert]] plan, with the snapshot side pruned to changed buckets
@@ -140,6 +172,8 @@ object Cdc {
     val missing = (keyCols ++ payload ++ Seq(versionCol, opCol))
       .filterNot(changes.columns.contains)
     require(missing.isEmpty, s"changelog is missing columns: $missing")
+    requireNoUnexpected(changes,
+      keyCols ++ payload ++ Seq(versionCol, opCol), "snapshot")
     val payloadTypes = payload.map(c => c -> snapshot.schema(c).dataType).toMap
     // keys align to the SNAPSHOT's dtypes like payload does: an int-keyed
     // changelog joined against a long-keyed snapshot would miss every

@@ -568,6 +568,11 @@ object StreamOps {
     * a change wins at version `>=` the applied version, making a
     * replayed batch (same keys, same versions, same payloads) a fixed
     * point of the merge (spec-pinned by double-applying a batch).
+    * That fixed-point argument REQUIRES per-key version uniqueness
+    * (the changelog's `(key, version)` contract — see
+    * [[graft.relational.Cdc.mergeVersioned]]): two distinct changes to
+    * one key at one version are last-applied-wins across batches, and
+    * a replay of the older batch would flip the payload.
     * Cross-batch ordering: the snapshot remembers each key's applied
     * version and keeps DELETE tombstones, so a late lower-version
     * change loses even across micro-batch boundaries — semantics a
@@ -625,9 +630,35 @@ object StreamOps {
           s"snapshot meta exists at $snapshotPath but the bucket dirs " +
             "are gone — a prior overwrite crashed mid-write; rebuild " +
             "the snapshot from the changelog before resuming the stream")
-      case None => // pre-meta layout or cold start: meta lands AFTER
-        // the first successful write (writing it first would make a
-        // crashed FIRST batch read as lost state)
+      case None if hasDirs =>
+        // dirs without meta = a pre-meta layout, or a FIRST write that
+        // crashed between the parquet commit and the .meta write. A
+        // restart configured with a different nBuckets would prune the
+        // wrong buckets and silently duplicate keys, so verify the
+        // on-disk layout actually used THIS nBuckets before trusting
+        // pruning: a dir value >= nBuckets is proof of mismatch
+        // (cheap), and a one-time full re-hash check catches a SMALLER
+        // historical nBuckets the dir names alone cannot (it runs at
+        // most once — this batch's successful write lands the meta).
+        val dirBuckets = fs.listStatus(hPath).map(_.getPath.getName)
+          .filter(_.startsWith(CdcBucketCol + "="))
+          .map(_.stripPrefix(CdcBucketCol + "=").toInt)
+        require(dirBuckets.forall(_ < nBuckets),
+          s"snapshot at $snapshotPath has bucket dir " +
+            s"${CdcBucketCol}=${dirBuckets.max} but no .meta and this " +
+            s"stream was configured with nBuckets=$nBuckets — the " +
+            "layout was written with a different bucket count; rebuild " +
+            "the snapshot (or restore the .meta) before resuming")
+        val misHashed = spark.read.parquet(snapshotPath)
+          .where(cdcBucket(keyCols, nBuckets) =!= col(CdcBucketCol))
+        require(misHashed.isEmpty,
+          s"snapshot at $snapshotPath has no .meta and its rows do not " +
+            s"hash to their bucket dirs under nBuckets=$nBuckets — the " +
+            "layout was written with a different bucket count; rebuild " +
+            "the snapshot (or restore the .meta) before resuming")
+      case None => // cold start: meta lands AFTER the first successful
+        // write (writing it first would make a crashed FIRST batch
+        // read as lost state)
     }
     val exists = hasDirs
     // align the batch's KEY dtypes to the stored snapshot's before

@@ -131,6 +131,23 @@ class QuantileSketchSpec extends SparkSpec {
     QuantileSketch.merge(back, v1).count shouldBe 100L
   }
 
+  test("legacy path rejects classes outside the whitelist (gadget surface closed)") {
+    // stored-at-ingest partials may come from an external store; an
+    // unrestricted ObjectInputStream on a 0xACED blob is a Java
+    // deserialization gadget surface. Any class outside the summary's
+    // own object graph must throw BEFORE instantiation.
+    import java.io.{ByteArrayOutputStream, ObjectOutputStream}
+    val bos = new ByteArrayOutputStream()
+    val oos = new ObjectOutputStream(bos)
+    try oos.writeObject(new java.util.HashMap[String, String]()) finally oos.close()
+    val hostile = bos.toByteArray
+    (hostile(0) & 0xFF) shouldBe 0xAC
+    val e = intercept[java.io.InvalidClassException] {
+      QuantileSketch.fromBytes(hostile)
+    }
+    e.getMessage should include ("not allowed")
+  }
+
   test("unknown format bytes are rejected loudly") {
     an[IllegalArgumentException] should be thrownBy
       QuantileSketch.fromBytes(Array[Byte](9, 9, 9, 9))

@@ -53,6 +53,25 @@ class CdcSpec extends SparkSpec {
       Cdc.upsert(base, changes, Seq.empty)
   }
 
+  test("unexpected changelog columns are rejected, not silently dropped (r16 verdict #1)") {
+    // payload derives from the BASE side, so an upstream schema
+    // evolution (new/renamed payload column) used to vanish silently
+    val evolved = changes.withColumn("discount", lit(0.1))
+    val eU = intercept[IllegalArgumentException] {
+      Cdc.upsert(base, evolved, Seq("k"))
+    }
+    eU.getMessage should include ("discount")
+    eU.getMessage should include ("silently")
+    val eM = intercept[IllegalArgumentException] {
+      Cdc.mergeVersioned(Cdc.bootstrap(base, Seq("k")), evolved, Seq("k"))
+    }
+    eM.getMessage should include ("discount")
+    // additive evolution stays possible, explicitly: evolve the
+    // snapshot first, then the changelog may carry the column
+    val evolvedBase = base.withColumn("discount", lit(0.0))
+    Cdc.upsert(evolvedBase, evolved, Seq("k")).columns should contain ("discount")
+  }
+
   test("unknown op codes raise instead of half-applying (r15 verdict #4)") {
     // an 'X' row used to pass the delete filter but miss the payload
     // swap — a new key leaked an all-NULL base payload

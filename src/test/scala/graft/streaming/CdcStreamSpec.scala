@@ -167,6 +167,31 @@ class CdcStreamSpec extends SparkSpec {
     eC.getMessage should include ("crashed mid-write")
   }
 
+  test("missing meta with bucket dirs present: layout verified against configured nBuckets") {
+    // the first write can crash AFTER the parquet commit but BEFORE the
+    // .meta write; a restart with a different nBuckets must not trust
+    // pruning against a layout written with another bucket count
+    val snap = tmp("cdc_nometa")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    new java.io.File(snap + ".meta").delete() shouldBe true
+    // dir-name gate: a dir value >= the configured count is proof
+    val eBig = intercept[IllegalArgumentException] {
+      StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 2) }
+    eBig.getMessage should include ("different bucket count")
+    // re-hash gate: all dir values < configured count, but the rows
+    // hash elsewhere under nBuckets=16 — the dir names alone can't see it
+    val eSmall = intercept[IllegalArgumentException] {
+      StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 16) }
+    eSmall.getMessage should include ("do not hash")
+    // the MATCHING count passes the one-time verification and lands the
+    // meta, so the next batch skips the re-hash entirely
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8)
+    new java.io.File(snap + ".meta").exists() shouldBe true
+    StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8)
+    rows(Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))) shouldBe
+      rows(Cdc.upsert(base, (batch1 ++ batch2).toDF(), Seq("k")))
+  }
+
   test("plan: the merge's full-outer join rides the latest-per-key window hash") {
     // the r16 <=> regression class: a null-safe join hashes on
     // (coalesce, isnull) and re-exchanges BOTH sides above the window —
