@@ -159,6 +159,14 @@ object ExchangeBudgets {
     // exchange, the full-outer re-key between merges (full-outer
     // output partitioning is Unknown to the planner), and the sort
     "stream_cdc_upsert"               -> 5,
+    // r17 merge-on-read face: the REAL disk lifecycle runs in-query
+    // (bootstrap write, one sink batch, then readLatest) — two merges
+    // (sink apply + read-time), each = touched-bucket discovery
+    // distinct (≤nBuckets ints after map-side combine) + changelog
+    // window hash the USING-join rides + the snapshot-side exchange,
+    // plus the declared sort. The untouched-bucket union leg is
+    // exchange-free by design (plain pruned scan + filter).
+    "stream_cdc_read_latest"          -> 7,
     "src_shard_jsonl"                 -> 4)
 
   def budget(name: String): Int = perQuery.getOrElse(name, default)

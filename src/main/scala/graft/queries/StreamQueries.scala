@@ -165,6 +165,36 @@ object StreamQueries {
       Cdc.publicSnapshot(s2).orderBy("o_orderkey")
     },
 
+    // Merge-on-read (r17, verdict ask 1): the read path every CDC
+    // deployment queries BETWEEN sink batches — latest state = stored
+    // bucketed snapshot + the changelog tail the sink has not applied
+    // yet, merged at read time (StreamOps.readLatest). The fixture
+    // replays stream_cdc_upsert's out-of-order split through the REAL
+    // disk lifecycle: bootstrap the %3 base into a bucketed snapshot,
+    // let the sink apply the v2 deletes, hold back the late v1
+    // updates/inserts as the un-applied tail — merge-on-read must equal
+    // the whole-log batch upsert (the same oracle SQL verbatim). Only
+    // the tail's key-hash buckets flow through the full-outer merge;
+    // untouched buckets union in as a plain pruned scan (the
+    // partition-filter spec lives in CdcStreamSpec).
+    Q("stream_cdc_read_latest",
+      CdcFixture.changelogCtes + "\n" + CdcFixture.mergedSelect) {
+      (spark, sf) =>
+      import graft.relational.Cdc
+      val (base, rawChanges) = CdcFixture.baseAndChanges(spark, sf)
+      val changes = rawChanges.localCheckpoint(false)
+      val applied = changes.where(col("version") === 2L) // sink got these
+      val tail = changes.where(col("version") === 1L)    // un-applied tail
+      val snap = java.nio.file.Files
+        .createTempDirectory("cdc_mor_q").toString + "/snap"
+      StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("o_orderkey")),
+        snap, Seq("o_orderkey"), nBuckets = 16)
+      StreamOps.applyCdcBatch(applied, snap, Seq("o_orderkey"),
+        "version", "op", nBuckets = 16)
+      StreamOps.readLatest(spark, snap, tail, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
     Q("stream_state",
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -167,6 +167,62 @@ class CdcStreamSpec extends SparkSpec {
     eC.getMessage should include ("crashed mid-write")
   }
 
+  test("readLatest: read-your-writes parity with the sink's merge") {
+    val snap = tmp("cdc_mor")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8)
+    // batch2 is the tail the sink has NOT applied yet — merge-on-read
+    // must equal the whole-log batch upsert...
+    val latest = rows(StreamOps.readLatest(spark, snap, batch2.toDF(), Seq("k")))
+    latest shouldBe rows(Cdc.upsert(base, (batch1 ++ batch2).toDF(), Seq("k")))
+    // ...and equal waiting for the next sink batch (the same merge)
+    StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8)
+    latest shouldBe rows(Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap)))
+    // an empty tail reads exactly the public snapshot
+    rows(StreamOps.readLatest(spark, snap, batch2.toDF().limit(0), Seq("k"))) shouldBe latest
+    // INT-keyed tail aligns to the long-keyed snapshot before hashing
+    val intKeyed = Seq((3, "c10", 34.0, 9L, "U")).toDF("k", "name", "amt", "version", "op")
+    rows(StreamOps.readLatest(spark, snap, intKeyed, Seq("k")))
+      .find(_._1 == 3L).map(_._2) shouldBe Some("c10")
+    // no meta → loud failure, never a guessed layout
+    new java.io.File(snap + ".meta").delete() shouldBe true
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.readLatest(spark, snap, batch2.toDF(), Seq("k")) }
+    e.getMessage should include ("layout meta")
+  }
+
+  test("readLatest: only touched buckets flow through the merge (partition-pruned scan)") {
+    val snap = tmp("cdc_mor_prune")
+    val wide = spark.range(0, 64).select(col("id").as("k"),
+      concat(lit("n"), col("id")).as("name"), lit(1.0).as("amt"))
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(wide, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    val tail = Seq(Change(5L, "upd", 2.0, 10L, "U")).toDF()
+    def dataFiles(dirName: String): Int =
+      new java.io.File(snap, dirName).listFiles()
+        .count(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    val touchedBucket = spark.range(1).select(
+      pmod(xxhash64(lit(5L)), lit(8)).cast("int")).head().getInt(0)
+    val allBuckets = new java.io.File(snap).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith(StreamOps.CdcBucketCol + "="))
+    val touchedFiles = dataFiles(s"${StreamOps.CdcBucketCol}=$touchedBucket")
+    val totalFiles = allBuckets.map(dataFiles).sum
+    // AQE wraps stages in leaf nodes the tree walk can't cross; the
+    // partition pruning under test happens at scan planning either way
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = StreamOps.readLatest(spark, snap, tail, Seq("k"))
+      df.collect().length shouldBe 64 // an update replaces, count unchanged
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      // two snapshot scans: merge side (IN touched) + pass-through (NOT IN)
+      scans should have size 2
+      scans.exists(_.partitionFilters.mkString.contains(StreamOps.CdcBucketCol)) shouldBe true
+      val numFiles = scans.map(_.metrics("numFiles").value).sorted
+      numFiles.head shouldBe touchedFiles        // merge leg: k/nBuckets of the I/O
+      numFiles.sum shouldBe totalFiles           // disjoint split, nothing read twice
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("missing meta with bucket dirs present: layout verified against configured nBuckets") {
     // the first write can crash AFTER the parquet commit but BEFORE the
     // .meta write; a restart with a different nBuckets must not trust
