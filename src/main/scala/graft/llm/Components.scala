@@ -230,7 +230,18 @@ object Components {
     * min over star ids = min over all original members; singleton prior
     * nodes (id = component, no star edge) and fresh delta endpoints are
     * both covered by the node attach. Emits `(idCol, component)` over
-    * prior nodes ∪ delta endpoints. */
+    * prior nodes ∪ delta endpoints.
+    *
+    * MONOTONE, additive-only — retraction is out of contract: star
+    * contraction bakes every prior merge into the star edges, so a
+    * delta cannot UN-merge a component (there is no edge whose absence
+    * this operator can see — a revoked edge simply stops appearing in
+    * deltas, which changes nothing already merged). A crawl that
+    * retracts edges (link rot, spam takedowns) must re-close the
+    * SURVIVING edge set with [[connectedComponents]] — the full
+    * recompute is the retraction path, and the spec pins exactly this
+    * behavior. Same contract for the streaming face
+    * ([[graft.streaming.StreamOps.componentsStream]]). */
   def incremental(priorLabels: DataFrame, deltaEdges: DataFrame,
                   idCol: String = "doc_id", compCol: String = "component",
                   aCol: String = "a", bCol: String = "b",

@@ -775,6 +775,12 @@ object StreamOps {
     * re-adding already-merged edges is the identity on the labeling,
     * so an at-least-once replay converges to the same labels.
     *
+    * MONOTONE, additive-only — [[graft.llm.Components.incremental]]'s
+    * contract: a batch can only ADD connectivity; an edge retraction
+    * cannot un-merge a component (the contraction keeps no edge to
+    * delete). Retractions require a full re-close of the surviving
+    * edge set offline and a fresh `labelsPath`.
+    *
     * The label snapshot is NODE-sized; the operator is for bounded
     * node domains (host graphs, source registries — the hostRank
     * codebook discipline), enforced by `maxNodes` fail-fast. Dedup

@@ -116,6 +116,26 @@ class ComponentsSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
   }
 
+  test("incremental is monotone: a retraction delta cannot un-merge (full re-close is the path)") {
+    // {1,2,3} was merged by edges (1-2),(2-3); upstream later REVOKES
+    // (2-3). Star contraction keeps no edge to delete: feeding the
+    // surviving edges as a delta leaves the merge intact — pinned here
+    // so the contract (scaladoc: additive-only) is behavior, not prose
+    val prior = Components.connectedComponents(
+      Seq(1L, 2L, 3L).toDF("doc_id"),
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), idCol = "doc_id")
+    val survivors = Seq((1L, 2L)).toDF("a", "b") // (2-3) retracted
+    Components.incremental(prior, survivors, idCol = "doc_id")
+      .as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L) // STALE merge survives, by contract
+    // the retraction path: re-close the surviving edge set from scratch
+    Components.connectedComponents(
+        Seq(1L, 2L, 3L).toDF("doc_id"), survivors.toDF("src", "dst"),
+        idCol = "doc_id")
+      .as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L) // the split the delta can't see
+  }
+
   test("dupClusters flags the min-id doc of each cluster as representative") {
     val docs = Seq(10L, 11L, 12L, 20L).toDF("doc_id")
     val pairs = Seq((11L, 10L), (11L, 12L)).toDF("a", "b")
