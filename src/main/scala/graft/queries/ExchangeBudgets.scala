@@ -96,6 +96,14 @@ object ExchangeBudgets {
     // host-keyed rewrite join + (src, canon) re-aggregation over the
     // weighted edge cut
     "llm_host_canon"                  -> 14,
+    // r17 maintained face runs the whole DISK LIFECYCLE in-query:
+    // wave-1 bootstrap closure (the llm_components CC-iteration class)
+    // + wave-2 incremental relabel (the _incremental second-closure
+    // class) + two snapshot folds (batch canon agg + touched-bucket
+    // discovery distinct + sum-merge each). Production per-batch cost
+    // is ONLY the incremental + one fold; the bootstrap closure is the
+    // fixture's cold start, priced here like _incremental's
+    "llm_host_canon_stream"           -> 35,
     // sweep: banding groupBy + bucket-pair distinct + the multi-distinct
     // Expand aggregate over the CANDIDATE frame + the |thresholds| sort
     "llm_dedup_sweep"                 -> 4,

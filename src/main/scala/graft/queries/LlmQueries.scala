@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.llm.{Audit, Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextStats}
 import graft.model.Tables
+import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
 
 /** North-star LLM-data-pipeline queries (SURVEY §2.9 + builder-prompt
@@ -903,6 +904,38 @@ object LlmQueries {
       weighted.join(broadcast(canon), "dst_host")
         .groupBy("src", "canon_host")
         .agg(sum(col("n_links")).as("n_links"))
+        .orderBy("src", "canon_host")
+    },
+
+    // Streaming host canonicalization (r17, verdict ask 3): the
+    // maintained composition of the two r16 pieces — labels advance by
+    // incremental contraction, the canonical-edge table folds each
+    // batch and RE-KEYS rows stored under representatives the batch's
+    // merges retired. The fixture arrives as two "micro-batches"
+    // through the real disk lifecycle (StreamOps.applyCanonBatch —
+    // exactly what canonEdgesStream's foreachBatch applies): plain
+    // outlinks first, then the bridge edges whose merges force the
+    // re-key path. The stored table must equal the one-shot batch
+    // rewrite (llm_host_canon's SQL verbatim) — arrival order is
+    // invisible in the final state.
+    Q("llm_host_canon_stream",
+      GraphFixture.closureCtes + "\n" +
+        """SELECT e.src, substr(c.component, 6) AS canon_host,
+          |  CAST(sum(e.n_links) AS BIGINT) AS n_links
+          |FROM e JOIN comp c ON c.id = 'host:' || e.dst_host
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, sf) =>
+      val weighted = GraphFixture.weightedEdges(spark, sf)
+        .localCheckpoint(false) // two waves filter ONE planted frame
+      val wave1 = weighted.where(!col("dst_host").startsWith("bridge-"))
+      val wave2 = weighted.where(col("dst_host").startsWith("bridge-"))
+      val dir = java.nio.file.Files.createTempDirectory("canon_q").toString
+      val labels = dir + "/labels"; val canon = dir + "/canon"
+      StreamOps.applyCanonBatch(wave1, 0L, labels, canon, "q",
+        "src", "dst_host", "n_links", nBuckets = 16, maxNodes = 1L << 20)
+      StreamOps.applyCanonBatch(wave2, 1L, labels, canon, "q",
+        "src", "dst_host", "n_links", nBuckets = 16, maxNodes = 1L << 20)
+      StreamOps.readCanonEdges(spark, canon)
+        .select(col("src"), col("canon_host"), col("n_links"))
         .orderBy("src", "canon_host")
     },
 

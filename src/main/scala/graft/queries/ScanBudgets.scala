@@ -123,7 +123,8 @@ object ScanBudgets {
     "llm_dedup_contain"   -> 4, // planting scaffolding (successor self-join builds composites: 2 scans, cut once) + the near-dup 2-scan shape
     "llm_hybrid_rank"     -> 4, // two-TABLE composite: bm25's stats+score passes over documents + the dense side's query-vector lookup + score pass over embeddings (executed budget counts totals across tables)
     "llm_ann_recall"      -> 4, // two independent search paths over one table: brute truth + LSH approx each quantize (query, corpus) once behind their cuts — 2 scans per path; at 100 TB the stored signature/code index replaces the corpus side
-    "stream_cdc_read_latest" -> 4 // r17 in-query disk lifecycle: orders (changelog ckpt + bootstrap write = 2) + the temp snapshot read by the sink batch's merge and by readLatest's touched leg (the untouched leg prunes to ZERO files at sf0.001 — the ~100-key tail hits all 16 buckets — so only the partition-filter spec sees it scan)
+    "stream_cdc_read_latest" -> 4, // r17 in-query disk lifecycle: orders (changelog ckpt + bootstrap write = 2) + the temp snapshot read by the sink batch's merge and by readLatest's touched leg (the untouched leg prunes to ZERO files at sf0.001 — the ~100-key tail hits all 16 buckets — so only the partition-filter spec sees it scan)
+    "llm_host_canon_stream"  -> 7  // r17 disk lifecycle: documents (edge cut) + wave-2's node-sized labels reads (incremental prior + repMap prior) + the canon snapshot's touched-bucket reads + the final declared read-back; per production batch only the labels + touched-bucket reads recur
   )
 
   def executedBudget(query: String): Int =

@@ -808,26 +808,11 @@ object StreamOps {
                                           labelsPath: String, aCol: String,
                                           bCol: String, idCol: String,
                                           maxNodes: Long): Unit = {
-    import graft.llm.Components
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val hPath = new org.apache.hadoop.fs.Path(labelsPath)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val exists = fs.exists(hPath) &&
-      fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
-    // the sibling marker outlives the static overwrite: present with
-    // the data gone = a prior rewrite crashed mid-job — fail loudly
-    // instead of silently re-closing over this batch's edges alone
-    require(readDirMeta(fs, labelsPath).isEmpty || exists,
-      s"labels meta exists at $labelsPath but the parquet is gone — a " +
-        "prior overwrite crashed mid-write; re-close the full edge set " +
-        "before resuming the stream")
-    val labels =
-      if (!exists)
-        Components.pairComponents(batch, aCol, bCol, idCol)
-      else
-        Components.incremental(spark.read.parquet(labelsPath), batch,
-          idCol, "component", aCol, bCol)
+    val fs = new org.apache.hadoop.fs.Path(labelsPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val labels = nextLabels(spark, fs, labelsPath, batch, aCol, bCol, idCol)
     val cut = labels.localCheckpoint(true)
     try {
       val n = cut.count()
@@ -845,6 +830,291 @@ object StreamOps {
       org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(cut)
       org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(labels)
     }
+  }
+
+  /** The label phase both streaming graph sinks share: next labeling =
+    * incremental contraction of the stored prior over this batch's
+    * pairs (first batch closes the batch alone), with the crashed-
+    * overwrite guard. Returns a LAZY frame still reading `labelsPath`
+    * — callers cut it before any overwrite of that path. */
+  private def nextLabels(spark: org.apache.spark.sql.SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         labelsPath: String, pairs: DataFrame,
+                         aCol: String, bCol: String,
+                         idCol: String): DataFrame = {
+    import graft.llm.Components
+    val hPath = new org.apache.hadoop.fs.Path(labelsPath)
+    val exists = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(_.getPath.getName.endsWith(".parquet"))
+    // the sibling marker outlives the static overwrite: present with
+    // the data gone = a prior rewrite crashed mid-job — fail loudly
+    // instead of silently re-closing over this batch's edges alone
+    require(readDirMeta(fs, labelsPath).isEmpty || exists,
+      s"labels meta exists at $labelsPath but the parquet is gone — a " +
+        "prior overwrite crashed mid-write; re-close the full edge set " +
+        "before resuming the stream")
+    if (!exists)
+      Components.pairComponents(pairs, aCol, bCol, idCol)
+    else
+      Components.incremental(spark.read.parquet(labelsPath), pairs,
+        idCol, "component", aCol, bCol)
+  }
+
+  // ---- streaming host canonicalization (r17): the components tier,
+  // maintained — labels AND the canonical edge table live ----
+
+  /** Bucket partition column of the canonical-edge snapshot. */
+  val CanonBucketCol = "__canon_bucket"
+
+  private def parseCanonMeta(m: String): (Int, String, Long) = {
+    val kv = m.split(";").map(_.split("=", 2)).collect {
+      case Array(k, v) => k -> v
+    }.toMap
+    (kv("nBuckets").toInt, kv("writer"), kv("applied").toLong)
+  }
+
+  /** Writer identity derived from the CHECKPOINT path — stable across
+    * restarts of one stream, distinct across writers (the r11
+    * manifestStream discipline): batch-id watermarks are only
+    * meaningful within one writer's monotone batch sequence. */
+  private[graft] def writerIdFor(checkpoint: String): String =
+    java.lang.Long.toHexString(
+      new org.apache.hadoop.fs.Path(checkpoint).toUri.getPath.hashCode
+        & 0xffffffffL)
+
+  /** Maintain the CANONICAL outlink-edge table from a weighted edge
+    * STREAM — [[componentsStream]]'s labels composed with the
+    * `llm_host_canon` rewrite, kept as state instead of recomputed:
+    * each micro-batch of `(src, host, weight)` edges (1) advances the
+    * bipartite component labeling by incremental contraction, and
+    * (2) folds the batch into a canonical-edge snapshot keyed by
+    * `(src, canonical host)` — when a batch MERGES two components,
+    * previously written rows under the absorbed representative are
+    * re-keyed onto the surviving one, so the stored table always
+    * equals the batch rewrite over every edge ever seen (parity
+    * spec-pinned).
+    *
+    * Scale shape: the snapshot is hash-bucketed on the canonical host;
+    * a batch rewrites only the buckets holding (its own hosts' reps ∪
+    * representatives its merges retired ∪ their survivors) — the
+    * label DIFF, node-sized by the `maxNodes` bound, never the edge
+    * volume. Per-batch cost scales with |batch| + |affected buckets|.
+    *
+    * Replay/crash contract (edge sums are per-batch FACTS — a sum is
+    * not a fixed point, unlike [[cdcStream]]'s versioned merge):
+    * idempotence comes from an applied-batch watermark in the layout
+    * meta — a replayed batch id ≤ the watermark skips the fold (labels
+    * re-run anyway; re-adding merged edges is the identity). Edges
+    * commit BEFORE labels so a crash between them replays with the
+    * prior labels and recomputes the same diff. An `.inflight` marker
+    * brackets the fold: found on restart above the watermark = the
+    * dynamic overwrite crashed mid-commit (buckets possibly half
+    * moved) — fail loudly, rebuild from the raw edge log. The meta
+    * also pins the writer id (from the checkpoint path): a second
+    * stream pointed at the same snapshot fails instead of interleaving
+    * watermarks. MONOTONE like the labels it rides on — edge
+    * retraction requires an offline re-close and a fresh snapshot. */
+  def canonEdgesStream(edges: DataFrame, labelsPath: String,
+                       canonPath: String, checkpoint: String,
+                       srcCol: String = "src", hostCol: String = "dst_host",
+                       weightCol: String = "n_links", nBuckets: Int = 64,
+                       maxNodes: Long = 1L << 20)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = writerIdFor(checkpoint)
+    edges.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyCanonBatch(batch.toDF(), id, labelsPath, canonPath, writer,
+          srcCol, hostCol, weightCol, nBuckets, maxNodes)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** The maintained canonical-edge table: `(srcCol, canon_host,
+    * weightCol)`, weights summed over every edge applied so far. */
+  def readCanonEdges(spark: org.apache.spark.sql.SparkSession,
+                     canonPath: String): DataFrame =
+    spark.read.parquet(canonPath).drop(CanonBucketCol)
+
+  /** One micro-batch of [[canonEdgesStream]] — package-visible so
+    * parity/replay/crash are spec-testable (the applyCdcBatch
+    * discipline). See the stream doc for the ordering and idempotence
+    * argument. */
+  private[graft] def applyCanonBatch(batch: DataFrame, batchId: Long,
+                                     labelsPath: String, canonPath: String,
+                                     writer: String, srcCol: String,
+                                     hostCol: String, weightCol: String,
+                                     nBuckets: Int, maxNodes: Long): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(canonPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val inflightDir = canonPath + ".inflight"
+    // ---- meta: watermark + writer pin + crash marker ----
+    val applied = readDirMeta(fs, canonPath) match {
+      case Some(m) =>
+        val (storedBuckets, storedWriter, appliedBatch) = parseCanonMeta(m)
+        require(storedBuckets == nBuckets,
+          s"canonical snapshot at $canonPath is laid out with " +
+            s"nBuckets=$storedBuckets, stream configured $nBuckets — " +
+            "pruning would rewrite the wrong buckets")
+        require(storedWriter == writer,
+          s"canonical snapshot at $canonPath is maintained by writer " +
+            s"$storedWriter; this stream is $writer — two writers' batch " +
+            "watermarks cannot interleave; use a distinct canonPath")
+        appliedBatch
+      case None => -1L
+    }
+    readDirMeta(fs, inflightDir).foreach { b =>
+      require(b.toLong <= applied,
+        s"canonical snapshot at $canonPath has an inflight marker for " +
+          s"batch $b above the applied watermark $applied — the fold's " +
+          "dynamic overwrite crashed mid-commit and buckets may be half " +
+          "moved; rebuild the snapshot from the raw edge log")
+      fs.delete(metaPath(inflightDir), false) // stale marker: batch landed
+    }
+    // ---- label phase: bipartite contraction over (src:, host:) ----
+    import graft.llm.Components
+    val lPath = new org.apache.hadoop.fs.Path(labelsPath)
+    val lfs = lPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val labelsExist = lfs.exists(lPath) &&
+      lfs.listStatus(lPath).exists(_.getPath.getName.endsWith(".parquet"))
+    require(readDirMeta(lfs, labelsPath).isEmpty || labelsExist,
+      s"labels meta exists at $labelsPath but the parquet is gone — a " +
+        "prior overwrite crashed mid-write; rebuild from the edge log")
+    // a canonical table without its labels cannot re-key correctly:
+    // closing over this batch alone would elect wrong representatives
+    require(labelsExist || applied < 0L,
+      s"canonical snapshot at $canonPath exists but its labels at " +
+        s"$labelsPath are gone — rebuild both from the raw edge log")
+    val pairs = batch.select(
+      concat(lit("src:"), col(srcCol).cast("string")).as("a"),
+      concat(lit("host:"), col(hostCol).cast("string")).as("b"))
+    val prior =
+      if (labelsExist) Some(spark.read.parquet(labelsPath)) else None
+    val labels = prior match {
+      case None    => Components.pairComponents(pairs, "a", "b", "node")
+      case Some(p) => Components.incremental(p, pairs, "node", "component",
+        "a", "b")
+    }
+    val newLabels = labels.localCheckpoint(true)
+    try {
+      val n = newLabels.count()
+      require(n <= maxNodes,
+        s"canonEdgesStream labeling grew to $n nodes (> $maxNodes) — " +
+          "bounded host/source domains only")
+      if (batchId > applied) {
+        writeDirMeta(fs, inflightDir, batchId.toString)
+        foldCanonBatch(batch, newLabels, prior, canonPath, fs, srcCol,
+          hostCol, weightCol, nBuckets)
+        writeDirMeta(fs, canonPath,
+          s"nBuckets=$nBuckets;writer=$writer;applied=$batchId")
+        fs.delete(metaPath(inflightDir), false)
+      }
+      // labels LAST: a crash above replays against the prior labels and
+      // recomputes the same rep diff (see the ordering argument)
+      newLabels.write.mode("overwrite").parquet(labelsPath)
+      writeDirMeta(fs, labelsPath, "graft-labels")
+    } finally {
+      ColumnBridge.releaseCheckpoint(newLabels)
+      ColumnBridge.releaseCheckpoint(labels)
+    }
+  }
+
+  /** The fold: batch edges canonicalized under `newLabels`, retired
+    * representatives re-keyed onto their survivors, touched buckets
+    * sum-merged and dynamically overwritten (with an explicit delete of
+    * any touched bucket the re-key emptied — dynamic mode would leave
+    * its stale files behind, the compactCdcSnapshot lesson).
+    * `priorLabels` is the stored labeling the batch contracted over
+    * (None on the very first batch — nothing stored to re-key). */
+  private def foldCanonBatch(batch: DataFrame, newLabels: DataFrame,
+                             priorLabels: Option[DataFrame],
+                             canonPath: String,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             srcCol: String, hostCol: String,
+                             weightCol: String, nBuckets: Int): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(canonPath)
+    val exists = fs.exists(hPath) && fs.listStatus(hPath)
+      .exists(_.getPath.getName.startsWith(CanonBucketCol + "="))
+    def bucketOf(c: Column): Column =
+      pmod(xxhash64(c), lit(nBuckets)).cast("int")
+    // a bipartite component always elects a host ('host:' < 'src:'
+    // and every edge touches a host), so label minus prefix is a host
+    val canonOf = newLabels.where(col("node").startsWith("host:"))
+      .select(expr("substring(node, 6)").as(hostCol),
+        expr("substring(component, 6)").as("canon_host"))
+    // label frames read from LogicalRDD checkpoints (no stats):
+    // broadcast the node-sized sides explicitly, the llm_host_canon
+    // rule. Cut: consumed by bucket discovery AND the merge.
+    val batchCanon = batch
+      .join(broadcast(canonOf), hostCol)
+      .groupBy(col(srcCol), col("canon_host"))
+      .agg(sum(col(weightCol).cast("long")).as(weightCol))
+      .localCheckpoint(true)
+    try {
+      // representatives this batch RETIRED: a stored row's canon_host is
+      // always a prior rep (self-labeled node), so the re-key map is the
+      // prior reps whose label moved — node-sized, never edge-sized
+      val repMap = priorLabels.filter(_ => exists).map { prior =>
+        prior.where(col("node") === col("component")).select(col("node"))
+          .join(newLabels, "node")
+          .where(col("node") =!= col("component"))
+          .select(expr("substring(node, 6)").as("old_rep"),
+            expr("substring(component, 6)").as("new_rep"))
+      }
+      // touched buckets: batch reps ∪ retired reps ∪ survivors —
+      // bucket ids collected driver-side, bounded by nBuckets
+      val touchedFrames =
+        batchCanon.select(bucketOf(col("canon_host")).as("b")) +:
+          repMap.toSeq.flatMap(m => Seq(
+            m.select(bucketOf(col("old_rep")).as("b")),
+            m.select(bucketOf(col("new_rep")).as("b"))))
+      val touched = touchedFrames.reduce(_ unionByName _)
+        .distinct().collect().map(_.getInt(0)).sorted
+      val touchedLits = touched.map(Integer.valueOf).toSeq
+      val merged0 =
+        if (!exists) batchCanon
+        else {
+          val existing = spark.read.parquet(canonPath)
+            .where(col(CanonBucketCol).isin(touchedLits: _*))
+            .drop(CanonBucketCol)
+          val rekeyed = repMap match {
+            case None => existing
+            case Some(m) => existing
+              .join(broadcast(m), col("canon_host") === col("old_rep"),
+                "left")
+              .select(col(srcCol),
+                coalesce(col("new_rep"), col("canon_host")).as("canon_host"),
+                col(weightCol))
+          }
+          rekeyed.unionByName(batchCanon)
+            .groupBy(col(srcCol), col("canon_host"))
+            .agg(sum(col(weightCol)).as(weightCol))
+        }
+      val merged = merged0
+        .withColumn(CanonBucketCol, bucketOf(col("canon_host")))
+        .localCheckpoint(true) // sever the snapshot self-read pre-overwrite
+      try {
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(CanonBucketCol)
+          .parquet(canonPath)
+        // a touched bucket whose rows ALL re-keyed away is absent from
+        // `merged` — dynamic overwrite leaves its stale files; delete
+        // explicitly (crash before this point = inflight marker trips)
+        val written = merged.select(col(CanonBucketCol)).distinct()
+          .collect().map(_.getInt(0)).toSet
+        (touched.toSet -- written).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            hPath, s"$CanonBucketCol=$b"), true)
+        }
+      } finally ColumnBridge.releaseCheckpoint(merged)
+    } finally ColumnBridge.releaseCheckpoint(batchCanon)
   }
 
   final case class UserRunning(user_id: Long, n: Long, total: Double)
