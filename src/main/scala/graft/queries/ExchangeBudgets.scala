@@ -102,8 +102,13 @@ object ExchangeBudgets {
     // class) + two snapshot folds (batch canon agg + touched-bucket
     // discovery distinct + sum-merge each). Production per-batch cost
     // is ONLY the incremental + one fold; the bootstrap closure is the
-    // fixture's cold start, priced here like _incremental's
-    "llm_host_canon_stream"           -> 35,
+    // fixture's cold start, priced here like _incremental's.
+    // 35 → 37 (r17, a DELIBERATE raise): each fold's snapshot write now
+    // clusters by bucket first — one exchange of only the rows being
+    // written per fold (two folds in this fixture), killing the
+    // nTasks-files-per-bucket layout the cdc_sink_prune probe measured
+    // at 3× batch cost under a 10× snapshot (listing-bound)
+    "llm_host_canon_stream"           -> 37,
     // sweep: banding groupBy + bucket-pair distinct + the multi-distinct
     // Expand aggregate over the CANDIDATE frame + the |thresholds| sort
     "llm_dedup_sweep"                 -> 4,
@@ -174,7 +179,21 @@ object ExchangeBudgets {
     // window hash the USING-join rides + the snapshot-side exchange,
     // plus the declared sort. The untouched-bucket union leg is
     // exchange-free by design (plain pruned scan + filter).
-    "stream_cdc_read_latest"          -> 7,
+    // 7 → 9 (r17, a DELIBERATE raise, not a regression): the two disk
+    // writes (bootstrap + sink batch) now each cluster by bucket
+    // before the partitioned write — one exchange of only the rows
+    // being written, killing the nTasks-files-per-bucket layout whose
+    // full-root listing made a fixed batch 3× slower at 10× snapshot
+    // (cdc_sink_prune probe, measured before/after: 3.0× → 1.1×).
+    "stream_cdc_read_latest"          -> 9,
+    // r17 time-travel face: bootstrap write (incl. its bucket
+    // clustering, as above) + ONE read-time merge (readAsOf — no sink
+    // batch, unlike read_latest): bucket-discovery distinct on the
+    // FILTERED tail + the tail's latest-per-key window hash the
+    // USING-join rides + the snapshot-side exchange, plus the declared
+    // sort. The untouched leg (guard filter + pruned scan) is
+    // exchange-free by design.
+    "stream_cdc_read_asof"            -> 5,
     "src_shard_jsonl"                 -> 4)
 
   def budget(name: String): Int = perQuery.getOrElse(name, default)

@@ -101,14 +101,30 @@ private[queries] object CdcFixture {
       |  FROM chg),
       |l1 AS (SELECT k, p, t, op FROM last WHERE rn = 1)""".stripMargin
 
-  /** The whole-log merge result both faces gate against. */
-  val mergedSelect: String =
+  /** Latest-per-key restricted to version <= 1 — the AS OF cut the
+    * time-travel face gates against (the v2 deletes must NOT apply).
+    * Pre-stripped, CONCATENATED after [[changelogCtes]] (the r13 rule:
+    * never re-interpolate a stripped fragment into another template). */
+  val asOfV1Ctes: String =
+    """,lastv AS (
+      |  SELECT k, p, t, op,
+      |    row_number() OVER (PARTITION BY k ORDER BY v DESC) rn
+      |  FROM chg WHERE v <= 1),
+      |l1v AS (SELECT k, p, t, op FROM lastv WHERE rn = 1)""".stripMargin
+
+  /** The merge SELECT over a latest-per-key CTE (`l1` = whole log,
+    * `l1v` = the AS OF version-1 cut). */
+  def mergedSelectOn(latestCte: String): String =
     """SELECT coalesce(b.k, c.k) AS o_orderkey,
       |  CASE WHEN c.op = 'U' THEN c.p ELSE b.p END AS o_orderpriority,
       |  CASE WHEN c.op = 'U' THEN c.t ELSE b.t END AS o_totalprice
-      |FROM base b FULL OUTER JOIN l1 c ON b.k = c.k
-      |WHERE c.op IS NULL OR c.op <> 'D'
+      |FROM base b FULL OUTER JOIN """.stripMargin + latestCte +
+      " c ON b.k = c.k\n" +
+    """WHERE c.op IS NULL OR c.op <> 'D'
       |ORDER BY o_orderkey""".stripMargin
+
+  /** The whole-log merge result both r16 faces gate against. */
+  val mergedSelect: String = mergedSelectOn("l1")
 
   /** Engine-side twins of `base` and `chg`. */
   def baseAndChanges(spark: SparkSession, sf: String): (DataFrame, DataFrame) = {

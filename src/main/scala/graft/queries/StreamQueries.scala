@@ -195,6 +195,33 @@ object StreamQueries {
         .orderBy("o_orderkey")
     },
 
+    // Time travel (r17, the round-16 stretch ask): state AS OF version 1
+    // from a RETAINED snapshot + the changelog recorded since it
+    // (StreamOps.readAsOf = Cdc.asOf with the tail's key-hash buckets
+    // pruning the snapshot read). The fixture retains the %3 bootstrap
+    // on disk (version 0), keeps the WHOLE changelog as the retained
+    // segment, and asks for version 1: the v1 updates/inserts apply,
+    // the v2 deletes are filtered before bucket discovery — so the
+    // result is the version-1 cut of the log (oracle: the same merge
+    // SELECT over latest-per-key WHERE v <= 1). The base-freshness
+    // guard (a snapshot already past the requested version raises
+    // in-plan) and the bucket pruning are spec'd in CdcStreamSpec.
+    Q("stream_cdc_read_asof",
+      CdcFixture.changelogCtes + CdcFixture.asOfV1Ctes + "\n" +
+        CdcFixture.mergedSelectOn("l1v")) {
+      (spark, sf) =>
+      import graft.relational.Cdc
+      val (base, rawChanges) = CdcFixture.baseAndChanges(spark, sf)
+      val changes = rawChanges.localCheckpoint(false)
+      val snap = java.nio.file.Files
+        .createTempDirectory("cdc_asof_q").toString + "/snap"
+      StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("o_orderkey")),
+        snap, Seq("o_orderkey"), nBuckets = 16)
+      StreamOps.readAsOf(spark, snap, changes, asOfVersion = 1L,
+          Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
     Q("stream_state",
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -235,10 +235,64 @@ object Cdc {
     snapshot.where(!col(DeletedCol) || col(VersionCol) >= horizon)
   }
 
+  /** Reconstruct the live state AS OF `asOfVersion` (inclusive) from a
+    * RETAINED versioned snapshot plus the changelog recorded since it —
+    * time travel that stays cheap after [[snapshotAsOf]]'s full-history
+    * replay has become too expensive (r17, the round-16 stretch ask).
+    *
+    * The base must be a snapshot CAPTURED at or below `asOfVersion`
+    * (the bootstrap, or a copy the deployment retained before the
+    * maintained snapshot advanced past `asOfVersion`) — a versioned
+    * snapshot records only each key's LATEST state, so changes cannot
+    * be un-applied; a base row already applied ABOVE `asOfVersion`
+    * makes the requested state unreconstructible from these inputs and
+    * raises in-plan rather than silently serving future data. `changes`
+    * must cover every change in `(base, asOfVersion]` (the deployment's
+    * changelog-retention contract); records above `asOfVersion` are
+    * filtered before anything shuffles (pushed into a parquet scan).
+    *
+    * Compaction interplay: tombstone GC on the RETAINED base must use a
+    * horizon at or below the oldest changelog version this read may
+    * still replay — a GC'd tombstone would let a lower-version 'U' in
+    * the replayed segment resurrect a key that was already deleted.
+    * [[compact]]'s writer-horizon contract covers this: "no in-flight
+    * change below the horizon" extends to retained-for-time-travel
+    * segments, not just the live stream.
+    *
+    * Emits PUBLIC rows (key + payload, internal columns stripped),
+    * un-ordered — callers add ORDER BY. Shape: one changelog key-hash
+    * exchange + one full-outer merge, the [[mergeVersioned]] plan; the
+    * version guard is a per-row filter predicate (never a pruned
+    * projection — a dropped guard column would make it vacuous). */
+  def asOf(base: DataFrame, changes: DataFrame, asOfVersion: Long,
+           keyCols: Seq[String], versionCol: String = "version",
+           opCol: String = "op"): DataFrame =
+    publicSnapshot(mergeVersioned(guardAtOrBelow(base, asOfVersion),
+      changes.where(col(versionCol).cast("long") <= asOfVersion),
+      keyCols, versionCol, opCol))
+
+  /** [[asOf]]'s base-freshness guard, shared with the bucket-pruned
+    * read face (`StreamOps.readAsOf`, which must guard its UNTOUCHED
+    * leg too): a per-row FILTER predicate — never a projection, which
+    * column pruning would silently drop — raising on any snapshot row
+    * already applied above the requested version. */
+  private[graft] def guardAtOrBelow(snapshot: DataFrame,
+                                    asOfVersion: Long): DataFrame =
+    snapshot.where(
+      when(col(VersionCol) <= asOfVersion, lit(true))
+        .otherwise(raise_error(concat(
+          lit("asOf: base snapshot row already applied at version "),
+          col(VersionCol).cast("string"),
+          lit(s" > requested $asOfVersion — the base must be a snapshot" +
+            " retained at or below the requested version (changes" +
+            " cannot be un-applied from latest state)")))))
+
   /** Reconstruct the live state AS OF `version` (inclusive) from the
     * changelog alone: restrict to `versionCol <= version` (pushed into
     * the scan), take latest-per-key, drop keys whose latest visible
-    * change is a delete. Emits key + payload columns, ORDER BY keys. */
+    * change is a delete. Emits key + payload columns, ORDER BY keys.
+    * For a changelog whose history below a retained snapshot has been
+    * GC'd, use [[asOf]] (snapshot + tail) instead. */
   def snapshotAsOf(changes: DataFrame, version: Column,
                    keyCols: Seq[String], versionCol: String = "version",
                    opCol: String = "op"): DataFrame = {

@@ -528,7 +528,14 @@ object StreamOps {
           s"with nBuckets=$nBuckets would strand rows in stale buckets — " +
           "delete the snapshot AND its .meta to relayout")
     }
+    // cluster by bucket before the partitioned write: without it every
+    // task holds rows of every bucket and the layout lands
+    // nTasks × nBuckets files — a small-file explosion whose LISTING
+    // cost then taxes every subsequent batch's read (the r17
+    // cdc_sink_prune probe measured 3.0× at 10× snapshot from exactly
+    // this; clustered, one file per bucket, the ratio is ~flat)
     versioned.withColumn(CdcBucketCol, cdcBucket(keyCols, nBuckets))
+      .repartition(col(CdcBucketCol))
       .write.mode("overwrite").partitionBy(CdcBucketCol).parquet(snapshotPath)
     writeDirMeta(fs, snapshotPath, s"nBuckets=$nBuckets")
   }
@@ -572,11 +579,62 @@ object StreamOps {
                  keyCols: Seq[String], versionCol: String = "version",
                  opCol: String = "op"): DataFrame = {
     import graft.relational.Cdc
+    val (touched, untouched, aligned) =
+      splitByTailBuckets(spark, snapshotPath, tail, keyCols, "readLatest")
+    Cdc.publicSnapshot(
+        Cdc.mergeVersioned(touched, aligned, keyCols, versionCol, opCol))
+      .unionByName(Cdc.publicSnapshot(untouched))
+  }
+
+  /** Time travel over a RETAINED snapshot (r17, the round-16 stretch
+    * ask): the live state AS OF `asOfVersion` =
+    * [[graft.relational.Cdc.asOf]] with the tail's key-hash buckets
+    * pruning the snapshot read — [[readLatest]]'s shape with the tail
+    * version-filtered FIRST, so only keys changed at or below
+    * `asOfVersion` pull their buckets through the full-outer merge.
+    *
+    * The stored snapshot must have been retained at or below
+    * `asOfVersion` (the bootstrap, or a copy taken before the
+    * maintained snapshot advanced) — a base row applied above it
+    * raises in-plan on BOTH legs, touched and untouched alike (a
+    * future-versioned row in an untouched bucket is just as
+    * unreconstructible). Changelog retention and the compaction-horizon
+    * interplay are [[graft.relational.Cdc.asOf]]'s contract. */
+  def readAsOf(spark: org.apache.spark.sql.SparkSession,
+               snapshotPath: String, tail: DataFrame, asOfVersion: Long,
+               keyCols: Seq[String], versionCol: String = "version",
+               opCol: String = "op"): DataFrame = {
+    import graft.relational.Cdc
+    // filter BEFORE bucket discovery: a key changed only above
+    // asOfVersion must not pull its bucket through the merge
+    val visible = tail.where(col(versionCol).cast("long") <= asOfVersion)
+    val (touched, untouched, aligned) =
+      splitByTailBuckets(spark, snapshotPath, visible, keyCols, "readAsOf")
+    Cdc.asOf(touched, aligned, asOfVersion, keyCols, versionCol, opCol)
+      .unionByName(Cdc.publicSnapshot(
+        Cdc.guardAtOrBelow(untouched, asOfVersion)))
+  }
+
+  /** The merge-on-read bucket split shared by [[readLatest]] and
+    * [[readAsOf]]: the stored snapshot partitioned into the buckets the
+    * tail's keys hash into (these flow through the merge, pruned by a
+    * partition filter on `__cdc_bucket`) and the rest (a plain pruned
+    * scan — no exchange, no join). Returns (touched, untouched,
+    * dtype-aligned tail). `nBuckets` comes from the snapshot's own
+    * `.meta` — the reader must match the writer's layout, never guess
+    * it (a wrong bucket count would prune wrong and silently drop the
+    * tail's effect on unpruned keys). The tail is consumed twice
+    * (bucket discovery + merge input) — cut a derived tail with
+    * `localCheckpoint` if its lineage is expensive. */
+  private def splitByTailBuckets(spark: org.apache.spark.sql.SparkSession,
+                                 snapshotPath: String, tail: DataFrame,
+                                 keyCols: Seq[String], caller: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val fs = new org.apache.hadoop.fs.Path(snapshotPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val meta = readDirMeta(fs, snapshotPath).getOrElse(throw
       new IllegalArgumentException(
-        s"no layout meta at $snapshotPath.meta — readLatest must match " +
+        s"no layout meta at $snapshotPath.meta — $caller must match " +
           "the writer's bucket layout, never guess it; bootstrap the " +
           "snapshot through writeCdcSnapshot (or let the stream's first " +
           "batch land) before reading through it"))
@@ -600,9 +658,7 @@ object StreamOps {
       .where(col(CdcBucketCol).isin(changedLits: _*)).drop(CdcBucketCol)
     val untouched = snap
       .where(!col(CdcBucketCol).isin(changedLits: _*)).drop(CdcBucketCol)
-    Cdc.publicSnapshot(
-        Cdc.mergeVersioned(touched, aligned, keyCols, versionCol, opCol))
-      .unionByName(Cdc.publicSnapshot(untouched))
+    (touched, untouched, aligned)
   }
 
   /** In-place tombstone GC of a maintained snapshot
@@ -683,9 +739,17 @@ object StreamOps {
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     // the layout is ours, so detect it precisely: partition dirs are
     // `__cdc_bucket=N` (a bare "not underscore" filter would reject
-    // them — they start with one — and silently merge against empty)
-    val hasDirs = fs.exists(hPath) && fs.listStatus(hPath)
-      .exists(_.getPath.getName.startsWith(CdcBucketCol + "="))
+    // them — they start with one — and silently merge against empty).
+    // ONE root listStatus serves detection, the no-meta layout check,
+    // AND the touched-dir existence filter below — never a recursive
+    // full-file listing, whose cost scales with the whole snapshot
+    // (the r17 cdc_sink_prune probe: two full listings per batch made
+    // a fixed batch 3× slower at 10× the snapshot).
+    val bucketDirs: Array[String] =
+      if (!fs.exists(hPath)) Array.empty
+      else fs.listStatus(hPath).map(_.getPath.getName)
+        .filter(_.startsWith(CdcBucketCol + "="))
+    val hasDirs = bucketDirs.nonEmpty
     readDirMeta(fs, snapshotPath) match {
       case Some(m) =>
         require(m == s"nBuckets=$nBuckets",
@@ -706,8 +770,7 @@ object StreamOps {
         // (cheap), and a one-time full re-hash check catches a SMALLER
         // historical nBuckets the dir names alone cannot (it runs at
         // most once — this batch's successful write lands the meta).
-        val dirBuckets = fs.listStatus(hPath).map(_.getPath.getName)
-          .filter(_.startsWith(CdcBucketCol + "="))
+        val dirBuckets = bucketDirs
           .map(_.stripPrefix(CdcBucketCol + "=").toInt)
         require(dirBuckets.forall(_ < nBuckets),
           s"snapshot at $snapshotPath has bucket dir " +
@@ -727,33 +790,54 @@ object StreamOps {
         // read as lost state)
     }
     val exists = hasDirs
+    // the stored schema (key + payload + internal columns, WITHOUT the
+    // bucket partition column) comes from ONE bucket directory — the
+    // layout contract makes every bucket's file schema identical, so
+    // reading the full root only to infer it would pay a recursive
+    // listing that grows with the snapshot
+    val storedSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (!exists) None
+      else Some(spark.read.parquet(s"$snapshotPath/${bucketDirs.head}").schema)
     // align the batch's KEY dtypes to the stored snapshot's before
     // anything hashes: xxhash64(int) != xxhash64(long), so an
     // unaligned changelog would compute the wrong buckets AND miss its
     // own keys in the merge join
-    val aligned =
-      if (!exists) batch
-      else {
-        val snapSchema = spark.read.parquet(snapshotPath).schema
-        keyCols.foldLeft(batch) { (b, k) =>
-          b.withColumn(k, col(k).cast(snapSchema(k).dataType))
-        }
+    val aligned = storedSchema.fold(batch) { s =>
+      keyCols.foldLeft(batch) { (b, k) =>
+        b.withColumn(k, col(k).cast(s(k).dataType))
       }
+    }
     // the touched buckets: bounded by nBuckets, so the collect is too
     val changed = aligned
       .select(cdcBucket(keyCols, nBuckets).as("b")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val existing =
-      if (exists)
-        spark.read.parquet(snapshotPath)
-          .where(col(CdcBucketCol).isin(changed.map(Integer.valueOf): _*))
-          .drop(CdcBucketCol)
-      else
+    // read ONLY the touched bucket directories, by constructed name —
+    // the bucket-pruning contract applied to the LISTING too (a
+    // partition filter over a root read still lists every file first);
+    // a touched bucket with no dir yet simply isn't read. Empty merge
+    // side must carry the STORED schema, not the batch's — a payload
+    // dtype drift would otherwise land mixed-schema files in one dir.
+    val touchedDirs = changed.map(b => s"$CdcBucketCol=$b")
+      .filter(bucketDirs.contains).map(d => s"$snapshotPath/$d")
+    val existing = storedSchema match {
+      case Some(s) if touchedDirs.nonEmpty =>
+        spark.read.schema(s).parquet(touchedDirs.toIndexedSeq: _*)
+      case Some(s) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row], s)
+      case None =>
         Cdc.bootstrap(aligned.drop(versionCol, opCol).limit(0), keyCols)
+    }
     val merged = Cdc.mergeVersioned(existing, aligned, keyCols, versionCol, opCol)
       .localCheckpoint(true) // sever the snapshot self-read before overwrite
     try {
+      // bucket-clustered like writeCdcSnapshot: one file per touched
+      // bucket per batch instead of nTasks per bucket — one extra
+      // exchange of ONLY the touched rows (k/nBuckets of the snapshot,
+      // data the batch already moves), buying every later read a
+      // file-listing that scales with buckets, not batches × tasks
       merged.withColumn(CdcBucketCol, cdcBucket(keyCols, nBuckets))
+        .repartition(col(CdcBucketCol))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(CdcBucketCol)
@@ -1039,8 +1123,14 @@ object StreamOps {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val spark = batch.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(canonPath)
-    val exists = fs.exists(hPath) && fs.listStatus(hPath)
-      .exists(_.getPath.getName.startsWith(CanonBucketCol + "="))
+    // ONE root listStatus: layout detection + the touched-dir existence
+    // filter (the applyCdcBatch r17 rule — a recursive full listing
+    // grows with the whole snapshot and taxes every batch)
+    val canonDirs: Array[String] =
+      if (!fs.exists(hPath)) Array.empty
+      else fs.listStatus(hPath).map(_.getPath.getName)
+        .filter(_.startsWith(CanonBucketCol + "="))
+    val exists = canonDirs.nonEmpty
     def bucketOf(c: Column): Column =
       pmod(xxhash64(c), lit(nBuckets)).cast("int")
     // a bipartite component always elects a host ('host:' < 'src:'
@@ -1076,13 +1166,24 @@ object StreamOps {
             m.select(bucketOf(col("new_rep")).as("b"))))
       val touched = touchedFrames.reduce(_ unionByName _)
         .distinct().collect().map(_.getInt(0)).sorted
-      val touchedLits = touched.map(Integer.valueOf).toSeq
       val merged0 =
         if (!exists) batchCanon
         else {
-          val existing = spark.read.parquet(canonPath)
-            .where(col(CanonBucketCol).isin(touchedLits: _*))
-            .drop(CanonBucketCol)
+          // read ONLY the touched bucket dirs by constructed name, with
+          // the stored schema from one dir (every bucket's file schema
+          // is identical by the layout contract); a touched bucket with
+          // no dir yet simply isn't read, and an all-new touched set
+          // merges against an empty frame CARRYING the stored schema
+          val storedSchema =
+            spark.read.parquet(s"$canonPath/${canonDirs.head}").schema
+          val touchedDirs = touched.map(b => s"$CanonBucketCol=$b")
+            .filter(canonDirs.contains).map(d => s"$canonPath/$d")
+          val existing =
+            if (touchedDirs.isEmpty)
+              spark.createDataFrame(spark.sparkContext.emptyRDD[
+                org.apache.spark.sql.Row], storedSchema)
+            else spark.read.schema(storedSchema)
+              .parquet(touchedDirs.toIndexedSeq: _*)
           val rekeyed = repMap match {
             case None => existing
             case Some(m) => existing
@@ -1100,7 +1201,10 @@ object StreamOps {
         .withColumn(CanonBucketCol, bucketOf(col("canon_host")))
         .localCheckpoint(true) // sever the snapshot self-read pre-overwrite
       try {
-        merged.write.mode("overwrite")
+        // bucket-clustered (the applyCdcBatch r17 rule): one file per
+        // touched bucket per batch, not nTasks per bucket
+        merged.repartition(col(CanonBucketCol))
+          .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy(CanonBucketCol)
           .parquet(canonPath)

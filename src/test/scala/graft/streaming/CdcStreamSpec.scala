@@ -223,6 +223,72 @@ class CdcStreamSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("readAsOf: time travel from a retained bootstrap + the changelog since it") {
+    val snap = tmp("cdc_asof")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    val log = (batch1 ++ batch2).toDF() // versions present: 1, 2, 3, 5
+    // at every version cut, time travel equals the batch upsert over the
+    // visible prefix of the log (the bootstrap is at version 0, so every
+    // visible change wins exactly as upsert's latest-per-key does)
+    for (v <- Seq(1L, 2L, 3L, 5L))
+      rows(StreamOps.readAsOf(spark, snap, log, v, Seq("k"))) shouldBe
+        rows(Cdc.upsert(base, log.where(col("version") <= v), Seq("k")))
+    // spot-check v=1: late-arriving v1 rows apply, the v2/v3 deletes and
+    // the v5 update do not exist yet
+    rows(StreamOps.readAsOf(spark, snap, log, 1L, Seq("k"))) shouldBe Seq(
+      (1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c1", 31.0),
+      (7L, "ghost", 70.0), (9L, "i", 90.0))
+    // a version below every change reads exactly the public bootstrap
+    rows(StreamOps.readAsOf(spark, snap, log, 0L, Seq("k"))) shouldBe rows(base)
+  }
+
+  test("readAsOf: a snapshot already past the requested version raises, both legs") {
+    val snap = tmp("cdc_asof_guard")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8)
+    // the snapshot now holds versions up to 5 — state AS OF 1 is
+    // unreconstructible from it (changes cannot be un-applied). An empty
+    // tail touches NO buckets, so this exercises the UNTOUCHED leg's
+    // guard (a future-versioned row there is just as unreconstructible);
+    // a tail covering the advanced keys exercises the merge leg's.
+    for (tail <- Seq(batch2.toDF().limit(0), batch2.toDF())) {
+      val e = intercept[Exception] {
+        StreamOps.readAsOf(spark, snap, tail, 1L, Seq("k")).collect() }
+      e.getMessage should include ("retained at or below")
+    }
+    // but reading AS OF a version at/above the snapshot's max still works
+    rows(StreamOps.readAsOf(spark, snap, batch2.toDF(), 5L, Seq("k"))) shouldBe
+      rows(Cdc.upsert(base, (batch1 ++ batch2).toDF(), Seq("k")))
+  }
+
+  test("readAsOf: bucket discovery runs on the version-FILTERED tail") {
+    val snap = tmp("cdc_asof_prune")
+    val wide = spark.range(0, 64).select(col("id").as("k"),
+      concat(lit("n"), col("id")).as("name"), lit(1.0).as("amt"))
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(wide, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    // key 5 changes at v1 (visible AS OF 1); key 6 only at v10 — a key
+    // changed ONLY above the cut must not pull its bucket into the merge
+    val tail = Seq(Change(5L, "upd", 2.0, 1L, "U"),
+      Change(6L, "future", 9.0, 10L, "U")).toDF()
+    val touchedBucket = spark.range(1).select(
+      pmod(xxhash64(lit(5L)), lit(8)).cast("int")).head().getInt(0)
+    def dataFiles(dirName: String): Int =
+      new java.io.File(snap, dirName).listFiles()
+        .count(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = StreamOps.readAsOf(spark, snap, tail, 1L, Seq("k"))
+      val byKey = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      byKey(5L) shouldBe "upd" // the visible change applied
+      byKey(6L) shouldBe "n6"  // the future change did not
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      scans should have size 2
+      val numFiles = scans.map(_.metrics("numFiles").value).sorted
+      numFiles.head shouldBe dataFiles(s"${StreamOps.CdcBucketCol}=$touchedBucket")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("missing meta with bucket dirs present: layout verified against configured nBuckets") {
     // the first write can crash AFTER the parquet commit but BEFORE the
     // .meta write; a restart with a different nBuckets must not trust
