@@ -522,6 +522,48 @@ object Dedup {
     incrementalNearImpl(batch, corpus, bandSignaturesPoly, k, bands,
       rowsPerBand, threshold, idCol, textCol)
 
+  /** The STORED signature-index rows for a set of documents —
+    * `(idCol, band, sig)`, fixed-width, ~8 B × bands per doc: the
+    * "corpus side is the PRECOMPUTED index, stored once" shape
+    * [[incrementalNear]]'s scaladoc promises, made a first-class
+    * artifact (r17) so a continuous-ingest deployment persists it and
+    * probes it per batch instead of re-hashing the corpus
+    * (`StreamOps.dedupStream` maintains exactly that). `poly = true`
+    * selects the cross-engine affine family ([[bandSignaturesPoly]] —
+    * SQL-replayable, the oracle face); the default is the xxhash64
+    * production family. The two are plan-identical. */
+  def signatureIndex(docs: DataFrame, k: Int = 3, bands: Int = 4,
+                     rowsPerBand: Int = 4, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     poly: Boolean = false): DataFrame =
+    (if (poly) bandSignaturesPoly _ else bandSignatures _)(
+      docs, k, bands, rowsPerBand, idCol, textCol)
+
+  /** The verify half of the incremental family with the CANDIDATES
+    * precomputed (an index probe) and the corpus text already fetched
+    * and pruned by the caller: distinct batch ids whose exact k-gram
+    * Jaccard against some candidate corpus doc clears `threshold`.
+    * `pairs` columns: `(bid, cid)`. Shingle sets are computed only for
+    * docs appearing in `pairs` (semi-join-pruned), the
+    * [[minHashNearDups]] verify discipline — candidates from banding,
+    * correctness from exact verification, identical across hash
+    * families (shingles are exact strings). */
+  def verifiedDupIds(pairs: DataFrame, batchDocs: DataFrame,
+                     corpusDocs: DataFrame, k: Int, threshold: Double,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    import graft.functions.WordShingles
+    def sets(docs: DataFrame, side: String) = docs
+      .join(pairs.select(col(side).as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol).as(side),
+        array_distinct(WordShingles(col(textCol), k)).as(s"set_$side"))
+    pairs
+      .join(sets(batchDocs, "bid"), "bid")
+      .join(sets(corpusDocs, "cid"), "cid")
+      .where(jaccardOf(col("set_bid"), col("set_cid")) >= threshold)
+      .select(col("bid")).distinct()
+  }
+
   private def incrementalNearImpl(
       batch: DataFrame, corpus: DataFrame,
       signatures: (DataFrame, Int, Int, Int, String, String) => DataFrame,

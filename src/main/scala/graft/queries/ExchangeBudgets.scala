@@ -194,6 +194,20 @@ object ExchangeBudgets {
     // sort. The untouched leg (guard filter + pruned scan) is
     // exchange-free by design.
     "stream_cdc_read_asof"            -> 5,
+    // r17 evolution face: read_latest's exact lifecycle (bootstrap
+    // incl. bucket clustering + sink batch + merge-on-read) — the
+    // evolution step itself is an O(1) meta append costing ZERO
+    // exchanges, which is the point being priced
+    "stream_cdc_evolve"               -> 9,
+    // r17 streaming-dedup disk lifecycle: bootstrap (CDC snapshot +
+    // index writes, each bucket/partition-clustered) + TWO
+    // applyDedupBatch rounds, each = batch cut + index-probe distinct
+    // + corpus-bucket discovery + the capped within-batch banding
+    // (groupBy + pair distinct + verify joins) + the corpus-text
+    // verify joins + survivor anti-join + CDC merge (window + join +
+    // clustering) + the index partition write. Per PRODUCTION batch
+    // the cost is roughly half this; the llm_host_canon_stream class.
+    "llm_dedup_stream"                -> 36,
     "src_shard_jsonl"                 -> 4)
 
   def budget(name: String): Int = perQuery.getOrElse(name, default)

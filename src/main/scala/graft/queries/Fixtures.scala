@@ -126,6 +126,66 @@ private[queries] object CdcFixture {
   /** The whole-log merge result both r16 faces gate against. */
   val mergedSelect: String = mergedSelectOn("l1")
 
+  /** The schema-evolution variant (r17): the same changelog with a NEW
+    * payload column `nt` the base never had — the oracle for "bootstrap
+    * pre-evolution, evolve, then every later batch carries the column"
+    * (base-only keys read NULL; deletes ignore it). Self-contained
+    * CTE-plus-SELECT, concatenation-free. */
+  val notedOracle: String =
+    """WITH o AS (
+      |  SELECT o_orderkey k, o_orderpriority p, o_totalprice t FROM orders),
+      |base AS (SELECT k, p, t FROM o WHERE k % 3 = 0),
+      |chg AS (
+      |  SELECT k, 'X-UPD' AS p, t + 1.0 AS t, 'u' || (k % 97) AS nt,
+      |    1 AS v, 'U' AS op
+      |  FROM o WHERE k % 21 = 0
+      |  UNION ALL
+      |  SELECT k, '', 0.0, '', 2, 'D' FROM o WHERE k % 15 = 0
+      |  UNION ALL
+      |  SELECT k + 100000000, '9-NEW', t, 'w' || (k % 89), 1, 'U'
+      |  FROM o WHERE k % 33 = 0),
+      |last AS (
+      |  SELECT k, p, t, nt, op,
+      |    row_number() OVER (PARTITION BY k ORDER BY v DESC) rn
+      |  FROM chg),
+      |l1 AS (SELECT k, p, t, nt, op FROM last WHERE rn = 1)
+      |SELECT coalesce(b.k, c.k) AS o_orderkey,
+      |  CASE WHEN c.op = 'U' THEN c.p ELSE b.p END AS o_orderpriority,
+      |  CASE WHEN c.op = 'U' THEN c.t ELSE b.t END AS o_totalprice,
+      |  CASE WHEN c.op = 'U' THEN c.nt END AS o_note
+      |FROM base b FULL OUTER JOIN l1 c ON b.k = c.k
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Engine-side twins of the noted variant's `base` and `chg`. */
+  def baseAndNotedChanges(spark: SparkSession, sf: String)
+      : (DataFrame, DataFrame) = {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val base = o.where(pmod(col("o_orderkey"), lit(3)) === 0)
+    def row(k: Column, p: Column, t: Column, nt: Column, v: Long, op: String) =
+      struct(k.as("o_orderkey"), p.as("o_orderpriority"),
+        t.as("o_totalprice"), nt.as("o_note"),
+        lit(v).as("version"), lit(op).as("op"))
+    val changes = o.select(explode(array(
+        when(pmod(col("o_orderkey"), lit(21)) === 0,
+          row(col("o_orderkey"), lit("X-UPD"),
+            col("o_totalprice") + 1.0d,
+            concat(lit("u"), pmod(col("o_orderkey"), lit(97)).cast("string")),
+            1L, "U")),
+        when(pmod(col("o_orderkey"), lit(15)) === 0,
+          row(col("o_orderkey"), lit(""), lit(0.0d), lit(""), 2L, "D")),
+        when(pmod(col("o_orderkey"), lit(33)) === 0,
+          row(col("o_orderkey") + 100000000L, lit("9-NEW"),
+            col("o_totalprice"),
+            concat(lit("w"), pmod(col("o_orderkey"), lit(89)).cast("string")),
+            1L, "U"))))
+        .as("c"))
+      .where(col("c").isNotNull)
+      .select(col("c.*"))
+    (base, changes)
+  }
+
   /** Engine-side twins of `base` and `chg`. */
   def baseAndChanges(spark: SparkSession, sf: String): (DataFrame, DataFrame) = {
     val o = Tables.orders(spark, sf)

@@ -1324,6 +1324,137 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // Streaming dedup lifecycle (r17): the REAL disk state machine runs
+    // in-query — bootstrap the corpus + signature index, feed two
+    // micro-batches through applyDedupBatch (the exact function
+    // dedupStream's foreachBatch applies), read the maintained corpus
+    // back. Batch 1 plants corpus re-fetches (%5=0 under fresh ids) and
+    // within-batch near-clones (%15=0 + ' zq', the higher side of each
+    // verified pair must drop); batch 2 plants re-fetches of CORPUS
+    // text (%10=1 — cross-batch state: their sigs live in the
+    // bootstrap partition) and genuinely fresh docs (%20=3 under a
+    // disjoint token vocabulary, so no banding candidate survives
+    // verification). The oracle replays the full two-batch fold: the
+    // poly banding chain ONCE over all three sides, the UNCAPPED index
+    // probe per batch (batch-vs-index is a plain join, never
+    // bucketPairs), the CAPPED within-batch candidates (the
+    // llm_dedup_near_poly capped CTE verbatim), the exact-Jaccard
+    // verify, and the survivor union feeding batch 2's index.
+    Q("llm_dedup_stream",
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < $docCap),
+         |corpus AS (SELECT doc_id, text FROM base WHERE doc_id % 5 <> 0),
+         |b1 AS (
+         |  SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text || ' zq' FROM base WHERE doc_id % 15 = 0),
+         |b2 AS (
+         |  SELECT doc_id + 200000 AS doc_id, text FROM base WHERE doc_id % 10 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 400000,
+         |    'qa' || doc_id || ' qb' || doc_id || ' qc' || doc_id
+         |  FROM base WHERE doc_id % 20 = 3),
+         |allr AS (
+         |  SELECT 'c' AS side, doc_id, text FROM corpus
+         |  UNION ALL SELECT '1', doc_id, text FROM b1
+         |  UNION ALL SELECT '2', doc_id, text FROM b2),
+         |toks AS (
+         |  SELECT side, doc_id, string_split(text, ' ') AS tk,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tkf
+         |  FROM allr),
+         |${PolySql.laneSigCtes(carry = Seq("side"))},
+         |${PolySql.shingleCte(carry = Seq("side"))},
+         |cand1 AS (
+         |  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+         |  FROM sigs b JOIN sigs c ON b.band = c.band AND b.sig = c.sig
+         |  WHERE b.side = '1' AND c.side = 'c' AND b.doc_id <> c.doc_id),
+         |m1 AS (
+         |  SELECT DISTINCT cand1.bid FROM cand1
+         |  JOIN sh sa ON sa.doc_id = cand1.bid AND sa.side = '1'
+         |  JOIN sh sb ON sb.doc_id = cand1.cid AND sb.side = 'c'
+         |  WHERE ${PolySql.jaccard} >= 0.3),
+         |cap1 AS (
+         |  SELECT doc_id, band, sig,
+         |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+         |  FROM sigs WHERE side = '1'),
+         |wc1 AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM cap1 a JOIN cap1 b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id AND a.rn <= 256 AND b.rn <= 256),
+         |w1 AS (
+         |  SELECT DISTINCT wc1.b AS bid FROM wc1
+         |  JOIN sh sa ON sa.doc_id = wc1.a AND sa.side = '1'
+         |  JOIN sh sb ON sb.doc_id = wc1.b AND sb.side = '1'
+         |  WHERE ${PolySql.jaccard} >= 0.3),
+         |s1 AS (
+         |  SELECT doc_id, text FROM b1
+         |  WHERE doc_id NOT IN (SELECT bid FROM m1)
+         |    AND doc_id NOT IN (SELECT bid FROM w1)),
+         |idx2 AS (
+         |  SELECT doc_id, band, sig FROM sigs WHERE side = 'c'
+         |  UNION ALL
+         |  SELECT doc_id, band, sig FROM sigs
+         |  WHERE side = '1' AND doc_id IN (SELECT doc_id FROM s1)),
+         |cand2 AS (
+         |  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+         |  FROM sigs b JOIN idx2 c ON b.band = c.band AND b.sig = c.sig
+         |  WHERE b.side = '2' AND b.doc_id <> c.doc_id),
+         |shc2 AS (
+         |  SELECT doc_id, s FROM sh WHERE side = 'c'
+         |  UNION ALL SELECT doc_id, s FROM sh WHERE side = '1'),
+         |m2 AS (
+         |  SELECT DISTINCT cand2.bid FROM cand2
+         |  JOIN sh sa ON sa.doc_id = cand2.bid AND sa.side = '2'
+         |  JOIN shc2 sb ON sb.doc_id = cand2.cid
+         |  WHERE ${PolySql.jaccard} >= 0.3),
+         |cap2 AS (
+         |  SELECT doc_id, band, sig,
+         |    row_number() OVER (PARTITION BY band, sig ORDER BY doc_id) AS rn
+         |  FROM sigs WHERE side = '2'),
+         |wc2 AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM cap2 a JOIN cap2 b ON a.band = b.band AND a.sig = b.sig
+         |    AND a.doc_id < b.doc_id AND a.rn <= 256 AND b.rn <= 256),
+         |w2 AS (
+         |  SELECT DISTINCT wc2.b AS bid FROM wc2
+         |  JOIN sh sa ON sa.doc_id = wc2.a AND sa.side = '2'
+         |  JOIN sh sb ON sb.doc_id = wc2.b AND sb.side = '2'
+         |  WHERE ${PolySql.jaccard} >= 0.3),
+         |s2 AS (
+         |  SELECT doc_id, text FROM b2
+         |  WHERE doc_id NOT IN (SELECT bid FROM m2)
+         |    AND doc_id NOT IN (SELECT bid FROM w2))
+         |SELECT doc_id, text FROM corpus
+         |UNION ALL SELECT doc_id, text FROM s1
+         |UNION ALL SELECT doc_id, text FROM s2
+         |ORDER BY doc_id""".stripMargin) { (spark, sf) =>
+      val docs = Tables.documents(spark, sf)
+        .where(col("doc_id") < docCap).select("doc_id", "text")
+      val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val b1 = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionAll(docs.where(pmod(col("doc_id"), lit(15)) === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat(col("text"), lit(" zq")).as("text")))
+      val b2 = docs.where(pmod(col("doc_id"), lit(10)) === 1)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+        .unionAll(docs.where(pmod(col("doc_id"), lit(20)) === 3)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(lit("qa"), col("doc_id").cast("string"),
+              lit(" qb"), col("doc_id").cast("string"),
+              lit(" qc"), col("doc_id").cast("string")).as("text")))
+      val dir = java.nio.file.Files
+        .createTempDirectory("dedup_stream_q").toString
+      StreamOps.bootstrapDedup(corpus, s"$dir/idx", s"$dir/corp",
+        k = 2, bands = 8, rowsPerBand = 2, nBuckets = 16, poly = true)
+      StreamOps.applyDedupBatch(b1, 0L, s"$dir/idx", s"$dir/corp",
+        k = 2, bands = 8, rowsPerBand = 2, threshold = 0.3, nBuckets = 16,
+        idCol = "doc_id", textCol = "text", poly = true)
+      StreamOps.applyDedupBatch(b2, 1L, s"$dir/idx", s"$dir/corp",
+        k = 2, bands = 8, rowsPerBand = 2, threshold = 0.3, nBuckets = 16,
+        idCol = "doc_id", textCol = "text", poly = true)
+      StreamOps.readDedupCorpus(spark, s"$dir/corp").orderBy("doc_id")
+    },
+
     Q.noOracle("llm_dedup_simhash") { (spark, sf) =>
       Dedup.simHashNearDups(
           Tables.documents(spark, sf).where(col("doc_id") < docCap), maxHamming = 3)

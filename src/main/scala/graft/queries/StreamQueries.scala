@@ -222,6 +222,34 @@ object StreamQueries {
         .orderBy("o_orderkey")
     },
 
+    // Schema evolution (r17): the full additive-evolution lifecycle on
+    // disk — bootstrap WITHOUT the column, evolveCdcSnapshot (an O(1)
+    // meta append, no data rewrite), then a sink batch and a
+    // merge-on-read tail that both carry it. Readers pass the meta's
+    // logical schema explicitly, so the pre-evolution bootstrap files
+    // null-backfill (base-only keys read NULL o_note) while evolved
+    // batches' values surface — the mixed-generation read footer
+    // inference would get wrong. Oracle: the whole-log merge with the
+    // note column, NULL unless the winning change carries one.
+    Q("stream_cdc_evolve", CdcFixture.notedOracle) {
+      (spark, sf) =>
+      import graft.relational.Cdc
+      val (base, rawChanges) = CdcFixture.baseAndNotedChanges(spark, sf)
+      val changes = rawChanges.localCheckpoint(false)
+      val applied = changes.where(col("version") === 2L)
+      val tail = changes.where(col("version") === 1L)
+      val snap = java.nio.file.Files
+        .createTempDirectory("cdc_evolve_q").toString + "/snap"
+      StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("o_orderkey")),
+        snap, Seq("o_orderkey"), nBuckets = 16)
+      StreamOps.evolveCdcSnapshot(spark, snap,
+        Seq("o_note" -> org.apache.spark.sql.types.StringType))
+      StreamOps.applyCdcBatch(applied, snap, Seq("o_orderkey"),
+        "version", "op", nBuckets = 16)
+      StreamOps.readLatest(spark, snap, tail, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
     Q("stream_state",
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

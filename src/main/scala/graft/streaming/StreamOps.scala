@@ -514,6 +514,34 @@ object StreamOps {
       finally in.close()
     }
 
+  /** Parsed CDC layout meta: the bucket count every reader/writer must
+    * agree on, and (since r17) the snapshot's LOGICAL schema — which
+    * may be AHEAD of what older bucket files physically carry
+    * ([[evolveCdcSnapshot]] appends nullable columns here in O(1),
+    * never rewriting data; readers pass this schema explicitly so
+    * older files null-backfill and schema inference can never pick a
+    * pre-evolution footer and silently drop the new column). Metas
+    * written before r17 carry no schema line — readers then derive the
+    * schema from one bucket dir (all files uniform by construction). */
+  private[graft] final case class CdcMeta(
+      nBuckets: Int, schema: Option[org.apache.spark.sql.types.StructType])
+
+  private def parseCdcMeta(m: String, snapshotPath: String): CdcMeta = {
+    val lines = m.split("\n").map(_.trim).filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.head.startsWith("nBuckets="),
+      s"unrecognized layout meta at $snapshotPath.meta: $m")
+    CdcMeta(
+      lines.head.stripPrefix("nBuckets=").toInt,
+      lines.find(_.startsWith("schema=")).map { s =>
+        org.apache.spark.sql.types.DataType.fromJson(s.stripPrefix("schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      })
+  }
+
+  private def cdcMetaContent(nBuckets: Int,
+      schema: org.apache.spark.sql.types.StructType): String =
+    s"nBuckets=$nBuckets\nschema=${schema.json}"
+
   /** Write a versioned snapshot ([[graft.relational.Cdc.bootstrap]]) in
     * the key-hash-bucketed layout [[cdcStream]] maintains — the initial
     * load every CDC deployment does before tailing the log. */
@@ -523,10 +551,11 @@ object StreamOps {
     val fs = new org.apache.hadoop.fs.Path(snapshotPath)
       .getFileSystem(versioned.sparkSession.sessionState.newHadoopConf())
     readDirMeta(fs, snapshotPath).foreach { m =>
-      require(m == s"nBuckets=$nBuckets",
-        s"snapshot at $snapshotPath is laid out with $m; rewriting it " +
-          s"with nBuckets=$nBuckets would strand rows in stale buckets — " +
-          "delete the snapshot AND its .meta to relayout")
+      val stored = parseCdcMeta(m, snapshotPath).nBuckets
+      require(stored == nBuckets,
+        s"snapshot at $snapshotPath is laid out with nBuckets=$stored; " +
+          s"rewriting it with nBuckets=$nBuckets would strand rows in " +
+          "stale buckets — delete the snapshot AND its .meta to relayout")
     }
     // cluster by bucket before the partitioned write: without it every
     // task holds rows of every bucket and the layout lands
@@ -537,14 +566,84 @@ object StreamOps {
     versioned.withColumn(CdcBucketCol, cdcBucket(keyCols, nBuckets))
       .repartition(col(CdcBucketCol))
       .write.mode("overwrite").partitionBy(CdcBucketCol).parquet(snapshotPath)
-    writeDirMeta(fs, snapshotPath, s"nBuckets=$nBuckets")
+    // a full static rewrite carries the frame's own schema — it IS the
+    // layout now (a prior evolved-ahead meta schema is materialized or
+    // replaced by what was just written)
+    writeDirMeta(fs, snapshotPath, cdcMetaContent(nBuckets, versioned.schema))
   }
 
   /** The maintained snapshot, versioned face (internal columns intact —
-    * [[graft.relational.Cdc.publicSnapshot]] strips them). */
+    * [[graft.relational.Cdc.publicSnapshot]] strips them). Reads under
+    * the meta's LOGICAL schema when present, so columns added by
+    * [[evolveCdcSnapshot]] surface (null over pre-evolution rows); a
+    * pre-meta or schema-less layout falls back to a plain read. */
   def readCdcSnapshot(spark: org.apache.spark.sql.SparkSession,
-                      snapshotPath: String): DataFrame =
-    spark.read.parquet(snapshotPath).drop(CdcBucketCol)
+                      snapshotPath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(snapshotPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    readDirMeta(fs, snapshotPath)
+      .map(parseCdcMeta(_, snapshotPath)).flatMap(_.schema) match {
+      case Some(s) =>
+        spark.read.schema(
+            s.add(org.apache.spark.sql.types.StructField(
+              CdcBucketCol, org.apache.spark.sql.types.IntegerType)))
+          .parquet(snapshotPath).drop(CdcBucketCol)
+      case None => spark.read.parquet(snapshotPath).drop(CdcBucketCol)
+    }
+  }
+
+  /** Additive schema evolution of a maintained snapshot — O(1), no
+    * data movement: the new nullable payload columns are appended to
+    * the layout meta's LOGICAL schema; every reader and the sink's
+    * merge pass that schema explicitly, so rows written before the
+    * evolution read as NULL and a changelog may carry the column from
+    * the next batch on. (Without the meta schema this would be
+    * impossible to do safely: schema inference over mixed-generation
+    * bucket files picks ONE footer, and picking a pre-evolution file
+    * would silently drop the new column from evolved buckets.)
+    *
+    * STRICT from the moment of evolution: [[graft.relational.Cdc]]'s
+    * merges require the changelog to carry every payload column, so
+    * evolve the snapshot and the upstream producer together (a
+    * transitional batch can select an explicit NULL column). Dropping
+    * or retyping columns is NOT supported — that is a rewrite
+    * ([[compactCdcSnapshot]] materializes the evolved schema into the
+    * files as a by-product of its full rewrite). */
+  def evolveCdcSnapshot(spark: org.apache.spark.sql.SparkSession,
+                        snapshotPath: String,
+                        newCols: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : Unit = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(newCols.nonEmpty, "evolveCdcSnapshot needs at least one column")
+    require(newCols.map(_._1).distinct.size == newCols.size,
+      s"duplicate new column names: ${newCols.map(_._1).mkString(", ")}")
+    val fs = new org.apache.hadoop.fs.Path(snapshotPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = readDirMeta(fs, snapshotPath).map(parseCdcMeta(_, snapshotPath))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no layout meta at $snapshotPath.meta — evolve an EXISTING " +
+          "maintained snapshot (bootstrap through writeCdcSnapshot first)"))
+    val current = meta.schema.getOrElse {
+      val dirs = bucketDirNames(fs, snapshotPath)
+      require(dirs.nonEmpty,
+        s"snapshot meta exists at $snapshotPath but the bucket dirs are " +
+          "gone — a prior overwrite crashed mid-write; rebuild first")
+      spark.read.parquet(s"$snapshotPath/${dirs.head}").schema
+    }
+    val clash = newCols.map(_._1)
+      .filter(n => current.fieldNames.contains(n) || n == CdcBucketCol)
+    require(clash.isEmpty,
+      s"columns already exist in the snapshot layout: ${clash.mkString(", ")}")
+    // new payload columns go BEFORE the internal columns, keeping the
+    // key ++ payload ++ internal order the merges emit
+    val (payload, internal) = current.fields.partition(f =>
+      f.name != graft.relational.Cdc.VersionCol &&
+        f.name != graft.relational.Cdc.DeletedCol)
+    val evolved = StructType(
+      payload ++ newCols.map { case (n, t) => StructField(n, t, nullable = true) }
+        ++ internal)
+    writeDirMeta(fs, snapshotPath, cdcMetaContent(meta.nBuckets, evolved))
+  }
 
   /** Merge-on-read (r17, the round-16 top ask): the LATEST public state
     * — maintained snapshot plus a changelog `tail` the sink has not
@@ -559,11 +658,11 @@ object StreamOps {
     *
     * Scale shape (the applyCdcBatch pruning, read-side): only the
     * buckets the tail's keys hash into flow through the full-outer
-    * MERGE — one tail key-hash exchange + the touched buckets, pruned
-    * by a partition filter on `__cdc_bucket` (visible as
-    * PartitionFilters on the snapshot scan). The untouched buckets
+    * MERGE — one tail key-hash exchange + the touched buckets, read by
+    * constructed dir name (path-level pruning: the merge leg never
+    * lists the rest of the snapshot). The untouched buckets
     * union in as a plain scan + tombstone filter: no exchange, no
-    * join, file-pruned reading — a tail touching k of nBuckets buckets
+    * join — a tail touching k of nBuckets buckets
     * pays merge I/O on k/nBuckets of the snapshot, never all of it.
     * The tail is consumed twice (bucket discovery + merge input) —
     * cut a derived tail with `localCheckpoint` if its lineage is
@@ -617,48 +716,80 @@ object StreamOps {
 
   /** The merge-on-read bucket split shared by [[readLatest]] and
     * [[readAsOf]]: the stored snapshot partitioned into the buckets the
-    * tail's keys hash into (these flow through the merge, pruned by a
-    * partition filter on `__cdc_bucket`) and the rest (a plain pruned
-    * scan — no exchange, no join). Returns (touched, untouched,
-    * dtype-aligned tail). `nBuckets` comes from the snapshot's own
-    * `.meta` — the reader must match the writer's layout, never guess
-    * it (a wrong bucket count would prune wrong and silently drop the
-    * tail's effect on unpruned keys). The tail is consumed twice
-    * (bucket discovery + merge input) — cut a derived tail with
-    * `localCheckpoint` if its lineage is expensive. */
+    * tail's keys hash into (these flow through the merge, read by
+    * constructed dir NAME — pruning at the path level, so the touched
+    * leg never even lists the rest of the snapshot) and the rest (a
+    * plain scan — no exchange, no join). Returns (touched, untouched,
+    * dtype-aligned tail). `nBuckets` and the logical schema come from
+    * the snapshot's own `.meta` — the reader must match the writer's
+    * layout, never guess it (a wrong bucket count would prune wrong
+    * and silently drop the tail's effect on unpruned keys). The tail
+    * is consumed twice (bucket discovery + merge input) — cut a
+    * derived tail with `localCheckpoint` if its lineage is
+    * expensive. */
+  /** The `__cdc_bucket=N` partition-dir names under a snapshot root —
+    * ONE root listStatus, the only listing whose cost may grow with
+    * the snapshot (by bucket COUNT, never by file count). */
+  private def bucketDirNames(fs: org.apache.hadoop.fs.FileSystem,
+                             snapshotPath: String): Array[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(snapshotPath)
+    if (!fs.exists(hPath)) Array.empty
+    else fs.listStatus(hPath).map(_.getPath.getName)
+      .filter(_.startsWith(CdcBucketCol + "="))
+  }
+
+  /** Read a set of bucket dirs under the layout's logical `schema` —
+    * explicit paths (pruning at the PATH level, so only these dirs are
+    * ever listed) and an explicit schema (files written before an
+    * [[evolveCdcSnapshot]] null-backfill the new columns; inference
+    * over mixed-generation files would pick one footer arbitrarily).
+    * An empty dir set yields an empty frame CARRYING the schema. */
+  private def readBucketDirs(spark: org.apache.spark.sql.SparkSession,
+                             snapshotPath: String, dirNames: Seq[String],
+                             schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    if (dirNames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(dirNames.map(d => s"$snapshotPath/$d"): _*)
+
   private def splitByTailBuckets(spark: org.apache.spark.sql.SparkSession,
                                  snapshotPath: String, tail: DataFrame,
                                  keyCols: Seq[String], caller: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val fs = new org.apache.hadoop.fs.Path(snapshotPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val meta = readDirMeta(fs, snapshotPath).getOrElse(throw
+    val meta = readDirMeta(fs, snapshotPath)
+      .map(parseCdcMeta(_, snapshotPath)).getOrElse(throw
       new IllegalArgumentException(
         s"no layout meta at $snapshotPath.meta — $caller must match " +
           "the writer's bucket layout, never guess it; bootstrap the " +
           "snapshot through writeCdcSnapshot (or let the stream's first " +
           "batch land) before reading through it"))
-    val nBuckets = meta match {
-      case s if s.startsWith("nBuckets=") => s.stripPrefix("nBuckets=").toInt
-      case other => throw new IllegalArgumentException(
-        s"unrecognized layout meta at $snapshotPath.meta: $other")
-    }
-    val snap = spark.read.parquet(snapshotPath)
+    val nBuckets = meta.nBuckets
+    val dirs = bucketDirNames(fs, snapshotPath)
+    require(dirs.nonEmpty,
+      s"snapshot meta exists at $snapshotPath but the bucket dirs are " +
+        s"gone — a prior overwrite crashed mid-write; rebuild the " +
+        "snapshot before reading through it")
+    val storedSchema = meta.schema.getOrElse(
+      spark.read.parquet(s"$snapshotPath/${dirs.head}").schema)
     // align tail KEY dtypes to the stored snapshot's before hashing —
     // the applyCdcBatch rule (xxhash64(int) != xxhash64(long))
     val aligned = keyCols.foldLeft(tail) { (b, k) =>
-      b.withColumn(k, col(k).cast(snap.schema(k).dataType))
+      b.withColumn(k, col(k).cast(storedSchema(k).dataType))
     }
     // touched buckets: bounded by nBuckets, so the collect is too
     val changed = aligned
       .select(cdcBucket(keyCols, nBuckets).as("b")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val changedLits = changed.map(Integer.valueOf).toSeq
-    val touched = snap
-      .where(col(CdcBucketCol).isin(changedLits: _*)).drop(CdcBucketCol)
-    val untouched = snap
-      .where(!col(CdcBucketCol).isin(changedLits: _*)).drop(CdcBucketCol)
-    (touched, untouched, aligned)
+    val touchedNames = changed.map(b => s"$CdcBucketCol=$b")
+      .filter(dirs.contains).toSeq
+    val untouchedNames = dirs.toSeq.filterNot(touchedNames.contains)
+    (readBucketDirs(spark, snapshotPath, touchedNames, storedSchema),
+      readBucketDirs(spark, snapshotPath, untouchedNames, storedSchema),
+      aligned)
   }
 
   /** In-place tombstone GC of a maintained snapshot
@@ -745,15 +876,15 @@ object StreamOps {
     // full-file listing, whose cost scales with the whole snapshot
     // (the r17 cdc_sink_prune probe: two full listings per batch made
     // a fixed batch 3× slower at 10× the snapshot).
-    val bucketDirs: Array[String] =
-      if (!fs.exists(hPath)) Array.empty
-      else fs.listStatus(hPath).map(_.getPath.getName)
-        .filter(_.startsWith(CdcBucketCol + "="))
+    val bucketDirs: Array[String] = bucketDirNames(fs, snapshotPath)
     val hasDirs = bucketDirs.nonEmpty
-    readDirMeta(fs, snapshotPath) match {
+    val storedMeta = readDirMeta(fs, snapshotPath)
+      .map(parseCdcMeta(_, snapshotPath))
+    storedMeta match {
       case Some(m) =>
-        require(m == s"nBuckets=$nBuckets",
-          s"snapshot at $snapshotPath is laid out with $m but this " +
+        require(m.nBuckets == nBuckets,
+          s"snapshot at $snapshotPath is laid out with " +
+            s"nBuckets=${m.nBuckets} but this " +
             s"stream was configured with nBuckets=$nBuckets — pruning " +
             "would read the wrong buckets and silently duplicate keys")
         require(hasDirs,
@@ -790,14 +921,16 @@ object StreamOps {
         // read as lost state)
     }
     val exists = hasDirs
-    // the stored schema (key + payload + internal columns, WITHOUT the
-    // bucket partition column) comes from ONE bucket directory — the
-    // layout contract makes every bucket's file schema identical, so
+    // the stored LOGICAL schema (key + payload + internal columns,
+    // WITHOUT the bucket partition column): meta-first — the meta may
+    // be AHEAD of the files after evolveCdcSnapshot — else from ONE
+    // bucket directory (all files uniform by the layout contract;
     // reading the full root only to infer it would pay a recursive
-    // listing that grows with the snapshot
+    // listing that grows with the snapshot)
     val storedSchema: Option[org.apache.spark.sql.types.StructType] =
       if (!exists) None
-      else Some(spark.read.parquet(s"$snapshotPath/${bucketDirs.head}").schema)
+      else storedMeta.flatMap(_.schema).orElse(
+        Some(spark.read.parquet(s"$snapshotPath/${bucketDirs.head}").schema))
     // align the batch's KEY dtypes to the stored snapshot's before
     // anything hashes: xxhash64(int) != xxhash64(long), so an
     // unaligned changelog would compute the wrong buckets AND miss its
@@ -842,10 +975,202 @@ object StreamOps {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(CdcBucketCol)
         .parquet(snapshotPath)
-      writeDirMeta(fs, snapshotPath, s"nBuckets=$nBuckets")
+      // the meta carries the layout's LOGICAL schema from here on (a
+      // pre-r17 schema-less meta upgrades on its next batch); the
+      // merge's output schema == the stored logical schema, evolved
+      // columns included
+      writeDirMeta(fs, snapshotPath, cdcMetaContent(nBuckets, merged.schema))
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(merged)
     }
+  }
+
+  // ---- streaming near-dedup (r17): a document stream maintains a
+  // deduped corpus + its signature index ----
+
+  /** Batch partition column of the stored signature index. */
+  val DedupBatchCol = "__dedup_batch"
+
+  private def writeDedupIndexPartition(sigs: DataFrame, indexPath: String,
+                                       partition: Long, dynamic: Boolean): Unit = {
+    val w = sigs.withColumn(DedupBatchCol, lit(partition))
+      // one writer task per batch partition: signature rows are
+      // batch-sized, and un-clustered writes land nTasks files per
+      // partition (the cdc_sink_prune listing lesson)
+      .repartition(col(DedupBatchCol))
+      .write.mode("overwrite")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy(DedupBatchCol).parquet(indexPath)
+  }
+
+  /** Initial load of a streaming-dedup deployment: the (already
+    * deduped) corpus into the CDC snapshot layout at `corpusPath`
+    * (version 0) and its signature index into `indexPath` (partition
+    * −1). Static overwrite — a fresh start. */
+  def bootstrapDedup(corpus: DataFrame, indexPath: String,
+                     corpusPath: String, k: Int = 2, bands: Int = 8,
+                     rowsPerBand: Int = 2, nBuckets: Int = 64,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     poly: Boolean = false): Unit = {
+    writeCdcSnapshot(graft.relational.Cdc.bootstrap(corpus, Seq(idCol)),
+      corpusPath, Seq(idCol), nBuckets)
+    writeDedupIndexPartition(
+      graft.llm.Dedup.signatureIndex(corpus, k, bands, rowsPerBand,
+        idCol, textCol, poly),
+      indexPath, -1L, dynamic = false)
+  }
+
+  /** The maintained deduped corpus — live public rows. */
+  def readDedupCorpus(spark: org.apache.spark.sql.SparkSession,
+                      corpusPath: String): DataFrame =
+    graft.relational.Cdc.publicSnapshot(readCdcSnapshot(spark, corpusPath))
+
+  /** Maintain a NEAR-DEDUPED corpus from a document STREAM — the
+    * continuous-ingest face of [[graft.llm.Dedup.incrementalNear]]
+    * with the corpus signature index STORED instead of re-hashed per
+    * batch: each micro-batch (1) probes the index for banding
+    * candidates (batch signatures broadcast — batch ≪ index), (2)
+    * verifies candidates by exact k-gram Jaccard against corpus text
+    * fetched bucket-pruned from the CDC-maintained survivor store, (3)
+    * drops batch docs that match the corpus or are the HIGHER side of
+    * a verified within-batch pair (the pairwise keep-lowest-id rule —
+    * [[graft.llm.Dedup.thresholdSweep]]'s documented estimate; exact
+    * cluster closure is the batch [[graft.llm.Dedup.dupClusters]]
+    * path), and (4) appends survivors to both stores.
+    *
+    * State and idempotence, by store kind: the survivor corpus is
+    * CONVERGENT STATE → a CDC snapshot keyed by `idCol` (version =
+    * batch id; an at-least-once replay is a fixed point of the merge);
+    * signature rows are PER-BATCH FACTS → batch-keyed index partitions
+    * dynamically overwritten (the r11 manifest discipline; a replay
+    * rewrites the same partition with identical content). Replay
+    * self-consistency: a replayed doc's own index entry is excluded by
+    * id equality, and a crash between the corpus write and the index
+    * write re-converges on redelivery (corpus merge is a fixed point,
+    * candidates are unaffected by the missing partition) — corpus
+    * commits FIRST for exactly that reason.
+    *
+    * Scale shape: the index is fixed-width `(id, band, sig)` rows —
+    * ~8 B × bands per doc, scanned ONCE per batch with the batch side
+    * broadcast (the stand-in for a KV-store probe; at 100 TB corpus
+    * the index is ~10⁻⁴ of the data). Corpus TEXT moves only for
+    * candidate ids, bucket-pruned by constructed dir name. A
+    * boilerplate index bucket multiplies |batch ∩ bucket| × |corpus ∩
+    * bucket| — AQE skew-join splits it, and the within-batch pass
+    * keeps [[graft.llm.Dedup.minHashNearDups]]'s `maxBucket` cap.
+    * Batch-keyed index partitions accumulate one per batch —
+    * [[compactDedupIndex]] folds them into one between runs.
+    *
+    * Contract: `idCol` values are fresh per document (a re-sent id
+    * UPSERTS the corpus store but its stale index rows keep verifying
+    * against CURRENT text — benign, re-verified); the doc schema must
+    * not carry `version`/`op` (the corpus store's internal merge
+    * columns). */
+  def dedupStream(docs: DataFrame, indexPath: String, corpusPath: String,
+                  checkpoint: String, k: Int = 2, bands: Int = 8,
+                  rowsPerBand: Int = 2, threshold: Double = 0.5,
+                  nBuckets: Int = 64, idCol: String = "doc_id",
+                  textCol: String = "text", poly: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyDedupBatch(batch.toDF(), id, indexPath, corpusPath, k, bands,
+          rowsPerBand, threshold, nBuckets, idCol, textCol, poly)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One micro-batch of [[dedupStream]] — package-visible so parity,
+    * replay, and crash ordering are spec-testable (the applyCdcBatch
+    * discipline). */
+  private[graft] def applyDedupBatch(batch: DataFrame, batchId: Long,
+                                     indexPath: String, corpusPath: String,
+                                     k: Int, bands: Int, rowsPerBand: Int,
+                                     threshold: Double, nBuckets: Int,
+                                     idCol: String, textCol: String,
+                                     poly: Boolean): Unit = {
+    import graft.llm.Dedup
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    require(!batch.columns.contains("version") && !batch.columns.contains("op"),
+      "dedupStream docs must not carry 'version'/'op' — the survivor " +
+        "store's internal merge columns")
+    // the batch feeds signatures, the within-batch pass, and the verify
+    // — cut once so the source is not re-derived per consumer
+    val b = batch.localCheckpoint(true)
+    try {
+      val sigsB = Dedup.signatureIndex(b, k, bands, rowsPerBand,
+        idCol, textCol, poly).localCheckpoint(true)
+      try {
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val idxPath = new org.apache.hadoop.fs.Path(indexPath)
+        val indexExists = fs.exists(idxPath) && fs.listStatus(idxPath)
+          .exists(_.getPath.getName.startsWith(DedupBatchCol + "="))
+        // banding candidates: stored index ⨝ broadcast batch signatures;
+        // id equality excludes a replayed doc's own prior entry
+        val cand =
+          (if (!indexExists)
+            sigsB.select(col(idCol).as("bid"), col(idCol).as("cid")).limit(0)
+          else
+            spark.read.parquet(indexPath).drop(DedupBatchCol)
+              .join(broadcast(sigsB.select(col(idCol).as("bid"),
+                col("band"), col("sig"))), Seq("band", "sig"))
+              .where(col(idCol) =!= col("bid"))
+              .select(col("bid"), col(idCol).as("cid")).distinct())
+            .localCheckpoint(true) // candidate-sized; feeds fetch + verify
+        try {
+          val corpusCand =
+            if (!indexExists) b.limit(0)
+            else {
+              val cids = cand.select(col("cid").as(idCol))
+              val (touched, _, _) = splitByTailBuckets(spark, corpusPath,
+                cids, Seq(idCol), "applyDedupBatch")
+              graft.relational.Cdc.publicSnapshot(touched)
+                .join(cids.distinct(), Seq(idCol), "left_semi")
+            }
+          val matchedCorpus = Dedup.verifiedDupIds(cand, b, corpusCand,
+            k, threshold, idCol, textCol)
+          val withinDrops = (if (poly)
+            Dedup.polyMinHashNearDups(b, k, bands, rowsPerBand, threshold,
+              idCol, textCol)
+          else
+            Dedup.minHashNearDups(b, k, bands, rowsPerBand, threshold,
+              idCol, textCol))
+            .select(col("b").as("bid")).distinct()
+          val survivors = b.join(
+              matchedCorpus.unionByName(withinDrops).distinct()
+                .select(col("bid").as(idCol)),
+              Seq(idCol), "left_anti")
+            .localCheckpoint(true) // feeds the corpus merge + the index write
+          try {
+            // corpus FIRST (see the replay argument above)
+            applyCdcBatch(
+              survivors.withColumn("version", lit(batchId + 1L))
+                .withColumn("op", lit("U")),
+              corpusPath, Seq(idCol), "version", "op", nBuckets)
+            writeDedupIndexPartition(
+              sigsB.join(survivors.select(idCol), Seq(idCol), "left_semi"),
+              indexPath, batchId, dynamic = true)
+          } finally ColumnBridge.releaseCheckpoint(survivors)
+        } finally ColumnBridge.releaseCheckpoint(cand)
+      } finally ColumnBridge.releaseCheckpoint(sigsB)
+    } finally ColumnBridge.releaseCheckpoint(b)
+  }
+
+  /** Fold the accumulated batch-keyed index partitions into one
+    * (partition −1) — the compaction closing the [[dedupStream]]
+    * lifecycle, run between stream runs. Static overwrite of the files
+    * the fold reads, so the survivors are eager-cut first (the
+    * compactCdcSnapshot rule). */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cut = spark.read.parquet(indexPath).drop(DedupBatchCol)
+      .localCheckpoint(true)
+    try writeDedupIndexPartition(cut, indexPath, -1L, dynamic = false)
+    finally ColumnBridge.releaseCheckpoint(cut)
   }
 
   // ---- streaming connected components (r16): edges arrive, labels live ----

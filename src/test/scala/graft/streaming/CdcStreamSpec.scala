@@ -191,7 +191,7 @@ class CdcStreamSpec extends SparkSpec {
     e.getMessage should include ("layout meta")
   }
 
-  test("readLatest: only touched buckets flow through the merge (partition-pruned scan)") {
+  test("readLatest: only touched buckets flow through the merge (path-level pruning)") {
     val snap = tmp("cdc_mor_prune")
     val wide = spark.range(0, 64).select(col("id").as("k"),
       concat(lit("n"), col("id")).as("name"), lit(1.0).as("amt"))
@@ -214,9 +214,11 @@ class CdcStreamSpec extends SparkSpec {
       df.collect().length shouldBe 64 // an update replaces, count unchanged
       val scans = df.queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
-      // two snapshot scans: merge side (IN touched) + pass-through (NOT IN)
+      // two snapshot scans: merge side (touched dirs, read by NAME —
+      // r17 moved the pruning from a partition filter to the path
+      // level, so the merge leg never even lists the rest) +
+      // pass-through (the remaining dirs)
       scans should have size 2
-      scans.exists(_.partitionFilters.mkString.contains(StreamOps.CdcBucketCol)) shouldBe true
       val numFiles = scans.map(_.metrics("numFiles").value).sorted
       numFiles.head shouldBe touchedFiles        // merge leg: k/nBuckets of the I/O
       numFiles.sum shouldBe totalFiles           // disjoint split, nothing read twice
@@ -287,6 +289,61 @@ class CdcStreamSpec extends SparkSpec {
       val numFiles = scans.map(_.metrics("numFiles").value).sorted
       numFiles.head shouldBe dataFiles(s"${StreamOps.CdcBucketCol}=$touchedBucket")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("evolveCdcSnapshot: O(1) additive evolution — no data movement, old rows null") {
+    import org.apache.spark.sql.types.StringType
+    val snap = tmp("cdc_evolve")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    def dataFiles = new java.io.File(snap).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(f => !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+      .map(f => (f.getPath, f.length(), f.lastModified())).sortBy(_._1).toSeq
+    val before = dataFiles
+    StreamOps.evolveCdcSnapshot(spark, snap, Seq("note" -> StringType))
+    dataFiles shouldBe before // O(1): the meta evolved, not one data byte
+    // the read face surfaces the column, null over pre-evolution rows
+    val snapDf = StreamOps.readCdcSnapshot(spark, snap)
+    snapDf.columns should contain ("note")
+    snapDf.where(col("note").isNotNull).count() shouldBe 0L
+    // a batch carrying the column merges; untouched keys stay null —
+    // and ONE read now spans pre- and post-evolution bucket files (the
+    // exact mixed-generation case footer inference would get wrong)
+    val b = Seq((1L, "a2", 11.0, "hello", 5L, "U"))
+      .toDF("k", "name", "amt", "note", "version", "op")
+    StreamOps.applyCdcBatch(b, snap, Seq("k"), "version", "op", 8)
+    val out = Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))
+      .orderBy("k").select("k", "note").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    out shouldBe Seq((1L, Some("hello")), (2L, None), (3L, None))
+    // merge-on-read over the evolved layout: a tail carrying the column
+    val tail = Seq((9L, "i", 90.0, "tl", 7L, "U"))
+      .toDF("k", "name", "amt", "note", "version", "op")
+    StreamOps.readLatest(spark, snap, tail, Seq("k"))
+      .where(col("k") === 9L).select("note").head().getString(0) shouldBe "tl"
+  }
+
+  test("evolveCdcSnapshot: strict from the moment of evolution, loud misuse") {
+    import org.apache.spark.sql.types.StringType
+    val snap = tmp("cdc_evolve_guard")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    StreamOps.evolveCdcSnapshot(spark, snap, Seq("note" -> StringType))
+    // a changelog still missing the evolved column fails the merge's
+    // missing-columns require — evolve snapshot and producer together
+    val old = intercept[Exception] {
+      StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8) }
+    old.getMessage should include ("missing columns")
+    // colliding with an existing payload, internal, or bucket column
+    for (bad <- Seq("name", Cdc.VersionCol, StreamOps.CdcBucketCol)) {
+      val e = intercept[IllegalArgumentException] {
+        StreamOps.evolveCdcSnapshot(spark, snap, Seq(bad -> StringType)) }
+      e.getMessage should include ("already exist")
+    }
+    // evolving a path that was never bootstrapped
+    intercept[IllegalArgumentException] {
+      StreamOps.evolveCdcSnapshot(spark, tmp("cdc_evolve_none") + "/nope",
+        Seq("x" -> StringType))
+    }.getMessage should include ("no layout meta")
   }
 
   test("missing meta with bucket dirs present: layout verified against configured nBuckets") {
