@@ -1210,6 +1210,50 @@ object ScaleProbe {
         graft.streaming.StreamOps.applyCdcBatch(batch, dir, Seq("k"),
           "version", "op", nBuckets)
       }),
+      // streaming-dedup batch (r17): a FIXED 64-doc batch against a
+      // 10×-growing corpus + stored signature index — the dedupStream
+      // scale claim: per-batch cost = one fixed-width index scan
+      // (linear in corpus, ~8 B × bands per doc — the KV-probe
+      // stand-in) + bucket-pruned candidate text fetch (flat), never a
+      // corpus re-hash. Clock should grow far sub-linearly (the index
+      // scan is narrow); spill 0. Setup (bootstrap) runs once in the
+      // warm pass; measured passes re-apply the same batch — replay is
+      // a fixed point of both stores, so state never drifts. The
+      // batch plants half dups (corpus texts) / half fresh (disjoint
+      // vocabulary) so the verify path executes non-vacuously.
+      // This row's first run measured 4.7× SHUFFLE growth (64→300 MB)
+      // and caught a real defect: the candidate id list is a
+      // checkpoint (no size stats), so the corpus-text semi-joins
+      // planned SMJ and shuffled bucket text for a 64-row probe —
+      // fixed with explicit broadcasts (the LogicalRDD stats-loss
+      // rule). Measured r17 after the fix at sf0.1/10×: 2.2× time
+      // (3.93 s → 8.46 s — the narrow fixed-width index scan is the
+      // only growing term, the documented KV-probe stand-in), shuffle
+      // FLAT 32.9 → 36.9 MB, spill 0.0 both scales.
+      ("dedup_stream_batch", () => {
+        val m = n * 64
+        val nBuckets = math.max(4L, m / 4096L).toInt
+        val dir = s"$out/dedup_stream_$n"
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(dir + "/corp.meta"))) {
+          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+          graft.streaming.StreamOps.bootstrapDedup(synthDocs(m),
+            s"$dir/idx", s"$dir/corp", k = 2, bands = 8, rowsPerBand = 2,
+            nBuckets = nBuckets)
+        }
+        val dups = synthDocs(m).where(col("doc_id") < 32)
+          .select((col("doc_id") + m).as("doc_id"), col("text"))
+        val fresh = spark.range(32).select((col("id") + 10L * m).as("doc_id"),
+          concat(lit("qa"), col("id").cast("string"),
+            lit(" qb"), col("id").cast("string"),
+            lit(" qc"), col("id").cast("string")).as("text"))
+        graft.streaming.StreamOps.applyDedupBatch(
+          dups.unionByName(fresh), 0L, s"$dir/idx", s"$dir/corp",
+          k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5,
+          nBuckets = nBuckets, idCol = "doc_id", textCol = "text",
+          poly = false)
+      }),
       // GK quantile sketch build+merge: per-group summary aggregate
       // (bounded buffers), 8 driver-merged partials, one rank query
       ("quantile_sketch", () => {

@@ -779,6 +779,45 @@ object Examples {
       s"tombstones after GC; outlink graph closes to $grown components " +
       "after the incremental delta")
 
+    // 44. the r17 CDC read tier + continuous-ingest dedup: time travel
+    // from a retained bootstrap (readAsOf), O(1) additive schema
+    // evolution (evolveCdcSnapshot — a meta append, no data rewrite),
+    // and a dedupStream batch dropping a near-clone against the
+    // maintained corpus + stored signature index
+    {
+      import graft.streaming.StreamOps
+      import graft.relational.Cdc
+      val dir44 = java.nio.file.Files.createTempDirectory("ex44").toString
+      val base44 = Seq((1L, "alice", 10.0), (2L, "bob", 20.0))
+        .toDF("k", "name", "amt")
+      StreamOps.writeCdcSnapshot(Cdc.bootstrap(base44, Seq("k")),
+        s"$dir44/snap", Seq("k"), nBuckets = 4)
+      val log44 = Seq((2L, "bob2", 21.0, 1L, "U"), (1L, "", 0.0, 2L, "D"))
+        .toDF("k", "name", "amt", "version", "op")
+      val asOf1 = StreamOps.readAsOf(spark, s"$dir44/snap", log44, 1L, Seq("k"))
+        .orderBy("k").collect().map(r => r.getString(1)).mkString(",")
+      StreamOps.evolveCdcSnapshot(spark, s"$dir44/snap",
+        Seq("tier" -> org.apache.spark.sql.types.StringType))
+      val evolved = StreamOps.readCdcSnapshot(spark, s"$dir44/snap").columns
+        .contains("tier")
+      val corpus44 = Seq((1L, "the fast brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text")
+      StreamOps.bootstrapDedup(corpus44, s"$dir44/idx", s"$dir44/corp",
+        nBuckets = 4)
+      StreamOps.applyDedupBatch(
+        Seq((10L, "the fast brown fox jumps over the lazy dog today zq"),
+          (11L, "completely different words in this one qq ww ee rr tt yy"))
+          .toDF("doc_id", "text"),
+        0L, s"$dir44/idx", s"$dir44/corp", k = 2, bands = 8, rowsPerBand = 2,
+        threshold = 0.5, nBuckets = 4, idCol = "doc_id", textCol = "text",
+        poly = false)
+      val kept = StreamOps.readDedupCorpus(spark, s"$dir44/corp")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.mkString(",")
+      println(s"[44] readAsOf(v=1) names=[$asOf1] (the v2 delete not yet " +
+        s"visible); schema evolved in O(1): $evolved; dedupStream kept " +
+        s"docs [$kept] — the near-clone dropped, the fresh doc survived")
+    }
+
     spark.stop()
   }
 }

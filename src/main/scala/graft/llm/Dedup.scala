@@ -553,8 +553,13 @@ object Dedup {
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     import graft.functions.WordShingles
+    // pairs typically arrives as a checkpoint (no size stats), so the
+    // candidate-sized probe sides are broadcast explicitly — without
+    // the hint the doc text shuffles into a sort-merge join against a
+    // pair-sized id list (the LogicalRDD stats-loss rule)
     def sets(docs: DataFrame, side: String) = docs
-      .join(pairs.select(col(side).as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .join(broadcast(pairs.select(col(side).as(idCol)).distinct()),
+        Seq(idCol), "left_semi")
       .select(col(idCol).as(side),
         array_distinct(WordShingles(col(textCol), k)).as(s"set_$side"))
     pairs

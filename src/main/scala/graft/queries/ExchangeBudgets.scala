@@ -207,7 +207,9 @@ object ExchangeBudgets {
     // verify joins + survivor anti-join + CDC merge (window + join +
     // clustering) + the index partition write. Per PRODUCTION batch
     // the cost is roughly half this; the llm_host_canon_stream class.
-    "llm_dedup_stream"                -> 36,
+    // 36 → 32: the explicit candidate-side broadcasts (the LogicalRDD
+    // stats-loss rule, probe-caught) removed four SMJ exchanges.
+    "llm_dedup_stream"                -> 32,
     "src_shard_jsonl"                 -> 4)
 
   def budget(name: String): Int = perQuery.getOrElse(name, default)

@@ -1127,8 +1127,13 @@ object StreamOps {
               val cids = cand.select(col("cid").as(idCol))
               val (touched, _, _) = splitByTailBuckets(spark, corpusPath,
                 cids, Seq(idCol), "applyDedupBatch")
+              // cand is a checkpoint (no size stats — the LogicalRDD
+              // rule), so broadcast the candidate-sized probe side
+              // explicitly or the touched TEXT shuffles into an SMJ
+              // (the r17 probe measured 300 MB of corpus text moving
+              // for a 64-row id list)
               graft.relational.Cdc.publicSnapshot(touched)
-                .join(cids.distinct(), Seq(idCol), "left_semi")
+                .join(broadcast(cids.distinct()), Seq(idCol), "left_semi")
             }
           val matchedCorpus = Dedup.verifiedDupIds(cand, b, corpusCand,
             k, threshold, idCol, textCol)
