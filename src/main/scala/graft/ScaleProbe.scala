@@ -1168,10 +1168,12 @@ object ScaleProbe {
       // recursive full-root listings per batch (cost grows with the
       // whole snapshot) — fixed by bucket-clustered writes + reading
       // ONLY the touched bucket dirs by constructed name. Measured
-      // r17 after the fix at sf0.1/10×: 1.1× time (1.60 s → 1.72 s),
-      // obs 51 → 63 touched buckets (64-key birthday spread), spill
-      // 0.0 both scales; shuffle 15.0 → 20.4 MB tracks touched-bucket
-      // rows, never the snapshot.
+      // r17 after the fix at sf0.1/10×: 1.0× time (1.74 s → 1.67 s,
+      // min of 2 decorrelated runs post meta-format fix — the schema
+      // line r17 added to the meta had made the exact-string check
+      // re-bootstrap every pass), obs 51 → 63 touched buckets (64-key
+      // birthday spread), spill 0.0 both scales; shuffle 15.0 →
+      // 20.4 MB tracks touched-bucket rows, never the snapshot.
       ("cdc_sink_prune", () => {
         val keys = n * 256
         val nBuckets = math.max(4L, keys / 8192L).toInt
@@ -1182,9 +1184,12 @@ object ScaleProbe {
           val mp = new org.apache.hadoop.fs.Path(dir + ".meta")
           fs.exists(mp) && {
             val in = fs.open(mp)
+            // first LINE only: since r17 the meta also carries a
+            // schema line (an exact-string compare re-bootstrapped the
+            // snapshot every pass and timed bootstrap, not the batch)
             try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-              java.nio.charset.StandardCharsets.UTF_8).trim ==
-              s"nBuckets=$nBuckets"
+              java.nio.charset.StandardCharsets.UTF_8)
+              .linesIterator.next().trim == s"nBuckets=$nBuckets"
             finally in.close()
           }
         }
@@ -1225,9 +1230,10 @@ object ScaleProbe {
       // and caught a real defect: the candidate id list is a
       // checkpoint (no size stats), so the corpus-text semi-joins
       // planned SMJ and shuffled bucket text for a 64-row probe —
-      // fixed with explicit broadcasts (the LogicalRDD stats-loss
-      // rule). Measured r17 after the fix at sf0.1/10×: 2.2× time
-      // (3.93 s → 8.46 s — the narrow fixed-width index scan is the
+      // fixed with explicit SIZE-GATED broadcasts (the LogicalRDD
+      // stats-loss rule + the Joins gate). Measured r17 after the fix
+      // at sf0.1/10×: 1.9× time (3.49 s → 6.50 s, min of 2
+      // decorrelated runs — the narrow fixed-width index scan is the
       // only growing term, the documented KV-probe stand-in), shuffle
       // FLAT 32.9 → 36.9 MB, spill 0.0 both scales.
       ("dedup_stream_batch", () => {

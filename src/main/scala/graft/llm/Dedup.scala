@@ -554,11 +554,19 @@ object Dedup {
                      textCol: String = "text"): DataFrame = {
     import graft.functions.WordShingles
     // pairs typically arrives as a checkpoint (no size stats), so the
-    // candidate-sized probe sides are broadcast explicitly — without
-    // the hint the doc text shuffles into a sort-merge join against a
-    // pair-sized id list (the LogicalRDD stats-loss rule)
+    // candidate-sized probe sides get the SIZE-GATED broadcast
+    // explicitly — without a hint the doc text shuffles into a
+    // sort-merge join against a pair-sized id list (the LogicalRDD
+    // stats-loss rule); above the gate (a banding blow-up) the hint
+    // degrades to shuffle_hash instead of OOMing the broadcast. The
+    // decision is made ONCE on the raw pair frame (a narrow count —
+    // gating each distinct view would re-execute its shuffle) and
+    // applied to both sides, the Joins.hinted discipline; pair count
+    // bounds each distinct id set, so the gate is conservative.
+    val small = Joins.fitsBroadcast(pairs)
     def sets(docs: DataFrame, side: String) = docs
-      .join(broadcast(pairs.select(col(side).as(idCol)).distinct()),
+      .join(Joins.hinted(small,
+          pairs.select(col(side).as(idCol)).distinct()),
         Seq(idCol), "left_semi")
       .select(col(idCol).as(side),
         array_distinct(WordShingles(col(textCol), k)).as(s"set_$side"))

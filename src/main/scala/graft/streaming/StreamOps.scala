@@ -988,20 +988,34 @@ object StreamOps {
   // ---- streaming near-dedup (r17): a document stream maintains a
   // deduped corpus + its signature index ----
 
+  /** Writer partition column of the stored signature index — the r11
+    * idempotent-sink rule: partitions keyed by (stable-writer-id,
+    * batch-id), because batch ids alone restart at 0 under a fresh
+    * stream checkpoint and a second writer's batch 0 would dynamically
+    * overwrite the first's partition, silently deleting those
+    * survivors' signatures. */
+  val DedupWriterCol = "__dedup_writer"
   /** Batch partition column of the stored signature index. */
   val DedupBatchCol = "__dedup_batch"
 
   private def writeDedupIndexPartition(sigs: DataFrame, indexPath: String,
-                                       partition: Long, dynamic: Boolean): Unit = {
-    val w = sigs.withColumn(DedupBatchCol, lit(partition))
+                                       writer: String, partition: Long,
+                                       dynamic: Boolean): Unit = {
+    val w = sigs.withColumn(DedupWriterCol, lit(writer))
+      .withColumn(DedupBatchCol, lit(partition))
       // one writer task per batch partition: signature rows are
       // batch-sized, and un-clustered writes land nTasks files per
       // partition (the cdc_sink_prune listing lesson)
       .repartition(col(DedupBatchCol))
       .write.mode("overwrite")
     (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
-      .partitionBy(DedupBatchCol).parquet(indexPath)
+      .partitionBy(DedupWriterCol, DedupBatchCol).parquet(indexPath)
   }
+
+  /** The stored index, partition columns stripped. */
+  private def readDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String): DataFrame =
+    spark.read.parquet(indexPath).drop(DedupWriterCol, DedupBatchCol)
 
   /** Initial load of a streaming-dedup deployment: the (already
     * deduped) corpus into the CDC snapshot layout at `corpusPath`
@@ -1017,7 +1031,7 @@ object StreamOps {
     writeDedupIndexPartition(
       graft.llm.Dedup.signatureIndex(corpus, k, bands, rowsPerBand,
         idCol, textCol, poly),
-      indexPath, -1L, dynamic = false)
+      indexPath, "bootstrap", -1L, dynamic = false)
   }
 
   /** The maintained deduped corpus — live public rows. */
@@ -1071,14 +1085,16 @@ object StreamOps {
                   rowsPerBand: Int = 2, threshold: Double = 0.5,
                   nBuckets: Int = 64, idCol: String = "doc_id",
                   textCol: String = "text", poly: Boolean = false)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = writerIdFor(checkpoint)
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         applyDedupBatch(batch.toDF(), id, indexPath, corpusPath, k, bands,
-          rowsPerBand, threshold, nBuckets, idCol, textCol, poly)
+          rowsPerBand, threshold, nBuckets, idCol, textCol, poly, writer)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** One micro-batch of [[dedupStream]] — package-visible so parity,
     * replay, and crash ordering are spec-testable (the applyCdcBatch
@@ -1088,8 +1104,9 @@ object StreamOps {
                                      k: Int, bands: Int, rowsPerBand: Int,
                                      threshold: Double, nBuckets: Int,
                                      idCol: String, textCol: String,
-                                     poly: Boolean): Unit = {
-    import graft.llm.Dedup
+                                     poly: Boolean,
+                                     writer: String = "default"): Unit = {
+    import graft.llm.{Dedup, Joins}
     import org.apache.spark.sql.graftbridge.ColumnBridge
     if (batch.isEmpty) return
     val spark = batch.sparkSession
@@ -1107,18 +1124,29 @@ object StreamOps {
           .getFileSystem(spark.sessionState.newHadoopConf())
         val idxPath = new org.apache.hadoop.fs.Path(indexPath)
         val indexExists = fs.exists(idxPath) && fs.listStatus(idxPath)
-          .exists(_.getPath.getName.startsWith(DedupBatchCol + "="))
-        // banding candidates: stored index ⨝ broadcast batch signatures;
+          .exists(_.getPath.getName.startsWith(DedupWriterCol + "="))
+        // the stored index's id dtype rules: a batch delivering e.g.
+        // INT ids against a LONG-bootstrapped index must not land
+        // mixed-dtype files in one dataset (the applyCdcBatch
+        // alignment rule, index-side)
+        val storedIdx = if (indexExists)
+          Some(readDedupIndex(spark, indexPath)) else None
+        val idxIdType = storedIdx.map(_.schema(idCol).dataType)
+        // banding candidates: stored index ⨝ batch signatures (batch
+        // side size-gated broadcast — an initial-load batch can be
+        // huge, and an unconditional broadcast OOMs; the Joins gate);
         // id equality excludes a replayed doc's own prior entry
         val cand =
-          (if (!indexExists)
-            sigsB.select(col(idCol).as("bid"), col(idCol).as("cid")).limit(0)
-          else
-            spark.read.parquet(indexPath).drop(DedupBatchCol)
-              .join(broadcast(sigsB.select(col(idCol).as("bid"),
-                col("band"), col("sig"))), Seq("band", "sig"))
-              .where(col(idCol) =!= col("bid"))
-              .select(col("bid"), col(idCol).as("cid")).distinct())
+          (storedIdx match {
+            case None =>
+              sigsB.select(col(idCol).as("bid"), col(idCol).as("cid")).limit(0)
+            case Some(idx) =>
+              idx.join(Joins.gatedBroadcast(sigsB.select(
+                  col(idCol).as("bid"), col("band"), col("sig"))),
+                  Seq("band", "sig"))
+                .where(col(idCol) =!= col("bid"))
+                .select(col("bid"), col(idCol).as("cid")).distinct()
+          })
             .localCheckpoint(true) // candidate-sized; feeds fetch + verify
         try {
           val corpusCand =
@@ -1128,12 +1156,15 @@ object StreamOps {
               val (touched, _, _) = splitByTailBuckets(spark, corpusPath,
                 cids, Seq(idCol), "applyDedupBatch")
               // cand is a checkpoint (no size stats — the LogicalRDD
-              // rule), so broadcast the candidate-sized probe side
-              // explicitly or the touched TEXT shuffles into an SMJ
-              // (the r17 probe measured 300 MB of corpus text moving
-              // for a 64-row id list)
+              // rule), so the candidate-sized probe side gets the
+              // size-gated broadcast explicitly or the touched TEXT
+              // shuffles into an SMJ (the r17 probe measured 300 MB of
+              // corpus text moving for a 64-row id list); the gate
+              // counts the raw pair frame, never the distinct view
               graft.relational.Cdc.publicSnapshot(touched)
-                .join(broadcast(cids.distinct()), Seq(idCol), "left_semi")
+                .join(Joins.hinted(Joins.fitsBroadcast(cand),
+                    cids.distinct()),
+                  Seq(idCol), "left_semi")
             }
           val matchedCorpus = Dedup.verifiedDupIds(cand, b, corpusCand,
             k, threshold, idCol, textCol)
@@ -1144,8 +1175,11 @@ object StreamOps {
             Dedup.minHashNearDups(b, k, bands, rowsPerBand, threshold,
               idCol, textCol))
             .select(col("b").as("bid")).distinct()
+          // no extra distinct on the union: the left_anti probe side
+          // dedups inherently (the r4 rule), and each branch is
+          // already distinct
           val survivors = b.join(
-              matchedCorpus.unionByName(withinDrops).distinct()
+              matchedCorpus.unionByName(withinDrops)
                 .select(col("bid").as(idCol)),
               Seq(idCol), "left_anti")
             .localCheckpoint(true) // feeds the corpus merge + the index write
@@ -1155,9 +1189,12 @@ object StreamOps {
               survivors.withColumn("version", lit(batchId + 1L))
                 .withColumn("op", lit("U")),
               corpusPath, Seq(idCol), "version", "op", nBuckets)
+            val survivorSigs = sigsB
+              .join(survivors.select(idCol), Seq(idCol), "left_semi")
             writeDedupIndexPartition(
-              sigsB.join(survivors.select(idCol), Seq(idCol), "left_semi"),
-              indexPath, batchId, dynamic = true)
+              idxIdType.fold(survivorSigs)(t =>
+                survivorSigs.withColumn(idCol, col(idCol).cast(t))),
+              indexPath, writer, batchId, dynamic = true)
           } finally ColumnBridge.releaseCheckpoint(survivors)
         } finally ColumnBridge.releaseCheckpoint(cand)
       } finally ColumnBridge.releaseCheckpoint(sigsB)
@@ -1168,13 +1205,29 @@ object StreamOps {
     * (partition −1) — the compaction closing the [[dedupStream]]
     * lifecycle, run between stream runs. Static overwrite of the files
     * the fold reads, so the survivors are eager-cut first (the
-    * compactCdcSnapshot rule). */
+    * compactCdcSnapshot rule).
+    *
+    * RETRACTION GC: documents leave the corpus through the CDC store
+    * (an `op = 'D'` batch via `applyCdcBatch` on `corpusPath` — the
+    * tombstone machinery is already the corpus's). A retracted doc's
+    * index rows are BENIGN in the meantime — verification fetches
+    * CURRENT text, so its candidates find no row and drop, and a
+    * near-dup of retracted content is correctly admitted — but they
+    * are dead weight; pass `corpusPath` to also drop signature rows
+    * whose doc no longer lives in the corpus (a semi-join against the
+    * live ids — both sides narrow, an offline compaction cost). */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
-                        indexPath: String): Unit = {
+                        indexPath: String,
+                        corpusPath: Option[String] = None): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val cut = spark.read.parquet(indexPath).drop(DedupBatchCol)
-      .localCheckpoint(true)
-    try writeDedupIndexPartition(cut, indexPath, -1L, dynamic = false)
+    val all = readDedupIndex(spark, indexPath)
+    val idCol = all.columns.filterNot(Seq("band", "sig").contains).head
+    val kept = corpusPath.fold(all) { cp =>
+      all.join(readDedupCorpus(spark, cp).select(idCol), Seq(idCol), "left_semi")
+    }
+    val cut = kept.localCheckpoint(true)
+    try writeDedupIndexPartition(cut, indexPath, "compact", -1L,
+      dynamic = false)
     finally ColumnBridge.releaseCheckpoint(cut)
   }
 
@@ -1403,38 +1456,51 @@ object StreamOps {
     require(labelsExist || applied < 0L,
       s"canonical snapshot at $canonPath exists but its labels at " +
         s"$labelsPath are gone — rebuild both from the raw edge log")
-    val pairs = batch.select(
-      concat(lit("src:"), col(srcCol).cast("string")).as("a"),
-      concat(lit("host:"), col(hostCol).cast("string")).as("b"))
-    val prior =
-      if (labelsExist) Some(spark.read.parquet(labelsPath)) else None
-    val labels = prior match {
-      case None    => Components.pairComponents(pairs, "a", "b", "node")
-      case Some(p) => Components.incremental(p, pairs, "node", "component",
-        "a", "b")
-    }
-    val newLabels = labels.localCheckpoint(true)
+    // OUR OWN eager cut of the batch severs any caller lineage before
+    // the closure: `labels`' plan below then contains only this cut +
+    // disk reads, so the blanket releaseCheckpoint in the finally can
+    // never unpersist a CALLER-owned checkpoint upstream of `batch`
+    // (the r13 ownership rule — the in-query face feeds filtered views
+    // of one checkpointed edge frame). The cut also makes the two
+    // batch consumers (pairs + the fold's canon agg) read one
+    // materialization instead of re-deriving the source.
+    val b = batch.localCheckpoint(true)
     try {
-      val n = newLabels.count()
-      require(n <= maxNodes,
-        s"canonEdgesStream labeling grew to $n nodes (> $maxNodes) — " +
-          "bounded host/source domains only")
-      if (batchId > applied) {
-        writeDirMeta(fs, inflightDir, batchId.toString)
-        foldCanonBatch(batch, newLabels, prior, canonPath, fs, srcCol,
-          hostCol, weightCol, nBuckets)
-        writeDirMeta(fs, canonPath,
-          s"nBuckets=$nBuckets;writer=$writer;applied=$batchId")
-        fs.delete(metaPath(inflightDir), false)
+      val pairs = b.select(
+        concat(lit("src:"), col(srcCol).cast("string")).as("a"),
+        concat(lit("host:"), col(hostCol).cast("string")).as("b"))
+      val prior =
+        if (labelsExist) Some(spark.read.parquet(labelsPath)) else None
+      val labels = prior match {
+        case None    => Components.pairComponents(pairs, "a", "b", "node")
+        case Some(p) => Components.incremental(p, pairs, "node", "component",
+          "a", "b")
       }
-      // labels LAST: a crash above replays against the prior labels and
-      // recomputes the same rep diff (see the ordering argument)
-      newLabels.write.mode("overwrite").parquet(labelsPath)
-      writeDirMeta(fs, labelsPath, "graft-labels")
-    } finally {
-      ColumnBridge.releaseCheckpoint(newLabels)
-      ColumnBridge.releaseCheckpoint(labels)
-    }
+      val newLabels = labels.localCheckpoint(true)
+      try {
+        val n = newLabels.count()
+        require(n <= maxNodes,
+          s"canonEdgesStream labeling grew to $n nodes (> $maxNodes) — " +
+            "bounded host/source domains only")
+        if (batchId > applied) {
+          writeDirMeta(fs, inflightDir, batchId.toString)
+          foldCanonBatch(b, newLabels, prior, canonPath, fs, srcCol,
+            hostCol, weightCol, nBuckets)
+          writeDirMeta(fs, canonPath,
+            s"nBuckets=$nBuckets;writer=$writer;applied=$batchId")
+          fs.delete(metaPath(inflightDir), false)
+        }
+        // labels LAST: a crash above replays against the prior labels and
+        // recomputes the same rep diff (see the ordering argument)
+        newLabels.write.mode("overwrite").parquet(labelsPath)
+        // the labels marker goes through labelsPath's OWN FileSystem —
+        // fs is canonPath's, and the two may live on different schemes
+        writeDirMeta(lfs, labelsPath, "graft-labels")
+      } finally {
+        ColumnBridge.releaseCheckpoint(newLabels)
+        ColumnBridge.releaseCheckpoint(labels)
+      }
+    } finally ColumnBridge.releaseCheckpoint(b)
   }
 
   /** The fold: batch edges canonicalized under `newLabels`, retired

@@ -46,10 +46,11 @@ class DedupStreamSpec extends SparkSpec {
     StreamOps.readDedupCorpus(spark, corpusPath)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
 
-  private def apply1(idx: String, corp: String, b: Seq[Doc], id: Long): Unit =
+  private def apply1(idx: String, corp: String, b: Seq[Doc], id: Long,
+                     writer: String = "default"): Unit =
     StreamOps.applyDedupBatch(b.toDF(), id, idx, corp, k = 2, bands = 8,
       rowsPerBand = 2, threshold = 0.5, nBuckets = 8, idCol = "doc_id",
-      textCol = "text", poly = false)
+      textCol = "text", poly = false, writer = writer)
 
   test("e2e stream: dups vs corpus, within batch, and vs earlier-batch survivors all drop") {
     val dir = tmp("dedup_stream"); val idx = s"$dir/idx"; val corp = s"$dir/corp"
@@ -92,13 +93,15 @@ class DedupStreamSpec extends SparkSpec {
       rowsPerBand = 2, nBuckets = 8)
     apply1(idx, corp, batch1, 0L)
     // simulate the crash: the corpus committed but batch 0's index
-    // partition did not (corpus commits FIRST by design)
-    val part = new java.io.File(idx, s"${StreamOps.DedupBatchCol}=0")
+    // partition did not (corpus commits FIRST by design) — partitions
+    // are (writer, batch)-keyed per the r11 idempotent-sink rule
+    val part = new java.io.File(idx,
+      s"${StreamOps.DedupWriterCol}=default/${StreamOps.DedupBatchCol}=0")
     part.exists() shouldBe true
     part.listFiles().foreach(_.delete()); part.delete() shouldBe true
     apply1(idx, corp, batch1, 0L) // redelivery
     ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L)
-    new java.io.File(idx, s"${StreamOps.DedupBatchCol}=0").exists() shouldBe true
+    part.exists() shouldBe true
     // and dups of the survivors are still caught afterwards
     apply1(idx, corp, batch2, 1L)
     ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L, 21L)
@@ -120,11 +123,54 @@ class DedupStreamSpec extends SparkSpec {
     val rowsBefore = spark.read.parquet(idx).count()
     StreamOps.compactDedupIndex(spark, idx)
     val parts = new java.io.File(idx).listFiles().filter(_.isDirectory)
-      .map(_.getName).filter(_.startsWith(StreamOps.DedupBatchCol + "=")).toSeq
-    parts shouldBe Seq(s"${StreamOps.DedupBatchCol}=-1")
+      .flatMap(w => w.listFiles().filter(_.isDirectory)
+        .map(b => s"${w.getName}/${b.getName}")).toSeq
+    parts shouldBe Seq(
+      s"${StreamOps.DedupWriterCol}=compact/${StreamOps.DedupBatchCol}=-1")
     spark.read.parquet(idx).count() shouldBe rowsBefore
     apply1(idx, corp, batch2, 1L)
     ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L, 21L)
+  }
+
+  test("a second writer's batch 0 cannot clobber the first's index partition") {
+    // the r11 idempotent-sink rule: batch ids restart at 0 under a
+    // fresh stream checkpoint, so partitions are (writer, batch)-keyed
+    // — batch-id-only partitions would let writer 2's first batch
+    // dynamically overwrite writer 1's, silently deleting those
+    // survivors' signatures
+    val dir = tmp("dedup_writers"); val idx = s"$dir/idx"; val corp = s"$dir/corp"
+    StreamOps.bootstrapDedup(corpus0, idx, corp, k = 2, bands = 8,
+      rowsPerBand = 2, nBuckets = 8)
+    apply1(idx, corp, batch1, 0L, writer = "w1") // survivors 11, 13
+    apply1(idx, corp, Seq(Doc(40L, t(40))), 0L, writer = "w2") // same batch id
+    // w1's partition survived w2's batch 0...
+    new java.io.File(idx,
+      s"${StreamOps.DedupWriterCol}=w1/${StreamOps.DedupBatchCol}=0")
+      .exists() shouldBe true
+    // ...so a dup of w1's survivor 11 is still caught
+    apply1(idx, corp, Seq(Doc(50L, t(11))), 1L, writer = "w2")
+    ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L, 40L)
+  }
+
+  test("retraction: a CDC delete frees the content; compact GCs the stale sigs") {
+    val dir = tmp("dedup_retract"); val idx = s"$dir/idx"; val corp = s"$dir/corp"
+    StreamOps.bootstrapDedup(corpus0, idx, corp, k = 2, bands = 8,
+      rowsPerBand = 2, nBuckets = 8)
+    // doc 1 leaves the corpus through the CDC store's own machinery
+    val retract = Seq((1L, null.asInstanceOf[String], 100L, "D"))
+      .toDF("doc_id", "text", "version", "op")
+    StreamOps.applyCdcBatch(retract, corp, Seq("doc_id"), "version", "op", 8)
+    ids(corp) shouldBe Seq(2L, 3L)
+    // doc 1's index rows are stale but BENIGN: a clone of its text is
+    // correctly ADMITTED (verification fetches current text and finds
+    // none), while a clone of live doc 2 still drops
+    apply1(idx, corp, Seq(Doc(30L, t(1)), Doc(31L, t(2))), 0L)
+    ids(corp) shouldBe Seq(2L, 3L, 30L)
+    // compaction with the corpus GCs the retracted doc's signatures
+    spark.read.parquet(idx).where(col("doc_id") === 1L).count() should be > 0L
+    StreamOps.compactDedupIndex(spark, idx, Some(corp))
+    spark.read.parquet(idx).where(col("doc_id") === 1L).count() shouldBe 0L
+    spark.read.parquet(idx).select("doc_id").distinct().count() shouldBe 3L
   }
 
   test("docs carrying the store's internal merge columns are rejected") {
