@@ -321,6 +321,15 @@ class CdcStreamSpec extends SparkSpec {
       .toDF("k", "name", "amt", "note", "version", "op")
     StreamOps.readLatest(spark, snap, tail, Seq("k"))
       .where(col("k") === 9L).select("note").head().getString(0) shouldBe "tl"
+    // compaction MATERIALIZES the evolved schema into the files as a
+    // by-product of its full rewrite: afterwards even a meta-less
+    // plain read sees the column, and the data is unchanged
+    val preCompact = Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))
+      .orderBy("k").collect().map(_.toString).toSeq
+    StreamOps.compactCdcSnapshot(spark, snap, horizon = 0L, Seq("k"), nBuckets = 8)
+    spark.read.parquet(snap).columns should contain ("note")
+    Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))
+      .orderBy("k").collect().map(_.toString).toSeq shouldBe preCompact
   }
 
   test("evolveCdcSnapshot: strict from the moment of evolution, loud misuse") {
