@@ -280,12 +280,32 @@ object Cdc {
                                     asOfVersion: Long): DataFrame =
     snapshot.where(
       when(col(VersionCol) <= asOfVersion, lit(true))
-        .otherwise(raise_error(concat(
-          lit("asOf: base snapshot row already applied at version "),
-          col(VersionCol).cast("string"),
-          lit(s" > requested $asOfVersion — the base must be a snapshot" +
-            " retained at or below the requested version (changes" +
-            " cannot be un-applied from latest state)")))))
+        .otherwise(staleBaseError(asOfVersion)))
+
+  private def staleBaseError(asOfVersion: Long): Column =
+    raise_error(concat(
+      lit("asOf: base snapshot row already applied at version "),
+      col(VersionCol).cast("string"),
+      lit(s" > requested $asOfVersion — the base must be a snapshot" +
+        " retained at or below the requested version (changes" +
+        " cannot be un-applied from latest state)")))
+
+  /** [[publicSnapshot]] ∘ [[guardAtOrBelow]] as ONE non-splittable
+    * predicate — for a leg that is read DIRECTLY (no merge above it,
+    * e.g. `StreamOps.readAsOf`'s untouched buckets). Stacking the two
+    * filters is silently WRONG there: the plain `!deleted` predicate
+    * pushes into the parquet scan while the raise_error guard cannot,
+    * so tombstone rows are eliminated before the guard ever evaluates
+    * — a snapshot advanced past `asOfVersion` only by DELETES would
+    * read as silently wrong historical state (live-at-asOf keys
+    * missing) instead of raising (r18, the round-17 high advice).
+    * Fused, a tombstone above the cut raises like any other stale row. */
+  private[graft] def publicAtOrBelow(snapshot: DataFrame,
+                                     asOfVersion: Long): DataFrame =
+    snapshot.where(
+      when(col(VersionCol) <= asOfVersion, !col(DeletedCol))
+        .otherwise(staleBaseError(asOfVersion)))
+      .drop(VersionCol, DeletedCol)
 
   /** Reconstruct the live state AS OF `version` (inclusive) from the
     * changelog alone: restrict to `versionCol <= version` (pushed into

@@ -709,9 +709,12 @@ object StreamOps {
     val visible = tail.where(col(versionCol).cast("long") <= asOfVersion)
     val (touched, untouched, aligned) =
       splitByTailBuckets(spark, snapshotPath, visible, keyCols, "readAsOf")
+    // untouched leg: guard and tombstone filter FUSED into one
+    // predicate (Cdc.publicAtOrBelow) — stacked, the plain !deleted
+    // filter pushes into the scan below the raise_error guard and a
+    // delete-only-advanced snapshot reads silently wrong (r18 fix)
     Cdc.asOf(touched, aligned, asOfVersion, keyCols, versionCol, opCol)
-      .unionByName(Cdc.publicSnapshot(
-        Cdc.guardAtOrBelow(untouched, asOfVersion)))
+      .unionByName(Cdc.publicAtOrBelow(untouched, asOfVersion))
   }
 
   /** The merge-on-read bucket split shared by [[readLatest]] and

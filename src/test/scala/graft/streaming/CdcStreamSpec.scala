@@ -263,6 +263,26 @@ class CdcStreamSpec extends SparkSpec {
       rows(Cdc.upsert(base, (batch1 ++ batch2).toDF(), Seq("k")))
   }
 
+  test("readAsOf: a snapshot advanced past the cut ONLY by deletes still raises") {
+    // the r17 high advice: publicSnapshot's plain !deleted filter used
+    // to push into the scan BELOW the raise_error guard, so an
+    // all-tombstone advance read as silently wrong history (0 rows, no
+    // error) — the fused predicate must raise on the UNTOUCHED leg too
+    val snap = tmp("cdc_asof_del_guard")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    // advance every key past v1 exclusively with deletes (v2 tombstones)
+    val deletes = Seq(Change(1L, "", 0.0, 2L, "D"), Change(2L, "", 0.0, 2L, "D"),
+      Change(3L, "", 0.0, 2L, "D")).toDF()
+    StreamOps.applyCdcBatch(deletes, snap, Seq("k"), "version", "op", 8)
+    // empty tail → all buckets are UNTOUCHED; keys live at v1 are
+    // unreconstructible from a v2-advanced base, tombstoned or not
+    val e = intercept[Exception] {
+      StreamOps.readAsOf(spark, snap, deletes.limit(0), 1L, Seq("k")).collect() }
+    e.getMessage should include ("retained at or below")
+    // at/above the advance the read works and the tombstones hide rows
+    rows(StreamOps.readAsOf(spark, snap, deletes.limit(0), 2L, Seq("k"))) shouldBe Seq()
+  }
+
   test("readAsOf: bucket discovery runs on the version-FILTERED tail") {
     val snap = tmp("cdc_asof_prune")
     val wide = spark.range(0, 64).select(col("id").as("k"),
