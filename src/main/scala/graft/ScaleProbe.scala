@@ -1215,38 +1215,56 @@ object ScaleProbe {
         graft.streaming.StreamOps.applyCdcBatch(batch, dir, Seq("k"),
           "version", "op", nBuckets)
       }),
-      // streaming-dedup batch (r17): a FIXED 64-doc batch against a
-      // 10×-growing corpus + stored signature index — the dedupStream
-      // scale claim: per-batch cost = one fixed-width index scan
-      // (linear in corpus, ~8 B × bands per doc — the KV-probe
-      // stand-in) + bucket-pruned candidate text fetch (flat), never a
-      // corpus re-hash. Clock should grow far sub-linearly (the index
-      // scan is narrow); spill 0. Setup (bootstrap) runs once in the
-      // warm pass; measured passes re-apply the same batch — replay is
-      // a fixed point of both stores, so state never drifts. The
-      // batch plants half dups (corpus texts) / half fresh (disjoint
-      // vocabulary) so the verify path executes non-vacuously.
-      // This row's first run measured 4.7× SHUFFLE growth (64→300 MB)
-      // and caught a real defect: the candidate id list is a
-      // checkpoint (no size stats), so the corpus-text semi-joins
-      // planned SMJ and shuffled bucket text for a 64-row probe —
-      // fixed with explicit SIZE-GATED broadcasts (the LogicalRDD
-      // stats-loss rule + the Joins gate). Measured r17 after the fix
-      // at sf0.1/10×: 1.9× time (3.49 s → 6.50 s, min of 2
-      // decorrelated runs — the narrow fixed-width index scan is the
-      // only growing term, the documented KV-probe stand-in), shuffle
-      // FLAT 32.9 → 36.9 MB, spill 0.0 both scales.
+      // streaming-dedup batch (r17; index re-laid-out r18): a FIXED
+      // 64-doc batch against a 10×-growing corpus + stored signature
+      // index. r17 measured 1.9× (3.49 s → 6.50 s) with the per-batch
+      // FULL-index scan the only growing data term — the last
+      // linear-in-corpus cost, tens of GB per micro-batch at 100 TB.
+      // r18 bucketed the index on hash(band, sig) (two-tier LSM:
+      // per-batch writes land whole in the tail dir, bootstrap/compact
+      // land bucketed), so the probe reads touched buckets + tail —
+      // rows read per batch now ~CONSTANT in corpus size. Measured r18
+      // at sf0.1/10×: 1.5× time (4.5 s → 7.1 s, min-of-2 runs ×2
+      // sessions; the residual growth is O(#dirs) LISTING on the two
+      // stores — metadata, not data — and the corpus-side CDC listings
+      // that scale with its nBuckets by this fixture's sizing), shuffle
+      // FLAT 32.9 → 36.9 MB, spill 0.0 both scales. A first r18 cut
+      // that bucketed the PER-BATCH writes too paid one partition
+      // commit per touched bucket per batch — 3× the fixed per-batch
+      // cost (10.3 s base) for the same bytes; the tail tier is why
+      // batch writes stay one commit.
       ("dedup_stream_batch", () => {
         val m = n * 64
         val nBuckets = math.max(4L, m / 4096L).toInt
+        // the r18 KV-approximation sizing rule: nIdxBuckets scales with
+        // the corpus so one bucket holds a CONSTANT ~8k signature rows —
+        // a fixed batch (512 sigs) then touches ≤512 buckets and reads
+        // ~constant bytes regardless of corpus size. A fixed nIdxBuckets
+        // would degenerate to the full-index scan the bucketing removes
+        // (512 sigs hash into all 64 default buckets).
+        val nIdxBuckets = math.max(64L, m / 1024L).toInt
         val dir = s"$out/dedup_stream_$n"
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(dir + "/corp.meta"))) {
+        // memo gate checks BOTH stores' metas (first line only — the
+        // r17 rule): a fixture left by a pre-r18 run has no idx meta
+        // (flat layout) and must re-bootstrap, not trip the layout guard
+        val idxMetaOk = {
+          val mp = new org.apache.hadoop.fs.Path(dir + "/idx.meta")
+          fs.exists(mp) && {
+            val in = fs.open(mp)
+            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8)
+              .linesIterator.next().trim == s"nIdxBuckets=$nIdxBuckets"
+            finally in.close()
+          }
+        }
+        if (!fs.exists(new org.apache.hadoop.fs.Path(dir + "/corp.meta"))
+            || !idxMetaOk) {
           fs.delete(new org.apache.hadoop.fs.Path(dir), true)
           graft.streaming.StreamOps.bootstrapDedup(synthDocs(m),
             s"$dir/idx", s"$dir/corp", k = 2, bands = 8, rowsPerBand = 2,
-            nBuckets = nBuckets)
+            nBuckets = nBuckets, nIdxBuckets = nIdxBuckets)
         }
         val dups = synthDocs(m).where(col("doc_id") < 32)
           .select((col("doc_id") + m).as("doc_id"), col("text"))
@@ -1258,7 +1276,7 @@ object ScaleProbe {
           dups.unionByName(fresh), 0L, s"$dir/idx", s"$dir/corp",
           k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5,
           nBuckets = nBuckets, idCol = "doc_id", textCol = "text",
-          poly = false)
+          poly = false, nIdxBuckets = nIdxBuckets)
       }),
       // GK quantile sketch build+merge: per-group summary aggregate
       // (bounded buffers), 8 driver-merged partials, one rank query

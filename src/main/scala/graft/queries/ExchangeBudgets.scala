@@ -186,14 +186,29 @@ object ExchangeBudgets {
     // full-root listing made a fixed batch 3× slower at 10× snapshot
     // (cdc_sink_prune probe, measured before/after: 3.0× → 1.1×).
     "stream_cdc_read_latest"          -> 9,
-    // r17 time-travel face: bootstrap write (incl. its bucket
-    // clustering, as above) + ONE read-time merge (readAsOf — no sink
-    // batch, unlike read_latest): bucket-discovery distinct on the
-    // FILTERED tail + the tail's latest-per-key window hash the
-    // USING-join rides + the snapshot-side exchange, plus the declared
-    // sort. The untouched leg (guard filter + pruned scan) is
-    // exchange-free by design.
-    "stream_cdc_read_asof"            -> 5,
+    // r17 time-travel face; 5 → 10 (r18, a DELIBERATE lifecycle
+    // extension, not a regression): the face now runs the FULL
+    // retention story in-query — retainSnapshot (its max-version
+    // floor is one narrow global agg = 1 exchange) and a live sink
+    // batch advancing PAST the cut (discovery distinct + changelog
+    // window + bucket-clustered write = 3, proving the frozen copy is
+    // what makes the read possible) — on top of the r17 shape
+    // (bootstrap clustering + readAsOf's filtered-tail discovery +
+    // window + snapshot exchange + declared sort, with an extra
+    // full-outer side exchange now that the base is the retained
+    // copy). Every added exchange is changelog- or single-row-sized;
+    // the untouched leg stays exchange-free by design.
+    "stream_cdc_read_asof"            -> 10,
+    // r18 point-lookup face (readKeys): bootstrap clustering + one
+    // sink batch (discovery + window + clustering) + the lookup
+    // itself — wanted-keys bucket discovery distinct, the tail's
+    // latest-per-key window, the full-outer merge of TWO request-
+    // sized semi-filtered sides (both exchanges key-bounded; full
+    // outer cannot broadcast, and both sides are ≤|keys| rows by
+    // construction — the snapshot side was bucket-pruned and
+    // semi-joined to the broadcast key set BEFORE the exchange) +
+    // the declared sort. No untouched leg at all — the point priced.
+    "stream_cdc_read_keys"            -> 9,
     // r17 evolution face: read_latest's exact lifecycle (bootstrap
     // incl. bucket clustering + sink batch + merge-on-read) — the
     // evolution step itself is an O(1) meta append costing ZERO
@@ -209,7 +224,14 @@ object ExchangeBudgets {
     // the cost is roughly half this; the llm_host_canon_stream class.
     // 36 → 32: the explicit candidate-side broadcasts (the LogicalRDD
     // stats-loss rule, probe-caught) removed four SMJ exchanges.
-    "llm_dedup_stream"                -> 32,
+    // 32 → 34 (r18, a DELIBERATE raise): the signature index is now
+    // hash-bucketed on (band, sig) and each batch pays ONE extra
+    // batch-sized bucket-discovery distinct (×2 batches in this face)
+    // to read ONLY its touched index buckets by constructed dir name —
+    // trading a ≤nIdxBuckets-int exchange per batch for the r17
+    // full-index scan, the last linear-in-corpus per-batch term
+    // (dedup_stream_batch probe, re-measured r18).
+    "llm_dedup_stream"                -> 34,
     "src_shard_jsonl"                 -> 4)
 
   def budget(name: String): Int = perQuery.getOrElse(name, default)

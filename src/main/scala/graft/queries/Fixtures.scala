@@ -126,6 +126,42 @@ private[queries] object CdcFixture {
   /** The whole-log merge result both r16 faces gate against. */
   val mergedSelect: String = mergedSelectOn("l1")
 
+  /** The point-lookup key set (r18, `stream_cdc_read_keys`): four
+    * non-vacuous classes — base passthrough (%6 ⊆ the %3 base),
+    * updated (%42 ⊆ %21), deleted-so-absent (%30 ⊆ %15), inserted
+    * (+1e8 for %66 ⊆ %33) — plus keys absent everywhere (+2e8 for
+    * %77), which must yield no row. Pre-stripped, CONCATENATED after
+    * [[changelogCtes]] (the r13 rule). */
+  val wantedKeysCte: String =
+    """,wanted AS (
+      |  SELECT k FROM o WHERE k % 6 = 0
+      |  UNION ALL SELECT k + 100000000 FROM o WHERE k % 66 = 0
+      |  UNION ALL SELECT k + 200000000 FROM o WHERE k % 77 = 0)""".stripMargin
+
+  /** The whole-log merge restricted to the wanted key set — what
+    * point lookup must return. */
+  val keyedSelect: String =
+    """SELECT coalesce(b.k, c.k) AS o_orderkey,
+      |  CASE WHEN c.op = 'U' THEN c.p ELSE b.p END AS o_orderpriority,
+      |  CASE WHEN c.op = 'U' THEN c.t ELSE b.t END AS o_totalprice
+      |FROM base b FULL OUTER JOIN l1 c ON b.k = c.k
+      |WHERE (c.op IS NULL OR c.op <> 'D')
+      |  AND coalesce(b.k, c.k) IN (SELECT k FROM wanted)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Engine-side twin of `wanted` — all three classes emitted from ONE
+    * scan projection (the r14 one-scan planting rule: a 3-leg union
+    * reads the table once per leg per consumer). */
+  def wantedKeys(spark: SparkSession, sf: String): DataFrame =
+    Tables.orders(spark, sf).select(explode(array(
+        when(pmod(col("o_orderkey"), lit(6)) === 0, col("o_orderkey")),
+        when(pmod(col("o_orderkey"), lit(66)) === 0,
+          col("o_orderkey") + 100000000L),
+        when(pmod(col("o_orderkey"), lit(77)) === 0,
+          col("o_orderkey") + 200000000L)))
+        .as("o_orderkey"))
+      .where(col("o_orderkey").isNotNull)
+
   /** The schema-evolution variant (r17): the same changelog with a NEW
     * payload column `nt` the base never had — the oracle for "bootstrap
     * pre-evolution, evolve, then every later batch carries the column"

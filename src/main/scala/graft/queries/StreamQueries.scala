@@ -195,17 +195,21 @@ object StreamQueries {
         .orderBy("o_orderkey")
     },
 
-    // Time travel (r17, the round-16 stretch ask): state AS OF version 1
-    // from a RETAINED snapshot + the changelog recorded since it
-    // (StreamOps.readAsOf = Cdc.asOf with the tail's key-hash buckets
-    // pruning the snapshot read). The fixture retains the %3 bootstrap
-    // on disk (version 0), keeps the WHOLE changelog as the retained
-    // segment, and asks for version 1: the v1 updates/inserts apply,
-    // the v2 deletes are filtered before bucket discovery — so the
-    // result is the version-1 cut of the log (oracle: the same merge
-    // SELECT over latest-per-key WHERE v <= 1). The base-freshness
-    // guard (a snapshot already past the requested version raises
-    // in-plan) and the bucket pruning are spec'd in CdcStreamSpec.
+    // Time travel (r17, the round-16 stretch ask; r18: over the FULL
+    // retention lifecycle): state AS OF version 1 from a RETAINED
+    // snapshot + the changelog recorded since it (StreamOps.readAsOf =
+    // Cdc.asOf with the tail's key-hash buckets pruning the snapshot
+    // read). The fixture bootstraps the %3 base, FREEZES it with
+    // retainSnapshot (the r18 engine-owned retention artifact,
+    // retained=0), lets the LIVE snapshot advance past the cut (the
+    // sink applies the v2 deletes — reading IT as-of 1 would raise),
+    // then time-travels over the frozen copy with the whole changelog
+    // as the retained segment: the v1 updates/inserts apply, the v2
+    // deletes are filtered before bucket discovery — the version-1
+    // cut of the log (oracle: the same merge SELECT over
+    // latest-per-key WHERE v <= 1). Freshness guard (incl. the
+    // delete-only advance), mutation-refusal, and bucket pruning are
+    // spec'd in CdcStreamSpec.
     Q("stream_cdc_read_asof",
       CdcFixture.changelogCtes + CdcFixture.asOfV1Ctes + "\n" +
         CdcFixture.mergedSelectOn("l1v")) {
@@ -217,8 +221,42 @@ object StreamQueries {
         .createTempDirectory("cdc_asof_q").toString + "/snap"
       StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("o_orderkey")),
         snap, Seq("o_orderkey"), nBuckets = 16)
-      StreamOps.readAsOf(spark, snap, changes, asOfVersion = 1L,
+      val (retained, _) = StreamOps.retainSnapshot(spark, snap)
+      StreamOps.applyCdcBatch(changes.where(col("version") === 2L),
+        snap, Seq("o_orderkey"), "version", "op", nBuckets = 16)
+      StreamOps.readAsOf(spark, retained, changes, asOfVersion = 1L,
           Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+
+    // Point lookup (r18, the r17 "what's missing #4"): latest state of
+    // a bounded key set — the serving query a CDC deployment runs
+    // per-request (StreamOps.readKeys). Same disk lifecycle as
+    // read_latest (bootstrap, sink applies the v2 deletes, v1 tail
+    // un-applied), probed with a planted key set spanning base
+    // passthrough / updated / deleted / inserted / absent classes;
+    // ONLY those keys' buckets are read (≤ |keys| dirs, no untouched
+    // leg — the file gate lives in CdcStreamSpec). Oracle: the
+    // whole-log merge restricted to the same wanted set.
+    Q("stream_cdc_read_keys",
+      CdcFixture.changelogCtes + CdcFixture.wantedKeysCte + "\n" +
+        CdcFixture.keyedSelect) {
+      (spark, sf) =>
+      import graft.relational.Cdc
+      val (base, rawChanges) = CdcFixture.baseAndChanges(spark, sf)
+      val changes = rawChanges.localCheckpoint(false)
+      val applied = changes.where(col("version") === 2L)
+      val tail = changes.where(col("version") === 1L)
+      val snap = java.nio.file.Files
+        .createTempDirectory("cdc_keys_q").toString + "/snap"
+      StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("o_orderkey")),
+        snap, Seq("o_orderkey"), nBuckets = 16)
+      StreamOps.applyCdcBatch(applied, snap, Seq("o_orderkey"),
+        "version", "op", nBuckets = 16)
+      // request-sized, consumed thrice (bucket discovery + two
+      // broadcast semi-joins) — cut once, never re-derive the scan
+      val wanted = CdcFixture.wantedKeys(spark, sf).localCheckpoint(false)
+      StreamOps.readKeys(spark, snap, wanted, tail, Seq("o_orderkey"))
         .orderBy("o_orderkey")
     },
 

@@ -515,16 +515,27 @@ object StreamOps {
     }
 
   /** Parsed CDC layout meta: the bucket count every reader/writer must
-    * agree on, and (since r17) the snapshot's LOGICAL schema — which
+    * agree on; (since r17) the snapshot's LOGICAL schema — which
     * may be AHEAD of what older bucket files physically carry
     * ([[evolveCdcSnapshot]] appends nullable columns here in O(1),
     * never rewriting data; readers pass this schema explicitly so
     * older files null-backfill and schema inference can never pick a
-    * pre-evolution footer and silently drop the new column). Metas
-    * written before r17 carry no schema line — readers then derive the
-    * schema from one bucket dir (all files uniform by construction). */
+    * pre-evolution footer and silently drop the new column); (since
+    * r18) an optional WRITER PIN — [[applyCdcBatch]] is
+    * read-merge-overwrite, so two concurrent streams on one
+    * snapshotPath could each merge its own batch into the same bucket
+    * and the later dynamic overwrite would PERMANENTLY drop the
+    * earlier writer's keys (its checkpoint has advanced; replay never
+    * redelivers a committed batch) — the [[canonEdgesStream]]
+    * discipline, applied to convergent state too; and (since r18) an
+    * optional RETAINED mark freezing a time-travel base
+    * ([[retainSnapshot]]). Metas written before these rounds simply
+    * lack the lines — readers then derive the schema from one bucket
+    * dir (all files uniform by construction), and the store is
+    * unpinned until a stream's first batch claims it. */
   private[graft] final case class CdcMeta(
-      nBuckets: Int, schema: Option[org.apache.spark.sql.types.StructType])
+      nBuckets: Int, schema: Option[org.apache.spark.sql.types.StructType],
+      writer: Option[String], retained: Option[Long])
 
   private def parseCdcMeta(m: String, snapshotPath: String): CdcMeta = {
     val lines = m.split("\n").map(_.trim).filter(_.nonEmpty)
@@ -535,25 +546,54 @@ object StreamOps {
       lines.find(_.startsWith("schema=")).map { s =>
         org.apache.spark.sql.types.DataType.fromJson(s.stripPrefix("schema="))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-      })
+      },
+      lines.find(_.startsWith("writer=")).map(_.stripPrefix("writer=")),
+      lines.find(_.startsWith("retained="))
+        .map(_.stripPrefix("retained=").toLong))
   }
 
   private def cdcMetaContent(nBuckets: Int,
-      schema: org.apache.spark.sql.types.StructType): String =
-    s"nBuckets=$nBuckets\nschema=${schema.json}"
+      schema: org.apache.spark.sql.types.StructType,
+      writer: Option[String] = None,
+      retained: Option[Long] = None): String =
+    (Seq(s"nBuckets=$nBuckets", s"schema=${schema.json}") ++
+      writer.map(w => s"writer=$w") ++
+      retained.map(v => s"retained=$v")).mkString("\n")
+
+  /** Every MUTATING op refuses a retained time-travel base: its rows
+    * AND its tombstones reproduce history for [[readAsOf]]; any write
+    * (a merge, a compaction's tombstone GC, even a schema evolve)
+    * would silently change what a historical read returns. */
+  private def requireNotRetained(meta: Option[CdcMeta], path: String,
+                                 op: String): Unit =
+    meta.flatMap(_.retained).foreach { v =>
+      throw new IllegalArgumentException(
+        s"$op: snapshot at $path is a RETAINED time-travel base " +
+          s"(retained=$v) — frozen by retainSnapshot; its rows and " +
+          "tombstones are load-bearing for readAsOf over the changelog " +
+          "recorded since it. Mutate the LIVE snapshot and re-retain " +
+          "instead.")
+    }
 
   /** Write a versioned snapshot ([[graft.relational.Cdc.bootstrap]]) in
     * the key-hash-bucketed layout [[cdcStream]] maintains — the initial
-    * load every CDC deployment does before tailing the log. */
+    * load every CDC deployment does before tailing the log. A full
+    * static rewrite is an OWNERSHIP RESET: any stored writer pin is
+    * cleared (pass `writer` to set one), so this is also the takeover
+    * path after a stream's checkpoint — and with it its derived writer
+    * id — is lost ([[repinCdcSnapshot]] re-pins without the rewrite). */
   def writeCdcSnapshot(versioned: DataFrame, snapshotPath: String,
-                       keyCols: Seq[String], nBuckets: Int = 64): Unit = {
+                       keyCols: Seq[String], nBuckets: Int = 64,
+                       writer: Option[String] = None): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val fs = new org.apache.hadoop.fs.Path(snapshotPath)
       .getFileSystem(versioned.sparkSession.sessionState.newHadoopConf())
     readDirMeta(fs, snapshotPath).foreach { m =>
-      val stored = parseCdcMeta(m, snapshotPath).nBuckets
-      require(stored == nBuckets,
-        s"snapshot at $snapshotPath is laid out with nBuckets=$stored; " +
+      val parsed = parseCdcMeta(m, snapshotPath)
+      requireNotRetained(Some(parsed), snapshotPath, "writeCdcSnapshot")
+      require(parsed.nBuckets == nBuckets,
+        s"snapshot at $snapshotPath is laid out with " +
+          s"nBuckets=${parsed.nBuckets}; " +
           s"rewriting it with nBuckets=$nBuckets would strand rows in " +
           "stale buckets — delete the snapshot AND its .meta to relayout")
     }
@@ -568,8 +608,39 @@ object StreamOps {
       .write.mode("overwrite").partitionBy(CdcBucketCol).parquet(snapshotPath)
     // a full static rewrite carries the frame's own schema — it IS the
     // layout now (a prior evolved-ahead meta schema is materialized or
-    // replaced by what was just written)
-    writeDirMeta(fs, snapshotPath, cdcMetaContent(nBuckets, versioned.schema))
+    // replaced by what was just written); the writer pin resets to the
+    // caller's (None = unpinned — the next stream's first batch claims)
+    writeDirMeta(fs, snapshotPath,
+      cdcMetaContent(nBuckets, versioned.schema, writer))
+  }
+
+  /** Re-pin (or unpin) the snapshot's writer WITHOUT a rewrite — the
+    * explicit takeover path when a stream's checkpoint (and with it the
+    * derived writer id) is lost: point the NEW stream's checkpoint here
+    * to compute the id it will present, or pass None to let the next
+    * stream's first batch claim the pin. Refuses retained bases. Run
+    * with the old stream STOPPED — this helper replaces the pin, it
+    * cannot stop a live writer. */
+  def repinCdcSnapshot(spark: org.apache.spark.sql.SparkSession,
+                       snapshotPath: String, checkpoint: Option[String])
+      : Unit = {
+    val fs = new org.apache.hadoop.fs.Path(snapshotPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = readDirMeta(fs, snapshotPath)
+      .map(parseCdcMeta(_, snapshotPath))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no layout meta at $snapshotPath.meta — re-pin an EXISTING " +
+          "maintained snapshot"))
+    requireNotRetained(Some(meta), snapshotPath, "repinCdcSnapshot")
+    val schema = meta.schema.getOrElse {
+      val dirs = bucketDirNames(fs, snapshotPath)
+      require(dirs.nonEmpty,
+        s"snapshot meta exists at $snapshotPath but the bucket dirs are " +
+          "gone — a prior overwrite crashed mid-write; rebuild first")
+      spark.read.parquet(s"$snapshotPath/${dirs.head}").schema
+    }
+    writeDirMeta(fs, snapshotPath,
+      cdcMetaContent(meta.nBuckets, schema, checkpoint.map(writerIdFor)))
   }
 
   /** The maintained snapshot, versioned face (internal columns intact —
@@ -623,6 +694,7 @@ object StreamOps {
       .getOrElse(throw new IllegalArgumentException(
         s"no layout meta at $snapshotPath.meta — evolve an EXISTING " +
           "maintained snapshot (bootstrap through writeCdcSnapshot first)"))
+    requireNotRetained(Some(meta), snapshotPath, "evolveCdcSnapshot")
     val current = meta.schema.getOrElse {
       val dirs = bucketDirNames(fs, snapshotPath)
       require(dirs.nonEmpty,
@@ -642,7 +714,10 @@ object StreamOps {
     val evolved = StructType(
       payload ++ newCols.map { case (n, t) => StructField(n, t, nullable = true) }
         ++ internal)
-    writeDirMeta(fs, snapshotPath, cdcMetaContent(meta.nBuckets, evolved))
+    // the writer pin survives evolution — evolve changes the logical
+    // schema, never the store's ownership
+    writeDirMeta(fs, snapshotPath,
+      cdcMetaContent(meta.nBuckets, evolved, meta.writer))
   }
 
   /** Merge-on-read (r17, the round-16 top ask): the LATEST public state
@@ -717,19 +792,37 @@ object StreamOps {
       .unionByName(Cdc.publicAtOrBelow(untouched, asOfVersion))
   }
 
-  /** The merge-on-read bucket split shared by [[readLatest]] and
-    * [[readAsOf]]: the stored snapshot partitioned into the buckets the
-    * tail's keys hash into (these flow through the merge, read by
-    * constructed dir NAME — pruning at the path level, so the touched
-    * leg never even lists the rest of the snapshot) and the rest (a
-    * plain scan — no exchange, no join). Returns (touched, untouched,
-    * dtype-aligned tail). `nBuckets` and the logical schema come from
-    * the snapshot's own `.meta` — the reader must match the writer's
-    * layout, never guess it (a wrong bucket count would prune wrong
-    * and silently drop the tail's effect on unpruned keys). The tail
-    * is consumed twice (bucket discovery + merge input) — cut a
-    * derived tail with `localCheckpoint` if its lineage is
-    * expensive. */
+  /** Point lookup (r18, the r17 "what's missing #4"): the LATEST state
+    * of a BOUNDED key set — the serving query a CDC deployment runs
+    * per-request, which must never pay [[readLatest]]'s full-snapshot
+    * union. `keys` carries exactly the key columns (request-sized by
+    * contract — it is broadcast); `tail` is the un-applied changelog,
+    * as in [[readLatest]].
+    *
+    * Semantics: [[readLatest]] semi-filtered to `keys` — same merge,
+    * same version memory and tombstones (a deleted or never-seen key
+    * returns no row). Scale shape: ONLY the buckets the requested
+    * keys hash into are read (by constructed dir name — ≤ |keys|
+    * dirs, never the snapshot), semi-joined to the broadcast key set;
+    * the tail is semi-filtered the same way. No untouched leg at all
+    * — that is the point. */
+  def readKeys(spark: org.apache.spark.sql.SparkSession,
+               snapshotPath: String, keys: DataFrame, tail: DataFrame,
+               keyCols: Seq[String], versionCol: String = "version",
+               opCol: String = "op"): DataFrame = {
+    import graft.relational.Cdc
+    val wanted = keys.select(keyCols.map(col): _*)
+    val (touched, _, alignedKeys) =
+      splitByTailBuckets(spark, snapshotPath, wanted, keyCols, "readKeys")
+    // request-sized by contract, and past any caller checkpoint the
+    // frame has no stats (the LogicalRDD rule) — broadcast explicitly
+    val keySet = broadcast(alignedKeys)
+    Cdc.publicSnapshot(Cdc.mergeVersioned(
+      touched.join(keySet, keyCols, "left_semi"),
+      tail.join(keySet, keyCols, "left_semi"),
+      keyCols, versionCol, opCol))
+  }
+
   /** The `__cdc_bucket=N` partition-dir names under a snapshot root —
     * ONE root listStatus, the only listing whose cost may grow with
     * the snapshot (by bucket COUNT, never by file count). */
@@ -757,6 +850,19 @@ object StreamOps {
     else spark.read.schema(schema)
       .parquet(dirNames.map(d => s"$snapshotPath/$d"): _*)
 
+  /** The merge-on-read bucket split shared by [[readLatest]],
+    * [[readAsOf]] and [[readKeys]]: the stored snapshot partitioned
+    * into the buckets the tail's keys hash into (these flow through
+    * the merge, read by constructed dir NAME — pruning at the path
+    * level, so the touched leg never even lists the rest of the
+    * snapshot) and the rest (a plain scan — no exchange, no join).
+    * Returns (touched, untouched, dtype-aligned tail). `nBuckets` and
+    * the logical schema come from the snapshot's own `.meta` — the
+    * reader must match the writer's layout, never guess it (a wrong
+    * bucket count would prune wrong and silently drop the tail's
+    * effect on unpruned keys). The tail is consumed twice (bucket
+    * discovery + merge input) — cut a derived tail with
+    * `localCheckpoint` if its lineage is expensive. */
   private def splitByTailBuckets(spark: org.apache.spark.sql.SparkSession,
                                  snapshotPath: String, tail: DataFrame,
                                  keyCols: Seq[String], caller: String)
@@ -805,11 +911,88 @@ object StreamOps {
   def compactCdcSnapshot(spark: org.apache.spark.sql.SparkSession,
                          snapshotPath: String, horizon: Long,
                          keyCols: Seq[String], nBuckets: Int = 64): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(snapshotPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = readDirMeta(fs, snapshotPath).map(parseCdcMeta(_, snapshotPath))
+    // a RETAINED base refuses compaction outright (not just a horizon
+    // check): its tombstones must out-rank whatever RECORDED sub-horizon
+    // versions the changelog segment it replays may carry, and nothing
+    // here can see that segment's floor — compact the LIVE snapshot
+    // (whose writer horizon covers in-flight changes) and re-retain
+    requireNotRetained(meta, snapshotPath, "compactCdcSnapshot")
     val cut = graft.relational.Cdc
       .compact(readCdcSnapshot(spark, snapshotPath), horizon)
       .localCheckpoint(true)
-    try writeCdcSnapshot(cut, snapshotPath, keyCols, nBuckets)
+    // compaction is maintenance, not takeover — the writer pin survives
+    try writeCdcSnapshot(cut, snapshotPath, keyCols, nBuckets,
+      meta.flatMap(_.writer))
     finally org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(cut)
+  }
+
+  /** Retain the maintained snapshot as a FROZEN time-travel base
+    * (r18, closing [[readAsOf]]'s documented retention contract with
+    * an engine-owned artifact): copies every bucket dir byte-for-byte
+    * and marks the copy `retained=<v>` where `v` is the highest
+    * version applied to the snapshot — the copy can then serve
+    * [[readAsOf]] for any `asOfVersion >= v` given the changelog
+    * recorded since. Returns `(retainedPath, v)`.
+    *
+    * The mark has mechanical teeth: every mutating op
+    * ([[applyCdcBatch]]/[[writeCdcSnapshot]]/[[compactCdcSnapshot]]/
+    * [[evolveCdcSnapshot]]) REFUSES a retained base — in particular
+    * compaction, whose tombstone GC would let a recorded sub-horizon
+    * 'U' in the replayed segment silently resurrect a deleted key
+    * (the [[graft.relational.Cdc.asOf]] interplay, now enforced
+    * rather than documented). Want a compacted base? Compact the
+    * LIVE snapshot (its horizon is the writer's in-flight guarantee)
+    * and re-retain. The copy carries no writer pin — nothing may
+    * ever write it.
+    *
+    * Run against a QUIESCED snapshot (stream stopped or between
+    * batches): the copy is per-file, not transactional, and a
+    * concurrent batch's dynamic overwrite could tear it. Cost: one
+    * narrow max-version scan + a byte copy of the snapshot — an
+    * admin op, not a per-batch one. Default target:
+    * `<snapshotPath>.retained/v=<v>`. */
+  def retainSnapshot(spark: org.apache.spark.sql.SparkSession,
+                     snapshotPath: String,
+                     retainedPath: Option[String] = None): (String, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val srcRoot = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = srcRoot.getFileSystem(conf)
+    val meta = readDirMeta(fs, snapshotPath)
+      .map(parseCdcMeta(_, snapshotPath))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no layout meta at $snapshotPath.meta — retain an EXISTING " +
+          "maintained snapshot (bootstrap through writeCdcSnapshot or " +
+          "let the stream's first batch land)"))
+    val dirs = bucketDirNames(fs, snapshotPath)
+    require(dirs.nonEmpty,
+      s"snapshot meta exists at $snapshotPath but the bucket dirs are " +
+        "gone — a prior overwrite crashed mid-write; rebuild first")
+    val storedSchema = meta.schema.getOrElse(
+      spark.read.parquet(s"$snapshotPath/${dirs.head}").schema)
+    // the copy's serving floor: the highest version applied (narrow
+    // column scan — version only, parquet-pruned)
+    val v = readBucketDirs(spark, snapshotPath, dirs.toIndexedSeq, storedSchema)
+      .agg(max(col(graft.relational.Cdc.VersionCol)).cast("long"))
+      .head().getLong(0)
+    val target = retainedPath.getOrElse(s"$snapshotPath.retained/v=$v")
+    val dstRoot = new org.apache.hadoop.fs.Path(target)
+    val dfs = dstRoot.getFileSystem(conf)
+    require(!dfs.exists(dstRoot) || dfs.listStatus(dstRoot).isEmpty,
+      s"retention target $target already exists and is non-empty — " +
+        "refusing to mix two copies' files; pick a fresh target")
+    dfs.mkdirs(dstRoot)
+    dirs.foreach { d =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(srcRoot, d),
+        dfs, new org.apache.hadoop.fs.Path(dstRoot, d),
+        false, conf)
+    }
+    writeDirMeta(dfs, target,
+      cdcMetaContent(meta.nBuckets, storedSchema, None, Some(v)))
+    (target, v)
   }
 
   /** Maintain a snapshot from a changelog STREAM — `Cdc.upsert`
@@ -848,24 +1031,50 @@ object StreamOps {
   def cdcStream(changes: DataFrame, snapshotPath: String, checkpoint: String,
                 keyCols: Seq[String], versionCol: String = "version",
                 opCol: String = "op", nBuckets: Int = 64)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // pin the snapshot to THIS stream's identity (derived from the
+    // checkpoint path — stable across restarts, distinct across
+    // writers): a second cdcStream on the same snapshotPath fails its
+    // first batch loudly instead of silently losing committed batches
+    // to the read-merge-overwrite race (r18, the r17 top ask)
+    val writer = writerIdFor(checkpoint)
     changes.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         applyCdcBatch(batch.toDF(), snapshotPath, keyCols, versionCol,
-          opCol, nBuckets)
+          opCol, nBuckets, Some(writer))
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** One micro-batch's snapshot MERGE — package-visible so the replay
     * contract is spec-testable without forcing a mid-stream crash
     * (the writeManifestPartial discipline). A missing snapshot
     * bootstraps empty from the batch's own schema (key + payload
     * types), so a stream can start cold; an explicit initial load goes
-    * through [[writeCdcSnapshot]] first. */
+    * through [[writeCdcSnapshot]] first.
+    *
+    * `writer`: Some = a STREAM's identity — the batch claims an
+    * unpinned store and must match a pinned one (the merge is
+    * read-merge-overwrite; a second concurrent writer would
+    * permanently lose committed batches, see [[CdcMeta]]). None = a
+    * direct/administrative application, allowed only on an UNPINNED
+    * store (a pinned store means a stream owns it — going around the
+    * pin is the exact race the pin exists to kill). The claim itself
+    * is read-then-write, not a filesystem CAS: two writers' very
+    * FIRST batches overlapping can still both claim — the pin shrinks
+    * the silent-loss window from "every batch forever" to that one
+    * bootstrap overlap, same as the canon/dedup stores' discipline;
+    * start a deployment's first stream before its second. */
   private[graft] def applyCdcBatch(batch: DataFrame, snapshotPath: String,
                                    keyCols: Seq[String], versionCol: String,
-                                   opCol: String, nBuckets: Int): Unit = {
+                                   opCol: String, nBuckets: Int,
+                                   writer: Option[String] = None,
+                                   // test-only interleave point: runs after
+                                   // the data write, before the closing
+                                   // meta re-read — lets the evolve-race
+                                   // spec land an evolution mid-batch
+                                   raceHook: () => Unit = () => ()): Unit = {
     import graft.relational.Cdc
     if (batch.isEmpty) return
     val spark = batch.sparkSession
@@ -885,11 +1094,25 @@ object StreamOps {
       .map(parseCdcMeta(_, snapshotPath))
     storedMeta match {
       case Some(m) =>
+        requireNotRetained(Some(m), snapshotPath, "applyCdcBatch")
         require(m.nBuckets == nBuckets,
           s"snapshot at $snapshotPath is laid out with " +
             s"nBuckets=${m.nBuckets} but this " +
             s"stream was configured with nBuckets=$nBuckets — pruning " +
             "would read the wrong buckets and silently duplicate keys")
+        // the writer pin: a pinned store accepts batches ONLY from its
+        // pinned writer; a pinless (admin) application must not go
+        // around a live stream's pin either
+        m.writer.foreach { pinned =>
+          require(writer.contains(pinned),
+            s"snapshot at $snapshotPath is maintained by writer $pinned; " +
+              s"this ${writer.fold("direct application carries no writer " +
+                "id")(w => s"stream is writer $w")} — a concurrent " +
+              "second writer's read-merge-overwrite would permanently " +
+              "lose committed batches. Use a distinct snapshotPath, or " +
+              "take over explicitly via repinCdcSnapshot/writeCdcSnapshot " +
+              "with the old stream stopped.")
+        }
         require(hasDirs,
           s"snapshot meta exists at $snapshotPath but the bucket dirs " +
             "are gone — a prior overwrite crashed mid-write; rebuild " +
@@ -979,12 +1202,43 @@ object StreamOps {
         .partitionBy(CdcBucketCol)
         .parquet(snapshotPath)
       // the meta carries the layout's LOGICAL schema from here on (a
-      // pre-r17 schema-less meta upgrades on its next batch); the
-      // merge's output schema == the stored logical schema, evolved
-      // columns included
-      writeDirMeta(fs, snapshotPath, cdcMetaContent(nBuckets, merged.schema))
+      // pre-r17 schema-less meta upgrades on its next batch). The
+      // schema written is the UNION of the merge's output schema and
+      // the meta re-read NOW — an evolveCdcSnapshot racing this batch
+      // (appending a column after our read, before this write) must
+      // not be silently reverted by us rewriting the pre-evolution
+      // schema (r18, the r17 race note; evolution is additive-only,
+      // so the union is well-defined). The writer pin is claimed
+      // (ours) or preserved (a pin landed since our read — keep it;
+      // OUR pin check already passed at batch start).
+      raceHook()
+      val reRead = readDirMeta(fs, snapshotPath)
+        .map(parseCdcMeta(_, snapshotPath))
+      writeDirMeta(fs, snapshotPath, cdcMetaContent(nBuckets,
+        unionAdditiveSchema(merged.schema, reRead.flatMap(_.schema)),
+        writer.orElse(reRead.flatMap(_.writer))))
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(merged)
+    }
+  }
+
+  /** The additive-evolution schema union: fields the stored LOGICAL
+    * schema carries that `current` lacks are appended to the payload
+    * (before the internal merge columns, the [[evolveCdcSnapshot]]
+    * order), nullable — pre-evolution data null-backfills them. */
+  private def unionAdditiveSchema(
+      current: org.apache.spark.sql.types.StructType,
+      stored: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val missing = stored.map(_.fields.filterNot(f =>
+      current.fieldNames.contains(f.name))).getOrElse(Array.empty)
+    if (missing.isEmpty) current
+    else {
+      val (payload, internal) = current.fields.partition(f =>
+        f.name != graft.relational.Cdc.VersionCol &&
+          f.name != graft.relational.Cdc.DeletedCol)
+      StructType(payload ++ missing.map(_.copy(nullable = true)) ++ internal)
     }
   }
 
@@ -1000,25 +1254,120 @@ object StreamOps {
   val DedupWriterCol = "__dedup_writer"
   /** Batch partition column of the stored signature index. */
   val DedupBatchCol = "__dedup_batch"
+  /** Signature-hash bucket partition column of the stored index (r18,
+    * the r17 verdict ask 2): TOP-level dirs keyed by
+    * `hash(band, sig) mod nIdxBuckets`, so a batch's probe reads ONLY
+    * the buckets its own signatures hash into, by constructed dir
+    * name — the `splitByTailBuckets` path-pruning discipline applied
+    * to the index. This kills the last linear-in-corpus per-batch
+    * term (the r17 full-index scan, tens of GB per micro-batch at
+    * 100 TB corpus). The layout is two-tier (the LSM/base-plus-delta
+    * shape): corpus-sized writes (bootstrap, compaction) land
+    * BUCKETED, while per-batch survivor writes land in the single
+    * UNBUCKETED tail dir `-1` — one cheap partition commit per batch,
+    * not one per touched bucket — and every probe reads its touched
+    * buckets PLUS the whole tail (batches since the last compaction;
+    * narrow, compaction-cadence-bounded, the deployment's knob).
+    * Writer/batch partitions nest BENEATH the tier dirs, keeping the
+    * r11 idempotency keying. Size `nIdxBuckets` so one bucket holds
+    * roughly constant rows at the deployment's corpus size (the
+    * KV-store approximation: a fixed batch then reads ~constant
+    * bytes no matter how large the corpus grows). */
+  val DedupIdxBucketCol = "__dedup_sig_bucket"
+  /** The unbucketed tail tier's dir value (per-batch L0 writes). */
+  val DedupIdxTail = -1
+
+  /** An index row's bucket: signature-hash, the probe's join key. */
+  private def sigBucket(nIdxBuckets: Int): Column =
+    pmod(xxhash64(col("band"), col("sig")), lit(nIdxBuckets)).cast("int")
+
+  /** Parsed signature-index layout meta: bucket count + the stored
+    * sig-row schema (the probe must match the writer's layout — a
+    * wrong bucket count would prune wrong and silently ADMIT dups;
+    * the schema pins the id dtype later batches must cast to). */
+  private final case class DedupIdxMeta(
+      nIdxBuckets: Int, schema: org.apache.spark.sql.types.StructType)
+
+  private def parseIdxMeta(m: String, indexPath: String): DedupIdxMeta = {
+    val lines = m.split("\n").map(_.trim).filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.head.startsWith("nIdxBuckets="),
+      s"unrecognized signature-index meta at $indexPath.meta: $m — a " +
+        "pre-r18 flat index has no meta; rebuild via bootstrapDedup " +
+        "(or re-run compactDedupIndex on the build that wrote it first)")
+    DedupIdxMeta(
+      lines.head.stripPrefix("nIdxBuckets=").toInt,
+      org.apache.spark.sql.types.DataType.fromJson(
+        lines.find(_.startsWith("schema=")).map(_.stripPrefix("schema="))
+          .getOrElse(throw new IllegalArgumentException(
+            s"signature-index meta at $indexPath.meta has no schema line")))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  private def idxMetaContent(nIdxBuckets: Int,
+      schema: org.apache.spark.sql.types.StructType): String =
+    s"nIdxBuckets=$nIdxBuckets\nschema=${schema.json}"
+
+  /** The `__dedup_sig_bucket=N` dir names — ONE root listStatus. */
+  private def idxBucketDirNames(fs: org.apache.hadoop.fs.FileSystem,
+                                indexPath: String): Array[String] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    if (!fs.exists(p)) Array.empty
+    else {
+      val names = fs.listStatus(p).map(_.getPath.getName)
+      require(!names.exists(_.startsWith(DedupWriterCol + "=")),
+        s"signature index at $indexPath uses the pre-r18 FLAT layout " +
+          "(top-level writer partitions) — probing it bucket-pruned " +
+          "would silently admit dups; rebuild via bootstrapDedup or " +
+          "re-index the corpus")
+      names.filter(_.startsWith(DedupIdxBucketCol + "="))
+    }
+  }
 
   private def writeDedupIndexPartition(sigs: DataFrame, indexPath: String,
                                        writer: String, partition: Long,
-                                       dynamic: Boolean): Unit = {
-    val w = sigs.withColumn(DedupWriterCol, lit(writer))
+                                       dynamic: Boolean, nIdxBuckets: Int,
+                                       bucketed: Boolean): Unit = {
+    require(nIdxBuckets > 0, s"nIdxBuckets must be positive, got $nIdxBuckets")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(sigs.sparkSession.sessionState.newHadoopConf())
+    readDirMeta(fs, indexPath).foreach { m =>
+      val stored = parseIdxMeta(m, indexPath).nIdxBuckets
+      // a static overwrite replaces the whole layout; a dynamic
+      // (per-batch) write must match the stored bucketing exactly
+      require(!dynamic || stored == nIdxBuckets,
+        s"signature index at $indexPath is laid out with " +
+          s"nIdxBuckets=$stored, this stream configured $nIdxBuckets — " +
+          "probing would read the wrong buckets and silently admit dups")
+    }
+    // two-tier: corpus-sized writes (bootstrap/compact) bucket on
+    // (band, sig) — clustered, one file per bucket, spread across
+    // nIdxBuckets tasks (the r17 low advice: never ~GBs through one
+    // task); per-batch writes land whole in the tail dir −1 as ONE
+    // clustered partition commit (bucketing a batch would pay one
+    // commit per touched bucket per batch — probe-measured 3× the
+    // fixed per-batch cost at sandbox scale)
+    val w = sigs.withColumn(DedupIdxBucketCol,
+        if (bucketed) sigBucket(nIdxBuckets) else lit(DedupIdxTail))
+      .withColumn(DedupWriterCol, lit(writer))
       .withColumn(DedupBatchCol, lit(partition))
-      // one writer task per batch partition: signature rows are
-      // batch-sized, and un-clustered writes land nTasks files per
-      // partition (the cdc_sink_prune listing lesson)
-      .repartition(col(DedupBatchCol))
+      .repartition(col(DedupIdxBucketCol))
       .write.mode("overwrite")
     (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
-      .partitionBy(DedupWriterCol, DedupBatchCol).parquet(indexPath)
+      .partitionBy(DedupIdxBucketCol, DedupWriterCol, DedupBatchCol)
+      .parquet(indexPath)
+    // meta AFTER data, idempotent content: a crash between them can
+    // only leave dirs-without-meta on the very FIRST write (later
+    // writes keep the prior identical meta), which the next batch
+    // verifies against its configured layout before trusting pruning
+    writeDirMeta(fs, indexPath, idxMetaContent(nIdxBuckets, sigs.schema))
   }
 
-  /** The stored index, partition columns stripped. */
+  /** The FULL stored index (compaction/GC path — per-batch probes read
+    * touched buckets only), partition columns stripped. */
   private def readDedupIndex(spark: org.apache.spark.sql.SparkSession,
                              indexPath: String): DataFrame =
-    spark.read.parquet(indexPath).drop(DedupWriterCol, DedupBatchCol)
+    spark.read.parquet(indexPath)
+      .drop(DedupIdxBucketCol, DedupWriterCol, DedupBatchCol)
 
   /** Initial load of a streaming-dedup deployment: the (already
     * deduped) corpus into the CDC snapshot layout at `corpusPath`
@@ -1028,13 +1377,14 @@ object StreamOps {
                      corpusPath: String, k: Int = 2, bands: Int = 8,
                      rowsPerBand: Int = 2, nBuckets: Int = 64,
                      idCol: String = "doc_id", textCol: String = "text",
-                     poly: Boolean = false): Unit = {
+                     poly: Boolean = false, nIdxBuckets: Int = 64): Unit = {
     writeCdcSnapshot(graft.relational.Cdc.bootstrap(corpus, Seq(idCol)),
       corpusPath, Seq(idCol), nBuckets)
     writeDedupIndexPartition(
       graft.llm.Dedup.signatureIndex(corpus, k, bands, rowsPerBand,
         idCol, textCol, poly),
-      indexPath, "bootstrap", -1L, dynamic = false)
+      indexPath, "bootstrap", -1L, dynamic = false, nIdxBuckets,
+      bucketed = true)
   }
 
   /** The maintained deduped corpus — live public rows. */
@@ -1051,9 +1401,12 @@ object StreamOps {
     * fetched bucket-pruned from the CDC-maintained survivor store, (3)
     * drops batch docs that match the corpus or are the HIGHER side of
     * a verified within-batch pair (the pairwise keep-lowest-id rule —
-    * [[graft.llm.Dedup.thresholdSweep]]'s documented estimate; exact
-    * cluster closure is the batch [[graft.llm.Dedup.dupClusters]]
-    * path), and (4) appends survivors to both stores.
+    * [[graft.llm.Dedup.thresholdSweep]]'s documented estimate;
+    * `exactWithinBatch = true` swaps in the transitive-closure
+    * election — one min-id rep per within-batch cluster, the
+    * [[graft.llm.Dedup.dupClusters]] semantics — for deployments that
+    * want closure-exact batches), and (4) appends survivors to both
+    * stores.
     *
     * State and idempotence, by store kind: the survivor corpus is
     * CONVERGENT STATE → a CDC snapshot keyed by `idCol` (version =
@@ -1068,15 +1421,21 @@ object StreamOps {
     * commits FIRST for exactly that reason.
     *
     * Scale shape: the index is fixed-width `(id, band, sig)` rows —
-    * ~8 B × bands per doc, scanned ONCE per batch with the batch side
-    * broadcast (the stand-in for a KV-store probe; at 100 TB corpus
-    * the index is ~10⁻⁴ of the data). Corpus TEXT moves only for
+    * ~8 B × bands per doc — hash-bucketed on `(band, sig)` into
+    * `nIdxBuckets` dirs (r18): a batch probes ONLY the buckets its
+    * own signatures hash into, read by constructed dir name with the
+    * batch side size-gate-broadcast — per-batch index I/O is
+    * batch-bounded (≤ touched-buckets/nIdxBuckets of the index),
+    * never linear in the corpus (the r17 full-index scan, the last
+    * linear per-batch term, is gone). Corpus TEXT moves only for
     * candidate ids, bucket-pruned by constructed dir name. A
     * boilerplate index bucket multiplies |batch ∩ bucket| × |corpus ∩
     * bucket| — AQE skew-join splits it, and the within-batch pass
     * keeps [[graft.llm.Dedup.minHashNearDups]]'s `maxBucket` cap.
-    * Batch-keyed index partitions accumulate one per batch —
-    * [[compactDedupIndex]] folds them into one between runs.
+    * Size `nIdxBuckets` so one bucket ≪ executor memory at the
+    * deployment's corpus size. Batch-keyed partitions accumulate one
+    * per touched bucket per batch — [[compactDedupIndex]] folds them
+    * between runs (preserving the bucket layout).
     *
     * Contract: `idCol` values are fresh per document (a re-sent id
     * UPSERTS the corpus store but its stale index rows keep verifying
@@ -1087,13 +1446,15 @@ object StreamOps {
                   checkpoint: String, k: Int = 2, bands: Int = 8,
                   rowsPerBand: Int = 2, threshold: Double = 0.5,
                   nBuckets: Int = 64, idCol: String = "doc_id",
-                  textCol: String = "text", poly: Boolean = false)
+                  textCol: String = "text", poly: Boolean = false,
+                  nIdxBuckets: Int = 64, exactWithinBatch: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = writerIdFor(checkpoint)
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         applyDedupBatch(batch.toDF(), id, indexPath, corpusPath, k, bands,
-          rowsPerBand, threshold, nBuckets, idCol, textCol, poly, writer)
+          rowsPerBand, threshold, nBuckets, idCol, textCol, poly, writer,
+          nIdxBuckets, exactWithinBatch)
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -1108,7 +1469,9 @@ object StreamOps {
                                      threshold: Double, nBuckets: Int,
                                      idCol: String, textCol: String,
                                      poly: Boolean,
-                                     writer: String = "default"): Unit = {
+                                     writer: String = "default",
+                                     nIdxBuckets: Int = 64,
+                                     exactWithinBatch: Boolean = false): Unit = {
     import graft.llm.{Dedup, Joins}
     import org.apache.spark.sql.graftbridge.ColumnBridge
     if (batch.isEmpty) return
@@ -1125,20 +1488,88 @@ object StreamOps {
       try {
         val fs = new org.apache.hadoop.fs.Path(indexPath)
           .getFileSystem(spark.sessionState.newHadoopConf())
-        val idxPath = new org.apache.hadoop.fs.Path(indexPath)
-        val indexExists = fs.exists(idxPath) && fs.listStatus(idxPath)
-          .exists(_.getPath.getName.startsWith(DedupWriterCol + "="))
+        // ONE root listStatus: layout detection + the touched-dir
+        // existence filter (rejects the pre-r18 flat layout loudly)
+        val idxDirs = idxBucketDirNames(fs, indexPath)
+        val idxMeta = readDirMeta(fs, indexPath)
+          .map(parseIdxMeta(_, indexPath))
+        idxMeta.foreach { m =>
+          require(m.nIdxBuckets == nIdxBuckets,
+            s"signature index at $indexPath is laid out with " +
+              s"nIdxBuckets=${m.nIdxBuckets}, this stream configured " +
+              s"$nIdxBuckets — probing would read the wrong buckets " +
+              "and silently admit dups")
+        }
+        if (idxMeta.isEmpty && idxDirs.nonEmpty) {
+          // dirs without meta = the FIRST index write crashed between
+          // parquet and .meta; verify the on-disk layout actually used
+          // THIS nIdxBuckets before trusting pruning (the applyCdcBatch
+          // no-meta discipline — runs at most once, this batch's write
+          // lands the meta). The index is narrow, so the re-hash check
+          // is cheap even at scale. The tail dir −1 is exempt: its rows
+          // are unbucketed by design and the probe always reads it.
+          val dirBuckets = idxDirs.map(_.stripPrefix(DedupIdxBucketCol + "=").toInt)
+          require(dirBuckets.forall(_ < nIdxBuckets),
+            s"signature index at $indexPath has bucket dir " +
+              s"$DedupIdxBucketCol=${dirBuckets.max} but no .meta and " +
+              s"this stream was configured with nIdxBuckets=$nIdxBuckets " +
+              "— the layout was written with a different bucket count; " +
+              "rebuild the index (or restore the .meta)")
+          val misHashed = spark.read.parquet(indexPath)
+            .where(col(DedupIdxBucketCol) =!= DedupIdxTail &&
+              sigBucket(nIdxBuckets) =!= col(DedupIdxBucketCol))
+          require(misHashed.isEmpty,
+            s"signature index at $indexPath has no .meta and its rows " +
+              s"do not hash to their bucket dirs under " +
+              s"nIdxBuckets=$nIdxBuckets — rebuild the index (or " +
+              "restore the .meta)")
+        }
+        val indexExists = idxDirs.nonEmpty
         // the stored index's id dtype rules: a batch delivering e.g.
         // INT ids against a LONG-bootstrapped index must not land
         // mixed-dtype files in one dataset (the applyCdcBatch
-        // alignment rule, index-side)
-        val storedIdx = if (indexExists)
-          Some(readDedupIndex(spark, indexPath)) else None
-        val idxIdType = storedIdx.map(_.schema(idCol).dataType)
-        // banding candidates: stored index ⨝ batch signatures (batch
-        // side size-gated broadcast — an initial-load batch can be
-        // huge, and an unconditional broadcast OOMs; the Joins gate);
-        // id equality excludes a replayed doc's own prior entry
+        // alignment rule, index-side); meta-first, else one dir's footer
+        val idxIdType =
+          idxMeta.map(_.schema(idCol).dataType).orElse {
+            if (indexExists)
+              Some(spark.read.parquet(s"$indexPath/${idxDirs.head}")
+                .schema(idCol).dataType)
+            else None
+          }
+        // the index buckets this batch's signatures hash into — bounded
+        // by nIdxBuckets, so the collect is too; ONLY these dirs plus
+        // the unbucketed tail (batches since the last compaction) are
+        // read, by constructed name (path-level pruning: the probe
+        // never lists the rest of the index — r18, killing the last
+        // linear-in-corpus per-batch term)
+        val storedIdx: Option[DataFrame] =
+          if (!indexExists) None
+          else {
+            val touched = sigsB.select(sigBucket(nIdxBuckets).as("sb"))
+              .distinct().collect().map(_.getInt(0)).sorted
+            val touchedDirs = (DedupIdxTail +: touched)
+              .map(sb => s"$DedupIdxBucketCol=$sb")
+              .filter(idxDirs.contains).map(d => s"$indexPath/$d")
+            if (touchedDirs.isEmpty) None
+            else {
+              import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+              val sigSchema = idxMeta.map(_.schema).getOrElse(
+                spark.read.parquet(touchedDirs.head).schema
+                  .filter(f => !f.name.startsWith("__dedup_"))
+                  .foldLeft(new org.apache.spark.sql.types.StructType)(_ add _))
+              Some(spark.read.option("basePath", indexPath)
+                .schema(sigSchema
+                  .add(DedupIdxBucketCol, IntegerType)
+                  .add(DedupWriterCol, StringType)
+                  .add(DedupBatchCol, LongType))
+                .parquet(touchedDirs.toIndexedSeq: _*)
+                .drop(DedupIdxBucketCol, DedupWriterCol, DedupBatchCol))
+            }
+          }
+        // banding candidates: touched index buckets ⨝ batch signatures
+        // (batch side size-gated broadcast — an initial-load batch can
+        // be huge, and an unconditional broadcast OOMs; the Joins
+        // gate); id equality excludes a replayed doc's own prior entry
         val cand =
           (storedIdx match {
             case None =>
@@ -1171,13 +1602,29 @@ object StreamOps {
             }
           val matchedCorpus = Dedup.verifiedDupIds(cand, b, corpusCand,
             k, threshold, idCol, textCol)
-          val withinDrops = (if (poly)
+          val withinPairs = if (poly)
             Dedup.polyMinHashNearDups(b, k, bands, rowsPerBand, threshold,
               idCol, textCol)
           else
             Dedup.minHashNearDups(b, k, bands, rowsPerBand, threshold,
-              idCol, textCol))
-            .select(col("b").as("bid")).distinct()
+              idCol, textCol)
+          // within-batch election: the default pairwise keep-lowest-id
+          // rule drops each verified pair's higher side — the
+          // documented ESTIMATE (it over-keeps a doc whose only pairs
+          // are with higher ids that themselves dropped: on pairs
+          // (1,3),(2,3) it keeps {1,2} though 2's whole cluster has
+          // rep 1). `exactWithinBatch` elects one min-id rep per
+          // TRANSITIVE cluster instead (Dedup.dupClusters' closure,
+          // batch-pair-sized) — closure-exact batches for deployments
+          // that want them; the estimate stays the default (cheaper —
+          // no iteration — and the oracle-matched shape).
+          val withinDrops =
+            if (exactWithinBatch)
+              graft.llm.Components
+                .pairComponents(withinPairs.select("a", "b"), "a", "b", "bid")
+                .where(col("bid") =!= col("component"))
+                .select("bid")
+            else withinPairs.select(col("b").as("bid")).distinct()
           // no extra distinct on the union: the left_anti probe side
           // dedups inherently (the r4 rule), and each branch is
           // already distinct
@@ -1187,17 +1634,24 @@ object StreamOps {
               Seq(idCol), "left_anti")
             .localCheckpoint(true) // feeds the corpus merge + the index write
           try {
-            // corpus FIRST (see the replay argument above)
+            // corpus FIRST (see the replay argument above); the corpus
+            // store is pinned to THIS stream's writer id — a second
+            // dedupStream on the same corpusPath fails loudly instead
+            // of silently losing committed survivors to the CDC
+            // read-merge-overwrite race (r18: DEPLOY.md's "one stream
+            // per (indexPath, corpusPath)" now has mechanical teeth)
             applyCdcBatch(
               survivors.withColumn("version", lit(batchId + 1L))
                 .withColumn("op", lit("U")),
-              corpusPath, Seq(idCol), "version", "op", nBuckets)
+              corpusPath, Seq(idCol), "version", "op", nBuckets,
+              Some(writer))
             val survivorSigs = sigsB
               .join(survivors.select(idCol), Seq(idCol), "left_semi")
             writeDedupIndexPartition(
               idxIdType.fold(survivorSigs)(t =>
                 survivorSigs.withColumn(idCol, col(idCol).cast(t))),
-              indexPath, writer, batchId, dynamic = true)
+              indexPath, writer, batchId, dynamic = true, nIdxBuckets,
+              bucketed = false)
           } finally ColumnBridge.releaseCheckpoint(survivors)
         } finally ColumnBridge.releaseCheckpoint(cand)
       } finally ColumnBridge.releaseCheckpoint(sigsB)
@@ -1223,6 +1677,15 @@ object StreamOps {
                         indexPath: String,
                         corpusPath: Option[String] = None): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the fold preserves the stored bucket layout — the meta owns it
+    val nIdxBuckets = readDirMeta(fs, indexPath)
+      .map(parseIdxMeta(_, indexPath).nIdxBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no signature-index meta at $indexPath.meta — compact an " +
+          "index written by this engine (a pre-r18 flat index has " +
+          "none; rebuild via bootstrapDedup)"))
     val all = readDedupIndex(spark, indexPath)
     val idCol = all.columns.filterNot(Seq("band", "sig").contains).head
     val kept = corpusPath.fold(all) { cp =>
@@ -1230,7 +1693,7 @@ object StreamOps {
     }
     val cut = kept.localCheckpoint(true)
     try writeDedupIndexPartition(cut, indexPath, "compact", -1L,
-      dynamic = false)
+      dynamic = false, nIdxBuckets, bucketed = true)
     finally ColumnBridge.releaseCheckpoint(cut)
   }
 

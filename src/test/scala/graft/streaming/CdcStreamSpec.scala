@@ -400,6 +400,166 @@ class CdcStreamSpec extends SparkSpec {
       rows(Cdc.upsert(base, (batch1 ++ batch2).toDF(), Seq("k")))
   }
 
+  test("retainSnapshot: a frozen time-travel base — readAsOf works over it, mutation refuses") {
+    val snap = tmp("cdc_retain")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8)
+    // retain at the snapshot's applied ceiling (batch1 tops at v5)
+    val (retained, v) = StreamOps.retainSnapshot(spark, snap)
+    v shouldBe 5L
+    retained shouldBe s"$snap.retained/v=5"
+    // the live snapshot advances past the copy...
+    StreamOps.applyCdcBatch(
+      Seq(Change(3L, "c99", 39.0, 9L, "U")).toDF(), snap, Seq("k"), "version", "op", 8)
+    // ...while time travel over the FROZEN copy still serves v5 (its
+    // floor) and beyond, fed by the changelog recorded since it
+    rows(StreamOps.readAsOf(spark, retained, batch2.toDF(), 5L, Seq("k"))) shouldBe
+      rows(Cdc.upsert(base, (batch1 ++ batch2).toDF()
+        .where(col("version") <= 5L), Seq("k")))
+    // below the copy's floor the guard raises (nothing can be un-applied)
+    an[Exception] should be thrownBy
+      StreamOps.readAsOf(spark, retained, batch2.toDF(), 1L, Seq("k")).collect()
+    // every mutating op refuses the frozen copy — in particular
+    // compaction, whose tombstone GC would corrupt historical reads
+    val ops = Seq[() => Unit](
+      () => StreamOps.applyCdcBatch(batch2.toDF(), retained, Seq("k"), "version", "op", 8),
+      () => StreamOps.compactCdcSnapshot(spark, retained, 99L, Seq("k"), nBuckets = 8),
+      () => StreamOps.evolveCdcSnapshot(spark, retained,
+        Seq("x" -> org.apache.spark.sql.types.StringType)),
+      () => StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")),
+        retained, Seq("k"), nBuckets = 8),
+      () => StreamOps.repinCdcSnapshot(spark, retained, Some("/c")))
+    for (op <- ops) {
+      val e = intercept[IllegalArgumentException](op())
+      e.getMessage should include ("RETAINED time-travel base")
+    }
+    // a second retention at the same target refuses (files would mix)
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.retainSnapshot(spark, snap, Some(retained))
+    // the LIVE snapshot stays compactable and mergeable
+    StreamOps.compactCdcSnapshot(spark, snap, horizon = 3L, Seq("k"), nBuckets = 8)
+    rows(Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap)))
+      .find(_._1 == 3L).map(_._2) shouldBe Some("c99")
+  }
+
+  test("readKeys: point lookup reads only the requested keys' buckets + the tail") {
+    val snap = tmp("cdc_keys")
+    val wide = spark.range(0, 64).select(col("id").as("k"),
+      concat(lit("n"), col("id")).as("name"), lit(1.0).as("amt"))
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(wide, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    // sink applied: update key 5, tombstone key 6
+    StreamOps.applyCdcBatch(Seq(Change(5L, "upd", 2.0, 10L, "U"),
+      Change(6L, "", 0.0, 10L, "D")).toDF(), snap, Seq("k"), "version", "op", 8)
+    // un-applied tail: update key 7, insert key 100
+    val tail = Seq(Change(7L, "tailu", 3.0, 11L, "U"),
+      Change(100L, "new", 4.0, 11L, "U")).toDF()
+    val wanted = Seq(5L, 6L, 7L, 8L, 100L, 999L).toDF("k")
+    val got = rows(StreamOps.readKeys(spark, snap, wanted, tail, Seq("k")))
+    got shouldBe Seq(
+      (5L, "upd", 2.0),    // sink-applied update
+      (7L, "tailu", 3.0),  // tail overrides the stored row
+      (8L, "n8", 1.0),     // base passthrough
+      (100L, "new", 4.0))  // tail insert; 6 deleted, 999 never existed
+    // parity: readKeys == readLatest semi-filtered to the key set
+    got shouldBe rows(StreamOps.readLatest(spark, snap, tail, Seq("k"))
+      .join(broadcast(wanted), Seq("k"), "left_semi"))
+    // file gate: ONE snapshot scan, reading ONLY the wanted keys'
+    // bucket dirs — the full-snapshot union is the thing point lookup
+    // must never pay
+    def dataFiles(dirName: String): Int =
+      new java.io.File(snap, dirName).listFiles()
+        .count(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    val wantedBuckets = Seq(5L, 6L, 7L, 8L, 100L, 999L).map { k =>
+      spark.range(1).select(pmod(xxhash64(lit(k)), lit(8)).cast("int"))
+        .head().getInt(0) }.toSet
+    val wantedFiles = wantedBuckets.toSeq
+      .map(b => dataFiles(s"${StreamOps.CdcBucketCol}=$b")).sum
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = StreamOps.readKeys(spark, snap, wanted, tail, Seq("k"))
+      df.collect().length shouldBe 4
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      scans should have size 1 // the touched leg; NO untouched leg at all
+      scans.head.metrics("numFiles").value shouldBe wantedFiles
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // INT-typed key requests align to the long-keyed layout
+    rows(StreamOps.readKeys(spark, snap, Seq(5).toDF("k"), tail, Seq("k"))) shouldBe
+      Seq((5L, "upd", 2.0))
+  }
+
+  test("writer pin: a second stream (or a pinless direct write) fails loudly; takeover is explicit") {
+    // the r17 verdict's top ask: applyCdcBatch is read-merge-overwrite,
+    // so a second concurrent writer would PERMANENTLY lose committed
+    // batches (its checkpoint advances; replay never redelivers) — the
+    // pin turns the silent loss into a loud failure at the second
+    // writer's first batch
+    val snap = tmp("cdc_pin")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    // bootstrap leaves the store unpinned; stream A's first batch claims
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8,
+      writer = Some("streamA"))
+    // stream B and a pinless direct application both bounce off the pin
+    val eB = intercept[IllegalArgumentException] {
+      StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8,
+        writer = Some("streamB")) }
+    eB.getMessage should include ("maintained by writer streamA")
+    val eD = intercept[IllegalArgumentException] {
+      StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8) }
+    eD.getMessage should include ("maintained by writer streamA")
+    // the owner keeps going; evolve + compact PRESERVE its pin
+    StreamOps.evolveCdcSnapshot(spark, snap,
+      Seq("note" -> org.apache.spark.sql.types.StringType))
+    StreamOps.compactCdcSnapshot(spark, snap, horizon = 0L, Seq("k"), nBuckets = 8)
+    val eB2 = intercept[IllegalArgumentException] {
+      StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8,
+        writer = Some("streamB")) }
+    eB2.getMessage should include ("maintained by writer streamA")
+    // explicit takeover: repin to B's checkpoint identity (A stopped)
+    StreamOps.repinCdcSnapshot(spark, snap, Some("/ckpt/b"))
+    val noted = batch2.toDF().withColumn("note", lit("n"))
+    StreamOps.applyCdcBatch(noted, snap, Seq("k"), "version", "op", 8,
+      writer = Some(StreamOps.writerIdFor("/ckpt/b")))
+    rows(Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))
+      .drop("note")) shouldBe
+      rows(Cdc.upsert(base, (batch1 ++ batch2).toDF(), Seq("k")))
+    // full static rewrite = ownership reset: pin cleared, next claims
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap,
+      Seq("k"), nBuckets = 8)
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8,
+      writer = Some("streamC")) // claims the cleared pin
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8,
+        writer = Some("streamA"))
+  }
+
+  test("evolve racing an in-flight batch survives: the closing meta write unions schemas") {
+    // the r17 race note: a batch that read the meta BEFORE an evolution
+    // used to finish by writing the PRE-evolution schema, silently
+    // erasing the evolved column — the closing write now re-reads the
+    // meta and unions (additive evolution makes the union well-defined)
+    import org.apache.spark.sql.types.StringType
+    val snap = tmp("cdc_evolve_race")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    // the evolution lands mid-batch, after the batch's meta read and
+    // data write, before its closing meta write (the raceHook point)
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8,
+      raceHook = () =>
+        StreamOps.evolveCdcSnapshot(spark, snap, Seq("note" -> StringType)))
+    // the evolved column SURVIVED the batch's meta write...
+    val snapDf = StreamOps.readCdcSnapshot(spark, snap)
+    snapDf.columns should contain ("note")
+    // ...reads null everywhere (no batch carried it yet), and the next
+    // batch can carry it (strict-from-evolution would reject a
+    // column-less changelog — proving the meta really is evolved)
+    snapDf.where(col("note").isNotNull).count() shouldBe 0L
+    val b = Seq((9L, "i", 90.0, "hello", 7L, "U"))
+      .toDF("k", "name", "amt", "note", "version", "op")
+    StreamOps.applyCdcBatch(b, snap, Seq("k"), "version", "op", 8)
+    Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))
+      .where(col("k") === 9L).select("note").head().getString(0) shouldBe "hello"
+  }
+
   test("plan: the merge's full-outer join rides the latest-per-key window hash") {
     // the r16 <=> regression class: a null-safe join hashes on
     // (coalesce, isnull) and re-exchanges BOTH sides above the window —

@@ -93,15 +93,23 @@ class DedupStreamSpec extends SparkSpec {
       rowsPerBand = 2, nBuckets = 8)
     apply1(idx, corp, batch1, 0L)
     // simulate the crash: the corpus committed but batch 0's index
-    // partition did not (corpus commits FIRST by design) — partitions
-    // are (writer, batch)-keyed per the r11 idempotent-sink rule
-    val part = new java.io.File(idx,
-      s"${StreamOps.DedupWriterCol}=default/${StreamOps.DedupBatchCol}=0")
-    part.exists() shouldBe true
-    part.listFiles().foreach(_.delete()); part.delete() shouldBe true
+    // partitions did not (corpus commits FIRST by design) — partitions
+    // are (bucket, writer, batch)-keyed (r18 bucket dirs atop the r11
+    // idempotent-sink keying)
+    def batch0Parts: Seq[java.io.File] =
+      new java.io.File(idx).listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith(StreamOps.DedupIdxBucketCol + "="))
+        .map(b => new java.io.File(b,
+          s"${StreamOps.DedupWriterCol}=default/${StreamOps.DedupBatchCol}=0"))
+        .filter(_.exists()).toSeq
+    val before = batch0Parts
+    before should not be empty
+    before.foreach { part =>
+      part.listFiles().foreach(_.delete()); part.delete() shouldBe true
+    }
     apply1(idx, corp, batch1, 0L) // redelivery
     ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L)
-    part.exists() shouldBe true
+    batch0Parts should not be empty
     // and dups of the survivors are still caught afterwards
     apply1(idx, corp, batch2, 1L)
     ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L, 21L)
@@ -122,34 +130,53 @@ class DedupStreamSpec extends SparkSpec {
     apply1(idx, corp, batch1, 0L)
     val rowsBefore = spark.read.parquet(idx).count()
     StreamOps.compactDedupIndex(spark, idx)
+    // after the fold, every bucket dir holds exactly the compact
+    // partition — the bucket layout survives compaction
     val parts = new java.io.File(idx).listFiles().filter(_.isDirectory)
-      .flatMap(w => w.listFiles().filter(_.isDirectory)
-        .map(b => s"${w.getName}/${b.getName}")).toSeq
-    parts shouldBe Seq(
+      .filter(_.getName.startsWith(StreamOps.DedupIdxBucketCol + "="))
+      .flatMap(b => b.listFiles().filter(_.isDirectory)
+        .flatMap(w => w.listFiles().filter(_.isDirectory)
+          .map(p => s"${w.getName}/${p.getName}"))).toSet
+    parts shouldBe Set(
       s"${StreamOps.DedupWriterCol}=compact/${StreamOps.DedupBatchCol}=-1")
     spark.read.parquet(idx).count() shouldBe rowsBefore
     apply1(idx, corp, batch2, 1L)
     ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L, 21L)
   }
 
-  test("a second writer's batch 0 cannot clobber the first's index partition") {
-    // the r11 idempotent-sink rule: batch ids restart at 0 under a
-    // fresh stream checkpoint, so partitions are (writer, batch)-keyed
-    // — batch-id-only partitions would let writer 2's first batch
-    // dynamically overwrite writer 1's, silently deleting those
-    // survivors' signatures
+  test("a second writer fails loudly at the corpus pin (r18) — and the index partition layer would hold regardless") {
+    // two layers of two-writer protection: (1) the r18 CDC writer pin —
+    // the corpus store is claimed by the first writer's first batch, so
+    // a second dedupStream on the same corpusPath now fails LOUDLY
+    // before touching anything (the r17 verdict's top ask: the
+    // read-merge-overwrite race silently lost committed survivors);
+    // (2) beneath it, the r11 idempotent-sink rule still keys index
+    // partitions by (writer, batch) so even interleaved writers could
+    // never clobber each other's signature partitions
     val dir = tmp("dedup_writers"); val idx = s"$dir/idx"; val corp = s"$dir/corp"
     StreamOps.bootstrapDedup(corpus0, idx, corp, k = 2, bands = 8,
       rowsPerBand = 2, nBuckets = 8)
-    apply1(idx, corp, batch1, 0L, writer = "w1") // survivors 11, 13
-    apply1(idx, corp, Seq(Doc(40L, t(40))), 0L, writer = "w2") // same batch id
-    // w1's partition survived w2's batch 0...
-    new java.io.File(idx,
-      s"${StreamOps.DedupWriterCol}=w1/${StreamOps.DedupBatchCol}=0")
-      .exists() shouldBe true
-    // ...so a dup of w1's survivor 11 is still caught
-    apply1(idx, corp, Seq(Doc(50L, t(11))), 1L, writer = "w2")
-    ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L, 40L)
+    apply1(idx, corp, batch1, 0L, writer = "w1") // survivors 11, 13; claims pin
+    val e = intercept[IllegalArgumentException] {
+      apply1(idx, corp, Seq(Doc(40L, t(40))), 0L, writer = "w2") }
+    e.getMessage should include ("maintained by writer w1")
+    // w1's index partitions untouched, corpus state intact
+    new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith(StreamOps.DedupIdxBucketCol + "="))
+      .exists(b => new java.io.File(b,
+        s"${StreamOps.DedupWriterCol}=w1/${StreamOps.DedupBatchCol}=0")
+        .exists()) shouldBe true
+    ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L)
+    // the explicit takeover path: re-pin (old stream stopped), then w2
+    // proceeds — and dups of w1's survivors are still caught through
+    // the shared index
+    StreamOps.repinCdcSnapshot(spark, corp, Some("/ckpt/of/w2"))
+    val w2 = StreamOps.writerIdFor("/ckpt/of/w2")
+    StreamOps.applyDedupBatch(Seq(Doc(50L, t(11)), Doc(51L, t(51))).toDF(),
+      1L, idx, corp, k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5,
+      nBuckets = 8, idCol = "doc_id", textCol = "text", poly = false,
+      writer = w2)
+    ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L, 51L)
   }
 
   test("retraction: a CDC delete frees the content; compact GCs the stale sigs") {
@@ -171,6 +198,76 @@ class DedupStreamSpec extends SparkSpec {
     StreamOps.compactDedupIndex(spark, idx, Some(corp))
     spark.read.parquet(idx).where(col("doc_id") === 1L).count() shouldBe 0L
     spark.read.parquet(idx).select("doc_id").distinct().count() shouldBe 3L
+  }
+
+  test("index layout (r18): rows live in their (band,sig)-hash bucket; mismatched nIdxBuckets fails loudly") {
+    val dir = tmp("dedup_layout"); val idx = s"$dir/idx"; val corp = s"$dir/corp"
+    StreamOps.bootstrapDedup(corpus0, idx, corp, k = 2, bands = 8,
+      rowsPerBand = 2, nBuckets = 8, nIdxBuckets = 4)
+    StreamOps.applyDedupBatch(batch1.toDF(), 0L, idx, corp, k = 2, bands = 8,
+      rowsPerBand = 2, threshold = 0.5, nBuckets = 8, idCol = "doc_id",
+      textCol = "text", poly = false, nIdxBuckets = 4)
+    // two-tier invariants: every COMPACTED-tier row hashes to exactly
+    // the bucket dir holding it (what path-level probe pruning rests
+    // on), while the per-batch write landed whole in the tail dir −1
+    // (ONE partition commit per batch, the L0 of the LSM shape)
+    val misplaced = spark.read.parquet(idx)
+      .where(col(StreamOps.DedupIdxBucketCol) =!= StreamOps.DedupIdxTail &&
+        pmod(xxhash64(col("band"), col("sig")), lit(4)).cast("int")
+          =!= col(StreamOps.DedupIdxBucketCol))
+    misplaced.count() shouldBe 0L
+    spark.read.parquet(idx)
+      .where(col(StreamOps.DedupIdxBucketCol) === StreamOps.DedupIdxTail)
+      .select("doc_id").distinct().count() should be > 0L
+    // top-level dirs are tier dirs (≤ nIdxBuckets + the tail), never
+    // writer dirs
+    val tops = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSeq
+    all(tops) should startWith (StreamOps.DedupIdxBucketCol + "=")
+    tops.size should be <= 5
+    // a probe configured with a different bucket count would prune the
+    // wrong dirs and silently ADMIT dups — it must throw instead
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.applyDedupBatch(batch2.toDF(), 1L, idx, corp, k = 2,
+        bands = 8, rowsPerBand = 2, threshold = 0.5, nBuckets = 8,
+        idCol = "doc_id", textCol = "text", poly = false, nIdxBuckets = 8) }
+    e.getMessage should include ("nIdxBuckets=4")
+    // compaction folds the tail INTO the buckets (no −1 dir left) and
+    // preserves the stored layout without being told it
+    StreamOps.compactDedupIndex(spark, idx)
+    spark.read.parquet(idx)
+      .where(pmod(xxhash64(col("band"), col("sig")), lit(4)).cast("int")
+        =!= col(StreamOps.DedupIdxBucketCol)).count() shouldBe 0L
+    new java.io.File(idx,
+      s"${StreamOps.DedupIdxBucketCol}=${StreamOps.DedupIdxTail}")
+      .exists() shouldBe false
+    // and the dedup semantics are unchanged under the bucketed probe
+    StreamOps.applyDedupBatch(batch2.toDF(), 1L, idx, corp, k = 2, bands = 8,
+      rowsPerBand = 2, threshold = 0.5, nBuckets = 8, idCol = "doc_id",
+      textCol = "text", poly = false, nIdxBuckets = 4)
+    ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L, 21L)
+  }
+
+  test("exactWithinBatch (r18): closure election vs the default pairwise estimate on a chain") {
+    // chain fixture: 1 ~ 3 and 3 ~ 2 verify (sliding 16-token windows
+    // overlapping by 12 → k=2 Jaccard 11/19 ≈ 0.58), but 1 ~ 2 does NOT
+    // (overlap 8 → 7/23 ≈ 0.30 < 0.5) — the exact case the pairwise
+    // rule over-keeps: drops = pair b-sides = {3} → keeps {1, 2}
+    // although 2's transitive cluster has rep 1
+    def w(r: Range) = r.map(i => s"w$i").mkString(" ")
+    val chain = Seq(Doc(1L, w(1 to 16)), Doc(2L, w(9 to 24)),
+      Doc(3L, w(5 to 20)))
+    def run(exact: Boolean): Seq[Long] = {
+      val dir = tmp(s"dedup_exact_$exact")
+      val idx = s"$dir/idx"; val corp = s"$dir/corp"
+      StreamOps.applyDedupBatch(chain.toDF(), 0L, idx, corp, k = 2,
+        bands = 16, rowsPerBand = 1, threshold = 0.5, nBuckets = 8,
+        idCol = "doc_id", textCol = "text", poly = false,
+        exactWithinBatch = exact)
+      ids(corp)
+    }
+    run(exact = false) shouldBe Seq(1L, 2L) // the documented estimate
+    run(exact = true) shouldBe Seq(1L)      // one min-id rep per cluster
   }
 
   test("docs carrying the store's internal merge columns are rejected") {
