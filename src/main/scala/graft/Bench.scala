@@ -76,7 +76,18 @@ object Bench {
     // valid measurement from the other; -1 only when BOTH fail
     def timeSafe(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
       try Some(timeOnce(fn)) catch { case _: Throwable => None }
+    // the engine-lane instrument (r18 BASELINE.md lane decision):
+    // declared-price faces — in-query disk lifecycles and exact
+    // contract replays, ~30 % of the unified total at r18 — can be
+    // skipped for a deployment-shaped measurement. DEFAULT OFF: the
+    // driver's BENCH_r{N} record stays the unified, cross-round-
+    // comparable suite; the committed per-query map remains the single
+    // record both lane totals derive from.
+    val skipDeclared =
+      sys.env.get("SPARK_GRAFT_BENCH_SKIP_DECLARED").exists(_ == "1")
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) =>
+        skipDeclared && graft.queries.Q.declaredPriceFaces.contains(n) }
     // inter-query GC knob (r14, the carried-suite-drift investigation —
     // kept as the A/B instrument, DEFAULT OFF): the hypothesis was that
     // orphaned localCheckpoint blocks (released only when a GC collects

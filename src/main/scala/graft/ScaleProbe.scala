@@ -1187,9 +1187,12 @@ object ScaleProbe {
             // first LINE only: since r17 the meta also carries a
             // schema line (an exact-string compare re-bootstrapped the
             // snapshot every pass and timed bootstrap, not the batch)
+            // nextOption: a run killed between create and write leaves a
+            // 0-byte meta — the gate must take the re-bootstrap branch,
+            // not throw (r18 self-review)
             try new String(org.apache.commons.io.IOUtils.toByteArray(in),
               java.nio.charset.StandardCharsets.UTF_8)
-              .linesIterator.next().trim == s"nBuckets=$nBuckets"
+              .linesIterator.nextOption().exists(_.trim == s"nBuckets=$nBuckets")
             finally in.close()
           }
         }
@@ -1255,7 +1258,8 @@ object ScaleProbe {
             val in = fs.open(mp)
             try new String(org.apache.commons.io.IOUtils.toByteArray(in),
               java.nio.charset.StandardCharsets.UTF_8)
-              .linesIterator.next().trim == s"nIdxBuckets=$nIdxBuckets"
+              .linesIterator.nextOption()
+              .exists(_.trim == s"nIdxBuckets=$nIdxBuckets")
             finally in.close()
           }
         }

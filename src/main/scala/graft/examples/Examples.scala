@@ -758,7 +758,7 @@ object Examples {
           lit(1L).as("version"), lit("U").as("op")),
       snapDir, Seq("o_orderkey"), "version", "op", 8)
     graft.streaming.StreamOps.compactCdcSnapshot(spark, snapDir,
-      horizon = 2L, Seq("o_orderkey"), nBuckets = 8)
+      horizon = 2L, Seq("o_orderkey"))
     val live = graft.relational.Cdc.publicSnapshot(
       graft.streaming.StreamOps.readCdcSnapshot(spark, snapDir)).count()
     val tombs = graft.streaming.StreamOps.readCdcSnapshot(spark, snapDir)

@@ -33,6 +33,27 @@ object Q {
     * the map below IS the ledger row, enforced by SparkEntrySpec (a
     * new no-oracle query must either get an oracle or register its
     * gated sibling here). */
+  /** DECLARED-PRICE faces (r18, the BASELINE.md lane decision): queries
+    * whose bench cost is a self-imposed verification price, not engine
+    * throughput — either a disk-state-machine LIFECYCLE run in-query
+    * (bootstrap + batches + read-back so the oracle can replay the
+    * whole fold) or an exact CONTRACT replay gating a sketch whose
+    * production face is elsewhere. `graft.Bench` skips them under
+    * SPARK_GRAFT_BENCH_SKIP_DECLARED=1 — a measurement INSTRUMENT for
+    * engine-lane numbers, NOT a second record: the committed per-query
+    * map stays the single cross-round artifact and both lane totals
+    * are derivable from it (see BASELINE.md). Membership is checked
+    * against the registry by SparkEntrySpec. */
+  val lifecycleFaces: Set[String] = Set(
+    "llm_dedup_stream", "llm_host_canon_stream", "stream_cdc_evolve",
+    "stream_cdc_read_latest", "stream_cdc_read_asof",
+    "stream_cdc_read_keys", "src_shard_jsonl", "llm_pq_persist")
+  val contractFaces: Set[String] = Set(
+    "llm_distinct_n", "llm_distinct_n_approx", "llm_backoff_score",
+    "agg_approx", "agg_hll_merge", "agg_cms_merge", "op_profile",
+    "agg_quantile_merge")
+  val declaredPriceFaces: Set[String] = lifecycleFaces ++ contractFaces
+
   val demoFaces: Map[String, String] = Map(
     "llm_ann_ivf"                -> "llm_ivf_pq",
     "llm_ann_lsh"                -> "llm_ann_lsh_q",

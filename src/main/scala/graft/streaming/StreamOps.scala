@@ -715,9 +715,17 @@ object StreamOps {
       payload ++ newCols.map { case (n, t) => StructField(n, t, nullable = true) }
         ++ internal)
     // the writer pin survives evolution — evolve changes the logical
-    // schema, never the store's ownership
-    writeDirMeta(fs, snapshotPath,
-      cdcMetaContent(meta.nBuckets, evolved, meta.writer))
+    // schema, never the store's ownership. Re-read the meta immediately
+    // before writing (the applyCdcBatch closing-write discipline, r18
+    // self-review): a batch's closing write or a first-batch pin claim
+    // landing between our entry read and here must not be erased by
+    // writing back the STALE pin/schema — the union keeps both sides'
+    // additive columns and the freshest pin wins.
+    val fresh = readDirMeta(fs, snapshotPath)
+      .map(parseCdcMeta(_, snapshotPath))
+    writeDirMeta(fs, snapshotPath, cdcMetaContent(meta.nBuckets,
+      unionAdditiveSchema(evolved, fresh.flatMap(_.schema)),
+      fresh.flatMap(_.writer).orElse(meta.writer)))
   }
 
   /** Merge-on-read (r17, the round-16 top ask): the LATEST public state
@@ -910,22 +918,43 @@ object StreamOps {
     * buckets that dynamic mode would leave behind. */
   def compactCdcSnapshot(spark: org.apache.spark.sql.SparkSession,
                          snapshotPath: String, horizon: Long,
-                         keyCols: Seq[String], nBuckets: Int = 64): Unit = {
+                         keyCols: Seq[String],
+                         ownerCheckpoint: Option[String] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(snapshotPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val meta = readDirMeta(fs, snapshotPath).map(parseCdcMeta(_, snapshotPath))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no layout meta at $snapshotPath.meta — compact an EXISTING " +
+          "maintained snapshot (the meta owns the bucket layout)"))
     // a RETAINED base refuses compaction outright (not just a horizon
     // check): its tombstones must out-rank whatever RECORDED sub-horizon
     // versions the changelog segment it replays may carry, and nothing
     // here can see that segment's floor — compact the LIVE snapshot
     // (whose writer horizon covers in-flight changes) and re-retain
-    requireNotRetained(meta, snapshotPath, "compactCdcSnapshot")
+    requireNotRetained(Some(meta), snapshotPath, "compactCdcSnapshot")
+    // the writer pin gates compaction too (r18 self-review): this is a
+    // read-compact-overwrite, the exact shape the pin exists to police —
+    // a compaction racing a live batch would overwrite the batch's
+    // committed keys with the pre-batch state, permanently (the stream's
+    // checkpoint has advanced). A pinned store demands the OWNER's
+    // checkpoint path as an explicit ownership assertion; run it with
+    // the stream STOPPED — the assertion is who may compact, the
+    // quiescence is still the operator's contract.
+    meta.writer.foreach { pinned =>
+      require(ownerCheckpoint.map(writerIdFor).contains(pinned),
+        s"snapshot at $snapshotPath is maintained by writer $pinned — " +
+          "compacting it without that stream's checkpoint identity " +
+          "(ownerCheckpoint) would race its batches' read-merge-" +
+          "overwrite and silently lose committed keys; pass the owning " +
+          "stream's checkpoint path and run with the stream stopped")
+    }
     val cut = graft.relational.Cdc
       .compact(readCdcSnapshot(spark, snapshotPath), horizon)
       .localCheckpoint(true)
-    // compaction is maintenance, not takeover — the writer pin survives
-    try writeCdcSnapshot(cut, snapshotPath, keyCols, nBuckets,
-      meta.flatMap(_.writer))
+    // compaction is maintenance, not takeover — the writer pin survives,
+    // and the bucket layout comes from the meta (never re-supplied)
+    try writeCdcSnapshot(cut, snapshotPath, keyCols, meta.nBuckets,
+      meta.writer)
     finally org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(cut)
   }
 
@@ -980,9 +1009,17 @@ object StreamOps {
     val target = retainedPath.getOrElse(s"$snapshotPath.retained/v=$v")
     val dstRoot = new org.apache.hadoop.fs.Path(target)
     val dfs = dstRoot.getFileSystem(conf)
-    require(!dfs.exists(dstRoot) || dfs.listStatus(dstRoot).isEmpty,
-      s"retention target $target already exists and is non-empty — " +
-        "refusing to mix two copies' files; pick a fresh target")
+    if (dfs.exists(dstRoot) && dfs.listStatus(dstRoot).nonEmpty) {
+      // the meta is written LAST, so files-without-meta = a prior
+      // retention crashed mid-copy: invisible to readers, safe to clear
+      // and redo (the default target is deterministic — refusing would
+      // brick it forever, r18 self-review). Files WITH meta = a
+      // completed retention; never mix two copies' files.
+      require(readDirMeta(dfs, target).isEmpty,
+        s"retention target $target already holds a COMPLETED retained " +
+          "copy — refusing to overwrite history; pick a fresh target")
+      dfs.delete(dstRoot, true)
+    }
     dfs.mkdirs(dstRoot)
     dirs.foreach { d =>
       org.apache.hadoop.fs.FileUtil.copy(

@@ -27,6 +27,16 @@ class SparkEntrySpec extends SparkSpec {
     }
   }
 
+  test("declared-price face lists name only declared queries, disjoint classes") {
+    // the r18 bench-lane instrument: SPARK_GRAFT_BENCH_SKIP_DECLARED
+    // filters by these sets — a stale name would silently skip nothing
+    // (or a rename would silently re-include a face in the engine lane)
+    val qs = SparkEntry.queries.keySet
+    graft.queries.Q.declaredPriceFaces.diff(qs) shouldBe empty
+    graft.queries.Q.lifecycleFaces
+      .intersect(graft.queries.Q.contractFaces) shouldBe empty
+  }
+
   test("declared queries run and are non-empty on sf0.001") {
     // the driver's weaker check for oracle-less queries is rows > 0; catch
     // regressions here before the driver does

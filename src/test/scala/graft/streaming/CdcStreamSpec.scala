@@ -130,7 +130,7 @@ class CdcStreamSpec extends SparkSpec {
     // rewrite in place through the sink helper (compact's frame is lazy
     // over the files being replaced — the helper cuts first), then keep
     // merging: a late lower version under the SURVIVING tombstone loses
-    StreamOps.compactCdcSnapshot(spark, snap, horizon = 3L, Seq("k"), nBuckets = 8)
+    StreamOps.compactCdcSnapshot(spark, snap, horizon = 3L, Seq("k"))
     StreamOps.applyCdcBatch(
       Seq(Change(7L, "ghost", 70.0, 1L, "U")).toDF(), snap, Seq("k"), "version", "op", 8)
     Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))
@@ -346,7 +346,7 @@ class CdcStreamSpec extends SparkSpec {
     // plain read sees the column, and the data is unchanged
     val preCompact = Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))
       .orderBy("k").collect().map(_.toString).toSeq
-    StreamOps.compactCdcSnapshot(spark, snap, horizon = 0L, Seq("k"), nBuckets = 8)
+    StreamOps.compactCdcSnapshot(spark, snap, horizon = 0L, Seq("k"))
     spark.read.parquet(snap).columns should contain ("note")
     Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))
       .orderBy("k").collect().map(_.toString).toSeq shouldBe preCompact
@@ -423,7 +423,7 @@ class CdcStreamSpec extends SparkSpec {
     // compaction, whose tombstone GC would corrupt historical reads
     val ops = Seq[() => Unit](
       () => StreamOps.applyCdcBatch(batch2.toDF(), retained, Seq("k"), "version", "op", 8),
-      () => StreamOps.compactCdcSnapshot(spark, retained, 99L, Seq("k"), nBuckets = 8),
+      () => StreamOps.compactCdcSnapshot(spark, retained, 99L, Seq("k")),
       () => StreamOps.evolveCdcSnapshot(spark, retained,
         Seq("x" -> org.apache.spark.sql.types.StringType)),
       () => StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")),
@@ -437,7 +437,7 @@ class CdcStreamSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       StreamOps.retainSnapshot(spark, snap, Some(retained))
     // the LIVE snapshot stays compactable and mergeable
-    StreamOps.compactCdcSnapshot(spark, snap, horizon = 3L, Seq("k"), nBuckets = 8)
+    StreamOps.compactCdcSnapshot(spark, snap, horizon = 3L, Seq("k"))
     rows(Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap)))
       .find(_._1 == 3L).map(_._2) shouldBe Some("c99")
   }
@@ -497,24 +497,32 @@ class CdcStreamSpec extends SparkSpec {
     val snap = tmp("cdc_pin")
     StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
     // bootstrap leaves the store unpinned; stream A's first batch claims
+    val writerA = StreamOps.writerIdFor("/ckpt/a")
     StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8,
-      writer = Some("streamA"))
+      writer = Some(writerA))
     // stream B and a pinless direct application both bounce off the pin
     val eB = intercept[IllegalArgumentException] {
       StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8,
         writer = Some("streamB")) }
-    eB.getMessage should include ("maintained by writer streamA")
+    eB.getMessage should include (s"maintained by writer $writerA")
     val eD = intercept[IllegalArgumentException] {
       StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8) }
-    eD.getMessage should include ("maintained by writer streamA")
-    // the owner keeps going; evolve + compact PRESERVE its pin
+    eD.getMessage should include (s"maintained by writer $writerA")
+    // the owner keeps going; evolve PRESERVES its pin, and compaction —
+    // itself a read-compact-overwrite — demands the OWNER's checkpoint
+    // identity (r18 self-review: a pinless compaction racing a live
+    // batch would silently lose its keys, the exact hole the pin kills)
     StreamOps.evolveCdcSnapshot(spark, snap,
       Seq("note" -> org.apache.spark.sql.types.StringType))
-    StreamOps.compactCdcSnapshot(spark, snap, horizon = 0L, Seq("k"), nBuckets = 8)
+    val eC = intercept[IllegalArgumentException] {
+      StreamOps.compactCdcSnapshot(spark, snap, horizon = 0L, Seq("k")) }
+    eC.getMessage should include ("ownerCheckpoint")
+    StreamOps.compactCdcSnapshot(spark, snap, horizon = 0L, Seq("k"),
+      ownerCheckpoint = Some("/ckpt/a"))
     val eB2 = intercept[IllegalArgumentException] {
       StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8,
         writer = Some("streamB")) }
-    eB2.getMessage should include ("maintained by writer streamA")
+    eB2.getMessage should include (s"maintained by writer $writerA")
     // explicit takeover: repin to B's checkpoint identity (A stopped)
     StreamOps.repinCdcSnapshot(spark, snap, Some("/ckpt/b"))
     val noted = batch2.toDF().withColumn("note", lit("n"))
