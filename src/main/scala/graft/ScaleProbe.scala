@@ -82,6 +82,45 @@ object ScaleProbe {
           i => (pmod(xxhash64(col("id"), i), lit(2000)).cast("double") / 1000.0 - 1.0)
             .cast("float")).as("embedding"))
 
+    // the bucketed-CDC snapshot fixture shared by cdc_sink_prune and
+    // cdc_point_lookup: n*256 keys, nBuckets scaled so rows/bucket stay
+    // constant; memoized behind a first-line meta check (the r17 rule)
+    def cdcSnapFixture(n: Long): (String, Int, Long) = {
+      val keys = n * 256
+      val nBuckets = math.max(4L, keys / 8192L).toInt
+      val dir = s"$out/cdc_sink_$n/snap"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val metaOk = {
+        val mp = new org.apache.hadoop.fs.Path(dir + ".meta")
+        fs.exists(mp) && {
+          val in = fs.open(mp)
+          // first LINE only: since r17 the meta also carries a
+          // schema line (an exact-string compare re-bootstrapped the
+          // snapshot every pass and timed bootstrap, not the batch);
+          // nextOption: a run killed between create and write leaves a
+          // 0-byte meta — the gate must take the re-bootstrap branch,
+          // not throw (r18 self-review)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .linesIterator.nextOption().exists(_.trim == s"nBuckets=$nBuckets")
+          finally in.close()
+        }
+      }
+      if (!metaOk) {
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        fs.delete(new org.apache.hadoop.fs.Path(dir + ".meta"), false)
+        graft.streaming.StreamOps.writeCdcSnapshot(
+          graft.relational.Cdc.bootstrap(
+            spark.range(keys).select(col("id").as("k"),
+              concat(lit("n"), col("id")).as("name"),
+              pmod(col("id"), lit(1000)).cast("double").as("amt")),
+            Seq("k")),
+          dir, Seq("k"), nBuckets)
+      }
+      (dir, nBuckets, keys)
+    }
+
     def llmShapes(n: Long): Seq[(String, () => Any)] = Seq(
       ("minhash_neardup", () => graft.llm.Dedup.minHashNearDups(
         synthDocs(n), k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5).count()),
@@ -1175,38 +1214,7 @@ object ScaleProbe {
       // birthday spread), spill 0.0 both scales; shuffle 15.0 →
       // 20.4 MB tracks touched-bucket rows, never the snapshot.
       ("cdc_sink_prune", () => {
-        val keys = n * 256
-        val nBuckets = math.max(4L, keys / 8192L).toInt
-        val dir = s"$out/cdc_sink_$n/snap"
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val metaOk = {
-          val mp = new org.apache.hadoop.fs.Path(dir + ".meta")
-          fs.exists(mp) && {
-            val in = fs.open(mp)
-            // first LINE only: since r17 the meta also carries a
-            // schema line (an exact-string compare re-bootstrapped the
-            // snapshot every pass and timed bootstrap, not the batch)
-            // nextOption: a run killed between create and write leaves a
-            // 0-byte meta — the gate must take the re-bootstrap branch,
-            // not throw (r18 self-review)
-            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-              java.nio.charset.StandardCharsets.UTF_8)
-              .linesIterator.nextOption().exists(_.trim == s"nBuckets=$nBuckets")
-            finally in.close()
-          }
-        }
-        if (!metaOk) {
-          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-          fs.delete(new org.apache.hadoop.fs.Path(dir + ".meta"), false)
-          graft.streaming.StreamOps.writeCdcSnapshot(
-            graft.relational.Cdc.bootstrap(
-              spark.range(keys).select(col("id").as("k"),
-                concat(lit("n"), col("id")).as("name"),
-                pmod(col("id"), lit(1000)).cast("double").as("amt")),
-              Seq("k")),
-            dir, Seq("k"), nBuckets)
-        }
+        val (dir, nBuckets, keys) = cdcSnapFixture(n)
         val batch = spark.range(64).select(
           pmod(xxhash64(col("id")), lit(keys)).as("k"),
           concat(lit("u"), col("id")).as("name"),
@@ -1217,6 +1225,30 @@ object ScaleProbe {
           .select(pmod(xxhash64(col("k")), lit(nBuckets))).distinct().count())
         graft.streaming.StreamOps.applyCdcBatch(batch, dir, Seq("k"),
           "version", "op", nBuckets)
+      }),
+      // CDC point lookup (r18, the readKeys serving claim): latest
+      // state of a FIXED 64-key request against a 10×-growing snapshot
+      // + an 8-row un-applied tail — readKeys reads ≤|keys| bucket dirs
+      // by constructed name plus the tail, NEVER the snapshot, so the
+      // clock must stay ~flat while the store grows 10×; obs = rows
+      // served (distinct wanted keys present). The updates-only tail
+      // makes the measured pass a read-only fixed point of the shared
+      // fixture (cdc_sink_prune's applied batch does not change key
+      // presence either).
+      ("cdc_point_lookup", () => {
+        val (dir, _, keys) = cdcSnapFixture(n)
+        val wanted = spark.range(64).select(
+          pmod(xxhash64(col("id") + 7L), lit(keys)).as("k"))
+        val tail = spark.range(8).select(
+          pmod(xxhash64(col("id")), lit(keys)).as("k"),
+          concat(lit("t"), col("id")).as("name"),
+          lit(2.0).as("amt"), lit(999L).as("version"), lit("U").as("op"))
+        // agg-head sink consuming a payload column: count() would prune
+        // the payload read out of the probed scans (the r8/r15 rule)
+        observe(graft.streaming.StreamOps
+          .readKeys(spark, dir, wanted, tail, Seq("k"))
+          .agg(count(lit(1)).as("n"), sum(length(col("name"))).as("b"))
+          .head().getLong(0))
       }),
       // streaming-dedup batch (r17; index re-laid-out r18): a FIXED
       // 64-doc batch against a 10×-growing corpus + stored signature

@@ -818,6 +818,39 @@ object Examples {
         s"docs [$kept] — the near-clone dropped, the fresh doc survived")
     }
 
+    // 45. the r18 CDC ownership + serving tier: an engine-owned frozen
+    // retention copy (mutation refuses it), point lookup reading only
+    // the requested keys' buckets, and a changelog DERIVED from two
+    // dumps (diffSnapshots — the inverse of upsert; replaying it over
+    // prev reconstructs next exactly)
+    {
+      import graft.streaming.StreamOps
+      import graft.relational.Cdc
+      val dir45 = java.nio.file.Files.createTempDirectory("ex45").toString
+      val prev = Seq((1L, "alice", 10.0), (2L, "bob", 20.0), (3L, "eve", 30.0))
+        .toDF("k", "name", "amt")
+      StreamOps.writeCdcSnapshot(Cdc.bootstrap(prev, Seq("k")),
+        s"$dir45/snap", Seq("k"), nBuckets = 4)
+      val (retained, rv) = StreamOps.retainSnapshot(spark, s"$dir45/snap")
+      val frozen =
+        try { StreamOps.compactCdcSnapshot(spark, retained, 99L, Seq("k")); "no" }
+        catch { case _: IllegalArgumentException => "yes" }
+      val tail45 = Seq((2L, "bob9", 29.0, 5L, "U"))
+        .toDF("k", "name", "amt", "version", "op")
+      val point = StreamOps.readKeys(spark, s"$dir45/snap",
+          Seq(2L, 3L).toDF("k"), tail45, Seq("k"))
+        .orderBy("k").collect().map(_.getString(1)).mkString(",")
+      val next = Seq((1L, "alice", 10.0), (2L, "bob9", 29.0), (9L, "nina", 90.0))
+        .toDF("k", "name", "amt")
+      val log = Cdc.diffSnapshots(prev, next, Seq("k"), version = 1L)
+      val replayed = Cdc.upsert(prev, log, Seq("k")).orderBy("k")
+        .collect().map(_.getString(1)).mkString(",")
+      println(s"[45] retained copy at v=$rv refuses compaction: $frozen; " +
+        s"point lookup [2,3] -> [$point]; diffSnapshots derived " +
+        s"${log.count()} changes and upsert(prev, diff) replays to " +
+        s"[$replayed]")
+    }
+
     spark.stop()
   }
 }

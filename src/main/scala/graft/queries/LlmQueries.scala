@@ -1444,14 +1444,18 @@ object LlmQueries {
               lit(" qc"), col("doc_id").cast("string")).as("text")))
       val dir = java.nio.file.Files
         .createTempDirectory("dedup_stream_q").toString
+      // nIdxBuckets sized to the FIXTURE corpus per the r18 sizing rule
+      // (buckets hold ~constant rows): the 64-bucket default on a tiny
+      // corpus pays 64 dirs of probe/commit overhead for no pruning
       StreamOps.bootstrapDedup(corpus, s"$dir/idx", s"$dir/corp",
-        k = 2, bands = 8, rowsPerBand = 2, nBuckets = 16, poly = true)
+        k = 2, bands = 8, rowsPerBand = 2, nBuckets = 16, poly = true,
+        nIdxBuckets = 8)
       StreamOps.applyDedupBatch(b1, 0L, s"$dir/idx", s"$dir/corp",
         k = 2, bands = 8, rowsPerBand = 2, threshold = 0.3, nBuckets = 16,
-        idCol = "doc_id", textCol = "text", poly = true)
+        idCol = "doc_id", textCol = "text", poly = true, nIdxBuckets = 8)
       StreamOps.applyDedupBatch(b2, 1L, s"$dir/idx", s"$dir/corp",
         k = 2, bands = 8, rowsPerBand = 2, threshold = 0.3, nBuckets = 16,
-        idCol = "doc_id", textCol = "text", poly = true)
+        idCol = "doc_id", textCol = "text", poly = true, nIdxBuckets = 8)
       StreamOps.readDedupCorpus(spark, s"$dir/corp").orderBy("doc_id")
     },
 

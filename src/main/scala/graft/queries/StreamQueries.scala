@@ -288,6 +288,64 @@ object StreamQueries {
         .orderBy("o_orderkey")
     },
 
+    // Changelog DERIVATION (r18): diffSnapshots — the inverse of
+    // upsert, for deployments that receive periodic full dumps instead
+    // of a log. prev = the %3 base; next = the same base with %21 keys
+    // updated (priority + price), %15 keys REMOVED, and %33 inserts
+    // under fresh ids (the CdcFixture change classes, applied as dump
+    // deltas). The emitted changelog must be exactly {U for changed/new
+    // keys with next's payload, D for vanished keys} — unchanged keys
+    // (the bulk) emit nothing. The defining law upsert(prev, diff) ==
+    // next is spec-pinned in CdcSpec; this face gates the row-level
+    // diff itself against the SQL full-outer IS DISTINCT FROM replay.
+    Q("stream_cdc_diff",
+      """WITH o AS (
+        |  SELECT o_orderkey k, o_orderpriority p, o_totalprice t FROM orders),
+        |prev AS (SELECT k, p, t FROM o WHERE k % 3 = 0),
+        |next AS (
+        |  SELECT k,
+        |    CASE WHEN k % 21 = 0 THEN 'X-UPD' ELSE p END AS p,
+        |    CASE WHEN k % 21 = 0 THEN t + 1.0 ELSE t END AS t
+        |  FROM o WHERE k % 3 = 0 AND k % 15 <> 0
+        |  UNION ALL
+        |  SELECT k + 100000000, '9-NEW', t FROM o WHERE k % 33 = 0)
+        |SELECT coalesce(p.k, n.k) AS o_orderkey,
+        |  CASE WHEN n.k IS NULL THEN p.p ELSE n.p END AS o_orderpriority,
+        |  CASE WHEN n.k IS NULL THEN p.t ELSE n.t END AS o_totalprice,
+        |  CAST(7 AS BIGINT) AS version,
+        |  CASE WHEN n.k IS NULL THEN 'D' ELSE 'U' END AS op
+        |FROM prev p FULL OUTER JOIN next n ON p.k = n.k
+        |WHERE p.k IS NULL OR n.k IS NULL
+        |  OR (p.p IS DISTINCT FROM n.p) OR (p.t IS DISTINCT FROM n.t)
+        |ORDER BY o_orderkey""".stripMargin) { (spark, sf) =>
+      import graft.relational.Cdc
+      val o = Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val prev = o.where(pmod(col("o_orderkey"), lit(3)) === 0)
+      // next carved from ONE scan projection (the one-scan planting
+      // rule): per order row emit [surviving-base-row?, insert?]
+      def row(k: Column, p: Column, t: Column) =
+        struct(k.as("o_orderkey"), p.as("o_orderpriority"),
+          t.as("o_totalprice"))
+      val next = o.select(explode(array(
+          when(pmod(col("o_orderkey"), lit(3)) === 0 &&
+              pmod(col("o_orderkey"), lit(15)) =!= 0,
+            row(col("o_orderkey"),
+              when(pmod(col("o_orderkey"), lit(21)) === 0, lit("X-UPD"))
+                .otherwise(col("o_orderpriority")),
+              when(pmod(col("o_orderkey"), lit(21)) === 0,
+                col("o_totalprice") + 1.0d)
+                .otherwise(col("o_totalprice")))),
+          when(pmod(col("o_orderkey"), lit(33)) === 0,
+            row(col("o_orderkey") + 100000000L, lit("9-NEW"),
+              col("o_totalprice")))))
+          .as("c"))
+        .where(col("c").isNotNull)
+        .select(col("c.*"))
+      Cdc.diffSnapshots(prev, next, Seq("o_orderkey"), version = 7L)
+        .orderBy("o_orderkey")
+    },
+
     Q("stream_state",
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

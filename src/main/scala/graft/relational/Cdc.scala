@@ -307,6 +307,56 @@ object Cdc {
         .otherwise(staleBaseError(asOfVersion)))
       .drop(VersionCol, DeletedCol)
 
+  /** Derive the CHANGELOG between two PUBLIC snapshots — the INVERSE of
+    * [[upsert]] (r18): a key in `next` whose payload differs from
+    * `prev` (or is new) emits `'U'` with next's payload; a key present
+    * only in `prev` emits `'D'` (payload = prev's, carried because the
+    * changelog contract requires the columns — values ignored by the
+    * merge); unchanged keys emit nothing. Every deployment that
+    * receives periodic full dumps instead of a log derives its
+    * changelog exactly this way, then feeds [[upsert]]/
+    * [[mergeVersioned]]/`StreamOps.cdcStream` as if a log existed.
+    * `version` stamps every emitted row (one version per diff — the
+    * dump's snapshot id; per-key uniqueness across diffs follows from
+    * stamping successive dumps with increasing versions).
+    *
+    * The defining law (spec-pinned): `upsert(prev, diffSnapshots(prev,
+    * next, keys, v)) == next` for any two public snapshots.
+    *
+    * Null-safe per column (`<=>`): a payload moving null↔value is a
+    * change; null==null is not. Shape for 100 TB: ONE co-partitioned
+    * full-outer join on the keys — both sides exchange once, the
+    * comparison is a narrow projection, and unchanged keys (the bulk
+    * of adjacent dumps) are filtered before anything else runs.
+    * Emits keyCols ++ payload ++ (versionCol, opCol), un-ordered. */
+  def diffSnapshots(prev: DataFrame, next: DataFrame, keyCols: Seq[String],
+                    version: Long, versionCol: String = "version",
+                    opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "diffSnapshots needs at least one key column")
+    require(prev.columns.toSet == next.columns.toSet,
+      s"snapshot schemas differ: ${prev.columns.toSeq.sorted} vs " +
+        s"${next.columns.toSeq.sorted} — evolve/align before diffing")
+    require(!prev.columns.contains(versionCol) && !prev.columns.contains(opCol),
+      s"snapshots must not carry '$versionCol'/'$opCol' — diffSnapshots " +
+        "takes PUBLIC rows and emits the changelog columns itself")
+    val payload = next.columns.filterNot(keyCols.contains).toSeq
+    val p = prev.select(keyCols.map(col) ++
+      payload.map(c => col(c).as(s"__p_$c")) :+ lit(true).as("__in_p"): _*)
+    val n = next.select(keyCols.map(col) ++
+      payload.map(c => col(c).as(s"__n_$c")) :+ lit(true).as("__in_n"): _*)
+    val changed = payload.map(c => !(col(s"__p_$c") <=> col(s"__n_$c")))
+      .foldLeft(lit(false))(_ || _)
+    p.join(n, keyCols, "full_outer")
+      .where(col("__in_p").isNull || col("__in_n").isNull || changed)
+      .select(keyCols.map(col) ++
+        payload.map { c =>
+          when(col("__in_n").isNotNull, col(s"__n_$c"))
+            .otherwise(col(s"__p_$c")).as(c)
+        } ++ Seq(
+          lit(version).as(versionCol),
+          when(col("__in_n").isNull, "D").otherwise("U").as(opCol)): _*)
+  }
+
   /** Reconstruct the live state AS OF `version` (inclusive) from the
     * changelog alone: restrict to `versionCol <= version` (pushed into
     * the scan), take latest-per-key, drop keys whose latest visible

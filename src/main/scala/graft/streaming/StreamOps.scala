@@ -821,7 +821,8 @@ object StreamOps {
     import graft.relational.Cdc
     val wanted = keys.select(keyCols.map(col): _*)
     val (touched, _, alignedKeys) =
-      splitByTailBuckets(spark, snapshotPath, wanted, keyCols, "readKeys")
+      splitByTailBuckets(spark, snapshotPath, wanted, keyCols, "readKeys",
+        withUntouched = false)
     // request-sized by contract, and past any caller checkpoint the
     // frame has no stats (the LogicalRDD rule) — broadcast explicitly
     val keySet = broadcast(alignedKeys)
@@ -871,9 +872,17 @@ object StreamOps {
     * effect on unpruned keys). The tail is consumed twice (bucket
     * discovery + merge input) — cut a derived tail with
     * `localCheckpoint` if its lineage is expensive. */
+  /** `withUntouched = false` skips CONSTRUCTING the untouched-leg frame
+    * (an empty schema-carrying placeholder is returned instead):
+    * building a DataFrame over the untouched dirs pays a driver-side
+    * file listing that grows with the snapshot even if the frame is
+    * never executed — the r18 cdc_point_lookup probe measured readKeys
+    * 2.8× at 10× snapshot from exactly this before the flag (fixed:
+    * ~flat). Pass false whenever the caller discards the leg. */
   private def splitByTailBuckets(spark: org.apache.spark.sql.SparkSession,
                                  snapshotPath: String, tail: DataFrame,
-                                 keyCols: Seq[String], caller: String)
+                                 keyCols: Seq[String], caller: String,
+                                 withUntouched: Boolean = true)
       : (DataFrame, DataFrame, DataFrame) = {
     val fs = new org.apache.hadoop.fs.Path(snapshotPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -903,7 +912,9 @@ object StreamOps {
       .collect().map(_.getInt(0)).sorted
     val touchedNames = changed.map(b => s"$CdcBucketCol=$b")
       .filter(dirs.contains).toSeq
-    val untouchedNames = dirs.toSeq.filterNot(touchedNames.contains)
+    val untouchedNames =
+      if (withUntouched) dirs.toSeq.filterNot(touchedNames.contains)
+      else Seq.empty
     (readBucketDirs(spark, snapshotPath, touchedNames, storedSchema),
       readBucketDirs(spark, snapshotPath, untouchedNames, storedSchema),
       aligned)
@@ -1625,7 +1636,7 @@ object StreamOps {
             else {
               val cids = cand.select(col("cid").as(idCol))
               val (touched, _, _) = splitByTailBuckets(spark, corpusPath,
-                cids, Seq(idCol), "applyDedupBatch")
+                cids, Seq(idCol), "applyDedupBatch", withUntouched = false)
               // cand is a checkpoint (no size stats — the LogicalRDD
               // rule), so the candidate-sized probe side gets the
               // size-gated broadcast explicitly or the touched TEXT

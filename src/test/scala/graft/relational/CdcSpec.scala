@@ -72,6 +72,47 @@ class CdcSpec extends SparkSpec {
     Cdc.upsert(evolvedBase, evolved, Seq("k")).columns should contain ("discount")
   }
 
+  test("diffSnapshots: the defining law — upsert(prev, diff(prev, next)) == next") {
+    // r18: the inverse of upsert, for dump-fed deployments. next vs
+    // base: key 1 unchanged (emits NOTHING), key 2 payload change, key
+    // 3 null↔value change (null-safe compare), key 4 deleted... from
+    // next's side: base has 1,2,3; next has 1, 2', 3'(null amt), 9 new
+    val next = Seq((1L, "a", Some(10.0)), (2L, "b9", Some(29.0)),
+      (3L, "c", None), (9L, "i", Some(90.0)))
+      .toDF("k", "name", "amt")
+      .select(col("k"), col("name"), col("amt").cast("double"))
+    val diff = Cdc.diffSnapshots(base, next, Seq("k"), version = 4L)
+    val rowsOut = diff.orderBy("k", "op").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)),
+        r.getLong(3), r.getString(4))).toSeq
+    rowsOut shouldBe Seq(
+      (2L, "b9", Some(29.0), 4L, "U"),  // payload change
+      (3L, "c", None, 4L, "U"),         // value -> null IS a change
+      (9L, "i", Some(90.0), 4L, "U"))   // insert; key 1 absent (unchanged)
+    // deletes carry prev's payload and the D op
+    val shrunk = Seq((1L, "a", 10.0)).toDF("k", "name", "amt")
+    Cdc.diffSnapshots(base, shrunk, Seq("k"), version = 5L)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(4))).toSeq shouldBe
+      Seq((2L, "D"), (3L, "D"))
+    // THE LAW: replaying the diff over prev reconstructs next exactly
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(_.toString).toSeq
+    canon(Cdc.upsert(base, diff, Seq("k"))) shouldBe canon(next)
+    canon(Cdc.upsert(base,
+      Cdc.diffSnapshots(base, shrunk, Seq("k"), 5L), Seq("k"))) shouldBe
+      canon(shrunk)
+    // and an identical pair diffs to EMPTY (the adjacent-dump bulk case)
+    Cdc.diffSnapshots(base, base, Seq("k"), 6L).count() shouldBe 0L
+    // misuse is loud: schema drift and internal columns
+    an[IllegalArgumentException] should be thrownBy
+      Cdc.diffSnapshots(base, base.withColumnRenamed("amt", "amt2"),
+        Seq("k"), 1L)
+    an[IllegalArgumentException] should be thrownBy
+      Cdc.diffSnapshots(base.withColumn("op", lit("U")),
+        base.withColumn("op", lit("U")), Seq("k"), 1L)
+  }
+
   test("unknown op codes raise instead of half-applying (r15 verdict #4)") {
     // an 'X' row used to pass the delete filter but miss the payload
     // swap — a new key leaked an all-NULL base payload
