@@ -871,8 +871,9 @@ object StreamOps {
     * bucket count would prune wrong and silently drop the tail's
     * effect on unpruned keys). The tail is consumed twice (bucket
     * discovery + merge input) — cut a derived tail with
-    * `localCheckpoint` if its lineage is expensive. */
-  /** `withUntouched = false` skips CONSTRUCTING the untouched-leg frame
+    * `localCheckpoint` if its lineage is expensive.
+    *
+    * `withUntouched = false` skips CONSTRUCTING the untouched-leg frame
     * (an empty schema-carrying placeholder is returned instead):
     * building a DataFrame over the untouched dirs pays a driver-side
     * file listing that grows with the snapshot even if the frame is
