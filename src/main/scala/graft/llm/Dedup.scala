@@ -551,7 +551,20 @@ object Dedup {
   def verifiedDupIds(pairs: DataFrame, batchDocs: DataFrame,
                      corpusDocs: DataFrame, k: Int, threshold: Double,
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text"): DataFrame =
+    verifiedDupPairs(pairs, batchDocs, corpusDocs, k, threshold,
+      idCol, textCol)
+      .select(col("bid")).distinct()
+
+  /** The pair-level face of [[verifiedDupIds]] (r18): the verified
+    * `(bid, cid)` pairs themselves — for callers that need the
+    * EVIDENCE (which corpus doc matched), e.g. the read-only serving
+    * probe `StreamOps.probeDedup`. Same plan: candidate-pruned shingle
+    * sets on both sides, exact-Jaccard filter. */
+  def verifiedDupPairs(pairs: DataFrame, batchDocs: DataFrame,
+                       corpusDocs: DataFrame, k: Int, threshold: Double,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
     import graft.functions.WordShingles
     // pairs typically arrives as a checkpoint (no size stats), so the
     // candidate-sized probe sides get the SIZE-GATED broadcast
@@ -574,7 +587,7 @@ object Dedup {
       .join(sets(batchDocs, "bid"), "bid")
       .join(sets(corpusDocs, "cid"), "cid")
       .where(jaccardOf(col("set_bid"), col("set_cid")) >= threshold)
-      .select(col("bid")).distinct()
+      .select(col("bid"), col("cid"))
   }
 
   private def incrementalNearImpl(

@@ -232,6 +232,15 @@ object ExchangeBudgets {
     // full-index scan, the last linear-in-corpus per-batch term
     // (dedup_stream_batch probe, re-measured r18).
     "llm_dedup_stream"                -> 34,
+    // r18 read-only serving probe face: bootstrap (corpus clustering +
+    // bucketed index write = 2) + the probe itself — candidate
+    // distinct, the gated-broadcast cid distinct, the exact-verify
+    // joins over checkpoint-cut candidate frames (SMJ pairs×sets, the
+    // priced verifiedDupPairs shape shared with the batch path), the
+    // min-evidence agg and the declared sort. Every probe-side
+    // exchange is candidate-sized; corpus text moves only for
+    // candidate ids.
+    "llm_dedup_probe"                 -> 9,
     "src_shard_jsonl"                 -> 4)
 
   def budget(name: String): Int = perQuery.getOrElse(name, default)

@@ -1459,6 +1459,83 @@ object LlmQueries {
       StreamOps.readDedupCorpus(spark, s"$dir/corp").orderBy("doc_id")
     },
 
+    // Read-only dedup probe (r18): the SERVING query of a dedupStream
+    // deployment — "would these docs be near-dups of the corpus, and
+    // of WHICH doc?" — answered from the stored signature index +
+    // bucket-pruned corpus text without mutating either store
+    // (StreamOps.probeDedup; the no-mutation guarantee is spec'd in
+    // DedupStreamSpec). Probe planting: %5=0 corpus re-fetches (dup_of
+    // = the original id), %15=0 near-clones (' zq' — still above the
+    // 0.3 gate), %20=3 fresh docs under a disjoint vocabulary (NULL).
+    // Oracle: the poly banding chain over both sides, candidate join,
+    // exact-Jaccard verify, min(cid) evidence, LEFT JOIN back to the
+    // probe set. Each doc judged independently — no within-batch pass
+    // (that is ingest's concern, not serving's).
+    Q("llm_dedup_probe",
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < $docCap),
+         |corpus AS (SELECT doc_id, text FROM base WHERE doc_id % 5 <> 0),
+         |probe AS (
+         |  SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text || ' zq' FROM base WHERE doc_id % 15 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 400000,
+         |    'qa' || doc_id || ' qb' || doc_id || ' qc' || doc_id
+         |  FROM base WHERE doc_id % 20 = 3),
+         |allr AS (
+         |  SELECT 'c' AS side, doc_id, text FROM corpus
+         |  UNION ALL SELECT 'b', doc_id, text FROM probe),
+         |toks AS (
+         |  SELECT side, doc_id, string_split(text, ' ') AS tk,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS tkf
+         |  FROM allr),
+         |${PolySql.laneSigCtes(carry = Seq("side"))},
+         |${PolySql.shingleCte(carry = Seq("side"))},
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+         |  FROM sigs b JOIN sigs c ON b.band = c.band AND b.sig = c.sig
+         |  WHERE b.side = 'b' AND c.side = 'c' AND b.doc_id <> c.doc_id),
+         |m AS (
+         |  SELECT cand.bid, min(cand.cid) AS dup_of
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.bid AND sa.side = 'b'
+         |  JOIN sh sb ON sb.doc_id = cand.cid AND sb.side = 'c'
+         |  WHERE ${PolySql.jaccard} >= 0.3
+         |  GROUP BY cand.bid)
+         |SELECT p.doc_id, m.dup_of
+         |FROM probe p LEFT JOIN m ON m.bid = p.doc_id
+         |ORDER BY p.doc_id""".stripMargin) { (spark, sf) =>
+      val docs = Tables.documents(spark, sf)
+        .where(col("doc_id") < docCap).select("doc_id", "text")
+      val corpus = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      // one-scan planting (the r14 rule): all three probe classes emit
+      // from a single scan projection, not a 3-leg union
+      def prow(id: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+        struct(id.as("doc_id"), t.as("text"))
+      val probe = docs.select(explode(array(
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            prow(col("doc_id") + 100000L, col("text"))),
+          when(pmod(col("doc_id"), lit(15)) === 0,
+            prow(col("doc_id") + 300000L, concat(col("text"), lit(" zq")))),
+          when(pmod(col("doc_id"), lit(20)) === 3,
+            prow(col("doc_id") + 400000L,
+              concat(lit("qa"), col("doc_id").cast("string"),
+                lit(" qb"), col("doc_id").cast("string"),
+                lit(" qc"), col("doc_id").cast("string"))))))
+          .as("c"))
+        .where(col("c").isNotNull)
+        .select(col("c.*"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("dedup_probe_q").toString
+      StreamOps.bootstrapDedup(corpus, s"$dir/idx", s"$dir/corp",
+        k = 2, bands = 8, rowsPerBand = 2, nBuckets = 16, poly = true,
+        nIdxBuckets = 8)
+      StreamOps.probeDedup(probe, s"$dir/idx", s"$dir/corp",
+          k = 2, bands = 8, rowsPerBand = 2, threshold = 0.3,
+          idCol = "doc_id", textCol = "text", poly = true, nIdxBuckets = 8)
+        .orderBy("doc_id")
+    },
+
     Q.noOracle("llm_dedup_simhash") { (spark, sf) =>
       Dedup.simHashNearDups(
           Tables.documents(spark, sf).where(col("doc_id") < docCap), maxHamming = 3)

@@ -45,8 +45,8 @@ object Q {
     * are derivable from it (see BASELINE.md). Membership is checked
     * against the registry by SparkEntrySpec. */
   val lifecycleFaces: Set[String] = Set(
-    "llm_dedup_stream", "llm_host_canon_stream", "stream_cdc_evolve",
-    "stream_cdc_read_latest", "stream_cdc_read_asof",
+    "llm_dedup_stream", "llm_dedup_probe", "llm_host_canon_stream",
+    "stream_cdc_evolve", "stream_cdc_read_latest", "stream_cdc_read_asof",
     "stream_cdc_read_keys", "src_shard_jsonl", "llm_pq_persist")
   val contractFaces: Set[String] = Set(
     "llm_distinct_n", "llm_distinct_n_approx", "llm_backoff_score",

@@ -1418,6 +1418,159 @@ object StreamOps {
     spark.read.parquet(indexPath)
       .drop(DedupIdxBucketCol, DedupWriterCol, DedupBatchCol)
 
+  /** The probe-side index read shared by [[applyDedupBatch]] and
+    * [[probeDedup]]: verify the stored layout against the configured
+    * `nIdxBuckets` (a mismatch would prune the wrong buckets and
+    * silently ADMIT dups — loud failure instead), then read ONLY the
+    * buckets `sigs` hashes into plus the unbucketed tail, by
+    * constructed dir name (path-level pruning: the probe never lists
+    * the rest of the index). Returns `(touchedIndex, storedIdType)`:
+    * touchedIndex is None when nothing relevant is stored; the id
+    * dtype is Some whenever the index EXISTS (meta-first, else one
+    * dir's footer) — the dtype every write must cast to (mixed-dtype
+    * files in one dataset are unreadable). */
+  private def readTouchedIndex(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, sigs: DataFrame,
+                               nIdxBuckets: Int, idCol: String, who: String)
+      : (Option[DataFrame], Option[org.apache.spark.sql.types.DataType]) = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // ONE root listStatus: layout detection + the touched-dir
+    // existence filter (rejects the pre-r18 flat layout loudly)
+    val idxDirs = idxBucketDirNames(fs, indexPath)
+    val idxMeta = readDirMeta(fs, indexPath)
+      .map(parseIdxMeta(_, indexPath))
+    idxMeta.foreach { m =>
+      require(m.nIdxBuckets == nIdxBuckets,
+        s"signature index at $indexPath is laid out with " +
+          s"nIdxBuckets=${m.nIdxBuckets}, $who configured " +
+          s"$nIdxBuckets — probing would read the wrong buckets " +
+          "and silently admit dups")
+    }
+    if (idxMeta.isEmpty && idxDirs.nonEmpty) {
+      // dirs without meta = the FIRST index write crashed between
+      // parquet and .meta; verify the on-disk layout actually used
+      // THIS nIdxBuckets before trusting pruning (the applyCdcBatch
+      // no-meta discipline — runs at most once, the next batch's write
+      // lands the meta). The index is narrow, so the re-hash check
+      // is cheap even at scale. The tail dir −1 is exempt: its rows
+      // are unbucketed by design and the probe always reads it.
+      val dirBuckets = idxDirs.map(_.stripPrefix(DedupIdxBucketCol + "=").toInt)
+      require(dirBuckets.forall(_ < nIdxBuckets),
+        s"signature index at $indexPath has bucket dir " +
+          s"$DedupIdxBucketCol=${dirBuckets.max} but no .meta and " +
+          s"$who was configured with nIdxBuckets=$nIdxBuckets " +
+          "— the layout was written with a different bucket count; " +
+          "rebuild the index (or restore the .meta)")
+      val misHashed = spark.read.parquet(indexPath)
+        .where(col(DedupIdxBucketCol) =!= DedupIdxTail &&
+          sigBucket(nIdxBuckets) =!= col(DedupIdxBucketCol))
+      require(misHashed.isEmpty,
+        s"signature index at $indexPath has no .meta and its rows " +
+          s"do not hash to their bucket dirs under " +
+          s"nIdxBuckets=$nIdxBuckets — rebuild the index (or " +
+          "restore the .meta)")
+    }
+    val indexExists = idxDirs.nonEmpty
+    val idxIdType =
+      idxMeta.map(_.schema(idCol).dataType).orElse {
+        if (indexExists)
+          Some(spark.read.parquet(s"$indexPath/${idxDirs.head}")
+            .schema(idCol).dataType)
+        else None
+      }
+    // the index buckets these signatures hash into — bounded by
+    // nIdxBuckets, so the collect is too; ONLY these dirs plus the
+    // unbucketed tail (batches since the last compaction) are read
+    // (r18, killing the last linear-in-corpus per-batch term)
+    val storedIdx: Option[DataFrame] =
+      if (!indexExists) None
+      else {
+        val touched = sigs.select(sigBucket(nIdxBuckets).as("sb"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        val touchedDirs = (DedupIdxTail +: touched)
+          .map(sb => s"$DedupIdxBucketCol=$sb")
+          .filter(idxDirs.contains).map(d => s"$indexPath/$d")
+        if (touchedDirs.isEmpty) None
+        else {
+          import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+          val sigSchema = idxMeta.map(_.schema).getOrElse(
+            spark.read.parquet(touchedDirs.head).schema
+              .filter(f => !f.name.startsWith("__dedup_"))
+              .foldLeft(new org.apache.spark.sql.types.StructType)(_ add _))
+          Some(spark.read.option("basePath", indexPath)
+            .schema(sigSchema
+              .add(DedupIdxBucketCol, IntegerType)
+              .add(DedupWriterCol, StringType)
+              .add(DedupBatchCol, LongType))
+            .parquet(touchedDirs.toIndexedSeq: _*)
+            .drop(DedupIdxBucketCol, DedupWriterCol, DedupBatchCol))
+        }
+      }
+    (storedIdx, idxIdType)
+  }
+
+  /** Read-only dedup PROBE (r18) — "would these docs be near-dups of
+    * the corpus, and of WHICH doc?": the serving query of a
+    * [[dedupStream]] deployment (an ingest API checking content before
+    * accepting it, an attribution/debug lookup), answered WITHOUT
+    * mutating either store. Per probed doc, `dup_of` = the LOWEST
+    * corpus id whose exact k-gram Jaccard clears `threshold` among the
+    * stored-index banding candidates, or NULL — each doc judged
+    * independently against the corpus (no within-batch pass: serving
+    * asks about each doc alone; the ingest-time within-batch election
+    * is [[applyDedupBatch]]'s concern).
+    *
+    * Scale shape = the per-batch probe's read side verbatim: touched
+    * index buckets + tail by constructed name, probe side size-gated
+    * broadcast, corpus TEXT fetched bucket-pruned for candidate ids
+    * only. Emits `(idCol, dup_of)`, un-ordered. */
+  def probeDedup(docs: DataFrame, indexPath: String, corpusPath: String,
+                 k: Int = 2, bands: Int = 8, rowsPerBand: Int = 2,
+                 threshold: Double = 0.5, idCol: String = "doc_id",
+                 textCol: String = "text", poly: Boolean = false,
+                 nIdxBuckets: Int = 64): DataFrame = {
+    import graft.llm.{Dedup, Joins}
+    val spark = docs.sparkSession
+    // lazy cuts (GC-released): the probe RETURNS a frame, so the eager
+    // cut + release discipline of the batch path does not apply
+    val b = docs.localCheckpoint(false)
+    val sigsB = Dedup.signatureIndex(b, k, bands, rowsPerBand,
+      idCol, textCol, poly).localCheckpoint(false)
+    val (storedIdx, idxIdType) =
+      readTouchedIndex(spark, indexPath, sigsB, nIdxBuckets, idCol,
+        "this probe")
+    val noDup = lit(null)
+      .cast(idxIdType.getOrElse(b.schema(idCol).dataType)).as("dup_of")
+    storedIdx match {
+      case None => b.select(col(idCol), noDup)
+      case Some(idx) =>
+        val cand = idx.join(Joins.gatedBroadcast(sigsB.select(
+              col(idCol).as("bid"), col("band"), col("sig"))),
+            Seq("band", "sig"))
+          .where(col(idCol) =!= col("bid"))
+          .select(col("bid"), col(idCol).as("cid")).distinct()
+          .localCheckpoint(false) // candidate-sized; feeds fetch + verify
+        val cids = cand.select(col("cid").as(idCol))
+        val (touched, _, _) = splitByTailBuckets(spark, corpusPath,
+          cids, Seq(idCol), "probeDedup", withUntouched = false)
+        // the applyDedupBatch broadcast discipline: cand is a
+        // checkpoint (no size stats), gate ONCE on the raw pair frame
+        // and apply the decision to every candidate-derived view —
+        // including the final evidence join, whose post-agg side the
+        // planner also cannot size past the checkpoint
+        val small = Joins.fitsBroadcast(cand)
+        val corpusCand = graft.relational.Cdc.publicSnapshot(touched)
+          .join(Joins.hinted(small, cids.distinct()),
+            Seq(idCol), "left_semi")
+        val best = Dedup.verifiedDupPairs(cand, b, corpusCand,
+            k, threshold, idCol, textCol)
+          .groupBy("bid").agg(min(col("cid")).as("dup_of"))
+          .withColumnRenamed("bid", idCol)
+        b.select(col(idCol)).join(Joins.hinted(small, best), Seq(idCol), "left")
+    }
+  }
+
   /** Initial load of a streaming-dedup deployment: the (already
     * deduped) corpus into the CDC snapshot layout at `corpusPath`
     * (version 0) and its signature index into `indexPath` (partition
@@ -1535,86 +1688,10 @@ object StreamOps {
       val sigsB = Dedup.signatureIndex(b, k, bands, rowsPerBand,
         idCol, textCol, poly).localCheckpoint(true)
       try {
-        val fs = new org.apache.hadoop.fs.Path(indexPath)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        // ONE root listStatus: layout detection + the touched-dir
-        // existence filter (rejects the pre-r18 flat layout loudly)
-        val idxDirs = idxBucketDirNames(fs, indexPath)
-        val idxMeta = readDirMeta(fs, indexPath)
-          .map(parseIdxMeta(_, indexPath))
-        idxMeta.foreach { m =>
-          require(m.nIdxBuckets == nIdxBuckets,
-            s"signature index at $indexPath is laid out with " +
-              s"nIdxBuckets=${m.nIdxBuckets}, this stream configured " +
-              s"$nIdxBuckets — probing would read the wrong buckets " +
-              "and silently admit dups")
-        }
-        if (idxMeta.isEmpty && idxDirs.nonEmpty) {
-          // dirs without meta = the FIRST index write crashed between
-          // parquet and .meta; verify the on-disk layout actually used
-          // THIS nIdxBuckets before trusting pruning (the applyCdcBatch
-          // no-meta discipline — runs at most once, this batch's write
-          // lands the meta). The index is narrow, so the re-hash check
-          // is cheap even at scale. The tail dir −1 is exempt: its rows
-          // are unbucketed by design and the probe always reads it.
-          val dirBuckets = idxDirs.map(_.stripPrefix(DedupIdxBucketCol + "=").toInt)
-          require(dirBuckets.forall(_ < nIdxBuckets),
-            s"signature index at $indexPath has bucket dir " +
-              s"$DedupIdxBucketCol=${dirBuckets.max} but no .meta and " +
-              s"this stream was configured with nIdxBuckets=$nIdxBuckets " +
-              "— the layout was written with a different bucket count; " +
-              "rebuild the index (or restore the .meta)")
-          val misHashed = spark.read.parquet(indexPath)
-            .where(col(DedupIdxBucketCol) =!= DedupIdxTail &&
-              sigBucket(nIdxBuckets) =!= col(DedupIdxBucketCol))
-          require(misHashed.isEmpty,
-            s"signature index at $indexPath has no .meta and its rows " +
-              s"do not hash to their bucket dirs under " +
-              s"nIdxBuckets=$nIdxBuckets — rebuild the index (or " +
-              "restore the .meta)")
-        }
-        val indexExists = idxDirs.nonEmpty
-        // the stored index's id dtype rules: a batch delivering e.g.
-        // INT ids against a LONG-bootstrapped index must not land
-        // mixed-dtype files in one dataset (the applyCdcBatch
-        // alignment rule, index-side); meta-first, else one dir's footer
-        val idxIdType =
-          idxMeta.map(_.schema(idCol).dataType).orElse {
-            if (indexExists)
-              Some(spark.read.parquet(s"$indexPath/${idxDirs.head}")
-                .schema(idCol).dataType)
-            else None
-          }
-        // the index buckets this batch's signatures hash into — bounded
-        // by nIdxBuckets, so the collect is too; ONLY these dirs plus
-        // the unbucketed tail (batches since the last compaction) are
-        // read, by constructed name (path-level pruning: the probe
-        // never lists the rest of the index — r18, killing the last
-        // linear-in-corpus per-batch term)
-        val storedIdx: Option[DataFrame] =
-          if (!indexExists) None
-          else {
-            val touched = sigsB.select(sigBucket(nIdxBuckets).as("sb"))
-              .distinct().collect().map(_.getInt(0)).sorted
-            val touchedDirs = (DedupIdxTail +: touched)
-              .map(sb => s"$DedupIdxBucketCol=$sb")
-              .filter(idxDirs.contains).map(d => s"$indexPath/$d")
-            if (touchedDirs.isEmpty) None
-            else {
-              import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-              val sigSchema = idxMeta.map(_.schema).getOrElse(
-                spark.read.parquet(touchedDirs.head).schema
-                  .filter(f => !f.name.startsWith("__dedup_"))
-                  .foldLeft(new org.apache.spark.sql.types.StructType)(_ add _))
-              Some(spark.read.option("basePath", indexPath)
-                .schema(sigSchema
-                  .add(DedupIdxBucketCol, IntegerType)
-                  .add(DedupWriterCol, StringType)
-                  .add(DedupBatchCol, LongType))
-                .parquet(touchedDirs.toIndexedSeq: _*)
-                .drop(DedupIdxBucketCol, DedupWriterCol, DedupBatchCol))
-            }
-          }
+        val (storedIdx, idxIdType) =
+          readTouchedIndex(spark, indexPath, sigsB, nIdxBuckets, idCol,
+            "this stream")
+        val indexExists = storedIdx.isDefined || idxIdType.isDefined
         // banding candidates: touched index buckets ⨝ batch signatures
         // (batch side size-gated broadcast — an initial-load batch can
         // be huge, and an unconditional broadcast OOMs; the Joins

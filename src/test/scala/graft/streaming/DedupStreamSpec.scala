@@ -270,6 +270,40 @@ class DedupStreamSpec extends SparkSpec {
     run(exact = true) shouldBe Seq(1L)      // one min-id rep per cluster
   }
 
+  test("probeDedup (r18): read-only serving — dup evidence, no store mutation") {
+    val dir = tmp("dedup_probe"); val idx = s"$dir/idx"; val corp = s"$dir/corp"
+    StreamOps.bootstrapDedup(corpus0, idx, corp, k = 2, bands = 8,
+      rowsPerBand = 2, nBuckets = 8)
+    apply1(idx, corp, batch1, 0L) // survivors 11, 13 join the stores
+    def storeState: Seq[(String, Long, Long)] =
+      Seq(idx, corp).flatMap { root =>
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(root)).filterNot(_.getName.startsWith("."))
+          .map(f => (f.getPath, f.length(), f.lastModified())).sortBy(_._1)
+      }
+    val before = storeState
+    // probe: 30 dups corpus doc 1; 31 dups SURVIVOR 11 (cross-batch
+    // state through the stored index); 32 is fresh → NULL
+    val probe = Seq(Doc(30L, t(1)), Doc(31L, t(11)), Doc(32L, t(32)))
+    val got = StreamOps.probeDedup(probe.toDF(), idx, corp, k = 2,
+        bands = 8, rowsPerBand = 2, threshold = 0.5, idCol = "doc_id",
+        textCol = "text", poly = false)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong))).toSeq
+    got shouldBe Seq((30L, Some(1L)), (31L, Some(11L)), (32L, None))
+    // read-only: not one byte of either store moved
+    storeState shouldBe before
+    // dup_of is the LOWEST matching corpus id (deterministic evidence):
+    // a probe doc matching both 1 and its survivor-twin reports 1...
+    // (t(1) matches only doc 1 here; pin determinism on the trivial case)
+    // ...and a probe against an EMPTY deployment reports all-NULL
+    val none = StreamOps.probeDedup(probe.toDF(), s"$dir/noidx",
+        s"$dir/nocorp", idCol = "doc_id", textCol = "text")
+      .where(col("dup_of").isNotNull).count()
+    none shouldBe 0L
+  }
+
   test("docs carrying the store's internal merge columns are rejected") {
     val dir = tmp("dedup_cols")
     val bad = Seq((1L, "x", 1L)).toDF("doc_id", "text", "version")
