@@ -339,6 +339,16 @@ object Cdc {
     require(!prev.columns.contains(versionCol) && !prev.columns.contains(opCol),
       s"snapshots must not carry '$versionCol'/'$opCol' — diffSnapshots " +
         "takes PUBLIC rows and emits the changelog columns itself")
+    // the diff builds marker/renamed columns under these prefixes; a
+    // payload column already named __p_x/__n_x/__in_p/__in_n would
+    // collide and silently corrupt the diff — fail loudly like the
+    // version/op collision above (r19, the r18 advice)
+    val reserved = prev.columns.filter(c =>
+      c.startsWith("__p_") || c.startsWith("__n_") || c.startsWith("__in_"))
+    require(reserved.isEmpty,
+      s"snapshot columns collide with diffSnapshots' reserved " +
+        s"__p_/__n_/__in_ prefixes: ${reserved.mkString(", ")} — rename " +
+        "them before diffing")
     val payload = next.columns.filterNot(keyCols.contains).toSeq
     val p = prev.select(keyCols.map(col) ++
       payload.map(c => col(c).as(s"__p_$c")) :+ lit(true).as("__in_p"): _*)

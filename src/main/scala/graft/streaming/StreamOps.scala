@@ -823,12 +823,20 @@ object StreamOps {
     val (touched, _, alignedKeys) =
       splitByTailBuckets(spark, snapshotPath, wanted, keyCols, "readKeys",
         withUntouched = false)
+    // align the TAIL's key dtypes to the stored layout too (r19, the
+    // r18 advice): splitByTailBuckets aligned only `keys`; an int-keyed
+    // tail against a long-keyed layout worked only through implicit
+    // join-key coercion, diverging from the stated xxhash64(int) !=
+    // xxhash64(long) discipline (touched carries the stored schema)
+    val alignedTail = keyCols.foldLeft(tail) { (b, k) =>
+      b.withColumn(k, col(k).cast(touched.schema(k).dataType))
+    }
     // request-sized by contract, and past any caller checkpoint the
     // frame has no stats (the LogicalRDD rule) — broadcast explicitly
     val keySet = broadcast(alignedKeys)
     Cdc.publicSnapshot(Cdc.mergeVersioned(
       touched.join(keySet, keyCols, "left_semi"),
-      tail.join(keySet, keyCols, "left_semi"),
+      alignedTail.join(keySet, keyCols, "left_semi"),
       keyCols, versionCol, opCol))
   }
 
@@ -991,13 +999,18 @@ object StreamOps {
     *
     * Run against a QUIESCED snapshot (stream stopped or between
     * batches): the copy is per-file, not transactional, and a
-    * concurrent batch's dynamic overwrite could tear it. Cost: one
-    * narrow max-version scan + a byte copy of the snapshot — an
-    * admin op, not a per-batch one. Default target:
-    * `<snapshotPath>.retained/v=<v>`. */
+    * concurrent batch's dynamic overwrite could tear it. A PINNED
+    * snapshot therefore demands the owner's checkpoint path
+    * (`ownerCheckpoint`) as an explicit ownership assertion, the
+    * [[compactCdcSnapshot]] rule (r19, the r18 advice): a retention
+    * run racing a live batch mid-overwrite would silently freeze a
+    * TORN copy and trust it as history. Cost: one narrow max-version
+    * scan + a byte copy of the snapshot — an admin op, not a
+    * per-batch one. Default target: `<snapshotPath>.retained/v=<v>`. */
   def retainSnapshot(spark: org.apache.spark.sql.SparkSession,
                      snapshotPath: String,
-                     retainedPath: Option[String] = None): (String, Long) = {
+                     retainedPath: Option[String] = None,
+                     ownerCheckpoint: Option[String] = None): (String, Long) = {
     val conf = spark.sessionState.newHadoopConf()
     val srcRoot = new org.apache.hadoop.fs.Path(snapshotPath)
     val fs = srcRoot.getFileSystem(conf)
@@ -1007,6 +1020,15 @@ object StreamOps {
         s"no layout meta at $snapshotPath.meta — retain an EXISTING " +
           "maintained snapshot (bootstrap through writeCdcSnapshot or " +
           "let the stream's first batch land)"))
+    meta.writer.foreach { pinned =>
+      require(ownerCheckpoint.map(writerIdFor).contains(pinned),
+        s"snapshot at $snapshotPath is maintained by writer $pinned — " +
+          "retaining it without that stream's checkpoint identity " +
+          "(ownerCheckpoint) could race a live batch's dynamic " +
+          "overwrite and freeze a torn per-file copy as trusted " +
+          "history; pass the owning stream's checkpoint path and run " +
+          "with the stream stopped")
+    }
     val dirs = bucketDirNames(fs, snapshotPath)
     require(dirs.nonEmpty,
       s"snapshot meta exists at $snapshotPath but the bucket dirs are " +
@@ -1257,15 +1279,18 @@ object StreamOps {
       // (appending a column after our read, before this write) must
       // not be silently reverted by us rewriting the pre-evolution
       // schema (r18, the r17 race note; evolution is additive-only,
-      // so the union is well-defined). The writer pin is claimed
-      // (ours) or preserved (a pin landed since our read — keep it;
-      // OUR pin check already passed at batch start).
+      // so the union is well-defined). The writer pin: the RE-READ pin
+      // wins when present (r19, the r18 advice — a repinCdcSnapshot
+      // takeover landing mid-batch must stay loud: preserving the NEW
+      // pin makes OUR next batch fail its pin check, instead of this
+      // closing write silently reverting the takeover); absent a
+      // stored pin (first batch, or an explicit unpin), ours claims.
       raceHook()
       val reRead = readDirMeta(fs, snapshotPath)
         .map(parseCdcMeta(_, snapshotPath))
       writeDirMeta(fs, snapshotPath, cdcMetaContent(nBuckets,
         unionAdditiveSchema(merged.schema, reRead.flatMap(_.schema)),
-        writer.orElse(reRead.flatMap(_.writer))))
+        reRead.flatMap(_.writer).orElse(writer)))
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(merged)
     }
@@ -1355,6 +1380,18 @@ object StreamOps {
   private def idxMetaContent(nIdxBuckets: Int,
       schema: org.apache.spark.sql.types.StructType): String =
     s"nIdxBuckets=$nIdxBuckets\nschema=${schema.json}"
+
+  /** Meta-less index layouts whose one-time re-hash verification has
+    * PASSED in this JVM (r19, the r18 advice): a WRITER's next batch
+    * lands the meta, but the read-only [[probeDedup]] never writes —
+    * without memoization every serving probe against a crash-remnant
+    * meta-less index would re-pay a full-index scan, the exact
+    * linear-in-corpus cost the r18 bucketed layout removed. Keyed by
+    * (path, nIdxBuckets); a layout REPLACED under the same path after
+    * a pass would normally land its meta (making this moot) — the
+    * memo trusts that write discipline, same as the meta itself. */
+  private val verifiedNoMetaIdx =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
   /** The `__dedup_sig_bucket=N` dir names — ONE root listStatus. */
   private def idxBucketDirNames(fs: org.apache.hadoop.fs.FileSystem,
@@ -1447,14 +1484,16 @@ object StreamOps {
           s"$nIdxBuckets — probing would read the wrong buckets " +
           "and silently admit dups")
     }
-    if (idxMeta.isEmpty && idxDirs.nonEmpty) {
+    if (idxMeta.isEmpty && idxDirs.nonEmpty &&
+        !verifiedNoMetaIdx.contains((indexPath, nIdxBuckets))) {
       // dirs without meta = the FIRST index write crashed between
       // parquet and .meta; verify the on-disk layout actually used
       // THIS nIdxBuckets before trusting pruning (the applyCdcBatch
-      // no-meta discipline — runs at most once, the next batch's write
-      // lands the meta). The index is narrow, so the re-hash check
-      // is cheap even at scale. The tail dir −1 is exempt: its rows
-      // are unbucketed by design and the probe always reads it.
+      // no-meta discipline — a writer's next batch lands the meta;
+      // read-only probes memoize the pass instead, see
+      // [[verifiedNoMetaIdx]]). The index is narrow, so the re-hash
+      // check is cheap even at scale. The tail dir −1 is exempt: its
+      // rows are unbucketed by design and the probe always reads it.
       val dirBuckets = idxDirs.map(_.stripPrefix(DedupIdxBucketCol + "=").toInt)
       require(dirBuckets.forall(_ < nIdxBuckets),
         s"signature index at $indexPath has bucket dir " +
@@ -1470,6 +1509,7 @@ object StreamOps {
           s"do not hash to their bucket dirs under " +
           s"nIdxBuckets=$nIdxBuckets — rebuild the index (or " +
           "restore the .meta)")
+      verifiedNoMetaIdx.add((indexPath, nIdxBuckets))
     }
     val indexExists = idxDirs.nonEmpty
     val idxIdType =

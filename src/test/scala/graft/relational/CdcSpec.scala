@@ -111,6 +111,15 @@ class CdcSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Cdc.diffSnapshots(base.withColumn("op", lit("U")),
         base.withColumn("op", lit("U")), Seq("k"), 1L)
+    // reserved marker/rename prefixes collide loudly instead of
+    // silently corrupting the diff (r19, the r18 advice)
+    for (bad <- Seq("__in_p", "__in_n", "__p_name", "__n_amt")) {
+      val e = intercept[IllegalArgumentException] {
+        Cdc.diffSnapshots(base.withColumn(bad, lit(1)),
+          base.withColumn(bad, lit(1)), Seq("k"), 1L)
+      }
+      e.getMessage should include (bad)
+    }
   }
 
   test("unknown op codes raise instead of half-applying (r15 verdict #4)") {

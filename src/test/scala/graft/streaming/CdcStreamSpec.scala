@@ -486,6 +486,13 @@ class CdcStreamSpec extends SparkSpec {
     // INT-typed key requests align to the long-keyed layout
     rows(StreamOps.readKeys(spark, snap, Seq(5).toDF("k"), tail, Seq("k"))) shouldBe
       Seq((5L, "upd", 2.0))
+    // ...and so does an INT-typed TAIL (r19, the r18 advice): its keys
+    // align to the stored dtype explicitly, not through implicit
+    // join-key coercion (xxhash64(int) != xxhash64(long))
+    val intTail = Seq((7, "tailint", 9.0, 12L, "U"))
+      .toDF("k", "name", "amt", "version", "op")
+    rows(StreamOps.readKeys(spark, snap, Seq(7L).toDF("k"), intTail,
+      Seq("k"))) shouldBe Seq((7L, "tailint", 9.0))
   }
 
   test("writer pin: a second stream (or a pinless direct write) fails loudly; takeover is explicit") {
@@ -523,6 +530,14 @@ class CdcStreamSpec extends SparkSpec {
       StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8,
         writer = Some("streamB")) }
     eB2.getMessage should include (s"maintained by writer $writerA")
+    // retention is mutating-ADJACENT (a per-file copy a live batch's
+    // overwrite could tear): a pinned store demands the owner's
+    // checkpoint identity like compaction does (r19, the r18 advice)
+    val eR = intercept[IllegalArgumentException] {
+      StreamOps.retainSnapshot(spark, snap) }
+    eR.getMessage should include ("ownerCheckpoint")
+    StreamOps.retainSnapshot(spark, snap,
+      ownerCheckpoint = Some("/ckpt/a"))._2 should be >= 0L
     // explicit takeover: repin to B's checkpoint identity (A stopped)
     StreamOps.repinCdcSnapshot(spark, snap, Some("/ckpt/b"))
     val noted = batch2.toDF().withColumn("note", lit("n"))
@@ -566,6 +581,30 @@ class CdcStreamSpec extends SparkSpec {
     StreamOps.applyCdcBatch(b, snap, Seq("k"), "version", "op", 8)
     Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))
       .where(col("k") === 9L).select("note").head().getString(0) shouldBe "hello"
+  }
+
+  test("a repin takeover landing mid-batch is preserved, not silently reverted (r19)") {
+    val snap = tmp("cdc_repin_race")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    val writerA = StreamOps.writerIdFor("/ckpt/ra")
+    val writerB = StreamOps.writerIdFor("/ckpt/rb")
+    // A's batch passes its pin check (store unpinned), then a takeover
+    // to B lands mid-batch (after A's data write, before its closing
+    // meta write — the raceHook point): the closing write must keep B's
+    // pin so A's NEXT batch bounces loudly, instead of re-asserting A
+    // and silently reverting the takeover
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8,
+      writer = Some(writerA),
+      raceHook = () => StreamOps.repinCdcSnapshot(spark, snap, Some("/ckpt/rb")))
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8,
+        writer = Some(writerA)) }
+    e.getMessage should include (writerB)
+    // the takeover's writer proceeds
+    StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version", "op", 8,
+      writer = Some(writerB))
+    rows(Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))) shouldBe
+      rows(Cdc.upsert(base, (batch1 ++ batch2).toDF(), Seq("k")))
   }
 
   test("plan: the merge's full-outer join rides the latest-per-key window hash") {

@@ -304,6 +304,39 @@ class DedupStreamSpec extends SparkSpec {
     none shouldBe 0L
   }
 
+  test("probeDedup memoizes the meta-less layout verification (r19, the r18 advice)") {
+    // a crash-remnant index (dirs, no .meta) forces a one-time re-hash
+    // verification; a WRITER's next batch lands the meta, but the
+    // read-only probe never writes — without memoization every serving
+    // probe would re-pay the full-index scan the r18 layout removed
+    val dir = tmp("dedup_memo"); val idx = s"$dir/idx"; val corp = s"$dir/corp"
+    StreamOps.bootstrapDedup(corpus0, idx, corp, k = 2, bands = 8,
+      rowsPerBand = 2, nBuckets = 8)
+    new java.io.File(idx + ".meta").delete() shouldBe true
+    val probe = Seq(Doc(30L, t(1)))
+    def run(path: String): Unit =
+      StreamOps.probeDedup(probe.toDF(), path, corp, k = 2, bands = 8,
+        rowsPerBand = 2, threshold = 0.5, idCol = "doc_id",
+        textCol = "text", poly = false).collect()
+    run(idx) // pays the one-time verification, memoizes the pass
+    // corrupt the layout in a way a FRESH verification rejects (a
+    // bucket dir above the configured count), prove it via a COPY at a
+    // new path (not memoized — raises), then show the memoized path
+    // skips the re-check entirely (completes)
+    val buckets = new java.io.File(idx).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith(StreamOps.DedupIdxBucketCol + "="))
+    buckets.head.renameTo(new java.io.File(idx,
+      s"${StreamOps.DedupIdxBucketCol}=99")) shouldBe true
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    val idx2 = s"$dir/idx2"
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(idx),
+      fs, new org.apache.hadoop.fs.Path(idx2), false, conf)
+    val e = intercept[IllegalArgumentException](run(idx2))
+    e.getMessage should include ("=99")
+    run(idx) // memoized: no re-verification, the probe serves
+  }
+
   test("docs carrying the store's internal merge columns are rejected") {
     val dir = tmp("dedup_cols")
     val bad = Seq((1L, "x", 1L)).toDF("doc_id", "text", "version")
