@@ -514,6 +514,93 @@ object StreamOps {
       finally in.close()
     }
 
+  // ---- store ownership CLAIM (r19, the r18 verdict's top ask): the
+  // meta's writer= line RECORDS the pin, but the first-batch claim used
+  // to be read-then-write — two streams' very FIRST batches overlapping
+  // could both pass the no-pin check and the loser's committed batch
+  // was permanently lost (its checkpoint advances; replay never
+  // redelivers a committed batch). The claim SIDECAR closes that window
+  // mechanically: `FileSystem.create(path, overwrite = false)` is an
+  // EXCLUSIVE create — atomic at HDFS's namenode; on a local FS the
+  // no-overwrite check narrows the window to one syscall gap, and the
+  // content re-read both racers perform closes the rest — so exactly
+  // one of two racing first batches wins the claim and the loser fails
+  // loudly BEFORE writing any data. Shared by all three pinned stores:
+  // the CDC snapshot, the dedup corpus (an applyCdcBatch store), and
+  // the canonical-edge snapshot.
+
+  private def claimFilePath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir + ".meta.claim")
+
+  private[graft] def readClaim(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String): Option[String] =
+    if (!fs.exists(claimFilePath(dir))) None
+    else {
+      val in = fs.open(claimFilePath(dir))
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+      finally in.close()
+    }
+
+  /** Write/replace (Some) or remove (None) the claim OUTSIDE a race —
+    * the ownership-RESET paths (a full bootstrap rewrite, an explicit
+    * repin takeover), which run with the old stream stopped by their
+    * own contract. Never a claim attempt: use [[claimOwnership]]. */
+  private def resetClaim(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: String, writer: Option[String]): Unit =
+    writer match {
+      case Some(w) =>
+        val out = fs.create(claimFilePath(dir), true)
+        try out.write((w + "\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      case None =>
+        fs.delete(claimFilePath(dir), false)
+    }
+
+  /** Assert (writer = None: an admin/direct application, allowed only
+    * on an UNOWNED store) or atomically take (writer = Some: a stream's
+    * batch) ownership of a store, BEFORE its read-merge-overwrite
+    * touches any data. The effective owner is the claim sidecar when
+    * present, else the meta's recorded pin (`storedPin` — pre-claim
+    * stores recorded the pin only there; the first matching batch
+    * upgrades them by landing the sidecar, which is race-free because
+    * that batch already owns the store). */
+  private[graft] def claimOwnership(fs: org.apache.hadoop.fs.FileSystem,
+                                    dir: String, writer: Option[String],
+                                    storedPin: Option[String],
+                                    store: String): Unit = {
+    def fail(holder: String): Nothing = throw new IllegalArgumentException(
+      s"$store at $dir is maintained by writer $holder; this " +
+        s"${writer.fold("direct application carries no writer id")(w =>
+          s"stream is writer $w")} — a concurrent second writer's " +
+        "read-merge-overwrite would permanently lose committed batches. " +
+        "Use a distinct path, or take over explicitly (repin, or a full " +
+        "bootstrap rewrite) with the old stream stopped.")
+    val claimed = readClaim(fs, dir)
+    (writer, claimed.orElse(storedPin)) match {
+      case (None, Some(holder)) => fail(holder)
+      case (None, None) => // unowned store, direct application allowed
+      case (Some(w), Some(holder)) if holder != w => fail(holder)
+      case (Some(w), Some(_)) => // ours — upgrade a pre-claim meta pin
+        if (claimed.isEmpty) resetClaim(fs, dir, Some(w))
+      case (Some(w), None) =>
+        // the CAS: exclusive create — exactly one racer wins
+        try {
+          val out = fs.create(claimFilePath(dir), false)
+          try out.write((w + "\n").getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        } catch {
+          case _: java.io.IOException =>
+            readClaim(fs, dir) match {
+              case Some(h) if h == w => // a retried create of our own claim
+              case Some(h) => fail(h)
+              case None => fail("another writer (claim in flight)")
+            }
+        }
+    }
+  }
+
   /** Parsed CDC layout meta: the bucket count every reader/writer must
     * agree on; (since r17) the snapshot's LOGICAL schema — which
     * may be AHEAD of what older bucket files physically carry
@@ -608,10 +695,12 @@ object StreamOps {
       .write.mode("overwrite").partitionBy(CdcBucketCol).parquet(snapshotPath)
     // a full static rewrite carries the frame's own schema — it IS the
     // layout now (a prior evolved-ahead meta schema is materialized or
-    // replaced by what was just written); the writer pin resets to the
-    // caller's (None = unpinned — the next stream's first batch claims)
+    // replaced by what was just written); OWNERSHIP resets to the
+    // caller's (None = unowned — the next stream's first batch claims
+    // it atomically), both in the meta record and the claim sidecar
     writeDirMeta(fs, snapshotPath,
       cdcMetaContent(nBuckets, versioned.schema, writer))
+    resetClaim(fs, snapshotPath, writer)
   }
 
   /** Re-pin (or unpin) the snapshot's writer WITHOUT a rewrite — the
@@ -641,6 +730,7 @@ object StreamOps {
     }
     writeDirMeta(fs, snapshotPath,
       cdcMetaContent(meta.nBuckets, schema, checkpoint.map(writerIdFor)))
+    resetClaim(fs, snapshotPath, checkpoint.map(writerIdFor))
   }
 
   /** The maintained snapshot, versioned face (internal columns intact —
@@ -960,7 +1050,10 @@ object StreamOps {
     // checkpoint path as an explicit ownership assertion; run it with
     // the stream STOPPED — the assertion is who may compact, the
     // quiescence is still the operator's contract.
-    meta.writer.foreach { pinned =>
+    // the effective owner is the claim sidecar when present (a claimed
+    // store whose first meta write hasn't landed yet is still OWNED),
+    // else the meta's recorded pin
+    readClaim(fs, snapshotPath).orElse(meta.writer).foreach { pinned =>
       require(ownerCheckpoint.map(writerIdFor).contains(pinned),
         s"snapshot at $snapshotPath is maintained by writer $pinned — " +
           "compacting it without that stream's checkpoint identity " +
@@ -1020,7 +1113,7 @@ object StreamOps {
         s"no layout meta at $snapshotPath.meta — retain an EXISTING " +
           "maintained snapshot (bootstrap through writeCdcSnapshot or " +
           "let the stream's first batch land)"))
-    meta.writer.foreach { pinned =>
+    readClaim(fs, snapshotPath).orElse(meta.writer).foreach { pinned =>
       require(ownerCheckpoint.map(writerIdFor).contains(pinned),
         s"snapshot at $snapshotPath is maintained by writer $pinned — " +
           "retaining it without that stream's checkpoint identity " +
@@ -1126,17 +1219,16 @@ object StreamOps {
     * through [[writeCdcSnapshot]] first.
     *
     * `writer`: Some = a STREAM's identity — the batch claims an
-    * unpinned store and must match a pinned one (the merge is
+    * unowned store and must match an owned one (the merge is
     * read-merge-overwrite; a second concurrent writer would
     * permanently lose committed batches, see [[CdcMeta]]). None = a
-    * direct/administrative application, allowed only on an UNPINNED
-    * store (a pinned store means a stream owns it — going around the
-    * pin is the exact race the pin exists to kill). The claim itself
-    * is read-then-write, not a filesystem CAS: two writers' very
-    * FIRST batches overlapping can still both claim — the pin shrinks
-    * the silent-loss window from "every batch forever" to that one
-    * bootstrap overlap, same as the canon/dedup stores' discipline;
-    * start a deployment's first stream before its second. */
+    * direct/administrative application, allowed only on an UNOWNED
+    * store (an owned store means a stream maintains it — going around
+    * the pin is the exact race the pin exists to kill). The claim is a
+    * filesystem CAS (r19): an exclusive create of the `.meta.claim`
+    * sidecar ([[claimOwnership]]) — two writers' very FIRST batches
+    * overlapping resolve to exactly one winner, the loser failing
+    * loudly before it writes any data. */
   private[graft] def applyCdcBatch(batch: DataFrame, snapshotPath: String,
                                    keyCols: Seq[String], versionCol: String,
                                    opCol: String, nBuckets: Int,
@@ -1145,7 +1237,13 @@ object StreamOps {
                                    // the data write, before the closing
                                    // meta re-read — lets the evolve-race
                                    // spec land an evolution mid-batch
-                                   raceHook: () => Unit = () => ()): Unit = {
+                                   raceHook: () => Unit = () => (),
+                                   // test-only interleave point: runs after
+                                   // the meta read, before the ownership
+                                   // claim — lets the claim-race spec land
+                                   // a competing writer's WHOLE first batch
+                                   // inside this batch's claim window
+                                   claimHook: () => Unit = () => ()): Unit = {
     import graft.relational.Cdc
     if (batch.isEmpty) return
     val spark = batch.sparkSession
@@ -1171,19 +1269,6 @@ object StreamOps {
             s"nBuckets=${m.nBuckets} but this " +
             s"stream was configured with nBuckets=$nBuckets — pruning " +
             "would read the wrong buckets and silently duplicate keys")
-        // the writer pin: a pinned store accepts batches ONLY from its
-        // pinned writer; a pinless (admin) application must not go
-        // around a live stream's pin either
-        m.writer.foreach { pinned =>
-          require(writer.contains(pinned),
-            s"snapshot at $snapshotPath is maintained by writer $pinned; " +
-              s"this ${writer.fold("direct application carries no writer " +
-                "id")(w => s"stream is writer $w")} — a concurrent " +
-              "second writer's read-merge-overwrite would permanently " +
-              "lose committed batches. Use a distinct snapshotPath, or " +
-              "take over explicitly via repinCdcSnapshot/writeCdcSnapshot " +
-              "with the old stream stopped.")
-        }
         require(hasDirs,
           s"snapshot meta exists at $snapshotPath but the bucket dirs " +
             "are gone — a prior overwrite crashed mid-write; rebuild " +
@@ -1217,6 +1302,14 @@ object StreamOps {
         // write (writing it first would make a crashed FIRST batch
         // read as lost state)
     }
+    // ownership — BEFORE any data moves: a stream's batch atomically
+    // claims an unowned store (exclusive sidecar create — exactly one
+    // of two racing first batches wins) or must match the owner; a
+    // direct (writer = None) application must not go around a live
+    // stream's ownership either
+    claimHook()
+    claimOwnership(fs, snapshotPath, writer,
+      storedMeta.flatMap(_.writer), "snapshot")
     val exists = hasDirs
     // the stored LOGICAL schema (key + payload + internal columns,
     // WITHOUT the bucket partition column): meta-first — the meta may
@@ -2051,21 +2144,22 @@ object StreamOps {
     val fs = new org.apache.hadoop.fs.Path(canonPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val inflightDir = canonPath + ".inflight"
-    // ---- meta: watermark + writer pin + crash marker ----
-    val applied = readDirMeta(fs, canonPath) match {
+    // ---- meta: watermark + writer ownership + crash marker ----
+    val (applied, storedPin) = readDirMeta(fs, canonPath) match {
       case Some(m) =>
         val (storedBuckets, storedWriter, appliedBatch) = parseCanonMeta(m)
         require(storedBuckets == nBuckets,
           s"canonical snapshot at $canonPath is laid out with " +
             s"nBuckets=$storedBuckets, stream configured $nBuckets — " +
             "pruning would rewrite the wrong buckets")
-        require(storedWriter == writer,
-          s"canonical snapshot at $canonPath is maintained by writer " +
-            s"$storedWriter; this stream is $writer — two writers' batch " +
-            "watermarks cannot interleave; use a distinct canonPath")
-        appliedBatch
-      case None => -1L
+        (appliedBatch, Some(storedWriter))
+      case None => (-1L, None)
     }
+    // two writers' batch watermarks cannot interleave — the first batch
+    // claims the store atomically (exclusive sidecar create, r19), and
+    // every later batch must match the owner
+    claimOwnership(fs, canonPath, Some(writer), storedPin,
+      "canonical snapshot")
     readDirMeta(fs, inflightDir).foreach { b =>
       require(b.toLong <= applied,
         s"canonical snapshot at $canonPath has an inflight marker for " +

@@ -583,6 +583,63 @@ class CdcStreamSpec extends SparkSpec {
       .where(col("k") === 9L).select("note").head().getString(0) shouldBe "hello"
   }
 
+  test("the ownership claim is a CAS (r19, the r18 top ask): racing FIRST batches resolve to one winner") {
+    val snap = tmp("cdc_cas")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    val writerA = StreamOps.writerIdFor("/ckpt/casa")
+    val writerB = StreamOps.writerIdFor("/ckpt/casb")
+    // B's WHOLE first batch lands inside A's claim window (after A read
+    // the unowned meta, before A's claim attempt — the worst
+    // interleaving of the old read-then-write claim, where BOTH writers
+    // claimed and A's overwrite permanently erased B's committed keys):
+    // with the exclusive-create claim sidecar, B wins and A fails
+    // LOUDLY naming B, before A writes any data
+    var bRan = false
+    val eA = intercept[IllegalArgumentException] {
+      StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8,
+        writer = Some(writerA),
+        claimHook = () => {
+          StreamOps.applyCdcBatch(batch2.toDF(), snap, Seq("k"), "version",
+            "op", 8, writer = Some(writerB))
+          bRan = true
+        })
+    }
+    bRan shouldBe true
+    eA.getMessage should include (writerB)
+    // B's committed batch SURVIVED A's failed attempt — the exact state
+    // the old bootstrap-overlap window silently lost — and B keeps going
+    rows(Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))) shouldBe
+      rows(Cdc.upsert(base, batch2.toDF(), Seq("k")))
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8,
+      writer = Some(writerB))
+    rows(Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))) shouldBe
+      rows(Cdc.upsert(base, (batch1 ++ batch2).toDF(), Seq("k")))
+  }
+
+  test("a claim without meta (crash before the first write) is still owned; bootstrap rewrite resets it") {
+    val snap = tmp("cdc_claim_crash") + "/s"
+    val fs = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // stream A claims the store, then crashes before its first write
+    // lands anything: the claim sidecar alone records ownership
+    StreamOps.claimOwnership(fs, snap, Some("wA"), None, "snapshot")
+    StreamOps.readClaim(fs, snap) shouldBe Some("wA")
+    // admin ops must not go around the claim (compaction-shaped holes)
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8) }
+    e.getMessage should include ("wA")
+    // A's restart re-claims idempotently and proceeds
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8,
+      writer = Some("wA"))
+    // a lost writer id recovers through the documented ownership RESET
+    // (full bootstrap rewrite); the claim sidecar resets with the meta
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap,
+      Seq("k"), nBuckets = 8)
+    StreamOps.readClaim(fs, snap) shouldBe None
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8,
+      writer = Some("wB"))
+  }
+
   test("a repin takeover landing mid-batch is preserved, not silently reverted (r19)") {
     val snap = tmp("cdc_repin_race")
     StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
