@@ -475,12 +475,7 @@ object Similarity {
     require(k > 0, s"k must be positive, got $k")
     require(nprobe >= 1 && nprobe <= index.coarse.length,
       s"nprobe must be in [1, ${index.coarse.length}], got $nprobe")
-    val routed = pqLut(queries, Seq(index.coarse), queryIdCol, vecCol)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(queryIdCol))
-          .orderBy(col("__d"), col("code"))))
-      .where(col("__rn") <= nprobe)
-      .select(col(queryIdCol), col("code").as("cell"))
+    val routed = routeToCells(queries, index.coarse, nprobe, queryIdCol, vecCol)
     val lut = pqLut(queries, index.codebooks, queryIdCol, vecCol)
     val scored = index.codes.join(broadcast(routed), Seq("cell"))
       .join(broadcast(lut), Seq(queryIdCol, "subspace", "code"))
@@ -491,6 +486,22 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("dist16"), col("rnk"))
   }
 
+  /** IVF query routing — the (query, cell) pairs [[searchPqIndex]]
+    * scores within: each query's `nprobe` nearest coarse centroids
+    * under the SAME integer quantized-query metric the ADC stage uses.
+    * Public (r19) so the maintained ANN store's serving probe
+    * (`StreamOps.probeAnn`) can collect the probed cell set for
+    * path-level dir pruning BEFORE constructing the codes read. */
+  def routeToCells(queries: DataFrame, coarse: Seq[Seq[Double]],
+                   nprobe: Int, queryIdCol: String = "qid",
+                   vecCol: String = "embedding"): DataFrame =
+    pqLut(queries, Seq(coarse), queryIdCol, vecCol)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("__d"), col("code"))))
+      .where(col("__rn") <= nprobe)
+      .select(col(queryIdCol), col("code").as("cell"))
+
   /** Reload an index persisted by [[graft.sources.Sinks.pqIndex]]. The
     * codes frame stays DISTRIBUTED (partition-pruned by `cell` at scan
     * time); only the codebook table is collected, under the
@@ -498,7 +509,21 @@ object Similarity {
     * discipline as [[codebook]]. */
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
                   path: String, idCol: String = "vec_id"): PqIndex = {
-    val cb = spark.read.parquet(s"$path/codebooks")
+    val (coarse, codebooks) = loadCodebooks(spark, s"$path/codebooks")
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col(idCol), col("cell").cast("long"),
+        col("subspace").cast("long"), col("code").cast("long"))
+    PqIndex(codes, coarse, codebooks)
+  }
+
+  /** The codebook-table half of [[loadPqIndex]] — public (r19) for the
+    * maintained ANN store (`StreamOps.bootstrapAnn`), whose codes live
+    * tiered under its own layout while the codebook table keeps exactly
+    * this format (level 0 = coarse, level 1 = per-subspace PQ). */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    codebooksPath: String)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    val cb = spark.read.parquet(codebooksPath)
       .limit(MaxCentroids + 1).collect()
     require(cb.length <= MaxCentroids,
       s"persisted codebook exceeds $MaxCentroids centroids — not a codebook table")
@@ -511,11 +536,8 @@ object Similarity {
     val codebooks = level(1).groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
     require(coarse.nonEmpty && codebooks.nonEmpty,
-      s"$path/codebooks has no coarse (level 0) or pq (level 1) rows")
-    val codes = spark.read.parquet(s"$path/codes")
-      .select(col(idCol), col("cell").cast("long"),
-        col("subspace").cast("long"), col("code").cast("long"))
-    PqIndex(codes, coarse, codebooks)
+      s"$codebooksPath has no coarse (level 0) or pq (level 1) rows")
+    (coarse, codebooks)
   }
 
   /** Cluster-balanced diversity sampling — the embedding-space

@@ -141,14 +141,24 @@ object Sinks {
               vecCol: String = "embedding"): Unit = {
     graft.llm.Similarity.buildPqIndex(corpus, coarse, codebooks, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    val spark = corpus.sparkSession
+    writeCodebooks(corpus.sparkSession, s"$path/codebooks", coarse, codebooks)
+  }
+
+  /** The codebook-table write [[pqIndex]] and the maintained ANN store
+    * (`StreamOps.bootstrapAnn`) share — the format
+    * [[graft.llm.Similarity.loadCodebooks]] reads (level 0 = coarse,
+    * level 1 = per-subspace PQ). One coalesced file: the table is
+    * ≤ MaxCentroids rows by the driver-side-plan-object discipline. */
+  def writeCodebooks(spark: org.apache.spark.sql.SparkSession, path: String,
+                     coarse: Seq[Seq[Double]],
+                     codebooks: Seq[Seq[Seq[Double]]]): Unit = {
     import spark.implicits._
     val rows = coarse.zipWithIndex.map { case (c, k) => (0, 0, k, c) } ++
       codebooks.zipWithIndex.flatMap { case (ks, s) =>
         ks.zipWithIndex.map { case (c, k) => (1, s, k, c) }
       }
     rows.toDF("level", "subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Bucketed managed table — the co-located-join primitive: two tables
