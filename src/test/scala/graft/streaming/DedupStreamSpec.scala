@@ -304,6 +304,68 @@ class DedupStreamSpec extends SparkSpec {
     none shouldBe 0L
   }
 
+  test("tail bound (r19): the index auto-folds past maxTailBatches; corpus and probe results unchanged") {
+    // two deployments fed the same batches — one folding after every
+    // batch (bound 1), one never folding here (bound 100): corpus state
+    // and serving answers must be identical mid-stream, only the tail
+    // tier differs
+    def run(bound: Int): (Seq[Long], Int, Seq[(Long, Option[Long])]) = {
+      val dir = tmp(s"dedup_bound_$bound")
+      val idx = s"$dir/idx"; val corp = s"$dir/corp"
+      StreamOps.bootstrapDedup(corpus0, idx, corp, k = 2, bands = 8,
+        rowsPerBand = 2, nBuckets = 8)
+      def ap(b: Seq[Doc], id: Long): Unit =
+        StreamOps.applyDedupBatch(b.toDF(), id, idx, corp, k = 2, bands = 8,
+          rowsPerBand = 2, threshold = 0.5, nBuckets = 8, idCol = "doc_id",
+          textCol = "text", poly = false, maxTailBatches = bound)
+      ap(batch1, 0L); ap(batch2, 1L)
+      val probeAns = StreamOps.probeDedup(
+          Seq(Doc(90L, t(11)), Doc(91L, t(91))).toDF(), idx, corp, k = 2,
+          bands = 8, rowsPerBand = 2, threshold = 0.5, idCol = "doc_id",
+          textCol = "text", poly = false)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong)))
+        .toSeq
+      (ids(corp), StreamOps.dedupIndexTailBatches(spark, idx), probeAns)
+    }
+    val (idsB, tailB, probeB) = run(bound = 1)
+    val (idsU, tailU, probeU) = run(bound = 100)
+    idsB shouldBe idsU
+    probeB shouldBe probeU
+    tailB shouldBe 0 // folded into the buckets
+    tailU shouldBe 2 // two per-batch fact partitions accumulated
+    probeB shouldBe Seq((90L, Some(11L)), (91L, None))
+  }
+
+  test("torn compaction (meta without dirs) fails loudly; rebuildDedupIndex recovers (r19)") {
+    val dir = tmp("dedup_torn"); val idx = s"$dir/idx"; val corp = s"$dir/corp"
+    StreamOps.bootstrapDedup(corpus0, idx, corp, k = 2, bands = 8,
+      rowsPerBand = 2, nBuckets = 8)
+    // simulate the crash: a static overwrite deleted the data and died
+    // before the commit — the meta survives (it is a sibling file).
+    // Treating this as "no index" would silently ADMIT every dup.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(idx))
+    new java.io.File(idx + ".meta").exists() shouldBe true
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.applyDedupBatch(Seq(Doc(60L, t(1))).toDF(), 5L, idx, corp,
+        k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5, nBuckets = 8,
+        idCol = "doc_id", textCol = "text", poly = false) }
+    e.getMessage should include ("rebuildDedupIndex")
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.compactDedupIndex(spark, idx)
+    // recovery: rebuild from the live corpus text; the dup drops again
+    StreamOps.rebuildDedupIndex(spark, idx, corp, k = 2, bands = 8,
+      rowsPerBand = 2)
+    StreamOps.applyDedupBatch(Seq(Doc(60L, t(1)), Doc(61L, t(61))).toDF(),
+      5L, idx, corp, k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5,
+      nBuckets = 8, idCol = "doc_id", textCol = "text", poly = false)
+    ids(corp) shouldBe Seq(1L, 2L, 3L, 61L)
+  }
+
   test("probeDedup memoizes the meta-less layout verification (r19, the r18 advice)") {
     // a crash-remnant index (dirs, no .meta) forces a one-time re-hash
     // verification; a WRITER's next batch lands the meta, but the
