@@ -241,6 +241,16 @@ object ExchangeBudgets {
     // exchange is candidate-sized; corpus text moves only for
     // candidate ids.
     "llm_dedup_probe"                 -> 9,
+    // r19 maintained-ANN lifecycle face: bootstrap (one cell-clustered
+    // codes write) + TWO ingest batches (one tail-clustered write
+    // each — the write path reads NO index at all) + the serving probe
+    // — the routing window twice (once collected for dir pruning, once
+    // inside searchPqIndex — both over the 20-row request), the ADC
+    // (qid, id) partial-agg exchange, the bounded-heap top-k agg and
+    // the declared sort. Only the bootstrap exchange is corpus-sized
+    // (the one-time lifecycle price); every serving exchange is
+    // request- or candidate-sized.
+    "llm_ann_probe"                   -> 9,
     "src_shard_jsonl"                 -> 4)
 
   def budget(name: String): Int = perQuery.getOrElse(name, default)

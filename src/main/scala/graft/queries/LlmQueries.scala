@@ -215,8 +215,13 @@ object LlmQueries {
   // The IVF-PQ search oracle, shared VERBATIM by llm_ivf_pq (inline
   // construction) and llm_pq_persist (write → reload → search): the
   // persisted round trip must be IDENTITY, so the two queries gating on
-  // one SQL string is itself the save/load contract.
-  private lazy val ivfPqSql: String = {
+  // one SQL string is itself the save/load contract. llm_ann_probe
+  // (r19) replays the SAME search over a different `e` corpus — the
+  // bootstrap set plus two planted ingest batches — so the body is
+  // parameterized by the e-CTE body (pre-stripped fragments are
+  // CONCATENATED, never re-interpolated into a stripMargin — the r13
+  // rule).
+  private def ivfPqSqlOver(eBody: String): String = {
     val coarseSql = clusterCodebook.zipWithIndex.map { case (vals, kk) =>
       s"($kk, [${vals.mkString(", ")}])"
     }.mkString(", ")
@@ -231,7 +236,7 @@ object LlmQueries {
        |cb(sub, code, vals) AS (VALUES $cbSql),
        |cbi AS (SELECT sub, code,
        |  list_transform(vals, v -> CAST(round(v * 4) AS BIGINT)) AS ci FROM cb),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |e AS (""".stripMargin + eBody + """),
        |cd AS (SELECT vec_id, co.code,
        |        list_reduce(list_transform(range(1, 65),
        |          j -> (v[j] - vals[j]) * (v[j] - vals[j])), (a, b) -> a + b) AS dist
@@ -278,6 +283,24 @@ object LlmQueries {
        |SELECT qid, vec_id, dist16, CAST(rnk AS BIGINT) AS rnk
        |FROM rk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
+
+  private lazy val ivfPqSql: String = ivfPqSqlOver(
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
+
+  // llm_ann_probe's corpus: the bootstrap set plus two deterministic
+  // planted ingest batches — reversed vectors under +100000 ids and
+  // negated vectors under +200000 ids (float reverse/negate are exact,
+  // then widen exactly to the oracle's DOUBLE[] — the llm_pq
+  // quantization discipline carries the rest)
+  private lazy val annProbeSql: String = ivfPqSqlOver(
+    """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 100000, list_reverse(CAST(embedding AS DOUBLE[]))
+      |FROM embeddings WHERE vec_id % 7 = 0
+      |UNION ALL
+      |SELECT vec_id + 200000,
+      |  list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+      |FROM embeddings WHERE vec_id % 11 = 1""".stripMargin)
 
   // Planted n-gram LM (the llm_redact discipline: the model is data,
   // written identically on both sides). Scores are negative
@@ -4460,6 +4483,42 @@ object LlmQueries {
       Similarity.searchPqIndex(
           emb.where(col("vec_id") < 20).withColumnRenamed("vec_id", "qid"),
           idx, k = 5, nprobe = 3)
+        .orderBy("qid", "rnk")
+    },
+
+    // Maintained ANN serving tier (r19): the FULL lifecycle in-query —
+    // bootstrap the stored IVF-PQ index from the embeddings corpus,
+    // ingest two planted batches through the streaming batch path
+    // (encoded under the STORED codebooks, landed in the tail tier),
+    // then serve a read-only top-k probe over the maintained store.
+    // The oracle replays the identical search over the union corpus
+    // (ivf_pq's SQL with the planted batches in `e`): the store after
+    // two batches must answer exactly like an inline index over
+    // everything ingested — the defining parity of a maintained index.
+    // Probe cost at scale: routed cell dirs + the bounded tail, never
+    // the index (AnnStreamSpec pins fold/ownership/replay; the
+    // ann_probe_serve ScaleProbe row measures the probe flat at 10×).
+    Q("llm_ann_probe", annProbeSql) { (spark, sf) =>
+      import graft.streaming.StreamOps
+      // one materialization feeds bootstrap, both planted batches, and
+      // the query set — uncut, each consumer re-scans the parquet
+      val emb = Tables.embeddings(spark, sf).localCheckpoint(false)
+      val dir = java.nio.file.Files
+        .createTempDirectory("ann_probe_q").toString + "/ann"
+      StreamOps.bootstrapAnn(emb, dir, clusterCodebook, pqCodebooks)
+      StreamOps.applyAnnBatch(
+        emb.where(pmod(col("vec_id"), lit(7)) === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding")),
+        0L, dir)
+      StreamOps.applyAnnBatch(
+        emb.where(pmod(col("vec_id"), lit(11)) === 1)
+          .select((col("vec_id") + 200000L).as("vec_id"),
+            transform(col("embedding"), x => negate(x)).as("embedding")),
+        1L, dir)
+      StreamOps.probeAnn(
+          emb.where(col("vec_id") < 20).withColumnRenamed("vec_id", "qid"),
+          dir, k = 5, nprobe = 3)
         .orderBy("qid", "rnk")
     },
 

@@ -37,6 +37,44 @@ class SparkEntrySpec extends SparkSpec {
       .intersect(graft.queries.Q.contractFaces) shouldBe empty
   }
 
+  test("every temp-dir lifecycle query is registered in lifecycleFaces (r19, lane-drift gate)") {
+    // the bench lane instrument filters by Q.lifecycleFaces — a NEW
+    // lifecycle-shaped query (one that builds disk state in-query via
+    // createTempDirectory) that forgets to register silently degrades
+    // the engine-lane number. Source-level heuristic: scan the query
+    // registry sources; each createTempDirectory occurrence inside a
+    // Q("name", ...) block must belong to a registered lifecycle face.
+    val qDef = """Q(?:\.noOracle)?\(\s*"([a-z0-9_]+)"""".r
+    val files = new java.io.File("src/main/scala/graft/queries")
+      .listFiles().filter(_.getName.endsWith(".scala"))
+    files should not be empty
+    val offenders = files.toSeq.flatMap { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val defs = qDef.findAllMatchIn(src).map(m => (m.start, m.group(1))).toSeq
+      var at = src.indexOf("createTempDirectory")
+      val hits = scala.collection.mutable.ListBuffer[String]()
+      while (at >= 0) {
+        defs.filter(_._1 < at).sortBy(_._1).lastOption.foreach {
+          case (_, name) => hits += name
+        }
+        at = src.indexOf("createTempDirectory", at + 1)
+      }
+      hits.distinct.filterNot(graft.queries.Q.lifecycleFaces.contains)
+        .map(n => s"${f.getName}: $n")
+    }
+    withClue("temp-dir lifecycle queries missing from Q.lifecycleFaces:\n" +
+      offenders.mkString("\n")) { offenders shouldBe empty }
+    // the heuristic itself stays live: at least one registered face is
+    // found by it (an API rename would silently blind the gate)
+    val found = files.toSeq.exists { f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .contains("createTempDirectory")
+    }
+    found shouldBe true
+  }
+
   test("declared queries run and are non-empty on sf0.001") {
     // the driver's weaker check for oracle-less queries is rows > 0; catch
     // regressions here before the driver does
