@@ -216,7 +216,11 @@ object ScaleProbe {
             .linesIterator.nextOption().exists(_.trim == s"cells=$cCount")
           finally in.close()
         }
-      }
+        // AND the two tail batches landed — a run killed between the
+        // bootstrap and the batches would otherwise memoize a fixture
+        // with a dead tail leg and measure the wrong shape forever
+        // (the dedupTailFixture ready-predicate rule)
+      } && graft.streaming.StreamOps.annIndexTailBatches(spark, dir) == 2
       if (!metaOk) {
         fs.delete(new org.apache.hadoop.fs.Path(dir), true)
         val corpus = synthEmb(n)
@@ -1435,8 +1439,9 @@ object ScaleProbe {
       // corpus size — every probe reads the whole tail tier, so an
       // unbounded tail is the one per-batch term the two-tier layout
       // left to operator cadence. Fixture: a FIXED 2048-doc bucketed
-      // base whose tail holds n*5 per-batch fact partitions (512 docs
-      // each); the measured pass is ONE read-only probeDedup of a fixed
+      // base whose tail holds n/1000 per-batch fact partitions (5 at
+      // 1×, 50 at 10×; 4096 docs each — see dedupTailFixture for the
+      // sizing); the measured pass is ONE read-only probeDedup of a fixed
       // 12-doc request (4 base dups / 4 tail dups / 4 fresh — obs = 8
       // verified matches, pinning that tail content is actually
       // served). dedup_tail_probe reads base buckets + the WHOLE tail

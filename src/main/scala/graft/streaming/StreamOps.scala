@@ -532,6 +532,9 @@ object StreamOps {
   private def claimFilePath(dir: String) =
     new org.apache.hadoop.fs.Path(dir + ".meta.claim")
 
+  /** The claim sidecar's content: None = absent, Some("") = a TORN
+    * claim (created, content never landed — a claim attempt crashed in
+    * the create-to-write gap, or is mid-flight right now). */
   private[graft] def readClaim(fs: org.apache.hadoop.fs.FileSystem,
                                dir: String): Option[String] =
     if (!fs.exists(claimFilePath(dir))) None
@@ -539,9 +542,35 @@ object StreamOps {
       val in = fs.open(claimFilePath(dir))
       try Some(new String(
         org.apache.commons.io.IOUtils.toByteArray(in),
-        StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+        StandardCharsets.UTF_8).trim)
       finally in.close()
     }
+
+  /** The store's effective owner for admin-op gates: the claim sidecar
+    * when present (a claimed store whose first meta write hasn't landed
+    * is still OWNED — and a torn claim still blocks), else the meta's
+    * recorded pin. */
+  private def effectiveOwner(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String,
+                             metaWriter: Option[String]): Option[String] =
+    readClaim(fs, dir).orElse(metaWriter)
+
+  /** Drop a store's ownership claim WITHOUT rewriting the store — the
+    * explicit recovery for (a) an orphaned claim after a store was
+    * deleted and rebuilt out-of-band (the canonical-edge store has no
+    * rewriting bootstrap API, so this is its only takeover path) and
+    * (b) a TORN claim (zero-byte sidecar from a claim attempt that
+    * crashed between create and write — [[claimOwnership]] refuses
+    * everyone until it is cleared, because nobody can prove the torn
+    * claim is theirs). Run with EVERY stream on the store stopped:
+    * this helper removes the race protection; the next batch
+    * re-claims atomically. */
+  def releaseStoreClaim(spark: org.apache.spark.sql.SparkSession,
+                        storePath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(claimFilePath(storePath), false)
+  }
 
   /** Write/replace (Some) or remove (None) the claim OUTSIDE a race —
     * the ownership-RESET paths (a full bootstrap rewrite, an explicit
@@ -575,9 +604,17 @@ object StreamOps {
         s"${writer.fold("direct application carries no writer id")(w =>
           s"stream is writer $w")} — a concurrent second writer's " +
         "read-merge-overwrite would permanently lose committed batches. " +
-        "Use a distinct path, or take over explicitly (repin, or a full " +
-        "bootstrap rewrite) with the old stream stopped.")
+        "Use a distinct path, or take over explicitly (repin, a full " +
+        "bootstrap rewrite, or releaseStoreClaim with every stream " +
+        "stopped).")
+    def failTorn(): Nothing = throw new IllegalArgumentException(
+      s"$store at $dir has a claim sidecar with NO content — a claim " +
+        "attempt is in flight right now, or crashed between create and " +
+        "write; nobody can prove a torn claim is theirs, so everyone " +
+        "is refused. If no stream is starting, clear it with " +
+        "releaseStoreClaim and restart the stream.")
     val claimed = readClaim(fs, dir)
+    if (claimed.contains("")) failTorn()
     (writer, claimed.orElse(storedPin)) match {
       case (None, Some(holder)) => fail(holder)
       case (None, None) => // unowned store, direct application allowed
@@ -594,8 +631,8 @@ object StreamOps {
           case _: java.io.IOException =>
             readClaim(fs, dir) match {
               case Some(h) if h == w => // a retried create of our own claim
-              case Some(h) => fail(h)
-              case None => fail("another writer (claim in flight)")
+              case Some(h) if h.nonEmpty => fail(h)
+              case _ => failTorn()
             }
         }
     }
@@ -1060,10 +1097,8 @@ object StreamOps {
     // checkpoint path as an explicit ownership assertion; run it with
     // the stream STOPPED — the assertion is who may compact, the
     // quiescence is still the operator's contract.
-    // the effective owner is the claim sidecar when present (a claimed
-    // store whose first meta write hasn't landed yet is still OWNED),
-    // else the meta's recorded pin
-    readClaim(fs, snapshotPath).orElse(meta.writer).foreach { pinned =>
+    val owner = effectiveOwner(fs, snapshotPath, meta.writer)
+    owner.foreach { pinned =>
       require(ownerCheckpoint.map(writerIdFor).contains(pinned),
         s"snapshot at $snapshotPath is maintained by writer $pinned — " +
           "compacting it without that stream's checkpoint identity " +
@@ -1074,10 +1109,12 @@ object StreamOps {
     val cut = graft.relational.Cdc
       .compact(readCdcSnapshot(spark, snapshotPath), horizon)
       .localCheckpoint(true)
-    // compaction is maintenance, not takeover — the writer pin survives,
-    // and the bucket layout comes from the meta (never re-supplied)
-    try writeCdcSnapshot(cut, snapshotPath, keyCols, meta.nBuckets,
-      meta.writer)
+    // compaction is maintenance, not takeover — OWNERSHIP survives: the
+    // rewrite re-records the EFFECTIVE owner (claim-first — writing
+    // back meta.writer alone would downgrade a store whose claim landed
+    // but whose first meta write did not, r19 self-review), and the
+    // bucket layout comes from the meta (never re-supplied)
+    try writeCdcSnapshot(cut, snapshotPath, keyCols, meta.nBuckets, owner)
     finally org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(cut)
   }
 
@@ -1123,7 +1160,7 @@ object StreamOps {
         s"no layout meta at $snapshotPath.meta — retain an EXISTING " +
           "maintained snapshot (bootstrap through writeCdcSnapshot or " +
           "let the stream's first batch land)"))
-    readClaim(fs, snapshotPath).orElse(meta.writer).foreach { pinned =>
+    effectiveOwner(fs, snapshotPath, meta.writer).foreach { pinned =>
       require(ownerCheckpoint.map(writerIdFor).contains(pinned),
         s"snapshot at $snapshotPath is maintained by writer $pinned — " +
           "retaining it without that stream's checkpoint identity " +
@@ -1185,7 +1222,11 @@ object StreamOps {
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).filter(_.isDirectory).toSeq
       .flatMap { d =>
-        val p = d.getPath.toUri.getPath
+        // the FULL path string (scheme included): toUri.getPath would
+        // strip the filesystem and a non-default-FS snapshot's copies
+        // would resolve against the wrong store downstream (the
+        // applyCanonBatch two-scheme rule, r19 self-review)
+        val p = d.getPath.toString
         readDirMeta(fs, p).map(parseCdcMeta(_, p))
           .flatMap(_.retained).map(v => (p, v))
       }
@@ -2145,19 +2186,44 @@ object StreamOps {
   /** Batch partition column of the stored ANN code index. */
   val AnnBatchCol = "__ann_batch"
 
-  /** Codebooks are immutable after [[bootstrapAnn]] (re-quantizing is a
-    * rebuild by definition), so each process collects them once per
-    * store — a per-batch collect would re-read the table every
-    * micro-batch for bytes that never change. Bounded by
-    * `Similarity.MaxCentroids` per entry; invalidated by bootstrap. */
+  /** Deterministic fingerprint of a (coarse, pq) codebook pair — the
+    * coherence token between the codebook table and the code store's
+    * meta: codes are only meaningful under the EXACT quantization that
+    * encoded them, and the two land in separate writes, so the meta
+    * records which codebooks its codes were encoded under and every
+    * reader verifies the loaded table against it (a re-bootstrap that
+    * crashed between the two writes would otherwise serve silently
+    * wrong neighbors, r19 self-review). MurmurHash3 over the nested
+    * Double seqs — stable across JVMs for equal values. */
+  private def cbFingerprint(coarse: Seq[Seq[Double]],
+                            codebooks: Seq[Seq[Seq[Double]]]): String =
+    java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.productHash((coarse, codebooks)))
+
+  /** Codebooks are immutable for one quantization generation (the meta
+    * fingerprint names it; re-quantizing is a rebuild that changes it),
+    * so each process collects them once per (store, generation) — a
+    * per-batch collect would re-read the table every micro-batch for
+    * bytes that never change, while a path-only cache key would serve
+    * STALE codebooks forever after an out-of-process re-bootstrap.
+    * Bounded by `Similarity.MaxCentroids` per entry. */
   private val annCodebookCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])]()
+    (String, String), (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])]()
 
   private def annCodebooks(spark: org.apache.spark.sql.SparkSession,
-                           indexPath: String)
+                           indexPath: String, expectedHash: String)
       : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) =
-    annCodebookCache.computeIfAbsent(indexPath, _ =>
-      graft.llm.Similarity.loadCodebooks(spark, s"$indexPath/codebooks"))
+    annCodebookCache.computeIfAbsent((indexPath, expectedHash), _ => {
+      val loaded = graft.llm.Similarity
+        .loadCodebooks(spark, s"$indexPath/codebooks")
+      val got = cbFingerprint(loaded._1, loaded._2)
+      require(got == expectedHash,
+        s"codebook table at $indexPath/codebooks (fingerprint $got) does " +
+          s"not match the code store's recorded quantization " +
+          s"($expectedHash) — a re-bootstrap crashed between the " +
+          "codebook write and the codes write; re-run bootstrapAnn")
+      loaded
+    })
 
   private def annCellDirNames(fs: org.apache.hadoop.fs.FileSystem,
                               codesPath: String): Array[String] = {
@@ -2168,18 +2234,12 @@ object StreamOps {
   }
 
   private def writeAnnCodes(codes: DataFrame, indexPath: String,
-                            cells: Int, writer: String, partition: Long,
-                            dynamic: Boolean, bucketed: Boolean): Unit = {
+                            cells: Int, cbHash: String, writer: String,
+                            partition: Long, dynamic: Boolean,
+                            bucketed: Boolean): Unit = {
     val codesPath = s"$indexPath/codes"
     val fs = new org.apache.hadoop.fs.Path(codesPath)
       .getFileSystem(codes.sparkSession.sessionState.newHadoopConf())
-    if (!dynamic && codes.isEmpty) {
-      // the dedup-index empty-static rule: data dirs and meta leave
-      // together, so the store reads as ABSENT, never as torn
-      fs.delete(new org.apache.hadoop.fs.Path(codesPath), true)
-      fs.delete(metaPath(codesPath), false)
-      return
-    }
     val w = codes
       .withColumn(AnnCellCol, if (bucketed) col("cell") else lit(AnnTail))
       .withColumn(AnnWriterCol, lit(writer))
@@ -2189,19 +2249,33 @@ object StreamOps {
     (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
       .partitionBy(AnnCellCol, AnnWriterCol, AnnBatchCol)
       .parquet(codesPath)
-    writeDirMeta(fs, codesPath, s"cells=$cells\nschema=${codes.schema.json}")
+    // the dedup-index empty-static rule, checked on the dirs AFTER the
+    // write (one listStatus — an isEmpty pre-check would execute the
+    // encoding projection an extra time per bootstrap): a static write
+    // of nothing removes data dirs and meta together, so the store
+    // reads as ABSENT, never as torn
+    if (!dynamic && annCellDirNames(fs, codesPath).isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(codesPath), true)
+      fs.delete(metaPath(codesPath), false)
+      return
+    }
+    writeDirMeta(fs, codesPath,
+      s"cells=$cells\ncbhash=$cbHash\nschema=${codes.schema.json}")
   }
 
-  private def annStoredSchema(meta: String, codesPath: String)
-      : org.apache.spark.sql.types.StructType = {
+  /** Parsed ANN code-store meta: (cell count, codebook fingerprint,
+    * stored sig-row schema). */
+  private def parseAnnMeta(meta: String, codesPath: String)
+      : (Int, String, org.apache.spark.sql.types.StructType) = {
     val lines = meta.split("\n").map(_.trim)
     require(lines.nonEmpty && lines.head.startsWith("cells="),
       s"unrecognized ANN code-store meta at $codesPath.meta: $meta")
-    org.apache.spark.sql.types.DataType.fromJson(
-      lines.find(_.startsWith("schema=")).map(_.stripPrefix("schema="))
-        .getOrElse(throw new IllegalArgumentException(
-          s"ANN code-store meta at $codesPath.meta has no schema line")))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def line(p: String): String = lines.find(_.startsWith(p))
+      .map(_.stripPrefix(p)).getOrElse(throw new IllegalArgumentException(
+        s"ANN code-store meta at $codesPath.meta has no $p line"))
+    (lines.head.stripPrefix("cells=").toInt, line("cbhash="),
+      org.apache.spark.sql.types.DataType.fromJson(line("schema="))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** Initial load of a maintained ANN deployment: the codebook table
@@ -2217,17 +2291,21 @@ object StreamOps {
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
+    // codebook table FIRST, codes + meta second: the meta's cbhash
+    // names the quantization generation, so a crash between the two
+    // writes leaves new codebooks against an OLD-hash meta — every
+    // reader's fingerprint check then fails loudly instead of routing
+    // queries under one quantization against codes from another
     graft.sources.Sinks.writeCodebooks(spark, s"$indexPath/codebooks",
       coarse, codebooks)
     writeAnnCodes(
       graft.llm.Similarity.buildPqIndex(corpus, coarse, codebooks,
         idCol, vecCol),
-      indexPath, coarse.length, "bootstrap", -1L, dynamic = false,
-      bucketed = true)
+      indexPath, coarse.length, cbFingerprint(coarse, codebooks),
+      "bootstrap", -1L, dynamic = false, bucketed = true)
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     resetClaim(fs, s"$indexPath/codes", None)
-    annCodebookCache.remove(indexPath)
   }
 
   /** Maintain the stored ANN index from an embedding STREAM — each
@@ -2292,18 +2370,23 @@ object StreamOps {
         "are gone — a compaction/rewrite crashed mid-overwrite; " +
         "re-bootstrap the index from the corpus before resuming")
     claimOwnership(fs, codesPath, Some(writer), None, "ANN code store")
-    val (coarse, codebooks) = annCodebooks(spark, indexPath)
+    val (cells, cbHash, storedSchema) = parseAnnMeta(meta, codesPath)
+    val (coarse, codebooks) = annCodebooks(spark, indexPath, cbHash)
+    require(cells == coarse.length,
+      s"ANN code store at $codesPath records cells=$cells but the " +
+        s"codebook table has ${coarse.length} coarse centroids — " +
+        "re-run bootstrapAnn")
     // align the batch's id dtype to the stored layout (the dedup-index
     // rule: mixed-dtype files in one dataset are unreadable)
-    val storedIdType = annStoredSchema(meta, codesPath)(idCol).dataType
     writeAnnCodes(
       graft.llm.Similarity.buildPqIndex(
-        batch.withColumn(idCol, col(idCol).cast(storedIdType)),
+        batch.withColumn(idCol,
+          col(idCol).cast(storedSchema(idCol).dataType)),
         coarse, codebooks, idCol, vecCol),
-      indexPath, coarse.length, writer, batchId, dynamic = true,
+      indexPath, cells, cbHash, writer, batchId, dynamic = true,
       bucketed = false)
     if (annIndexTailBatchCount(fs, codesPath) >= maxTailBatches)
-      compactAnnIndex(spark, indexPath)
+      compactAnnIndexOwned(spark, indexPath, Some(writer))
   }
 
   /** The ANN tail-tier size observable — the [[dedupIndexTailBatches]]
@@ -2332,9 +2415,24 @@ object StreamOps {
   /** Fold the tail tier into the cell buckets — the compaction closing
     * the [[annStream]] lifecycle (layout-preserving static overwrite;
     * survivors eager-cut first, the compactCdcSnapshot rule). Run on a
-    * cadence, or let the `maxTailBatches` auto-fold call it. */
+    * cadence, or let the `maxTailBatches` auto-fold call it. A CLAIMED
+    * store demands the owning stream's checkpoint path
+    * (`ownerCheckpoint`) and the stream stopped — this is a
+    * read-compact-overwrite, the exact shape the claim exists to
+    * police: a fold racing a live batch's tail write would overwrite
+    * the committed partition, permanently (the compactCdcSnapshot
+    * rule, applied at birth instead of retrofitted). */
   def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
-                      indexPath: String): Unit = {
+                      indexPath: String,
+                      ownerCheckpoint: Option[String] = None): Unit =
+    compactAnnIndexOwned(spark, indexPath, ownerCheckpoint.map(writerIdFor))
+
+  /** The fold itself, ownership asserted by writer ID — the auto-fold
+    * inside [[applyAnnBatch]] IS the owning stream's batch, so it
+    * passes its own id directly. */
+  private def compactAnnIndexOwned(spark: org.apache.spark.sql.SparkSession,
+                                   indexPath: String,
+                                   asWriter: Option[String]): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val codesPath = s"$indexPath/codes"
     val fs = new org.apache.hadoop.fs.Path(codesPath)
@@ -2347,8 +2445,15 @@ object StreamOps {
       s"ANN code-store meta exists at $codesPath.meta but the cell dirs " +
         "are gone — a prior compaction/rewrite crashed mid-overwrite; " +
         "re-bootstrap the index from the corpus instead")
-    val (coarse, _) = annCodebooks(spark, indexPath)
-    val stored = annStoredSchema(meta, codesPath)
+    readClaim(fs, codesPath).foreach { pinned =>
+      require(asWriter.contains(pinned),
+        s"ANN code store at $codesPath is maintained by writer $pinned — " +
+          "folding it without that stream's checkpoint identity " +
+          "(ownerCheckpoint) would race its batches' tail writes and " +
+          "permanently lose committed vectors; pass the owning stream's " +
+          "checkpoint path and run with the stream stopped")
+    }
+    val (cells, cbHash, stored) = parseAnnMeta(meta, codesPath)
     val all = spark.read.schema(stored
         .add(AnnCellCol, org.apache.spark.sql.types.LongType)
         .add(AnnWriterCol, org.apache.spark.sql.types.StringType)
@@ -2356,7 +2461,7 @@ object StreamOps {
       .parquet(codesPath)
       .drop(AnnCellCol, AnnWriterCol, AnnBatchCol)
     val cut = all.localCheckpoint(true)
-    try writeAnnCodes(cut, indexPath, coarse.length, "compact", -1L,
+    try writeAnnCodes(cut, indexPath, cells, cbHash, "compact", -1L,
       dynamic = false, bucketed = true)
     finally ColumnBridge.releaseCheckpoint(cut)
   }
@@ -2388,7 +2493,8 @@ object StreamOps {
       s"ANN code-store meta exists at $codesPath.meta but the cell dirs " +
         "are gone — a compaction/rewrite crashed mid-overwrite; " +
         "re-bootstrap the index before serving from it")
-    val (coarse, codebooks) = annCodebooks(spark, indexPath)
+    val (_, cbHash, stored) = parseAnnMeta(meta.get, codesPath)
+    val (coarse, codebooks) = annCodebooks(spark, indexPath, cbHash)
     // queries feed routing (collected) and the search — cut once, lazily
     val q = queries.localCheckpoint(false)
     val routedCells = Similarity
@@ -2397,7 +2503,6 @@ object StreamOps {
     val wanted = (AnnTail +: routedCells)
       .map(c => s"$AnnCellCol=$c").filter(dirs.contains)
       .map(d => s"$codesPath/$d")
-    val stored = annStoredSchema(meta.get, codesPath)
     val codes =
       if (wanted.isEmpty)
         spark.createDataFrame(

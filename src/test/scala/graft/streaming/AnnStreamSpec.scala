@@ -118,6 +118,43 @@ class AnnStreamSpec extends SparkSpec {
     ap(dir, batch2, 0L, writer = "wB")
   }
 
+  test("the fold honors the ownership claim; codebook coherence is fingerprint-checked (r19 review)") {
+    val dir = tmp("ann_guard")
+    StreamOps.bootstrapAnn(corpus, dir, coarse, pq)
+    val wA = StreamOps.writerIdFor("/ckpt/annA")
+    ap(dir, batch1, 0L, writer = wA) // first batch claims the store
+    // an ownerless fold is the compactCdcSnapshot race shape: it would
+    // overwrite a live batch's committed tail partition permanently
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.compactAnnIndex(spark, dir) }
+    e.getMessage should include ("ownerCheckpoint")
+    StreamOps.compactAnnIndex(spark, dir, ownerCheckpoint = Some("/ckpt/annA"))
+    StreamOps.annIndexTailBatches(spark, dir) shouldBe 0
+    // torn re-bootstrap: a NEW codebook table lands but the crash comes
+    // before the codes/meta write — the meta's recorded fingerprint no
+    // longer matches the table, and a FRESH process serving under the
+    // mismatched quantization would return silently wrong neighbors.
+    // (In THIS process the generation-keyed cache still holds the
+    // matching old table — consistent serving — so simulate the fresh
+    // process with a cold path copy.)
+    val shifted = coarse.map(_.map(_ + 0.25))
+    graft.sources.Sinks.writeCodebooks(spark, s"$dir/codebooks", shifted, pq)
+    val conf = spark.sessionState.newHadoopConf()
+    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val dir2 = dir + "2" // codes.meta lives under dir — one copy suffices
+    org.apache.hadoop.fs.FileUtil.copy(hfs, new org.apache.hadoop.fs.Path(dir),
+      hfs, new org.apache.hadoop.fs.Path(dir2), false, conf)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamOps.probeAnn(queries, dir2, k = 3, nprobe = 2).collect() }
+    e2.getMessage should include ("recorded quantization")
+    // completing the re-bootstrap recovers (and refreshes the
+    // codebook cache — keyed by fingerprint generation, not path)
+    StreamOps.bootstrapAnn(corpus, dir, shifted, pq)
+    results(StreamOps.probeAnn(queries, dir, k = 5, nprobe = 2)) shouldBe
+      results(Similarity.ivfPqTopK(queries, corpus, shifted, pq,
+        k = 5, nprobe = 2))
+  }
+
   test("misuse is loud: cold start without bootstrap, torn overwrite, compaction of a remnant") {
     val dir = tmp("ann_misuse")
     val eCold = intercept[IllegalArgumentException] { ap(dir, batch1, 0L) }

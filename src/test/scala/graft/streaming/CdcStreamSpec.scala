@@ -702,6 +702,52 @@ class CdcStreamSpec extends SparkSpec {
       writer = Some("wB"))
   }
 
+  test("a torn claim (zero-byte sidecar) refuses everyone; releaseStoreClaim recovers (r19 review)") {
+    val snap = tmp("cdc_torn_claim") + "/s"
+    val fs = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate the create-then-die gap: sidecar created, content never
+    // landed — nobody can prove the claim is theirs, so everyone
+    // (including the crashed owner's replay and direct applications)
+    // is refused until the operator clears it explicitly
+    fs.create(new org.apache.hadoop.fs.Path(snap + ".meta.claim"), true)
+      .close()
+    for (w <- Seq(Some("wA"), None)) {
+      val e = intercept[IllegalArgumentException] {
+        StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"),
+          "version", "op", 8, writer = w) }
+      e.getMessage should include ("releaseStoreClaim")
+    }
+    StreamOps.releaseStoreClaim(spark, snap)
+    StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version",
+      "op", 8, writer = Some("wA"))
+    StreamOps.readClaim(fs, snap) shouldBe Some("wA")
+  }
+
+  test("compaction re-records the EFFECTIVE owner — claim-first, never a stale meta pin (r19 review)") {
+    val snap = tmp("cdc_eff_owner")
+    StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
+    val wA = StreamOps.writerIdFor("/ckpt/ea")
+    val fs = new org.apache.hadoop.fs.Path(snap)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the crash window the effectiveOwner rule covers: the claim landed,
+    // the first closing meta write did not (meta still records no pin)
+    StreamOps.claimOwnership(fs, snap, Some(wA), None, "snapshot")
+    // an ownerless compaction bounces off the CLAIM...
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.compactCdcSnapshot(spark, snap, horizon = 0L, Seq("k")) }
+    e.getMessage should include ("ownerCheckpoint")
+    // ...the owner's compaction succeeds AND the claim survives it —
+    // writing back the stale meta pin (None) used to delete the claim,
+    // re-opening the store to a second writer mid-deployment
+    StreamOps.compactCdcSnapshot(spark, snap, horizon = 0L, Seq("k"),
+      ownerCheckpoint = Some("/ckpt/ea"))
+    StreamOps.readClaim(fs, snap) shouldBe Some(wA)
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.applyCdcBatch(batch1.toDF(), snap, Seq("k"), "version",
+        "op", 8, writer = Some("intruder"))
+  }
+
   test("a repin takeover landing mid-batch is preserved, not silently reverted (r19)") {
     val snap = tmp("cdc_repin_race")
     StreamOps.writeCdcSnapshot(Cdc.bootstrap(base, Seq("k")), snap, Seq("k"), nBuckets = 8)
