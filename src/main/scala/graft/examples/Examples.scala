@@ -851,6 +851,52 @@ object Examples {
         s"[$replayed]")
     }
 
+    // 46. the r19 maintained-ANN serving tier + retention GC: bootstrap
+    // a stored IVF-PQ index, ingest a batch through the streaming
+    // write path (encoded under the STORED codebooks, landed in the
+    // tail tier), serve a top-k probe — then fold the tail and probe
+    // again (same answers); and the retention window GC'd explicitly
+    {
+      import graft.streaming.StreamOps
+      val dir46 = java.nio.file.Files.createTempDirectory("ex46").toString
+      val vecs46 = (0 until 24).map(i => (i.toLong,
+          (0 until 8).map(j => ((i * 7 + j * 3) % 17 - 8) / 8.0f)))
+        .toDF("vec_id", "embedding")
+      val coarse46 = (0 until 4).map(c =>
+        (0 until 8).map(j => ((c * 3 + j) % 8 - 4) / 4.0))
+      val pq46 = (0 until 4).map(s => (0 until 4).map(k =>
+        (0 until 2).map(j => ((s + k * 2 + j) % 8 - 4) / 4.0)))
+      StreamOps.bootstrapAnn(vecs46, s"$dir46/ann", coarse46, pq46)
+      StreamOps.applyAnnBatch(
+        vecs46.where(col("vec_id") < 4)
+          .select((col("vec_id") + 100L).as("vec_id"),
+            reverse(col("embedding")).as("embedding")),
+        0L, s"$dir46/ann", writer = StreamOps.writerIdFor(s"$dir46/ck"))
+      val q46 = vecs46.where(col("vec_id") < 3)
+        .withColumnRenamed("vec_id", "qid")
+      def top(d: String) = StreamOps.probeAnn(q46, d, k = 3, nprobe = 2)
+        .orderBy("qid", "rnk").collect()
+        .map(r => s"${r.getLong(0)}→${r.getLong(1)}").mkString(",")
+      val before46 = top(s"$dir46/ann")
+      StreamOps.compactAnnIndex(spark, s"$dir46/ann",
+        ownerCheckpoint = Some(s"$dir46/ck"))
+      val same46 = top(s"$dir46/ann") == before46
+      // retention GC on example 45's snapshot family shape
+      val snap46 = s"$dir46/snap"
+      StreamOps.writeCdcSnapshot(
+        graft.relational.Cdc.bootstrap(
+          Seq((1L, "a")).toDF("k", "name"), Seq("k")),
+        snap46, Seq("k"), nBuckets = 2)
+      val (r46, _) = StreamOps.retainSnapshot(spark, snap46)
+      val listed = StreamOps.listRetained(spark, snap46).map(_._2)
+      StreamOps.dropRetained(spark, r46)
+      println(s"[46] ANN probe top-3 [$before46]; fold preserves " +
+        s"answers: $same46; tail after fold: " +
+        s"${StreamOps.annIndexTailBatches(spark, s"$dir46/ann")}; " +
+        s"retained versions $listed GC'd to " +
+        s"${StreamOps.listRetained(spark, snap46).map(_._2)}")
+    }
+
     spark.stop()
   }
 }
