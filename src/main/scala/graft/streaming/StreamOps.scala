@@ -1844,6 +1844,11 @@ object StreamOps {
         idCol, textCol, poly),
       indexPath, "bootstrap", -1L, dynamic = false, nIdxBuckets,
       bucketed = true)
+    // a fresh start resets BOTH stores' ownership (the corpus reset
+    // happens inside writeCdcSnapshot)
+    resetClaim(new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(corpus.sparkSession.sessionState.newHadoopConf()),
+      indexPath, None)
   }
 
   /** The maintained deduped corpus — live public rows. */
@@ -1975,6 +1980,17 @@ object StreamOps {
     require(!batch.columns.contains("version") && !batch.columns.contains("op"),
       "dedupStream docs must not carry 'version'/'op' — the survivor " +
         "store's internal merge columns")
+    // BOTH stores are claimed before anything mutates (r19): the corpus
+    // claim lands inside its applyCdcBatch; the INDEX store is claimed
+    // here — an offline compactDedupIndex is a read-compact-overwrite
+    // racing the tail writes (the compactAnnIndex class), so the index
+    // carries its own claim and compaction must present the owner.
+    // Takeover of a dedup deployment = repinCdcSnapshot on the corpus
+    // + releaseStoreClaim on the index (DEPLOY.md).
+    claimOwnership(
+      new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      indexPath, Some(writer), None, "signature index")
     // the batch feeds signatures, the within-batch pass, and the verify
     // — cut once so the source is not re-derived per consumer
     val b = batch.localCheckpoint(true)
@@ -2086,7 +2102,7 @@ object StreamOps {
             val fs = new org.apache.hadoop.fs.Path(indexPath)
               .getFileSystem(spark.sessionState.newHadoopConf())
             if (tailBatchCount(fs, indexPath) >= maxTailBatches)
-              compactDedupIndex(spark, indexPath)
+              compactDedupIndexOwned(spark, indexPath, None, Some(writer))
           } finally ColumnBridge.releaseCheckpoint(survivors)
         } finally ColumnBridge.releaseCheckpoint(cand)
       } finally ColumnBridge.releaseCheckpoint(sigsB)
@@ -2107,13 +2123,36 @@ object StreamOps {
     * near-dup of retracted content is correctly admitted — but they
     * are dead weight; pass `corpusPath` to also drop signature rows
     * whose doc no longer lives in the corpus (a semi-join against the
-    * live ids — both sides narrow, an offline compaction cost). */
+    * live ids — both sides narrow, an offline compaction cost).
+    *
+    * A CLAIMED index (a [[dedupStream]] runs against it) demands the
+    * owning stream's checkpoint path (`ownerCheckpoint`) and the
+    * stream stopped — this is a read-compact-overwrite racing the
+    * per-batch tail writes, the compactAnnIndex/compactCdcSnapshot
+    * rule (r19). */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String,
-                        corpusPath: Option[String] = None): Unit = {
+                        corpusPath: Option[String] = None,
+                        ownerCheckpoint: Option[String] = None): Unit =
+    compactDedupIndexOwned(spark, indexPath, corpusPath,
+      ownerCheckpoint.map(writerIdFor))
+
+  /** The fold itself, ownership asserted by writer ID — the auto-fold
+    * inside [[applyDedupBatch]] IS the owning stream's batch. */
+  private[graft] def compactDedupIndexOwned(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      corpusPath: Option[String], asWriter: Option[String]): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    readClaim(fs, indexPath).foreach { pinned =>
+      require(asWriter.contains(pinned),
+        s"signature index at $indexPath is maintained by writer $pinned " +
+          "— folding it without that stream's checkpoint identity " +
+          "(ownerCheckpoint) would race its batches' tail writes and " +
+          "permanently lose committed signatures; pass the owning " +
+          "stream's checkpoint path and run with the stream stopped")
+    }
     // the fold preserves the stored bucket layout — the meta owns it
     val nIdxBuckets = readDirMeta(fs, indexPath)
       .map(parseIdxMeta(_, indexPath).nIdxBuckets)
@@ -2159,6 +2198,7 @@ object StreamOps {
         k, bands, rowsPerBand, idCol, textCol, poly),
       indexPath, "bootstrap", -1L, dynamic = false, nIdxBuckets,
       bucketed = true)
+    resetClaim(fs, indexPath, None) // a full rewrite is an ownership reset
   }
 
   // ---- maintained ANN serving tier (r19, the r18 verdict ask 5): a
@@ -2544,14 +2584,16 @@ object StreamOps {
                        checkpoint: String, aCol: String = "a",
                        bCol: String = "b", idCol: String = "node",
                        maxNodes: Long = 1L << 20)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = writerIdFor(checkpoint)
     edges.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         applyComponentsBatch(batch.toDF(), labelsPath, aCol, bCol, idCol,
-          maxNodes)
+          maxNodes, writer)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** One edge batch's relabel — package-visible for the replay spec
     * (the applyCdcBatch discipline). First batch closes the batch
@@ -2561,11 +2603,19 @@ object StreamOps {
   private[graft] def applyComponentsBatch(batch: DataFrame,
                                           labelsPath: String, aCol: String,
                                           bCol: String, idCol: String,
-                                          maxNodes: Long): Unit = {
+                                          maxNodes: Long,
+                                          writer: String = "default"): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(labelsPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // the labels store is claimed by its stream (r19): labels CONVERGE
+    // under serialized batches (each fold includes the stored prior),
+    // but two CONCURRENT streams read-fold-overwrite — the loser's
+    // edges never come back (its checkpoint advanced). Takeover after
+    // a lost checkpoint = releaseStoreClaim with the stream stopped
+    // (labels are monotone state; any stream may resume them solo).
+    claimOwnership(fs, labelsPath, Some(writer), None, "labels store")
     val labels = nextLabels(spark, fs, labelsPath, batch, aCol, bCol, idCol)
     val cut = labels.localCheckpoint(true)
     try {
@@ -2744,6 +2794,11 @@ object StreamOps {
     require(labelsExist || applied < 0L,
       s"canonical snapshot at $canonPath exists but its labels at " +
         s"$labelsPath are gone — rebuild both from the raw edge log")
+    // the labels store is claimed too (r19): the canon fold re-keys
+    // against exactly these labels, and a concurrent componentsStream
+    // (or second canon stream) folding the same labelsPath would lose
+    // edges to the read-fold-overwrite race
+    claimOwnership(lfs, labelsPath, Some(writer), None, "labels store")
     // OUR OWN eager cut of the batch severs any caller lineage before
     // the closure: `labels`' plan below then contains only this cut +
     // disk reads, so the blanket releaseCheckpoint in the finally can

@@ -47,6 +47,27 @@ class ComponentsStreamSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L)
   }
 
+  test("the labels store is claimed (r19): a concurrent second stream bounces; release recovers") {
+    // labels CONVERGE under serialized batches, but two concurrent
+    // streams read-fold-overwrite — the loser's edges never come back
+    // (its checkpoint advanced); the atomic claim turns that silent
+    // loss into a loud failure at the second stream's first batch
+    val labels = tmp("cc_claim") + "/labels"
+    StreamOps.applyComponentsBatch(wave1.toDF(), labels, "a", "b", "node",
+      1L << 20, writer = "wA")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.applyComponentsBatch(wave2.toDF(), labels, "a", "b", "node",
+        1L << 20, writer = "wB") }
+    e.getMessage should include ("maintained by writer wA")
+    // lost checkpoint: release with the stream stopped (labels are
+    // monotone state — any stream may resume them once solo)
+    StreamOps.releaseStoreClaim(spark, labels)
+    StreamOps.applyComponentsBatch(wave2.toDF(), labels, "a", "b", "node",
+      1L << 20, writer = "wB")
+    labelsAt(labels) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      6L -> 1L, 20L -> 20L, 21L -> 20L)
+  }
+
   test("replay: re-applying a batch is the identity on the labeling") {
     val labels = tmp("cc_replay")
     StreamOps.applyComponentsBatch(wave1.toDF(), labels, "a", "b", "node", 1L << 20)

@@ -129,7 +129,9 @@ class DedupStreamSpec extends SparkSpec {
       rowsPerBand = 2, nBuckets = 8)
     apply1(idx, corp, batch1, 0L)
     val rowsBefore = spark.read.parquet(idx).count()
-    StreamOps.compactDedupIndex(spark, idx)
+    // the index is claimed by the batches' writer ("default") — fold
+    // as the owner (the public ownerCheckpoint gate is spec'd below)
+    StreamOps.compactDedupIndexOwned(spark, idx, None, Some("default"))
     // after the fold, every bucket dir holds exactly the compact
     // partition — the bucket layout survives compaction
     val parts = new java.io.File(idx).listFiles().filter(_.isDirectory)
@@ -167,10 +169,12 @@ class DedupStreamSpec extends SparkSpec {
         s"${StreamOps.DedupWriterCol}=w1/${StreamOps.DedupBatchCol}=0")
         .exists()) shouldBe true
     ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L)
-    // the explicit takeover path: re-pin (old stream stopped), then w2
-    // proceeds — and dups of w1's survivors are still caught through
-    // the shared index
+    // the explicit takeover path: re-pin the corpus AND release the
+    // index claim (old stream stopped — both stores change hands, r19),
+    // then w2 proceeds — and dups of w1's survivors are still caught
+    // through the shared index
     StreamOps.repinCdcSnapshot(spark, corp, Some("/ckpt/of/w2"))
+    StreamOps.releaseStoreClaim(spark, idx)
     val w2 = StreamOps.writerIdFor("/ckpt/of/w2")
     StreamOps.applyDedupBatch(Seq(Doc(50L, t(11)), Doc(51L, t(51))).toDF(),
       1L, idx, corp, k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5,
@@ -195,7 +199,7 @@ class DedupStreamSpec extends SparkSpec {
     ids(corp) shouldBe Seq(2L, 3L, 30L)
     // compaction with the corpus GCs the retracted doc's signatures
     spark.read.parquet(idx).where(col("doc_id") === 1L).count() should be > 0L
-    StreamOps.compactDedupIndex(spark, idx, Some(corp))
+    StreamOps.compactDedupIndexOwned(spark, idx, Some(corp), Some("default"))
     spark.read.parquet(idx).where(col("doc_id") === 1L).count() shouldBe 0L
     spark.read.parquet(idx).select("doc_id").distinct().count() shouldBe 3L
   }
@@ -234,7 +238,7 @@ class DedupStreamSpec extends SparkSpec {
     e.getMessage should include ("nIdxBuckets=4")
     // compaction folds the tail INTO the buckets (no −1 dir left) and
     // preserves the stored layout without being told it
-    StreamOps.compactDedupIndex(spark, idx)
+    StreamOps.compactDedupIndexOwned(spark, idx, None, Some("default"))
     spark.read.parquet(idx)
       .where(pmod(xxhash64(col("band"), col("sig")), lit(4)).cast("int")
         =!= col(StreamOps.DedupIdxBucketCol)).count() shouldBe 0L
@@ -302,6 +306,27 @@ class DedupStreamSpec extends SparkSpec {
         s"$dir/nocorp", idCol = "doc_id", textCol = "text")
       .where(col("dup_of").isNotNull).count()
     none shouldBe 0L
+  }
+
+  test("the index fold honors the ownership claim (r19): ownerless compaction bounces, the owner folds") {
+    val dir = tmp("dedup_idx_claim"); val idx = s"$dir/idx"; val corp = s"$dir/corp"
+    StreamOps.bootstrapDedup(corpus0, idx, corp, k = 2, bands = 8,
+      rowsPerBand = 2, nBuckets = 8)
+    val w1 = StreamOps.writerIdFor("/ckpt/d1")
+    apply1(idx, corp, batch1, 0L, writer = w1)
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.compactDedupIndex(spark, idx) }
+    e.getMessage should include ("ownerCheckpoint")
+    an[IllegalArgumentException] should be thrownBy
+      StreamOps.compactDedupIndex(spark, idx,
+        ownerCheckpoint = Some("/ckpt/other"))
+    StreamOps.compactDedupIndex(spark, idx,
+      ownerCheckpoint = Some("/ckpt/d1"))
+    StreamOps.dedupIndexTailBatches(spark, idx) shouldBe 0
+    // the fold preserved the claim — maintenance, not takeover
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    StreamOps.readClaim(fs, idx) shouldBe Some(w1)
   }
 
   test("tail bound (r19): the index auto-folds past maxTailBatches; corpus and probe results unchanged") {
