@@ -624,9 +624,22 @@ object StreamOps {
       case (Some(w), None) =>
         // the CAS: exclusive create — exactly one racer wins
         try {
-          val out = fs.create(claimFilePath(dir), false)
-          try out.write((w + "\n").getBytes(StandardCharsets.UTF_8))
-          finally out.close()
+          if (fs.getScheme == "file") {
+            // Hadoop's local no-overwrite create is exists-then-open
+            // (a syscall gap between the check and the open); go
+            // through java.nio's createFile, which IS O_EXCL — on
+            // HDFS the namenode create below is already atomic
+            val p = java.nio.file.Paths.get(
+              fs.makeQualified(claimFilePath(dir)).toUri.getPath)
+            java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.createFile(p)
+            java.nio.file.Files.write(p,
+              (w + "\n").getBytes(StandardCharsets.UTF_8))
+          } else {
+            val out = fs.create(claimFilePath(dir), false)
+            try out.write((w + "\n").getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+          }
         } catch {
           case _: java.io.IOException =>
             readClaim(fs, dir) match {
