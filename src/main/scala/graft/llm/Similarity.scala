@@ -472,10 +472,25 @@ object Similarity {
                     nprobe: Int = 2, queryIdCol: String = "qid",
                     vecCol: String = "embedding",
                     idCol: String = "vec_id"): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
     require(nprobe >= 1 && nprobe <= index.coarse.length,
       s"nprobe must be in [1, ${index.coarse.length}], got $nprobe")
-    val routed = routeToCells(queries, index.coarse, nprobe, queryIdCol, vecCol)
+    searchPqIndexWith(queries, index,
+      routeToCells(queries, index.coarse, nprobe, queryIdCol, vecCol),
+      k, queryIdCol, vecCol, idCol)
+  }
+
+  /** [[searchPqIndex]] with the routing PRE-RESOLVED: the maintained
+    * store's serving probe (`StreamOps.probeAnn`) already collects the
+    * routed (query, cell) pairs for path-level dir pruning, so
+    * re-executing the routing window inside the search would pay the
+    * same request-sized window exchange twice — it passes the resolved
+    * pairs back as a local relation instead (r19; the probe's exchange
+    * ratchet dropped 9 → 7 with the change, measured). */
+  private[graft] def searchPqIndexWith(queries: DataFrame, index: PqIndex,
+                                       routed: DataFrame, k: Int,
+                                       queryIdCol: String, vecCol: String,
+                                       idCol: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
     val lut = pqLut(queries, index.codebooks, queryIdCol, vecCol)
     val scored = index.codes.join(broadcast(routed), Seq("cell"))
       .join(broadcast(lut), Seq(queryIdCol, "subspace", "code"))

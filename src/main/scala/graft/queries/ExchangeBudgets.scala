@@ -244,13 +244,14 @@ object ExchangeBudgets {
     // r19 maintained-ANN lifecycle face: bootstrap (one cell-clustered
     // codes write) + TWO ingest batches (one tail-clustered write
     // each — the write path reads NO index at all) + the serving probe
-    // — the routing window twice (once collected for dir pruning, once
-    // inside searchPqIndex — both over the 20-row request), the ADC
+    // — the routing window ONCE (collected for dir pruning AND passed
+    // back into the search as a local relation; 9 → 7 when the
+    // in-search re-execution was removed, searchPqIndexWith), the ADC
     // (qid, id) partial-agg exchange, the bounded-heap top-k agg and
     // the declared sort. Only the bootstrap exchange is corpus-sized
     // (the one-time lifecycle price); every serving exchange is
     // request- or candidate-sized.
-    "llm_ann_probe"                   -> 9,
+    "llm_ann_probe"                   -> 7,
     "src_shard_jsonl"                 -> 4)
 
   def budget(name: String): Int = perQuery.getOrElse(name, default)

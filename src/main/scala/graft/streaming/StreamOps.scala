@@ -2548,11 +2548,23 @@ object StreamOps {
         "re-bootstrap the index before serving from it")
     val (_, cbHash, stored) = parseAnnMeta(meta.get, codesPath)
     val (coarse, codebooks) = annCodebooks(spark, indexPath, cbHash)
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe must be in [1, ${coarse.length}], got $nprobe")
     // queries feed routing (collected) and the search — cut once, lazily
     val q = queries.localCheckpoint(false)
-    val routedCells = Similarity
+    // the routing is resolved ONCE: the collected (query, cell) pairs
+    // drive the dir pruning AND go back into the search as a local
+    // relation — re-executing the routing window inside searchPqIndex
+    // would pay the request-sized exchange twice. Bounded by
+    // |queries| × nprobe (request-sized by contract).
+    val routedDf = Similarity
       .routeToCells(q, coarse, nprobe, queryIdCol, vecCol)
-      .select("cell").distinct().collect().map(_.getLong(0)).sorted
+    val routedRows = routedDf.collect()
+    val routedLocal = spark.createDataFrame(
+      java.util.Arrays.asList(routedRows: _*), routedDf.schema)
+    val routedCells = routedRows
+      .map(_.getLong(routedDf.schema.fieldIndex("cell")))
+      .distinct.sorted
     val wanted = (AnnTail +: routedCells)
       .map(c => s"$AnnCellCol=$c").filter(dirs.contains)
       .map(d => s"$codesPath/$d")
@@ -2567,8 +2579,9 @@ object StreamOps {
           .add(AnnBatchCol, org.apache.spark.sql.types.LongType))
         .parquet(wanted.toIndexedSeq: _*)
         .drop(AnnCellCol, AnnWriterCol, AnnBatchCol)
-    Similarity.searchPqIndex(q, Similarity.PqIndex(codes, coarse, codebooks),
-      k, nprobe, queryIdCol, vecCol, idCol)
+    Similarity.searchPqIndexWith(q,
+      Similarity.PqIndex(codes, coarse, codebooks), routedLocal,
+      k, queryIdCol, vecCol, idCol)
   }
 
   // ---- streaming connected components (r16): edges arrive, labels live ----
