@@ -123,8 +123,8 @@ object ScaleProbe {
 
     // the dedup-tail fixture pair (see the dedup_tail_probe comment):
     // same document set both ways — unfolded = bucketed 2048-doc base +
-    // n*5 per-batch tail partitions (built through the real batch path,
-    // auto-fold disabled); folded = one bootstrap of ALL the docs
+    // n/1000 per-batch tail partitions of 4096 docs (built through the
+    // real batch path, auto-fold disabled); folded = one bootstrap of ALL the docs
     // (bit-identical to compacting the unfolded index: bootstrap and
     // compaction share writeDedupIndexPartition's bucketed tier).
     // nIdxBuckets follows the KV rule on the TOTAL doc count in both,
@@ -211,10 +211,17 @@ object ScaleProbe {
         val mp = new org.apache.hadoop.fs.Path(dir + "/codes.meta")
         fs.exists(mp) && {
           val in = fs.open(mp)
-          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8)
-            .linesIterator.nextOption().exists(_.trim == s"cells=$cCount")
+          val lines = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq
           finally in.close()
+          // first line = layout, AND the cbhash line must exist — a
+          // fixture written before the r19 fingerprint format would
+          // otherwise memoize forever and crash every probe on the
+          // missing meta line (the r17 sidecar-format rule: extending
+          // a meta format means re-checking every memoized consumer)
+          lines.headOption.exists(_.trim == s"cells=$cCount") &&
+            lines.exists(_.trim.startsWith("cbhash="))
         }
         // AND the two tail batches landed — a run killed between the
         // bootstrap and the batches would otherwise memoize a fixture

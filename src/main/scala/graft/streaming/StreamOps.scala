@@ -555,6 +555,32 @@ object StreamOps {
                              metaWriter: Option[String]): Option[String] =
     readClaim(fs, dir).orElse(metaWriter)
 
+  /** The ONE ownership gate every admin read-x-overwrite op runs
+    * ([[compactCdcSnapshot]], [[retainSnapshot]], the index/code
+    * folds): an owned store demands the owner's identity; a TORN claim
+    * gets the recovery guidance instead of an unsatisfiable
+    * "maintained by writer &lt;empty&gt;" (r19 review — writerIdFor
+    * never returns "", so no checkpoint path could ever match it). */
+  private def requireStoreOwner(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: String, metaWriter: Option[String],
+                                asWriter: Option[String], store: String,
+                                op: String): Unit =
+    effectiveOwner(fs, dir, metaWriter) match {
+      case Some("") => throw new IllegalArgumentException(
+        s"$store at $dir has a claim sidecar with NO content — a claim " +
+          "attempt is in flight right now, or crashed between create " +
+          "and write. If no stream is starting, clear it with " +
+          s"releaseStoreClaim before running $op.")
+      case Some(pinned) =>
+        require(asWriter.contains(pinned),
+          s"$store at $dir is maintained by writer $pinned — $op " +
+            "without that stream's checkpoint identity (ownerCheckpoint) " +
+            "would race its batches' writes and silently lose committed " +
+            "state; pass the owning stream's checkpoint path and run " +
+            "with the stream stopped")
+      case None => // unowned: admin ops proceed
+    }
+
   /** Drop a store's ownership claim WITHOUT rewriting the store — the
     * explicit recovery for (a) an orphaned claim after a store was
     * deleted and rebuilt out-of-band (the canonical-edge store has no
@@ -569,7 +595,14 @@ object StreamOps {
                         storePath: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(claimFilePath(storePath), false)
+    // fail loudly when there was nothing to release: a silent no-op on
+    // a mistyped path leaves the operator believing takeover is done
+    // while the real claim survives (r19 review — the ANN code store's
+    // claim lives at <indexPath>/codes, the most likely slip)
+    require(fs.delete(claimFilePath(storePath), false),
+      s"no ownership claim at ${claimFilePath(storePath)} — nothing " +
+        "released; check the path (the ANN code store's claim lives at " +
+        "<indexPath>/codes, not <indexPath>)")
   }
 
   /** Write/replace (Some) or remove (None) the claim OUTSIDE a race —
@@ -641,11 +674,19 @@ object StreamOps {
             finally out.close()
           }
         } catch {
-          case _: java.io.IOException =>
+          case e: java.io.IOException =>
             readClaim(fs, dir) match {
               case Some(h) if h == w => // a retried create of our own claim
               case Some(h) if h.nonEmpty => fail(h)
-              case _ => failTorn()
+              case Some(_) => failTorn()
+              case None =>
+                // no sidecar at all: the create failed for a NON-race
+                // reason (permissions, disk, transient FS error) —
+                // surface the real cause instead of diagnosing a
+                // phantom torn claim (r19 review)
+                throw new java.io.IOException(
+                  s"claim create failed at ${claimFilePath(dir)} with no " +
+                    "sidecar present — not a lost race; see the cause", e)
             }
         }
     }
@@ -1110,15 +1151,9 @@ object StreamOps {
     // checkpoint path as an explicit ownership assertion; run it with
     // the stream STOPPED — the assertion is who may compact, the
     // quiescence is still the operator's contract.
+    requireStoreOwner(fs, snapshotPath, meta.writer,
+      ownerCheckpoint.map(writerIdFor), "snapshot", "compactCdcSnapshot")
     val owner = effectiveOwner(fs, snapshotPath, meta.writer)
-    owner.foreach { pinned =>
-      require(ownerCheckpoint.map(writerIdFor).contains(pinned),
-        s"snapshot at $snapshotPath is maintained by writer $pinned — " +
-          "compacting it without that stream's checkpoint identity " +
-          "(ownerCheckpoint) would race its batches' read-merge-" +
-          "overwrite and silently lose committed keys; pass the owning " +
-          "stream's checkpoint path and run with the stream stopped")
-    }
     val cut = graft.relational.Cdc
       .compact(readCdcSnapshot(spark, snapshotPath), horizon)
       .localCheckpoint(true)
@@ -1173,15 +1208,8 @@ object StreamOps {
         s"no layout meta at $snapshotPath.meta — retain an EXISTING " +
           "maintained snapshot (bootstrap through writeCdcSnapshot or " +
           "let the stream's first batch land)"))
-    effectiveOwner(fs, snapshotPath, meta.writer).foreach { pinned =>
-      require(ownerCheckpoint.map(writerIdFor).contains(pinned),
-        s"snapshot at $snapshotPath is maintained by writer $pinned — " +
-          "retaining it without that stream's checkpoint identity " +
-          "(ownerCheckpoint) could race a live batch's dynamic " +
-          "overwrite and freeze a torn per-file copy as trusted " +
-          "history; pass the owning stream's checkpoint path and run " +
-          "with the stream stopped")
-    }
+    requireStoreOwner(fs, snapshotPath, meta.writer,
+      ownerCheckpoint.map(writerIdFor), "snapshot", "retainSnapshot")
     val dirs = bucketDirNames(fs, snapshotPath)
     require(dirs.nonEmpty,
       s"snapshot meta exists at $snapshotPath but the bucket dirs are " +
@@ -2158,14 +2186,8 @@ object StreamOps {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    readClaim(fs, indexPath).foreach { pinned =>
-      require(asWriter.contains(pinned),
-        s"signature index at $indexPath is maintained by writer $pinned " +
-          "— folding it without that stream's checkpoint identity " +
-          "(ownerCheckpoint) would race its batches' tail writes and " +
-          "permanently lose committed signatures; pass the owning " +
-          "stream's checkpoint path and run with the stream stopped")
-    }
+    requireStoreOwner(fs, indexPath, None, asWriter, "signature index",
+      "compactDedupIndex")
     // the fold preserves the stored bucket layout — the meta owns it
     val nIdxBuckets = readDirMeta(fs, indexPath)
       .map(parseIdxMeta(_, indexPath).nIdxBuckets)
@@ -2359,6 +2381,10 @@ object StreamOps {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     resetClaim(fs, s"$indexPath/codes", None)
+    // evict SUPERSEDED generations for this store: the cache keys by
+    // (path, fingerprint), so without eviction every re-quantization
+    // leaks one dead codebook table per rebuild in a long-lived driver
+    annCodebookCache.keySet.removeIf(_._1 == indexPath)
   }
 
   /** Maintain the stored ANN index from an embedding STREAM — each
@@ -2498,14 +2524,8 @@ object StreamOps {
       s"ANN code-store meta exists at $codesPath.meta but the cell dirs " +
         "are gone — a prior compaction/rewrite crashed mid-overwrite; " +
         "re-bootstrap the index from the corpus instead")
-    readClaim(fs, codesPath).foreach { pinned =>
-      require(asWriter.contains(pinned),
-        s"ANN code store at $codesPath is maintained by writer $pinned — " +
-          "folding it without that stream's checkpoint identity " +
-          "(ownerCheckpoint) would race its batches' tail writes and " +
-          "permanently lose committed vectors; pass the owning stream's " +
-          "checkpoint path and run with the stream stopped")
-    }
+    requireStoreOwner(fs, codesPath, None, asWriter, "ANN code store",
+      "compactAnnIndex")
     val (cells, cbHash, stored) = parseAnnMeta(meta, codesPath)
     val all = spark.read.schema(stored
         .add(AnnCellCol, org.apache.spark.sql.types.LongType)
