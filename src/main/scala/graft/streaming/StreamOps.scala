@@ -2389,11 +2389,12 @@ object StreamOps {
 
   /** Maintain the stored ANN index from an embedding STREAM — each
     * micro-batch encodes its vectors with the STORED codebooks and
-    * lands one per-batch fact partition in the tail tier (facts, not
-    * convergent state: `idCol` values must be fresh per vector — a
-    * re-sent id would duplicate its codes and double-count in the ADC
-    * sum until a rebuild; same contract family as [[dedupStream]]'s
-    * fresh-id rule). Replay safety is the r11 idempotent-sink rule
+    * lands one per-batch fact partition in the tail tier. A RE-SENT id
+    * (an updated embedding) double-counts in ADC sums only until the
+    * next fold: [[compactAnnIndex]] keeps the latest generation per
+    * (id, subspace) — upsert semantics on the compaction cadence
+    * (deletions remain re-bootstraps; nothing marks absence). Replay
+    * safety is the r11 idempotent-sink rule
     * (batch-keyed partitions dynamically overwritten); two-writer
     * safety is the atomic ownership claim ([[claimOwnership]]) on the
     * code store, taken by the first batch.
@@ -2532,8 +2533,26 @@ object StreamOps {
         .add(AnnWriterCol, org.apache.spark.sql.types.StringType)
         .add(AnnBatchCol, org.apache.spark.sql.types.LongType))
       .parquet(codesPath)
-      .drop(AnnCellCol, AnnWriterCol, AnnBatchCol)
-    val cut = all.localCheckpoint(true)
+      .drop(AnnCellCol, AnnWriterCol)
+    // fold-time convergence for RE-SENT ids (r19): codes are per-batch
+    // facts, so an UPDATED vector's old codes double-count in ADC sums
+    // between its batch and the next fold — the fold keeps, per
+    // (id, subspace), the row from the HIGHEST batch (bootstrap and
+    // prior compactions sit at batch −1, so any later tail write
+    // outranks them): a re-sent id converges to its latest quantization
+    // at the next fold — upsert semantics on the compaction cadence.
+    // One (id, subspace)-hash window over data the fold already
+    // rewrites; deletions remain re-bootstraps (nothing marks absence).
+    val idCol = stored.fieldNames
+      .filterNot(Seq("cell", "subspace", "code").contains).head
+    val latest = all
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol), col("subspace"))
+          .orderBy(col(AnnBatchCol).desc, col("code"))))
+      .where(col("__rn") === 1)
+      .drop("__rn", AnnBatchCol)
+    val cut = latest.localCheckpoint(true)
     try writeAnnCodes(cut, indexPath, cells, cbHash, "compact", -1L,
       dynamic = false, bucketed = true)
     finally ColumnBridge.releaseCheckpoint(cut)

@@ -118,6 +118,28 @@ class AnnStreamSpec extends SparkSpec {
     ap(dir, batch2, 0L, writer = "wB")
   }
 
+  test("a re-sent id converges to its LATEST codes at the fold — upsert on the compaction cadence") {
+    val dir = tmp("ann_resent")
+    StreamOps.bootstrapAnn(corpus, dir, coarse, pq)
+    val wR = StreamOps.writerIdFor("/ckpt/rs")
+    // vector 5's embedding is UPDATED in a later batch
+    val updated = vecs(5 until 6).select(col("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+    ap(dir, updated, 0L, writer = wR)
+    StreamOps.compactAnnIndex(spark, dir, ownerCheckpoint = Some("/ckpt/rs"))
+    // post-fold: exactly one code per (id, subspace) — the old
+    // generation's codes are gone...
+    spark.read.parquet(s"$dir/codes").groupBy("vec_id", "subspace")
+      .count().where(col("count") > 1).count() shouldBe 0L
+    // ...and the store answers like an inline index over the UPDATED
+    // corpus (the defining parity, now under an update)
+    val expect = results(Similarity.ivfPqTopK(queries,
+      vecs(0 until 5).unionByName(updated).unionByName(vecs(6 until 40)),
+      coarse, pq, k = 5, nprobe = 2))
+    results(StreamOps.probeAnn(queries, dir, k = 5, nprobe = 2)) shouldBe
+      expect
+  }
+
   test("the fold honors the ownership claim; codebook coherence is fingerprint-checked (r19 review)") {
     val dir = tmp("ann_guard")
     StreamOps.bootstrapAnn(corpus, dir, coarse, pq)
