@@ -250,8 +250,24 @@ object ExchangeBudgets {
     // (qid, id) partial-agg exchange, the bounded-heap top-k agg and
     // the declared sort. Only the bootstrap exchange is corpus-sized
     // (the one-time lifecycle price); every serving exchange is
-    // request- or candidate-sized.
-    "llm_ann_probe"                   -> 7,
+    // request- or candidate-sized. 7 → 8 in r20: the serving read
+    // became LATEST-WINS per (id, subspace) — a TAIL-sized window (the
+    // one new exchange, bounded by the auto-fold) resolves re-sent and
+    // replayed-after-fold generations; the routed base read still
+    // flows to the cell join with no index-subset exchange
+    // (AnnStreamSpec pins the semantics, the fold receipt pins the
+    // cost shape).
+    "llm_ann_probe"                   -> 8,
+    // the llm_ann_probe lifecycle + the r20 allowIds liveness gate:
+    // SAME counts as the unfiltered face — the filter-then-rank
+    // semi-join broadcasts below the Joins gate (zero exchanges) and
+    // the live-id frame derives from the shared cut (zero scans);
+    // the gate is free at this scale by construction
+    "llm_ann_probe_filtered"          -> 8,
+    // ADC probe (the ivf_pq pipeline, paid ONCE into the candidate
+    // cut) + the exact re-rank: candidate-sized broadcast joins (no
+    // exchange), the bounded-heap top-k agg and the declared sort
+    "llm_ann_rerank"                  -> 6,
     "src_shard_jsonl"                 -> 4)
 
   def budget(name: String): Int = perQuery.getOrElse(name, default)

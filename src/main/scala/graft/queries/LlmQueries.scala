@@ -220,8 +220,12 @@ object LlmQueries {
   // bootstrap set plus two planted ingest batches — so the body is
   // parameterized by the e-CTE body (pre-stripped fragments are
   // CONCATENATED, never re-interpolated into a stripMargin — the r13
-  // rule).
-  private def ivfPqSqlOver(eBody: String): String = {
+  // rule). r20 splits the CTE chain (through `rk`, every query's ADC
+  // ranking) from the final select so llm_ann_rerank can extend it,
+  // and adds `candWhere` — the candidate-domain filter of the
+  // filter-then-rank serving face (a single-line fragment, safe to
+  // interpolate in place).
+  private def ivfPqCtes(eBody: String, candWhere: String = ""): String = {
     val coarseSql = clusterCodebook.zipWithIndex.map { case (vals, kk) =>
       s"($kk, [${vals.mkString(", ")}])"
     }.mkString(", ")
@@ -236,7 +240,7 @@ object LlmQueries {
        |cb(sub, code, vals) AS (VALUES $cbSql),
        |cbi AS (SELECT sub, code,
        |  list_transform(vals, v -> CAST(round(v * 4) AS BIGINT)) AS ci FROM cb),
-       |e AS (""".stripMargin + eBody + """),
+       |e AS (""".stripMargin + eBody + s"""),
        |cd AS (SELECT vec_id, co.code,
        |        list_reduce(list_transform(range(1, 65),
        |          j -> (v[j] - vals[j]) * (v[j] - vals[j])), (a, b) -> a + b) AS dist
@@ -270,7 +274,7 @@ object LlmQueries {
        |            j -> (qi[sub*8+j] - ci[j]) * (qi[sub*8+j] - ci[j]))) AS dd
        |        FROM q, cbi),
        |cand AS (SELECT p.qid, c.vec_id FROM probed p
-       |         JOIN cells c ON c.cell = p.cell),
+       |         JOIN cells c ON c.cell = p.cell$candWhere),
        |sc AS (SELECT cand.qid, cand.vec_id, CAST(sum(dd) AS BIGINT) AS dist16
        |       FROM cand
        |       JOIN codes ON codes.vec_id = cand.vec_id
@@ -279,10 +283,13 @@ object LlmQueries {
        |       GROUP BY cand.qid, cand.vec_id),
        |rk AS (SELECT qid, vec_id, dist16,
        |         row_number() OVER (PARTITION BY qid ORDER BY dist16, vec_id) AS rnk
-       |       FROM sc)
-       |SELECT qid, vec_id, dist16, CAST(rnk AS BIGINT) AS rnk
-       |FROM rk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+       |       FROM sc)""".stripMargin
   }
+
+  private def ivfPqSqlOver(eBody: String, candWhere: String = ""): String =
+    ivfPqCtes(eBody, candWhere) + """
+      |SELECT qid, vec_id, dist16, CAST(rnk AS BIGINT) AS rnk
+      |FROM rk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   private lazy val ivfPqSql: String = ivfPqSqlOver(
     "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")
@@ -292,7 +299,7 @@ object LlmQueries {
   // negated vectors under +200000 ids (float reverse/negate are exact,
   // then widen exactly to the oracle's DOUBLE[] — the llm_pq
   // quantization discipline carries the rest)
-  private lazy val annProbeSql: String = ivfPqSqlOver(
+  private lazy val annProbeEBody: String =
     """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       |UNION ALL
       |SELECT vec_id + 100000, list_reverse(CAST(embedding AS DOUBLE[]))
@@ -300,7 +307,45 @@ object LlmQueries {
       |UNION ALL
       |SELECT vec_id + 200000,
       |  list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
-      |FROM embeddings WHERE vec_id % 11 = 1""".stripMargin)
+      |FROM embeddings WHERE vec_id % 11 = 1""".stripMargin
+
+  private lazy val annProbeSql: String = ivfPqSqlOver(annProbeEBody)
+
+  // llm_ann_probe_filtered (r20): the SAME maintained-store lifecycle,
+  // served through the liveness/metadata gate — only ids with
+  // vec_id % 3 <> 1 may be served (a third of every tier retired:
+  // excluded ids are spread across cells AND both planted batches, so
+  // routing still discriminates and the gate has live branches in
+  // base and tail). FILTER-THEN-RANK: the WHERE cuts the candidate
+  // set BEFORE the per-query ranking, so every query still ranks k
+  // SURVIVORS — a k-then-filter implementation would hash-mismatch on
+  // both membership and rnk.
+  private lazy val annProbeFilteredSql: String =
+    ivfPqSqlOver(annProbeEBody, " WHERE c.vec_id % 3 <> 1")
+
+  // llm_ann_rerank (r20): the standard ANN refinement — each query's
+  // top-15 ADC candidates re-scored by EXACT squared-L2 over the raw
+  // vectors, top-5 kept. The exact distance is a sequential
+  // list_reduce fold of (qᵢ−vᵢ)² in double precision — bit-identical
+  // to the Spark side's aggregate(zip_with(...)) left fold (the r9
+  // exactness kit) — and lands as floor(dist·1024) so the output
+  // column is an engine-exact BIGINT.
+  private lazy val annRerankSql: String = ivfPqCtes(
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings") + """,
+      |cr15 AS (SELECT qid, vec_id FROM rk WHERE rnk <= 15),
+      |ex AS (SELECT cr15.qid, cr15.vec_id,
+      |         list_reduce(list_transform(range(1, 65),
+      |           j -> (qv.v[j] - cv.v[j]) * (qv.v[j] - cv.v[j])),
+      |           (a, b) -> a + b) AS dist
+      |       FROM cr15
+      |       JOIN e qv ON qv.vec_id = cr15.qid
+      |       JOIN e cv ON cv.vec_id = cr15.vec_id),
+      |rr AS (SELECT qid, vec_id, dist,
+      |         row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+      |       FROM ex)
+      |SELECT qid, vec_id, CAST(floor(dist * 1024) AS BIGINT) AS dist_b,
+      |  CAST(rnk AS BIGINT) AS rnk
+      |FROM rr WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   // Planted n-gram LM (the llm_redact discipline: the model is data,
   // written identically on both sides). Scores are negative
@@ -4519,6 +4564,64 @@ object LlmQueries {
       StreamOps.probeAnn(
           emb.where(col("vec_id") < 20).withColumnRenamed("vec_id", "qid"),
           dir, k = 5, nprobe = 3)
+        .orderBy("qid", "rnk")
+    },
+
+    // Filtered / liveness-aware ANN serving (r20, the r19 verdict's top
+    // ask): the llm_ann_probe lifecycle served through the `allowIds`
+    // gate — a live-id frame retiring every id with vec_id % 3 == 1
+    // (spread across cells and both planted batches, so routing still
+    // discriminates). FILTER-THEN-RANK: the gate semi-joins the
+    // ADC-scored candidates BEFORE the top-k heap, so each query ranks
+    // 5 SURVIVORS — retired documents (including a query's own vector)
+    // stop being served the moment they leave the live set, without
+    // waiting for a re-bootstrap. The oracle applies the identical
+    // predicate to the candidate domain of the shared IVF-PQ SQL.
+    Q("llm_ann_probe_filtered", annProbeFilteredSql) { (spark, sf) =>
+      import graft.streaming.StreamOps
+      val emb = Tables.embeddings(spark, sf).localCheckpoint(false)
+      val dir = java.nio.file.Files
+        .createTempDirectory("ann_probe_f_q").toString + "/ann"
+      StreamOps.bootstrapAnn(emb, dir, clusterCodebook, pqCodebooks)
+      StreamOps.applyAnnBatch(
+        emb.where(pmod(col("vec_id"), lit(7)) === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding")),
+        0L, dir)
+      StreamOps.applyAnnBatch(
+        emb.where(pmod(col("vec_id"), lit(11)) === 1)
+          .select((col("vec_id") + 200000L).as("vec_id"),
+            transform(col("embedding"), x => negate(x)).as("embedding")),
+        1L, dir)
+      // the live-id set: the union corpus minus the retired third —
+      // derived from the shared cut, so no extra source scan
+      val live = emb.select(col("vec_id"))
+        .unionByName(emb.where(pmod(col("vec_id"), lit(7)) === 0)
+          .select((col("vec_id") + 100000L).as("vec_id")))
+        .unionByName(emb.where(pmod(col("vec_id"), lit(11)) === 1)
+          .select((col("vec_id") + 200000L).as("vec_id")))
+        .where(pmod(col("vec_id"), lit(3)) =!= 1)
+      StreamOps.probeAnn(
+          emb.where(col("vec_id") < 20).withColumnRenamed("vec_id", "qid"),
+          dir, k = 5, nprobe = 3, allowIds = Some(live))
+        .orderBy("qid", "rnk")
+    },
+
+    // Exact re-rank refinement (r20, the r19 verdict's What's-missing
+    // 2): top-15 per query by ADC over the inline IVF-PQ index, then
+    // the raw vectors of those candidates fetched by id (request-sized
+    // — the readKeys shape) and re-scored with EXACT squared-L2; top-5
+    // by the exact metric. The quality step every ANN deployment runs
+    // between the quantized index and the answer — previously exact
+    // distances meant the brute face over the whole corpus.
+    Q("llm_ann_rerank", annRerankSql) { (spark, sf) =>
+      val emb = Tables.embeddings(spark, sf).localCheckpoint(false)
+      val queries = emb.where(col("vec_id") < 20)
+        .withColumnRenamed("vec_id", "qid")
+      Similarity.rerankExact(queries,
+          Similarity.ivfPqTopK(queries, emb, clusterCodebook, pqCodebooks,
+            k = 15, nprobe = 3),
+          emb, k = 5)
         .orderBy("qid", "rnk")
     },
 

@@ -48,7 +48,7 @@ object Q {
     "llm_dedup_stream", "llm_dedup_probe", "llm_host_canon_stream",
     "stream_cdc_evolve", "stream_cdc_read_latest", "stream_cdc_read_asof",
     "stream_cdc_read_keys", "src_shard_jsonl", "llm_pq_persist",
-    "llm_ann_probe")
+    "llm_ann_probe", "llm_ann_probe_filtered")
   val contractFaces: Set[String] = Set(
     "llm_distinct_n", "llm_distinct_n_approx", "llm_backoff_score",
     "agg_approx", "agg_hll_merge", "agg_cms_merge", "op_profile",

@@ -329,6 +329,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rerankExact: exact re-rank fixes ADC rank inversions; dist_b is the exact fold x1024 (r20)") {
+    // one coarse cell (everything routed); two 1-dim PQ subspaces with
+    // centroids {0, 1}. v1 = (0.45, 1.0) codes to (0, 1) — ADC sees it
+    // 16 away from q = (1,1) — while v2 = (0.55, 0.55) codes to (1, 1)
+    // — ADC 0 — yet v1 is EXACTLY closer (0.3025 < 0.405): the
+    // quantization inverts the true order, the re-rank must fix it.
+    val coarse = Seq(Seq(0.0, 0.0))
+    val cb = Seq(Seq(Seq(0.0), Seq(1.0)), Seq(Seq(0.0), Seq(1.0)))
+    val corpus = Seq(
+      (1L, Array(0.45f, 1.0f)),
+      (2L, Array(0.55f, 0.55f)),
+      (3L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((9L, Array(1.0f, 1.0f))).toDF("qid", "embedding")
+    val adc = Similarity.ivfPqTopK(queries, corpus, coarse, cb, k = 3, nprobe = 1)
+    adc.orderBy("rnk").select("vec_id").as[Long].collect() shouldBe
+      Array(2L, 1L, 3L) // the inversion, visible at the ADC stage
+    val rr = Similarity.rerankExact(queries, adc, corpus, k = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Number](3).longValue))
+    rr.map(_._2) shouldBe Array(1L, 2L, 3L) // fixed by the exact metric
+    // dist_b replays as floor(1024 x the sequential double fold) over
+    // the float-widened vectors — the engine-exact integer contract
+    def d(v: Array[Float]): Long = {
+      val q = Array(1.0f, 1.0f)
+      var acc = 0.0
+      for (j <- v.indices)
+        acc += (q(j).toDouble - v(j).toDouble) * (q(j).toDouble - v(j).toDouble)
+      math.floor(acc * 1024).toLong
+    }
+    rr.map(_._3) shouldBe Array(
+      d(Array(0.45f, 1.0f)), d(Array(0.55f, 0.55f)), d(Array(0.0f, 0.0f)))
+    // rnk is dense 1..k per query
+    rr.map(_._4) shouldBe Array(1L, 2L, 3L)
+  }
+
   test("clusterBalance assigns PQ cells and caps each cell in shuffleHash order") {
     // 1 subspace, 2 centroids at (0,0) and (4,4): vectors near each are
     // assigned to it; cap 2 binds for the origin cluster (3 members)

@@ -118,7 +118,7 @@ class AnnStreamSpec extends SparkSpec {
     ap(dir, batch2, 0L, writer = "wB")
   }
 
-  test("a re-sent id converges to its LATEST codes at the fold — upsert on the compaction cadence") {
+  test("a re-sent id converges to its LATEST codes — at SERVE time immediately, durably at the fold") {
     val dir = tmp("ann_resent")
     StreamOps.bootstrapAnn(corpus, dir, coarse, pq)
     val wR = StreamOps.writerIdFor("/ckpt/rs")
@@ -126,18 +126,131 @@ class AnnStreamSpec extends SparkSpec {
     val updated = vecs(5 until 6).select(col("vec_id"),
       reverse(col("embedding")).as("embedding"))
     ap(dir, updated, 0L, writer = wR)
+    val expect = results(Similarity.ivfPqTopK(queries,
+      vecs(0 until 5).unionByName(updated).unionByName(vecs(6 until 40)),
+      coarse, pq, k = 5, nprobe = 2))
+    // LATEST-WINS AT SERVE TIME (r20): BEFORE any fold, while the old
+    // generation's codes still sit in the cell tier, the probe already
+    // answers like an inline index over the UPDATED corpus — the
+    // r19 pre-fold double-count window is closed
+    results(StreamOps.probeAnn(queries, dir, k = 5, nprobe = 2)) shouldBe
+      expect
     StreamOps.compactAnnIndex(spark, dir, ownerCheckpoint = Some("/ckpt/rs"))
     // post-fold: exactly one code per (id, subspace) — the old
     // generation's codes are gone...
     spark.read.parquet(s"$dir/codes").groupBy("vec_id", "subspace")
       .count().where(col("count") > 1).count() shouldBe 0L
-    // ...and the store answers like an inline index over the UPDATED
-    // corpus (the defining parity, now under an update)
-    val expect = results(Similarity.ivfPqTopK(queries,
-      vecs(0 until 5).unionByName(updated).unionByName(vecs(6 until 40)),
-      coarse, pq, k = 5, nprobe = 2))
+    // ...and the store still answers like the inline index over the
+    // UPDATED corpus (the defining parity, now durable)
     results(StreamOps.probeAnn(queries, dir, k = 5, nprobe = 2)) shouldBe
       expect
+  }
+
+  test("a batch replayed AFTER a fold recognizes itself at the watermark and skips (r20)") {
+    val dir = tmp("ann_replayfold")
+    StreamOps.bootstrapAnn(corpus, dir, coarse, pq)
+    val w = StreamOps.writerIdFor("/ckpt/rf")
+    ap(dir, batch1, 0L, writer = w, bound = 1) // auto-fold absorbs batch 0
+    StreamOps.annIndexTailBatches(spark, dir) shouldBe 0
+    def state = spark.read.parquet(s"$dir/codes")
+      .orderBy("vec_id", "subspace", "code")
+      .collect().map(_.toString).toSeq
+    val foldedState = state
+    val served = results(StreamOps.probeAnn(queries, dir, k = 5, nprobe = 2))
+    // the crash window: the fold deleted batch 0's tail partition (the
+    // thing that made its write idempotent) before the stream's
+    // checkpoint committed — redelivery must NOT re-land the codes
+    ap(dir, batch1, 0L, writer = w)
+    StreamOps.annIndexTailBatches(spark, dir) shouldBe 0
+    state shouldBe foldedState
+    results(StreamOps.probeAnn(queries, dir, k = 5, nprobe = 2)) shouldBe
+      served
+    // a batch ABOVE the watermark still lands…
+    ap(dir, batch2, 1L, writer = w)
+    StreamOps.annIndexTailBatches(spark, dir) shouldBe 1
+    // …and the watermark is WRITER-scoped: a takeover stream's batch
+    // ids restart at 0 and must not be gated by the old writer's mark
+    StreamOps.releaseStoreClaim(spark, s"$dir/codes")
+    ap(dir, vecs(300 until 305), 0L, writer = StreamOps.writerIdFor("/ckpt/rf2"))
+    StreamOps.annIndexTailBatches(spark, dir) shouldBe 2
+  }
+
+  test("allowIds: a retired id stops being served while its codes still sit in the store; k survivors (filter-then-rank)") {
+    val dir = tmp("ann_allow")
+    StreamOps.bootstrapAnn(corpus, dir, coarse, pq)
+    val unfiltered = results(StreamOps.probeAnn(queries, dir, k = 5, nprobe = 2))
+    // retire the id at the top of the first query's neighbors (its own
+    // vector — the strongest possible rank-1 hit)
+    val retired = unfiltered.head._2
+    val live = corpus.select(col("vec_id")).where(col("vec_id") =!= retired)
+    val got = results(StreamOps.probeAnn(queries, dir, k = 5, nprobe = 2,
+      allowIds = Some(live)))
+    got.map(_._2) should not contain retired
+    // the codes are STILL stored — liveness is a serving gate, not a
+    // deletion (deletions remain re-bootstraps)
+    spark.read.parquet(s"$dir/codes")
+      .where(col("vec_id") === retired).count() should be > 0L
+    // FILTER-THEN-RANK: every query still serves k full survivors…
+    got.groupBy(_._1).values.foreach(_.size shouldBe 5)
+    // …and the gated store answers exactly like an inline index over
+    // the LIVE corpus (the defining parity, under the gate)
+    got shouldBe results(Similarity.ivfPqTopK(queries,
+      corpus.where(col("vec_id") =!= retired), coarse, pq,
+      k = 5, nprobe = 2))
+  }
+
+  test("the fold's convergence is tail-sized: shuffle records ~ index + tail, never 2x index (r20 receipt)") {
+    val dir = tmp("ann_foldcost")
+    StreamOps.bootstrapAnn(corpus, dir, coarse, pq) // 40 ids x 4 subspaces
+    val w = StreamOps.writerIdFor("/ckpt/fc")
+    ap(dir, vecs(100 until 102), 0L, writer = w) // 2 ids = 8 tail rows
+    val indexRows = 42L * 4L // base 160 + tail 8
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      StreamOps.compactAnnIndex(spark, dir, ownerCheckpoint = Some("/ckpt/fc"))
+      org.apache.spark.sql.graftbridge.ColumnBridge.waitListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the r19 shape windowed the WHOLE store per fold (~2x index rows
+    // through exchanges: full window + clustered write); the r20 split
+    // shuffles the clustered write (index-sized, inherent to the
+    // rewrite) + the tail-sized window ONLY. Bound well under 2x.
+    records.get() should be <= (indexRows + 8L * 4L)
+    records.get() should be >= indexRows // the write itself
+    // and the fold still converged: one row per (id, subspace)
+    spark.read.parquet(s"$dir/codes").groupBy("vec_id", "subspace")
+      .count().where(col("count") > 1).count() shouldBe 0L
+  }
+
+  test("tailFiles: one partition COMMIT per batch, several files inside it for large batches (r20)") {
+    val dir = tmp("ann_tailfiles")
+    StreamOps.bootstrapAnn(corpus, dir, coarse, pq)
+    StreamOps.applyAnnBatch(vecs(100 until 140), 0L, dir)
+    StreamOps.applyAnnBatch(vecs(200 until 240), 1L, dir, tailFiles = 4)
+    def batchDir(b: Long) = new java.io.File(
+      s"$dir/codes/${StreamOps.AnnCellCol}=${StreamOps.AnnTail}/" +
+        s"${StreamOps.AnnWriterCol}=default/${StreamOps.AnnBatchCol}=$b")
+    def dataFiles(f: java.io.File): Int = f.listFiles()
+      .count(x => x.isFile && !x.getName.startsWith(".") &&
+        !x.getName.startsWith("_")) // Hadoop local FS writes .crc sidecars
+    dataFiles(batchDir(0)) shouldBe 1 // the default: one task, one file
+    val n = dataFiles(batchDir(1))
+    n should be > 1 // the one-task encode ceiling is gone…
+    n should be <= 4
+    // …the layout contract is unchanged (one batch dir per commit)…
+    batchDir(1).getParentFile.listFiles().count(_.isDirectory) shouldBe 2
+    // …and serving is file-layout-blind
+    results(StreamOps.probeAnn(queries, dir, k = 5, nprobe = 2)) shouldBe
+      results(Similarity.ivfPqTopK(queries,
+        corpus.unionByName(vecs(100 until 140)).unionByName(vecs(200 until 240)),
+        coarse, pq, k = 5, nprobe = 2))
   }
 
   test("the fold honors the ownership claim; codebook coherence is fingerprint-checked (r19 review)") {

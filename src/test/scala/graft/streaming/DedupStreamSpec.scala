@@ -362,6 +362,36 @@ class DedupStreamSpec extends SparkSpec {
     probeB shouldBe Seq((90L, Some(11L)), (91L, None))
   }
 
+  test("a batch replayed AFTER a fold recognizes itself at the watermark and skips (r20)") {
+    val dir = tmp("dedup_replayfold")
+    val idx = s"$dir/idx"; val corp = s"$dir/corp"
+    StreamOps.bootstrapDedup(corpus0, idx, corp, k = 2, bands = 8,
+      rowsPerBand = 2, nBuckets = 8)
+    val w = StreamOps.writerIdFor("/ckpt/drf")
+    def ap(b: Seq[Doc], id: Long, wr: String = w, bound: Int = 64): Unit =
+      StreamOps.applyDedupBatch(b.toDF(), id, idx, corp, k = 2, bands = 8,
+        rowsPerBand = 2, threshold = 0.5, nBuckets = 8, idCol = "doc_id",
+        textCol = "text", poly = false, writer = wr, maxTailBatches = bound)
+    ap(batch1, 0L, bound = 1) // the auto-fold absorbs batch 0's partition
+    StreamOps.dedupIndexTailBatches(spark, idx) shouldBe 0
+    def state = (ids(corp),
+      spark.read.parquet(idx).orderBy("doc_id", "band")
+        .collect().map(_.toString).toSeq)
+    val folded = state
+    // the crash window the r19 replay contract missed: the fold deleted
+    // batch 0's tail partition — the thing that made its index write
+    // idempotent — before the checkpoint committed. Redelivery must
+    // leave ONE copy of every signature, not re-land the batch.
+    ap(batch1, 0L)
+    StreamOps.dedupIndexTailBatches(spark, idx) shouldBe 0
+    state shouldBe folded
+    // a batch above the watermark still lands; a takeover writer's
+    // restarted batch ids are not gated by the old writer's mark
+    ap(batch2, 1L)
+    ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L, 21L)
+    StreamOps.dedupIndexTailBatches(spark, idx) shouldBe 1
+  }
+
   test("torn compaction (meta without dirs) fails loudly; rebuildDedupIndex recovers (r19)") {
     val dir = tmp("dedup_torn"); val idx = s"$dir/idx"; val corp = s"$dir/corp"
     StreamOps.bootstrapDedup(corpus0, idx, corp, k = 2, bands = 8,
