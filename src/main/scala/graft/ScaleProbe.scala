@@ -1484,6 +1484,24 @@ object ScaleProbe {
             k = 10, nprobe = 2)
           .agg(sum(col("dist16"))).head().getLong(0))
       }),
+      // the r20 allowIds liveness/metadata gate, measured on the same
+      // fixture: the allow frame is CORPUS-ID-sized (grows 10× with the
+      // index — the deployment shape: "serve only live ids"), below the
+      // Joins broadcast gate at both sandbox scales, so the added cost
+      // is one narrow count pass + a broadcast-build of the id set and
+      // the candidate-sized semi-join. Above 2^20 live ids the gate
+      // flips to shuffle_hash by design (documented degradation: the
+      // allow frame exchanges once per probe; deployments at that size
+      // pass a bounded or pre-materialized live set).
+      ("ann_probe_gated", () => {
+        val idx = annServeFixture(n)
+        val live = spark.range(n + 512).select(col("id").as("vec_id"))
+          .where(pmod(col("vec_id"), lit(3)) =!= 1)
+        observe(graft.streaming.StreamOps.probeAnn(
+            synthEmb(8).withColumnRenamed("vec_id", "qid"), idx,
+            k = 10, nprobe = 2, allowIds = Some(live))
+          .agg(sum(col("dist16"))).head().getLong(0))
+      }),
       ("dedup_tail_probe", () => {
         val (idx, corp, b) = dedupTailFixture(n, folded = false)
         observe(probeTailRequest(idx, corp, b))

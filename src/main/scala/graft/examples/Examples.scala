@@ -897,6 +897,42 @@ object Examples {
         s"${StreamOps.listRetained(spark, snap46).map(_._2)}")
     }
 
+    // 47. filtered ANN serving + exact re-rank (r20): the same
+    // maintained store served (a) through a LIVE-ID gate — retired
+    // documents drop out of the top-k immediately, filter-then-rank
+    // so k survivors still come back — and (b) refined by exact
+    // re-rank: top-R ADC candidates re-scored on their raw vectors
+    {
+      import graft.streaming.StreamOps
+      val dir47 = java.nio.file.Files.createTempDirectory("ex47").toString
+      val vecs47 = (0 until 24).map(i => (i.toLong,
+          (0 until 8).map(j => ((i * 7 + j * 3) % 17 - 8) / 8.0f)))
+        .toDF("vec_id", "embedding")
+      val coarse47 = (0 until 4).map(c =>
+        (0 until 8).map(j => ((c * 3 + j) % 8 - 4) / 4.0))
+      val pq47 = (0 until 4).map(s => (0 until 4).map(k =>
+        (0 until 2).map(j => ((s + k * 2 + j) % 8 - 4) / 4.0)))
+      StreamOps.bootstrapAnn(vecs47, s"$dir47/ann", coarse47, pq47)
+      val q47 = vecs47.where(col("vec_id") === 1)
+        .withColumnRenamed("vec_id", "qid")
+      def served(allow: Option[org.apache.spark.sql.DataFrame]) =
+        StreamOps.probeAnn(q47, s"$dir47/ann", k = 3, nprobe = 2,
+            allowIds = allow)
+          .orderBy("rnk").collect().map(_.getLong(1)).mkString(",")
+      val all47 = served(None) // rank 1 is the query's own vector (id 1)
+      // retire id 1 from the live set: it vanishes, 3 survivors remain
+      val live47 = vecs47.select(col("vec_id")).where(col("vec_id") =!= 1)
+      val gated47 = served(Some(live47))
+      // exact re-rank: top-6 by ADC -> exact squared-L2 -> top-3
+      val rr47 = graft.llm.Similarity.rerankExact(q47,
+          StreamOps.probeAnn(q47, s"$dir47/ann", k = 6, nprobe = 2),
+          vecs47, k = 3)
+        .orderBy("rnk").collect()
+        .map(r => s"${r.getLong(1)}@${r.getLong(2)}").mkString(",")
+      println(s"[47] ANN served [$all47]; with id 1 retired [$gated47]; " +
+        s"exact re-rank of the ADC top-6 [$rr47]")
+    }
+
     spark.stop()
   }
 }

@@ -265,9 +265,10 @@ object ExchangeBudgets {
     // the gate is free at this scale by construction
     "llm_ann_probe_filtered"          -> 8,
     // ADC probe (the ivf_pq pipeline, paid ONCE into the candidate
-    // cut) + the exact re-rank: candidate-sized broadcast joins (no
-    // exchange), the bounded-heap top-k agg and the declared sort
-    "llm_ann_rerank"                  -> 6,
+    // cut — measured 9 uncut) + the exact re-rank: candidate-sized
+    // broadcast joins (no exchange), the bounded-heap top-k agg and
+    // the declared sort
+    "llm_ann_rerank"                  -> 5,
     "src_shard_jsonl"                 -> 4)
 
   def budget(name: String): Int = perQuery.getOrElse(name, default)

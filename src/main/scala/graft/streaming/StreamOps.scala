@@ -2548,14 +2548,19 @@ object StreamOps {
   /** Maintain the stored ANN index from an embedding STREAM — each
     * micro-batch encodes its vectors with the STORED codebooks and
     * lands one per-batch fact partition in the tail tier. A RE-SENT id
-    * (an updated embedding) double-counts in ADC sums only until the
-    * next fold: [[compactAnnIndex]] keeps the latest generation per
-    * (id, subspace) — upsert semantics on the compaction cadence
-    * (deletions remain re-bootstraps; nothing marks absence). Replay
-    * safety is the r11 idempotent-sink rule
-    * (batch-keyed partitions dynamically overwritten); two-writer
-    * safety is the atomic ownership claim ([[claimOwnership]]) on the
-    * code store, taken by the first batch.
+    * (an updated embedding) is served under its LATEST codes
+    * immediately — [[probeAnn]]'s read is latest-wins per
+    * (id, subspace) (r20) — and [[compactAnnIndex]] makes the
+    * convergence durable, keeping one row per key (upsert semantics;
+    * deletions remain re-bootstraps — nothing marks absence, but the
+    * [[probeAnn]] `allowIds` liveness gate stops serving retired ids
+    * between re-bootstraps). Replay safety: the r11 idempotent-sink
+    * rule (batch-keyed partitions dynamically overwritten) while the
+    * batch's tail partition exists, and the folded-through watermark
+    * ([[parseFoldedMeta]]) after a fold absorbed it — a redelivered
+    * folded batch recognizes itself and skips; two-writer safety is
+    * the atomic ownership claim ([[claimOwnership]]) on the code
+    * store, taken by the first batch.
     *
     * Scale shape: a batch writes ONE tail partition (batch-sized — no
     * index read at all on the write path, encoding is a narrow kernel
@@ -2689,14 +2694,14 @@ object StreamOps {
       throw new IllegalArgumentException(
         s"no ANN code-store meta at $codesPath.meta — compact a store " +
           "written by bootstrapAnn/annStream"))
-    require(annCellDirNames(fs, codesPath).nonEmpty,
+    val dirs = annCellDirNames(fs, codesPath) // ONE root listing
+    require(dirs.nonEmpty,
       s"ANN code-store meta exists at $codesPath.meta but the cell dirs " +
         "are gone — a prior compaction/rewrite crashed mid-overwrite; " +
         "re-bootstrap the index from the corpus instead")
     requireStoreOwner(fs, codesPath, None, asWriter, "ANN code store",
       "compactAnnIndex")
     val (cells, cbHash, stored) = parseAnnMeta(meta, codesPath)
-    val dirs = annCellDirNames(fs, codesPath)
     val tailDirName = s"$AnnCellCol=$AnnTail"
     // no tail → nothing to fold: the base is already one converged
     // generation per (id, subspace) by construction (bootstrap encodes
