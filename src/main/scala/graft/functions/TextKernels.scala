@@ -64,6 +64,25 @@ object TextKernelObjs {
     * kernels share: polynomial over code points, base 31 mod the
     * Mersenne prime 2³¹−1 — one definition so the two families can
     * never drift. Tokens split on single spaces, empties dropped. */
+  /** Static kernel under [[ContextTriples]]: positions fromPos..n of
+    * the single-space token stream as (p2, p1, w) rows, p2/p1 null
+    * while the context is shorter than the ladder needs. */
+  def contextTriples(text: UTF8String, fromPos: Int): ArrayData = {
+    val toks = text.split(space, -1)
+    val n = toks.length
+    if (n < fromPos) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](n - fromPos + 1)
+    var i = fromPos
+    while (i <= n) {
+      out(i - fromPos) = org.apache.spark.sql.catalyst.InternalRow(
+        if (i >= 3) toks(i - 3) else null,
+        if (i >= 2) toks(i - 2) else null,
+        toks(i - 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def tokenHashes(text: UTF8String): Array[Long] = {
     val M = 2147483647L
     val toks = text.split(space, -1).filter(_.numChars() > 0)
@@ -908,4 +927,54 @@ object RepGramStats {
   def apply(tokens: Column, topN: Int, dupN: Int): Column =
     ColumnBridge.column(
       RepGramStats(ColumnBridge.expression(tokens), topN, dupN))
+}
+
+/** Trigram-context positions of a document in one compiled walk — the
+  * projection under [[graft.llm.TextStats.backoffScore]]'s two scans
+  * (train side `fromPos = 1`, null-padded contexts; score side
+  * `fromPos = 3`, full contexts only — a doc with fewer than `fromPos`
+  * tokens emits nothing). Bit-identical to the interpreted reference
+  *
+  *   `explode(transform(sequence(fromPos, size(t)), i => struct(
+  *      when(i >= 3, t[i-2]) as p2, when(i >= 2, t[i-1]) as p1,
+  *      t[i] as w)))` (guarded to empty when size(t) < fromPos)
+  *
+  * which ran its lambda body INTERPRETED per position — the r20
+  * gramStream finding applied to the backoff LM's hot loop (the train
+  * side walks half the corpus). Same single-space split as the
+  * formulation it replaces (empty tokens kept). */
+case class ContextTriples(child: Expression, fromPos: Int)
+    extends UnaryExpression {
+
+  require(fromPos == 1 || fromPos == 3,
+    s"fromPos must be 1 (padded) or 3 (full contexts), got $fromPos")
+
+  override def prettyName: String = "graft_context_triples"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("p2", StringType, nullable = true),
+    StructField("p1", StringType, nullable = true),
+    StructField("w", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelObjs.contextTriples(input.asInstanceOf[UTF8String], fromPos)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernelObjs.contextTriples($s, $fromPos);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ContextTriples {
+  def apply(text: Column, fromPos: Int): Column =
+    ColumnBridge.column(
+      ContextTriples(ColumnBridge.expression(text), fromPos))
 }

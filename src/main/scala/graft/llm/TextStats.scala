@@ -751,11 +751,14 @@ object TextStats {
               maxBroadcastRows: Long = Joins.DefaultMaxBroadcastRows): DataFrame = {
     require(n >= 1 && n <= 8, s"n must be in [1,8], got $n")
     val t = toks(col(textCol))
-    // the [1,0] sequence guard, as distinctNgrams
-    val starts = when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    val gram = explode(transform(starts,
-      i => array_join(slice(t, i, lit(n)), " ")))
+    // r20: the compiled WordShingles walk, not an interpreted
+    // transform(slice/array_join) lambda (the gramStream finding —
+    // this one runs over the TRAIN corpus). The size guard keeps the
+    // no-grams-for-short-docs contract (WordShingles clips instead).
+    val gram = explode(
+      if (n == 1) graft.functions.WordShingles(col(textCol), n)
+      else when(size(t) >= n, graft.functions.WordShingles(col(textCol), n))
+        .otherwise(array().cast("array<string>")))
     val tg = train.select(gram.as("g")).distinct().localCheckpoint(false)
     val small = Joins.fitsBroadcast(tg, maxBroadcastRows)
     score.select(col(idCol), gram.as("g"))
@@ -955,13 +958,21 @@ object TextStats {
     require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct.size == ns.size,
       s"ns must be distinct positive orders, got $ns")
     val t = toks(col(textCol))
+    // r20: the gram walk is the [[graft.functions.WordShingles]] kernel
+    // (compiled), not a transform(slice/array_join) lambda — HOF bodies
+    // run INTERPRETED per element, and this projection was the hot loop
+    // of the suite's most expensive pure-compute query (measured at
+    // sf0.1/32 cores: gram projection 5.9–11.7 s interpreted vs 0.86 s
+    // kernel; full distinct agg 6.9 s → 1.8 s; gram multiset verified
+    // identical). WordShingles CLIPS when the doc is shorter than n
+    // (emits one short shingle) where this stream must emit nothing —
+    // the size guard keeps that contract.
     val gramArrays = ns.map { n =>
-      // sequence(1, m) DESCENDS when m < 1 — guard short docs to an
-      // empty array instead (the [1,0] trap)
-      val starts = when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
-        .otherwise(array().cast("array<int>"))
-      transform(starts, i =>
-        struct(lit(n).as("n"), array_join(slice(t, i, lit(n)), " ").as("gram")))
+      val sh = graft.functions.WordShingles(col(textCol), n)
+      val guarded =
+        if (n == 1) sh
+        else when(size(t) >= n, sh).otherwise(array().cast("array<string>"))
+      transform(guarded, g => struct(lit(n).as("n"), g.as("gram")))
     }
     docs.select(col(groupCol), explode(concat(gramArrays: _*)).as("g"))
       .select(col(groupCol), col("g.n").as("n"), col("g.gram").as("gram"))
@@ -1076,12 +1087,12 @@ object TextStats {
                    minCount: Long = 1L,
                    maxBroadcastRows: Long = Joins.DefaultMaxBroadcastRows): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val t = toks(col(textCol))
-    val pos = train.select(explode(transform(sequence(lit(1), size(t)),
-      i => struct(
-        when(i >= 3, element_at(t, i - 2)).as("p2"),
-        when(i >= 2, element_at(t, i - 1)).as("p1"),
-        element_at(t, i).as("w")))).as("s"))
+    // r20: both position walks are the compiled ContextTriples kernel —
+    // the transform(sequence(...)) lambda bodies ran INTERPRETED per
+    // position (the gramStream finding), and the train side walks half
+    // the corpus. Semantics pinned bit-identical by TextKernelsSpec.
+    val pos = train.select(explode(
+      graft.functions.ContextTriples(col(textCol), 1)).as("s"))
     val cnt = pos
       .groupBy(col("s.p2").as("p2"), col("s.p1").as("p1"), col("s.w").as("w"))
       .agg(count(lit(1)).as("c"))
@@ -1101,12 +1112,7 @@ object TextStats {
       .localCheckpoint(false)
     val tot = c1.agg(sum(col("__uni")).cast("long").as("__n"))
     val sp = score.select(col(idCol), explode(
-      when(size(t) >= 3, transform(sequence(lit(3), size(t)), i => struct(
-        element_at(t, i - 2).as("p2"),
-        element_at(t, i - 1).as("p1"),
-        element_at(t, i).as("w"))))
-        .otherwise(array().cast("array<struct<p2:string,p1:string,w:string>>")))
-      .as("s"))
+      graft.functions.ContextTriples(col(textCol), 3)).as("s"))
       .select(col(idCol), col("s.p2").as("p2"), col("s.p1").as("p1"),
         col("s.w").as("w"))
     // one gate decision per BASE table (c3/c2/c1 are cut or

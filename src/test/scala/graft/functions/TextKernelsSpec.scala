@@ -37,6 +37,45 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("ContextTriples matches the interpreted transform(sequence) reference (r20)") {
+    val t = split(col("text"), " ")
+    val n = org.apache.spark.sql.functions.size(t)
+    // fromPos = 1: the train-side padded walk
+    val ref1 = texts.select(col("doc_id"),
+      transform(sequence(lit(1), n), i => struct(
+        when(i >= 3, element_at(t, i - 2)).as("p2"),
+        when(i >= 2, element_at(t, i - 1)).as("p1"),
+        element_at(t, i).as("w"))).as("s"))
+      .as[(Long, Seq[(Option[String], Option[String], String)])]
+      .collect().toMap
+    val ker1 = texts.select(col("doc_id"),
+      ContextTriples(col("text"), 1).as("s"))
+      .as[(Long, Seq[(Option[String], Option[String], String)])]
+      .collect().toMap
+    ker1 shouldBe ref1
+    // fromPos = 3: the score-side full-context walk with the short-doc
+    // guard (size < 3 → no positions)
+    val ref3 = texts.select(col("doc_id"),
+      when(n >= 3, transform(sequence(lit(3), n), i => struct(
+        element_at(t, i - 2).as("p2"),
+        element_at(t, i - 1).as("p1"),
+        element_at(t, i).as("w"))))
+        .otherwise(array().cast("array<struct<p2:string,p1:string,w:string>>"))
+        .as("s"))
+      .as[(Long, Seq[(Option[String], Option[String], String)])]
+      .collect().toMap
+    val ker3 = texts.select(col("doc_id"),
+      ContextTriples(col("text"), 3).as("s"))
+      .as[(Long, Seq[(Option[String], Option[String], String)])]
+      .collect().toMap
+    ker3 shouldBe ref3
+    // null text → null triples (UnaryExpression null propagation)
+    val nulls = Seq((0L, null: String)).toDF("doc_id", "text")
+      .select(ContextTriples(col("text"), 1).as("s"))
+      .collect()
+    nulls.head.isNullAt(0) shouldBe true
+  }
+
   test("MinHashLanes matches min(xxhash64(shingle, i)) per lane") {
     val h = 6
     val kernel = texts.select(col("doc_id"),

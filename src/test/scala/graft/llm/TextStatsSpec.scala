@@ -925,6 +925,61 @@ class TextStatsSpec extends SparkSpec {
     out.keySet should not contain (("srcB", 2L))
   }
 
+  test("gramStream kernel == interpreted transform(slice/array_join) reference (r20)") {
+    // r20 moved the gram walk onto the compiled WordShingles kernel;
+    // this pins bit-identical gram multisets against the interpreted
+    // HOF reference on the adversarial shapes: empty text, multi-space
+    // runs (empty tokens survive a single-space split), docs shorter
+    // than / exactly n tokens, repeated grams.
+    val docs = Seq(
+      ("s", ""), ("s", "a"), ("s", "a  b"), ("s", " a"), ("s", "a b c"),
+      ("s", "a b"), ("t", "x y z x y z"), ("t", "  "), ("t", "q q q q"))
+      .toDF("source", "text")
+    val t = split(col("text"), " ")
+    val ref = Seq(1, 2, 3).map { n =>
+      val starts = when(org.apache.spark.sql.functions.size(t) >= n, sequence(lit(1), org.apache.spark.sql.functions.size(t) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+      transform(starts, i =>
+        struct(lit(n).as("n"), array_join(slice(t, i, lit(n)), " ").as("gram")))
+    }
+    val reference = docs
+      .select(col("source"), explode(concat(ref: _*)).as("g"))
+      .select(col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("source", "n", "gram").count()
+    val kernel = TextStats.distinctNgrams(docs)
+    // compare through the operator's own first aggregation: join the
+    // reference's per-gram counts against a kernel-path recount
+    val kernelGrams = {
+      // recompute the kernel gram stream exactly as gramStream does
+      val arrays = Seq(1, 2, 3).map { n =>
+        val sh = graft.functions.WordShingles(col("text"), n)
+        val guarded = if (n == 1) sh
+          else when(org.apache.spark.sql.functions.size(t) >= n, sh).otherwise(array().cast("array<string>"))
+        transform(guarded, g => struct(lit(n).as("n"), g.as("gram")))
+      }
+      docs.select(col("source"), explode(concat(arrays: _*)).as("g"))
+        .select(col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+        .groupBy("source", "n", "gram").count()
+    }
+    val mismatches = reference
+      .withColumnRenamed("count", "cRef")
+      .join(kernelGrams.withColumnRenamed("count", "cKer"),
+        Seq("source", "n", "gram"), "full_outer")
+      .where(col("cRef").isNull || col("cKer").isNull ||
+        col("cRef") =!= col("cKer"))
+      .count()
+    mismatches shouldBe 0L
+    // and the operator's report stays the reference report
+    val viaRef = reference.groupBy(col("source"), col("n"))
+      .agg(sum(col("count")).as("tot"), count(lit(1)).as("dis"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    TextStats.distinctNgrams(docs).collect().foreach { r =>
+      val k = (r.getString(0), r.getLong(1).toInt)
+      (r.getLong(2), r.getLong(3)) shouldBe viaRef(k)
+    }
+  }
+
   test("distinctNgramsApprox: exact at small cardinality, ONE sketch-partial exchange") {
     // HLL is exact below its sparse-mode ceiling, so on a tiny corpus
     // the estimate must EQUAL the exact distinct count — any drift
