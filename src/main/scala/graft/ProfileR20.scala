@@ -47,9 +47,17 @@ object ProfileR20 {
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(
-              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-            starts.put(js.jobId, (System.nanoTime(),
-              js.stageInfos.lastOption.map(_.name).getOrElse("?")))
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            // the first graft.* frame in any stage's long call site —
+            // stage NAMES often surface only the SQLExecution pool frame
+            val site = js.stageInfos
+              .flatMap(_.details.split("\n"))
+              .find(l => l.contains("graft.") && !l.contains("ProfileR20"))
+              .map(_.trim)
+              .orElse(js.stageInfos.lastOption.map(_.name))
+              .getOrElse("?")
+            starts.put(js.jobId, (System.nanoTime(), site))
+          }
           override def onJobEnd(
               je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
             val s = starts.remove(je.jobId)
@@ -68,6 +76,7 @@ object ProfileR20 {
         case "cdc_read"     => cdcRead(spark, sf)
         case "host_canon"   => hostCanon(spark, sf)
         case "distinct_n"   => distinctN(spark, sf)
+        case "engine_mid"   => engineMid(spark, sf)
         case other => sys.error(s"unknown profile: $other")
       }
     }
@@ -200,6 +209,27 @@ object ProfileR20 {
     t("full distinct agg kernel  (noop)")(noop(fullAgg(ker)))
     t("declared query (count)")(
       SparkEntry.queries("llm_distinct_n")(spark, sf).count())
+  }
+
+  /** Mid-tier engine-lane queries + their component operators, noop-
+    * sunk (guide §1.4), to find which component pays. */
+  private def engineMid(spark: SparkSession, sf: String): Unit = {
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val docs = graft.model.Tables.documents(spark, sf)
+    val capped = docs.where(col("doc_id") < 2000L)
+    t("quality (full corpus, noop)")(noop(graft.llm.TextStats.quality(docs)))
+    t("gopherRules (full corpus, noop)")(
+      noop(graft.llm.TextStats.gopherRules(docs)))
+    t("repetitionRules (full corpus, noop)")(
+      noop(graft.llm.TextStats.repetitionRules(docs)))
+    t("minHashNearDups capped (noop)")(
+      noop(graft.llm.Dedup.minHashNearDups(capped, k = 3, bands = 4,
+        rowsPerBand = 2, threshold = 0.5)))
+    Seq("llm_curate_full", "llm_select_full", "llm_dedup_near",
+      "llm_quality_dedup", "llm_tfidf", "llm_split_safe", "llm_host_canon",
+      "agg_quantile_merge", "llm_bitext_margin", "llm_components_incremental")
+      .foreach { n => t(n)(SparkEntry.queries(n)(spark, sf).count()) }
   }
 
   private def cdcRead(spark: SparkSession, sf: String): Unit =
