@@ -83,6 +83,22 @@ object TextKernelObjs {
     new GenericArrayData(out)
   }
 
+  /** Static kernel under [[PairGrams]]: position i's (token, successor)
+    * pair, successor null at the last position — the word2phrase pair
+    * walk of [[graft.llm.TextStats.phrases]]. */
+  def pairGrams(text: UTF8String): ArrayData = {
+    val toks = text.split(space, -1)
+    val n = toks.length
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        toks(i), if (i + 1 < n) toks(i + 1) else null)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def tokenHashes(text: UTF8String): Array[Long] = {
     val M = 2147483647L
     val toks = text.split(space, -1).filter(_.numChars() > 0)
@@ -977,4 +993,41 @@ object ContextTriples {
   def apply(text: Column, fromPos: Int): Column =
     ColumnBridge.column(
       ContextTriples(ColumnBridge.expression(text), fromPos))
+}
+
+/** Adjacent-token pairs of a document in one compiled walk — the
+  * projection under [[graft.llm.TextStats.phrases]]'s corpus scan.
+  * Bit-identical to the interpreted reference
+  * `zip_with(t, concat(slice(t, 2, greatest(size(t)-1, 0)),
+  * array(null)), (a, b) -> struct(a, b))` — position i pairs with its
+  * successor, the last position with null (the word2phrase boundary
+  * marker). Same single-space split (empty tokens kept). */
+case class PairGrams(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_pair_grams"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = true))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernelObjs.pairGrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernelObjs.pairGrams($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PairGrams {
+  def apply(text: Column): Column =
+    ColumnBridge.column(PairGrams(ColumnBridge.expression(text)))
 }

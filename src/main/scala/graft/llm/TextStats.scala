@@ -889,11 +889,11 @@ object TextStats {
               maxBroadcastRows: Long = Joins.DefaultMaxBroadcastRows): DataFrame = {
     require(delta >= 0 && minCount > delta,
       s"need minCount > delta >= 0, got minCount=$minCount delta=$delta")
-    val t = toks(col(textCol))
-    val paired = docs.select(explode(zip_with(
-      t, concat(slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-        array(lit(null).cast("string"))),
-      (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+    // r20: the compiled PairGrams walk, not an interpreted zip_with
+    // lambda over every corpus token (the gramStream finding; pinned
+    // bit-identical by TextKernelsSpec)
+    val paired = docs.select(explode(
+      graft.functions.PairGrams(col(textCol))).as("p"))
     val cnt = paired
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("c"))

@@ -76,6 +76,22 @@ class TextKernelsSpec extends SparkSpec {
     nulls.head.isNullAt(0) shouldBe true
   }
 
+  test("PairGrams matches the interpreted zip_with reference (r20)") {
+    val t = split(col("text"), " ")
+    val n = org.apache.spark.sql.functions.size(t)
+    val ref = texts.select(col("doc_id"), zip_with(
+      t, concat(slice(t, lit(2), greatest(n - 1, lit(0))),
+        array(lit(null).cast("string"))),
+      (a, b) => struct(a.as("w1"), b.as("w2"))).as("p"))
+      .as[(Long, Seq[(String, Option[String])])].collect().toMap
+    val ker = texts.select(col("doc_id"), PairGrams(col("text")).as("p"))
+      .as[(Long, Seq[(String, Option[String])])].collect().toMap
+    ker shouldBe ref
+    val nulls = Seq((0L, null: String)).toDF("doc_id", "text")
+      .select(PairGrams(col("text")).as("p")).collect()
+    nulls.head.isNullAt(0) shouldBe true
+  }
+
   test("MinHashLanes matches min(xxhash64(shingle, i)) per lane") {
     val h = 6
     val kernel = texts.select(col("doc_id"),
