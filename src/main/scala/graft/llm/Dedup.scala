@@ -539,6 +539,31 @@ object Dedup {
     (if (poly) bandSignaturesPoly _ else bandSignatures _)(
       docs, k, bands, rowsPerBand, idCol, textCol)
 
+  /** [[minHashNearDups]] / [[polyMinHashNearDups]] with the banding
+    * SIGNATURES precomputed (r20): the streaming ingest path
+    * (`StreamOps.applyDedupBatch`) already holds the batch's
+    * checkpointed [[signatureIndex]] frame for the index write and the
+    * stored-index probe — re-deriving the same signatures from text
+    * inside the within-batch pass paid the whole MinHash encode a
+    * second time per batch (at deployment scale, a second full pass
+    * over every ingested document's tokens). Same candidate topology,
+    * bucket cap and exact-Jaccard verify as the text-input faces
+    * (shared [[bucketPairs]] + [[verifiedPairs]], so the families
+    * cannot drift); `sigs` MUST be [[signatureIndex]] of `docs` under
+    * the same (k, bands, rowsPerBand, family) — the cap's bounded heap
+    * keeps the smallest ids per bucket, so a checkpointed frame's row
+    * order cannot change the candidate set (spec-pinned equal to the
+    * text-input face in DedupSpec). */
+  private[graft] def nearDupsFromSigs(sigs: DataFrame, docs: DataFrame,
+                                      k: Int, threshold: Double,
+                                      idCol: String = "doc_id",
+                                      textCol: String = "text",
+                                      maxBucket: Int = 256): DataFrame = {
+    val candidates = bucketPairs(sigs, Seq("band", "sig"), idCol,
+      maxBucket = maxBucket)
+    verifiedPairs(docs, candidates, k, threshold, idCol, textCol)._1
+  }
+
   /** The verify half of the incremental family with the CANDIDATES
     * precomputed (an index probe) and the corpus text already fetched
     * and pruned by the caller: distinct batch ids whose exact k-gram

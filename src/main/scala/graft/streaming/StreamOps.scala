@@ -2148,12 +2148,13 @@ object StreamOps {
             }
           val matchedCorpus = Dedup.verifiedDupIds(cand, b, corpusCand,
             k, threshold, idCol, textCol)
-          val withinPairs = if (poly)
-            Dedup.polyMinHashNearDups(b, k, bands, rowsPerBand, threshold,
-              idCol, textCol)
-          else
-            Dedup.minHashNearDups(b, k, bands, rowsPerBand, threshold,
-              idCol, textCol)
+          // within-batch pass over the ALREADY-COMPUTED batch
+          // signatures (r20): sigsB IS signatureIndex(b) under this
+          // batch's (k, bands, rowsPerBand, poly) — the text-input
+          // near-dup faces would re-derive the same frame, paying the
+          // MinHash encode of every ingested document a second time
+          val withinPairs = Dedup.nearDupsFromSigs(sigsB, b, k, threshold,
+            idCol, textCol)
           // within-batch election: the default pairwise keep-lowest-id
           // rule drops each verified pair's higher side — the
           // documented ESTIMATE (it over-keeps a doc whose only pairs

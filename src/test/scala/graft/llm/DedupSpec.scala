@@ -36,6 +36,37 @@ class DedupSpec extends SparkSpec {
     sh shouldBe Array((7L, "a b"), (7L, "b c"), (7L, "c d"))
   }
 
+  test("nearDupsFromSigs == the text-input faces, both hash families, even from a checkpoint (r20)") {
+    // a larger planted set so buckets hold >2 members: base docs + two
+    // clone tiers, exercising cap ordering and multi-pair buckets
+    val many = docs.unionByName(
+        docs.select((col("doc_id") + 10L).as("doc_id"), col("text")))
+      .unionByName(docs.select((col("doc_id") + 20L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text")))
+    for (poly <- Seq(false, true)) {
+      val viaText =
+        (if (poly) Dedup.polyMinHashNearDups(many, k = 2, bands = 8,
+          rowsPerBand = 2, threshold = 0.3)
+        else Dedup.minHashNearDups(many, k = 2, bands = 8,
+          rowsPerBand = 2, threshold = 0.3))
+          .select("a", "b", "jaccard").as[(Long, Long, Double)]
+          .collect().toSet
+      // the streaming caller's shape: signatures precomputed AND
+      // checkpointed (row order may differ from a fresh derivation —
+      // the bounded-heap cap must make that immaterial)
+      val sigs = Dedup.signatureIndex(many, k = 2, bands = 8,
+        rowsPerBand = 2, poly = poly).localCheckpoint(true)
+      try {
+        val viaSigs = Dedup.nearDupsFromSigs(sigs, many, k = 2,
+            threshold = 0.3)
+          .select("a", "b", "jaccard").as[(Long, Long, Double)]
+          .collect().toSet
+        viaSigs shouldBe viaText
+      } finally org.apache.spark.sql.graftbridge.ColumnBridge
+        .releaseCheckpoint(sigs)
+    }
+  }
+
   test("minhash LSH finds the identical and near-dup pairs, not the unrelated one") {
     val out = Dedup.minHashNearDups(docs, k = 2, bands = 8, rowsPerBand = 2,
         threshold = 0.5)
