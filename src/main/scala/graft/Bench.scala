@@ -118,9 +118,9 @@ object Bench {
     }.toMap
     // sorted map: cross-round diffs of the artifact must align line-by-
     // line; a hash-ordered map reshuffles on every added query
-    val qs = results.toSeq.sortBy(_._1)
+    val entries = results.toSeq.sortBy(_._1)
       .map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
+    val qs = entries.mkString("{", ",", "}")
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errs = strArr(errors.toSeq)
     val warns = strArr(warnings.toSeq)
@@ -140,6 +140,26 @@ object Bench {
     val runsN = inBoth.size
     val fullLine = s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"runs_n":$runsN,"errors":$errs,"warnings":$warns,"sf":"$sfDir"}"""
     println(fullLine)
+    // the per-query map CHUNKED across short tail lines (r21, the r20
+    // verdict ask 2): the driver keeps ~2,000 chars of stdout tail and
+    // parses the short LAST line, so the full map line above never
+    // reached PERF's per-query comparison (empty `queries` every round
+    // since r09). Each part is a self-contained JSON line well under the
+    // keep limit carrying the SAME total/sf as the final line — a parser
+    // that reads only the last line sees exactly what it saw before (the
+    // compact `total` line stays last and unchanged), one that scans all
+    // kept lines can reassemble the tail parts, and one that accidentally
+    // picks a part still reads the correct total. Parts carry
+    // metric:"total_part" so they can never be mistaken for the record.
+    val partMax = 1500 // chars of map payload per line, < the tail keep
+    val parts = entries.foldLeft(List(List.empty[String])) { (acc, e) =>
+      if (acc.head.map(_.length + 1).sum + e.length <= partMax)
+        (e :: acc.head) :: acc.tail
+      else List(e) :: acc
+    }.reverse.map(_.reverse)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      println(s"""{"metric":"total_part","value":$total,"unit":"sec","part":${i + 1},"parts":${parts.size},"queries":${p.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    }
     // errors/warnings ride in the PARSED (tail) line too: a query failing
     // both passes is excluded from the total, and without these fields the
     // record would read as a performance win — "never silently timed as a

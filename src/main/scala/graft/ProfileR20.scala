@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
   * count(); optimizing needs to know which phase pays). In-package so
   * it can call the private[graft] batch appliers the faces use.
   *
-  * Usage: runMain graft.ProfileR20 [iters] — prints `### phase: N s`
-  * lines per iteration; take the min iteration (CLAUDE.md noise rule).
+  * Usage: runMain graft.ProfileR20 [iters] [face] — prints
+  * `### phase: N s` lines per iteration; take the min iteration
+  * (CLAUDE.md noise rule). Args are positional but forgiving (r21, the
+  * r20 ADVICE note): a non-numeric first arg is treated as the face
+  * name (`ProfileR20 dedup_stream` works), a numeric one as iters.
   */
 object ProfileR20 {
   def t[A](label: String)(f: => A): A = {
@@ -20,7 +23,7 @@ object ProfileR20 {
   }
 
   def main(args: Array[String]): Unit = {
-    val iters = args.headOption.map(_.toInt).getOrElse(2)
+    val iters = args.headOption.flatMap(_.toIntOption).getOrElse(2)
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -66,7 +69,9 @@ object ProfileR20 {
           }
         })
     }
-    val which = args.lift(1).getOrElse("dedup_stream")
+    val which = args.lift(1)
+      .orElse(args.headOption.filter(_.toIntOption.isEmpty))
+      .getOrElse("dedup_stream")
     (1 to iters).foreach { i =>
       println(s"--- iteration $i: $which ---")
       which match {
@@ -123,14 +128,11 @@ object ProfileR20 {
   private def annProbe(spark: SparkSession, sf: String,
                        filtered: Boolean): Unit = {
     import graft.streaming.StreamOps
-    // the same formula-generated codebooks LlmQueries plants (private
-    // there; regenerated here rather than widened)
-    val pqCodebooksPub: Seq[Seq[Seq[Double]]] =
-      (0 until 8).map(s => (0 until 4).map(k =>
-        (0 until 8).map(j => (((s * 31 + k * 17 + j * 7) % 19) - 9) / 4.0)))
-    val clusterCodebookPub: Seq[Seq[Double]] =
-      (0 until 8).map(k =>
-        (0 until 64).map(j => (((k * 17 + j * 7) % 19) - 9) / 4.0))
+    // the DECLARED codebooks (private[graft] in LlmQueries) — a copy
+    // here would silently drift if the planted formulas ever change
+    // (r21, the r20 ADVICE note)
+    val pqCodebooksPub = graft.queries.LlmQueries.pqCodebooks
+    val clusterCodebookPub = graft.queries.LlmQueries.clusterCodebook
     val emb = graft.model.Tables.embeddings(spark, sf).localCheckpoint(false)
     val dir = java.nio.file.Files
       .createTempDirectory("ann_probe_prof").toString + "/ann"

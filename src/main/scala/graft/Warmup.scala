@@ -39,7 +39,9 @@ object Warmup {
       // (manifest), and the PQ ADC join shape
       graft.llm.TextStats.dsir(docs, isTarget = col("lang") === "en",
         keepFraction = 0.5, quantum = 16L).count()
-      docs.select(graft.functions.CharPolyHash(col("text"))).count()
+      // (CharPolyHash moved to the noop-sunk kernel block below — its
+      // old `.select(kernel).count()` was VACUOUS: count() prunes a bare
+      // projection, so the kernel never actually compiled here)
       val pqcb = Seq(Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0, 1.0)))
       graft.llm.Similarity.pqTopK(
         emb.withColumnRenamed("vec_id", "qid"),
@@ -51,6 +53,18 @@ object Warmup {
       graft.llm.Dedup.polySimHashNearDups(docs, maxHamming = 8).count()
       graft.llm.Dedup.quantizedEmbeddingNearDups(emb, thresholdBp = 100L,
         dims = 4).count()
+      // round-20 kernels (r21, the r20 verdict ask 6): ContextTriples
+      // (backoff_lm position walks) and PairGrams (word2phrase pair walk)
+      // janino-compiled inside the first measured query that used them —
+      // exactly the first-query tax this warmup exists to prevent. Sunk
+      // through noop, NOT count(): count() prunes a bare projection and
+      // the kernels would never codegen (the count()-prunes rule).
+      graft.sources.Sinks.noop(docs.select(
+        graft.functions.WordShingles(col("text"), 2).as("ws"),
+        graft.functions.ContextTriples(col("text"), 1).as("ct"),
+        graft.functions.ContextTriples(col("text"), 3).as("ct3"),
+        graft.functions.PairGrams(col("text")).as("pg"),
+        graft.functions.CharPolyHash(col("text")).as("cph")))
     } catch { case _: Throwable => () } // warmup must never fail the bench
   }
 }

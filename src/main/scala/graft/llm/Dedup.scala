@@ -558,10 +558,24 @@ object Dedup {
                                       k: Int, threshold: Double,
                                       idCol: String = "doc_id",
                                       textCol: String = "text",
-                                      maxBucket: Int = 256): DataFrame = {
+                                      maxBucket: Int = 256): DataFrame =
+    nearDupsFromSigsCut(sigs, docs, k, threshold, idCol, textCol,
+      maxBucket)._1
+
+  /** The cuts-returning twin, as [[minHashNearDupsCut]] (r21, the r20
+    * ADVICE note): the streaming batch applier materializes the pair
+    * list eagerly every micro-batch, so without the cuts it would leak
+    * [[verifiedPairs]]' two internal lazy checkpoints per batch for the
+    * session (checkpoint blocks GC-release). */
+  private[graft] def nearDupsFromSigsCut(sigs: DataFrame, docs: DataFrame,
+                                         k: Int, threshold: Double,
+                                         idCol: String = "doc_id",
+                                         textCol: String = "text",
+                                         maxBucket: Int = 256)
+      : (DataFrame, Seq[DataFrame]) = {
     val candidates = bucketPairs(sigs, Seq("band", "sig"), idCol,
       maxBucket = maxBucket)
-    verifiedPairs(docs, candidates, k, threshold, idCol, textCol)._1
+    verifiedPairs(docs, candidates, k, threshold, idCol, textCol)
   }
 
   /** The verify half of the incremental family with the CANDIDATES

@@ -201,7 +201,10 @@ object LlmQueries {
   // value exactly representable in binary, so squared-L2 double
   // arithmetic is identical across engines; formula-generated so the
   // Spark kernel and the DuckDB VALUES literal share one definition.
-  private val pqCodebooks: Seq[Seq[Seq[Double]]] =
+  // private[graft] so dev profilers (ProfileR20.annProbe) measure the
+  // DECLARED codebooks instead of a silently-drifting copy (r21, the
+  // r20 ADVICE note)
+  private[graft] val pqCodebooks: Seq[Seq[Seq[Double]]] =
     (0 until 8).map(s => (0 until 4).map(k =>
       (0 until 8).map(j => (((s * 31 + k * 17 + j * 7) % 19) - 9) / 4.0)))
 
@@ -209,7 +212,7 @@ object LlmQueries {
   // 8 centroids x 64 dims (the fixture's embedding width), same
   // quarter-step formula family as pqCodebooks — every value exactly
   // representable, squared-L2 double arithmetic identical cross-engine.
-  private val clusterCodebook: Seq[Seq[Double]] =
+  private[graft] val clusterCodebook: Seq[Seq[Double]] =
     (0 until 8).map(k => (0 until 64).map(j => (((k * 17 + j * 7) % 19) - 9) / 4.0))
 
   // The IVF-PQ search oracle, shared VERBATIM by llm_ivf_pq (inline

@@ -1936,13 +1936,29 @@ object StreamOps {
                      rowsPerBand: Int = 2, nBuckets: Int = 64,
                      idCol: String = "doc_id", textCol: String = "text",
                      poly: Boolean = false, nIdxBuckets: Int = 64): Unit = {
-    writeCdcSnapshot(graft.relational.Cdc.bootstrap(corpus, Seq(idCol)),
-      corpusPath, Seq(idCol), nBuckets)
-    writeDedupIndexPartition(
-      graft.llm.Dedup.signatureIndex(corpus, k, bands, rowsPerBand,
-        idCol, textCol, poly),
-      indexPath, "bootstrap", -1L, dynamic = false, nIdxBuckets,
-      bucketed = true)
+    // the two store writes are independent (different paths, both
+    // static overwrites of a fresh deployment) — overlapped from two
+    // driver threads (r21, guide §2.6), same as the per-batch applier.
+    // A crash leaving either store alone was already an incomplete
+    // bootstrap under the sequential order (re-run bootstrapDedup —
+    // the documented fresh-start recovery); overlap adds no new torn
+    // state class.
+    val idxTask = new java.util.concurrent.FutureTask[Unit](() =>
+      writeDedupIndexPartition(
+        graft.llm.Dedup.signatureIndex(corpus, k, bands, rowsPerBand,
+          idCol, textCol, poly),
+        indexPath, "bootstrap", -1L, dynamic = false, nIdxBuckets,
+        bucketed = true))
+    val idxThread = new Thread(idxTask, "graft-dedup-index-bootstrap")
+    idxThread.start()
+    try
+      writeCdcSnapshot(graft.relational.Cdc.bootstrap(corpus, Seq(idCol)),
+        corpusPath, Seq(idCol), nBuckets)
+    finally idxThread.join()
+    try idxTask.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
     // a fresh start resets BOTH stores' ownership (the corpus reset
     // happens inside writeCdcSnapshot)
     resetClaim(new org.apache.hadoop.fs.Path(indexPath)
@@ -2094,13 +2110,19 @@ object StreamOps {
     // of a batch a fold already moved into the bucketed tier (r20, the
     // r19 ADVICE note): its tail partition — the thing that made the
     // write idempotent — was deleted by the fold, so re-landing would
-    // duplicate its index rows until the next fold; and its corpus
-    // merge is already committed (the tail write happens AFTER the
-    // corpus write, so a folded tail partition proves the whole batch
-    // landed). Skip — after the claim, so second writers still bounce.
-    if (readDirMeta(idxFs, indexPath)
-        .exists(m => parseFoldedMeta(m).get(writer).exists(batchId <= _)))
-      return
+    // duplicate its index rows until the next fold. The INDEX write
+    // recognizes itself and skips. The CORPUS merge is NOT skipped
+    // (r21): with the two store writes overlapped (guide §2.6), a
+    // folded tail no longer proves the corpus merge committed (the r20
+    // ordering proof "tail lands AFTER corpus"), so redelivery always
+    // re-applies the merge — a fixed point by the at-least-once replay
+    // contract. Cost: one extra merge on the rare replay-after-fold
+    // path; benefit: an offline fold taken between a crash and the
+    // restart can never silently lose a batch's survivors
+    // (DedupStreamSpec pins exactly that window). Checked after the
+    // claim, so second writers still bounce on replays.
+    val indexFolded = readDirMeta(idxFs, indexPath)
+      .exists(m => parseFoldedMeta(m).get(writer).exists(batchId <= _))
     // the batch feeds signatures, the within-batch pass, and the verify
     // — cut once so the source is not re-derived per consumer
     val b = batch.localCheckpoint(true)
@@ -2153,8 +2175,8 @@ object StreamOps {
           // batch's (k, bands, rowsPerBand, poly) — the text-input
           // near-dup faces would re-derive the same frame, paying the
           // MinHash encode of every ingested document a second time
-          val withinPairs = Dedup.nearDupsFromSigs(sigsB, b, k, threshold,
-            idCol, textCol)
+          val (withinPairs, withinCuts) = Dedup.nearDupsFromSigsCut(sigsB,
+            b, k, threshold, idCol, textCol)
           // within-batch election: the default pairwise keep-lowest-id
           // rule drops each verified pair's higher side — the
           // documented ESTIMATE (it over-keeps a doc whose only pairs
@@ -2180,25 +2202,65 @@ object StreamOps {
                 .select(col("bid").as(idCol)),
               Seq(idCol), "left_anti")
             .localCheckpoint(true) // feeds the corpus merge + the index write
+          // survivors is eagerly materialized — the within-pass's two
+          // internal cuts are superseded; release them NOW instead of
+          // leaking two checkpointed frames per micro-batch for the
+          // session (r21, the r20 ADVICE note; the Curation pairStage
+          // pattern). Each cut is its own checkpoint root, so this
+          // never touches the caller-owned b/sigsB cuts.
+          withinCuts.foreach(ColumnBridge.releaseCheckpoint)
           try {
-            // corpus FIRST (see the replay argument above); the corpus
-            // store is pinned to THIS stream's writer id — a second
-            // dedupStream on the same corpusPath fails loudly instead
-            // of silently losing committed survivors to the CDC
+            // the corpus store is pinned to THIS stream's writer id — a
+            // second dedupStream on the same corpusPath fails loudly
+            // instead of silently losing committed survivors to the CDC
             // read-merge-overwrite race (r18: DEPLOY.md's "one stream
-            // per (indexPath, corpusPath)" now has mechanical teeth)
-            applyCdcBatch(
-              survivors.withColumn("version", lit(batchId + 1L))
-                .withColumn("op", lit("U")),
-              corpusPath, Seq(idCol), "version", "op", nBuckets,
-              Some(writer))
-            val survivorSigs = sigsB
-              .join(survivors.select(idCol), Seq(idCol), "left_semi")
-            writeDedupIndexPartition(
-              idxIdType.fold(survivorSigs)(t =>
-                survivorSigs.withColumn(idCol, col(idCol).cast(t))),
-              indexPath, writer, batchId, dynamic = true, nIdxBuckets,
-              bucketed = false, tailFiles = tailFiles)
+            // per (indexPath, corpusPath)" now has mechanical teeth).
+            // PRE-verify that claim before the overlapped writes fork
+            // (r21): applyCdcBatch re-checks it on its own thread, but a
+            // batch doomed at the corpus pin must touch NEITHER store —
+            // without this, the concurrent index write would land a tail
+            // partition for a bounced batch (claim-ordering spec in
+            // DedupStreamSpec). Idempotent for the rightful writer.
+            val corpFs = new org.apache.hadoop.fs.Path(corpusPath)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            claimOwnership(corpFs, corpusPath, Some(writer),
+              readDirMeta(corpFs, corpusPath)
+                .map(parseCdcMeta(_, corpusPath)).flatMap(_.writer),
+              "snapshot")
+            // the two store writes are INDEPENDENT — different paths,
+            // every shared input an eager checkpoint — so they run
+            // OVERLAPPED from two driver threads (r21, guide §2.6: the
+            // index write's tasks back-fill executor slots the corpus
+            // merge's straggler tail leaves idle; at deployment scale
+            // the two writes are the batch's dominant sequential jobs).
+            // Commit ORDER no longer carries recovery semantics: the
+            // corpus merge replays unconditionally (see the
+            // folded-watermark comment above), and each write is
+            // idempotent on redelivery by itself.
+            val idxTask = new java.util.concurrent.FutureTask[Unit](() =>
+              if (!indexFolded) {
+                val survivorSigs = sigsB
+                  .join(survivors.select(idCol), Seq(idCol), "left_semi")
+                writeDedupIndexPartition(
+                  idxIdType.fold(survivorSigs)(t =>
+                    survivorSigs.withColumn(idCol, col(idCol).cast(t))),
+                  indexPath, writer, batchId, dynamic = true, nIdxBuckets,
+                  bucketed = false, tailFiles = tailFiles)
+              })
+            val idxThread = new Thread(idxTask, "graft-dedup-index-write")
+            idxThread.start()
+            try
+              applyCdcBatch(
+                survivors.withColumn("version", lit(batchId + 1L))
+                  .withColumn("op", lit("U")),
+                corpusPath, Seq(idCol), "version", "op", nBuckets,
+                Some(writer))
+            finally idxThread.join()
+            try idxTask.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
             // the TAIL BOUND (r19, the r18 verdict ask 2): every probe
             // reads the whole tail, so unbounded per-batch fact
             // partitions are the one growth term the two-tier layout

@@ -392,6 +392,89 @@ class DedupStreamSpec extends SparkSpec {
     StreamOps.dedupIndexTailBatches(spark, idx) shouldBe 1
   }
 
+  test("overlapped store writes (r21): an offline fold after a crash that landed ONLY the index tail cannot lose the corpus merge") {
+    val dir = tmp("dedup_ovl"); val idx = s"$dir/idx"; val corp = s"$dir/corp"
+    StreamOps.bootstrapDedup(corpus0, idx, corp, k = 2, bands = 8,
+      rowsPerBand = 2, nBuckets = 8)
+    val ckpt = "/ckpt/ovl"; val w = StreamOps.writerIdFor(ckpt)
+    def ap(b: Seq[Doc], id: Long): Unit =
+      StreamOps.applyDedupBatch(b.toDF(), id, idx, corp, k = 2, bands = 8,
+        rowsPerBand = 2, threshold = 0.5, nBuckets = 8, idCol = "doc_id",
+        textCol = "text", poly = false, writer = w)
+    // snapshot the corpus store (data dirs + meta + claim) at its
+    // bootstrap state, apply batch 0, then REWIND the corpus — the
+    // crash window the r21 overlapped writes introduce: index tail
+    // committed, corpus merge not. (Before r21 the corpus-then-index
+    // commit ORDER excluded this window, and the folded-watermark skip
+    // leaned on it: "a folded tail proves the whole batch landed".)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (!f.exists()) Seq.empty
+      else if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) :+ f
+      else Seq(f)
+    def cpTree(from: java.io.File, to: java.io.File): Unit = {
+      val base = from.toPath
+      walk(from).reverse.foreach { f =>
+        val t = to.toPath.resolve(base.relativize(f.toPath))
+        if (f.isDirectory) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(f.toPath, t)
+      }
+    }
+    // include Hadoop's local-FS `.crc` sidecars (the CLAUDE.md rule):
+    // restoring a meta without its checksum trips ChecksumException
+    def corpusArtifacts = Seq(corp, s"$corp.meta", s"$corp.meta.claim",
+      s"$dir/.corp.meta.crc", s"$dir/.corp.meta.claim.crc")
+    corpusArtifacts.foreach(p =>
+      cpTree(new java.io.File(p), new java.io.File(p + ".bak")))
+    ap(batch1, 0L)
+    corpusArtifacts.foreach { p =>
+      walk(new java.io.File(p)).foreach(_.delete())
+      cpTree(new java.io.File(p + ".bak"), new java.io.File(p))
+    }
+    // the operator folds the stopped stream's index offline — the
+    // watermark now covers batch 0, exactly the state that used to make
+    // redelivery skip the WHOLE batch (silently losing the corpus merge
+    // forever; the batch's docs would never enter the corpus)
+    StreamOps.compactDedupIndex(spark, idx, None, Some(ckpt))
+    StreamOps.dedupIndexTailBatches(spark, idx) shouldBe 0
+    ap(batch1, 0L) // redelivery
+    ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L)
+    // and the index write recognized the watermark: no re-landed tail
+    // partition, no duplicated signature rows
+    StreamOps.dedupIndexTailBatches(spark, idx) shouldBe 0
+    val sigRows = spark.read.parquet(idx).select("doc_id", "band", "sig")
+    sigRows.count() shouldBe sigRows.distinct().count()
+    // dups of the recovered survivors still drop afterwards
+    ap(batch2, 1L)
+    ids(corp) shouldBe Seq(1L, 2L, 3L, 11L, 13L, 21L)
+  }
+
+  test("claim ordering under overlapped writes (r21): a batch doomed at the corpus pin touches NEITHER store") {
+    val dir = tmp("dedup_doomed")
+    val idx1 = s"$dir/idx1"; val idx2 = s"$dir/idx2"; val corp = s"$dir/corp"
+    StreamOps.bootstrapDedup(corpus0, idx1, corp, k = 2, bands = 8,
+      rowsPerBand = 2, nBuckets = 8)
+    StreamOps.applyDedupBatch(batch1.toDF(), 0L, idx1, corp, k = 2,
+      bands = 8, rowsPerBand = 2, threshold = 0.5, nBuckets = 8,
+      idCol = "doc_id", textCol = "text", poly = false, writer = "w1")
+    val before = ids(corp)
+    // a second stream misconfigured to SHARE the corpus but carrying
+    // its OWN index: its index claim succeeds, so only the corpus pin
+    // can stop it — with the writes overlapped, the index write must
+    // not land a tail partition for a batch whose corpus merge is
+    // about to bounce (the corpus claim is verified BEFORE the fork)
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.applyDedupBatch(Seq(Doc(60L, t(60))).toDF(), 0L, idx2,
+        corp, k = 2, bands = 8, rowsPerBand = 2, threshold = 0.5,
+        nBuckets = 8, idCol = "doc_id", textCol = "text", poly = false,
+        writer = "w2")
+    }
+    e.getMessage should include ("maintained by writer w1")
+    ids(corp) shouldBe before
+    // no data landed in the doomed stream's index (its claim sidecar
+    // is ownership metadata, not data)
+    new java.io.File(idx2).exists() shouldBe false
+  }
+
   test("torn compaction (meta without dirs) fails loudly; rebuildDedupIndex recovers (r19)") {
     val dir = tmp("dedup_torn"); val idx = s"$dir/idx"; val corp = s"$dir/corp"
     StreamOps.bootstrapDedup(corpus0, idx, corp, k = 2, bands = 8,
