@@ -16,6 +16,55 @@ import org.apache.spark.sql.functions._
   */
 object Aggs {
 
+  /** ONE-buffer exact replay of k discrete percentiles plus their rank
+    * windows (r21, guide §5 memory): `k` separate `percentile_disc`
+    * aggregates each buffer the ENTIRE value multiset in one final
+    * aggregation task — k full copies of the column for three order
+    * statistics. This pass instead groups the VALUE HISTOGRAM (a
+    * parallel codegen hash agg), runs one cumulative-count window over
+    * the sorted distinct values (a single sorted pass over the value
+    * DOMAIN — the strictly smaller, spillable shape), and reads every
+    * statistic off the cumulative frame in one tiny final agg.
+    *
+    * Returns one Row: `n` (total rows) and, per index i, `lo$i` (rows
+    * strictly below `ests(i)`), `hi$i` (rows at or below `ests(i)`),
+    * and `d$i` (the smallest value whose cumulative count reaches
+    * `ranks(i)`, cast to double). With `ranks(i) = ceil(q·n)` —
+    * integer-exact via `(qBp·n + 9999) / 10000` — `d$i` IS SQL-standard
+    * `percentile_disc(q)`: the least v with cume_dist ≥ q. For the
+    * declared basis-point percentages this rational rule coincides with
+    * double evaluation (q·n within half an ulp of the true rational
+    * whenever the boundary is integral), and QuantileSketchSpec pins the
+    * equivalence against `percentile_disc` on boundary-heavy fixtures
+    * (n divisible by 4/2/10, heavy ties). Non-null, non-empty input is
+    * the caller's contract (the declared faces' columns are both).
+    *
+    * The window is partition-less by necessity — an exact global rank
+    * is value-domain-sized, the same domain each percentile_disc buffer
+    * held — and is WindowBudgets-registered by the calling query. */
+  def discreteRankPass(values: org.apache.spark.sql.DataFrame,
+                       valueCol: String, ests: Seq[Double],
+                       ranks: Seq[Long]): org.apache.spark.sql.Row = {
+    require(ests.length == ranks.length,
+      s"ests (${ests.length}) and ranks (${ranks.length}) must align")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = values.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("v"), sum(col("c")).over(w).as("cum"))
+    val aggs = Seq(max(col("cum")).cast("long").as("n")) ++
+      ests.indices.flatMap { i =>
+        Seq(coalesce(max(when(col("v") < ests(i), col("cum"))), lit(0L))
+            .cast("long").as(s"lo$i"),
+          coalesce(max(when(col("v") <= ests(i), col("cum"))), lit(0L))
+            .cast("long").as(s"hi$i"),
+          min(when(col("cum") >= ranks(i), col("v")))
+            .cast("double").as(s"d$i"))
+      }
+    cum.agg(aggs.head, aggs.tail: _*).head()
+  }
+
   /** A6 `product` — multiplicative fold. Spark has no product aggregate.
     * The input is the BOXED double so SQL NULLs arrive as null and are
     * SKIPPED, like every built-in aggregate — the primitive-Double form

@@ -646,22 +646,23 @@ object RelationalQueries {
       val ests = qsBp.map(q => graft.functions.QuantileSketch
         .query(merged, q / 10000.0)
         .getOrElse(sys.error(s"empty sketch at q=$q")))
-      // one exact pass: N, each estimate's rank window, and the exact
-      // percentile_disc values for the hashed output
-      val rankAggs: Seq[org.apache.spark.sql.Column] =
-        Seq(count(lit(1)).cast("long").as("n")) ++
-          qsBp.indices.flatMap { i =>
-            Seq(sum(when(col("o_totalprice") < ests(i), 1L).otherwise(0L))
-                .cast("long").as(s"lo$i"),
-              sum(when(col("o_totalprice") <= ests(i), 1L).otherwise(0L))
-                .cast("long").as(s"hi$i"))
-          } ++
-          qsBp.zipWithIndex.map { case (q, i) =>
-            expr(s"percentile_disc(0.${"%04d".format(q)}) WITHIN GROUP " +
-              "(ORDER BY o_totalprice)").as(s"d$i")
-          }
-      val r = orders.agg(rankAggs.head, rankAggs.tail: _*).head()
+      // one exact pass, ONE buffer (r21, guide §5): the old shape ran
+      // three percentile_disc aggregates in this agg — three full
+      // per-value buffers of the whole column in one final-agg task —
+      // for three order statistics. The rank pass reads them (and the
+      // lo/hi rank windows) off one cumulative histogram instead; the
+      // target ranks come integer-exactly from the merged sketch's own
+      // count (GK tracks N exactly), and the pass's n must agree with
+      // it or the replay is incoherent. Output values bit-identical
+      // (QuantileSketchSpec pins the rank pass == percentile_disc on
+      // boundary-heavy fixtures; oracle re-verified tri-scale).
+      val nSketch = merged.count
+      val rks = qsBp.map(q => (q * nSketch + 9999L) / 10000L)
+      val r = graft.agg.Aggs.discreteRankPass(
+        orders.select("o_totalprice"), "o_totalprice", ests, rks)
       val n = r.getAs[Long]("n")
+      require(n == nSketch,
+        s"exact pass saw $n rows but the merged sketch counted $nSketch")
       val epsBp = (eps * 10000).toLong
       qsBp.zipWithIndex.map { case (q, i) =>
         val lo = r.getAs[Long](s"lo$i")

@@ -51,6 +51,14 @@ object WindowBudgets {
       "assemble composes reweightBy — same feasibility-min window over the counts frame (Sampling.scala:388-400)"),
     "llm_hybrid_rank" -> (2 ->
       "lexical and dense rank windows each run over a post-TakeOrdered frame of <= 20 rows (the producers' limits); the corpus-sized stages are windowless"))
+  // Known off-plan site (the blind-spot class above): agg_quantile_merge's
+  // Aggs.discreteRankPass (r21) runs a partition-less cumulative window
+  // over the o_totalprice VALUE HISTOGRAM inside an eager internal
+  // action (head()), so the declared plan never carries it. Not tiny —
+  // the exact-percentile contract is inherently value-domain-sized —
+  // but it REPLACED three percentile_disc buffers each holding the same
+  // domain in one final-agg task (guide §5); the equivalence is pinned
+  // in QuantileSketchSpec.
 
   def budget(name: String): Int =
     perQuery.get(name).map(_._1).getOrElse(default)

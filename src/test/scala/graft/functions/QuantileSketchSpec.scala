@@ -154,6 +154,52 @@ class QuantileSketchSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       QuantileSketch.fromBytes(Array[Byte](1)) // too short
   }
+
+  test("discreteRankPass == percentile_disc + rank sums on boundary-heavy fixtures (r21)") {
+    // the single-buffer rank pass that replaced agg_quantile_merge's
+    // three percentile_disc buffers must be BIT-IDENTICAL to the
+    // aggregate it replaced — on exact boundaries especially (n
+    // divisible by 4/2/10, where cume_dist == q exactly and a
+    // rule-mismatch would pick the next value), and under heavy ties
+    val qsBp = Seq(2500L, 5000L, 9000L)
+    val fixtures: Seq[(String, Seq[Double])] = Seq(
+      "1..20 (every boundary integral)" -> (1 to 20).map(_.toDouble),
+      "1..40" -> (1 to 40).map(_.toDouble),
+      "1..1000" -> (1 to 1000).map(_.toDouble),
+      "n=17 (no integral boundary)" -> (1 to 17).map(_.toDouble),
+      "heavy ties" -> (Seq.fill(25)(1.0) ++ Seq.fill(25)(2.0) ++
+        Seq.fill(49)(3.0) ++ Seq(4.0)),
+      "single value" -> Seq(7.5),
+      "hashed spread" -> (1 to 333).map(i => ((i * 2654435761L) % 997).toDouble))
+    for ((label, xs) <- fixtures) withClue(s"$label: ") {
+      val df = xs.toDF("x").repartition(5)
+      val n = xs.length.toLong
+      val ests = Seq(xs.sorted.apply(((n / 4).toInt).max(1) - 1),
+        xs.sorted.apply((n / 2).toInt.max(1) - 1), xs.max) // arbitrary probes
+      val rks = qsBp.map(q => (q * n + 9999L) / 10000L)
+      val got = graft.agg.Aggs.discreteRankPass(df, "x", ests, rks)
+      val refAggs = Seq(count(lit(1)).cast("long").as("n")) ++
+        qsBp.indices.flatMap { i =>
+          Seq(sum(when(col("x") < ests(i), 1L).otherwise(0L))
+              .cast("long").as(s"lo$i"),
+            sum(when(col("x") <= ests(i), 1L).otherwise(0L))
+              .cast("long").as(s"hi$i"))
+        } ++
+        qsBp.zipWithIndex.map { case (q, i) =>
+          expr(s"percentile_disc(0.${"%04d".format(q)}) WITHIN GROUP " +
+            "(ORDER BY x)").cast("double").as(s"d$i")
+        }
+      val ref = df.agg(refAggs.head, refAggs.tail: _*).head()
+      got.getAs[Long]("n") shouldBe ref.getAs[Long]("n")
+      for (i <- qsBp.indices) {
+        got.getAs[Long](s"lo$i") shouldBe ref.getAs[Long](s"lo$i")
+        got.getAs[Long](s"hi$i") shouldBe ref.getAs[Long](s"hi$i")
+        withClue(s"d$i (q=${qsBp(i)}bp): ") {
+          got.getAs[Double](s"d$i") shouldBe ref.getAs[Double](s"d$i")
+        }
+      }
+    }
+  }
 }
 
 /** Tiny local alias so the spec can build the case class directly. */
