@@ -82,6 +82,7 @@ object ProfileR20 {
         case "host_canon"   => hostCanon(spark, sf)
         case "distinct_n"   => distinctN(spark, sf)
         case "engine_mid"   => engineMid(spark, sf)
+        case "substring"    => substringProf(spark, sf)
         case other => sys.error(s"unknown profile: $other")
       }
     }
@@ -232,6 +233,38 @@ object ProfileR20 {
       "llm_quality_dedup", "llm_tfidf", "llm_split_safe", "llm_host_canon",
       "agg_quantile_merge", "llm_bitext_margin", "llm_components_incremental")
       .foreach { n => t(n)(SparkEntry.queries(n)(spark, sf).count()) }
+  }
+
+  /** substringDedup stage decomposition (r21 verdict item 8): which of
+    * window-hash construction / loser election / token reassembly pays,
+    * on the ScaleProbe synthetic shape's plan over the real corpus. */
+  private def substringProf(spark: SparkSession, sf: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val docs = graft.model.Tables.documents(spark, sf).select("doc_id", "text")
+    val k = 20
+    val toks = docs.select(col("doc_id"),
+      split(col("text"), graft.llm.TextStats.WsRun).as("__toks"))
+    val hashed = toks
+      .select(col("doc_id"), col("__toks"),
+        explode(when(size(col("__toks")) >= k,
+            sequence(lit(1), size(col("__toks")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("__s"))
+      .select(col("doc_id"), col("__s"),
+        sha2(array_join(slice(col("__toks"), col("__s"), lit(k)), " "), 256)
+          .as("__wh"))
+    t("1 window-hash projection (noop)")(noop(hashed))
+    val losers = hashed
+      .withColumn("__w", min(struct(col("doc_id"), col("__s")))
+        .over(Window.partitionBy(col("__wh"))))
+      .where(col("doc_id") =!= col("__w.doc_id") || col("__s") =!= col("__w.__s"))
+      .select(col("doc_id"), col("__s"))
+    t("2 + loser election (noop)")(noop(losers))
+    t("3 full substringDedup (noop)")(
+      noop(graft.llm.Dedup.substringDedup(docs, k = k)))
+    t("4 declared llm_dedup_substring (count)")(
+      SparkEntry.queries("llm_dedup_substring")(spark, sf).count())
   }
 
   private def cdcRead(spark: SparkSession, sf: String): Unit =

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -494,6 +494,28 @@ object TextKernelObjs {
       i = j
     }
     (n * l2(n) - acc) / n
+  }
+
+  /** Join `toks` with single spaces, skipping the 1-based positions in
+    * `pos` — [[graft.llm.Dedup.substringDedup]]'s reassembly as one
+    * compiled merge walk. `pos` must be ascending and distinct (the
+    * caller's sort_array(collect_set) contract); out-of-range entries
+    * are impossible by the covered-window construction but would simply
+    * be skipped by the walk. Empty result (all positions covered) is
+    * the empty string, matching `coalesce(array_join(...), '')`. */
+  def removeAtJoin(toks: ArrayData, pos: ArrayData): UTF8String = {
+    val n = toks.numElements()
+    val m = pos.numElements()
+    val kept = new Array[UTF8String](n)
+    var i = 0; var p = 0; var k = 0
+    while (i < n) {
+      while (p < m && pos.getInt(p) < i + 1) p += 1
+      if (p < m && pos.getInt(p) == i + 1) p += 1
+      else { kept(k) = toks.getUTF8String(i); k += 1 }
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "),
+      java.util.Arrays.copyOf(kept, k): _*)
   }
 }
 
@@ -1030,4 +1052,49 @@ case class PairGrams(child: Expression) extends UnaryExpression {
 object PairGrams {
   def apply(text: Column): Column =
     ColumnBridge.column(PairGrams(ColumnBridge.expression(text)))
+}
+
+/** Space-join of a token array MINUS a sorted set of 1-based positions,
+  * in one compiled merge walk — [[graft.llm.Dedup.substringDedup]]'s
+  * reassembly. Bit-identical to the interpreted reference
+  *
+  *   `coalesce(array_join(transform(sort_array(collect_list(struct(i,
+  *      tok))), s -> s.tok), " "), "")` over anti-joined kept tokens
+  *
+  * which rebuilt EVERY document through a corpus-token-stream groupBy +
+  * sort-based collect (the r15 collect-agg class) and ran its transform
+  * lambda interpreted per kept token. Positions must be ascending and
+  * distinct (sort_array(collect_set) upstream). */
+case class RemoveAtJoin(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_remove_at_join"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<int>), got " +
+          s"(${l.sql}, ${r.sql})")
+    }
+
+  override def nullSafeEval(toks: Any, pos: Any): Any =
+    TextKernelObjs.removeAtJoin(
+      toks.asInstanceOf[ArrayData], pos.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, p) =>
+      s"${ev.value} = graft.functions.TextKernelObjs.removeAtJoin($t, $p);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object RemoveAtJoin {
+  def apply(toks: Column, pos: Column): Column =
+    ColumnBridge.column(RemoveAtJoin(
+      ColumnBridge.expression(toks), ColumnBridge.expression(pos)))
 }

@@ -820,20 +820,29 @@ object Dedup {
       .select(col(idCol), col("__s"))
     val covered = losers
       .select(col(idCol), explode(sequence(col("__s"), col("__s") + (k - 1))).as("__i"))
-    val tokens = toks
-      .select(col(idCol), posexplode(col("__toks")).as(Seq("__i0", "__tok")))
-      .select(col(idCol), (col("__i0") + 1).as("__i"), col("__tok"))
-    val rebuilt = tokens.join(covered, Seq(idCol, "__i"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(
-        array_join(transform(
-          sort_array(collect_list(struct(col("__i"), col("__tok")))),
-          s => s.getField("__tok")), " ").as(textCol),
-        count(lit(1)).as("n_kept"))
-    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+    // reassembly (r21, guide §2.3 "shuffle fewer bytes"): the old shape
+    // posexploded EVERY document's tokens and rebuilt them through a
+    // corpus-token-stream groupBy + sort-based collect_list (the r15
+    // collect-agg class) with an interpreted transform lambda — a full
+    // token exchange to delete LOSER positions only. Aggregate the
+    // covered positions instead (proportional to the duplicated volume
+    // being deleted, never the corpus — collect_set's buffer is
+    // loser-bounded and dedups overlapping windows), attach per doc,
+    // and rebuild with one compiled merge walk
+    // ([[graft.functions.RemoveAtJoin]], bit-identical by
+    // TextKernelsSpec). Every input doc flows through `toks`, so the
+    // fully-duplicated survivor contract (empty text, n_kept = 0) falls
+    // out of the left join + empty-position kernel result — no outer
+    // re-join against `docs`. n_kept = |toks| − |covered| exactly:
+    // positions are distinct and in [1, |toks|] by construction.
+    val coveredSets = covered.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__i"))).as("__cov"))
+    toks.join(coveredSets, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col(textCol), lit("")).as(textCol),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        graft.functions.RemoveAtJoin(col("__toks"),
+          coalesce(col("__cov"), array().cast("array<int>"))).as(textCol),
+        (size(col("__toks")) - coalesce(size(col("__cov")), lit(0)))
+          .cast("long").as("n_kept"))
   }
 
   /** 64-bit SimHash per document: per-token xxhash64, bitwise majority

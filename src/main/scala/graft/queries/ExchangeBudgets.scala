@@ -57,6 +57,13 @@ object ExchangeBudgets {
     // groupBy + union agg on one side, exact distinct (2-phase) on the
     // other — the contract being gated IS that both paths exist
     "agg_hll_merge"                   -> 4,
+    // r21: the exact-percentile replay moved from three percentile_disc
+    // buffers (each the whole column in ONE final-agg task) onto
+    // Aggs.discreteRankPass — the +1 is the value-HISTOGRAM partial agg
+    // exchange (distinct-values-sized partials, narrow (v, count) rows),
+    // bought against removing all three full-column buffers; measured
+    // 1.50 s → 0.66 s min-of-5 at sf0.1/32 (plans/r21/)
+    "agg_quantile_merge"              -> 4,
     "llm_adaptive_gate"               -> 4,
     "llm_assemble"                    -> 6,
     // margin mining re-keys by construction: k-NN sums per SIDE (2

@@ -205,6 +205,50 @@ class TextKernelsSpec extends SparkSpec {
     kernel shouldBe naive
   }
 
+  test("RemoveAtJoin matches the interpreted filter+array_join reference (r21)") {
+    // substringDedup's reassembly kernel: toks joined by ' ' minus a
+    // sorted distinct 1-based position set. Edges: empty positions
+    // (identity re-join), full coverage (empty string), single-token
+    // docs, the empty-string token split('') produces, gaps/run ends
+    val fixtures = Seq(
+      ("a b c d e", Seq(2, 4)),
+      ("a b c d e", Seq.empty[Int]),
+      ("a b c d e", Seq(1, 2, 3, 4, 5)), // fully covered
+      ("solo", Seq(1)),
+      ("solo", Seq.empty[Int]),
+      ("", Seq.empty[Int]),              // split('') = [""] — kept
+      ("", Seq(1)),                      // ...and removable
+      ("x y", Seq(1)), ("x y", Seq(2)),
+      ("p q r s t u v w", Seq(1, 3, 5, 7)),
+      ("p q r s t u v w", Seq(6, 7, 8)))
+    val df = fixtures.zipWithIndex
+      .map { case ((t, ps), i) => (i.toLong, t, ps) }
+      .toDF("id", "text", "pos")
+      .select(col("id"), split(col("text"), " ").as("toks"),
+        col("pos").cast("array<int>").as("pos"))
+    val kernel = df.select(col("id"),
+        RemoveAtJoin(col("toks"), col("pos")).as("out"))
+      .as[(Long, String)].collect().toMap
+    import org.apache.spark.sql.functions.{array_join, filter, sequence, struct, transform, zip_with}
+    val ref = df.select(col("id"),
+        array_join(transform(
+          filter(
+            zip_with(col("toks"),
+              sequence(lit(1),
+                org.apache.spark.sql.functions.size(col("toks"))),
+              (t, i) => struct(t.as("t"), i.as("i"))),
+            s => !array_contains(col("pos"), s.getField("i"))),
+          s => s.getField("t")), " ").as("out"))
+      .as[(Long, String)].collect().toMap
+    kernel shouldBe ref
+    // null propagation: either side null → null
+    Seq((null.asInstanceOf[String], Seq(1)))
+      .toDF("text", "pos")
+      .select(RemoveAtJoin(split(col("text"), " "),
+        col("pos").cast("array<int>")).as("out"))
+      .head().isNullAt(0) shouldBe true
+  }
+
   test("the kernels are callable from SQL text via GraftExtensions") {
     GraftExtensions.register(spark)
     texts.createOrReplaceTempView("__tk_docs")
