@@ -144,15 +144,23 @@ object Bench {
     // verdict ask 2): the driver keeps ~2,000 chars of stdout tail and
     // parses the short LAST line, so the full map line above never
     // reached PERF's per-query comparison (empty `queries` every round
-    // since r09). Each part is a self-contained JSON line well under the
-    // keep limit carrying the SAME total/sf as the final line — a parser
-    // that reads only the last line sees exactly what it saw before (the
-    // compact `total` line stays last and unchanged), one that scans all
-    // kept lines can reassemble the tail parts, and one that accidentally
-    // picks a part still reads the correct total. Parts carry
-    // metric:"total_part" so they can never be mistaken for the record.
+    // since r09). PHYSICS: ~5.6 KB of map cannot fit a 2,000-char keep
+    // in any format — a tail-bounded reader retains ONE complete part
+    // (the last, ~1.6 KB) plus the compact total line; a full-stdout
+    // reader can reassemble all parts. To make the surviving part worth
+    // keeping, entries are ordered ASCENDING by time so the LAST part
+    // carries the slowest ~60 queries — the whole set a regression
+    // audit cares about (everything below is the ~0.1 s framework
+    // floor). Each part is a self-contained JSON line carrying the SAME
+    // total/sf as the final line — a parser that reads only the last
+    // line sees exactly what it saw before (the compact `total` line
+    // stays last and unchanged), and one that accidentally picks a part
+    // still reads the correct total. Parts carry metric:"total_part" so
+    // they can never be mistaken for the record.
     val partMax = 1500 // chars of map payload per line, < the tail keep
-    val parts = entries.foldLeft(List(List.empty[String])) { (acc, e) =>
+    val byTime = results.toSeq.sortBy { case (k, v) => (v, k) }
+      .map { case (k, v) => f""""$k":$v%.3f""" }
+    val parts = byTime.foldLeft(List(List.empty[String])) { (acc, e) =>
       if (acc.head.map(_.length + 1).sum + e.length <= partMax)
         (e :: acc.head) :: acc.tail
       else List(e) :: acc

@@ -237,29 +237,15 @@ object ProfileR20 {
 
   /** substringDedup stage decomposition (r21 verdict item 8): which of
     * window-hash construction / loser election / token reassembly pays,
-    * on the ScaleProbe synthetic shape's plan over the real corpus. */
+    * over the real corpus. Stages come from Dedup.substringStages — the
+    * DECLARED pipeline, never a drifting copy (the codebook rule). */
   private def substringProf(spark: SparkSession, sf: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val docs = graft.model.Tables.documents(spark, sf).select("doc_id", "text")
     val k = 20
-    val toks = docs.select(col("doc_id"),
-      split(col("text"), graft.llm.TextStats.WsRun).as("__toks"))
-    val hashed = toks
-      .select(col("doc_id"), col("__toks"),
-        explode(when(size(col("__toks")) >= k,
-            sequence(lit(1), size(col("__toks")) - (k - 1)))
-          .otherwise(array().cast("array<int>"))).as("__s"))
-      .select(col("doc_id"), col("__s"),
-        sha2(array_join(slice(col("__toks"), col("__s"), lit(k)), " "), 256)
-          .as("__wh"))
+    val (_, hashed, losers) = graft.llm.Dedup.substringStages(docs, k)
     t("1 window-hash projection (noop)")(noop(hashed))
-    val losers = hashed
-      .withColumn("__w", min(struct(col("doc_id"), col("__s")))
-        .over(Window.partitionBy(col("__wh"))))
-      .where(col("doc_id") =!= col("__w.doc_id") || col("__s") =!= col("__w.__s"))
-      .select(col("doc_id"), col("__s"))
     t("2 + loser election (noop)")(noop(losers))
     t("3 full substringDedup (noop)")(
       noop(graft.llm.Dedup.substringDedup(docs, k = k)))

@@ -790,10 +790,14 @@ object Dedup {
     * groupBy+join alternative shuffles it twice); per-hash groups are
     * occurrence counts, so the WindowExec buffer is duplicate-bounded.
     * Removed-position explosion amplifies LOSERS only — proportional to
-    * the duplicated volume being deleted, not the corpus. The final
-    * anti-join + reassembly shuffle narrow (id, pos, token) rows keyed
-    * by the id they already carry. The covered-position stream is NOT
-    * distinct'd — the anti join dedups inherently (CLAUDE.md rule).
+    * the duplicated volume being deleted, not the corpus. Reassembly
+    * (r21): the covered positions aggregate into per-doc sorted sets
+    * (loser-volume-bounded collect_set — overlapping windows dedup
+    * there), attach with a doc-level join, and one compiled
+    * [[graft.functions.RemoveAtJoin]] walk rebuilds each document — no
+    * corpus-token-stream exchange, no per-token lambda (the pre-r21
+    * posexplode + anti-join + collect_list shape shuffled every token
+    * to delete loser positions only).
     *
     * Granularity caveat (documented, inherent): spans shorter than k
     * tokens are never matched, and a duplicated span's first/last
@@ -803,21 +807,7 @@ object Dedup {
   def substringDedup(docs: DataFrame, k: Int = 50,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k > 0, "k must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol),
-      split(col(textCol), TextStats.WsRun).as("__toks"))
-    val hashed = toks
-      .select(col(idCol), col("__toks"),
-        explode(when(size(col("__toks")) >= k,
-            sequence(lit(1), size(col("__toks")) - (k - 1)))
-          .otherwise(array().cast("array<int>"))).as("__s"))
-      .select(col(idCol), col("__s"),
-        sha2(array_join(slice(col("__toks"), col("__s"), lit(k)), " "), 256).as("__wh"))
-    val byHash = Window.partitionBy(col("__wh"))
-    val losers = hashed
-      .withColumn("__w", min(struct(col(idCol), col("__s"))).over(byHash))
-      .where(col(idCol) =!= col(s"__w.$idCol") || col("__s") =!= col("__w.__s"))
-      .select(col(idCol), col("__s"))
+    val (toks, _, losers) = substringStages(docs, k, idCol, textCol)
     val covered = losers
       .select(col(idCol), explode(sequence(col("__s"), col("__s") + (k - 1))).as("__i"))
     // reassembly (r21, guide §2.3 "shuffle fewer bytes"): the old shape
@@ -837,12 +827,46 @@ object Dedup {
     // positions are distinct and in [1, |toks|] by construction.
     val coveredSets = covered.groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__i"))).as("__cov"))
+    // null-text parity with the pre-r21 shape (the old posexplode
+    // emitted no rows for a null token array and the final outer
+    // re-join coalesced the vanished doc to ("", 0)): a null __toks
+    // coalesces to the empty array BEFORE the kernel, so a null-text
+    // doc still survives as ("", 0), never (null, null)
+    val safeToks = coalesce(col("__toks"), array().cast("array<string>"))
     toks.join(coveredSets, Seq(idCol), "left")
       .select(col(idCol),
-        graft.functions.RemoveAtJoin(col("__toks"),
+        graft.functions.RemoveAtJoin(safeToks,
           coalesce(col("__cov"), array().cast("array<int>"))).as(textCol),
-        (size(col("__toks")) - coalesce(size(col("__cov")), lit(0)))
+        (size(safeToks) - coalesce(size(col("__cov")), lit(0)))
           .cast("long").as("n_kept"))
+  }
+
+  /** The window-hash construction and loser-election stages of
+    * [[substringDedup]], exposed so dev profilers measure the DECLARED
+    * pipeline instead of a silently-drifting copy (the r20 ADVICE
+    * codebook rule applied here). Returns (toks, hashed, losers):
+    * `toks` = (id, __toks), `hashed` = (id, __s, __wh) one row per
+    * k-window position, `losers` = (id, __s) the non-first occurrences. */
+  private[graft] def substringStages(docs: DataFrame, k: Int,
+                                     idCol: String = "doc_id",
+                                     textCol: String = "text")
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      split(col(textCol), TextStats.WsRun).as("__toks"))
+    val hashed = toks
+      .select(col(idCol), col("__toks"),
+        explode(when(size(col("__toks")) >= k,
+            sequence(lit(1), size(col("__toks")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("__s"))
+      .select(col(idCol), col("__s"),
+        sha2(array_join(slice(col("__toks"), col("__s"), lit(k)), " "), 256).as("__wh"))
+    val byHash = Window.partitionBy(col("__wh"))
+    val losers = hashed
+      .withColumn("__w", min(struct(col(idCol), col("__s"))).over(byHash))
+      .where(col(idCol) =!= col(s"__w.$idCol") || col("__s") =!= col("__w.__s"))
+      .select(col(idCol), col("__s"))
+    (toks, hashed, losers)
   }
 
   /** 64-bit SimHash per document: per-token xxhash64, bitwise majority

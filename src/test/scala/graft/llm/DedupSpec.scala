@@ -601,6 +601,16 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String, Long)].collect() shouldBe out
   }
 
+  test("substringDedup: a null-text doc survives as (\"\", 0), the pre-r21 outer-join parity") {
+    val span = (0 until 20).map(i => s"n$i").mkString(" ")
+    val sdocs = Seq((0L, span), (1L, null.asInstanceOf[String]), (2L, s"lead $span"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(sdocs, k = 20).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    out(1) shouldBe ((1L, "", 0L)) // null text never reads back as null
+    out(0) shouldBe ((0L, span, 20L))
+  }
+
   test("substringDedup dedups an intra-document repeat and ignores sub-k spans") {
     val span = (0 until 20).map(i => s"r$i").mkString(" ")
     val short = "tiny shared bit" // 3 tokens < k — never matched

@@ -9,9 +9,11 @@ Usage:
       [--touched q1,q2,...] [--ratio 1.5] [--floor 0.5]
 
 Rules (the CLAUDE.md noise model):
-  - a query is FLAGGED when now/prev > ratio (default 1.5x) AND both
-    samples are above the floor (default 0.5 s — sub-floor queries sit
-    on the ~0.1 s/query fixed job cost where ratios are meaningless);
+  - a query is FLAGGED when now/prev > ratio (default 1.5x) AND the NOW
+    sample is above the floor (default 0.5 s): ratios between two
+    sub-floor samples are framework-cost noise, but a query regressing
+    FROM sub-floor TO above-floor is exactly the class the gate exists
+    to catch;
   - queries named in --touched are reported but never fail the gate
     (their movement is this round's explained diff);
   - dropped/renamed queries always fail (the driver treats a vanished
@@ -56,7 +58,7 @@ def main() -> int:
         if p <= 0 or n <= 0:
             continue
         r = n / p
-        if r > a.ratio and min(p, n) > a.floor:
+        if r > a.ratio and n > a.floor:
             line = f"{q}: {p:.3f}s -> {n:.3f}s ({r:.2f}x)"
             if q in touched:
                 notes.append(f"touched (explained): {line}")
