@@ -1526,6 +1526,27 @@ object ScaleProbe {
           .reduce(graft.functions.QuantileSketch.merge)
         graft.functions.QuantileSketch.query(merged, 0.5).getOrElse(-1.0)
       }),
+      // exact-percentile rank pass (r21): agg_quantile_merge's replay
+      // half (Aggs.discreteRankPass — histogram + one cumulative
+      // window). Near-unique doubles are the operator's WORST case (the
+      // histogram doesn't compress); the probe's spill column is the
+      // guide §5 receipt: the window's sort SPILLS gracefully where the
+      // shape it replaced — three percentile_disc buffers, each the
+      // whole column in ONE final-agg OpenHashMap — died with
+      // java.lang.OutOfMemoryError at this probe's 10x (measured r21,
+      // n*3200: the old shape OOM-killed the JVM, so it cannot live in
+      // this registry; the new one completed 8.8 s -> 31.8 s with
+      // 12.5 GB spill at the same scale)
+      ("quantile_rank_pass", () => {
+        val rows = n * 800
+        val df = spark.range(rows).select(
+          (pmod(xxhash64(col("id")), lit(10000000)).cast("double") / 10.0)
+            .as("x"))
+        val ests = Seq(250000.0, 500000.0, 900000.0)
+        val rks = Seq(2500L, 5000L, 9000L)
+          .map(q => (q * rows + 9999L) / 10000L)
+        graft.agg.Aggs.discreteRankPass(df, "x", ests, rks).getLong(0)
+      }),
       // theta set sketch: per-source partial build (ONE groupBy pass
       // over a growing corpus), pairwise intersections driver-side
       // over kilobyte compacts — the set-algebra cost must stay flat
